@@ -1,0 +1,270 @@
+"""SCD Type-1 + Type-2 merge as a single-pass Spark plan.
+
+Semantics reproduced from the reference pipeline
+(/root/reference/SCD_script.txt:3-155, steps 1-8; prose
+/root/reference/README.md:15-31):
+
+* business key identifies an entity; staging holds at most one row per key
+* Type-1 columns are overwritten in place on EVERY surviving row of a key
+  that appears in staging (steps 3-6, SCD_script.txt:22-24,43-45,68-70)
+* Type-2 columns, when changed on the active row, close that row out
+  (``scd_end_date = as_of``, ``scd_active = false``; step 5,
+  SCD_script.txt:61-86) and insert a new active version
+  (``scd_version + 1``, ``scd_start_date = as_of``, sentinel end date;
+  step 6, SCD_script.txt:87-120)
+* production rows whose key is absent from staging are carried verbatim
+  (step 2, SCD_script.txt:8-12); staging keys absent from production
+  become brand-new version-1 rows (step 7, SCD_script.txt:121-137)
+* surrogate keys are wholesale reassigned by a row_number over
+  ``scd_start_date`` (step 8, SCD_script.txt:141-155)
+
+Design differences from the reference (deliberate, documented):
+
+* ONE plan instead of 8 statements: the reference scans production 5x and
+  staging 6x across separate MapReduce jobs; here a single full-outer
+  join + a per-row `explode` of 1-or-2 output structs produces every
+  branch in one pass over each input. At 100 TB that is one shuffle on
+  the business key (or zero, if staging broadcasts) instead of eleven
+  scans.
+* Null-safe change detection on ALL Type-2 columns via ``eqNullSafe``
+  (the reference null-protects only ``phone``,
+  SCD_script.txt:78-80 — a NULL<->value flip in ``address`` silently
+  loses the row; README.md:31 itself names ``<=>`` as the right tool).
+* A single deterministic ``as_of`` timestamp instead of per-statement
+  ``current_timestamp()`` drift (the reference's own worked example shows
+  three different instants, README.md:316-320).
+* Deterministic surrogate-key tie-break ``(start, key, version)``: the
+  reference's global ``ROW_NUMBER() OVER (ORDER BY scd_start_date)``
+  ties nondeterministically (its two tutorial docs disagree on the final
+  row order, README.md:306-312 vs "Hive 2.md":292-298).
+* Edge case reproduced faithfully: a staging key whose production rows
+  are ALL inactive gets Type-1 rewrites only — no resurrection — because
+  step 7's anti-join is against all of production, not just active rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+END_OF_TIME = "9999-12-31 23:59:59"
+
+
+@dataclass(frozen=True)
+class SCDConfig:
+    """Column contract for one dimension table.
+
+    ``type1_cols`` are overwritten from staging wherever the key matches;
+    ``type2_cols`` participate in change detection and are versioned.
+    Business columns not listed in either are treated as Type-1 if present
+    in staging, else carried.
+    """
+
+    key: str
+    type2_cols: tuple[str, ...]
+    type1_cols: tuple[str, ...]
+    surrogate_col: str = "dim_id"
+    version_col: str = "scd_version"
+    start_col: str = "scd_start_date"
+    end_col: str = "scd_end_date"
+    active_col: str = "scd_active"
+    end_of_time: str = END_OF_TIME
+
+    @property
+    def meta_cols(self) -> tuple[str, ...]:
+        return (self.version_col, self.start_col, self.end_col, self.active_col)
+
+    @property
+    def business_cols(self) -> tuple[str, ...]:
+        return (self.key, *self.type1_cols, *self.type2_cols)
+
+
+def dedupe_staging(staging: DataFrame, cfg: SCDConfig, order_by: list[str] | None = None) -> DataFrame:
+    """Enforce the reference's implicit at-most-one-row-per-key
+    precondition (every branch joins on the bare key; a duplicate would
+    fan out steps 3-6). Keeps the last row per key under ``order_by``.
+    """
+    order = [F.col(c).desc_nulls_last() for c in (order_by or [])] or [F.lit(1)]
+    w = Window.partitionBy(cfg.key).orderBy(*order)
+    return (
+        staging.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_merge(
+    prod: DataFrame,
+    staging: DataFrame,
+    cfg: SCDConfig,
+    as_of: datetime | str,
+    *,
+    key_strategy: str = "row_number",
+    broadcast_staging: bool = False,
+) -> DataFrame:
+    """Produce the next version of the dimension table.
+
+    One full-outer join on the business key; each joined row explodes into
+    1 or 2 output rows (2 only for a Type-2 change: close-out + new
+    version). Surrogate keys are then reassigned over the whole result
+    (reference step 8 semantics). ``prod``'s schema is the output schema.
+
+    ``broadcast_staging`` hints the join when the staging batch is small
+    relative to production (the common case for dimension maintenance at
+    scale: production is the 100 TB side, staging is the daily delta).
+    """
+    out_cols = prod.columns
+    dtypes = {f.name: f.dataType for f in prod.schema.fields}
+    missing = [c for c in (cfg.surrogate_col, *cfg.business_cols, *cfg.meta_cols) if c not in dtypes]
+    if missing:
+        raise ValueError(f"production table lacks columns {missing}")
+
+    as_of_lit = F.lit(as_of).cast("timestamp")
+    eot_lit = F.lit(cfg.end_of_time).cast("timestamp")
+
+    p = prod.alias("p")
+    s_raw = staging.alias("s")
+    s = F.broadcast(s_raw) if broadcast_staging else s_raw
+    pc = lambda c: F.col(f"p.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"s.{c}")  # noqa: E731
+
+    joined = p.join(s, pc(cfg.key) == sc(cfg.key), "full_outer")
+
+    # Null-safe change predicate over ALL Type-2 columns (fixes the
+    # reference's partial COALESCE guard, SCD_script.txt:78-80).
+    changed = reduce(
+        Column.__or__, [~pc(c).eqNullSafe(sc(c)) for c in cfg.type2_cols]
+    )
+
+    staging_cols = set(staging.columns)
+
+    def strct(vals: dict[str, Column]) -> Column:
+        return F.struct(
+            *[vals[c].cast(dtypes[c]).alias(c) for c in out_cols]
+        )
+
+    p_vals = {c: pc(c) for c in out_cols}
+    # Type-1 rewrite: keep p's SCD metadata + Type-2 values, take Type-1
+    # business columns from staging (reference steps 3-5).
+    t1_vals = dict(p_vals)
+    for c in cfg.type1_cols:
+        if c in staging_cols:
+            t1_vals[c] = sc(c)
+
+    carried = strct(p_vals)  # step 2
+    type1_rw = strct(t1_vals)  # steps 3-4
+    closeout = strct({**t1_vals, cfg.end_col: as_of_lit, cfg.active_col: F.lit(False)})  # step 5
+
+    def from_staging(version: Column) -> Column:  # steps 6-7
+        vals = {c: (sc(c) if c in staging_cols else F.lit(None)) for c in out_cols}
+        vals[cfg.surrogate_col] = F.lit(None)
+        vals[cfg.version_col] = version
+        vals[cfg.start_col] = as_of_lit
+        vals[cfg.end_col] = eot_lit
+        vals[cfg.active_col] = F.lit(True)
+        return strct(vals)
+
+    new_version = from_staging(pc(cfg.version_col) + 1)  # step 6
+    new_row = from_staging(F.lit(1))  # step 7
+
+    rows = (
+        F.when(pc(cfg.key).isNull(), F.array(new_row))
+        .when(sc(cfg.key).isNull(), F.array(carried))
+        .when(~pc(cfg.active_col), F.array(type1_rw))
+        .when(~changed, F.array(type1_rw))
+        .otherwise(F.array(closeout, new_version))
+    )
+
+    merged = joined.select(F.explode(rows).alias("r")).select("r.*")
+    return assign_surrogate_keys(merged, cfg, strategy=key_strategy)
+
+
+def assign_surrogate_keys(
+    df: DataFrame, cfg: SCDConfig, *, strategy: str = "row_number"
+) -> DataFrame:
+    """Reassign every surrogate key (reference step 8,
+    SCD_script.txt:141-155). Three strategies:
+
+    * ``row_number`` — exact reference parity: dense 1..n ordered by
+      ``(start, key, version)`` (deterministic tie-break added; the
+      reference orders by start alone and its two docs disagree on tie
+      order). Global window => single-partition sort; fine up to ~10^8
+      rows, NOT the 100 TB path.
+    * ``two_pass`` — dense 1..n without a global sort: range-repartition
+      on the order columns, number rows within each partition, then add
+      per-partition offsets computed from a tiny partition-count collect.
+      Scales to arbitrary row counts (the collect is O(#partitions)).
+    * ``hash`` — fully parallel, stable, non-dense:
+      ``xxhash64(key, start, version)``. Preferred at 100 TB when key
+      density is not required; the reference itself treats keys as
+      non-semantic (wholesale reassignment every run).
+    """
+    order_cols = [cfg.start_col, cfg.key, cfg.version_col]
+    sk_type = dict(df.dtypes)[cfg.surrogate_col]
+
+    if strategy == "row_number":
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(cfg.surrogate_col, F.row_number().over(w).cast(sk_type))
+
+    if strategy == "two_pass":
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        parted = (
+            df.repartitionByRange(n_parts, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+        local = parted.withColumn("__rn", F.row_number().over(w_local))
+        counts = {r["__pid"]: r["cnt"] for r in
+                  local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = local.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        )
+        return (
+            local.join(F.broadcast(off_df), "__pid")
+            .withColumn(cfg.surrogate_col, (F.col("__off") + F.col("__rn")).cast(sk_type))
+            .drop("__pid", "__rn", "__off")
+        )
+
+    if strategy == "hash":
+        return df.withColumn(
+            cfg.surrogate_col,
+            F.xxhash64(F.col(cfg.key), F.col(cfg.start_col), F.col(cfg.version_col)).cast(sk_type),
+        )
+
+    raise ValueError(f"unknown key strategy {strategy!r}")
+
+
+def publish(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    """Atomic table publish (reference step 8's INSERT OVERWRITE,
+    SCD_script.txt:141). Spark cannot overwrite a parquet path that the
+    plan is lazily reading (the reference sidesteps this by materializing
+    ``dim_user_new`` first); we materialize to a temp sibling dir, then
+    swap directories. On a real deployment this is Delta/Iceberg MERGE or
+    ``INSERT OVERWRITE`` with table-format atomicity.
+    """
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = None
+    if os.path.exists(path):
+        old = tempfile.mkdtemp(dir=parent, prefix=".old-")
+        shutil.rmtree(old)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old and os.path.exists(old):
+        shutil.rmtree(old)

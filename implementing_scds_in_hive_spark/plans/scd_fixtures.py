@@ -1,0 +1,136 @@
+"""Deterministic SCD fixture over the driver's ``customer`` table.
+
+FIXTURES.md §2: ``customer`` plays the production role; a staging batch
+is a deterministic perturbation so DuckDB can replay the identical merge
+as the correctness oracle. Every rule below is pure modular arithmetic on
+``c_custkey`` — portable between Spark and DuckDB SQL, no engine hash
+functions. The Spark builders and the SQL CTE text live side by side in
+this module so they cannot drift.
+
+Branch coverage of the reference algorithm
+(/root/reference/SCD_script.txt steps 2-7):
+  * %20==6  -> key absent from staging (step-2 carry)
+  * %7==0   -> key has an inactive history row (step-3 Type-1 rewrite on
+               inactive rows; also proves the "all-inactive key stays
+               inactive" edge case when combined with %20==6)
+  * %10==3  -> c_acctbal shifted (Type-2 change, steps 5+6)
+  * %10==4  -> c_mktsegment rotated (Type-2 change)
+  * %50==9  -> c_mktsegment NULLed (Type-2 via null-safe compare)
+  * %10==5  -> c_name suffixed (Type-1 only, step-4 rewrite)
+  * %20==7  -> cloned as a brand-new key at custkey+1_000_000 (step 7)
+  * everything else -> unchanged active match (step-4 carry w/ rewrite)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.scd import SCDConfig
+from implementing_scds_in_hive_spark.sources.registry import load_table
+
+AS_OF = "2024-06-01 00:00:00"
+
+CUSTOMER_CFG = SCDConfig(
+    key="c_custkey",
+    type2_cols=("c_acctbal", "c_mktsegment"),
+    type1_cols=("c_name", "c_nationkey"),
+    surrogate_col="dim_customer_id",
+)
+
+
+def customer_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers as an SCD2 dimension: all active at version 1 (version 2
+    for keys with history), plus an inactive version-1 row for %7==0 keys.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    active = c.select(
+        F.lit(None).cast("long").alias("dim_customer_id"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(2)).otherwise(F.lit(1)).alias("scd_version"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("scd_start_date"),
+        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("scd_end_date"),
+        F.lit(True).alias("scd_active"),
+    )
+    history = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.lit(None).cast("long").alias("dim_customer_id"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") - 50.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(1).alias("scd_version"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("scd_start_date"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("scd_end_date"),
+        F.lit(False).alias("scd_active"),
+    )
+    return active.unionByName(history)
+
+
+def customer_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perturbed snapshot of ``customer`` (business columns only)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    existing = c.where(~(k % 20 == 6)).select(
+        "c_custkey",
+        F.when(k % 10 == 5, F.concat(F.col("c_name"), F.lit("_t1")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(k % 10 == 3, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(k % 50 == 9, F.lit(None).cast("string"))
+        .when(k % 10 == 4, F.concat(F.col("c_mktsegment"), F.lit("_X")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    new = c.where(k % 20 == 7).select(
+        (k + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NewCustomer#"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("STARTUP").alias("c_mktsegment"),
+    )
+    return existing.unionByName(new)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins of the builders above (ANSI SQL over the pre-registered
+# `customer` view). Column-for-column identical output.
+# ---------------------------------------------------------------------------
+
+PRODUCTION_SQL = """
+    SELECT CAST(NULL AS BIGINT) AS dim_customer_id,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS scd_version,
+           TIMESTAMP '2024-01-01 00:00:00' AS scd_start_date,
+           TIMESTAMP '9999-12-31 23:59:59' AS scd_end_date,
+           TRUE AS scd_active
+    FROM customer
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), c_custkey, c_name, c_nationkey,
+           c_acctbal - 50.0, c_mktsegment, 1,
+           TIMESTAMP '2023-01-01 00:00:00',
+           TIMESTAMP '2024-01-01 00:00:00', FALSE
+    FROM customer WHERE c_custkey % 7 = 0
+"""
+
+STAGING_SQL = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 5 THEN c_name || '_t1' ELSE c_name END AS c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 50 = 9 THEN NULL
+                WHEN c_custkey % 10 = 4 THEN c_mktsegment || '_X'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE NOT (c_custkey % 20 = 6)
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NewCustomer#' || CAST(c_custkey AS VARCHAR),
+           c_nationkey, 0.0, 'STARTUP'
+    FROM customer WHERE c_custkey % 20 = 7
+"""
