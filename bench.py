@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect), mirroring how a production job would write results out.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from implementing_scds_in_hive_spark.plans.registry import queries  # noqa: E402
+from implementing_scds_in_hive_spark.session import get_spark  # noqa: E402
+
+# Representative of every subsystem; excludes the deliberately quadratic
+# exhaustive jaccard oracle (its scale path, minhash_lsh, is included).
+HEADLINE = [
+    "scd2_merge_customer",
+    "agg_lineitem_pricing",
+    "join_star_schema",
+    "window_topn_per_group",
+    "top_orders",
+    "having_agg_filter",
+    "event_hourly_rollup",
+    "sessionize",
+    "asof_latest_order",
+    "similarity_topk_bruteforce",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm up the JVM/codegen paths so the first timed query isn't
+    # charged for session bring-up
+    qs["top_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

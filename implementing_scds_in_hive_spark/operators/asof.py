@@ -1,0 +1,62 @@
+"""As-of (temporal) join: enrich each event with the latest matching
+fact at-or-before its timestamp.
+
+Spark lacks a native as-of join; a naive range join
+(``l.key = r.key AND r.ts <= l.ts`` + max) explodes quadratically per
+key. Implemented instead as the union-merge pattern: tag both streams,
+sort within key partitions by time, and carry the last fact forward
+with ``last(..., ignorenulls=True)`` — one shuffle of each input on the
+key, linear work per partition. Deterministic tie-break: facts at equal
+timestamps resolve by highest fact id, and a fact at exactly the event
+timestamp matches (<=).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_id: str,
+) -> DataFrame:
+    """For each ``left`` row, attach ``right_cols`` of the latest
+    ``right`` row with the same key and ``right_ts <= left_ts``."""
+    lt = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__fact_seq"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
+        ).alias("__r"),
+    )
+    rt = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_id).cast("long").alias("__fact_seq"),
+        F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    # Order: time asc, facts before events at the same instant (so an
+    # equal-timestamp fact is visible, i.e. <= semantics), higher fact id
+    # wins among same-instant facts.
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__fact_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out = carried.where(F.col("__is_left") == 1).select("__l.*", "__last_r.*")
+    return out

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a typed
+metadata struct alongside. The Spark-side machinery — schema, Arrow
+batch shape, ``mapInPandas`` partition-parallel processing — is real and
+tested; the actual media decode is STUBBED (the decode libraries are not
+in this container): ``decode_image_stub`` raises ``NotImplementedError``
+while ``extract_features`` computes deterministic byte-level features so
+the full pipeline is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from implementing_scds_in_hive_spark.sources.registry import spread
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("head_byte", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: utf-8 bytes of the text as the opaque
+    payload + typed metadata. At scale the payload comes from the lake
+    (parquet BINARY / object-store refs) — the plumbing is identical."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    # cap the fan-out: each partition costs a Python worker fork + Arrow
+    # init on first use; 32 simultaneous cold workers measured slower
+    # than 1 for small inputs. 8 balances startup vs parallelism; large
+    # inputs arrive already partitioned and skip the repartition.
+    return spread(docs, min_partitions=8).select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """Placeholder for the real media decode (PIL/torchvision/ffmpeg are
+    not installed in this environment)."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "container; wire PIL/torchaudio here in a full deployment"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Partition-parallel feature extraction over the binary column via
+    ``mapInPandas`` (Arrow-batched; one python worker per partition —
+    the plan a real decoder would use, with the decode swapped in)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

@@ -109,17 +109,27 @@ def scd2_merge(
     *,
     key_strategy: str = "row_number",
     broadcast_staging: bool = False,
+    plan: str = "auto",
 ) -> DataFrame:
     """Produce the next version of the dimension table.
 
-    One full-outer join on the business key; each joined row explodes into
-    1 or 2 output rows (2 only for a Type-2 change: close-out + new
-    version). Surrogate keys are then reassigned over the whole result
-    (reference step 8 semantics). ``prod``'s schema is the output schema.
+    Two physically distinct plans with identical semantics (chosen by
+    ``plan``; ``auto`` picks ``broadcast`` when ``broadcast_staging``):
 
-    ``broadcast_staging`` hints the join when the staging batch is small
-    relative to production (the common case for dimension maintenance at
-    scale: production is the 100 TB side, staging is the daily delta).
+    * ``full_outer`` — ONE full-outer join on the business key; each
+      joined row explodes into 1 or 2 output structs (2 only for a
+      Type-2 change: close-out + new version). One shuffle of each side.
+      Spark cannot broadcast either side of a full-outer join, so this
+      always shuffles production — right when both sides are large.
+    * ``broadcast`` — the 100 TB dimension-maintenance path: production
+      (the huge side) NEVER shuffles. A broadcast LEFT join handles every
+      production row's branches; brand-new staging keys come from a
+      separate anti-join of staging against the column-pruned key
+      projection of production (a second scan, but of one parquet column,
+      and the shuffle moves only keys + the tiny staging side).
+
+    Surrogate keys are then reassigned over the whole result (reference
+    step 8 semantics). ``prod``'s schema is the output schema.
     """
     out_cols = prod.columns
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
@@ -130,13 +140,13 @@ def scd2_merge(
     as_of_lit = F.lit(as_of).cast("timestamp")
     eot_lit = F.lit(cfg.end_of_time).cast("timestamp")
 
+    if plan == "auto":
+        plan = "broadcast" if broadcast_staging else "full_outer"
+
     p = prod.alias("p")
     s_raw = staging.alias("s")
-    s = F.broadcast(s_raw) if broadcast_staging else s_raw
     pc = lambda c: F.col(f"p.{c}")  # noqa: E731
     sc = lambda c: F.col(f"s.{c}")  # noqa: E731
-
-    joined = p.join(s, pc(cfg.key) == sc(cfg.key), "full_outer")
 
     # Null-safe change predicate over ALL Type-2 columns (fixes the
     # reference's partial COALESCE guard, SCD_script.txt:78-80).
@@ -175,15 +185,36 @@ def scd2_merge(
     new_version = from_staging(pc(cfg.version_col) + 1)  # step 6
     new_row = from_staging(F.lit(1))  # step 7
 
-    rows = (
-        F.when(pc(cfg.key).isNull(), F.array(new_row))
-        .when(sc(cfg.key).isNull(), F.array(carried))
+    prod_branches = (
+        F.when(sc(cfg.key).isNull(), F.array(carried))
         .when(~pc(cfg.active_col), F.array(type1_rw))
         .when(~changed, F.array(type1_rw))
         .otherwise(F.array(closeout, new_version))
     )
 
-    merged = joined.select(F.explode(rows).alias("r")).select("r.*")
+    if plan == "full_outer":
+        rows = F.when(pc(cfg.key).isNull(), F.array(new_row)).otherwise(prod_branches)
+        joined = p.join(s_raw, pc(cfg.key) == sc(cfg.key), "full_outer")
+        merged = joined.select(F.explode(rows).alias("r")).select("r.*")
+    elif plan == "broadcast":
+        s = F.broadcast(s_raw)
+        updated = (
+            p.join(s, pc(cfg.key) == sc(cfg.key), "left")
+            .select(F.explode(prod_branches).alias("r"))
+            .select("r.*")
+        )
+        # Brand-new keys: anti-join staging against the (column-pruned)
+        # production key set. Only the key column of production is read
+        # and shuffled here — production rows themselves never move.
+        fresh = (
+            s_raw.join(prod.select(cfg.key), cfg.key, "left_anti")
+            .select(new_row.alias("r"))
+            .select("r.*")
+        )
+        merged = updated.unionByName(fresh)
+    else:
+        raise ValueError(f"unknown merge plan {plan!r}")
+
     return assign_surrogate_keys(merged, cfg, strategy=key_strategy)
 
 

@@ -1,0 +1,451 @@
+"""Training-data pipeline operators as driver queries + DuckDB oracles.
+
+Oracle discipline: every SQL twin recomputes the SAME mathematical
+definition independently (e.g., exact Jaccard via SQL set arithmetic) —
+not a transliteration of the Spark plan. Probabilistic operators
+(MinHash-LSH candidates, SimHash, sign-bit ANN) cannot be replayed
+exactly in SQL and get rows-only checks; each has an exact
+oracle-checked counterpart here (ngram Jaccard / brute-force cosine) so
+the semantics are still verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.functions.text import (
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    occurrences,
+    quality_score,
+    token_count,
+)
+from implementing_scds_in_hive_spark.functions.vectors import cosine
+from implementing_scds_in_hive_spark.operators.asof import asof_join
+from implementing_scds_in_hive_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicate_groups,
+)
+from implementing_scds_in_hive_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from implementing_scds_in_hive_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from implementing_scds_in_hive_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- text analysis -------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.length(text).cast("int").alias("n_chars_computed"),
+        F.round(avg_token_len(text), 6).alias("avg_token_len"),
+        occurrences(F.concat(F.lit(" "), text, F.lit(" ")), " the ").alias("n_the"),
+        F.round(quality_score(text), 6).alias("quality"),
+    )
+
+
+TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars_computed,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS tok_len,
+         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS n_the,
+         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS INT) AS n_a
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars_computed,
+       round(tok_len, 6) AS avg_token_len,
+       n_the,
+       round(CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN CAST(n_the + n_a AS DOUBLE) / n_tokens > 0.01 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN tok_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 6) AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_detected"),
+        scores["en"].alias("score_en"),
+        scores["fr"].alias("score_fr"),
+    )
+
+
+LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    CAST((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3 AS INT) AS score_en,
+    CAST((length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' la ','')))/4 AS INT) AS score_fr,
+    CAST((length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 AS INT) AS score_de,
+    CAST((length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' de ','')))/4 AS INT) AS score_es
+  FROM t)
+SELECT doc_id, lang,
+       -- argmax with ties resolved to the lexicographically greatest
+       -- language code (matches Spark's struct array_max semantics)
+       CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+            WHEN score_fr >= score_es AND score_fr >= score_en AND score_fr >= score_de THEN 'fr'
+            WHEN score_es >= score_en AND score_es >= score_de THEN 'es'
+            WHEN score_en >= score_de THEN 'en'
+            ELSE 'de' END AS lang_detected,
+       score_en, score_fr
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+
+
+# --- dedup ---------------------------------------------------------------
+
+def _docs_with_planted_dups(spark, sf_dir):
+    """The corpus has no exact duplicates, so the exact-dedup check
+    plants deterministic ones: every %50==0 document cloned at
+    doc_id+100000 (same rule in the oracle SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    clones = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    return d.unionByName(clones)
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir)).select(
+        "fp", "n_dups", F.to_json("members").alias("members_json")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0)
+SELECT md5(lower(trim(text))) AS fp,
+       COUNT(*) AS n_dups,
+       '[' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) || ']' AS members_json
+FROM corpus
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_NGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  -- DuckDB 1.0 lacks lateral range(); join a fixed index table instead
+  -- (docs cap at ~100 tokens; 1024 is headroom)
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w JOIN range(1, 1024) t(i) ON i <= len(ws) - 2
+  WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Probabilistic candidate generation — rows-only check (exact
+    counterpart: dedup_ngram_jaccard above, which bounds it)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash collisions — rows-only (engine-specific 64-bit hash)."""
+    return simhash_duplicate_groups(_t(spark, sf_dir, "documents")).select(
+        "simhash", "n_docs", F.to_json("members").alias("members_json")
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+def _query_vectors(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_similarity_topk_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, _query_vectors(spark, sf_dir), k=10)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
+         AS cos_sim
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_topk_lsh(spark, sf_dir):
+    """Bucketed ANN variant — rows-only (approximate by design; exact
+    counterpart: similarity_topk_bruteforce)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e, _query_vectors(spark, sf_dir), k=10, n_bits=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Same-bucket near-duplicate pairs at cosine >= 0.99 — the blocking
+    is deterministic (sign bits), so this IS oracle-expressible."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.99, n_bits=8)
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 6)
+       AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[]))))
+      >= 0.99
+"""
+
+
+# --- events: JSON, event-time windows, sessionization, as-of -------------
+
+def q_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+
+
+def q_event_hourly_rollup(spark, sf_dir):
+    """Event-time tumbling window aggregation (the batch face of the
+    streaming windowed agg): per-hour, per-type counts + exact value sum."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+EVENT_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization: a >30-minute silence starts a new
+    session; one window for the gap flag, a running sum for the id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = F.sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_flag.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY 1, 2
+"""
+
+
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event enriched with the user's latest order at or
+    before the event time (union-merge plan, no range-join blowup)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_id="o_orderkey",
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+WHERE rn = 1
+UNION ALL
+SELECT e.event_id, e.user_id, NULL, NULL
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+"""
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction through the real mapInPandas
+    path (Arrow batches); decode itself is stubbed, byte-level features
+    are deterministic so the oracle can verify the plumbing."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(CASE WHEN length(text) > 0
+                 THEN unicode(substring(text, 1, 1)) ELSE -1 END AS INT) AS head_byte
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
+    "json_extract": q_json_extract,
+    "event_hourly_rollup": q_event_hourly_rollup,
+    "sessionize": q_sessionize,
+    "asof_latest_order": q_asof_latest_order,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "dedup_exact_groups": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh: rows-only
+    "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
+    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+    "json_extract": JSON_EXTRACT_SQL,
+    "event_hourly_rollup": EVENT_HOURLY_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "asof_latest_order": ASOF_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
+}

@@ -1,0 +1,501 @@
+"""Oracle-parity relational operator surface (SURVEY §2.2-2.6, §2.9).
+
+One query per operator family over the TPC-H-ish corpus, each with an
+ANSI-SQL DuckDB twin. Numeric discipline: double-typed aggregates are
+computed via exact DECIMAL arithmetic and cast back to double at the end,
+so both engines produce bit-identical results regardless of partial-agg
+ordering (float summation order is nondeterministic across engines).
+Top-k queries always carry a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation: TPC-H Q1 shape (filter → groupBy → multi-agg) ----------
+
+def q_agg_lineitem_pricing(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    qty, price, disc, tax = dec("l_quantity"), dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc) * (F.lit(1).cast("decimal(18,2)") + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+AGG_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+                (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- joins ---------------------------------------------------------------
+
+def q_join_star_schema(spark, sf_dir):
+    """3-way broadcast join chain: customer → nation → region + agg."""
+    c, n, r = (_t(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+JOIN_STAR_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_join_left_outer(spark, sf_dir):
+    """LEFT OUTER join (reference J1, SCD_script.txt:10-11) with
+    null-probing on the unmatched side."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderkey").isNull().alias("is_unmatched"),
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       o_orderkey IS NULL AS is_unmatched
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def q_join_pred_in_on(spark, sf_dir):
+    """Non-key predicate inside the ON clause (reference J4,
+    SCD_script.txt:31-32) — preserved on a LEFT join where it is NOT
+    equivalent to a post-join filter."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return c.join(o, cond, "left").select(
+        "c_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+JOIN_PRED_ON_SQL = """
+SELECT c_custkey, o_orderkey, o_orderstatus
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_orderstatus = 'F'
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Native anti-join (reference J2 encodes it as LEFT JOIN + IS NULL,
+    SCD_script.txt:8-12)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Semi-join (reference J6): customers having at least one open order."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    open_orders = o.where(F.col("o_orderstatus") == "O")
+    return c.join(open_orders, c.c_custkey == open_orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer WHERE c_custkey IN
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+# --- windows -------------------------------------------------------------
+
+def q_window_topn_per_group(spark, sf_dir):
+    """Partitioned ranking (the idiomatic generalization of reference W1):
+    top-3 orders per customer by price, deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_customer", F.row_number().over(w))
+        .where(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+WINDOW_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
+  FROM orders) t
+WHERE rank_in_customer <= 3
+"""
+
+
+def q_window_running_total(spark, sf_dir):
+    """Frame-spec window: running order total per customer over time."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_total
+FROM orders
+"""
+
+
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead analytics: days since the customer's previous order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INT) AS days_since_prev,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+"""
+
+
+# --- set operations ------------------------------------------------------
+
+def q_set_ops(spark, sf_dir):
+    """UNION ALL + EXCEPT ALL + INTERSECT (SURVEY §2.5 notes the
+    reference's 6-branch INSERT fan-in ≡ UNION ALL)."""
+    o = _t(spark, sf_dir, "orders")
+    f_keys = o.where("o_orderstatus = 'F'").select("o_custkey")
+    o_keys = o.where("o_orderstatus = 'O'").select("o_custkey")
+    p_keys = o.where("o_orderstatus = 'P'").select("o_custkey")
+    both = f_keys.intersect(o_keys).withColumn("bucket", F.lit("both_f_o"))
+    only_p = p_keys.distinct().exceptAll(f_keys.distinct()).withColumn("bucket", F.lit("p_not_f"))
+    return both.unionByName(only_p).select(F.col("o_custkey").alias("custkey"), "bucket")
+
+
+SET_OPS_SQL = """
+SELECT o_custkey AS custkey, 'both_f_o' AS bucket FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT o_custkey, 'p_not_f' FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+# --- sort / limit --------------------------------------------------------
+
+def q_top_orders(spark, sf_dir):
+    """Global top-k with full deterministic tie-break (ORDER BY + LIMIT).
+    Spark plans this as TakeOrderedAndProject — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# --- scalar expression surface ------------------------------------------
+
+def q_scalar_string_funcs(spark, sf_dir):
+    """String/conditional scalar surface (reference P4/F1/F2/F6):
+    concat, case/when, coalesce, null-safe equality, substring, length."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.when(F.col("p_size") >= 30, F.lit("large"))
+        .when(F.col("p_size") >= 15, F.lit("medium"))
+        .otherwise(F.lit("small"))
+        .alias("size_bucket"),
+        F.coalesce(F.col("p_brand"), F.lit("")).alias("brand_coalesced"),
+        F.col("p_brand").eqNullSafe(F.lit("Brand#1")).alias("is_brand1"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 2).cast("double").alias("double_price"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       p_brand || ':' || p_type AS brand_type,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       CASE WHEN p_size >= 30 THEN 'large'
+            WHEN p_size >= 15 THEN 'medium'
+            ELSE 'small' END AS size_bucket,
+       COALESCE(p_brand, '') AS brand_coalesced,
+       p_brand IS NOT DISTINCT FROM 'Brand#1' AS is_brand1,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price
+FROM part
+"""
+
+
+def q_scalar_date_funcs(spark, sf_dir):
+    """Timestamp scalar surface (reference F3/F5): extract, trunc,
+    interval arithmetic, explicit string→timestamp cast."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")).alias("is_recent"),
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       o_orderdate > TIMESTAMP '1997-01-01 00:00:00' AS is_recent
+FROM orders
+"""
+
+
+def q_filter_compound(spark, sf_dir):
+    """Compound predicate with grouping + LIKE + IN + BETWEEN
+    (reference P6/P7, SCD_script.txt:77-80 disjunction shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.where(
+        (
+            (F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "O")
+        )
+        & F.col("l_quantity").between(10, 40)
+        & F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+FILTER_COMPOUND_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+FROM lineitem
+WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+  AND l_quantity BETWEEN 10 AND 40
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+"""
+
+
+# --- grouping extensions -------------------------------------------------
+
+def q_rollup_region_nation(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation with grouping_id disambiguation."""
+    c, n, r = (_t(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_pivot_status_by_year(spark, sf_dir):
+    """Pivot (conditional aggregation): order counts per year × status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY 1
+"""
+
+
+def q_having_agg_filter(spark, sf_dir):
+    """GROUP BY + HAVING + count distinct."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+"""
+
+
+def q_correlated_above_avg(spark, sf_dir):
+    """Decorrelated subquery: customers with above-nation-average balance.
+    Authored as agg + broadcast join (what Catalyst would decorrelate to)."""
+    c = _t(spark, sf_dir, "customer")
+    nat_avg = c.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nat_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+CORRELATED_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+JOIN (SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+      FROM customer GROUP BY c_nationkey) a
+  USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+"""
+
+
+QUERIES = {
+    "agg_lineitem_pricing": q_agg_lineitem_pricing,
+    "join_star_schema": q_join_star_schema,
+    "join_left_outer": q_join_left_outer,
+    "join_pred_in_on": q_join_pred_in_on,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "window_topn_per_group": q_window_topn_per_group,
+    "window_running_total": q_window_running_total,
+    "window_lag_lead": q_window_lag_lead,
+    "set_ops": q_set_ops,
+    "top_orders": q_top_orders,
+    "scalar_string_funcs": q_scalar_string_funcs,
+    "scalar_date_funcs": q_scalar_date_funcs,
+    "filter_compound": q_filter_compound,
+    "rollup_region_nation": q_rollup_region_nation,
+    "pivot_status_by_year": q_pivot_status_by_year,
+    "having_agg_filter": q_having_agg_filter,
+    "correlated_above_avg": q_correlated_above_avg,
+}
+
+ORACLES = {
+    "agg_lineitem_pricing": AGG_LINEITEM_SQL,
+    "join_star_schema": JOIN_STAR_SQL,
+    "join_left_outer": JOIN_LEFT_SQL,
+    "join_pred_in_on": JOIN_PRED_ON_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "window_topn_per_group": WINDOW_TOPN_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "window_lag_lead": WINDOW_LAG_SQL,
+    "set_ops": SET_OPS_SQL,
+    "top_orders": TOP_ORDERS_SQL,
+    "scalar_string_funcs": SCALAR_STRING_SQL,
+    "scalar_date_funcs": SCALAR_DATE_SQL,
+    "filter_compound": FILTER_COMPOUND_SQL,
+    "rollup_region_nation": ROLLUP_SQL,
+    "pivot_status_by_year": PIVOT_SQL,
+    "having_agg_filter": HAVING_SQL,
+    "correlated_above_avg": CORRELATED_SQL,
+}
