@@ -1,0 +1,74 @@
+"""Structured Streaming face of the SCD2 merge (SURVEY §2.7, §7 Phase E).
+
+The reference is batch-only: "late data" is simply the next staging
+snapshot (/root/reference/SCD_script.txt runs on demand). The natural
+Spark extension is a micro-batch upsert: each arriving staging batch is
+deduped to one row per business key and merged into the dimension table
+with the same single-pass plan as the batch operator, then atomically
+published. State (the dimension table itself) lives in the table, not in
+Spark's state store — which is exactly how Delta's streaming MERGE
+pattern works and keeps the stream restartable from the table alone.
+
+At scale: each micro-batch is one broadcast-plan merge (production never
+shuffles — see operators/scd.py), so throughput is bounded by one scan +
+rewrite of the dimension per trigger. For a 100 TB dimension the publish
+step would be Delta MERGE (rewrites only touched files) instead of the
+parquet directory swap used here.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from implementing_scds_in_hive_spark.operators.scd import (
+    SCDConfig,
+    dedupe_staging,
+    publish,
+    scd2_merge,
+)
+
+
+def scd2_upsert_stream(
+    staging_stream: DataFrame,
+    prod_path: str,
+    cfg: SCDConfig,
+    *,
+    checkpoint_dir: str,
+    order_by: list[str] | None = None,
+    as_of_fn: Callable[[int], datetime] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously upsert a staging stream into the dimension at
+    ``prod_path``.
+
+    ``order_by``: columns ranking duplicate keys within one batch (last
+    wins), e.g. an event timestamp. ``as_of_fn(batch_id)`` supplies the
+    merge instant per micro-batch — injectable for deterministic tests,
+    defaulting to wall clock (one instant per batch, never per row:
+    the reference's per-statement timestamp drift is not reproduced).
+    """
+    spark = staging_stream.sparkSession
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
+        prod = spark.read.parquet(prod_path)
+        staged = dedupe_staging(batch, cfg, order_by=order_by)
+        merged = scd2_merge(prod, staged, cfg, as_of, broadcast_staging=True)
+        # foreachBatch materializes eagerly, so the lazy-read-overwrite
+        # trap applies: publish() stages to a temp dir then swaps.
+        publish(merged, prod_path)
+
+    writer = (
+        staging_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
