@@ -83,12 +83,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct preserved —
-    dedup consumers apply array_distinct as needed)."""
-    ws = F.split(text, " ")
+def shingles_from_tokens(ws: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> from a MATERIALIZED token
+    array column. ``ws`` must be a real column (``withColumn('ws',
+    split(...))``), never an inline ``split(...)`` expression: expressions
+    referenced inside a higher-order-function lambda are re-evaluated on
+    every element access (no CSE across lambda invocations), which turns
+    shingling O(tokens^2) per document. Hash-identity consumers should
+    prefer operators.dedup.shingled_hashes — numeric, no string
+    allocation."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.array_join(F.slice(ws, (i + 1).cast("int"), n), " "),
     )
     return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))

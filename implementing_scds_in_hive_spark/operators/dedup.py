@@ -15,17 +15,23 @@ derived keys, never on raw document text except where noted):
 * simhash         — 64-bit SimHash; near-dup candidates = identical
                     simhash (or banded prefixes)
 
-Spark-first notes: MinHash permutations are xxhash64(seed, shingle) —
-no Python in the hot path; signatures are built by a single groupBy
-with ``min(hash)`` per permutation expressed as array aggregation.
+Spark-first notes: everything is JVM-side built-ins — no Python in any
+hot path. Token arrays are materialized in a projection BEFORE any
+higher-order function touches them: an expression like
+``element_at(split(text), i)`` inside a ``transform`` lambda re-evaluates
+the split per element (no common-subexpression elimination across lambda
+invocations), turning shingling O(tokens^2) per document. Shingle
+identity is a 64-bit hash combined numerically with ``zip_with`` over
+slice-shifted token-hash arrays — no per-shingle string allocation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from implementing_scds_in_hive_spark.functions.text import fingerprint, shingles
+from implementing_scds_in_hive_spark.functions.text import fingerprint
 from implementing_scds_in_hive_spark.sources.registry import spread
 
 
@@ -52,11 +58,34 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, docs[id_col] == keep.keep_id, "left_semi")
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _token_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, th: array<bigint>) — one xxhash64 per token, materialized so
+    downstream higher-order functions never re-tokenize."""
     return spread(docs).select(
         F.col(id_col).alias("did"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).where(F.size("sh") > 0)
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+
+def _shingle_hashes(th: Column, n: int) -> Column:
+    """n-gram shingle hashes from a token-hash array: n slice-shifted
+    copies combined pairwise with zip_with — O(tokens * n), no strings."""
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y))
+    return F.when(m > 0, acc).otherwise(F.array().cast("array<bigint>"))
+
+
+def shingled_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
+) -> DataFrame:
+    """(did, sh: sorted array<bigint> of distinct shingle hashes)."""
+    return (
+        _token_hashes(docs, id_col, text_col)
+        .select("did", F.array_sort(F.array_distinct(_shingle_hashes(F.col("th"), n))).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -76,19 +105,15 @@ def ngram_jaccard_pairs(
     at 100 TB this is essential to bound the join fan-out; left None
     here because the oracle must be exhaustive.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # 4 downstream consumers (sizes + both sides of the self-join);
-    # persist or Spark re-runs the shingling for each
-    sh = _shingled(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("did", F.size("sh").alias("sz"))
-    inv = sh.select("did", F.explode("sh").alias("shingle"))
+    inv = sh.select("did", F.explode("sh").alias("hs"))
     if max_doc_freq is not None:
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(freq.where(F.col("df") <= max_doc_freq), "shingle", "left_semi")
+        freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.did") < F.col("b.did")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.did") < F.col("b.did")))
         .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -116,24 +141,32 @@ def minhash_signatures(
     num_perm: int = 32,
 ) -> DataFrame:
     """MinHash signature per document: permutation i is
-    xxhash64(i, xxhash64(shingle)) — the string is hashed once, each
-    permutation then hashes a single bigint; the signature element is the
-    min over shingles."""
-    sh = _shingled(docs, id_col, text_col, n)
-    return minhash_signatures_from_shingles(sh, num_perm=num_perm)
+    xxhash64(i, shingle-hash); the signature element is the min over
+    shingles. Computed shuffle-free with array_min over the in-row
+    shingle array — no explode, no groupBy."""
+    sh = shingled_hashes(docs, id_col, text_col, n=n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
+    )
+    return sh.select("did", F.size("sh").alias("sz"), sig.alias("sig"))
 
 
-def minhash_signatures_from_shingles(sh: DataFrame, *, num_perm: int = 32) -> DataFrame:
-    # explode + groupBy-min beats a per-row lambda aggregate: the mins
-    # run as vectorized partial aggregations inside whole-stage codegen
-    # (map-side combine shrinks the shuffle to one row per doc).
-    exploded = sh.select(
-        "did", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
-    ).select("did", "sz", F.xxhash64("shingle").alias("hs"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("hs"))).alias(f"_m{i}") for i in range(num_perm)]
-    agg = exploded.groupBy("did", "sz").agg(*mins)
-    return agg.select(
-        "did", "sz", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+def _band_buckets(num_perm: int, bands: int) -> Column:
+    """array<struct<band, bucket>> from an in-row ``sig`` array: bucket =
+    xxhash64 of the band's signature rows. One expression, no
+    intermediate signature columns."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -153,43 +186,26 @@ def minhash_lsh_pairs(
     to a bucket; pairs colliding in >= 1 band are candidates. With 32
     perms / 8 bands (r=4) the detection probability at J=0.8 is
     1-(1-0.8^4)^8 ≈ 0.99. Candidates are then verified with exact
-    Jaccard on the shingle sets, so precision is 1.0; recall is the LSH
-    probability above. The shuffle moves only (bucket, id) pairs —
-    sub-quadratic versus the exhaustive inverted index.
-    """
-    from pyspark.storagelevel import StorageLevel
+    Jaccard on the shingle-hash sets, so precision is 1.0; recall is the
+    LSH probability above.
 
-    rows_per_band = num_perm // bands
-    # Flat (doc, shingle-hash) table is the single persisted intermediate
-    # — two bigints per shingle, far smaller than shingle-string arrays,
-    # and every downstream stage (sizes, signatures, verification) is a
-    # plain hash-agg/join over it. Persisting bulky string arrays and
-    # verifying with array_intersect measured 3-4x slower.
-    sh = _shingled(docs, id_col, text_col, n)
-    flat = (
-        sh.select("did", F.explode("sh").alias("shingle"))
-        .select("did", F.xxhash64("shingle").alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    Plan shape: ONE persisted per-document array table (did, sh) feeds
+    everything; signatures and band buckets are in-row expressions (no
+    explode/groupBy); the only shuffles are the (band, bucket) self-join
+    on candidate generation — tiny rows — and the candidate verification
+    joins, which pull the shingle arrays of the (few) candidate pairs and
+    intersect them in-row with array_intersect on sorted arrays.
+    """
+    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
     )
-    sizes = flat.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("hs"))).alias(f"_m{i}") for i in range(num_perm)]
-    sig = flat.groupBy("did").agg(*mins)
-    banded = sig.select(
-        "did",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("did", "bb.band", "bb.bucket")
+    banded = (
+        sh.select("did", sig.alias("sig"))
+        .select("did", F.explode(_band_buckets(num_perm, bands)).alias("bb"))
+        .select("did", "bb.band", "bb.bucket")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -201,26 +217,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verification restricted to candidates: intersection
-    # size = matched hash count through two joins against the flat table
-    # (candidate set is small, so these joins touch a sliver of flat).
-    fa = flat.select(F.col("did").alias("id_a"), "hs")
-    fb = flat.select(F.col("did").alias("id_b"), "hs")
-    inter = (
-        cand.join(fa, "id_a")
-        .join(fb, ["id_b", "hs"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col("did").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("did").alias("id_b"), F.col("sz").alias("sz_b"))
+    sh_a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -228,28 +234,31 @@ def minhash_lsh_pairs(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from word-token hashes.
+    """64-bit SimHash per document from distinct word-token hashes.
 
-    For each bit position, sum +1/-1 over token hashes and take the
-    sign. Expressed as one aggregate over the token array per bit —
-    narrow, codegen-friendly, no shuffle at all."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    docs = spread(docs)
-
-    def bit_sum(i: int):
-        def merge(acc, t):
-            bit = F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        return F.aggregate(toks, F.lit(0), merge)
-
-    bit_sums = [bit_sum(i) for i in range(64)]
+    Explode token hashes, then one vectorized hash-aggregation computes
+    all 64 per-bit +1/-1 sums (map-side combine shrinks the shuffle to
+    one row per document); the final hash assembles sign bits with
+    literal shifts. The earlier formulation — 64 F.aggregate lambdas each
+    re-hashing every token — was O(64 * tokens) re-computation inside one
+    projection and dominated the plan's codegen size.
+    """
+    toks = _token_hashes(docs, id_col, text_col).select(
+        "did", F.explode(F.array_distinct("th")).alias("h")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("did").agg(*sums)
     sim = None
-    for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
-    return docs.select(F.col(id_col).alias("did"), sim.alias("simhash"))
+    return agg.select("did", sim.alias("simhash"))
 
 
 def simhash_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
