@@ -1,0 +1,202 @@
+"""Unit tests for the pipeline operators: dedup tiers on planted
+near-duplicates, similarity recall, as-of join edges, multimodal
+plumbing, and the atomic publish / self-overwrite trap.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.asof import asof_join
+from implementing_scds_in_hive_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicate_groups,
+)
+from implementing_scds_in_hive_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_features,
+)
+from implementing_scds_in_hive_spark.operators.scd import publish
+from implementing_scds_in_hive_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+
+
+def _mk_docs(spark):
+    """Corpus with known duplicate structure: 1<->2 exact, 3 a near-dup
+    of 1 (one token changed), 4 unrelated, 5<->6 exact."""
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the quiet hill"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about spark catalyst optimizer plans and shuffle exchanges at massive scale"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, near),
+            (4, other),
+            (5, other + " with a tail"),
+            (6, other + " with a tail"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _mk_docs(spark)
+    groups = {tuple(r["members"]) for r in exact_duplicates(docs).collect()}
+    assert groups == {(1, 2), (5, 6)}
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    docs = _mk_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (5, 6) in pairs and pairs[(5, 6)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({a, b} & {4} and {a, b} & {1, 2, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_recall_on_exact_and_near(spark):
+    docs = _mk_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # identical docs collide in every band -> guaranteed; near-dup is
+    # probabilistic but deterministic given fixed hash seeds
+    assert pairs[(1, 2)] == 1.0 and pairs[(5, 6)] == 1.0
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # LSH verified-Jaccard values must equal the exhaustive tier's
+    for k, v in pairs.items():
+        assert exact[k] == v
+
+
+def test_simhash_groups_exact_dups(spark):
+    docs = _mk_docs(spark)
+    groups = {tuple(r["members"]) for r in simhash_duplicate_groups(docs).collect()}
+    assert (1, 2) in groups and (5, 6) in groups
+
+
+def _mk_vectors(spark):
+    # 2-d unit-ish vectors: ids 1-3 near [1,0], ids 4-6 near [0,1]
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.1]),
+        (3, [0.95, 0.2]),
+        (4, [0.0, 1.0]),
+        (5, [0.1, 0.99]),
+        (6, [0.2, 0.95]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    corpus = _mk_vectors(spark)
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "query_id long, embedding array<double>")
+    got = [(r["vec_id"], r["rank"]) for r in cosine_topk(corpus, q, k=3).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lsh_topk_same_bucket_neighbors(spark):
+    corpus = _mk_vectors(spark)
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "query_id long, embedding array<double>")
+    got = {r["vec_id"] for r in lsh_bucketed_topk(corpus, q, k=3, n_bits=2).collect()}
+    # sign-bit blocking keeps the x-axis cluster together
+    assert got <= {1, 2, 3} and 1 in got
+
+
+def test_embedding_near_duplicates(spark):
+    corpus = _mk_vectors(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(corpus, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert all(not ({a, b} & {1, 2, 3} and {a, b} & {4, 5, 6}) for a, b in pairs)
+
+
+def test_asof_join_edges(spark):
+    orders = spark.createDataFrame(
+        [
+            (10, 1, datetime(2024, 1, 1), 100.0),
+            (11, 1, datetime(2024, 1, 5), 200.0),
+            (12, 1, datetime(2024, 1, 5), 300.0),  # same-instant: higher id wins
+            (13, 2, datetime(2024, 2, 1), 999.0),
+        ],
+        "o_id long, cust long, o_ts timestamp, price double",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 4)),   # after order 10 only
+            (2, 1, datetime(2024, 1, 5)),   # exactly at 11/12 -> 12 (<=, max id)
+            (3, 1, datetime(2024, 1, 9)),   # after all
+            (4, 2, datetime(2024, 1, 1)),   # before any order for cust 2 -> null
+            (5, 3, datetime(2024, 1, 1)),   # no orders at all -> null
+        ],
+        "event_id long, user long, e_ts timestamp",
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_on="user",
+        right_on="cust",
+        left_ts="e_ts",
+        right_ts="o_ts",
+        right_cols=["o_id", "price"],
+        right_id="o_id",
+    )
+    got = {r["event_id"]: (r["o_id"], r["price"]) for r in out.collect()}
+    assert got[1] == (10, 100.0)
+    assert got[2] == (12, 300.0)
+    assert got[3] == (12, 300.0)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+
+
+def test_multimodal_plumbing(spark):
+    docs = _mk_docs(spark)
+    media = attach_binary_payload(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "media_meta"]
+    feats = {r["doc_id"]: r.asDict() for r in extract_features(media).collect()}
+    assert len(feats) == 6
+    row1 = feats[1]
+    text1 = docs.where("doc_id = 1").collect()[0]["text"]
+    assert row1["byte_len"] == len(text1.encode())
+    assert row1["head_byte"] == text1.encode()[0]
+    import hashlib
+
+    assert row1["content_md5"] == hashlib.md5(text1.encode()).hexdigest()
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+
+def test_publish_self_overwrite_trap(spark, tmp_path):
+    """The reference's INSERT OVERWRITE reads the table it replaces
+    (SCD_script.txt:141-155); Spark cannot overwrite a parquet path it is
+    lazily reading. publish() must handle reading-from-the-target."""
+    path = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    # derive the next state FROM the published table, then publish back
+    cur = spark.read.parquet(path)
+    nxt = cur.withColumn("v", F.concat("v", F.lit("+")))
+    publish(nxt, path)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a+")}
+    # and again, proving repeatability
+    publish(spark.read.parquet(path).withColumn("v", F.concat("v", F.lit("+"))), path)
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == {"a++"}
