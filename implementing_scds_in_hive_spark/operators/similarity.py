@@ -83,6 +83,97 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF index build: assign every corpus vector to its nearest
+    centroid (cosine; deterministic tie-break on centroid id).
+
+    Centroids broadcast (they are small by construction); the corpus
+    streams through the scoring join once, and the per-vector argmax is
+    a partitioned window — one shuffle of (vector, K scores) rows,
+    map-side reducible. At 100 TB with K in the thousands this is the
+    standard inverted-file build; a production system would iterate
+    k-means here, which is just this assignment + a centroid-mean
+    aggregation per round.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = corpus.crossJoin(c).select(
+        id_col,
+        vec_col,
+        centroid_id_col,
+        F.round(cosine(F.col("__cvec"), F.col(vec_col)), 6).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-probed approximate top-k: each query scores only the corpus
+    vectors assigned to its ``nprobe`` nearest centroids.
+
+    The |Q| x |C| cross join of brute force becomes (a) a tiny
+    query-centroid ranking, then (b) an equi-join on centroid id against
+    the assignment table — the corpus shuffles once on centroid id (or
+    not at all if the index is pre-bucketed by centroid on disk, the
+    physical layout an IVF index file encodes). Recall loss is confined
+    to neighbors whose centroid the probe misses — the standard IVF
+    trade; raise ``nprobe`` to trade compute back for recall."""
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+    )
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cvec"))
+    )
+    q_scored = queries.crossJoin(c).select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        centroid_id_col,
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", centroid_id_col)
+    )
+    scored = assigned.join(F.broadcast(probes), centroid_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     *,

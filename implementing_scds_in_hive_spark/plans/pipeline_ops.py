@@ -35,9 +35,11 @@ from implementing_scds_in_hive_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
 )
+from implementing_scds_in_hive_spark.functions.text import shingles_from_tokens
 from implementing_scds_in_hive_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from implementing_scds_in_hive_spark.sources.registry import load_table
@@ -124,6 +126,66 @@ def q_doc_fingerprint(spark, sf_dir):
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+
+
+def q_text_token_classes(spark, sf_dir):
+    """Token counting beyond whitespace: per-class counts via a BPE-ish
+    regex split (letter runs / digit runs / single punctuation — the
+    pre-tokenization pass of a GPT-style tokenizer) plus a subword
+    estimate (ceil(len/4) pieces per word, the rule-of-thumb tokens-per-
+    word ratio used to budget corpus sizes)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+"), F.lit(0))).alias("n_word_runs"),
+        F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0))).alias("n_digit_runs"),
+        F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9 ]"), F.lit(0))).alias("n_punct"),
+        F.aggregate(
+            F.split(text, " "),
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0),
+        ).alias("n_subwords_est"),
+    )
+
+
+TEXT_TOKEN_CLASSES_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_word_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_punct,
+       CAST(list_aggregate(list_transform(string_split(text, ' '),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum')
+            AS BIGINT) AS n_subwords_est
+FROM documents
+"""
+
+
+def q_doc_min_shingle_fp(spark, sf_dir):
+    """Rolling-hash-style document fingerprint: the minimum md5 over the
+    document's word 3-gram shingles (a 1-permutation MinHash — the
+    winnowing-family fingerprint, content-position independent, stable
+    under document reordering of surrounding corpus)."""
+    d = _t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    sh = shingles_from_tokens(F.col("ws"), 3)
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_fp"),
+    )
+
+
+DOC_MIN_SHINGLE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w JOIN range(1, 1024) t(i) ON i <= len(ws) - 2
+  WHERE len(ws) >= 3),
+mins AS (
+  SELECT doc_id, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY doc_id)
+SELECT d.doc_id, m.min_shingle_fp
+FROM documents d LEFT JOIN mins m USING (doc_id)
 """
 
 
@@ -225,6 +287,57 @@ scored AS (
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
          AS cos_sim
   FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def q_similarity_topk_ivf(spark, sf_dir):
+    """IVF-probed ANN: deterministic centroid choice (vec_id % 40 == 7)
+    makes index build + probe fully replayable in SQL — unlike the
+    sign-bit LSH variant, this one gets a FULL value oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(e, _query_vectors(spark, sf_dir), centroids, k=10, nprobe=2)
+
+
+SIMILARITY_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 7),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_cos_sql('c.cvec', 'e.embedding')}, 6) DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY round({_cos_sql('c.cvec', 'q.qvec')}, 6) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c)
+  WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_cos_sql('p.qvec', 'a.embedding')}, 6) AS cos_sim
+  FROM probes p JOIN assign a USING (centroid_id)),
 ranked AS (
   SELECT query_id, vec_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
@@ -420,12 +533,15 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_token_classes": q_text_token_classes,
+    "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
     "similarity_topk_lsh": q_similarity_topk_lsh,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "json_extract": q_json_extract,
     "event_hourly_rollup": q_event_hourly_rollup,
@@ -438,10 +554,13 @@ ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
+    "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh: rows-only
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
+    "similarity_topk_ivf": SIMILARITY_IVF_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "json_extract": JSON_EXTRACT_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
