@@ -1,0 +1,54 @@
+"""Write-side surface: the Spark equivalents of the reference's DDL/DML
+sinks (SURVEY §2.1 S2-S7) plus the layout controls that matter at 100 TB.
+
+The reference's sinks are Hive tables written with INSERT INTO /
+INSERT OVERWRITE (SCD_script.txt:8,141). Here:
+
+* ``write_table``        — plain parquet dir, mode append/overwrite
+* ``write_partitioned``  — hive-style directory partitioning; the scan
+  side gets partition pruning for free when filters hit the partition
+  column (date-partitioned facts are the 100 TB default)
+* ``write_bucketed``     — ``bucketBy`` into the session catalog: joins
+  and aggregations on the bucket key skip the shuffle entirely when both
+  sides share the bucketing (co-located join). This is the physical
+  design lever for the SCD merge at scale: bucket production AND staging
+  by the business key and the merge's join needs no exchange.
+* ``overwrite_atomic``   — the self-overwrite-safe publish
+  (operators/scd.py:publish) re-exported for discoverability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from implementing_scds_in_hive_spark.operators.scd import publish as overwrite_atomic
+
+__all__ = ["write_table", "write_partitioned", "write_bucketed", "overwrite_atomic"]
+
+
+def write_table(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+    Both sides of a join bucketed identically on the join key =>
+    SortMergeJoin with ZERO Exchange on either side."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
