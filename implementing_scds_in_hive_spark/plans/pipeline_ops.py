@@ -263,6 +263,66 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection: exact-dedup (keep lowest id
+    per fingerprint group), quality filter, language filter — the
+    composition a pretraining data pipeline runs before tokenization.
+    One shuffle for the dedup group-by; the filters are scan-level."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    text = F.col("text")
+    scored = d.select(
+        "doc_id",
+        fingerprint(text).alias("fp"),
+        lang_id(text).alias("lang_detected"),
+        F.round(quality_score(text), 6).alias("quality"),
+        token_count(text).alias("n_tokens"),
+    )
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keep, ["fp", "doc_id"], "left_semi")
+        .where((F.col("quality") >= 0.7) & (F.col("lang_detected") == "en"))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+CORPUS_SELECT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+t AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp, ' ' || text || ' ' AS p,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS tok_len,
+         text
+  FROM corpus),
+s AS (
+  SELECT doc_id, fp, n_tokens,
+    CAST((length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3 AS INT) AS score_en,
+    CAST((length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' la ','')))/4 AS INT) AS score_fr,
+    CAST((length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 AS INT) AS score_de,
+    CAST((length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' de ','')))/4 AS INT) AS score_es,
+    tok_len
+  FROM t),
+q AS (
+  SELECT doc_id, fp, n_tokens,
+         CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+              WHEN score_fr >= score_es AND score_fr >= score_en AND score_fr >= score_de THEN 'fr'
+              WHEN score_es >= score_en AND score_es >= score_de THEN 'es'
+              WHEN score_en >= score_de THEN 'en'
+              ELSE 'de' END AS lang_detected,
+         round(CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN CAST(score_en AS DOUBLE) / n_tokens > 0.01 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN tok_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END, 6) AS quality
+  FROM s),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
+SELECT q.doc_id, q.n_tokens, q.quality
+FROM q JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.doc_id
+WHERE q.quality >= 0.7 AND q.lang_detected = 'en'
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 def _query_vectors(spark, sf_dir):
@@ -536,6 +596,7 @@ QUERIES = {
     "text_token_classes": q_text_token_classes,
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "dedup_exact_groups": q_dedup_exact_groups,
+    "corpus_select": q_corpus_select,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -557,6 +618,7 @@ ORACLES = {
     "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
+    "corpus_select": CORPUS_SELECT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh: rows-only
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,

@@ -458,8 +458,80 @@ WHERE c_acctbal > nation_avg
 """
 
 
+def q_agg_distinct_counts(spark, sf_dir):
+    """Multiple exact distinct aggregates in one pass (Spark expands to
+    an expand-node plan; one shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_percentiles_by_status(spark, sf_dir):
+    """Exact interpolated percentiles (F.percentile, Spark's exact path —
+    percentile_approx would not be oracle-comparable)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_window_ntile(spark, sf_dir):
+    """ntile quartiles of order value within each status + per-bucket
+    rollup — the bucketing primitive behind stratified corpus sampling."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+    )
+
+
+WINDOW_NTILE_SQL = """
+WITH t AS (
+  SELECT o_orderstatus, o_totalprice,
+         NTILE(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+SELECT o_orderstatus, CAST(quartile AS INT) AS quartile,
+       COUNT(*) AS n, round(SUM(o_totalprice), 2) AS bucket_value
+FROM t GROUP BY o_orderstatus, quartile
+"""
+
+
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
+    "agg_distinct_counts": q_agg_distinct_counts,
+    "percentiles_by_status": q_percentiles_by_status,
+    "window_ntile": q_window_ntile,
     "join_star_schema": q_join_star_schema,
     "join_left_outer": q_join_left_outer,
     "join_pred_in_on": q_join_pred_in_on,
@@ -481,6 +553,9 @@ QUERIES = {
 
 ORACLES = {
     "agg_lineitem_pricing": AGG_LINEITEM_SQL,
+    "agg_distinct_counts": DISTINCT_COUNTS_SQL,
+    "percentiles_by_status": PERCENTILES_SQL,
+    "window_ntile": WINDOW_NTILE_SQL,
     "join_star_schema": JOIN_STAR_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_pred_in_on": JOIN_PRED_ON_SQL,
