@@ -33,7 +33,9 @@ HEADLINE = [
     "sessionize",
     "asof_latest_order",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "text_stats",
+    "corpus_select",
     "dedup_minhash_lsh",
     "multimodal_features",
 ]

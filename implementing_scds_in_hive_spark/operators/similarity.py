@@ -13,6 +13,14 @@
 Scores are computed with built-in array ops in double precision (no
 Python UDFs); rounding to 6 decimals makes cross-engine comparison
 stable without materially affecting ranking.
+
+Norms are precomputed once per vector before any pairwise stage:
+higher-order array expressions (``aggregate``/``zip_with``) do not
+participate in whole-stage codegen, so a norm evaluated inside the
+pairwise cosine costs O(dim) interpreted work per PAIR; hoisting it to
+the per-row projections leaves only the dot product in the pair loop —
+identical floating-point results (same operations, same order), ~3x
+less array math on the |Q|x|C| stage.
 """
 
 from __future__ import annotations
@@ -20,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from implementing_scds_in_hive_spark.functions.vectors import cosine, sign_bits_bucket
+from implementing_scds_in_hive_spark.functions.vectors import dot, norm, sign_bits_bucket
+
+
+def _paired_cosine(a_vec, a_norm, b_vec, b_norm):
+    return F.round(dot(a_vec, b_vec) / (a_norm * b_norm), 6)
 
 
 def cosine_topk(
@@ -34,12 +46,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    scored = corpus.crossJoin(q).select(
+    c = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
+    scored = c.crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -62,18 +81,26 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates restricted to the query's sign-bit
     bucket, then scored exactly. Equi-join on the bucket key replaces the
     cross join — the corpus shuffles once on bucket, queries broadcast."""
-    c = corpus.withColumn("__bucket", sign_bits_bucket(F.col(vec_col), n_bits))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__cn"),
+        sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
             sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
         )
     )
     scored = c.join(q, "__bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -104,14 +131,19 @@ def ivf_assign(
     """
     c = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col), F.col(vec_col).alias("__cvec")
+            F.col(centroid_id_col),
+            F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cvn"),
         )
     )
-    scored = corpus.crossJoin(c).select(
+    e = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__en"))
+    scored = e.crossJoin(c).select(
         id_col,
         vec_col,
         centroid_id_col,
-        F.round(cosine(F.col("__cvec"), F.col(vec_col)), 6).alias("__sim"),
+        _paired_cosine(F.col("__cvec"), F.col("__cvn"), F.col(vec_col), F.col("__en")).alias(
+            "__sim"
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
     return (
@@ -147,24 +179,42 @@ def ivf_topk(
         corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
     )
     c = F.broadcast(
-        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cvec"))
+        centroids.select(
+            F.col(centroid_id_col),
+            F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cvn"),
+        )
     )
-    q_scored = queries.crossJoin(c).select(
-        query_id_col,
-        F.col(vec_col).alias("__qvec"),
-        centroid_id_col,
-        F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("__sim"),
+    q_scored = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+        .crossJoin(c)
+        .select(
+            query_id_col,
+            "__qvec",
+            "__qn",
+            centroid_id_col,
+            _paired_cosine(F.col("__cvec"), F.col("__cvn"), F.col("__qvec"), F.col("__qn")).alias(
+                "__sim"
+            ),
+        )
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
     probes = (
         q_scored.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
-        .select(query_id_col, "__qvec", centroid_id_col)
+        .select(query_id_col, "__qvec", "__qn", centroid_id_col)
     )
-    scored = assigned.join(F.broadcast(probes), centroid_id_col).select(
+    assigned_n = assigned.withColumn("__en", norm(F.col(vec_col)))
+    scored = assigned_n.join(F.broadcast(probes), centroid_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__en")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -172,6 +222,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    *,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids — the iterative
+    algorithm face of the engine (no SQL oracle possible; convergence is
+    unit-tested instead).
+
+    Per iteration: one assignment pass (broadcast centroids, corpus
+    streams once — ivf_assign) + one element-wise mean (posexplode →
+    (centroid, dim) partial-avg → regroup). Centroids are collected to
+    the driver between iterations: they are small by construction
+    (K rows), and re-creating the DataFrame truncates the lineage so the
+    plan does not nest across iterations — the standard Spark pattern
+    for iterative refinement of a small model against big data.
+    """
+    spark = corpus.sparkSession
+    cent = init_centroids.select(F.col(centroid_id_col), F.col(vec_col))
+    dim_type = dict(corpus.dtypes)[vec_col]
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            corpus, cent, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+        )
+        means = (
+            assigned.select(centroid_id_col, F.posexplode(vec_col).alias("__pos", "__x"))
+            .groupBy(centroid_id_col, "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy(centroid_id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                centroid_id_col,
+                F.transform("__pm", lambda s: s["__m"]).cast(dim_type).alias(vec_col),
+            )
+        )
+        rows = means.collect()
+        cent = spark.createDataFrame(rows, means.schema)
+    return cent
 
 
 def embedding_near_duplicates(
@@ -185,7 +283,10 @@ def embedding_near_duplicates(
     """Near-duplicate embedding pairs (cosine >= threshold) with sign-bit
     LSH blocking: only pairs in the same bucket are scored."""
     b = corpus.select(
-        F.col(id_col), F.col(vec_col), sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -197,7 +298,9 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+            _paired_cosine(
+                F.col(f"a.{vec_col}"), F.col("a.__n"), F.col(f"b.{vec_col}"), F.col("b.__n")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -40,6 +40,7 @@ from implementing_scds_in_hive_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_refine,
     lsh_bucketed_topk,
 )
 from implementing_scds_in_hive_spark.sources.registry import load_table
@@ -414,6 +415,21 @@ def q_similarity_topk_lsh(spark, sf_dir):
     return lsh_bucketed_topk(e, _query_vectors(spark, sf_dir), k=10, n_bits=8)
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Iterative centroid refinement (Lloyd's) from the deterministic
+    IVF seed — rows-only check (iterative algorithms are the class the
+    driver contract exempts from SQL oracles; convergence is unit-tested
+    in tests/test_kmeans.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    seed = e.where(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cent = kmeans_refine(e, seed, n_iter=2)
+    return cent.select(
+        "centroid_id", F.round(F.element_at("embedding", 1), 6).alias("dim0")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Same-bucket near-duplicate pairs at cosine >= 0.99 — the blocking
     is deterministic (sign bits), so this IS oracle-expressible."""
@@ -603,6 +619,7 @@ QUERIES = {
     "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
+    "kmeans_centroids": q_kmeans_centroids,
     "embedding_near_dups": q_embedding_near_dups,
     "json_extract": q_json_extract,
     "event_hourly_rollup": q_event_hourly_rollup,
