@@ -474,6 +474,27 @@ FROM events
 """
 
 
+def q_json_typed(spark, sf_dir):
+    """Typed JSON parsing via from_json with an explicit struct schema —
+    the scale path (one parse per row into a struct, vs one parse per
+    get_json_object call when extracting many fields)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("prop_k"),
+        parsed.isNull().alias("malformed"),
+    )
+
+
+JSON_TYPED_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       (props IS NULL OR NOT json_valid(props)) AS malformed
+FROM events
+"""
+
+
 def q_event_hourly_rollup(spark, sf_dir):
     """Event-time tumbling window aggregation (the batch face of the
     streaming windowed agg): per-hour, per-type counts + exact value sum."""
@@ -605,6 +626,40 @@ FROM documents
 """
 
 
+def q_multimodal_chunks(spark, sf_dir):
+    """Frame-sampling plumbing: split each binary payload into fixed
+    256-byte windows (the shape of video frame extraction / audio
+    windowing), one output row per chunk, fingerprinted JVM-side. The
+    chunk loop is an in-row transform + posexplode — no Python, no
+    shuffle; a real decoder would replace the md5 with a frame feature
+    via mapInPandas (see extract_features)."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    n_chunks = F.ceil(F.col("media_meta.n_bytes") / 256.0).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("payload").substr(i * 256 + 1, F.lit(256)),
+    )
+    return media.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.octet_length("chunk").alias("chunk_bytes"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+MULTIMODAL_CHUNKS_SQL = """
+WITH n AS (
+  SELECT doc_id, text, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(octet_length(encode(substring(text, i*256 + 1, 256))) AS INT) AS chunk_bytes,
+       md5(substring(text, i*256 + 1, 256)) AS chunk_md5
+FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -622,10 +677,12 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "embedding_near_dups": q_embedding_near_dups,
     "json_extract": q_json_extract,
+    "json_typed": q_json_typed,
     "event_hourly_rollup": q_event_hourly_rollup,
     "sessionize": q_sessionize,
     "asof_latest_order": q_asof_latest_order,
     "multimodal_features": q_multimodal_features,
+    "multimodal_chunks": q_multimodal_chunks,
 }
 
 ORACLES = {
@@ -642,8 +699,10 @@ ORACLES = {
     "similarity_topk_ivf": SIMILARITY_IVF_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "json_extract": JSON_EXTRACT_SQL,
+    "json_typed": JSON_TYPED_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
     "sessionize": SESSIONIZE_SQL,
     "asof_latest_order": ASOF_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_chunks": MULTIMODAL_CHUNKS_SQL,
 }
