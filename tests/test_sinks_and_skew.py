@@ -97,6 +97,47 @@ def test_write_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
+def test_bucketed_scd_merge_no_join_exchange(spark):
+    """The 100 TB physical-design lever claimed in PLANS.md: production
+    and staging bucketed by the business key => the merge's full-outer
+    join needs no Exchange; with hash surrogate keys there is no global
+    window either, so the whole merge plan is shuffle-free."""
+    from datetime import datetime
+
+    from implementing_scds_in_hive_spark.operators.scd import SCDConfig, scd2_merge
+
+    cfg = SCDConfig(key="k", type2_cols=("v",), type1_cols=(), surrogate_col="dim_id")
+    eot = datetime(9999, 12, 31, 23, 59, 59)
+    t0 = datetime(2024, 1, 1)
+    prod = spark.createDataFrame(
+        [(i, f"u{i}", f"v{i}", 1, t0, eot, True) for i in range(100)],
+        "dim_id long, k string, v string, scd_version int, "
+        "scd_start_date timestamp, scd_end_date timestamp, scd_active boolean",
+    )
+    stg = spark.createDataFrame(
+        [(f"u{i}", f"v{i}x" if i % 3 == 0 else f"v{i}") for i in range(100)],
+        "k string, v string",
+    )
+    try:
+        write_bucketed(prod, "t_dim_prod", ["k"], n_buckets=4)
+        write_bucketed(stg, "t_dim_stg", ["k"], n_buckets=4)
+        merged = scd2_merge(
+            spark.table("t_dim_prod"),
+            spark.table("t_dim_stg"),
+            cfg,
+            datetime(2024, 2, 1),
+            plan="full_outer",
+            key_strategy="hash",
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert merged.count() == 100 + 34  # 34 type-2 changes add a row each
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dim_prod")
+        spark.sql("DROP TABLE IF EXISTS t_dim_stg")
+
+
 def test_write_table_roundtrip(spark, tmp_path):
     df = _skewed(spark)
     path = str(tmp_path / "plain")
