@@ -48,9 +48,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
-    # warm up the JVM/codegen paths so the first timed query isn't
-    # charged for session bring-up
-    qs["top_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm up the JVM/codegen paths (scan, broadcast-join, window, agg
+    # shapes) so the first timed query isn't charged for session
+    # bring-up and one-time operator-class JIT
+    for warm in ("top_orders", "join_star_schema", "window_topn_per_group"):
+        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
