@@ -15,6 +15,7 @@ from implementing_scds_in_hive_spark.streaming.scd_stream import scd2_upsert_str
 from implementing_scds_in_hive_spark.streaming.stateful import running_user_profiles
 from implementing_scds_in_hive_spark.streaming.windows import (
     read_events_stream,
+    session_windows,
     windowed_rollup,
 )
 
@@ -173,6 +174,31 @@ def test_scd2_upsert_stream_converges_to_batch_merges(spark, tmp_path):
     # u1 must have 3 versions (two type-2 changes), exactly one active
     u1 = [g for g in got if g[0] == "u1"]
     assert len(u1) == 3 and sum(1 for g in u1 if g[4]) == 1
+
+
+def test_session_windows_gap_semantics(spark):
+    """Batch-mode check of the gap-based session_window plan (the same
+    DataFrame code runs on a stream with watermark state): bursts closer
+    than the gap merge; a gap boundary splits."""
+    rows = [
+        # user 1: burst of 3 events 10 min apart, then a 2h gap, then 1
+        (1, T0, 1, "view", 1.0, "{}"),
+        (2, T0 + timedelta(minutes=10), 1, "view", 1.0, "{}"),
+        (3, T0 + timedelta(minutes=20), 1, "view", 1.0, "{}"),
+        (4, T0 + timedelta(hours=3), 1, "view", 1.0, "{}"),
+        # user 2: single event
+        (5, T0, 2, "buy", 5.0, "{}"),
+    ]
+    events = spark.createDataFrame(rows, EVENT_FIELDS)
+    out = session_windows(events, gap="30 minutes")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in out.collect()
+    }
+    assert got[(1, T0)] == (3, T0 + timedelta(minutes=50))  # last event + gap
+    assert got[(1, T0 + timedelta(hours=3))] == (1, T0 + timedelta(hours=3, minutes=30))
+    assert got[(2, T0)] == (1, T0 + timedelta(minutes=30))
+    assert len(got) == 3
 
 
 def test_stateful_running_profiles(spark, tmp_path, events_dir):
