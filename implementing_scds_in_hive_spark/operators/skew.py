@@ -34,7 +34,16 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join robust to heavy key skew on ``large``. Result columns =
-    large's columns + small's non-key columns (like a USING join)."""
+    large's columns + small's non-key columns (like a USING join).
+
+    Only ``inner``/``left``(semi) are valid: the small side is exploded
+    once per salt, so right/full/anti joins would emit one row per salt
+    for small-side keys absent from large — wrong multiplicity."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r} "
+            "(the exploded small side would change right/full/anti multiplicity)"
+        )
     salted_l = large.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     salted_s = small.select("*", salts)

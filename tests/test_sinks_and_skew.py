@@ -42,6 +42,16 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert out.where("label is null").count() == big.where("k != 'hot'").count()
 
 
+def test_salted_join_rejects_invalid_join_types(spark):
+    import pytest
+
+    big = _skewed(spark)
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, dim, "k", how=how)
+
+
 def test_salted_agg_matches_plain_agg(spark):
     df = _skewed(spark)
     plain = {
