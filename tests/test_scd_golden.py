@@ -136,10 +136,16 @@ def test_absent_key_carried_verbatim(spark, golden):
     assert all(r["scd_active"] for r in got.values())
 
 
-def test_all_inactive_key_not_resurrected(spark):
+import pytest  # noqa: E402  (used by the parametrized edge test below)
+
+
+@pytest.mark.parametrize("plan", ["full_outer", "broadcast"])
+def test_all_inactive_key_not_resurrected(spark, plan):
     """Edge case (SURVEY §7): a staging key whose production rows are all
     inactive gets Type-1 rewrites but no new active row — faithful to the
-    reference, where step 7 anti-joins all of production."""
+    reference, where step 7 anti-joins all of production. Must hold on
+    BOTH physical plans (the property suite cannot reach this state:
+    merges from empty production always leave one active row per key)."""
     prod = spark.createDataFrame(
         [(1, "ghost", False, "a1", None, "Old", "Name", 1970, 1,
           T0, datetime(2024, 4, 15), False)],
@@ -148,7 +154,7 @@ def test_all_inactive_key_not_resurrected(spark):
     staging = spark.createDataFrame(
         [("ghost", "New", "Name", 1971, False, "a1", None)], STG_SCHEMA
     )
-    out = scd2_merge(prod, staging, CFG, AS_OF)
+    out = scd2_merge(prod, staging, CFG, AS_OF, plan=plan)
     rows = out.collect()
     assert len(rows) == 1
     r = rows[0].asDict()
