@@ -188,6 +188,60 @@ def q_scd_step7_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd_point_in_time(spark, sf_dir):
+    """Temporal-table lookup: the dimension AS OF an instant,
+    reconstructed from the interval-versioned history — the read-side
+    payoff of the SCD2 model (every version carries its validity
+    interval, so time travel is a filter, no table-format feature
+    needed). 2024-03-01 sits between the fixture's history rollover
+    (2024-01-01) and the merge instant (2024-06-01)."""
+    ts = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    merged = q_scd2_merge(spark, sf_dir)
+    return merged.where(
+        (F.col("scd_start_date") <= ts) & (ts < F.col("scd_end_date"))
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "scd_version")
+
+
+POINT_IN_TIME_SQL = f"""
+WITH final AS ({SCD2_MERGE_SQL})
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, scd_version
+FROM final
+WHERE scd_start_date <= TIMESTAMP '2024-03-01 00:00:00'
+  AND TIMESTAMP '2024-03-01 00:00:00' < scd_end_date
+"""
+
+
+def q_scd_key_history(spark, sf_dir):
+    """Per-key version chains for keys that changed in the merge: each
+    version with its predecessor's value (lag over the version order) —
+    the audit/lineage query shape over SCD history."""
+    from pyspark.sql import Window
+
+    merged = q_scd2_merge(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy("scd_version")
+    hist = merged.select(
+        "c_custkey",
+        "scd_version",
+        "c_acctbal",
+        "scd_active",
+        F.lag("c_acctbal").over(w).alias("prev_acctbal"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_custkey")).alias("n_versions"),
+    )
+    return hist.where(F.col("n_versions") > 1).drop("n_versions")
+
+
+KEY_HISTORY_SQL = f"""
+WITH final AS ({SCD2_MERGE_SQL}),
+hist AS (
+  SELECT c_custkey, scd_version, c_acctbal, scd_active,
+         LAG(c_acctbal) OVER (PARTITION BY c_custkey ORDER BY scd_version) AS prev_acctbal,
+         COUNT(*) OVER (PARTITION BY c_custkey) AS n_versions
+  FROM final)
+SELECT c_custkey, scd_version, c_acctbal, scd_active, prev_acctbal
+FROM hist WHERE n_versions > 1
+"""
+
+
 STEP2_SQL = f"""
 WITH prod AS ({PRODUCTION_SQL}), stag AS ({STAGING_SQL})
 SELECT {_BUSINESS}, {_SCD}
@@ -237,9 +291,13 @@ QUERIES = {
     "scd_step5_closeout": q_scd_step5_closeout,
     "scd_step6_new_versions": q_scd_step6_new_versions,
     "scd_step7_new_keys": q_scd_step7_new_keys,
+    "scd_point_in_time": q_scd_point_in_time,
+    "scd_key_history": q_scd_key_history,
 }
 
 ORACLES = {
+    "scd_point_in_time": POINT_IN_TIME_SQL,
+    "scd_key_history": KEY_HISTORY_SQL,
     "scd2_merge_customer": SCD2_MERGE_SQL,
     "scd_production_fixture": PRODUCTION_SQL,
     "scd_staging_fixture": STAGING_SQL,
