@@ -62,6 +62,24 @@ def windowed_rollup(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (at-least-once sources re-emit on retry; this
+    restores effectively-once). State holds one entry per key seen inside
+    the watermark window and is evicted as the watermark advances —
+    bounded, unlike an unbounded dropDuplicates. The batch twin is
+    dedup.dedup_exact / dropDuplicates."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def session_windows(
     events: DataFrame,
     *,

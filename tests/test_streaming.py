@@ -14,6 +14,7 @@ from implementing_scds_in_hive_spark.operators.scd import SCDConfig, scd2_merge
 from implementing_scds_in_hive_spark.streaming.scd_stream import scd2_upsert_stream
 from implementing_scds_in_hive_spark.streaming.stateful import running_user_profiles
 from implementing_scds_in_hive_spark.streaming.windows import (
+    deduped_stream,
     read_events_stream,
     session_windows,
     windowed_rollup,
@@ -174,6 +175,31 @@ def test_scd2_upsert_stream_converges_to_batch_merges(spark, tmp_path):
     # u1 must have 3 versions (two type-2 changes), exactly one active
     u1 = [g for g in got if g[0] == "u1"]
     assert len(u1) == 3 and sum(1 for g in u1 if g[4]) == 1
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """Duplicate event_ids delivered across micro-batches inside the
+    watermark horizon are dropped; the sink sees each event once."""
+    rows = _event_rows(n=60)
+    dupes = rows[10:30]  # re-deliver 20 events in a later batch
+    path = str(tmp_path / "dup_stream")
+    for chunk in [rows[0:40], dupes + rows[40:60]]:
+        spark.createDataFrame(chunk, EVENT_FIELDS).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    q = (
+        deduped_stream(stream, watermark="24 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = [r["event_id"] for r in spark.sql("select event_id from dedup_sink").collect()]
+    assert sorted(got) == list(range(60))  # every event exactly once
 
 
 def test_session_windows_gap_semantics(spark):
