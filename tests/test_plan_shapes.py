@@ -1,0 +1,67 @@
+"""Physical-plan regression guards: the scale properties PLANS.md claims
+are asserted here so a future refactor cannot silently reintroduce a
+shuffle or lose pushdown."""
+
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.plans.registry import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    # shuffle exchanges only — BroadcastExchange is the cheap, wanted kind
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+def test_merge_broadcast_plan_single_shuffle(spark, sf_dir):
+    """The flagship claim: production never shuffles — the only shuffle
+    in the whole merge is the parity-mode re-key window."""
+    plan = _plan(queries()["scd2_merge_customer"](spark, sf_dir))
+    assert _shuffles(plan) == 1  # Exchange SinglePartition for row_number
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_anti_join_scan_is_key_pruned(spark, sf_dir):
+    """The brand-new-keys anti-join must read ONLY the key column of
+    production (Catalyst ColumnPruning reaching the parquet scan)."""
+    plan = _plan(queries()["scd2_merge_customer"](spark, sf_dir))
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_agg_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(queries()["agg_lineitem_pricing"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning") or \
+        plan.count("HashAggregate") >= 2
+
+
+def test_windows_never_global(spark, sf_dir):
+    """Every analytic window is PARTITION BY — no single-partition sort
+    anywhere outside the SCD parity re-key."""
+    for name in ("window_topn_per_group", "window_running_total",
+                 "window_lag_lead", "window_ntile", "sessionize"):
+        plan = _plan(queries()[name](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(queries()["join_star_schema"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims under threshold
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    """A 2-column projection must not read all 16 lineitem columns."""
+    from implementing_scds_in_hive_spark.sources.registry import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
