@@ -528,6 +528,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: events split at the median
+    event_id; the first half is rolled up, the second half folded in as
+    a delta. The oracle computes the one-shot rollup over ALL events —
+    hash equality proves merge(rollup(A), B) == rollup(A ∪ B)."""
+    from implementing_scds_in_hive_spark.operators.incremental import (
+        event_rollup,
+        merge_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    old = event_rollup(e.where(F.col("event_id") % 2 == 0))
+    delta = e.where(F.col("event_id") % 2 == 1)
+    return merge_rollup(old, delta).select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization: a >30-minute silence starts a new
     session; one window for the gap flag, a running sum for the id."""
@@ -679,6 +709,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "json_typed": q_json_typed,
     "event_hourly_rollup": q_event_hourly_rollup,
+    "incremental_rollup": q_incremental_rollup,
     "sessionize": q_sessionize,
     "asof_latest_order": q_asof_latest_order,
     "multimodal_features": q_multimodal_features,
@@ -701,6 +732,7 @@ ORACLES = {
     "json_extract": JSON_EXTRACT_SQL,
     "json_typed": JSON_TYPED_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
+    "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "sessionize": SESSIONIZE_SQL,
     "asof_latest_order": ASOF_SQL,
     "multimodal_features": MULTIMODAL_SQL,
