@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 
 from implementing_scds_in_hive_spark.operators.scd import publish as overwrite_atomic
 
-__all__ = ["write_table", "write_partitioned", "write_bucketed", "overwrite_atomic"]
+__all__ = [
+    "write_table",
+    "write_partitioned",
+    "write_bucketed",
+    "overwrite_atomic",
+    "compact",
+]
 
 
 def write_table(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
@@ -34,6 +40,31 @@ def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
 ) -> None:
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark,
+    path: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_rows_per_file`` rows, optionally range-clustered on
+    ``order_cols`` (gives min/max row-group statistics that make later
+    range filters prune). The 100 TB housekeeping job every streaming
+    sink needs — micro-batches leave thousands of tiny files whose
+    per-file open/footer cost dominates scans. Returns the row count."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = (
+        df.repartitionByRange(n_files, *order_cols)
+        if order_cols
+        else df.repartition(n_files)
+    )
+    overwrite_atomic(out, path)
+    return n
 
 
 def write_bucketed(
