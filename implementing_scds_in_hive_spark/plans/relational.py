@@ -527,9 +527,75 @@ FROM t GROUP BY o_orderstatus, quartile
 """
 
 
+def q_cube_status_segment(spark, sf_dir):
+    """Full CUBE over (status, segment): all 4 grouping combinations in
+    one expand-based pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderstatus", "c_mktsegment", "o_totalprice")
+    return (
+        j.cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.grouping_id("o_orderstatus", "c_mktsegment").cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+        .select("gid", "o_orderstatus", "c_mktsegment", "n", "total")
+    )
+
+
+CUBE_SQL = """
+SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+       o_orderstatus, c_mktsegment, COUNT(*) AS n,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+"""
+
+
+def q_fuzzy_name_match(spark, sf_dir):
+    """Entity matching: candidate customer-name pairs at edit distance
+    <= 1, blocked on (nation, name prefix) so the quadratic comparison
+    runs only inside small blocks — the standard blocking+verify shape
+    of entity resolution at scale."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", F.substring("c_name", 1, 16).alias("__blk")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name, substring(c_name, 1, 16) AS blk
+  FROM customer)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "agg_distinct_counts": q_agg_distinct_counts,
+    "cube_status_segment": q_cube_status_segment,
+    "fuzzy_name_match": q_fuzzy_name_match,
     "percentiles_by_status": q_percentiles_by_status,
     "window_ntile": q_window_ntile,
     "join_star_schema": q_join_star_schema,
@@ -554,6 +620,8 @@ QUERIES = {
 ORACLES = {
     "agg_lineitem_pricing": AGG_LINEITEM_SQL,
     "agg_distinct_counts": DISTINCT_COUNTS_SQL,
+    "cube_status_segment": CUBE_SQL,
+    "fuzzy_name_match": FUZZY_NAME_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
     "window_ntile": WINDOW_NTILE_SQL,
     "join_star_schema": JOIN_STAR_SQL,
