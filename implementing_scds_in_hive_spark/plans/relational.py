@@ -591,11 +591,33 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_unpivot_part_measures(spark, sf_dir):
+    """Unpivot (wide -> long): part's numeric measures melted to
+    (key, measure, value) rows — the inverse of the pivot query and the
+    reshaping step feature pipelines use before per-measure aggregation."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, measure, value FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+         CAST(p_retailprice AS DOUBLE) AS p_retailprice
+  FROM part)
+UNPIVOT (value FOR measure IN (p_size, p_retailprice))
+"""
+
+
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "agg_distinct_counts": q_agg_distinct_counts,
     "cube_status_segment": q_cube_status_segment,
     "fuzzy_name_match": q_fuzzy_name_match,
+    "unpivot_part_measures": q_unpivot_part_measures,
     "percentiles_by_status": q_percentiles_by_status,
     "window_ntile": q_window_ntile,
     "join_star_schema": q_join_star_schema,
@@ -622,6 +644,7 @@ ORACLES = {
     "agg_distinct_counts": DISTINCT_COUNTS_SQL,
     "cube_status_segment": CUBE_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
+    "unpivot_part_measures": UNPIVOT_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
     "window_ntile": WINDOW_NTILE_SQL,
     "join_star_schema": JOIN_STAR_SQL,
