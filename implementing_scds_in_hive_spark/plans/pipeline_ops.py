@@ -558,6 +558,48 @@ GROUP BY 1, 2
 """
 
 
+def q_session_window_rollup(spark, sf_dir):
+    """The streaming session_window operator executed in batch mode
+    (identical code path, watermark a no-op) — puts the streaming
+    sessionizer under the driver's full value oracle. Gap semantics:
+    session end = last event + gap; events <= gap apart merge."""
+    from implementing_scds_in_hive_spark.streaming.windows import session_windows
+
+    e = _t(spark, sf_dir, "events")
+    out = session_windows(e, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        # sessions hold a handful of events; rounding the double sum to
+        # 6 places absorbs any summation-order ulp differences
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS total_value
+FROM islands GROUP BY user_id, sess
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization: a >30-minute silence starts a new
     session; one window for the gap flag, a running sum for the id."""
@@ -710,6 +752,7 @@ QUERIES = {
     "json_typed": q_json_typed,
     "event_hourly_rollup": q_event_hourly_rollup,
     "incremental_rollup": q_incremental_rollup,
+    "session_window_rollup": q_session_window_rollup,
     "sessionize": q_sessionize,
     "asof_latest_order": q_asof_latest_order,
     "multimodal_features": q_multimodal_features,
@@ -733,6 +776,7 @@ ORACLES = {
     "json_typed": JSON_TYPED_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
     "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
+    "session_window_rollup": SESSION_WINDOW_SQL,
     "sessionize": SESSIONIZE_SQL,
     "asof_latest_order": ASOF_SQL,
     "multimodal_features": MULTIMODAL_SQL,
