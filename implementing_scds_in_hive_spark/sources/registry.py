@@ -37,6 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with exact integer arithmetic (floor to micros, matching how
         # DuckDB's reader truncates nanos to its native micros).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields an instant; collection renders it in
+        # the session timezone. Pin UTC so results match the oracle's
+        # naive timestamps regardless of the host session's zone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
