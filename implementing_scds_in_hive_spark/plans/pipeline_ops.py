@@ -269,7 +269,11 @@ def q_corpus_select(spark, sf_dir):
     per fingerprint group), quality filter, language filter — the
     composition a pretraining data pipeline runs before tokenization.
     One shuffle for the dedup group-by; the filters are scan-level."""
-    d = _docs_with_planted_dups(spark, sf_dir)
+    from implementing_scds_in_hive_spark.sources.registry import spread
+
+    # the corpus arrives as one parquet file = one task; the scoring
+    # expressions are CPU-heavy per row, so spread before computing them
+    d = spread(_docs_with_planted_dups(spark, sf_dir))
     text = F.col("text")
     scored = d.select(
         "doc_id",
