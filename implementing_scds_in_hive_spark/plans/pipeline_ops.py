@@ -499,6 +499,23 @@ FROM events
 """
 
 
+def q_json_map_explode(spark, sf_dir):
+    """JSON -> MapType -> explode: parse props as a map and emit one row
+    per entry — schema-free extraction when keys are not known upfront
+    (the from_json-struct path, json_typed, covers the known-schema
+    case)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+JSON_MAP_EXPLODE_SQL = """
+SELECT event_id, k AS prop_key,
+       CAST(json_extract_string(props, '$.' || k) AS INT) AS prop_value
+FROM (SELECT event_id, props, UNNEST(json_keys(props)) AS k FROM events)
+"""
+
+
 def q_event_hourly_rollup(spark, sf_dir):
     """Event-time tumbling window aggregation (the batch face of the
     streaming windowed agg): per-hour, per-type counts + exact value sum."""
@@ -754,6 +771,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "json_extract": q_json_extract,
     "json_typed": q_json_typed,
+    "json_map_explode": q_json_map_explode,
     "event_hourly_rollup": q_event_hourly_rollup,
     "incremental_rollup": q_incremental_rollup,
     "session_window_rollup": q_session_window_rollup,
@@ -778,6 +796,7 @@ ORACLES = {
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "json_extract": JSON_EXTRACT_SQL,
     "json_typed": JSON_TYPED_SQL,
+    "json_map_explode": JSON_MAP_EXPLODE_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
     "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "session_window_rollup": SESSION_WINDOW_SQL,

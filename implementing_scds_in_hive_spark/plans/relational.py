@@ -612,12 +612,43 @@ UNPIVOT (value FOR measure IN (p_size, p_retailprice))
 """
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-framed window: per customer, the rolling sum of order value
+    over the trailing 90 days (value-based frame, not row-count) — the
+    moving-aggregate shape row frames cannot express with gaps in time."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-90, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("trailing_90d_value"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE)
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS trailing_90d_value
+FROM orders
+"""
+
+
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "agg_distinct_counts": q_agg_distinct_counts,
     "cube_status_segment": q_cube_status_segment,
     "fuzzy_name_match": q_fuzzy_name_match,
     "unpivot_part_measures": q_unpivot_part_measures,
+    "window_range_frame": q_window_range_frame,
     "percentiles_by_status": q_percentiles_by_status,
     "window_ntile": q_window_ntile,
     "join_star_schema": q_join_star_schema,
@@ -645,6 +676,7 @@ ORACLES = {
     "cube_status_segment": CUBE_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
     "unpivot_part_measures": UNPIVOT_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
     "window_ntile": WINDOW_NTILE_SQL,
     "join_star_schema": JOIN_STAR_SQL,
