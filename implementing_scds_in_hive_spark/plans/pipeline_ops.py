@@ -23,7 +23,6 @@ from implementing_scds_in_hive_spark.functions.text import (
     quality_score,
     token_count,
 )
-from implementing_scds_in_hive_spark.functions.vectors import cosine
 from implementing_scds_in_hive_spark.operators.asof import asof_join
 from implementing_scds_in_hive_spark.operators.dedup import (
     exact_duplicates,
