@@ -48,13 +48,31 @@ def compact(
     *,
     target_rows_per_file: int = 1_000_000,
     order_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into files of
     ~``target_rows_per_file`` rows, optionally range-clustered on
     ``order_cols`` (gives min/max row-group statistics that make later
     range filters prune). The 100 TB housekeeping job every streaming
     sink needs — micro-batches leave thousands of tiny files whose
-    per-file open/footer cost dominates scans. Returns the row count."""
+    per-file open/footer cost dominates scans. Returns the row count.
+
+    A hive-partitioned directory MUST pass its partition columns via
+    ``partition_by`` or the rewrite would flatten the layout (enforced
+    below by detecting ``key=value`` directories)."""
+    import os
+    import re
+
+    part_dirs = [
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and re.match(r"^[^=]+=", d)
+    ]
+    detected = sorted({d.split("=")[0] for d in part_dirs})
+    if detected and sorted(partition_by or []) != detected:
+        raise ValueError(
+            f"{path} is hive-partitioned by {detected}; pass partition_by={detected} "
+            "to preserve the layout (compacting without it would flatten partitions)"
+        )
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
@@ -63,7 +81,7 @@ def compact(
         if order_cols
         else df.repartition(n_files)
     )
-    overwrite_atomic(out, path)
+    overwrite_atomic(out, path, partition_by=partition_by)
     return n
 
 

@@ -112,6 +112,25 @@ def test_scd_stream_restart_is_idempotent(spark, tmp_path):
     assert second == first
 
 
+def test_compact_partitioned_requires_and_preserves_layout(spark, tmp_path):
+    import glob
+
+    import pytest
+
+    path = str(tmp_path / "parted_frag")
+    df = spark.range(0, 4_000).selectExpr("id", "CAST(id % 2 AS INT) AS part")
+    df.repartition(10).write.partitionBy("part").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact(spark, path, target_rows_per_file=2_000)
+    n = compact(spark, path, target_rows_per_file=2_000, partition_by=["part"])
+    assert n == 4_000
+    # layout preserved, files compacted within each partition dir
+    for p in ("part=0", "part=1"):
+        files = glob.glob(f"{path}/{p}/*.parquet")
+        assert 1 <= len(files) <= 2
+    assert spark.read.parquet(path).where("part = 1").count() == 2_000
+
+
 def test_compact_reduces_file_count(spark, tmp_path):
     path = str(tmp_path / "frag")
     df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp")
