@@ -66,6 +66,13 @@ class SCDConfig:
     ``type2_cols`` participate in change detection and are versioned.
     Business columns not listed in either are treated as Type-1 if present
     in staging, else carried.
+
+    Scope: ``key`` is a single column, matching the reference
+    (SCD_script.txt joins on ``login`` alone). For a composite business
+    key, pre-concatenate into one surrogate business-key column
+    (``F.concat_ws('\\x1f', *cols)``) in both inputs — equivalent
+    semantics, and the single-column join keeps the broadcast/anti-join
+    plan shapes unchanged.
     """
 
     key: str

@@ -32,6 +32,7 @@ def windowed_rollup(
     events: DataFrame,
     *,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
@@ -43,10 +44,14 @@ def windowed_rollup(
     approx_count_distinct replaces the batch twin's exact count: exact
     distinct over an unbounded stream would hold every user id in state
     forever. HLL sketch state is O(1) per window.
+
+    ``slide`` < ``window`` gives overlapping (sliding) windows — each
+    event lands in window/slide buckets; state scales accordingly.
     """
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.approx_count_distinct("user_id").alias("approx_users"),

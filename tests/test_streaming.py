@@ -91,6 +91,17 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path, events_dir):
     assert got == want and len(got) > 5
 
 
+def test_sliding_windows_overlap(spark):
+    """slide < window: each event lands in window/slide buckets."""
+    rows = [(1, T0 + timedelta(minutes=10), 1, "view", 1.0, "{}")]
+    events = spark.createDataFrame(rows, EVENT_FIELDS)
+    out = windowed_rollup(events, window="1 hour", slide="30 minutes")
+    starts = sorted(r["bucket_start"] for r in out.collect())
+    # the 00:10 event belongs to windows starting 23:30 and 00:00
+    assert starts == [T0 - timedelta(minutes=30), T0]
+    assert all(r["n_events"] == 1 for r in out.collect())
+
+
 def test_scd2_upsert_stream_converges_to_batch_merges(spark, tmp_path):
     cfg = SCDConfig(
         key="login",
