@@ -48,11 +48,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
-    # warm up the JVM/codegen paths (scan, broadcast-join, window, agg
-    # shapes) so the first timed query isn't charged for session
-    # bring-up and one-time operator-class JIT
+    # warm up the JVM/codegen paths (scan, broadcast-join, window, agg,
+    # range-shuffle/two-pass-re-key shapes) so the first timed query
+    # isn't charged for session bring-up and one-time operator-class
+    # JIT. The flagship warms at sf0.001 — a different source path, so
+    # its logical plan (and thus its persisted intermediates) shares
+    # nothing with the timed sf0.1 run; only codegen warmth carries.
     for warm in ("top_orders", "join_star_schema", "window_topn_per_group"):
         qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["scd2_merge_customer"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

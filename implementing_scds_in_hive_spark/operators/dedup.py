@@ -58,12 +58,24 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keep, docs[id_col] == keep.keep_id, "left_semi")
 
 
-def _token_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, th: array<bigint>) — one xxhash64 per token, materialized so
+def portable_token_hash(t: Column) -> Column:
+    """60-bit integer token hash replayable on any ANSI engine:
+    the first 15 hex chars of md5, parsed base-16. DuckDB twin:
+    ``CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)``. Slower than
+    xxhash64 (string md5 + base conversion per token) — used where
+    cross-engine verification matters more than throughput (the driver's
+    simhash correctness query); xxhash64 stays the scale default."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def _token_hashes(
+    docs: DataFrame, id_col: str, text_col: str, token_hash=F.xxhash64
+) -> DataFrame:
+    """(id, th: array<bigint>) — one hash per token, materialized so
     downstream higher-order functions never re-tokenize."""
     return spread(docs).select(
         F.col(id_col).alias("did"),
-        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(F.split(F.col(text_col), " "), lambda t: token_hash(t)).alias("th"),
     )
 
 
@@ -233,7 +245,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    token_hash=F.xxhash64,
+) -> DataFrame:
     """64-bit SimHash per document from distinct word-token hashes.
 
     Explode token hashes, then one vectorized hash-aggregation computes
@@ -243,7 +261,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     re-hashing every token — was O(64 * tokens) re-computation inside one
     projection and dominated the plan's codegen size.
     """
-    toks = _token_hashes(docs, id_col, text_col).select(
+    toks = _token_hashes(docs, id_col, text_col, token_hash).select(
         "did", F.explode(F.array_distinct("th")).alias("h")
     )
     sums = [
@@ -261,10 +279,16 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return agg.select("did", sim.alias("simhash"))
 
 
-def simhash_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_duplicate_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    token_hash=F.xxhash64,
+) -> DataFrame:
     """Documents whose full 64-bit SimHash collides (hamming distance 0;
     banded prefixes generalize to distance > 0)."""
-    sh = simhash64(docs, id_col, text_col)
+    sh = simhash64(docs, id_col, text_col, token_hash=token_hash)
     return (
         sh.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("did")).alias("members"))

@@ -54,6 +54,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 END_OF_TIME = "9999-12-31 23:59:59"
 
@@ -84,6 +85,18 @@ class SCDConfig:
     end_col: str = "scd_end_date"
     active_col: str = "scd_active"
     end_of_time: str = END_OF_TIME
+
+    def __post_init__(self) -> None:
+        # A pure Type-1 dimension (no versioned columns) has no change
+        # predicate: scd2_merge's reduce() and merge_sql's generated
+        # MERGE both need >= 1 Type-2 column. Fail at config time, not
+        # deep inside a Spark plan.
+        if not self.type2_cols:
+            raise ValueError(
+                "SCDConfig.type2_cols must be non-empty — a dimension with "
+                "no Type-2 columns is a plain overwrite table, not an SCD2 "
+                "merge (use write_table/overwrite_atomic instead)"
+            )
 
     @property
     def meta_cols(self) -> tuple[str, ...]:
@@ -237,9 +250,13 @@ def assign_surrogate_keys(
       order). Global window => single-partition sort; fine up to ~10^8
       rows, NOT the 100 TB path.
     * ``two_pass`` — dense 1..n without a global sort: range-repartition
-      on the order columns, number rows within each partition, then add
-      per-partition offsets computed from a tiny partition-count collect.
-      Scales to arbitrary row counts (the collect is O(#partitions)).
+      on the order columns, sort within partitions, number rows with
+      ``monotonically_increasing_id`` (partition-local indices by
+      construction: pid * 2^33 + row offset), then add per-partition
+      offsets computed from a tiny partition-count collect. ONE
+      full-data shuffle (the range exchange) — no windowed second
+      exchange — and the collect is O(#partitions). Scales to arbitrary
+      row counts.
     * ``hash`` — fully parallel, stable, non-dense:
       ``xxhash64(key, start, version)``. Preferred at 100 TB when key
       density is not required; the reference itself treats keys as
@@ -254,12 +271,29 @@ def assign_surrogate_keys(
 
     if strategy == "two_pass":
         n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-        parted = (
-            df.repartitionByRange(n_parts, *order_cols)
+        # Range partitions are globally ordered on order_cols and sorted
+        # within, so mid = pid * 2^33 + local row index enumerates rows
+        # in exactly global (order_cols) order — the dense key is the
+        # local index plus the cumulative count of earlier partitions.
+        # No window, so no second Exchange over the full data.
+        #
+        # Two persists bound the total work to ONE upstream compute and
+        # ONE shuffle regardless of pass count: ``src`` because
+        # repartitionByRange's boundary-sampling job would otherwise
+        # re-execute the whole upstream plan (e.g. the SCD merge) before
+        # the shuffle does, and ``local`` so the counts pass and the
+        # output pass share one shuffle + sort and the ids the counts
+        # were taken from are pinned (the standard two-pass-numbering
+        # pattern; MEMORY_AND_DISK = a spillable checkpoint — the result
+        # is about to be written out anyway).
+        src = df.persist(StorageLevel.MEMORY_AND_DISK)
+        local = (
+            src.repartitionByRange(n_parts, *order_cols)
+            .sortWithinPartitions(*order_cols)
             .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn", F.monotonically_increasing_id() - (F.col("__pid").cast("long") * (1 << 33)) + 1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-        local = parted.withColumn("__rn", F.row_number().over(w_local))
         counts = {r["__pid"]: r["cnt"] for r in
                   local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
@@ -267,7 +301,8 @@ def assign_surrogate_keys(
             offsets[pid] = acc
             acc += counts[pid]
         off_df = local.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "__pid int, __off long",
         )
         return (
             local.join(F.broadcast(off_df), "__pid")

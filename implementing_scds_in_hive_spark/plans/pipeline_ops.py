@@ -257,10 +257,39 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash collisions — rows-only (engine-specific 64-bit hash)."""
-    return simhash_duplicate_groups(_t(spark, sf_dir, "documents")).select(
-        "simhash", "n_docs", F.to_json("members").alias("members_json")
-    )
+    """SimHash collision groups, fully value-verified: the driver query
+    uses the portable md5-prefix token hash so DuckDB can replay the
+    identical per-bit integer arithmetic (the xxhash64 default stays the
+    scale path — same plan shape, different leaf hash)."""
+    from implementing_scds_in_hive_spark.operators.dedup import portable_token_hash
+
+    return simhash_duplicate_groups(
+        _t(spark, sf_dir, "documents"), token_hash=portable_token_hash
+    ).select("simhash", "n_docs", F.to_json("members").alias("members_json"))
+
+
+DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks),
+bitsums AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th JOIN range(0, 64) b(i) ON TRUE
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id)
+SELECT simhash, COUNT(*) AS n_docs,
+       '[' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) || ']'
+         AS members_json
+FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+"""
 
 
 def q_corpus_select(spark, sf_dir):
@@ -412,10 +441,33 @@ FROM ranked WHERE rank <= 10
 
 
 def q_similarity_topk_lsh(spark, sf_dir):
-    """Bucketed ANN variant — rows-only (approximate by design; exact
-    counterpart: similarity_topk_bruteforce)."""
+    """Bucketed ANN: approximate vs brute force, but the sign-bit
+    blocking is data-deterministic, so the bucket-restricted ranking IS
+    exactly replayable in SQL — full value oracle."""
     e = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e, _query_vectors(spark, sf_dir), k=10, n_bits=8)
+
+
+SIMILARITY_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket
+  FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round({_cos_sql('q.qvec', 'b.embedding')}, 6) AS cos_sim
+  FROM q JOIN b USING (bucket)),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def q_kmeans_centroids(spark, sf_dir):
@@ -433,19 +485,36 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def _embeddings_with_planted_dups(spark, sf_dir):
+    """The corpus has no true near-duplicates at sf0.01 (an all-real
+    0=0 hash check is trivially green), so plant deterministic ones:
+    every %50==0 vector cloned at vec_id+1_000_000 — same rule in the
+    oracle SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return e.unionByName(clones)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Same-bucket near-duplicate pairs at cosine >= 0.99 — the blocking
     is deterministic (sign bits), so this IS oracle-expressible."""
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(e, threshold=0.99, n_bits=8)
+    return embedding_near_duplicates(
+        _embeddings_with_planted_dups(spark, sf_dir), threshold=0.99, n_bits=8
+    )
 
 
 EMBEDDING_NEAR_DUPS_SQL = """
-WITH b AS (
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+b AS (
   SELECT vec_id, embedding,
          list_aggregate(list_transform(embedding[1:8],
              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
-  FROM embeddings)
+  FROM corpus)
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -480,21 +549,41 @@ FROM events
 def q_json_typed(spark, sf_dir):
     """Typed JSON parsing via from_json with an explicit struct schema —
     the scale path (one parse per row into a struct, vs one parse per
-    get_json_object call when extracting many fields)."""
-    e = _t(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
-    return e.select(
+    get_json_object call when extracting many fields).
+
+    Malformed detection uses the corrupt-record column: in PERMISSIVE
+    mode ``from_json`` returns a NON-null struct with null fields for
+    broken JSON, so ``parsed.isNull()`` never fires; the ``_corrupt``
+    field is the documented signal. A deterministic malformed row is
+    unioned in (the fixture corpus is all-valid) so the flag is
+    exercised, not vacuously false."""
+    e = _t(spark, sf_dir, "events").select("event_id", "props")
+    bad = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit("{not json").alias("props"),
+    )
+    base = e.unionByName(bad)
+    parsed = F.from_json(
+        "props", "k INT, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return base.select(
         "event_id",
         parsed["k"].alias("prop_k"),
-        parsed.isNull().alias("malformed"),
+        (parsed["_corrupt"].isNotNull() | F.col("props").isNull()).alias("malformed"),
     )
 
 
 JSON_TYPED_SQL = """
+WITH base AS (
+  SELECT event_id, props FROM events
+  UNION ALL
+  SELECT -1, '{not json')
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS prop_k,
        (props IS NULL OR NOT json_valid(props)) AS malformed
-FROM events
+FROM base
 """
 
 
@@ -752,12 +841,15 @@ FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
 """
 
 
+# Driver registry (50-slot budget; see plans/registry.py).
+# doc_min_shingle_fp is folded out — its 1-permutation-MinHash semantics
+# are subsumed by dedup_minhash_lsh + doc_fingerprint; kept above as
+# public API + pytest target.
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "text_token_classes": q_text_token_classes,
-    "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "dedup_exact_groups": q_dedup_exact_groups,
     "corpus_select": q_corpus_select,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -785,11 +877,13 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
-    "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
-    # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh: rows-only
+    # rows-only (genuinely non-replayable): dedup_minhash_lsh (xxhash64
+    # signatures), kmeans_centroids (iterative refinement)
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "similarity_topk_lsh": SIMILARITY_LSH_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_topk_ivf": SIMILARITY_IVF_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
@@ -804,3 +898,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_chunks": MULTIMODAL_CHUNKS_SQL,
 }
+
+# Folded-out-of-registry queries, still oracle-checkable in pytest.
+PYTEST_ONLY_QUERIES = {"doc_min_shingle_fp": q_doc_min_shingle_fp}
+PYTEST_ONLY_ORACLES = {"doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL}

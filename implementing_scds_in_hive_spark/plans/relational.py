@@ -124,16 +124,20 @@ FROM customer LEFT JOIN orders
 
 def q_join_anti(spark, sf_dir):
     """Native anti-join (reference J2 encodes it as LEFT JOIN + IS NULL,
-    SCD_script.txt:8-12)."""
+    SCD_script.txt:8-12). Probed against the pending-order subset so the
+    result is NON-empty at every sf (every customer has some order, so an
+    unfiltered anti-join would be a trivially-green 0=0 check)."""
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    pending = o.where(F.col("o_orderstatus") == "P")
+    return c.join(pending, c.c_custkey == pending.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
 
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
-FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
 """
 
 
@@ -612,6 +616,63 @@ UNPIVOT (value FOR measure IN (p_size, p_retailprice))
 """
 
 
+def q_window_analytics(spark, sf_dir):
+    """The full analytic-window surface in ONE pass over orders: offsets
+    (lag/lead), a running ROWS frame, a trailing-90-day RANGE frame, and
+    ntile bucketing. All five functions partition by o_custkey, so the
+    whole query costs a single hash-partitioning exchange (the
+    differently-ordered windows sort within partitions, no extra
+    shuffle) — one driver-registry slot instead of four.
+    Subsumes the former window_running_total / window_lag_lead /
+    window_range_frame / window_ntile registry entries (functions kept
+    below for the plan-shape tests)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-90, 0)
+    )
+    w_nt = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.sum(price_dec).over(w_run).cast("double").alias("running_total"),
+        F.round(F.sum(price_dec).over(w_range).cast("double"), 2).alias(
+            "trailing_90d_value"
+        ),
+        F.ntile(4).over(w_nt).alias("price_quartile"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            LAG(o_orderdate) OVER wo, o_orderdate) AS INT) AS days_since_prev,
+       LEAD(o_orderkey) OVER wo AS next_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS trailing_90d_value,
+       CAST(NTILE(4) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile
+FROM orders
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_window_range_frame(spark, sf_dir):
     """RANGE-framed window: per customer, the rolling sum of order value
     over the trailing 90 days (value-based frame, not row-count) — the
@@ -642,23 +703,23 @@ FROM orders
 """
 
 
+# Driver registry (50-slot budget; see plans/registry.py). The four
+# single-function window variants are folded into window_analytics, and
+# agg_distinct_counts is subsumed by having_agg_filter's countDistinct —
+# the folded functions stay above as public API + pytest targets.
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
-    "agg_distinct_counts": q_agg_distinct_counts,
     "cube_status_segment": q_cube_status_segment,
     "fuzzy_name_match": q_fuzzy_name_match,
     "unpivot_part_measures": q_unpivot_part_measures,
-    "window_range_frame": q_window_range_frame,
     "percentiles_by_status": q_percentiles_by_status,
-    "window_ntile": q_window_ntile,
+    "window_analytics": q_window_analytics,
     "join_star_schema": q_join_star_schema,
     "join_left_outer": q_join_left_outer,
     "join_pred_in_on": q_join_pred_in_on,
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
     "window_topn_per_group": q_window_topn_per_group,
-    "window_running_total": q_window_running_total,
-    "window_lag_lead": q_window_lag_lead,
     "set_ops": q_set_ops,
     "top_orders": q_top_orders,
     "scalar_string_funcs": q_scalar_string_funcs,
@@ -672,21 +733,17 @@ QUERIES = {
 
 ORACLES = {
     "agg_lineitem_pricing": AGG_LINEITEM_SQL,
-    "agg_distinct_counts": DISTINCT_COUNTS_SQL,
     "cube_status_segment": CUBE_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
     "unpivot_part_measures": UNPIVOT_SQL,
-    "window_range_frame": WINDOW_RANGE_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
-    "window_ntile": WINDOW_NTILE_SQL,
+    "window_analytics": WINDOW_ANALYTICS_SQL,
     "join_star_schema": JOIN_STAR_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_pred_in_on": JOIN_PRED_ON_SQL,
     "join_anti": JOIN_ANTI_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "window_topn_per_group": WINDOW_TOPN_SQL,
-    "window_running_total": WINDOW_RUNNING_SQL,
-    "window_lag_lead": WINDOW_LAG_SQL,
     "set_ops": SET_OPS_SQL,
     "top_orders": TOP_ORDERS_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
@@ -696,4 +753,21 @@ ORACLES = {
     "pivot_status_by_year": PIVOT_SQL,
     "having_agg_filter": HAVING_SQL,
     "correlated_above_avg": CORRELATED_SQL,
+}
+
+# Folded-out-of-registry queries, still oracle-checkable in pytest.
+PYTEST_ONLY_QUERIES = {
+    "agg_distinct_counts": q_agg_distinct_counts,
+    "window_range_frame": q_window_range_frame,
+    "window_ntile": q_window_ntile,
+    "window_running_total": q_window_running_total,
+    "window_lag_lead": q_window_lag_lead,
+}
+
+PYTEST_ONLY_ORACLES = {
+    "agg_distinct_counts": DISTINCT_COUNTS_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
+    "window_ntile": WINDOW_NTILE_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "window_lag_lead": WINDOW_LAG_SQL,
 }

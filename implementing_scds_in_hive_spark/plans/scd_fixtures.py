@@ -31,11 +31,21 @@ from implementing_scds_in_hive_spark.sources.registry import load_table
 
 AS_OF = "2024-06-01 00:00:00"
 
+# Driver-facing sentinel: the engine default '9999-12-31 23:59:59'
+# (operators/scd.py END_OF_TIME, reference parity) overflows pandas
+# datetime64[ns] (max 2262-04-11) in the driver's collection path, so
+# every fixture/oracle pair uses a pandas-representable open-end instant
+# instead. SCDConfig.end_of_time parameterizes this per dimension; the
+# engine default stays 9999 for deployments that never round-trip
+# through nanosecond pandas.
+FIXTURE_EOT = "2260-12-31 23:59:59"
+
 CUSTOMER_CFG = SCDConfig(
     key="c_custkey",
     type2_cols=("c_acctbal", "c_mktsegment"),
     type1_cols=("c_name", "c_nationkey"),
     surrogate_col="dim_customer_id",
+    end_of_time=FIXTURE_EOT,
 )
 
 
@@ -53,7 +63,7 @@ def customer_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.when(F.col("c_custkey") % 7 == 0, F.lit(2)).otherwise(F.lit(1)).alias("scd_version"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("scd_start_date"),
-        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("scd_end_date"),
+        F.lit(FIXTURE_EOT).cast("timestamp").alias("scd_end_date"),
         F.lit(True).alias("scd_active"),
     )
     history = c.where(F.col("c_custkey") % 7 == 0).select(
@@ -104,12 +114,12 @@ def customer_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `customer` view). Column-for-column identical output.
 # ---------------------------------------------------------------------------
 
-PRODUCTION_SQL = """
+PRODUCTION_SQL = f"""
     SELECT CAST(NULL AS BIGINT) AS dim_customer_id,
            c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
            CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS scd_version,
            TIMESTAMP '2024-01-01 00:00:00' AS scd_start_date,
-           TIMESTAMP '9999-12-31 23:59:59' AS scd_end_date,
+           TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date,
            TRUE AS scd_active
     FROM customer
     UNION ALL

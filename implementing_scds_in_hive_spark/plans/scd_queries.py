@@ -20,6 +20,7 @@ from implementing_scds_in_hive_spark.operators.scd import scd2_merge
 from implementing_scds_in_hive_spark.plans.scd_fixtures import (
     AS_OF,
     CUSTOMER_CFG,
+    FIXTURE_EOT,
     PRODUCTION_SQL,
     STAGING_SQL,
     customer_production,
@@ -61,12 +62,12 @@ merged AS (
     UNION ALL
     SELECT c_custkey, s_name, s_nationkey, s_acctbal, s_mktsegment,
            scd_version + 1, TIMESTAMP '{AS_OF}',
-           TIMESTAMP '9999-12-31 23:59:59', TRUE
+           TIMESTAMP '{FIXTURE_EOT}', TRUE
     FROM flagged WHERE chg
     UNION ALL
     SELECT s.{_BUSINESS.replace(', ', ', s.')},
            1 AS scd_version, TIMESTAMP '{AS_OF}' AS scd_start_date,
-           TIMESTAMP '9999-12-31 23:59:59' AS scd_end_date, TRUE AS scd_active
+           TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date, TRUE AS scd_active
     FROM stag s ANTI JOIN prod p ON s.c_custkey = p.c_custkey
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version)
@@ -79,7 +80,13 @@ FROM merged
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = customer_production(spark, sf_dir)
     staging = customer_staging(spark, sf_dir)
-    return scd2_merge(prod, staging, CUSTOMER_CFG, AS_OF, broadcast_staging=True)
+    # two_pass: identical dense keys to the reference's global ROW_NUMBER
+    # (property-tested equivalence) WITHOUT the single-partition window
+    # sort — the re-key strategy that survives a 100 TB dimension.
+    return scd2_merge(
+        prod, staging, CUSTOMER_CFG, AS_OF,
+        broadcast_staging=True, key_strategy="two_pass",
+    )
 
 
 def q_scd_production_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +172,7 @@ def q_scd_step6_new_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_mktsegment").alias("c_mktsegment"),
         (F.col("scd_version") + 1).alias("scd_version"),
         F.lit(AS_OF).cast("timestamp").alias("scd_start_date"),
-        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("scd_end_date"),
+        F.lit(FIXTURE_EOT).cast("timestamp").alias("scd_end_date"),
         F.lit(True).alias("scd_active"),
     )
 
@@ -183,7 +190,7 @@ def q_scd_step7_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.lit(1).alias("scd_version"),
         F.lit(AS_OF).cast("timestamp").alias("scd_start_date"),
-        F.lit("9999-12-31 23:59:59").cast("timestamp").alias("scd_end_date"),
+        F.lit(FIXTURE_EOT).cast("timestamp").alias("scd_end_date"),
         F.lit(True).alias("scd_active"),
     )
 
@@ -269,7 +276,7 @@ SELECT c_custkey, s_name AS c_name, s_nationkey AS c_nationkey,
        s_acctbal AS c_acctbal, s_mktsegment AS c_mktsegment,
        scd_version + 1 AS scd_version,
        TIMESTAMP '{AS_OF}' AS scd_start_date,
-       TIMESTAMP '9999-12-31 23:59:59' AS scd_end_date,
+       TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date,
        TRUE AS scd_active
 FROM flagged WHERE chg
 """
@@ -278,30 +285,45 @@ STEP7_SQL = f"""
 WITH prod AS ({PRODUCTION_SQL}), stag AS ({STAGING_SQL})
 SELECT {_BUSINESS},
        1 AS scd_version, TIMESTAMP '{AS_OF}' AS scd_start_date,
-       TIMESTAMP '9999-12-31 23:59:59' AS scd_end_date, TRUE AS scd_active
+       TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date, TRUE AS scd_active
 FROM stag ANTI JOIN prod USING (c_custkey)
 """
 
+# Driver registry (the driver verifies only the first 50 registry
+# entries, so every slot must earn its place): the flagship, one fixture
+# (staging — production's schema/branches are value-verified through the
+# flagship itself), the non-trivial anti-join branch (step 2), and the
+# two read-side queries derived from the full merge output. The other
+# branch-level step queries (4/5/6/7) are subsumed by the flagship's
+# hash-checked output and stay pytest-covered
+# (tests/test_scd_branch_queries.py) without spending driver slots.
 QUERIES = {
     "scd2_merge_customer": q_scd2_merge,
-    "scd_production_fixture": q_scd_production_fixture,
     "scd_staging_fixture": q_scd_staging_fixture,
     "scd_step2_carry": q_scd_step2_carry,
-    "scd_step4_type1_rewrite": q_scd_step4_unchanged,
-    "scd_step5_closeout": q_scd_step5_closeout,
-    "scd_step6_new_versions": q_scd_step6_new_versions,
-    "scd_step7_new_keys": q_scd_step7_new_keys,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
 }
 
 ORACLES = {
-    "scd_point_in_time": POINT_IN_TIME_SQL,
-    "scd_key_history": KEY_HISTORY_SQL,
     "scd2_merge_customer": SCD2_MERGE_SQL,
-    "scd_production_fixture": PRODUCTION_SQL,
     "scd_staging_fixture": STAGING_SQL,
     "scd_step2_carry": STEP2_SQL,
+    "scd_point_in_time": POINT_IN_TIME_SQL,
+    "scd_key_history": KEY_HISTORY_SQL,
+}
+
+# Retained for pytest branch-level verification (not driver slots).
+PYTEST_ONLY_QUERIES = {
+    "scd_production_fixture": q_scd_production_fixture,
+    "scd_step4_type1_rewrite": q_scd_step4_unchanged,
+    "scd_step5_closeout": q_scd_step5_closeout,
+    "scd_step6_new_versions": q_scd_step6_new_versions,
+    "scd_step7_new_keys": q_scd_step7_new_keys,
+}
+
+PYTEST_ONLY_ORACLES = {
+    "scd_production_fixture": PRODUCTION_SQL,
     "scd_step4_type1_rewrite": STEP4_SQL,
     "scd_step5_closeout": STEP5_SQL,
     "scd_step6_new_versions": STEP6_SQL,

@@ -59,16 +59,35 @@ def compact(
 
     A hive-partitioned directory MUST pass its partition columns via
     ``partition_by`` or the rewrite would flatten the layout (enforced
-    below by detecting ``key=value`` directories)."""
+    below by walking the ``key=value`` directory levels — nested
+    multi-column layouts included)."""
     import os
     import re
 
-    part_dirs = [
-        d for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d)) and re.match(r"^[^=]+=", d)
-    ]
-    detected = sorted({d.split("=")[0] for d in part_dirs})
-    if detected and sorted(partition_by or []) != detected:
+    def _hive_partition_cols(root: str) -> list[str]:
+        """Ordered partition-column list from the directory nesting:
+        one column name per key=value level (hive layout guarantees all
+        sibling dirs at a level share the column)."""
+        cols: list[str] = []
+        cur = root
+        while True:
+            subs = [
+                d for d in os.listdir(cur)
+                if os.path.isdir(os.path.join(cur, d)) and re.match(r"^[^=]+=", d)
+            ]
+            if not subs:
+                return cols
+            names = sorted({d.split("=")[0] for d in subs})
+            if len(names) > 1:
+                raise ValueError(
+                    f"{cur} mixes partition columns {names} at one directory "
+                    "level — not a valid hive layout"
+                )
+            cols.append(names[0])
+            cur = os.path.join(cur, subs[0])
+
+    detected = _hive_partition_cols(path)
+    if detected and list(partition_by or []) != detected:
         raise ValueError(
             f"{path} is hive-partitioned by {detected}; pass partition_by={detected} "
             "to preserve the layout (compacting without it would flatten partitions)"
