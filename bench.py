@@ -56,13 +56,28 @@ def main() -> None:
     # nothing with the timed sf0.1 run; only codegen warmth carries.
     for warm in ("top_orders", "join_star_schema", "window_topn_per_group"):
         qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["scd2_merge_customer"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # The heaviest-compile shapes warm at sf0.001 — a different source
+    # path, so nothing but codegen/JIT warmth carries into the timed
+    # sf0.1 run: the flagship's two-pass re-key, the minhash tower of
+    # higher-order lambdas (measured: ~3s compile vs ~1.3s steady-state
+    # compute at sf0.1), corpus scoring, and the Arrow/Python worker
+    # startup behind mapInPandas.
+    for warm in ("scd2_merge_customer", "dedup_minhash_lsh", "corpus_select",
+                 "multimodal_features"):
+        qs[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        # each query starts cold-cache: operators that persist
+        # intermediates (two-pass re-key, minhash shingles) would
+        # otherwise be timed against a previous invocation's cache (the
+        # CacheManager matches canonicalized plans), and accumulated
+        # block-manager memory from earlier queries would pressure later
+        # ones.
+        spark.catalog.clearCache()
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

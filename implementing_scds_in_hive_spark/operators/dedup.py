@@ -69,34 +69,65 @@ def portable_token_hash(t: Column) -> Column:
 
 
 def _token_hashes(
-    docs: DataFrame, id_col: str, text_col: str, token_hash=F.xxhash64
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_hash=F.xxhash64,
+    *,
+    min_tokens: int = 0,
 ) -> DataFrame:
     """(id, th: array<bigint>) — one hash per token, materialized so
-    downstream higher-order functions never re-tokenize."""
-    return spread(docs).select(
+    downstream higher-order functions never re-tokenize.
+
+    ``min_tokens`` filters short documents BEFORE the hash projection, on
+    the raw split length. Filtering here matters: a filter placed ABOVE a
+    projection that derives from ``th`` gets predicate-pushed below it,
+    and the pushdown substitutes the full tokenize+hash expression into
+    the condition — and, fatally, into any lambda that accesses ``th``
+    by element, re-evaluating the whole token hash per element access
+    (measured 46s vs 1.4s on sf0.1 documents). Pre-filtering on
+    ``size(split(...))`` costs one split per row and keeps every
+    downstream reference to ``th`` a plain column."""
+    base = spread(docs)
+    if min_tokens > 0:
+        base = base.where(F.size(F.split(F.col(text_col), " ")) >= min_tokens)
+    return base.select(
         F.col(id_col).alias("did"),
         F.transform(F.split(F.col(text_col), " "), lambda t: token_hash(t)).alias("th"),
     )
 
 
 def _shingle_hashes(th: Column, n: int) -> Column:
-    """n-gram shingle hashes from a token-hash array: n slice-shifted
-    copies combined pairwise with zip_with — O(tokens * n), no strings."""
+    """n-gram shingle hashes from a token-hash array: one transform over
+    the start-index sequence, folding the n positions with element_at —
+    O(tokens * n) with a single output array. (The earlier formulation —
+    n slice-shifted copies pairwise zip_with'd — allocated 2n-1
+    intermediate arrays per document and measured 2x slower; identical
+    values, since both fold left: hash(hash(h_i, h_i+1), h_i+2).)
+    ``th`` must be a materialized column reference, not a computed
+    expression — element_at inside the lambda would re-evaluate it per
+    shingle (no CSE across lambda invocations)."""
     m = F.size(th) - (n - 1)
-    acc = F.slice(th, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(th, j + 1, m), lambda x, y: F.xxhash64(x, y))
-    return F.when(m > 0, acc).otherwise(F.array().cast("array<bigint>"))
+    def shingle(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for j in range(1, n):
+            acc = F.xxhash64(acc, F.element_at(th, i + F.lit(j)))
+        return acc
+    return F.when(m > 0, F.transform(F.sequence(F.lit(1), m), shingle)).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def shingled_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
 ) -> DataFrame:
-    """(did, sh: sorted array<bigint> of distinct shingle hashes)."""
-    return (
-        _token_hashes(docs, id_col, text_col)
-        .select("did", F.array_sort(F.array_distinct(_shingle_hashes(F.col("th"), n))).alias("sh"))
-        .where(F.size("sh") > 0)
+    """(did, sh: sorted array<bigint> of distinct shingle hashes).
+    Documents with < n tokens (no shingles) are excluded — via the
+    pre-hash token-count filter, NOT a post-hoc ``size(sh) > 0`` filter,
+    which would predicate-push the whole shingle expression (see
+    _token_hashes)."""
+    return _token_hashes(docs, id_col, text_col, min_tokens=n).select(
+        "did", F.array_sort(F.array_distinct(_shingle_hashes(F.col("th"), n))).alias("sh")
     )
 
 
@@ -182,6 +213,37 @@ def _band_buckets(num_perm: int, bands: int) -> Column:
     )
 
 
+def _verify_candidates(sh: DataFrame, banded: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification, shared by
+    both hash families: self-join ``banded`` on (band, bucket), then pull
+    the candidate pairs' shingle arrays and intersect in-row."""
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -218,31 +280,105 @@ def minhash_lsh_pairs(
         .select("did", F.explode(_band_buckets(num_perm, bands)).alias("bb"))
         .select("did", "bb.band", "bb.bucket")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.did") < F.col("b.did")),
-        )
-        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
-        .distinct()
+    return _verify_candidates(sh, banded, threshold)
+
+
+# --- portable (cross-engine replayable) MinHash family ---------------------
+#
+# Everything below is plain mod-p integer arithmetic over a Mersenne
+# prime, so any ANSI engine can replay signatures, buckets, and therefore
+# the exact candidate set: token hash = md5-prefix (portable_token_hash)
+# reduced mod p; shingles fold token hashes with an affine combine;
+# permutation i is the affine map s -> (a_i*s + b_i) mod p. All operands
+# stay < 2^31, so every product fits in a 64-bit signed int — no
+# overflow under Spark ANSI mode, identical values in DuckDB. xxhash64
+# (above) stays the scale default: one JVM hash call vs md5 + base-16
+# parse per token.
+
+PORTABLE_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+_COMBINE_A = 1_000_003
+
+
+def _pcombine(x: Column, y: Column) -> Column:
+    return (x * F.lit(_COMBINE_A) + y) % F.lit(PORTABLE_P)
+
+
+def portable_shingled_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3
+) -> DataFrame:
+    """(did, sh) with shingle hashes in the portable mod-p family."""
+    th = _token_hashes(
+        docs,
+        id_col,
+        text_col,
+        lambda t: portable_token_hash(t) % F.lit(PORTABLE_P),
+        min_tokens=n,
     )
-    sh_a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    m = F.size("th") - (n - 1)
+
+    def shingle(i: Column) -> Column:  # single-pass fold, see _shingle_hashes
+        acc = F.element_at("th", i)
+        for j in range(1, n):
+            acc = _pcombine(acc, F.element_at("th", i + F.lit(j)))
+        return acc
+
+    return th.select(
+        "did",
+        F.array_sort(F.array_distinct(F.transform(F.sequence(F.lit(1), m), shingle))).alias("sh"),
     )
+
+
+def portable_minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` with the portable hash family — same plan
+    shape (in-row signatures/buckets, (band, bucket) join, exact verify),
+    deterministic across engines, so a SQL oracle can replay it
+    value-for-value."""
+    rows_per_band = num_perm // bands
+    sh = portable_shingled_hashes(docs, id_col, text_col, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "sh",
+                lambda s: ((F.lit(13) + F.lit(97) * i) * s + (F.lit(7) + F.lit(40503) * i))
+                % F.lit(PORTABLE_P),
+            )
+        ),
+    )
+
+    def bucket(sig_col: Column, b: int) -> Column:
+        acc = F.element_at(sig_col, b * rows_per_band + 1)
+        for r in range(1, rows_per_band):
+            acc = _pcombine(acc, F.element_at(sig_col, b * rows_per_band + r + 1))
+        return acc
+
+    banded = (
+        sh.select("did", sig.alias("sig"))
+        .select(
+            "did",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), bucket(F.col("sig"), b).alias("bucket"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("did", "bb.band", "bb.bucket")
+    )
+    return _verify_candidates(sh, banded, threshold)
 
 
 def simhash64(

@@ -249,11 +249,60 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Probabilistic candidate generation — rows-only check (exact
-    counterpart: dedup_ngram_jaccard above, which bounds it)."""
-    return minhash_lsh_pairs(
+    """Banded MinHash LSH, fully value-verified: the driver query uses
+    the portable mod-p hash family (operators/dedup.py PORTABLE_P) so
+    DuckDB replays signatures, band buckets — hence the exact candidate
+    set — and the Jaccard verification, value-for-value. The xxhash64
+    family (minhash_lsh_pairs) stays the scale default — same plan
+    shape, cheaper leaf hash."""
+    from implementing_scds_in_hive_spark.operators.dedup import portable_minhash_lsh_pairs
+
+    return portable_minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# Replays the portable MinHash pipeline in pure mod-p integer arithmetic:
+# token hash = md5-prefix mod p, shingle fold and band fold both
+# (x*1000003 + y) mod p, permutation i = s -> ((13+97i)s + 7+40503i) mod p
+# — constants mirrored from operators/dedup.py (PORTABLE_P, _COMBINE_A).
+DEDUP_MINHASH_SQL = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+             i -> (((th[i] * 1000003 + th[i+1]) % 2147483647) * 1000003 + th[i+2])
+                  % 2147483647)) AS sh
+  FROM th WHERE len(th) >= 3),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+             i -> list_min(list_transform(sh,
+                  s -> ((13 + 97*i) * s + (7 + 40503*i)) % 2147483647))) AS sig
+  FROM sh),
+banded AS (
+  SELECT doc_id, b.band,
+         ((((sig[b.band*4+1] * 1000003 + sig[b.band*4+2]) % 2147483647)
+            * 1000003 + sig[b.band*4+3]) % 2147483647
+            * 1000003 + sig[b.band*4+4]) % 2147483647 AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -880,8 +929,9 @@ ORACLES = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
-    # rows-only (genuinely non-replayable): dedup_minhash_lsh (xxhash64
-    # signatures), kmeans_centroids (iterative refinement)
+    # rows-only (genuinely non-replayable): kmeans_centroids (iterative
+    # refinement)
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "similarity_topk_lsh": SIMILARITY_LSH_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,

@@ -86,6 +86,27 @@ def test_minhash_lsh_recall_on_exact_and_near(spark):
         assert exact[k] == v
 
 
+def test_portable_minhash_agrees_with_exhaustive_tier(spark):
+    """The portable mod-p family must behave like the xxhash64 family:
+    exact duplicates collide in every band, and every verified Jaccard
+    equals the exhaustive tier's value (verification is hash-agnostic —
+    Jaccard over distinct shingle hashes == Jaccard over shingles)."""
+    from implementing_scds_in_hive_spark.operators.dedup import portable_minhash_lsh_pairs
+
+    docs = _mk_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in portable_minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(5, 6)] == 1.0
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for k, v in pairs.items():
+        assert exact[k] == v
+
+
 def test_simhash_groups_exact_dups(spark):
     docs = _mk_docs(spark)
     groups = {tuple(r["members"]) for r in simhash_duplicate_groups(docs).collect()}
