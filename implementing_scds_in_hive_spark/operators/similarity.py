@@ -119,15 +119,19 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF index build: assign every corpus vector to its nearest
-    centroid (cosine; deterministic tie-break on centroid id).
+    centroid (cosine; deterministic tie-break on lowest centroid id).
 
     Centroids broadcast (they are small by construction); the corpus
     streams through the scoring join once, and the per-vector argmax is
-    a partitioned window — one shuffle of (vector, K scores) rows,
-    map-side reducible. At 100 TB with K in the thousands this is the
-    standard inverted-file build; a production system would iterate
-    k-means here, which is just this assignment + a centroid-mean
-    aggregation per round.
+    a ``max_by`` AGGREGATION, not a window: partial aggregation
+    collapses each vector's K scored rows to one map-side (they are all
+    in the vector's own partition — the broadcast cross join never moves
+    the corpus), so the exchange carries each vector ONCE. The earlier
+    row_number-window formulation shuffled K copies of every embedding —
+    a K× blowup that a 100 TB corpus with thousands of centroids cannot
+    afford. At scale a production system would iterate k-means here,
+    which is just this assignment + a centroid-mean aggregation per
+    round.
     """
     c = F.broadcast(
         centroids.select(
@@ -145,10 +149,23 @@ def ivf_assign(
             "__sim"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
+    # argmax by (sim desc, centroid_id asc): max_by over a struct whose
+    # lexicographic max is highest sim, then lowest id (negated). Group
+    # on the scalar id ONLY — an array grouping key forces a
+    # SortAggregate that compares full embeddings; the vector rides
+    # along as first() (identical across a vector's K scored rows).
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        scored.groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.max_by(
+                F.col(centroid_id_col),
+                F.struct(
+                    F.col("__sim").alias("s"),
+                    (-F.col(centroid_id_col)).alias("negc"),
+                ),
+            ).alias(centroid_id_col),
+        )
         .select(id_col, vec_col, centroid_id_col)
     )
 

@@ -69,6 +69,19 @@ def test_window_analytics_single_exchange(spark, sf_dir):
     assert _shuffles(plan) == 1
 
 
+def test_ivf_assign_is_aggregation_not_window(spark, sf_dir):
+    """The IVF build's per-vector argmax must be a partial-aggregating
+    max_by, never a window: a window shuffles K copies of every
+    embedding (K x blowup), the aggregation collapses K->1 map-side and
+    ships each vector once. Windows in the IVF plan may only partition
+    by query_id (tiny probe/top-k rows)."""
+    plan = _plan(queries()["similarity_topk_ivf"](spark, sf_dir))
+    assert "max_by" in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+
+
 def test_dimension_joins_broadcast(spark, sf_dir):
     plan = _plan(queries()["join_star_schema"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
