@@ -314,17 +314,26 @@ def portable_shingled_hashes(
         lambda t: portable_token_hash(t) % F.lit(PORTABLE_P),
         min_tokens=n,
     )
-    m = F.size("th") - (n - 1)
-
-    def shingle(i: Column) -> Column:  # single-pass fold, see _shingle_hashes
-        acc = F.element_at("th", i)
-        for j in range(1, n):
-            acc = _pcombine(acc, F.element_at("th", i + F.lit(j)))
-        return acc
-
     return th.select(
         "did",
-        F.array_sort(F.array_distinct(F.transform(F.sequence(F.lit(1), m), shingle))).alias("sh"),
+        F.array_sort(F.array_distinct(portable_shingle_hashes(F.col("th"), n))).alias("sh"),
+    )
+
+
+def portable_shingle_hashes(th: Column, n: int) -> Column:
+    """Non-distinct n-gram shingle hashes (portable family) from a
+    MATERIALIZED token-hash array — the mod-p twin of _shingle_hashes,
+    same single-pass fold and the same element_at caveat."""
+    m = F.size(th) - (n - 1)
+
+    def shingle(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for j in range(1, n):
+            acc = _pcombine(acc, F.element_at(th, i + F.lit(j)))
+        return acc
+
+    return F.when(m > 0, F.transform(F.sequence(F.lit(1), m), shingle)).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 

@@ -950,5 +950,79 @@ ORACLES = {
 }
 
 # Folded-out-of-registry queries, still oracle-checkable in pytest.
-PYTEST_ONLY_QUERIES = {"doc_min_shingle_fp": q_doc_min_shingle_fp}
-PYTEST_ONLY_ORACLES = {"doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL}
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: fraction of
+    2-/3-gram positions inside duplicated n-grams and the most-frequent
+    2-gram's share — in-row expression chains (functions/repetition.py),
+    zero shuffles, replayable by the oracle via the portable hash
+    family."""
+    from implementing_scds_in_hive_spark.functions.repetition import repetition_stats
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        PORTABLE_P,
+        portable_shingle_hashes,
+        portable_token_hash,
+    )
+    from implementing_scds_in_hive_spark.sources.registry import spread
+
+    th = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda t: portable_token_hash(t) % F.lit(PORTABLE_P),
+        ).alias("th"),
+    )
+    r2 = repetition_stats(F.col("th"), 2, portable_shingle_hashes)
+    r3 = repetition_stats(F.col("th"), 3, portable_shingle_hashes)
+    return th.select(
+        "doc_id",
+        F.round(r2["dup_frac"], 6).alias("dup2_frac"),
+        F.round(r2["top_frac"], 6).alias("top2_frac"),
+        F.round(r3["dup_frac"], 6).alias("dup3_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM documents),
+sh2 AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th)),
+             i -> (th[i] * 1000003 + th[i+1]) % 2147483647) AS sh
+  FROM th),
+sh3 AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - 1),
+             i -> (((th[i] * 1000003 + th[i+1]) % 2147483647) * 1000003 + th[i+2])
+                  % 2147483647) AS sh
+  FROM th),
+a2 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, MAX(c) AS top,
+         SUM(c) AS tot
+  FROM (SELECT doc_id, s, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh2) GROUP BY 1, 2)
+  GROUP BY doc_id),
+a3 AS (
+  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+  FROM (SELECT doc_id, s, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh3) GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT th.doc_id,
+       round(COALESCE(CAST(a2.dup AS DOUBLE) / a2.tot, 0), 6) AS dup2_frac,
+       round(COALESCE(CAST(a2.top AS DOUBLE) / a2.tot, 0), 6) AS top2_frac,
+       round(COALESCE(CAST(a3.dup AS DOUBLE) / a3.tot, 0), 6) AS dup3_frac
+FROM th LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+PYTEST_ONLY_QUERIES = {
+    "doc_min_shingle_fp": q_doc_min_shingle_fp,
+    "text_repetition": q_text_repetition,
+}
+PYTEST_ONLY_ORACLES = {
+    "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+}
