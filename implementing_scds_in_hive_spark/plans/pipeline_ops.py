@@ -1018,11 +1018,58 @@ FROM th LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale + quantized values (4x storage cut vs float32). The scale is
+    materialized in its own projection BEFORE the quantize transform —
+    referenced directly inside the lambda it would re-evaluate the
+    max-abs fold per element (the hoisting rule, functions/vectors.py).
+    Round-half-up is spelled floor(x + 0.5) so the oracle replays it
+    without engine round() half-way differences."""
+    from implementing_scds_in_hive_spark.functions.vectors import (
+        quantize,
+        quantize_scale,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", "embedding", quantize_scale(F.col("embedding")).alias("scale"))
+    # The output rounding happens in a SEPARATE projection after the
+    # quantize: putting `round(scale, 6).alias("scale")` in the same
+    # select list would make the quantize's `F.col("scale")` resolve to
+    # the ROUNDED alias via lateral column alias resolution (aliases
+    # shadow input columns for later items in the list) — quantizing
+    # against a truncated scale and silently shifting boundary values.
+    q = s.select(
+        "vec_id",
+        "scale",
+        F.to_json(quantize(F.col("embedding"), F.col("scale"))).alias("q_json"),
+    )
+    return q.select("vec_id", F.round("scale", 6).alias("scale"), "q_json")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 6) AS scale,
+       '[' || array_to_string(
+           CASE WHEN scale > 0
+                THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+                ELSE list_transform(embedding, x -> 0) END, ',') || ']' AS q_json
+FROM s
+"""
+
+
 PYTEST_ONLY_QUERIES = {
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "text_repetition": q_text_repetition,
+    "embedding_quantize": q_embedding_quantize,
 }
 PYTEST_ONLY_ORACLES = {
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
 }
