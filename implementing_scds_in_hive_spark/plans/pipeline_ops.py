@@ -897,7 +897,6 @@ FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
     "text_token_classes": q_text_token_classes,
     "dedup_exact_groups": q_dedup_exact_groups,
     "corpus_select": q_corpus_select,
@@ -924,7 +923,6 @@ QUERIES = {
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
-    "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
@@ -1063,12 +1061,17 @@ FROM s
 """
 
 
+# doc_fingerprint folded to pytest in favor of scd_publish_roundtrip: its
+# fingerprint() expression is already driver-verified through
+# dedup_exact_groups (same function, same oracle arithmetic).
 PYTEST_ONLY_QUERIES = {
+    "doc_fingerprint": q_doc_fingerprint,
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
 }
 PYTEST_ONLY_ORACLES = {
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,

@@ -249,6 +249,27 @@ FROM hist WHERE n_versions > 1
 """
 
 
+def q_scd_publish_roundtrip(spark, sf_dir):
+    """Driver evidence for the publish path (reference step 8's INSERT
+    OVERWRITE, SCD_script.txt:141): run the merge, atomically publish it
+    to a scratch directory (temp-sibling write + directory swap — the
+    self-overwrite-safe rewrite of the reference's two-step
+    dim_user_new materialization), read the published table back, and
+    return its rows. The oracle is the merge SQL itself: a publish that
+    loses, duplicates, or retypes anything hash-mismatches."""
+    import os
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.scd import publish
+
+    merged = q_scd2_merge(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"scd_publish_roundtrip_{os.getpid()}"
+    )
+    publish(merged, path)
+    return spark.read.parquet(path)
+
+
 STEP2_SQL = f"""
 WITH prod AS ({PRODUCTION_SQL}), stag AS ({STAGING_SQL})
 SELECT {_BUSINESS}, {_SCD}
@@ -303,6 +324,7 @@ QUERIES = {
     "scd_step2_carry": q_scd_step2_carry,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
+    "scd_publish_roundtrip": q_scd_publish_roundtrip,
 }
 
 ORACLES = {
@@ -311,6 +333,7 @@ ORACLES = {
     "scd_step2_carry": STEP2_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
+    "scd_publish_roundtrip": SCD2_MERGE_SQL,
 }
 
 # Retained for pytest branch-level verification (not driver slots).
