@@ -130,6 +130,132 @@ PRODUCTION_SQL = f"""
     FROM customer WHERE c_custkey % 7 = 0
 """
 
+
+# ---------------------------------------------------------------------------
+# CDC fixture (operators/cdc.py): an *operation feed* rather than a
+# snapshot, over a production variant where %13==0 keys are entirely
+# inactive (previously deleted) so resurrection is exercised.
+#
+# Feed rules (all modular arithmetic on c_custkey, seq unique per key):
+#   * %10==1            -> U: c_acctbal+200 (Type-2 change; for %13==0
+#                          keys this is an upsert onto an all-inactive
+#                          key -> resurrection with version max+1)
+#   * %10==2            -> U seq1 then D seq2 (net delete; the U's
+#                          values must NOT land — batch collapse)
+#   * %10==3            -> D seq1 then I seq2 with segment 'REBORN'
+#                          (net upsert; delete never applies)
+#   * %10==4            -> I of brand-new key k+2,000,000
+#   * %10==6            -> U: c_name suffixed (Type-1-only change)
+#   * %20==15           -> D (plain delete; closes the active version)
+#   * %50==21           -> D of unknown key k+3,000,000 (no-op)
+#   * everything else   -> absent from the feed (carried verbatim)
+# Delete rows carry NULL payloads — the apply path must ignore them.
+# ---------------------------------------------------------------------------
+
+CDC_AS_OF = "2024-07-01 00:00:00"
+
+
+def customer_production_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``customer_production`` with every %13==0 key fully inactive
+    (its active version closed at 2024-02-01) — the prior-delete state
+    a CDC resurrection lands on."""
+    p = customer_production(spark, sf_dir)
+    gone = (F.col("c_custkey") % 13 == 0) & F.col("scd_active")
+    return p.withColumn(
+        "scd_end_date",
+        F.when(gone, F.lit("2024-02-01 00:00:00").cast("timestamp")).otherwise(
+            F.col("scd_end_date")
+        ),
+    ).withColumn("scd_active", F.col("scd_active") & ~(F.col("c_custkey") % 13 == 0))
+
+
+def customer_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (op, op_seq, payload) operation feed over customer."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    null_d = F.lit(None).cast("double")
+
+    def ev(df, key, name, nat, bal, seg, op, seq):
+        return df.select(
+            key.alias("c_custkey"),
+            name.alias("c_name"),
+            nat.alias("c_nationkey"),
+            bal.alias("c_acctbal"),
+            seg.alias("c_mktsegment"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("op_seq"),
+        )
+
+    name, nat, bal, seg = (F.col(c_) for c_ in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    parts = [
+        ev(c.where(k % 10 == 1), k, name, nat, bal + 200.0, seg, "U", 1),
+        ev(c.where(k % 10 == 2), k, name, nat, bal + 1.0, seg, "U", 1),
+        ev(c.where(k % 10 == 2), k, null_s, null_i, null_d, null_s, "D", 2),
+        ev(c.where(k % 10 == 3), k, null_s, null_i, null_d, null_s, "D", 1),
+        ev(c.where(k % 10 == 3), k, name, nat, bal, F.lit("REBORN"), "I", 2),
+        ev(
+            c.where(k % 10 == 4),
+            k + 2_000_000,
+            F.concat(F.lit("CdcNew#"), k.cast("string")),
+            nat,
+            F.lit(0.0),
+            F.lit("STARTUP"),
+            "I",
+            1,
+        ),
+        ev(c.where(k % 10 == 6), k, F.concat(name, F.lit("_cdc")), nat, bal, seg, "U", 1),
+        ev(c.where(k % 20 == 15), k, null_s, null_i, null_d, null_s, "D", 1),
+        ev(c.where(k % 50 == 21), k + 3_000_000, null_s, null_i, null_d, null_s, "D", 1),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+CDC_PRODUCTION_SQL = f"""
+    SELECT dim_customer_id, c_custkey, c_name, c_nationkey, c_acctbal,
+           c_mktsegment, scd_version, scd_start_date,
+           CASE WHEN c_custkey % 13 = 0 AND scd_active
+                THEN TIMESTAMP '2024-02-01 00:00:00' ELSE scd_end_date
+           END AS scd_end_date,
+           scd_active AND NOT (c_custkey % 13 = 0) AS scd_active
+    FROM ({PRODUCTION_SQL})
+"""
+
+CDC_FEED_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0 AS c_acctbal,
+           c_mktsegment, 'U' AS op, 1 AS op_seq
+    FROM customer WHERE c_custkey % 10 = 1
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1.0, c_mktsegment, 'U', 1
+    FROM customer WHERE c_custkey % 10 = 2
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, NULL, NULL, 'D', 2
+    FROM customer WHERE c_custkey % 10 = 2
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, NULL, NULL, 'D', 1
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'REBORN', 'I', 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 2000000, 'CdcNew#' || CAST(c_custkey AS VARCHAR),
+           c_nationkey, 0.0, 'STARTUP', 'I', 1
+    FROM customer WHERE c_custkey % 10 = 4
+    UNION ALL
+    SELECT c_custkey, c_name || '_cdc', c_nationkey, c_acctbal, c_mktsegment, 'U', 1
+    FROM customer WHERE c_custkey % 10 = 6
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, NULL, NULL, 'D', 1
+    FROM customer WHERE c_custkey % 20 = 15
+    UNION ALL
+    SELECT c_custkey + 3000000, NULL, NULL, NULL, NULL, 'D', 1
+    FROM customer WHERE c_custkey % 50 = 21
+"""
+
 STAGING_SQL = """
     SELECT c_custkey,
            CASE WHEN c_custkey % 10 = 5 THEN c_name || '_t1' ELSE c_name END AS c_name,

@@ -19,11 +19,16 @@ from pyspark.sql import functions as F
 from implementing_scds_in_hive_spark.operators.scd import scd2_merge
 from implementing_scds_in_hive_spark.plans.scd_fixtures import (
     AS_OF,
+    CDC_AS_OF,
+    CDC_FEED_SQL,
+    CDC_PRODUCTION_SQL,
     CUSTOMER_CFG,
     FIXTURE_EOT,
     PRODUCTION_SQL,
     STAGING_SQL,
+    customer_cdc_feed,
     customer_production,
+    customer_production_cdc,
     customer_staging,
 )
 
@@ -270,6 +275,91 @@ def q_scd_publish_roundtrip(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+# --- CDC apply (operators/cdc.py): feed → collapse → delete/upsert ------
+
+def q_scd_cdc_collapse(spark, sf_dir):
+    """Last-wins collapse of the operation feed (one final-state row per
+    key) — the micro-batch contract every CDC consumer needs first.
+    Implemented as a map-side `max_by` aggregation, not a window."""
+    from implementing_scds_in_hive_spark.operators.cdc import collapse_cdc
+
+    feed = customer_cdc_feed(spark, sf_dir)
+    return collapse_cdc(feed, CUSTOMER_CFG)
+
+
+CDC_COLLAPSE_SQL = f"""
+WITH feed AS ({CDC_FEED_SQL})
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, op
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY op_seq DESC) AS rn
+      FROM feed)
+WHERE rn = 1
+"""
+
+
+def q_scd_cdc_apply(spark, sf_dir):
+    """Delete-aware SCD2 maintenance from a CDC operation feed — the
+    capability the reference's snapshot merge cannot express: deletes
+    close out the active version, inserts after a delete resurrect the
+    key at version max+1, and multi-op keys collapse to final state.
+    The oracle replays collapse → branches → versioning in DuckDB."""
+    from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
+
+    prod = customer_production_cdc(spark, sf_dir)
+    feed = customer_cdc_feed(spark, sf_dir)
+    return cdc_apply(prod, feed, CUSTOMER_CFG, CDC_AS_OF, key_strategy="two_pass")
+
+
+CDC_APPLY_SQL = f"""
+WITH prod AS ({CDC_PRODUCTION_SQL}),
+fin AS ({CDC_COLLAPSE_SQL}),
+ups AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM fin WHERE op <> 'D'),
+flagged AS (
+    SELECT p.*, f.op AS f_op,
+           f.c_name AS s_name, f.c_nationkey AS s_nationkey,
+           f.c_acctbal AS s_acctbal, f.c_mktsegment AS s_mktsegment,
+           (p.scd_active AND
+            (p.c_acctbal IS DISTINCT FROM f.c_acctbal OR
+             p.c_mktsegment IS DISTINCT FROM f.c_mktsegment)) AS chg
+    FROM prod p LEFT JOIN fin f ON p.c_custkey = f.c_custkey
+),
+stats AS (
+    SELECT p.c_custkey, MAX(p.scd_version) AS max_v,
+           MAX(CASE WHEN p.scd_active THEN 1 ELSE 0 END) AS has_active,
+           MAX(CASE WHEN p.scd_active THEN p.c_acctbal END) AS act_acctbal,
+           MAX(CASE WHEN p.scd_active THEN p.c_mktsegment END) AS act_mktsegment
+    FROM prod p SEMI JOIN ups u ON p.c_custkey = u.c_custkey
+    GROUP BY p.c_custkey
+),
+merged AS (
+    SELECT {_BUSINESS}, {_SCD} FROM flagged WHERE f_op IS NULL
+    UNION ALL
+    SELECT {_BUSINESS}, scd_version, scd_start_date,
+           CASE WHEN scd_active THEN TIMESTAMP '{CDC_AS_OF}' ELSE scd_end_date END,
+           FALSE
+    FROM flagged WHERE f_op = 'D'
+    UNION ALL
+    SELECT c_custkey, s_name, s_nationkey, c_acctbal, c_mktsegment,
+           scd_version, scd_start_date,
+           CASE WHEN chg THEN TIMESTAMP '{CDC_AS_OF}' ELSE scd_end_date END,
+           scd_active AND NOT chg
+    FROM flagged WHERE f_op IS NOT NULL AND f_op <> 'D'
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+           COALESCE(st.max_v, 0) + 1, TIMESTAMP '{CDC_AS_OF}',
+           TIMESTAMP '{FIXTURE_EOT}', TRUE
+    FROM ups u LEFT JOIN stats st ON u.c_custkey = st.c_custkey
+    WHERE st.c_custkey IS NULL OR st.has_active = 0
+       OR u.c_acctbal IS DISTINCT FROM st.act_acctbal
+       OR u.c_mktsegment IS DISTINCT FROM st.act_mktsegment
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version)
+            AS BIGINT) AS dim_customer_id,
+       {_BUSINESS}, {_SCD}
+FROM merged
+"""
+
+
 STEP2_SQL = f"""
 WITH prod AS ({PRODUCTION_SQL}), stag AS ({STAGING_SQL})
 SELECT {_BUSINESS}, {_SCD}
@@ -343,6 +433,8 @@ PYTEST_ONLY_QUERIES = {
     "scd_step5_closeout": q_scd_step5_closeout,
     "scd_step6_new_versions": q_scd_step6_new_versions,
     "scd_step7_new_keys": q_scd_step7_new_keys,
+    "scd_cdc_collapse": q_scd_cdc_collapse,
+    "scd_cdc_apply": q_scd_cdc_apply,
 }
 
 PYTEST_ONLY_ORACLES = {
@@ -351,4 +443,6 @@ PYTEST_ONLY_ORACLES = {
     "scd_step5_closeout": STEP5_SQL,
     "scd_step6_new_versions": STEP6_SQL,
     "scd_step7_new_keys": STEP7_SQL,
+    "scd_cdc_collapse": CDC_COLLAPSE_SQL,
+    "scd_cdc_apply": CDC_APPLY_SQL,
 }
