@@ -215,6 +215,56 @@ def customer_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Retroactive-correction fixture (operators/retro.py): late-arriving
+# Type-2 facts with an effective timestamp in the past.
+#   * %9==2 -> eff 2023-06-01, c_acctbal+500: splits the v1 interval for
+#              %7==0 keys ([2023-01-01, 2024-01-01) contains it);
+#              PREPENDS before history for everyone else (their only
+#              version starts 2024-01-01)
+#   * %9==4 -> eff 2024-03-15, c_mktsegment='RETRO': splits the ACTIVE
+#              interval — the spliced piece becomes the active row
+#   * %9==7 -> eff 2024-03-15, values unchanged: no-op correction
+# ---------------------------------------------------------------------------
+
+
+def customer_retro_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    early = c.where(k % 9 == 2).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 500.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2023-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    mid = c.where(k % 9 == 4).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("RETRO").alias("c_mktsegment"),
+        F.lit("2024-03-15 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    noop = c.where(k % 9 == 7).select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2024-03-15 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    return early.unionByName(mid).unionByName(noop)
+
+
+RETRO_LATE_SQL = """
+    SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal, c_mktsegment,
+           TIMESTAMP '2023-06-01 00:00:00' AS eff_ts
+    FROM customer WHERE c_custkey % 9 = 2
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'RETRO', TIMESTAMP '2024-03-15 00:00:00'
+    FROM customer WHERE c_custkey % 9 = 4
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, TIMESTAMP '2024-03-15 00:00:00'
+    FROM customer WHERE c_custkey % 9 = 7
+"""
+
+
 CDC_PRODUCTION_SQL = f"""
     SELECT dim_customer_id, c_custkey, c_name, c_nationkey, c_acctbal,
            c_mktsegment, scd_version, scd_start_date,

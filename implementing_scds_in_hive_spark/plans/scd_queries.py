@@ -360,6 +360,78 @@ FROM merged
 """
 
 
+# --- Retroactive splice (operators/retro.py) ----------------------------
+
+def q_scd_retro_splice(spark, sf_dir):
+    """Late-arriving Type-2 corrections spliced into the interval
+    timeline — interval split, prepend-before-history, no-op detection,
+    and per-key version renumbering. The reference merge can only
+    append at the merge instant; this is the capability that repairs
+    history. Oracle replays the splice in DuckDB."""
+    from implementing_scds_in_hive_spark.operators.retro import retro_splice
+    from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+        customer_retro_late,
+    )
+
+    prod = customer_production(spark, sf_dir)
+    late = customer_retro_late(spark, sf_dir)
+    return retro_splice(prod, late, CUSTOMER_CFG, key_strategy="two_pass")
+
+
+from implementing_scds_in_hive_spark.plans.scd_fixtures import RETRO_LATE_SQL  # noqa: E402
+
+RETRO_SPLICE_SQL = f"""
+WITH prod AS ({PRODUCTION_SQL}),
+late AS ({RETRO_LATE_SQL}),
+untouched AS (SELECT p.* FROM prod p ANTI JOIN late l ON p.c_custkey = l.c_custkey),
+j AS (
+    SELECT t.*, l.eff_ts,
+           l.c_acctbal AS r_acctbal, l.c_mktsegment AS r_mktsegment,
+           (t.scd_start_date <= l.eff_ts AND l.eff_ts < t.scd_end_date) AS cont,
+           (t.c_acctbal IS DISTINCT FROM l.c_acctbal OR
+            t.c_mktsegment IS DISTINCT FROM l.c_mktsegment) AS differs
+    FROM prod t JOIN late l ON t.c_custkey = l.c_custkey
+),
+pieces AS (
+    SELECT {_BUSINESS}, scd_start_date, scd_end_date, scd_active
+    FROM j WHERE NOT (cont AND differs)
+    UNION ALL
+    SELECT {_BUSINESS}, scd_start_date, eff_ts, FALSE
+    FROM j WHERE cont AND differs AND scd_start_date < eff_ts
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, r_acctbal, r_mktsegment,
+           eff_ts, scd_end_date, scd_active
+    FROM j WHERE cont AND differs
+    UNION ALL
+    SELECT l.c_custkey, g.first_name, g.first_nat, l.c_acctbal,
+           l.c_mktsegment, l.eff_ts, g.min_start, FALSE
+    FROM late l JOIN (
+        SELECT c_custkey, MIN(scd_start_date) AS min_start,
+               MAX(CASE WHEN cont THEN 1 ELSE 0 END) AS any_cont,
+               arg_min(c_name, scd_start_date) AS first_name,
+               arg_min(c_nationkey, scd_start_date) AS first_nat
+        FROM j GROUP BY c_custkey) g ON l.c_custkey = g.c_custkey
+    WHERE g.any_cont = 0 AND l.eff_ts < g.min_start
+),
+renumbered AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY scd_start_date) AS INT) AS scd_version,
+           scd_start_date, scd_end_date, scd_active
+    FROM pieces
+),
+final AS (
+    SELECT {_BUSINESS}, {_SCD} FROM untouched
+    UNION ALL
+    SELECT {_BUSINESS}, {_SCD} FROM renumbered
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version)
+            AS BIGINT) AS dim_customer_id,
+       {_BUSINESS}, {_SCD}
+FROM final
+"""
+
+
 STEP2_SQL = f"""
 WITH prod AS ({PRODUCTION_SQL}), stag AS ({STAGING_SQL})
 SELECT {_BUSINESS}, {_SCD}
@@ -435,6 +507,7 @@ PYTEST_ONLY_QUERIES = {
     "scd_step7_new_keys": q_scd_step7_new_keys,
     "scd_cdc_collapse": q_scd_cdc_collapse,
     "scd_cdc_apply": q_scd_cdc_apply,
+    "scd_retro_splice": q_scd_retro_splice,
 }
 
 PYTEST_ONLY_ORACLES = {
@@ -445,4 +518,5 @@ PYTEST_ONLY_ORACLES = {
     "scd_step7_new_keys": STEP7_SQL,
     "scd_cdc_collapse": CDC_COLLAPSE_SQL,
     "scd_cdc_apply": CDC_APPLY_SQL,
+    "scd_retro_splice": RETRO_SPLICE_SQL,
 }
