@@ -1,0 +1,118 @@
+"""Connected components over near-duplicate pair graphs, and canonical
+document selection per duplicate group.
+
+Pairwise dedup output (ngram_jaccard_pairs / minhash_lsh_pairs /
+embedding near-dups) is a *graph*: if A~B and B~C, then {A, B, C} is one
+duplicate group even though (A, C) may never have been emitted as a
+pair. Keeping "one doc per group" therefore needs connected components,
+not pair filtering — dropping one side of every pair over-deletes
+(A~B, B~C would drop B and C, leaving A; but dropping B twice is fine)
+or under-deletes depending on orientation, and is order-dependent.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round, every node takes the minimum label among
+itself and its neighbors; converged when no label changes. Rounds =
+graph diameter — near-dup groups are dense clusters (diameter 1-2 via
+their shared shingles/buckets), so this converges in 2-3 rounds in
+practice; ``max_iter`` bounds pathological chains. Each round is one
+equi-join (labels × edges) + one min-aggregation — both shuffle on node
+id, both map-side-combinable; ``localCheckpoint`` truncates the lineage
+so plan depth stays O(1) per round instead of O(rounds). Convergence is
+checked with a LIMIT-1 count probe (no data collected to the driver).
+For graphs whose diameter is itself large at 100 TB scale, the
+two-phase large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) converges in O(log n)
+rounds with the same per-round join+min shape; the driver loop below
+accepts either round body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable (a deterministic,
+    stable group id). Isolated nodes (absent from ``edges``) are not
+    emitted — a node with no duplicate pair is its own trivial group.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def canonical_members(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate groups and elect one
+    canonical document per group: highest ``score_col`` wins, ties break
+    to the smallest id (deterministic). Returns one row per grouped
+    document: (doc_id, component, canonical_id, is_canonical) — the
+    keep/drop decision set for the dedup pass (`is_canonical = false`
+    rows are the deletions). Scores join in by id (broadcast-sized:
+    only grouped docs), election is a map-side `max_by` aggregation.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    canon = scored.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("__s"), (-F.col("node")).alias("__t"))).alias(
+            "canonical_id"
+        )
+    )
+    return (
+        scored.join(canon, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            "canonical_id",
+            (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

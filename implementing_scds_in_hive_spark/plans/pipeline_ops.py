@@ -1061,6 +1061,62 @@ FROM s
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Near-dup pairs resolved into duplicate GROUPS (connected
+    components — A~B, B~C makes {A,B,C} one group even when the A~C
+    pair was never emitted) with one canonical doc elected per group
+    (most tokens, ties to smallest id). This is the keep/drop decision
+    set a dedup pass actually needs; pair lists alone over- or
+    under-delete. The oracle replays reachability with a DuckDB
+    recursive CTE."""
+    from implementing_scds_in_hive_spark.operators.dedup import ngram_jaccard_pairs
+    from implementing_scds_in_hive_spark.operators.graph import canonical_members
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return canonical_members(docs, pairs, score_col="n_tokens")
+
+
+DEDUP_CANONICAL_SQL = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w JOIN range(1, 1024) t(i) ON i <= len(ws) - 2
+  WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT c.node, c.component, len(string_split(d.text, ' ')) AS n_tokens
+  FROM comp c JOIN documents d ON d.doc_id = c.node),
+canon AS (
+  SELECT component, node AS canonical_id
+  FROM (SELECT component, node,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, node ASC) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT s.node AS doc_id, s.component, c.canonical_id,
+       s.node = c.canonical_id AS is_canonical
+FROM scored s JOIN canon c ON s.component = c.component
+"""
+
+
 # doc_fingerprint folded to pytest in favor of scd_publish_roundtrip: its
 # fingerprint() expression is already driver-verified through
 # dedup_exact_groups (same function, same oracle arithmetic).
@@ -1069,10 +1125,12 @@ PYTEST_ONLY_QUERIES = {
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_canonical": q_dedup_canonical,
 }
 PYTEST_ONLY_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "dedup_canonical": DEDUP_CANONICAL_SQL,
 }
