@@ -1,0 +1,93 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent *per partition*: the same seed over a
+repartitioned/recompacted table selects a different subset, so a
+training mixture can silently change between runs. These samplers are
+*content-addressed* instead — membership is a pure function of the
+row's id and a salt, so the sample is stable across partitioning,
+engines, and re-runs, and composable (a 10% sample of a 50% sample with
+different salts behaves like independent draws).
+
+Scale shapes:
+
+* ``hash_sample`` / ``stratified_hash_sample`` are per-row filters —
+  NO shuffle at all; the predicate sits directly above the scan and the
+  sampled columns prune into the parquet reader. The right default at
+  100 TB.
+* ``topk_per_stratum`` (exact count per stratum, smallest-hash-first —
+  deterministic reservoir sampling) is one hash exchange on the strata
+  columns + per-stratum sort; Spark's ``WindowGroupLimit`` pushes the
+  rank limit into the sort, so each partition keeps only k rows.
+  Use for "exactly N docs per language" manifests.
+
+Cross-engine verification: membership uses the portable md5-prefix hash
+(``operators/dedup.py:portable_token_hash``) over ``salt || id``, so a
+DuckDB oracle replays the exact subset. ``xxhash64`` would be ~cheaper
+but the hash runs once per row (not per token) — the md5 cost is noise
+next to the scan, and reproducibility across engines is the point of a
+sampling manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.dedup import portable_token_hash
+
+# Denominator for fraction thresholds: fraction 0.2 keeps rows whose
+# hash bucket (uniform over [0, SCALE)) is < 200_000.
+SCALE = 1_000_000
+
+
+def sample_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform deterministic bucket in [0, SCALE) from (salt, id)."""
+    return portable_token_hash(F.concat(F.lit(salt), id_col.cast("string"))) % SCALE
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, *, id_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by id content."""
+    return df.where(sample_bucket(F.col(id_col), salt) < int(fraction * SCALE))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    stratum_col: str,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. up-sample low-resource
+    languages): still a pure per-row filter — the stratum→threshold map
+    folds into a literal CASE expression, so there is no join and no
+    shuffle regardless of how many strata exist."""
+    thr: Column = F.lit(int(default_fraction * SCALE))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(int(frac * SCALE))).otherwise(thr)
+    return df.where(sample_bucket(F.col(id_col), salt) < thr)
+
+
+def topk_per_stratum(
+    df: DataFrame,
+    k: int,
+    *,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: the k smallest
+    sample buckets (ties broken by id — fully deterministic). Equivalent
+    to per-stratum reservoir sampling, but reproducible and restartable
+    because membership depends only on content, not arrival order."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        sample_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1117,6 +1117,83 @@ FROM scored s JOIN canon c ON s.component = c.component
 """
 
 
+# --- deterministic sampling (operators/sampling.py) ---------------------
+# DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
+
+def _bucket_sql(salt: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % 1000000"
+    )
+
+
+def q_sample_bernoulli(spark, sf_dir):
+    """Content-addressed Bernoulli sample: membership is a pure function
+    of (salt, id), so the subset is identical across partitionings,
+    re-runs, and engines — unlike df.sample(), whose per-partition seed
+    ties the subset to the physical layout. Zero-shuffle per-row
+    filter."""
+    from implementing_scds_in_hive_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.2, salt="b1").select("doc_id", "lang", "source")
+
+
+SAMPLE_BERNOULLI_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_bucket_sql('b1')} < 200000
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum Bernoulli rates (training-mixture reweighting, e.g.
+    up-sampling low-resource languages) as a literal CASE threshold —
+    still no join, no shuffle."""
+    from implementing_scds_in_hive_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d,
+        {"en": 0.1, "zh": 0.5, "de": 0.3},
+        stratum_col="lang",
+        default_fraction=0.05,
+        salt="st1",
+    ).select("doc_id", "lang")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket_sql('st1')} <
+      CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 500000
+                WHEN 'de' THEN 300000 ELSE 50000 END
+"""
+
+
+def q_sample_topk_stratum(spark, sf_dir):
+    """Exactly min(k, |stratum|) docs per language — the k smallest
+    sample buckets, ties to smallest id (deterministic reservoir
+    sampling). One hash exchange on the stratum; WindowGroupLimit keeps
+    only k rows per partition through the sort."""
+    from implementing_scds_in_hive_spark.operators.sampling import topk_per_stratum
+
+    d = _t(spark, sf_dir, "documents")
+    return topk_per_stratum(d, 10, strata_cols=["lang"], salt="k1").select(
+        "doc_id", "lang"
+    )
+
+
+SAMPLE_TOPK_STRATUM_SQL = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_bucket_sql('k1')}, doc_id) AS rk
+      FROM documents)
+WHERE rk <= 10
+"""
+
+
 # doc_fingerprint folded to pytest in favor of scd_publish_roundtrip: its
 # fingerprint() expression is already driver-verified through
 # dedup_exact_groups (same function, same oracle arithmetic).
@@ -1126,6 +1203,9 @@ PYTEST_ONLY_QUERIES = {
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
     "dedup_canonical": q_dedup_canonical,
+    "sample_bernoulli": q_sample_bernoulli,
+    "sample_stratified": q_sample_stratified,
+    "sample_topk_stratum": q_sample_topk_stratum,
 }
 PYTEST_ONLY_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
@@ -1133,4 +1213,7 @@ PYTEST_ONLY_ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
+    "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
 }

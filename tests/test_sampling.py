@@ -1,0 +1,79 @@
+"""Unit semantics of deterministic sampling (operators/sampling.py):
+partition-invariance (the property df.sample() lacks), salt
+independence, exact per-stratum counts, and the zero-shuffle plan shape
+of the per-row filters. Value equivalence against DuckDB runs in
+test_pytest_only_oracles (sample_bernoulli/_stratified/_topk_stratum)."""
+
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    topk_per_stratum,
+)
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_is_partition_invariant(spark):
+    d = _docs(spark)
+    a = _ids(hash_sample(d, 0.3, salt="x"))
+    b = _ids(hash_sample(d.repartition(17, "lang"), 0.3, salt="x"))
+    c = _ids(hash_sample(d.coalesce(1), 0.3, salt="x"))
+    assert a == b == c
+    assert 0 < len(a) < 500
+
+
+def test_different_salts_give_different_subsets(spark):
+    d = _docs(spark)
+    assert _ids(hash_sample(d, 0.3, salt="x")) != _ids(hash_sample(d, 0.3, salt="y"))
+
+
+def test_nested_samples_compose(spark):
+    d = _docs(spark)
+    outer = hash_sample(d, 0.5, salt="a")
+    inner = _ids(hash_sample(outer, 0.4, salt="b"))
+    # inner sample is a subset of the outer, re-derivable independently
+    assert inner <= _ids(outer)
+    assert inner == (_ids(hash_sample(d, 0.4, salt="b")) & _ids(outer))
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    d = _docs(spark, 3000)
+    out = stratified_hash_sample(
+        d, {"0": 1.0, "1": 0.0}, stratum_col="lang", default_fraction=0.5, salt="s"
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 1000  # fraction 1.0 keeps everything
+    assert "1" not in counts  # fraction 0.0 keeps nothing
+    assert 300 < counts.get("2", 0) < 700  # ~50% default
+
+
+def test_topk_exact_counts_and_determinism(spark):
+    d = _docs(spark)
+    out = topk_per_stratum(d, 7, strata_cols=["lang"], salt="k")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    again = topk_per_stratum(d.repartition(13), 7, strata_cols=["lang"], salt="k")
+    assert _ids(out) == _ids(again)
+
+
+def test_topk_caps_at_stratum_size(spark):
+    d = _docs(spark, 9)  # 3 docs per stratum
+    out = topk_per_stratum(d, 7, strata_cols=["lang"], salt="k")
+    assert out.count() == 9
+
+
+def test_hash_sample_plan_has_no_exchange(spark):
+    d = _docs(spark)
+    plan = hash_sample(d, 0.3, salt="x")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
