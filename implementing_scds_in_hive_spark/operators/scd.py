@@ -130,8 +130,20 @@ def scd2_merge(
     key_strategy: str = "row_number",
     broadcast_staging: bool = False,
     plan: str = "auto",
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Produce the next version of the dimension table.
+
+    ``evolve_schema=True`` lets staging introduce business columns that
+    production does not have yet (declared in ``cfg`` but absent from
+    ``prod``): the output schema appends them (type taken from staging),
+    pre-existing rows carry NULL, and rewritten/new rows take the
+    staging value. A newly-added Type-2 column compares null-safely
+    against the NULL backfill, so the first evolved run closes out every
+    active row whose incoming value is non-null — by design: "the
+    attribute now exists with value X" IS a Type-2 change from "the
+    attribute did not exist". Without the flag, unknown staging columns
+    are an error via the existing column-contract check.
 
     Two physically distinct plans with identical semantics (chosen by
     ``plan``; ``auto`` picks ``broadcast`` when ``broadcast_staging``):
@@ -151,8 +163,16 @@ def scd2_merge(
     Surrogate keys are then reassigned over the whole result (reference
     step 8 semantics). ``prod``'s schema is the output schema.
     """
-    out_cols = prod.columns
+    out_cols = list(prod.columns)
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
+    stg_dtypes = {f.name: f.dataType for f in staging.schema.fields}
+    evolved: list[str] = []
+    if evolve_schema:
+        evolved = [
+            c for c in cfg.business_cols if c not in dtypes and c in stg_dtypes
+        ]
+        out_cols += evolved
+        dtypes.update({c: stg_dtypes[c] for c in evolved})
     missing = [c for c in (cfg.surrogate_col, *cfg.business_cols, *cfg.meta_cols) if c not in dtypes]
     if missing:
         raise ValueError(f"production table lacks columns {missing}")
@@ -165,7 +185,8 @@ def scd2_merge(
 
     p = prod.alias("p")
     s_raw = staging.alias("s")
-    pc = lambda c: F.col(f"p.{c}")  # noqa: E731
+    # Evolved columns have no production side: NULL backfill stands in.
+    pc = lambda c: F.col(f"p.{c}") if c not in evolved else F.lit(None).cast(dtypes[c])  # noqa: E731
     sc = lambda c: F.col(f"s.{c}")  # noqa: E731
 
     # Null-safe change predicate over ALL Type-2 columns (fixes the

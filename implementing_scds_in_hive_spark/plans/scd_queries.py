@@ -360,6 +360,69 @@ FROM merged
 """
 
 
+# --- Schema evolution (scd2_merge(evolve_schema=True)) ------------------
+
+def q_scd_evolve_merge(spark, sf_dir):
+    """Staging introduces a business column production lacks
+    (c_nationkey dropped from the production build): the evolved merge
+    appends it to the output schema, backfills NULL on carried rows,
+    and rewrites it from staging everywhere else — the lake-format
+    mergeSchema behavior, expressed inside the merge plan itself."""
+    prod = customer_production(spark, sf_dir).drop("c_nationkey")
+    staging = customer_staging(spark, sf_dir)
+    return scd2_merge(
+        prod, staging, CUSTOMER_CFG, AS_OF,
+        broadcast_staging=True, key_strategy="two_pass", evolve_schema=True,
+    )
+
+
+EVOLVE_MERGE_SQL = f"""
+WITH prod AS (
+    SELECT dim_customer_id, c_custkey, c_name, c_acctbal, c_mktsegment,
+           scd_version, scd_start_date, scd_end_date, scd_active
+    FROM ({PRODUCTION_SQL})
+),
+stag AS ({STAGING_SQL}),
+flagged AS (
+    SELECT p.*,
+           s.c_custkey AS s_key, s.c_name AS s_name,
+           s.c_nationkey AS s_nationkey, s.c_acctbal AS s_acctbal,
+           s.c_mktsegment AS s_mktsegment,
+           (s.c_custkey IS NOT NULL AND p.scd_active AND
+            (p.c_acctbal IS DISTINCT FROM s.c_acctbal OR
+             p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)) AS chg
+    FROM prod p LEFT JOIN stag s ON p.c_custkey = s.c_custkey
+),
+merged AS (
+    SELECT c_custkey, c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+           c_acctbal, c_mktsegment, {_SCD}
+    FROM flagged WHERE s_key IS NULL
+    UNION ALL
+    SELECT c_custkey, s_name, s_nationkey, c_acctbal, c_mktsegment, {_SCD}
+    FROM flagged WHERE s_key IS NOT NULL AND (NOT scd_active OR NOT chg)
+    UNION ALL
+    SELECT c_custkey, s_name, s_nationkey, c_acctbal, c_mktsegment,
+           scd_version, scd_start_date,
+           TIMESTAMP '{AS_OF}' AS scd_end_date, FALSE AS scd_active
+    FROM flagged WHERE chg
+    UNION ALL
+    SELECT c_custkey, s_name, s_nationkey, s_acctbal, s_mktsegment,
+           scd_version + 1, TIMESTAMP '{AS_OF}',
+           TIMESTAMP '{FIXTURE_EOT}', TRUE
+    FROM flagged WHERE chg
+    UNION ALL
+    SELECT s.{_BUSINESS.replace(', ', ', s.')},
+           1 AS scd_version, TIMESTAMP '{AS_OF}' AS scd_start_date,
+           TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date, TRUE AS scd_active
+    FROM stag s ANTI JOIN prod p ON s.c_custkey = p.c_custkey
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version)
+            AS BIGINT) AS dim_customer_id,
+       {_BUSINESS}, {_SCD}
+FROM merged
+"""
+
+
 # --- Retroactive splice (operators/retro.py) ----------------------------
 
 def q_scd_retro_splice(spark, sf_dir):
@@ -508,6 +571,7 @@ PYTEST_ONLY_QUERIES = {
     "scd_cdc_collapse": q_scd_cdc_collapse,
     "scd_cdc_apply": q_scd_cdc_apply,
     "scd_retro_splice": q_scd_retro_splice,
+    "scd_evolve_merge": q_scd_evolve_merge,
 }
 
 PYTEST_ONLY_ORACLES = {
@@ -519,4 +583,5 @@ PYTEST_ONLY_ORACLES = {
     "scd_cdc_collapse": CDC_COLLAPSE_SQL,
     "scd_cdc_apply": CDC_APPLY_SQL,
     "scd_retro_splice": RETRO_SPLICE_SQL,
+    "scd_evolve_merge": EVOLVE_MERGE_SQL,
 }
