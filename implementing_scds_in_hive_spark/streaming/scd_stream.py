@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
 from implementing_scds_in_hive_spark.operators.scd import (
     SCDConfig,
     dedupe_staging,
@@ -66,6 +67,48 @@ def scd2_upsert_stream(
 
     writer = (
         staging_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cdc_stream(
+    changes_stream: DataFrame,
+    prod_path: str,
+    cfg: SCDConfig,
+    *,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    seq_col: str = "op_seq",
+    as_of_fn: Callable[[int], datetime] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously apply a CDC operation stream (Debezium/binlog-style
+    I/U/D rows) to the dimension at ``prod_path`` — the streaming face
+    of ``operators/cdc.py:cdc_apply``, with the same table-as-state
+    restart story as the snapshot upsert: each micro-batch collapses
+    last-wins on ``seq_col``, closes out deletes, resurrects
+    re-inserted keys, and atomically publishes. History granularity is
+    the micro-batch (intermediate ops within one trigger collapse
+    away), matching the batch operator's documented contract —
+    stream-vs-batch parity over any split of the feed is therefore
+    exact as long as batch boundaries respect ``seq_col`` order, and is
+    pinned by tests/test_streaming_cdc.py."""
+    spark = changes_stream.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
+        prod = spark.read.parquet(prod_path)
+        nxt = cdc_apply(prod, batch, cfg, as_of, op_col=op_col, seq_col=seq_col)
+        publish(nxt, prod_path)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
