@@ -390,6 +390,114 @@ def portable_minhash_lsh_pairs(
     return _verify_candidates(sh, banded, threshold)
 
 
+def _portable_sig(num_perm: int) -> Column:
+    """In-row portable MinHash signature from a materialized ``sh``
+    column (same affine permutation family as
+    ``portable_minhash_lsh_pairs`` — oracle-replayable)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "sh",
+                lambda s: ((F.lit(13) + F.lit(97) * i) * s + (F.lit(7) + F.lit(40503) * i))
+                % F.lit(PORTABLE_P),
+            )
+        ),
+    )
+
+
+def _portable_bucket(sig_col: Column, b: int, rows_per_band: int) -> Column:
+    acc = F.element_at(sig_col, b * rows_per_band + 1)
+    for r in range(1, rows_per_band):
+        acc = _pcombine(acc, F.element_at(sig_col, b * rows_per_band + r + 1))
+    return acc
+
+
+def portable_minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Materialized MinHash LSH index — ONE row per document:
+    (did, sh, bb: array<struct<band, bucket>>). This is the artifact a
+    100 TB corpus persists once (partitioned/bucketed by a bucket
+    projection) so that each incoming delta batch can be deduplicated
+    against the corpus WITHOUT re-reading corpus text or recomputing
+    corpus signatures: dedup cost becomes O(batch + touched buckets),
+    not O(corpus). All expressions in-row, zero shuffles to build."""
+    rows_per_band = num_perm // bands
+    sh = portable_shingled_hashes(docs, id_col, text_col, n=n)
+    # Materialize the signature in its own projection FIRST: the bucket
+    # expressions below reference it 4×/band × 8 bands, and an inlined
+    # sig expression would re-run all num_perm permutation scans per
+    # reference (higher-order functions get no cross-expression CSE —
+    # measured 60× slower inlined).
+    with_sig = sh.select("did", "sh", _portable_sig(num_perm).alias("__sig"))
+    return with_sig.select(
+        "did",
+        "sh",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _portable_bucket(F.col("__sig"), b, rows_per_band).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        ).alias("bb"),
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_index: DataFrame,
+    new_index: DataFrame,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a persisted corpus index and a new batch's
+    index (both from ``portable_minhash_index``): explode band buckets
+    on both sides, equi-join on (band, bucket), verify candidates with
+    exact Jaccard over the stored shingle arrays. Returns
+    (id_a = corpus doc, id_b = new doc, jaccard).
+
+    Scale shape: the new batch is small — its exploded buckets
+    broadcast, so the candidate join streams the corpus index map-side
+    (and prunes to touched buckets when the index is stored bucketed).
+    Only candidate pairs' shingle arrays are pulled for verification.
+    Intra-batch duplicates are a separate (tiny) self-join:
+    ``portable_minhash_lsh_pairs`` over the batch alone."""
+
+    def burst(ix: DataFrame, side: str) -> DataFrame:
+        return ix.select(
+            F.col("did").alias(f"id_{side}"), F.explode("bb").alias("bb")
+        ).select(f"id_{side}", "bb.band", "bb.bucket")
+
+    cand = (
+        burst(corpus_index, "a")
+        .join(F.broadcast(burst(new_index, "b")), ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = corpus_index.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = new_index.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(F.broadcast(sh_b), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(
     docs: DataFrame,
     id_col: str = "doc_id",

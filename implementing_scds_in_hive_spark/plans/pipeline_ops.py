@@ -1117,6 +1117,84 @@ FROM scored s JOIN canon c ON s.component = c.component
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-batch dedup against a materialized corpus index: the corpus
+    (doc_id % 5 != 0) is indexed ONCE (one row per doc: shingle array +
+    band buckets, portable_minhash_index); the new batch (doc_id % 5 ==
+    0, plus planted clones of corpus docs) is indexed and probed against
+    it — corpus text is never re-read, corpus signatures never
+    recomputed. This is the shape that makes continuous ingestion
+    affordable at 100 TB: per-batch cost is O(batch + touched buckets),
+    not O(corpus). The oracle replays both indexes and the cross-side
+    probe in the portable mod-p family."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        portable_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    clones = corpus.where(F.col("doc_id") % 40 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 200_000
+    )
+    new = d.where(F.col("doc_id") % 5 == 0).unionByName(clones)
+    # persist() stands in for the index being READ from storage (the
+    # whole point is that it is materialized once); without it each of
+    # the probe's two references would recompute the index plan.
+    corpus_ix = portable_minhash_index(corpus, n=3, num_perm=32, bands=8).persist()
+    new_ix = portable_minhash_index(new, n=3, num_perm=32, bands=8).persist()
+    pairs = incremental_minhash_pairs(corpus_ix, new_ix, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, 'c' AS side FROM documents WHERE doc_id % 5 <> 0),
+newdocs AS (
+  SELECT doc_id, text, 'n' AS side FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, 'n' FROM documents
+  WHERE doc_id % 5 <> 0 AND doc_id % 40 = 1),
+alldocs AS (SELECT * FROM corpus UNION ALL SELECT * FROM newdocs),
+th AS (
+  SELECT doc_id, side,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM alldocs),
+sh AS (
+  SELECT doc_id, side,
+         list_distinct(list_transform(range(1, len(th) - 1),
+             i -> (((th[i] * 1000003 + th[i+1]) % 2147483647) * 1000003 + th[i+2])
+                  % 2147483647)) AS sh
+  FROM th WHERE len(th) >= 3),
+sig AS (
+  SELECT doc_id, side,
+         list_transform(range(0, 32),
+             i -> list_min(list_transform(sh,
+                  s -> ((13 + 97*i) * s + (7 + 40503*i)) % 2147483647))) AS sig
+  FROM sh),
+banded AS (
+  SELECT doc_id, side, b.band,
+         ((((sig[b.band*4+1] * 1000003 + sig[b.band*4+2]) % 2147483647)
+            * 1000003 + sig[b.band*4+3]) % 2147483647
+            * 1000003 + sig[b.band*4+4]) % 2147483647 AS bucket
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bucket = b2.bucket
+   AND a.side = 'c' AND b2.side = 'n'),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a AND sa.side = 'c'
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.side = 'n')
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1203,6 +1281,7 @@ PYTEST_ONLY_QUERIES = {
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_incremental": q_dedup_incremental,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1213,6 +1292,7 @@ PYTEST_ONLY_ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
