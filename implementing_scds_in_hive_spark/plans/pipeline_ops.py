@@ -1195,6 +1195,57 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 """
 
 
+def q_range_join_events_promos(spark, sf_dir):
+    """Events matched to the promotion windows containing them — a
+    range (interval-containment) join. Spark would plan the raw
+    non-equi predicate as a BroadcastNestedLoopJoin (O(n·m)); the
+    bucketized operator restores an equi-join on an hour granule with
+    the exact predicate as residual filter. The oracle is the plain
+    predicate join — the rewrite must be semantically invisible.
+    Promo windows are synthesized deterministically from order keys
+    into the events' January-2024 range (1-3 h long)."""
+    from implementing_scds_in_hive_spark.operators.rangejoin import (
+        bucketized_range_join,
+    )
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 293 == 0)
+    promos = o.select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.expr(
+            "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(o_orderkey % 672 AS INT), 0, 0)"
+        ).alias("promo_start"),
+        F.expr(
+            "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, "
+            "CAST(o_orderkey % 672 + o_orderkey % 3 + 1 AS INT), 0, 0)"
+        ).alias("promo_end"),
+    )
+    joined = bucketized_range_join(
+        events,
+        promos,
+        ts_col="ts",
+        start_col="promo_start",
+        end_col="promo_end",
+        granule_seconds=3600,
+    )
+    return joined.select("event_id", "promo_id", "value")
+
+
+RANGE_JOIN_SQL = """
+WITH promos AS (
+  SELECT o_orderkey AS promo_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 672) * INTERVAL 1 HOUR AS promo_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 672 + o_orderkey % 3 + 1) * INTERVAL 1 HOUR AS promo_end
+  FROM orders WHERE o_orderkey % 293 = 0)
+SELECT e.event_id, p.promo_id, e.value
+FROM events e JOIN promos p
+  ON p.promo_start <= e.ts AND e.ts < p.promo_end
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1282,6 +1333,7 @@ PYTEST_ONLY_QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
+    "range_join_events_promos": q_range_join_events_promos,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1293,6 +1345,7 @@ PYTEST_ONLY_ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "range_join_events_promos": RANGE_JOIN_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
