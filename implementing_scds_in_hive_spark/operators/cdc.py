@@ -72,6 +72,65 @@ def collapse_cdc(
     return collapsed.select(cfg.key, *[F.col(f"__last.{c}").alias(c) for c in payload])
 
 
+def snapshot_to_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    cfg: SCDConfig,
+    *,
+    op_col: str = "op",
+    seq_col: str = "op_seq",
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Diff two full snapshots into an I/U/D operation feed — the bridge
+    from snapshot-shaped sources to the CDC apply path (and the way to
+    get DELETE semantics out of snapshot inputs at all: the snapshot
+    merge treats absence as "no change"; diffing two snapshots makes
+    absence explicit).
+
+    * key in ``new`` only → I (insert, new values)
+    * key in both with any ``compare_cols`` difference (null-safe) → U
+    * key in ``old`` only → D (payload NULLs, like a real change feed)
+    * identical rows produce NOTHING — the feed carries changes only,
+      so applying it is O(changed keys), not O(snapshot)
+
+    ``compare_cols`` defaults to every business column except the key.
+    All three branches come from ONE full-outer join on the key (both
+    sides shuffle once; broadcast doesn't apply to full-outer in Spark).
+    ``seq_col`` is constant 1 — a snapshot diff has one state per key.
+    """
+    cmp_cols = tuple(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in cfg.business_cols if c != cfg.key]
+    )
+    o, n_ = old.alias("o"), new.alias("n")
+    oc = lambda c: F.col(f"o.{c}")  # noqa: E731
+    nc = lambda c: F.col(f"n.{c}")  # noqa: E731
+
+    differs = reduce(Column.__or__, [~oc(c).eqNullSafe(nc(c)) for c in cmp_cols])
+    op = (
+        F.when(oc(cfg.key).isNull(), F.lit("I"))
+        .when(nc(cfg.key).isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )  # equal rows: NULL op, filtered below
+
+    payload_cols = [c for c in new.columns if c != cfg.key]
+    return (
+        o.join(n_, oc(cfg.key) == nc(cfg.key), "full_outer")
+        .withColumn("__op", op)
+        .where(F.col("__op").isNotNull())
+        .select(
+            F.coalesce(nc(cfg.key), oc(cfg.key)).alias(cfg.key),
+            *[
+                F.when(F.col("__op") != "D", nc(c)).alias(c)
+                for c in payload_cols
+            ],
+            F.col("__op").alias(op_col),
+            F.lit(1).alias(seq_col),
+        )
+    )
+
+
 def cdc_apply(
     prod: DataFrame,
     changes: DataFrame,
@@ -172,8 +231,11 @@ def cdc_apply(
         )
     )
 
-    u = F.broadcast(upserts).alias("u")
-    st = stats.alias("st")
+    # Broadcast the RIGHT side: Spark cannot build-left a LeftOuter
+    # join, so hinting the upserts would fall back to sort-merge. The
+    # stats side is ≤ one row per feed key — always broadcast-sized.
+    u = upserts.alias("u")
+    st = F.broadcast(stats).alias("st")
     uc = lambda c: F.col(f"u.{c}")  # noqa: E731
     changed_vs_active = reduce(
         Column.__or__,

@@ -154,6 +154,64 @@ def test_unchanged_upsert_rewrites_type1_only(spark, prod):
     assert by_kv[(2, 1)]["name"] == "robert"
 
 
+def test_snapshot_to_cdc_emits_only_changes(spark):
+    from implementing_scds_in_hive_spark.operators.cdc import snapshot_to_cdc
+
+    old = spark.createDataFrame(
+        [(1, "ann", "A"), (2, "bob", "B"), (3, "cat", "C")],
+        "k long, name string, seg string",
+    )
+    new = spark.createDataFrame(
+        [(1, "ann", "A"), (2, "bob", "B2"), (4, "dan", "D")],
+        "k long, name string, seg string",
+    )
+    feed = {r["k"]: r for r in snapshot_to_cdc(old, new, CFG).collect()}
+    assert set(feed) == {2, 3, 4}  # k=1 identical -> absent
+    assert feed[2]["op"] == "U" and feed[2]["seg"] == "B2"
+    assert feed[3]["op"] == "D" and feed[3]["name"] is None  # payload nulls
+    assert feed[4]["op"] == "I" and feed[4]["name"] == "dan"
+
+
+def test_snapshot_diff_roundtrip_reaches_new_snapshot(spark, prod):
+    """THE contract: cdc_apply(dim, snapshot_to_cdc(old, new)) must make
+    the dimension's active rows exactly the new snapshot — including
+    closing out keys that vanished, which the snapshot merge cannot
+    express."""
+    from implementing_scds_in_hive_spark.operators.cdc import (
+        cdc_apply,
+        snapshot_to_cdc,
+    )
+
+    old = prod.where("scd_active").select("k", "name", "seg")
+    new = spark.createDataFrame(
+        [(1, "ann", "A9"), (2, "bob2", "B"), (7, "eve", "E")],  # k=4 vanished
+        "k long, name string, seg string",
+    )
+    feed = snapshot_to_cdc(old, new, CFG)
+    out = cdc_apply(prod, feed, CFG, AS_OF, key_strategy="row_number")
+    active = sorted(
+        (r["k"], r["name"], r["seg"]) for r in out.where("scd_active").collect()
+    )
+    assert active == sorted(tuple(r) for r in new.collect())
+
+
+def test_cdc_apply_plan_all_joins_broadcast(spark, prod):
+    """Scale guard: with key_strategy='hash' the dimension-side branch
+    pass is shuffle-free — every join broadcasts, no sort-merge join,
+    no single-partition exchange; the only hash exchange aggregates the
+    feed-key-pruned stats rows."""
+    from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
+
+    feed = spark.createDataFrame(
+        [(2, "bobby", "B9", "U", 1), (7, "eve", "E", "I", 2)], FEED_SCHEMA
+    )
+    out = cdc_apply(prod, feed, CFG, AS_OF, key_strategy="hash")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_surrogate_keys_are_dense_and_unique(spark, prod):
     _, out = apply(
         spark, prod, [(2, "bobby", "B9", "U", 1), (7, "eve", "E", "I", 2)]
