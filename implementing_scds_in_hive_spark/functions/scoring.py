@@ -1,0 +1,95 @@
+"""Corpus-statistics document scoring: TF-IDF keywords and unigram-
+probability quality scores.
+
+Both are two-pass shapes: pass 1 aggregates corpus-level statistics
+(vocabulary document/token frequencies — a map-side-combinable groupBy
+on the token), pass 2 joins them back to per-document tokens. At scale
+the vocabulary table is the small side (bounded by vocabulary size, not
+corpus size) and broadcasts; the heavy side streams. A Zipf-head cap
+(`max_vocab`) keeps a pathological vocabulary broadcastable — dropped
+tail tokens score as unseen, which is the conservative direction for
+quality scoring.
+
+Cross-engine exactness (these back hash-compared oracles): no
+transcendental functions. IDF is the exact rational ``(N + 1) /
+(df + 1)`` instead of its logarithm — monotone-equivalent for ranking —
+and the unigram score is ``sum(corpus_count over doc tokens) /
+(corpus_total * doc_tokens)``: integer sums (exact, order-independent)
+followed by ONE IEEE division, identical on any engine. A log-based
+variant would differ in final ulps between libm implementations and
+poison value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Top-``k`` characteristic tokens per document by TF-IDF:
+    ``tf(doc, tok) * (N + 1) / (df(tok) + 1)``, ties broken by token
+    text. Returns (doc_id, tok, rank, score)."""
+    toks = _tokens(docs, id_col, text_col)
+    n_docs = docs.count()  # one scalar job; the plan reuses the scan
+    df_tbl = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    if max_vocab is not None:
+        df_tbl = df_tbl.orderBy(F.col("df").desc(), "tok").limit(max_vocab)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_tbl), "tok").withColumn(
+        "score",
+        F.col("tf").cast("double") * (n_docs + 1) / (F.col("df") + 1),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "tok", "rank", "score")
+    )
+
+
+def unigram_prob_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean corpus-unigram probability of a document's tokens — a
+    cheap fluency/quality signal (documents of rare gibberish score
+    near 0, documents of common words score high). Computed as
+    ``sum(corpus_count(tok) for tok in doc) / (corpus_total *
+    len(doc))``: the numerator and both denominator factors are exact
+    integers, so the single division is engine-exact. Returns
+    (doc_id, n_tokens, mean_prob)."""
+    toks = _tokens(docs, id_col, text_col)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("__sum_cnt"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("__sum_cnt").cast("double")
+                / (F.lit(total).cast("double") * F.col("n_tokens"))
+            ).alias("mean_prob"),
+        )
+    )

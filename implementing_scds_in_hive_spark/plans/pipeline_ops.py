@@ -1246,6 +1246,61 @@ FROM events e JOIN promos p
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic tokens per doc by TF-IDF with an exact
+    rational IDF (N+1)/(df+1) — monotone-equivalent to log-IDF but
+    engine-exact, so the oracle hash-compares (a log would differ in
+    final ulps between libm implementations). Two-pass: vocabulary df
+    aggregation (broadcastable), then tf join + per-doc top-k."""
+    from implementing_scds_in_hive_spark.functions.scoring import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_keywords(d, k=3)
+    return out.select("doc_id", "tok", "rank", F.round("score", 6).alias("score"))
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored)
+SELECT doc_id, tok, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_unigram_prob_score(spark, sf_dir):
+    """Mean corpus-unigram probability per document (cheap fluency /
+    quality signal). Integer-exact numerator and denominator, one
+    final IEEE division — engine-exact without rounding."""
+    from implementing_scds_in_hive_spark.functions.scoring import unigram_prob_score
+
+    return unigram_prob_score(_t(spark, sf_dir, "documents"))
+
+
+UNIGRAM_PROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS total FROM toks)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(v.cnt) AS DOUBLE)
+         / (CAST(ANY_VALUE(total.total) AS DOUBLE) * COUNT(*)) AS mean_prob
+FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1334,6 +1389,8 @@ PYTEST_ONLY_QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
     "range_join_events_promos": q_range_join_events_promos,
+    "tfidf_keywords": q_tfidf_keywords,
+    "unigram_prob_score": q_unigram_prob_score,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1346,6 +1403,8 @@ PYTEST_ONLY_ORACLES = {
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "range_join_events_promos": RANGE_JOIN_SQL,
+    "tfidf_keywords": TFIDF_SQL,
+    "unigram_prob_score": UNIGRAM_PROB_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,

@@ -1,0 +1,44 @@
+"""Unit checks for corpus-statistics scoring (functions/scoring.py).
+Full-corpus value equivalence runs in test_pytest_only_oracles
+(tfidf_keywords / unigram_prob_score)."""
+
+from implementing_scds_in_hive_spark.functions.scoring import (
+    tfidf_keywords,
+    unigram_prob_score,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat"),
+        (3, "the the the"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_hand_computed(spark):
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_keywords(_corpus(spark), k=2).collect()}
+    # doc 1: 'cat' df=1 -> 1*(4/2)=2.0 ; 'sat' df=2 -> 4/3 ; 'the' df=3 -> 1.0
+    assert out[(1, 1)]["tok"] == "cat" and out[(1, 1)]["score"] == 2.0
+    assert out[(1, 2)]["tok"] == "sat"
+    # doc 3: tf('the')=3 -> 3*4/4 = 3.0
+    assert out[(3, 1)]["tok"] == "the" and out[(3, 1)]["score"] == 3.0
+
+
+def test_tfidf_max_vocab_drops_tail_tokens(spark):
+    # vocabulary capped to the 2 most-document-frequent tokens
+    # ('the' df=3, 'sat' df=2): rare tokens can no longer be keywords
+    out = tfidf_keywords(_corpus(spark), k=3, max_vocab=2)
+    toks = {r["tok"] for r in out.collect()}
+    assert toks == {"the", "sat"}
+
+
+def test_unigram_prob_hand_computed(spark):
+    # corpus tokens: the x5, sat x2, cat, dog -> total 9
+    out = {r["doc_id"]: r for r in unigram_prob_score(_corpus(spark)).collect()}
+    # doc 3: (5+5+5) / (9*3)
+    assert out[3]["mean_prob"] == 15 / 27
+    # doc 1: (5+1+2) / (9*3)
+    assert out[1]["mean_prob"] == 8 / 27
+    assert out[1]["n_tokens"] == 3
