@@ -216,6 +216,39 @@ def customer_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Type-3 fixture (operators/scd_variants.py): one row per key with
+# prev_<col> shadows for the tracked columns. %7==0 keys start with a
+# non-NULL prev_c_acctbal (they "changed once before"), everyone else
+# NULL — so the merge must both SHIFT and PRESERVE shadows correctly.
+# ---------------------------------------------------------------------------
+
+
+def customer_production_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") - 50.0).alias(
+            "prev_c_acctbal"
+        ),
+        F.lit(None).cast("string").alias("prev_c_mktsegment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("last_modified"),
+    )
+
+
+SCD3_PRODUCTION_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal - 50.0 END AS prev_c_acctbal,
+           CAST(NULL AS VARCHAR) AS prev_c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS last_modified
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
 # Retroactive-correction fixture (operators/retro.py): late-arriving
 # Type-2 facts with an effective timestamp in the past.
 #   * %9==2 -> eff 2023-06-01, c_acctbal+500: splits the v1 interval for

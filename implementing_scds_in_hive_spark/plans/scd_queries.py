@@ -360,6 +360,80 @@ FROM merged
 """
 
 
+# --- SCD Types 3 and 6 (operators/scd_variants.py) ----------------------
+
+def q_scd3_merge(spark, sf_dir):
+    """Type-3 merge: tracked columns shift their old value into
+    prev_<col> shadows (per-column independence — a change to acctbal
+    must not disturb prev_c_mktsegment), Type-1 columns overwrite, new
+    keys arrive with NULL shadows. One row per key, one broadcast left
+    join + key-pruned anti-join — production never shuffles."""
+    from implementing_scds_in_hive_spark.operators.scd_variants import scd3_merge
+    from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+        customer_production_scd3,
+    )
+
+    prod = customer_production_scd3(spark, sf_dir)
+    staging = customer_staging(spark, sf_dir)
+    return scd3_merge(prod, staging, CUSTOMER_CFG, AS_OF)
+
+
+from implementing_scds_in_hive_spark.plans.scd_fixtures import (  # noqa: E402
+    SCD3_PRODUCTION_SQL,
+)
+
+SCD3_MERGE_SQL = f"""
+WITH prod AS ({SCD3_PRODUCTION_SQL}),
+stag AS ({STAGING_SQL}),
+j AS (
+    SELECT p.*, s.c_custkey AS s_key, s.c_name AS s_name,
+           s.c_nationkey AS s_nationkey, s.c_acctbal AS s_acctbal,
+           s.c_mktsegment AS s_mktsegment,
+           (p.c_acctbal IS DISTINCT FROM s.c_acctbal) AS chg_bal,
+           (p.c_mktsegment IS DISTINCT FROM s.c_mktsegment) AS chg_seg
+    FROM prod p LEFT JOIN stag s ON p.c_custkey = s.c_custkey
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       prev_c_acctbal, prev_c_mktsegment, last_modified
+FROM j WHERE s_key IS NULL
+UNION ALL
+SELECT c_custkey, s_name, s_nationkey,
+       CASE WHEN chg_bal THEN s_acctbal ELSE c_acctbal END,
+       CASE WHEN chg_seg THEN s_mktsegment ELSE c_mktsegment END,
+       CASE WHEN chg_bal THEN c_acctbal ELSE prev_c_acctbal END,
+       CASE WHEN chg_seg THEN c_mktsegment ELSE prev_c_mktsegment END,
+       CASE WHEN chg_bal OR chg_seg THEN TIMESTAMP '{AS_OF}'
+            ELSE last_modified END
+FROM j WHERE s_key IS NOT NULL
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+       NULL, NULL, TIMESTAMP '{AS_OF}'
+FROM stag s ANTI JOIN prod p ON s.c_custkey = p.c_custkey
+"""
+
+
+def q_scd6_current_columns(spark, sf_dir):
+    """Type-6 view of the flagship merge output: cur_<col> mirrors each
+    key's active Type-2 values onto ALL of its rows, so history can be
+    sliced by current attributes without a query-time self-join."""
+    from implementing_scds_in_hive_spark.operators.scd_variants import (
+        add_current_columns,
+    )
+
+    return add_current_columns(q_scd2_merge(spark, sf_dir), CUSTOMER_CFG)
+
+
+SCD6_SQL = f"""
+WITH final AS ({SCD2_MERGE_SQL})
+SELECT f.*,
+       MAX(CASE WHEN scd_active THEN c_acctbal END)
+           OVER (PARTITION BY c_custkey) AS cur_c_acctbal,
+       MAX(CASE WHEN scd_active THEN c_mktsegment END)
+           OVER (PARTITION BY c_custkey) AS cur_c_mktsegment
+FROM final f
+"""
+
+
 # --- Schema evolution (scd2_merge(evolve_schema=True)) ------------------
 
 def q_scd_evolve_merge(spark, sf_dir):
@@ -572,6 +646,8 @@ PYTEST_ONLY_QUERIES = {
     "scd_cdc_apply": q_scd_cdc_apply,
     "scd_retro_splice": q_scd_retro_splice,
     "scd_evolve_merge": q_scd_evolve_merge,
+    "scd3_merge_customer": q_scd3_merge,
+    "scd6_current_columns": q_scd6_current_columns,
 }
 
 PYTEST_ONLY_ORACLES = {
@@ -584,4 +660,6 @@ PYTEST_ONLY_ORACLES = {
     "scd_cdc_apply": CDC_APPLY_SQL,
     "scd_retro_splice": RETRO_SPLICE_SQL,
     "scd_evolve_merge": EVOLVE_MERGE_SQL,
+    "scd3_merge_customer": SCD3_MERGE_SQL,
+    "scd6_current_columns": SCD6_SQL,
 }
