@@ -1301,6 +1301,45 @@ GROUP BY t.doc_id
 """
 
 
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """Per-user view→click→purchase funnel in ONE shuffle: in-row
+    sorted scan with an F.aggregate fold, instead of the naive k-1
+    self-joins of the event table. Earliest-completion semantics,
+    each step strictly after the previous — the oracle replays it as
+    the chained min(ts > prev) formulation, proving the single-pass
+    rewrite equivalent."""
+    from implementing_scds_in_hive_spark.operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+FUNNEL_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps_reached,
+       s1.t_view, s2.t_click, s3.t_purchase
+FROM users u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1391,6 +1430,7 @@ PYTEST_ONLY_QUERIES = {
     "range_join_events_promos": q_range_join_events_promos,
     "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1405,6 +1445,7 @@ PYTEST_ONLY_ORACLES = {
     "range_join_events_promos": RANGE_JOIN_SQL,
     "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
