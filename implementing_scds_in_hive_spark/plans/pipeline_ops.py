@@ -1340,6 +1340,48 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-active day,
+    retention(cohort, k) = |cohort users active k days later| /
+    |cohort|. Three map-side-combinable aggregations — (user, day)
+    dedup, per-user min day, per-(cohort, offset) count — plus one
+    user-keyed join; the division is a single exact IEEE op so the
+    oracle hash-compares without rounding."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    grid = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return grid.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id),
+sizes AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_day),
+grid AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS n_active
+  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY c.cohort_day, a.day - c.cohort_day)
+SELECT g.cohort_day, CAST(g.day_offset AS INT) AS day_offset, g.n_active,
+       s.n_cohort,
+       CAST(g.n_active AS DOUBLE) / s.n_cohort AS retention
+FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1431,6 +1473,7 @@ PYTEST_ONLY_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "cohort_retention": q_cohort_retention,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1446,6 +1489,7 @@ PYTEST_ONLY_ORACLES = {
     "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
