@@ -1382,6 +1382,92 @@ FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """Regex PII scrub over documents with PLANTED identifiers (the raw
+    fixture text contains none — an unplanted test would be trivially
+    green): every doc gains an email, a phone-run, and an IPv4, and
+    the oracle replays the same engine-portable regex subset (no
+    lookaround/backrefs) in RE2. Zero-shuffle projection."""
+    from implementing_scds_in_hive_spark.functions.privacy import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-010-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
+PII_REDACTION_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-010-' || CAST(doc_id AS VARCHAR)
+              || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+         '\+?[0-9][0-9 .\-]{5,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+
+def q_pseudonymize_users(spark, sf_dir):
+    """Stable salted pseudonyms for user ids — joins on the pseudonym
+    keep working across runs and engines, the raw id never leaves the
+    pipeline. Per-row portable hash, no shuffle beyond the distinct."""
+    from implementing_scds_in_hive_spark.functions.privacy import pseudonymize
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id").distinct()
+        .select("user_id", pseudonymize(F.col("user_id"), "pepper1").alias("pseudo"))
+    )
+
+
+PSEUDONYMIZE_SQL = """
+SELECT user_id,
+       lpad(upper(to_hex(
+         CAST(('0x' || substring(md5('pepper1' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT))), 16, '0') AS pseudo
+FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
+def q_text_chunks(spark, sf_dir):
+    """Token-window chunking (40-token windows, stride 30 → 10-token
+    overlap): in-row slice arithmetic, zero shuffles, posexplode at the
+    end. The oracle replays the window math with list slicing."""
+    from implementing_scds_in_hive_spark.functions.chunking import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"), size=40, stride=30)
+
+
+TEXT_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         1 + CAST(floor((greatest(len(ws) - 40, 0) + 29) / 30) AS INT) AS n_chunks
+  FROM w)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(ws[i*30 + 1 : i*30 + 40], ' ') AS chunk
+FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1474,6 +1560,9 @@ PYTEST_ONLY_QUERIES = {
     "unigram_prob_score": q_unigram_prob_score,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "cohort_retention": q_cohort_retention,
+    "pii_redaction": q_pii_redaction,
+    "pseudonymize_users": q_pseudonymize_users,
+    "text_chunks": q_text_chunks,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1490,6 +1579,9 @@ PYTEST_ONLY_ORACLES = {
     "unigram_prob_score": UNIGRAM_PROB_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "pii_redaction": PII_REDACTION_SQL,
+    "pseudonymize_users": PSEUDONYMIZE_SQL,
+    "text_chunks": TEXT_CHUNKS_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
