@@ -1,0 +1,124 @@
+"""Data-quality constraint checks and table profiling.
+
+Warehouse pipelines gate loads on declarative constraints (the dbt-test
+/ Great-Expectations tier): uniqueness of business keys, non-null
+columns, referential integrity, accepted value domains. Each check is a
+small declarative plan over the table being loaded:
+
+* ``check_not_null`` / ``check_accepted_values`` — per-row predicates
+  aggregated map-side; zero joins.
+* ``check_unique`` — one groupBy on the key columns (the same shuffle
+  the load's own dedup would pay).
+* ``check_foreign_key`` — a LEFT ANTI join child→parent; the parent
+  side is key-pruned (one column scanned) and broadcasts when it fits,
+  exactly like the SCD merge's brand-new-key branch.
+
+``run_checks`` evaluates a suite and returns one row per check —
+(check, n_violations) — so a loader can fail/quarantine on any
+non-zero row without collecting violation details unless asked.
+``profile`` computes per-column null and exact distinct counts in ONE
+pass over the table (a single aggregation producing a struct per
+column, unpivoted in-row afterwards — not one job per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+    ]
+    row = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("col"), F.col(c).alias("n")) for c in cols
+            ]
+        )
+    )
+    return row.select(stacked.alias("s")).select(
+        F.concat(F.lit("not_null:"), F.col("s.col")).alias("check"),
+        F.col("s.n").alias("n_violations"),
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    dups = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
+    )
+    return dups.select(
+        F.lit("unique:" + ",".join(cols)).alias("check"),
+        F.col("n").alias("n_violations"),
+    )
+
+
+def check_foreign_key(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    orphans = (
+        child.where(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return orphans.select(
+        F.lit(f"fk:{child_key}->{parent_key}").alias("check"),
+        F.col("n").alias("n_violations"),
+    )
+
+
+def check_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    bad = df.agg(
+        F.sum(
+            (~F.col(col).isin(*values) | F.col(col).isNull()).cast("long")
+        ).alias("n")
+    )
+    return bad.select(
+        F.lit(f"accepted_values:{col}").alias("check"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_violations"),
+    )
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column (col, n_rows, n_nulls, n_distinct) in ONE aggregation
+    pass (exact distincts: Spark rewrites multi-distinct aggregates
+    with a single expand — still one job, not |cols| jobs)."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(f"__rows_{c}").alias("n_rows"),
+                    F.col(f"__nulls_{c}").alias("n_nulls"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return row.select(stacked.alias("s")).select("s.*")

@@ -1468,6 +1468,118 @@ FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
 """
 
 
+def q_data_quality_orders(spark, sf_dir):
+    """Constraint-check suite over a deliberately corrupted orders
+    load (planted: NULLed status %97==0, duplicated keys %501==0,
+    orphaned custkeys %131==0 shifted out of range) — one row per
+    check with its violation count, the gate a loader would fail on.
+    An unplanted run would be trivially all-zeros and prove nothing."""
+    from implementing_scds_in_hive_spark.operators.quality import (
+        check_accepted_values,
+        check_foreign_key,
+        check_not_null,
+        check_unique,
+        run_checks,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    corrupted = o.select(
+        "o_orderkey",
+        F.when(k % 131 == 0, F.col("o_custkey") + 5_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionByName(
+        o.where(k % 501 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    return run_checks(
+        [
+            check_not_null(corrupted, ["o_orderstatus", "o_custkey"]),
+            check_unique(corrupted, ["o_orderkey"]),
+            check_foreign_key(corrupted, "o_custkey", c, "c_custkey"),
+            check_accepted_values(corrupted, "o_orderstatus", ["O", "F", "P"]),
+        ]
+    )
+
+
+DATA_QUALITY_SQL = """
+WITH corrupted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 131 = 0 THEN o_custkey + 5000000
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 501 = 0)
+SELECT 'not_null:o_orderstatus' AS check,
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_violations
+FROM corrupted
+UNION ALL
+SELECT 'not_null:o_custkey',
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+FROM corrupted
+UNION ALL
+SELECT 'unique:o_orderkey',
+       COALESCE(SUM(n - 1), 0)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM corrupted
+      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey', COUNT(*)
+FROM corrupted c2 ANTI JOIN customer p ON c2.o_custkey = p.c_custkey
+WHERE c2.o_custkey IS NOT NULL
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       SUM(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END)
+FROM corrupted
+"""
+
+
+def q_table_profile_customer(spark, sf_dir):
+    """One-pass per-column profile (rows, nulls, exact distincts) of
+    customer — the load-time observability summary."""
+    from implementing_scds_in_hive_spark.operators.quality import profile
+
+    return profile(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'c_custkey' AS col, COUNT(*) AS n_rows,
+       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT c_custkey) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_name', COUNT(*),
+       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT c_name)
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*),
+       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT c_nationkey)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*),
+       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT c_mktsegment)
+FROM customer
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1563,6 +1675,8 @@ PYTEST_ONLY_QUERIES = {
     "pii_redaction": q_pii_redaction,
     "pseudonymize_users": q_pseudonymize_users,
     "text_chunks": q_text_chunks,
+    "data_quality_orders": q_data_quality_orders,
+    "table_profile_customer": q_table_profile_customer,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1582,6 +1696,8 @@ PYTEST_ONLY_ORACLES = {
     "pii_redaction": PII_REDACTION_SQL,
     "pseudonymize_users": PSEUDONYMIZE_SQL,
     "text_chunks": TEXT_CHUNKS_SQL,
+    "data_quality_orders": DATA_QUALITY_SQL,
+    "table_profile_customer": TABLE_PROFILE_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
