@@ -619,7 +619,7 @@ FROM stag ANTI JOIN prod USING (c_custkey)
 # (tests/test_scd_branch_queries.py) without spending driver slots.
 QUERIES = {
     "scd2_merge_customer": q_scd2_merge,
-    "scd_staging_fixture": q_scd_staging_fixture,
+    "scd_cdc_apply": q_scd_cdc_apply,
     "scd_step2_carry": q_scd_step2_carry,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
@@ -628,7 +628,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_merge_customer": SCD2_MERGE_SQL,
-    "scd_staging_fixture": STAGING_SQL,
+    "scd_cdc_apply": CDC_APPLY_SQL,
     "scd_step2_carry": STEP2_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
@@ -636,14 +636,17 @@ ORACLES = {
 }
 
 # Retained for pytest branch-level verification (not driver slots).
+# scd_staging_fixture folded to pytest in favor of the driver slot for
+# scd_cdc_apply: the flagship's value hash depends on every staging
+# value, so staging correctness is already driver-evidenced through it.
 PYTEST_ONLY_QUERIES = {
+    "scd_staging_fixture": q_scd_staging_fixture,
     "scd_production_fixture": q_scd_production_fixture,
     "scd_step4_type1_rewrite": q_scd_step4_unchanged,
     "scd_step5_closeout": q_scd_step5_closeout,
     "scd_step6_new_versions": q_scd_step6_new_versions,
     "scd_step7_new_keys": q_scd_step7_new_keys,
     "scd_cdc_collapse": q_scd_cdc_collapse,
-    "scd_cdc_apply": q_scd_cdc_apply,
     "scd_retro_splice": q_scd_retro_splice,
     "scd_evolve_merge": q_scd_evolve_merge,
     "scd3_merge_customer": q_scd3_merge,
@@ -651,13 +654,13 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scd_staging_fixture": STAGING_SQL,
     "scd_production_fixture": PRODUCTION_SQL,
     "scd_step4_type1_rewrite": STEP4_SQL,
     "scd_step5_closeout": STEP5_SQL,
     "scd_step6_new_versions": STEP6_SQL,
     "scd_step7_new_keys": STEP7_SQL,
     "scd_cdc_collapse": CDC_COLLAPSE_SQL,
-    "scd_cdc_apply": CDC_APPLY_SQL,
     "scd_retro_splice": RETRO_SPLICE_SQL,
     "scd_evolve_merge": EVOLVE_MERGE_SQL,
     "scd3_merge_customer": SCD3_MERGE_SQL,
