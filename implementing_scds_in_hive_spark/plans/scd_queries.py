@@ -360,6 +360,38 @@ FROM merged
 """
 
 
+# --- Temporal join (operators/temporal.py) ------------------------------
+
+def q_scd_temporal_join(spark, sf_dir):
+    """Events enriched with the customer-dimension version valid at
+    each event's OWN timestamp — the per-row generalization of
+    scd_point_in_time and the production read pattern interval
+    versioning exists for. Equi-join on the key with containment as
+    residual (hash join, never nested-loop); left join keeps events
+    whose user had no valid version then."""
+    from implementing_scds_in_hive_spark.operators.temporal import temporal_join
+    from implementing_scds_in_hive_spark.sources.registry import load_table
+
+    dim = customer_production(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = temporal_join(
+        events, dim, CUSTOMER_CFG,
+        fact_key="user_id", ts_col="ts",
+        dim_cols=["c_acctbal", "c_mktsegment", "scd_version"],
+        how="left",
+    )
+    return out.select("event_id", "user_id", "c_acctbal", "c_mktsegment", "scd_version")
+
+
+TEMPORAL_JOIN_SQL = f"""
+WITH dim AS ({PRODUCTION_SQL})
+SELECT e.event_id, e.user_id, d.c_acctbal, d.c_mktsegment, d.scd_version
+FROM events e LEFT JOIN dim d
+  ON e.user_id = d.c_custkey
+ AND d.scd_start_date <= e.ts AND e.ts < d.scd_end_date
+"""
+
+
 # --- SCD Types 3 and 6 (operators/scd_variants.py) ----------------------
 
 def q_scd3_merge(spark, sf_dir):
@@ -651,6 +683,7 @@ PYTEST_ONLY_QUERIES = {
     "scd_evolve_merge": q_scd_evolve_merge,
     "scd3_merge_customer": q_scd3_merge,
     "scd6_current_columns": q_scd6_current_columns,
+    "scd_temporal_join": q_scd_temporal_join,
 }
 
 PYTEST_ONLY_ORACLES = {
@@ -665,4 +698,5 @@ PYTEST_ONLY_ORACLES = {
     "scd_evolve_merge": EVOLVE_MERGE_SQL,
     "scd3_merge_customer": SCD3_MERGE_SQL,
     "scd6_current_columns": SCD6_SQL,
+    "scd_temporal_join": TEMPORAL_JOIN_SQL,
 }
