@@ -212,6 +212,24 @@ def test_cdc_apply_plan_all_joins_broadcast(spark, prod):
     assert "BroadcastHashJoin" in plan
 
 
+def test_cdc_apply_is_idempotent_per_batch(spark, prod):
+    """Reapplying the same collapsed batch must be a no-op: the upsert
+    finds values unchanged (Type-1 rewrite only), the delete finds the
+    key already closed. Restart-safety for the foreachBatch stream."""
+    from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
+
+    feed_rows = [
+        (1, None, None, "D", 1),
+        (2, "bobby", "B9", "U", 2),
+        (7, "eve", "E", "I", 3),
+    ]
+    feed = spark.createDataFrame(feed_rows, FEED_SCHEMA)
+    once = cdc_apply(prod, feed, CFG, AS_OF, key_strategy="row_number")
+    twice = cdc_apply(once, feed, CFG, AS_OF, key_strategy="row_number")
+    snap = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert snap(once) == snap(twice)
+
+
 def test_surrogate_keys_are_dense_and_unique(spark, prod):
     _, out = apply(
         spark, prod, [(2, "bobby", "B9", "U", 1), (7, "eve", "E", "I", 2)]

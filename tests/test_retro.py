@@ -132,6 +132,27 @@ def test_untouched_keys_keep_rows_verbatim(spark, prod):
     assert by_kv[(4, 1)]["scd_active"] is True
 
 
+def test_retro_splice_is_idempotent(spark, prod):
+    """Re-splicing the same late row is a no-op: the second pass finds
+    the containing piece already carrying the corrected values
+    (differs = false)."""
+    late = [(1, "A1fix", datetime(2024, 2, 1)), (2, "B0", JAN)]
+    once = retro_splice(
+        prod,
+        spark.createDataFrame(late, LATE_SCHEMA),
+        CFG,
+        key_strategy="row_number",
+    )
+    twice = retro_splice(
+        once,
+        spark.createDataFrame(late, LATE_SCHEMA),
+        CFG,
+        key_strategy="row_number",
+    )
+    snap = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert snap(once) == snap(twice)
+
+
 def test_intervals_stay_contiguous_and_versions_dense(spark, prod):
     _, rows = splice(spark, prod, [(1, "X", datetime(2024, 2, 1)), (2, "Y", JAN)])
     for key in (1, 2):
