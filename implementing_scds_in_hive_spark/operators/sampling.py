@@ -71,6 +71,36 @@ def stratified_hash_sample(
     return df.where(sample_bucket(F.col(id_col), salt) < thr)
 
 
+def assign_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the sample bucket is
+    cut into contiguous ranges proportional to the requested fractions
+    (must sum to ~1). Content-addressed, so a document keeps its split
+    across re-runs, repartitions, and engines — no leakage of val/test
+    rows into train when the corpus is rebuilt. Per-row expression,
+    no shuffle."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    b = sample_bucket(F.col(id_col), salt)
+    expr = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name]
+        cond = b < int(upper * SCALE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def topk_per_stratum(
     df: DataFrame,
     k: int,

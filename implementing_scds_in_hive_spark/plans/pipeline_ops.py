@@ -1634,6 +1634,28 @@ WHERE {_bucket_sql('st1')} <
 """
 
 
+def q_assign_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10): contiguous
+    bucket ranges over the content-addressed sample hash, so a doc
+    keeps its split across rebuilds — no val/test leakage into train.
+    Zero-shuffle per-row expression."""
+    from implementing_scds_in_hive_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp1"
+    ).select("doc_id", "split")
+
+
+ASSIGN_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_bucket_sql('sp1')} < 800000 THEN 'train'
+            WHEN {_bucket_sql('sp1')} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_sample_topk_stratum(spark, sf_dir):
     """Exactly min(k, |stratum|) docs per language — the k smallest
     sample buckets, ties to smallest id (deterministic reservoir
@@ -1680,6 +1702,7 @@ PYTEST_ONLY_QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
+    "assign_split": q_assign_split,
 }
 PYTEST_ONLY_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
@@ -1701,4 +1724,5 @@ PYTEST_ONLY_ORACLES = {
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
+    "assign_split": ASSIGN_SPLIT_SQL,
 }

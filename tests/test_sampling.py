@@ -73,6 +73,23 @@ def test_topk_caps_at_stratum_size(spark):
     assert out.count() == 9
 
 
+def test_assign_split_partitions_everything_once(spark):
+    import pytest
+
+    from implementing_scds_in_hive_spark.operators.sampling import assign_split
+
+    d = _docs(spark, 2000)
+    out = assign_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total partition, no drops
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable across repartitioning
+    again = assign_split(d.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(d, {"train": 0.5, "val": 0.1}, salt="s")
+
+
 def test_hash_sample_plan_has_no_exchange(spark):
     d = _docs(spark)
     plan = hash_sample(d, 0.3, salt="x")._jdf.queryExecution().executedPlan().toString()
