@@ -173,7 +173,16 @@ def cdc_apply(
     as_of_lit = F.lit(as_of).cast("timestamp")
     eot_lit = F.lit(cfg.end_of_time).cast("timestamp")
 
-    fin = collapse_cdc(changes, cfg, op_col=op_col, seq_col=seq_col)
+    # The collapsed feed is referenced three times (branch join, stats
+    # semi-join, fresh-keys join); persist so the collapse aggregation
+    # runs once — the feed is the small side by construction, so this
+    # pins at most one batch of keys. (Same internal-persist precedent
+    # as the two_pass re-key in operators/scd.py.)
+    from pyspark.storagelevel import StorageLevel
+
+    fin = collapse_cdc(changes, cfg, op_col=op_col, seq_col=seq_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     is_delete = F.col(op_col).isin(*delete_ops)
     upserts = fin.where(~is_delete).drop(op_col)
 

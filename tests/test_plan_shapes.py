@@ -45,6 +45,18 @@ def test_merge_anti_join_scan_is_key_pruned(spark, sf_dir):
     assert "ReadSchema: struct<c_custkey:bigint>" in plan
 
 
+def test_cdc_apply_bounded_shuffles(spark, sf_dir):
+    """The driver CDC query: the dimension never shuffles — the only
+    shuffle exchanges are the (persisted) feed collapse / feed-pruned
+    stats aggregation and the two_pass re-key's range exchange. No
+    sort-merge join, no single-partition sort."""
+    plan = _plan(queries()["scd_cdc_apply"](spark, sf_dir))
+    assert _shuffles(plan) <= 3
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_agg_filter_pushed_to_scan(spark, sf_dir):
     plan = _plan(queries()["agg_lineitem_pricing"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
