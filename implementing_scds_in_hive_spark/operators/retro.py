@@ -94,7 +94,12 @@ def retro_splice(
     piece_vals[cfg.start_col] = eff
     piece = strct(piece_vals)  # end + active inherited from the host row
 
-    j = t.join(l, tc(cfg.key) == lc(cfg.key))
+    # referenced by both the splice pass and the prepend aggregation;
+    # persist so the touched-rows join computes once (touched keys are
+    # the small side by construction)
+    from pyspark.storagelevel import StorageLevel
+
+    j = t.join(l, tc(cfg.key) == lc(cfg.key)).persist(StorageLevel.MEMORY_AND_DISK)
     split = (
         j.select(
             F.when(cont & differs, F.array(truncated, piece))
