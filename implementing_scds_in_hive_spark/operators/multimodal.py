@@ -66,6 +66,33 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Magic-byte signatures (hex of the payload's first bytes → MIME).
+# Ordered longest-prefix-first so PNG's 8-byte signature wins before
+# any shorter pattern could.
+MAGIC_PREFIXES = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("52494646", "audio/riff"),
+)
+
+
+def detect_modality(
+    media: DataFrame, payload_col: str = "payload", out_col: str = "modality"
+) -> DataFrame:
+    """Classify each binary payload by its magic bytes — the dispatch
+    step that routes rows to per-modality decoders (image resize, audio
+    resample, frame sampling) without trusting upstream metadata. Pure
+    in-row expression on the first 8 bytes: zero shuffle, and at scale
+    the routing filter (`modality = 'image/png'`) prunes before any
+    Python decoder sees a byte."""
+    hexp = F.hex(F.substring(F.col(payload_col), 1, 8))
+    expr = None
+    for prefix, mime in MAGIC_PREFIXES:
+        cond = hexp.startswith(prefix)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    return media.withColumn(out_col, expr.otherwise("application/octet-stream"))
+
+
 def decode_image_stub(payload: bytes) -> object:
     """Placeholder for the real media decode (PIL/torchvision/ffmpeg are
     not installed in this environment)."""

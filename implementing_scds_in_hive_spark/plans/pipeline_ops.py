@@ -1580,6 +1580,46 @@ FROM customer
 """
 
 
+def q_multimodal_modality(spark, sf_dir):
+    """Magic-byte modality dispatch over planted binary headers: each
+    doc's payload gets a PNG/JPEG/RIFF/none header by doc_id class, and
+    detection must recover exactly the planted class — the oracle IS
+    the plant rule (ground truth by construction), so a wrong prefix
+    table or offset arithmetic hash-mismatches. In-row, zero-shuffle."""
+    from implementing_scds_in_hive_spark.operators.multimodal import detect_modality
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    header = (
+        F.when(k % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(k % 4 == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(k % 4 == 2, F.unhex(F.lit("52494646AABBCCDD")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    media = d.select(
+        "doc_id",
+        F.concat(header, F.encode("text", "utf-8")).alias("payload"),
+    )
+    out = detect_modality(media)
+    return out.select(
+        "doc_id", "modality", F.octet_length("payload").alias("n_bytes")
+    )
+
+
+MULTIMODAL_MODALITY_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+            WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'audio/riff'
+            ELSE 'application/octet-stream' END AS modality,
+       octet_length(encode(text))
+         + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                           WHEN 2 THEN 8 ELSE 0 END AS n_bytes
+FROM documents
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1699,6 +1739,7 @@ PYTEST_ONLY_QUERIES = {
     "text_chunks": q_text_chunks,
     "data_quality_orders": q_data_quality_orders,
     "table_profile_customer": q_table_profile_customer,
+    "multimodal_modality": q_multimodal_modality,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1721,6 +1762,7 @@ PYTEST_ONLY_ORACLES = {
     "text_chunks": TEXT_CHUNKS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
     "table_profile_customer": TABLE_PROFILE_SQL,
+    "multimodal_modality": MULTIMODAL_MODALITY_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
