@@ -11,8 +11,9 @@ chunk may be short but no token is dropped and no chunk is empty.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def chunk_text(
@@ -43,4 +44,95 @@ def chunk_text(
     )
     return docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def _exclusive_prefix_sums(
+    df: DataFrame, order_col: str, len_col: str, n_parts: int = 8
+) -> DataFrame:
+    """Exclusive running sum of ``len_col`` in global ``order_col``
+    order WITHOUT a single-partition window: range-repartition on the
+    order column, partition-local running sums, then add per-partition
+    totals collected as O(#partitions) scalars — the same two-pass
+    shape as the dense surrogate re-key (operators/scd.py two_pass).
+    Appends ``__off`` (tokens before this row)."""
+    local = (
+        df.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_off",
+            F.sum(len_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(order_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.sum(len_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = local.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "__pid int, __poff long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "__off", F.coalesce(F.col("__local_off"), F.lit(0)) + F.col("__poff")
+        )
+        .drop("__pid", "__local_off", "__poff")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest (the GPT-style
+    pretraining layout): documents are laid end-to-end in ``id_col``
+    order and cut into fixed ``seq_len``-token sequences; documents
+    straddle sequence boundaries. Returns one row per (sequence, doc
+    span): (seq_id, doc_id, doc_slice_start, slice_len, pos_in_seq) —
+    the manifest a loader uses to assemble token buffers without ever
+    materializing the concatenated corpus.
+
+    The global token offset per document comes from the two-pass
+    prefix-sum (no single-partition window); everything downstream is
+    in-row integer arithmetic + one explode over the sequences a doc
+    spans — exact, so a SQL window-cumsum oracle replays it."""
+    toks = F.split(F.col(text_col), " ")
+    with_n = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("__n")
+    ).where(F.col("__n") > 0)
+    with_off = _exclusive_prefix_sums(with_n, "doc_id", "__n")
+
+    off, n = F.col("__off"), F.col("__n")
+    first = F.floor(off / seq_len).cast("long")
+    last = F.floor((off + n - 1) / seq_len).cast("long")
+    out = with_off.select(
+        "doc_id",
+        off.alias("__off"),
+        n.alias("__n"),
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    seq_end = seq_start + seq_len
+    doc_end = F.col("__off") + F.col("__n")
+    return out.select(
+        "seq_id",
+        "doc_id",
+        F.greatest(seq_start - F.col("__off"), F.lit(0)).alias("doc_slice_start"),
+        (F.least(doc_end, seq_end) - F.greatest(F.col("__off"), seq_start)).alias(
+            "slice_len"
+        ),
+        F.greatest(F.col("__off") - seq_start, F.lit(0)).alias("pos_in_seq"),
     )

@@ -1620,6 +1620,41 @@ FROM documents
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing manifest: docs laid end-to-end in id
+    order, cut into 128-token sequences, one row per (sequence, doc
+    span) with exact slice arithmetic. The global offsets come from the
+    two-pass prefix sum (no single-partition window) and must match a
+    SQL window cumsum exactly — the oracle IS that cumsum."""
+    from implementing_scds_in_hive_spark.functions.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128)
+
+
+PACK_SEQUENCES_SQL = """
+WITH n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+off AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM n),
+spans AS (
+  SELECT doc_id, off, n,
+         CAST(floor(off / 128) AS BIGINT) AS first_seq,
+         CAST(floor((off + n - 1) / 128) AS BIGINT) AS last_seq
+  FROM off)
+SELECT s.seq_id, doc_id,
+       greatest(s.seq_id * 128 - off, 0) AS doc_slice_start,
+       least(off + n, (s.seq_id + 1) * 128)
+         - greatest(off, s.seq_id * 128) AS slice_len,
+       greatest(off - s.seq_id * 128, 0) AS pos_in_seq
+FROM spans, LATERAL (SELECT unnest(range(first_seq, last_seq + 1)) AS seq_id) s
+"""
+
+
 # --- deterministic sampling (operators/sampling.py) ---------------------
 # DuckDB twin of sample_bucket: md5-prefix 60-bit integer mod 1e6.
 
@@ -1740,6 +1775,7 @@ PYTEST_ONLY_QUERIES = {
     "data_quality_orders": q_data_quality_orders,
     "table_profile_customer": q_table_profile_customer,
     "multimodal_modality": q_multimodal_modality,
+    "pack_sequences": q_pack_sequences,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1763,6 +1799,7 @@ PYTEST_ONLY_ORACLES = {
     "data_quality_orders": DATA_QUALITY_SQL,
     "table_profile_customer": TABLE_PROFILE_SQL,
     "multimodal_modality": MULTIMODAL_MODALITY_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,

@@ -72,6 +72,56 @@ def test_no_token_dropped(spark):
     assert covered == {str(i) for i in range(97)}
 
 
+def test_pack_sequences_partitions_every_token_once(spark):
+    from implementing_scds_in_hive_spark.functions.chunking import pack_sequences
+
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([5, 12, 3, 9, 20, 1], 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=8).collect()
+    total = sum(n for n in [5, 12, 3, 9, 20, 1])
+    # every token lands in exactly one (sequence, span) slot
+    assert sum(r["slice_len"] for r in out) == total
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in per_doc.items():
+        spans.sort(key=lambda r: r["seq_id"])
+        # doc slices are contiguous from 0 to n
+        assert spans[0]["doc_slice_start"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_slice_start"] + a["slice_len"] == b["doc_slice_start"]
+            assert b["pos_in_seq"] == 0  # continuation spans start sequences
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["slice_len"]
+    last = max(per_seq)
+    for sid, filled in per_seq.items():
+        assert filled == 8 or sid == last
+    # within a sequence, spans tile [0, seq_len) without overlap
+    for sid in per_seq:
+        spans = sorted((r for r in out if r["seq_id"] == sid), key=lambda r: r["pos_in_seq"])
+        cursor = 0
+        for r in spans:
+            assert r["pos_in_seq"] == cursor
+            cursor += r["slice_len"]
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    from implementing_scds_in_hive_spark.functions.chunking import pack_sequences
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13 + 1))) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["seq_id"], r["doc_id"]): r for r in pack_sequences(df, seq_len=16).collect()}
+    off = 0
+    for i in range(1, 40):
+        n = (i * 7) % 13 + 1
+        first = off // 16
+        r = out[(first, i)]
+        assert r["pos_in_seq"] == off - first * 16
+        off += n
+
+
 def test_invalid_stride_raises(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
