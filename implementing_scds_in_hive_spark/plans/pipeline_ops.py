@@ -1620,6 +1620,49 @@ FROM documents
 """
 
 
+def q_forward_fill(spark, sf_dir):
+    """Per-user forward fill (last observation carried forward) over a
+    sparsified value column — the gap-repair step for sensor/metric
+    streams. One partitioned running window (`last` with ignorenulls
+    over an unbounded-preceding frame); nulls before a user's first
+    observation stay null. Nulls are PLANTED (%7==0) — the raw column
+    has none."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+FORWARD_FILL_SQL = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events)
+SELECT event_id, user_id,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM sparse
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing manifest: docs laid end-to-end in id
     order, cut into 128-token sequences, one row per (sequence, doc
@@ -1776,6 +1819,7 @@ PYTEST_ONLY_QUERIES = {
     "table_profile_customer": q_table_profile_customer,
     "multimodal_modality": q_multimodal_modality,
     "pack_sequences": q_pack_sequences,
+    "forward_fill": q_forward_fill,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
@@ -1800,6 +1844,7 @@ PYTEST_ONLY_ORACLES = {
     "table_profile_customer": TABLE_PROFILE_SQL,
     "multimodal_modality": MULTIMODAL_MODALITY_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "forward_fill": FORWARD_FILL_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
