@@ -48,7 +48,7 @@ def chunk_text(
 
 
 def _exclusive_prefix_sums(
-    df: DataFrame, order_col: str, len_col: str, n_parts: int = 8
+    df: DataFrame, order_col: str, len_col: str, n_parts: int | None = None
 ) -> DataFrame:
     """Exclusive running sum of ``len_col`` in global ``order_col``
     order WITHOUT a single-partition window: range-repartition on the
@@ -56,6 +56,9 @@ def _exclusive_prefix_sums(
     totals collected as O(#partitions) scalars — the same two-pass
     shape as the dense surrogate re-key (operators/scd.py two_pass).
     Appends ``__off`` (tokens before this row)."""
+    if n_parts is None:
+        # scale with the cluster, same floor as operators/scd.py two_pass
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     local = (
         df.repartitionByRange(n_parts, order_col)
         .sortWithinPartitions(order_col)

@@ -355,31 +355,20 @@ def portable_minhash_lsh_pairs(
     sh = portable_shingled_hashes(docs, id_col, text_col, n=n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                "sh",
-                lambda s: ((F.lit(13) + F.lit(97) * i) * s + (F.lit(7) + F.lit(40503) * i))
-                % F.lit(PORTABLE_P),
-            )
-        ),
-    )
-
-    def bucket(sig_col: Column, b: int) -> Column:
-        acc = F.element_at(sig_col, b * rows_per_band + 1)
-        for r in range(1, rows_per_band):
-            acc = _pcombine(acc, F.element_at(sig_col, b * rows_per_band + r + 1))
-        return acc
-
+    # shared single source of truth for the permutation/band constants —
+    # portable_minhash_index uses the same helpers, keeping the
+    # incremental index value-compatible with this full-corpus path
     banded = (
-        sh.select("did", sig.alias("sig"))
+        sh.select("did", _portable_sig(num_perm).alias("sig"))
         .select(
             "did",
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(b).alias("band"), bucket(F.col("sig"), b).alias("bucket"))
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _portable_bucket(F.col("sig"), b, rows_per_band).alias("bucket"),
+                        )
                         for b in range(bands)
                     ]
                 )

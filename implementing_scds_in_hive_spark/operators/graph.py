@@ -55,6 +55,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 1
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
@@ -77,6 +78,14 @@ def connected_components(
             break
 
     sym.unpersist()
+    if changed != 0:
+        # returning intermediate labels would split one duplicate group
+        # into several — silent under-deletion downstream. Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds it); raise max_iter or switch the "
+            "round body to large-star/small-star"
+        )
     return labels.select("node", F.col("comp").alias("component"))
 
 

@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 
 
 def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    # coalesce: an empty table must report 0 violations, not NULL
     aggs = [
-        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+        F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+        for c in cols
     ]
     row = df.agg(*aggs)
     stacked = F.explode(

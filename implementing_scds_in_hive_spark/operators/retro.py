@@ -20,7 +20,10 @@ the interval timeline*:
 * a correction equal (null-safe) to the containing version's values is
   a no-op; an ``eff_ts`` falling in a coverage gap (a key deleted over
   that period — possible after ``cdc_apply``) is dropped: the entity
-  did not exist then, there is no interval to correct;
+  did not exist then, there is no interval to correct. A late row for a
+  key ABSENT from the dimension entirely is likewise dropped (nothing
+  to correct) — create keys through the merge/CDC path first, then
+  replay corrections;
 * ``eff_ts`` exactly at a version's start *replaces* that version's
   values over its whole interval (the truncated original is zero-width
   and is dropped);

@@ -53,7 +53,9 @@ def temporal_join(
         if dim_cols is not None
         else [c for c in (*cfg.business_cols, cfg.version_col) if c != cfg.key]
     )
-    overlap = set(facts.columns) & set([*carry, cfg.key])
+    # start/end are dropped by name at the end — a fact column with the
+    # same name would be silently deleted, so reject it here too
+    overlap = set(facts.columns) & {*carry, cfg.key, cfg.start_col, cfg.end_col}
     if overlap:
         raise ValueError(f"column names must be disjoint; both sides have {sorted(overlap)}")
 

@@ -106,6 +106,11 @@ def cdc_stream(
         prod = spark.read.parquet(prod_path)
         nxt = cdc_apply(prod, batch, cfg, as_of, op_col=op_col, seq_col=seq_col)
         publish(nxt, prod_path)
+        # cdc_apply persists the collapsed feed (and two_pass its re-key
+        # intermediates); release them — a long-running stream would
+        # otherwise accumulate cached blocks every trigger. The stream
+        # owns its session, so a blanket clearCache is safe here.
+        spark.catalog.clearCache()
 
     writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)

@@ -54,6 +54,14 @@ def test_canonical_election_max_score_then_min_id(spark):
     assert drops == {1, 3, 11}
 
 
+def test_nonconvergence_raises_instead_of_silent_split(spark):
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_converges_within_max_iter_on_long_chain(spark):
     n = 12
     edges = [(i, i + 1) for i in range(1, n)]
