@@ -760,12 +760,16 @@ FROM islands GROUP BY user_id, sess
 
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization: a >30-minute silence starts a new
-    session; one window for the gap flag, a running sum for the id."""
+    session; one window for the gap flag, a running sum for the id.
+
+    Gap is compared in MICROSECONDS on both engines (Spark unix_micros
+    vs DuckDB epoch_us) — r2 verdict #3: truncated-long vs fractional
+    double seconds diverge on a boundary gap in (1800.0, 1801.0)s."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     with_flag = e.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     )
     sess = F.sum("new_session").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -785,14 +789,14 @@ def q_sessionize(spark, sf_dir):
 SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -1522,15 +1526,16 @@ WITH corrupted AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
   FROM orders WHERE o_orderkey % 501 = 0)
 SELECT 'not_null:o_orderstatus' AS check,
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
 FROM corrupted
 UNION ALL
 SELECT 'not_null:o_custkey',
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM corrupted
 UNION ALL
 SELECT 'unique:o_orderkey',
-       COALESCE(SUM(n - 1), 0)
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
 FROM (SELECT o_orderkey, COUNT(*) AS n FROM corrupted
       GROUP BY o_orderkey HAVING COUNT(*) > 1)
 UNION ALL
@@ -1539,9 +1544,9 @@ FROM corrupted c2 ANTI JOIN customer p ON c2.o_custkey = p.c_custkey
 WHERE c2.o_custkey IS NOT NULL
 UNION ALL
 SELECT 'accepted_values:o_orderstatus',
-       SUM(CASE WHEN o_orderstatus IS NULL
-                  OR o_orderstatus NOT IN ('O', 'F', 'P')
-                THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
 FROM corrupted
 """
 
@@ -1559,22 +1564,22 @@ def q_table_profile_customer(spark, sf_dir):
 
 TABLE_PROFILE_SQL = """
 SELECT 'c_custkey' AS col, COUNT(*) AS n_rows,
-       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT c_custkey) AS n_distinct
 FROM customer
 UNION ALL
 SELECT 'c_name', COUNT(*),
-       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT c_name)
 FROM customer
 UNION ALL
 SELECT 'c_nationkey', COUNT(*),
-       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT c_nationkey)
 FROM customer
 UNION ALL
 SELECT 'c_mktsegment', COUNT(*),
-       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT c_mktsegment)
 FROM customer
 """
@@ -1680,9 +1685,9 @@ WITH n AS (
   WHERE len(string_split(text, ' ')) > 0),
 off AS (
   SELECT doc_id, n,
-         COALESCE(SUM(n) OVER (ORDER BY doc_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS off
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
   FROM n),
 spans AS (
   SELECT doc_id, off, n,

@@ -24,12 +24,30 @@ import math
 import sys
 import time
 
+import datetime as _dt
+
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def _norm(v):
-    if v is None:
+    # post-pandas values: unwrap numpy scalars/arrays first so both
+    # engines' results render identically (np.int64 -> int, ndarray -> list)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    elif isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
         return "NULL"
+    # DuckDB's fetchdf materializes DATE columns as midnight
+    # datetime64[ns] while Spark's collect yields datetime.date —
+    # render a time-less tz-naive datetime as its date so the two
+    # meet (driver-green date-output queries prove this equivalence)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return str(v.date())
+        return str(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -39,6 +57,18 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def spark_pandas_rows(sdf) -> tuple[list[str], list[tuple]]:
+    """Replicate the driver's collection path: the Spark result goes
+    through ``toPandas()`` (and the DuckDB side through ``fetchdf``), so
+    dtype coercions the driver performs (HUGEINT -> float64,
+    int-with-null -> float64+NaN, timestamp -> datetime64[ns] raising
+    beyond 2262-04-11) reproduce locally (r2 verdict "What's wrong" #2:
+    sessionize passed locally via fetchall but hash-failed on the
+    driver's pandas path)."""
+    pdf = sdf.toPandas()
+    return list(pdf.columns), list(pdf.itertuples(index=False, name=None))
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
@@ -76,21 +106,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            import pandas as pd
-
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            # replicate the driver's pandas conversion: values that
-            # cannot round-trip (e.g. timestamps beyond datetime64[ns] —
-            # pandas max 2262-04-11) must fail HERE, not in
-            # CORRECTNESS_r{N}.json. pd.DataFrame alone leaves datetime
-            # columns as object dtype, so coerce them the way the
-            # driver's collection path does.
-            pdf = pd.DataFrame(srows, columns=scols)
-            for fld in sdf.schema.fields:
-                if fld.dataType.typeName() in ("timestamp", "timestamp_ntz"):
-                    pd.to_datetime(pdf[fld.name])
+            # the driver converts the Spark result THROUGH PANDAS; hash
+            # the post-pandas values so driver-side coercions (and
+            # conversion errors, e.g. timestamps past datetime64[ns]'s
+            # 2262-04-11 ceiling) reproduce here, not in CORRECTNESS.
+            scols, srows = spark_pandas_rows(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -101,9 +121,13 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetchdf, NOT fetchall: the HUGEINT->float64 (and
+            # int-with-null->NaN) coercions happen inside DuckDB's
+            # pandas materialization — fetchall returns exact Python
+            # ints and masked the driver's sessionize hash mismatch (r2).
+            odf = con.execute(oracles[name]).fetchdf()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)

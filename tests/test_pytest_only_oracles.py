@@ -9,11 +9,10 @@ the driver's pandas round-trip."""
 import sys
 
 import duckdb
-import pandas as pd
 import pytest
 
 sys.path.insert(0, "/root/repo/scripts")
-from check_oracle import table_hash  # noqa: E402
+from check_oracle import spark_pandas_rows, table_hash  # noqa: E402
 
 from implementing_scds_in_hive_spark.plans import pipeline_ops, relational, scd_queries
 
@@ -40,13 +39,11 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
 def test_pytest_only_query_matches_oracle(name, fn, sql, spark, sf_dir, duck):
-    sdf = fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    pdf = pd.DataFrame(srows, columns=sdf.columns)
-    for fld in sdf.schema.fields:  # driver pandas round-trip
-        if fld.dataType.typeName() in ("timestamp", "timestamp_ntz"):
-            pd.to_datetime(pdf[fld.name])
-    res = duck.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+    # hash post-pandas values on BOTH sides, mirroring the driver's
+    # collection path (toPandas/fetchdf, not collect/fetchall — r2
+    # verdict #2: fetchall's exact Python ints masked the
+    # HUGEINT->float64 sessionize mismatch)
+    scols, srows = spark_pandas_rows(fn(spark, sf_dir))
+    odf = duck.execute(sql).fetchdf()
+    orows = list(odf.itertuples(index=False, name=None))
+    assert table_hash(scols, srows) == table_hash(list(odf.columns), orows)
