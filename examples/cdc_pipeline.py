@@ -88,8 +88,18 @@ def main() -> None:
         FEED_SCHEMA,
     )
     show("CDC batch 1 (update + delete)", batch1)
-    dim = cdc_apply(dim, batch1, CFG, datetime(2024, 2, 1), key_strategy="row_number")
+    # Sequential batch applies: collect the internally-persisted
+    # intermediates and release them once each result is materialized,
+    # so cached blocks don't accumulate across batches.
+    handles: list = []
+    dim = cdc_apply(
+        dim, batch1, CFG, datetime(2024, 2, 1),
+        key_strategy="row_number", cache_handles=handles,
+    )
     show("after batch 1 — jdoe closed out, asmith versioned", dim)
+    for h in handles:
+        h.unpersist()
+    handles.clear()
 
     # --- batch 2: John re-registers -> resurrection at version max+1 ---
     batch2 = spark.createDataFrame(
@@ -97,8 +107,14 @@ def main() -> None:
         FEED_SCHEMA,
     )
     show("CDC batch 2 (re-insert of a deleted key)", batch2)
-    dim = cdc_apply(dim, batch2, CFG, datetime(2024, 3, 1), key_strategy="row_number")
+    dim = cdc_apply(
+        dim, batch2, CFG, datetime(2024, 3, 1),
+        key_strategy="row_number", cache_handles=handles,
+    )
     show("after batch 2 — jdoe resurrected at version 2", dim)
+    for h in handles:
+        h.unpersist()
+    handles.clear()
 
     # --- snapshot world -> CDC world ----------------------------------
     old_snap = dim.where("scd_active").select("login", "name", "address")

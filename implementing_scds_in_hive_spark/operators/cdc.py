@@ -103,6 +103,8 @@ def snapshot_to_cdc(
         if compare_cols is not None
         else [c for c in cfg.business_cols if c != cfg.key]
     )
+    if not cmp_cols:
+        raise ValueError("compare_cols must be non-empty")
     o, n_ = old.alias("o"), new.alias("n")
     oc = lambda c: F.col(f"o.{c}")  # noqa: E731
     nc = lambda c: F.col(f"n.{c}")  # noqa: E731
@@ -141,6 +143,7 @@ def cdc_apply(
     seq_col: str = "op_seq",
     delete_ops: tuple[str, ...] = ("D", "d", "delete"),
     key_strategy: str = "two_pass",
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Apply one collapsed CDC batch to an SCD2 dimension.
 
@@ -163,6 +166,14 @@ def cdc_apply(
 
     Returns the next full dimension table, surrogate keys reassigned
     (same step-8 contract as ``scd2_merge``).
+
+    The collapsed feed (and the ``two_pass`` re-key intermediates) are
+    persisted internally; the lazily returned plan cannot release them
+    itself. The streaming wrapper clearCaches per batch, but BATCH
+    callers applying many sequential feeds should pass
+    ``cache_handles=[]`` and unpersist each handle once the result is
+    materialized (see examples/cdc_pipeline.py), or cached blocks
+    accumulate for the session.
     """
     out_cols = prod.columns
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
@@ -183,6 +194,8 @@ def cdc_apply(
     fin = collapse_cdc(changes, cfg, op_col=op_col, seq_col=seq_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cache_handles is not None:
+        cache_handles.append(fin)
     is_delete = F.col(op_col).isin(*delete_ops)
     upserts = fin.where(~is_delete).drop(op_col)
 
@@ -272,4 +285,9 @@ def cdc_apply(
         .select("r.*")
     )
 
-    return assign_surrogate_keys(prod_next.unionByName(fresh), cfg, strategy=key_strategy)
+    return assign_surrogate_keys(
+        prod_next.unionByName(fresh),
+        cfg,
+        strategy=key_strategy,
+        cache_handles=cache_handles,
+    )

@@ -106,7 +106,9 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"__nulls_{c}"),
             F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
         ]
     row = df.agg(*aggs)

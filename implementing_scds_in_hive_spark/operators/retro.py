@@ -63,11 +63,17 @@ def retro_splice(
     *,
     eff_col: str = "eff_ts",
     key_strategy: str = "two_pass",
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Splice one batch of late-arriving Type-2 corrections into an SCD2
     dimension. ``late`` carries ``cfg.key``, ``eff_col`` and the Type-2
     columns; returns the next full dimension (surrogate keys
-    reassigned)."""
+    reassigned).
+
+    Persists the touched-rows join (and the ``two_pass`` re-key
+    intermediates) internally; batch callers applying many sequential
+    splices should pass ``cache_handles=[]`` and unpersist each handle
+    after materializing the result (same contract as ``cdc_apply``)."""
     out_cols = prod.columns
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
     l_keys = F.broadcast(late.select(cfg.key))
@@ -103,6 +109,8 @@ def retro_splice(
     from pyspark.storagelevel import StorageLevel
 
     j = t.join(l, tc(cfg.key) == lc(cfg.key)).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(j)
     split = (
         j.select(
             F.when(cont & differs, F.array(truncated, piece))
@@ -154,5 +162,8 @@ def retro_splice(
     )
 
     return assign_surrogate_keys(
-        untouched.unionByName(renumbered), cfg, strategy=key_strategy
+        untouched.unionByName(renumbered),
+        cfg,
+        strategy=key_strategy,
+        cache_handles=cache_handles,
     )

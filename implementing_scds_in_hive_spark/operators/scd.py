@@ -131,6 +131,7 @@ def scd2_merge(
     broadcast_staging: bool = False,
     plan: str = "auto",
     evolve_schema: bool = False,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Produce the next version of the dimension table.
 
@@ -256,11 +257,17 @@ def scd2_merge(
     else:
         raise ValueError(f"unknown merge plan {plan!r}")
 
-    return assign_surrogate_keys(merged, cfg, strategy=key_strategy)
+    return assign_surrogate_keys(
+        merged, cfg, strategy=key_strategy, cache_handles=cache_handles
+    )
 
 
 def assign_surrogate_keys(
-    df: DataFrame, cfg: SCDConfig, *, strategy: str = "row_number"
+    df: DataFrame,
+    cfg: SCDConfig,
+    *,
+    strategy: str = "row_number",
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Reassign every surrogate key (reference step 8,
     SCD_script.txt:141-155). Three strategies:
@@ -282,6 +289,13 @@ def assign_surrogate_keys(
       ``xxhash64(key, start, version)``. Preferred at 100 TB when key
       density is not required; the reference itself treats keys as
       non-semantic (wholesale reassignment every run).
+
+    ``two_pass`` persists two intermediates internally; a lazily
+    returned plan cannot unpersist them itself. One-shot callers can
+    ignore this (the streaming wrapper clearCaches per batch), but batch
+    callers applying many sequential merges should pass
+    ``cache_handles=[]`` and unpersist each handle after materializing
+    the result, or the cached blocks accumulate for the session.
     """
     order_cols = [cfg.start_col, cfg.key, cfg.version_col]
     sk_type = dict(df.dtypes)[cfg.surrogate_col]
@@ -315,6 +329,8 @@ def assign_surrogate_keys(
             .withColumn("__rn", F.monotonically_increasing_id() - (F.col("__pid").cast("long") * (1 << 33)) + 1)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if cache_handles is not None:
+            cache_handles += [src, local]
         counts = {r["__pid"]: r["cnt"] for r in
                   local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0

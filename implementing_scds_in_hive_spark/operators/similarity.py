@@ -249,10 +249,10 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    exact_mean: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means refinement of IVF centroids — the iterative
-    algorithm face of the engine (no SQL oracle possible; convergence is
-    unit-tested instead).
+    algorithm face of the engine.
 
     Per iteration: one assignment pass (broadcast centroids, corpus
     streams once — ivf_assign) + one element-wise mean (posexplode →
@@ -261,10 +261,25 @@ def kmeans_refine(
     (K rows), and re-creating the DataFrame truncates the lineage so the
     plan does not nest across iterations — the standard Spark pattern
     for iterative refinement of a small model against big data.
+
+    ``exact_mean=True`` computes each per-dimension mean as an exact
+    DECIMAL sum followed by ONE IEEE division instead of a float
+    ``avg`` — bit-identical regardless of partitioning or summation
+    order, which makes the whole refinement (assignment is already
+    deterministic) replayable row-for-row by the chained-CTE DuckDB
+    oracle (KMEANS_SQL). The default float path is marginally cheaper
+    and fine when centroids only feed an approximate index.
     """
     spark = corpus.sparkSession
     cent = init_centroids.select(F.col(centroid_id_col), F.col(vec_col))
     dim_type = dict(corpus.dtypes)[vec_col]
+    if exact_mean:
+        mean_expr = (
+            F.sum(F.col("__x").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m")
+    else:
+        mean_expr = F.avg("__x").alias("__m")
     for _ in range(n_iter):
         assigned = ivf_assign(
             corpus, cent, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
@@ -272,7 +287,7 @@ def kmeans_refine(
         means = (
             assigned.select(centroid_id_col, F.posexplode(vec_col).alias("__pos", "__x"))
             .groupBy(centroid_id_col, "__pos")
-            .agg(F.avg("__x").alias("__m"))
+            .agg(mean_expr)
             .groupBy(centroid_id_col)
             .agg(
                 F.array_sort(

@@ -236,3 +236,38 @@ def test_surrogate_keys_are_dense_and_unique(spark, prod):
     )
     ids = sorted(r["dim_id"] for r in out.collect())
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_snapshot_to_cdc_rejects_empty_compare_cols(spark):
+    from implementing_scds_in_hive_spark.operators.cdc import snapshot_to_cdc
+
+    old = spark.createDataFrame([(1, "a", "A")], "k long, name string, seg string")
+    with pytest.raises(ValueError, match="compare_cols must be non-empty"):
+        snapshot_to_cdc(old, old, CFG, compare_cols=())
+
+
+def test_cache_handles_collect_and_release_persisted_intermediates(spark, prod):
+    """Batch callers applying many feeds need a release hook for the
+    internally-persisted collapsed feed + two_pass re-key intermediates
+    (ADVICE r2): cache_handles must surface every persisted DataFrame,
+    and unpersisting them must leave the session cache empty."""
+    from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
+
+    feed = spark.createDataFrame(
+        [(2, "bobby", "B9", "U", 1), (7, "eve", "E", "I", 2)], FEED_SCHEMA
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    handles: list = []
+    out = cdc_apply(prod, feed, CFG, AS_OF, key_strategy="two_pass",
+                    cache_handles=handles)
+    out.collect()
+    # collapsed feed + two_pass (src, local)
+    assert len(handles) == 3
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    assert jsc.getPersistentRDDs().size() > before
+    for h in handles:
+        h.unpersist(blocking=True)
+    # back to the pre-call cache footprint (the session is shared with
+    # other tests, so compare against the snapshot, not zero)
+    assert jsc.getPersistentRDDs().size() == before

@@ -43,3 +43,12 @@ def test_profile_counts(spark):
     rows = {r["col"]: r for r in profile(df).collect()}
     assert rows["k"]["n_rows"] == 3 and rows["k"]["n_distinct"] == 2
     assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 1
+
+
+def test_profile_empty_table_reports_zero_nulls(spark):
+    # F.sum over zero rows is NULL; profile must coalesce it to 0 like
+    # check_not_null does (ADVICE r2).
+    empty = spark.createDataFrame([], SCHEMA)
+    rows = {r["col"]: r for r in profile(empty).collect()}
+    assert rows["k"]["n_nulls"] == 0 and rows["v"]["n_nulls"] == 0
+    assert rows["k"]["n_rows"] == 0 and rows["k"]["n_distinct"] == 0
