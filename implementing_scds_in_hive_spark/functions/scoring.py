@@ -93,3 +93,35 @@ def unigram_prob_score(
             ).alias("mean_prob"),
         )
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent tokens with their
+    global term count and document frequency — the first statistic any
+    tokenizer/vocab-building pass computes over a pretraining corpus.
+
+    Scale shape: ONE map-side-combinable aggregation on the token (the
+    shuffle carries one row per (partition × distinct token), not one
+    per token occurrence) followed by a distributed top-k —
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject, which keeps
+    k rows per partition and merges k-lists on the driver; the full
+    vocabulary is never globally sorted and never single-partitioned
+    (asserted in tests/test_plan_shapes.py). Ties break by token text,
+    so the result is deterministic and hash-comparable cross-engine.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(k)
+    )

@@ -120,3 +120,60 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int,
+    stride: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over a binary media column: treat the payload as
+    consecutive fixed-size frame records and emit every ``stride``-th
+    frame (the "1 fps preview" step of a video pipeline). A real
+    deployment swaps the fixed-size slicing for a container demuxer
+    (ffmpeg) inside the same ``mapInPandas`` body — the Spark-side
+    contract (schema, Arrow batch shape, per-partition Python worker,
+    routing via detect_modality upstream) is exactly what ships.
+
+    Emitted features are deterministic byte-level stand-ins (length +
+    md5 per frame), so the full path is value-verifiable cross-engine
+    without media libraries.
+    """
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError("frame_bytes and stride must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, md5s = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(did)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    md5s.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

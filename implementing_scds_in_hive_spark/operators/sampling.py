@@ -121,3 +121,42 @@ def topk_per_stratum(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    sources: list[tuple[str, DataFrame, float]],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+    source_col: str = "source",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Compose a training mixture: for each ``(name, df, fraction)``
+    source, keep a content-addressed Bernoulli sample at that source's
+    rate and tag rows with the source name — the standard way a
+    pretraining mix ("books at 2x, web at 0.3x ...") is materialized.
+
+    Per-source membership uses an independent salt (``salt:name``), so
+    a document appearing in two sources is sampled independently in
+    each, and re-weighting one source never changes another's subset —
+    the mix is reproducible AND independently tunable per source.
+
+    Scale shape: each source is a zero-shuffle per-row filter above its
+    own scan; the union is plan-level only (no exchange). ``columns``
+    projects each source to a common schema (default: the first
+    source's columns).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    cols = columns or list(sources[0][1].columns)
+    parts = []
+    for name, df, frac in sources:
+        parts.append(
+            hash_sample(df, frac, id_col=id_col, salt=f"{salt}:{name}")
+            .select(*cols)
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1838,6 +1838,79 @@ WHERE rk <= 10
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by global count with
+    document frequency — the vocab-building statistic. Map-side
+    combinable token aggregation + distributed top-k
+    (TakeOrderedAndProject: k rows per partition, merged on the driver;
+    the vocabulary is never globally sorted)."""
+    from implementing_scds_in_hive_spark.functions.scoring import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+VOCAB_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks GROUP BY tok
+ORDER BY tf DESC, tok LIMIT 100
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix composition: two sub-corpora (split by doc_id
+    parity, standing in for 'web' vs 'books') sampled at independent
+    content-addressed rates (0.5 / 0.25) and tagged with their source.
+    Zero-shuffle filters above each scan; plan-level union."""
+    from implementing_scds_in_hive_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        [
+            ("even", d.where(F.col("doc_id") % 2 == 0), 0.5),
+            ("odd", d.where(F.col("doc_id") % 2 == 1), 0.25),
+        ],
+        salt="mx1",
+        columns=["doc_id", "lang"],
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, 'even' AS source FROM documents
+WHERE doc_id % 2 = 0 AND {_bucket_sql('mx1:even')} < 500000
+UNION ALL
+SELECT doc_id, lang, 'odd' AS source FROM documents
+WHERE doc_id % 2 = 1 AND {_bucket_sql('mx1:odd')} < 250000
+"""
+
+
+def q_sample_frames(spark, sf_dir):
+    """Frame sampling over the binary payload: every 4th 64-byte frame
+    record, with deterministic byte-level features per frame
+    (mapInPandas over Arrow batches — the video-pipeline plumbing with
+    the demuxer stubbed as fixed-size slicing)."""
+    from implementing_scds_in_hive_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, stride=4)
+
+
+SAMPLE_FRAMES_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(octet_length(encode(substring(text, i*64 + 1, 64))) AS INT) AS frame_len,
+       md5(substring(text, i*64 + 1, 64)) AS frame_md5
+FROM n JOIN range(0, 16384) t(i) ON i < n_frames AND i % 4 = 0
+"""
+
+
 # doc_fingerprint folded to pytest in favor of scd_publish_roundtrip: its
 # fingerprint() expression is already driver-verified through
 # dedup_exact_groups (same function, same oracle arithmetic).
@@ -1865,6 +1938,9 @@ PYTEST_ONLY_QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
     "assign_split": q_assign_split,
+    "vocab_topk": q_vocab_topk,
+    "mixture_sample": q_mixture_sample,
+    "sample_frames": q_sample_frames,
 }
 PYTEST_ONLY_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
@@ -1890,4 +1966,7 @@ PYTEST_ONLY_ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
     "assign_split": ASSIGN_SPLIT_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "mixture_sample": MIXTURE_SAMPLE_SQL,
+    "sample_frames": SAMPLE_FRAMES_SQL,
 }

@@ -221,3 +221,48 @@ def test_publish_self_overwrite_trap(spark, tmp_path):
     # and again, proving repeatability
     publish(spark.read.parquet(path).withColumn("v", F.concat("v", F.lit("+"))), path)
     assert {r["v"] for r in spark.read.parquet(path).collect()} == {"a++"}
+
+
+def test_sample_frames_slicing_and_boundaries(spark):
+    """Fixed-size frame records: stride skips, the tail frame is short,
+    an empty payload emits nothing, and features are byte-exact."""
+    import hashlib
+
+    from implementing_scds_in_hive_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, b"A" * 10),   # frames of 4 bytes: idx 0 (4B), 2 (2B tail)
+        (2, b""),          # no frames
+        (3, b"B" * 4),    # exactly one frame
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in sample_frames(media, frame_bytes=4, stride=2).collect()
+    }
+    assert set(out) == {(1, 0), (1, 2), (3, 0)}
+    assert out[(1, 0)]["frame_len"] == 4
+    assert out[(1, 2)]["frame_len"] == 2  # tail shorter than frame_bytes
+    assert out[(1, 2)]["frame_md5"] == hashlib.md5(b"AA").hexdigest()
+    assert out[(3, 0)]["frame_md5"] == hashlib.md5(b"BBBB").hexdigest()
+
+
+def test_sample_frames_rejects_nonpositive_params(spark):
+    from implementing_scds_in_hive_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        sample_frames(media, frame_bytes=0, stride=1)
+    with pytest.raises(ValueError):
+        sample_frames(media, frame_bytes=4, stride=0)
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from implementing_scds_in_hive_spark.functions.scoring import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    rows = [(r["tok"], r["tf"], r["df"]) for r in vocab_topk(docs, k=2).collect()]
+    # a: tf=3 df=2; b: tf=2 df=2; c excluded by k=2. Order tf desc.
+    assert rows == [("a", 3, 2), ("b", 2, 2)]

@@ -107,3 +107,32 @@ def test_scan_projection_pruned(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     plan = _plan(df)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_vocab_topk_is_distributed_topk(spark, sf_dir):
+    """The vocabulary head must come from TakeOrderedAndProject (k rows
+    per partition, k-list merge on the driver) — never a global sort of
+    the full vocabulary through a single partition."""
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import q_vocab_topk
+
+    plan = _plan(q_vocab_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_sample_is_shuffle_free(spark, sf_dir):
+    """Each mixture source is a per-row filter above its own scan and
+    the union is plan-level only: zero shuffle exchanges."""
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import q_mixture_sample
+
+    assert _shuffles(_plan(q_mixture_sample(spark, sf_dir))) == 0
+
+
+def test_sample_frames_single_python_stage(spark, sf_dir):
+    """Frame sampling is one Arrow-batched Python stage over the
+    payload projection — no shuffle, no extra Python round-trips."""
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import q_sample_frames
+
+    plan = _plan(q_sample_frames(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert _shuffles(plan) == 0

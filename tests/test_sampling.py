@@ -94,3 +94,28 @@ def test_hash_sample_plan_has_no_exchange(spark):
     d = _docs(spark)
     plan = hash_sample(d, 0.3, salt="x")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mixture_sample_sources_are_independent(spark):
+    """Re-weighting one source must not change another source's subset
+    (per-source salts): the 'a' subset at (0.5, 0.25) equals the 'a'
+    subset at (0.5, 0.9)."""
+    from implementing_scds_in_hive_spark.operators.sampling import mixture_sample
+
+    d = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    mix1 = mixture_sample([("a", d, 0.5), ("b", d, 0.25)], salt="t0")
+    mix2 = mixture_sample([("a", d, 0.5), ("b", d, 0.9)], salt="t0")
+    a1 = {r["doc_id"] for r in mix1.where("source = 'a'").collect()}
+    a2 = {r["doc_id"] for r in mix2.where("source = 'a'").collect()}
+    assert a1 == a2 and 0 < len(a1) < 500
+    # same doc sampled independently per source: b is not a subset of a
+    b1 = {r["doc_id"] for r in mix1.where("source = 'b'").collect()}
+    assert not b1 <= a1
+
+
+def test_mixture_sample_rejects_empty_sources():
+    import pytest
+    from implementing_scds_in_hive_spark.operators.sampling import mixture_sample
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample([])
