@@ -7,7 +7,10 @@ composed end-to-end over the testdata documents table.
                                   connected components, keep canonical)
       → quality gate             (functions/text.py stats + corpus rules)
       → stratified sampling      (operators/sampling.py, content-addressed)
+      → train/val/test splits    (operators/sampling.py assign_split)
       → token-window chunking    (functions/chunking.py)
+      → sequence packing         (functions/chunking.py pack_sequences)
+      → vocabulary head          (functions/scoring.py vocab_topk)
 
 Prints corpus size after every stage. Every stage is a lazy DataFrame
 transformation — the whole pipeline is ONE Catalyst plan per action,
@@ -79,12 +82,31 @@ def main() -> None:
     print(f"after sampling:      {sample.count():6d} docs")
     sample.groupBy("lang").count().orderBy("lang").show()
 
-    # 5. chunk into 64-token windows with 8-token overlap
+    # 5. rebuild-stable train/val/test assignment (no leakage across
+    #    re-runs: membership is a pure function of doc content)
+    from implementing_scds_in_hive_spark.operators.sampling import assign_split
+
+    sample = assign_split(sample, {"train": 0.9, "val": 0.05, "test": 0.05})
+    sample.groupBy("split").count().orderBy("split").show()
+
+    # 6. chunk into 64-token windows with 8-token overlap
     chunks = chunk_text(sample, size=64, stride=56)
     print(f"chunks:              {chunks.count():6d}")
     chunks.select("doc_id", "chunk_idx", F.substring("chunk", 1, 60).alias("head")).show(
         5, truncate=False
     )
+
+    # 7. pack the train split into fixed-length training sequences
+    #    (concat-and-chunk manifest; distributed prefix sums)
+    from implementing_scds_in_hive_spark.functions.chunking import pack_sequences
+
+    manifest = pack_sequences(sample.where("split = 'train'"), seq_len=128)
+    print(f"packed sequences:    {manifest.select('seq_id').distinct().count():6d}")
+
+    # 8. vocabulary head over the final train corpus
+    from implementing_scds_in_hive_spark.functions.scoring import vocab_topk
+
+    vocab_topk(sample.where("split = 'train'"), k=10).show()
 
     spark.stop()
 
