@@ -32,21 +32,31 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read the raw int64 nanos and convert
-        # with exact integer arithmetic (floor to micros, matching how
-        # DuckDB's reader truncates nanos to its native micros).
+        # events.parquet has shipped ts two ways across corpus versions:
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+        # as raw int64 nanos and floor to micros, matching how DuckDB's
+        # reader truncates nanos to its native micros) and TIMESTAMP(MICROS)
+        # without UTC adjustment (which Spark reads as TIMESTAMP_NTZ).
+        # Dispatch on the read dtype so both layouts land on the same
+        # session-UTC TIMESTAMP column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() yields an instant; collection renders it in
-        # the session timezone. Pin UTC so results match the oracle's
-        # naive timestamps regardless of the host session's zone.
+        # Collection renders instants in the session timezone. Pin UTC so
+        # results match the oracle's naive timestamps regardless of the
+        # host session's zone (NTZ -> TIMESTAMP is then value-identity).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
+        ts_type = df.schema["ts"].dataType
+        ts_expr = (
+            F.expr("timestamp_micros(ts DIV 1000)")
+            if isinstance(ts_type, LongType)
+            else F.col("ts").cast("timestamp")
+        )
         return df.select(
             "event_id",
-            F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+            ts_expr.alias("ts"),
             "user_id",
             "event_type",
             "value",
