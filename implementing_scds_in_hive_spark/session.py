@@ -26,6 +26,19 @@ def get_spark(app_name: str = "scd-engine", cpus: int | None = None) -> SparkSes
         # 2-3x total cores (or rely on AQE's initialPartitionNum).
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The compiled-codegen-class cache defaults to 100 entries; a
+        # workload mixing many distinct plans evicts the expensive ones
+        # (the minhash lambda tower costs ~3.5s to recompile — measured:
+        # it ran 1.6s in isolation but 4-5s after 13 other queries).
+        # Static conf, so it must be set before the first session.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Default JVM code cache (240m) fills under a many-distinct-plans
+        # workload and flushes JIT'd codegen classes back to the
+        # interpreter; size it for plan diversity.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
