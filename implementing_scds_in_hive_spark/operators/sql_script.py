@@ -24,7 +24,13 @@ semantic fixes, applied here too so the two paths agree:
   ``current_timestamp()`` drift (README.md:316-320 shows the drift);
 * deterministic re-key tie-break ``(start, key, version)``
   (the reference's two docs disagree on tie order,
-  README.md:306-312 vs "Hive 2.md":292-298).
+  README.md:306-312 vs "Hive 2.md":292-298);
+* NULL ``scd_active`` treated as active: the engine's ``F.when`` chain
+  (scd.py prod_branches) skips the ``~active`` branch when active is
+  NULL and falls through to the steps-4/5/6 logic, whereas a bare
+  ``WHERE NOT p.scd_active`` / ``WHERE p.scd_active AND ...`` pair
+  would drop the row entirely under SQL three-valued logic — so every
+  active-column predicate here wraps in ``COALESCE(p.active, TRUE)``.
 """
 
 from __future__ import annotations
@@ -63,6 +69,11 @@ def scd2_script_statements(
     types = dict(schema_ddl)
     ddl = ", ".join(f"{c} {t}" for c, t in schema_ddl)
     changed = _change_predicate(cfg)
+    # Three-valued-logic guard: NULL scd_active must route to the
+    # active branches (steps 4-6), exactly like the engine's F.when
+    # fall-through — a bare `p.scd_active` predicate would match no
+    # branch and silently drop the row.
+    active = f"COALESCE(p.{cfg.active_col}, TRUE)"
     as_of_lit = f"TIMESTAMP '{as_of}'"
     eot_lit = f"TIMESTAMP '{cfg.end_of_time}'"
     t1_rewritten = {c for c in cfg.type1_cols if c in staging_cols}
@@ -116,25 +127,25 @@ def scd2_script_statements(
         f"""INSERT INTO {work_table}
     SELECT {type1_rw}
     FROM {prod_view} p JOIN {staging_view} s ON p.{k} = s.{k}
-    WHERE NOT p.{cfg.active_col}""",
+    WHERE NOT {active}""",
         # Step 4 — active rows with no Type-2 change: Type-1 rewrite
         # (SCD_script.txt:36-60).
         f"""INSERT INTO {work_table}
     SELECT {type1_rw}
     FROM {prod_view} p JOIN {staging_view} s ON p.{k} = s.{k}
-    WHERE p.{cfg.active_col} AND NOT ({changed})""",
+    WHERE {active} AND NOT ({changed})""",
         # Step 5 — active rows WITH a Type-2 change: close out
         # (SCD_script.txt:61-86).
         f"""INSERT INTO {work_table}
     SELECT {closeout}
     FROM {prod_view} p JOIN {staging_view} s ON p.{k} = s.{k}
-    WHERE p.{cfg.active_col} AND ({changed})""",
+    WHERE {active} AND ({changed})""",
         # Step 6 — the changed keys' NEW active version
         # (SCD_script.txt:87-120).
         f"""INSERT INTO {work_table}
     SELECT {from_staging(f"p.{cfg.version_col} + 1")}
     FROM {prod_view} p JOIN {staging_view} s ON p.{k} = s.{k}
-    WHERE p.{cfg.active_col} AND ({changed})""",
+    WHERE {active} AND ({changed})""",
         # Step 7 — brand-new keys (SCD_script.txt:121-137: LEFT JOIN the
         # other way + IS NULL probe).
         f"""INSERT INTO {work_table}
@@ -173,11 +184,11 @@ def run_scd2_script(
     staging_view = f"{name_prefix}_staging"
     work_table = f"{name_prefix}_work"
     target_table = f"{name_prefix}_dim"
+    cleanup_script_tables(spark, name_prefix)
     prod.createOrReplaceTempView(prod_view)
     staging.createOrReplaceTempView(staging_view)
 
     schema_ddl = [(f.name, f.dataType.simpleString()) for f in prod.schema.fields]
-    cleanup_script_tables(spark, name_prefix)
     for stmt in scd2_script_statements(
         cfg,
         schema_ddl,
@@ -193,6 +204,10 @@ def run_scd2_script(
 
 
 def cleanup_script_tables(spark: SparkSession, name_prefix: str = "scd_script") -> None:
-    """The reference's own teardown statement type (S4)."""
+    """The reference's own teardown statement type (S4), plus the two
+    input temp views ``run_scd2_script`` registered — otherwise they
+    leak into the shared session catalog across runs."""
     for t in (f"{name_prefix}_work", f"{name_prefix}_dim"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for v in (f"{name_prefix}_prod", f"{name_prefix}_staging"):
+        spark.catalog.dropTempView(v)

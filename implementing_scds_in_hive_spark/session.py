@@ -8,8 +8,17 @@ Arrow for the Pandas-UDF paths) so every entry point runs the same way.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+# Static confs: only effective when get_spark launches the process's
+# first JVM/session. getOrCreate() against an existing session silently
+# ignores them, so we verify after the fact and warn (ADVICE r3).
+_STATIC_CONFS = {
+    "spark.sql.codegen.cache.maxEntries": "2000",
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+}
 
 
 def get_spark(app_name: str = "scd-engine", cpus: int | None = None) -> SparkSession:
@@ -31,16 +40,32 @@ def get_spark(app_name: str = "scd-engine", cpus: int | None = None) -> SparkSes
         # (the minhash lambda tower costs ~3.5s to recompile — measured:
         # it ran 1.6s in isolation but 4-5s after 13 other queries).
         # Static conf, so it must be set before the first session.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.sql.codegen.cache.maxEntries", _STATIC_CONFS["spark.sql.codegen.cache.maxEntries"])
         # Default JVM code cache (240m) fills under a many-distinct-plans
         # workload and flushes JIT'd codegen classes back to the
         # interpreter; size it for plan diversity.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            _STATIC_CONFS["spark.driver.extraJavaOptions"],
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    stale = {
+        k: spark.conf.get(k, None)
+        for k, want in _STATIC_CONFS.items()
+        if spark.conf.get(k, None) != want
+    }
+    if stale:
+        warnings.warn(
+            "get_spark() reused a pre-existing SparkSession whose static "
+            f"confs differ from the requested tuning: {stale}. Static "
+            "confs only apply to the process's FIRST session — construct "
+            "it via get_spark (or restart) for the codegen-cache tuning "
+            "to take effect.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark
