@@ -723,7 +723,6 @@ QUERIES = {
     "set_ops": q_set_ops,
     "top_orders": q_top_orders,
     "scalar_string_funcs": q_scalar_string_funcs,
-    "scalar_date_funcs": q_scalar_date_funcs,
     "filter_compound": q_filter_compound,
     "rollup_region_nation": q_rollup_region_nation,
     "pivot_status_by_year": q_pivot_status_by_year,
@@ -747,7 +746,6 @@ ORACLES = {
     "set_ops": SET_OPS_SQL,
     "top_orders": TOP_ORDERS_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
-    "scalar_date_funcs": SCALAR_DATE_SQL,
     "filter_compound": FILTER_COMPOUND_SQL,
     "rollup_region_nation": ROLLUP_SQL,
     "pivot_status_by_year": PIVOT_SQL,
@@ -756,7 +754,12 @@ ORACLES = {
 }
 
 # Folded-out-of-registry queries, still oracle-checkable in pytest.
+# scalar_date_funcs folded in r4 to free a driver slot for the round-3
+# pipeline operators: its date/timestamp functions are driver-evidenced
+# through event_hourly_rollup (date_trunc/hour buckets) and every SCD
+# query's timestamp arithmetic (P4/F5 proxy evidence, VERDICT r3 §2).
 PYTEST_ONLY_QUERIES = {
+    "scalar_date_funcs": q_scalar_date_funcs,
     "agg_distinct_counts": q_agg_distinct_counts,
     "window_range_frame": q_window_range_frame,
     "window_ntile": q_window_ntile,
@@ -765,6 +768,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scalar_date_funcs": SCALAR_DATE_SQL,
     "agg_distinct_counts": DISTINCT_COUNTS_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
     "window_ntile": WINDOW_NTILE_SQL,
