@@ -34,6 +34,14 @@ from pyspark.storagelevel import StorageLevel
 from implementing_scds_in_hive_spark.functions.text import fingerprint
 from implementing_scds_in_hive_spark.sources.registry import spread
 
+# Recommended stop-gram cap for the exhaustive n-gram tier at scale
+# (ngram_jaccard_pairs max_doc_freq). Chosen from the sf0.1 sweep
+# (scripts/dedup_scale_smoke.py; PLANS.md "Dedup tiers at scale"):
+# caps >= 50 lose zero true pairs on the driver corpus; 100 keeps 2x
+# margin while bounding any one shingle's join fan-out to ~100^2/2
+# candidate pairs regardless of corpus size.
+DEFAULT_MAX_DOC_FREQ = 100
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: returns
@@ -145,8 +153,13 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: explode distinct shingles, join on the
     shingle, count intersections per pair; |union| = |A| + |B| - |inter|.
     ``max_doc_freq`` drops ubiquitous shingles (stop-gram suppression) —
-    at 100 TB this is essential to bound the join fan-out; left None
-    here because the oracle must be exhaustive.
+    at 100 TB this is essential to bound the join fan-out; the default
+    is None because the driver oracle must be exhaustive. For scale
+    runs use ``DEFAULT_MAX_DOC_FREQ`` (=100): the sf0.1 sweep
+    (scripts/dedup_scale_smoke.py, numbers in PLANS.md) shows caps
+    >= 50 lose zero true pairs on the driver corpus while any cap
+    bounds the worst-case per-shingle fan-out to cap^2/2 pairs; 100
+    leaves 2x margin over the loss-free floor.
     """
     sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("did", F.size("sh").alias("sz"))
