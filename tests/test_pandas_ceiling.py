@@ -62,6 +62,40 @@ def test_no_driver_facing_fixture_exceeds_pandas_ceiling():
     )
 
 
+def test_no_resolved_oracle_sql_exceeds_pandas_ceiling():
+    """Sweep the RESOLVED oracle SQL strings (driver-facing and
+    pytest-only) rather than file text: catches literals composed via
+    f-string constants or built programmatically, which the file sweep
+    above can miss (r3 verdict polish #7)."""
+    import importlib
+
+    from implementing_scds_in_hive_spark.plans import registry
+
+    sqls = dict(registry.oracles())
+    for modname in (
+        "implementing_scds_in_hive_spark.plans.scd_queries",
+        "implementing_scds_in_hive_spark.plans.relational",
+        "implementing_scds_in_hive_spark.plans.pipeline_ops",
+    ):
+        mod = importlib.import_module(modname)
+        sqls.update(getattr(mod, "PYTEST_ONLY_ORACLES", {}))
+
+    offenders = []
+    for name, sql in sqls.items():
+        for m in TS_LITERAL.finditer(sql):
+            y, mo, d, h, mi, s = map(int, m.groups())
+            try:
+                ts = datetime(y, mo, d, h, mi, s)
+            except ValueError:
+                continue
+            if ts > PANDAS_CEILING:
+                offenders.append(f"{name}: {m.group(0)}")
+    assert not offenders, (
+        "oracle SQL timestamp literals beyond the pandas ceiling "
+        f"({PANDAS_CEILING}): {offenders}"
+    )
+
+
 def test_flagship_timestamps_survive_pandas_roundtrip(spark):
     import sys
 

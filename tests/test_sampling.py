@@ -119,3 +119,48 @@ def test_mixture_sample_rejects_empty_sources():
 
     with pytest.raises(ValueError, match="non-empty"):
         mixture_sample([])
+
+
+# ---------------------------------------------------------------------------
+# Mixture composability property (r3 verdict polish #7): across RANDOM
+# rate vectors — not just one pair — re-weighting any single source
+# leaves every other source's subset bit-identical, and the re-weighted
+# source's subset moves monotonically (threshold sampling: a higher
+# rate strictly widens the kept set).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rate = st.integers(min_value=0, max_value=100).map(lambda p: p / 100)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rates=st.tuples(rate, rate, rate), new_rate=rate, which=st.integers(0, 2))
+def test_mixture_reweight_composability(spark, rates, new_rate, which):
+    from implementing_scds_in_hive_spark.operators.sampling import mixture_sample
+
+    d = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    names = ["a", "b", "c"]
+    base = list(zip(names, [d, d, d], rates))
+    tweaked = list(base)
+    tweaked[which] = (names[which], d, new_rate)
+
+    def subsets(mix):
+        rows = mix.collect()
+        return {
+            n: {r["doc_id"] for r in rows if r["source"] == n} for n in names
+        }
+
+    s1 = subsets(mixture_sample(base, salt="prop"))
+    s2 = subsets(mixture_sample(tweaked, salt="prop"))
+    for i, n in enumerate(names):
+        if i != which:
+            assert s1[n] == s2[n], f"source {n} changed when {names[which]} was re-weighted"
+    lo, hi = sorted([rates[which], new_rate])
+    small, big = (s1, s2) if rates[which] == lo else (s2, s1)
+    assert small[names[which]] <= big[names[which]]  # monotone in rate
