@@ -136,3 +136,29 @@ def test_sample_frames_single_python_stage(spark, sf_dir):
     plan = _plan(q_sample_frames(spark, sf_dir))
     assert plan.count("MapInPandas") == 1
     assert _shuffles(plan) == 0
+
+
+def test_bucketed_sessionizer_plan_is_bounded(spark, sf_dir):
+    """The two-level sessionizer's scale contract (PLANS.md r4): no
+    single-partition exchange anywhere, level-1 windows partition by
+    (user, bucket) — never by user alone over raw events — and the
+    whole plan costs at most 3 shuffle exchanges (level-1 hash, level-2
+    hash on the reduced mini-session rows, final groupBy reuses the
+    level-2 partitioning or adds one)."""
+    from implementing_scds_in_hive_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+    from implementing_scds_in_hive_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    plan = _plan(sessionize_bucketed(e))
+    assert "Exchange SinglePartition" not in plan
+    assert _shuffles(plan) <= 3, plan
+    # level 1 partitions by (user_id, bucket): the first window's
+    # hashpartitioning must mention __bucket
+    import re
+
+    hashes = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("__bucket" in ln for ln in hashes), hashes
