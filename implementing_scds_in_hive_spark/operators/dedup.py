@@ -162,11 +162,19 @@ def ngram_jaccard_pairs(
     leaves 2x margin over the loss-free floor.
     """
     sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.select("did", F.size("sh").alias("sz"))
     inv = sh.select("did", F.explode("sh").alias("hs"))
     if max_doc_freq is not None:
         freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi")
+        # Consistency is load-bearing: |A| and |B| must count the SAME
+        # shingle universe the intersection does, i.e. post-suppression.
+        # Sizing with the full arrays while intersecting only surviving
+        # shingles biases Jaccard down — measured at 50k docs (10x
+        # replicated corpus, PLANS.md r4): full-size denominators drove
+        # recall to ZERO at cap=100 where consistent sizing keeps it.
+        sizes = inv.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sh.select("did", F.size("sh").alias("sz"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.did") < F.col("b.did")))

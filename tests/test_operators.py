@@ -266,3 +266,30 @@ def test_vocab_topk_counts_and_tiebreak(spark):
     rows = [(r["tok"], r["tf"], r["df"]) for r in vocab_topk(docs, k=2).collect()]
     # a: tf=3 df=2; b: tf=2 df=2; c excluded by k=2. Order tf desc.
     assert rows == [("a", 3, 2), ("b", 2, 2)]
+
+
+def test_ngram_cap_sizes_use_surviving_shingles(spark):
+    """max_doc_freq must size |A| and |B| over the SAME post-suppression
+    shingle universe the intersection uses (r4 fix): a near-dup pair
+    whose shared distinctive content survives the cap must be found even
+    when a ubiquitous boilerplate phrase (df > cap) is suppressed.
+    Sizing with the full arrays drove measured recall to zero on a
+    replicated 50k-doc corpus (PLANS.md)."""
+    boiler = "terms of service apply to every document in this corpus"
+    rows = [
+        # the near-dup pair: identical distinctive text + boilerplate
+        (1, f"{boiler} quick brown foxes jump over lazy dogs daily"),
+        (2, f"{boiler} quick brown foxes jump over lazy dogs daily"),
+        # 10 unrelated docs carrying only the boilerplate + noise word
+        *[(10 + i, f"{boiler} filler{i}") for i in range(10)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=5 suppresses every boilerplate shingle (df = 12 > 5); the
+    # pair's distinctive shingles (df = 2) survive -> J = 1.0 over them
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # filler docs share nothing surviving -> no pairs among them
+    assert all({a, b} == {1, 2} for a, b in pairs)
