@@ -87,6 +87,31 @@ def main() -> None:
                                       staging="dim_user_staging"):
         print(stmt, end="\n\n")
 
+    # The literal 8-statement script face: the reference's workflow
+    # (SCD_script.txt:3-155) executed statement-by-statement on Spark
+    # SQL, proven row-identical to the one-call engine merge
+    # (tests/test_sql_script.py).
+    from implementing_scds_in_hive_spark.operators.sql_script import (
+        cleanup_script_tables,
+        run_scd2_script,
+    )
+
+    print("== the same merge as the reference's 8-statement script ==")
+    script_out = run_scd2_script(
+        spark, prod, staging, CFG, "2024-05-01 12:00:00",
+        name_prefix="tutorial_script",
+    )
+    script_out.orderBy("dim_user_id").show(truncate=False)
+    engine_rows = sorted(
+        (tuple(str(r[c]) for c in sorted(out.columns)) for r in out.collect())
+    )
+    script_rows = sorted(
+        (tuple(str(r[c]) for c in sorted(script_out.columns)) for r in script_out.collect())
+    )
+    assert engine_rows == script_rows, "script and engine paths must agree"
+    cleanup_script_tables(spark, "tutorial_script")
+    print("script output is row-identical to the engine merge")
+
 
 if __name__ == "__main__":
     main()
