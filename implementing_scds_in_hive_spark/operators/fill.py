@@ -1,0 +1,117 @@
+"""Forward fill (last observation carried forward), with a skew-bounded
+two-level plan.
+
+``forward_fill`` is the plain per-key running ``last(..., ignorenulls)``
+window — the primitive under gap repair (driver query ``forward_fill``)
+and the as-of join (``operators/asof.py``: union both streams, forward
+fill the fact struct). Like the sessionizer, its window partitions by
+the key, so a power-law key concentrates one task and AQE's
+skew-splitting cannot help (windows are exempt).
+
+``forward_fill_bucketed`` bounds the partitions the same way
+``sessionize_bucketed`` does (see that module's docstring):
+
+* Level 1 — fill within ``(key, time_bucket)``: a task sees at most one
+  bucket of one key. Per bucket, also aggregate the bucket's LAST
+  non-null value (``max_by`` over the order tuple — map-side partial,
+  no window).
+* Level 2 — carry across buckets at BUCKET granularity: per key, a
+  running last-non-null over the bucket summaries (rows per key =
+  active buckets, independent of event rate), taking each bucket's
+  carry-in from strictly-earlier buckets.
+* Stitch: ``coalesce(level-1 fill, carry-in)`` — positions after a
+  bucket-local observation use it; a bucket's leading-null prefix takes
+  the carry-in.
+
+Exact agreement with the plain fill for any input is asserted in
+``tests/test_skew_sessionize.py`` (driver corpus, planted bot,
+hypothesis boundary cases). Works for any fillable column type
+including structs, so the as-of join's carried fact struct composes
+with it unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_US_DEFAULT = 86_400_000_000  # 1 day
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Plain per-key running fill: each row takes the latest non-null
+    ``value_col`` at-or-before it (order = (ts, order_col)); rows
+    before the key's first observation stay null."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_filled",
+        F.last(value_col, ignorenulls=True).over(w),
+    )
+
+
+def forward_fill_bucketed(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    out_col: str | None = None,
+    bucket_us: int = BUCKET_US_DEFAULT,
+) -> DataFrame:
+    """Two-level forward fill with bounded window partitions (module
+    docstring). Identical output to :func:`forward_fill`."""
+    out = out_col or f"{value_col}_filled"
+    us = F.unix_micros(F.col(ts_col))
+    b = df.withColumn("__bucket", F.floor(us / bucket_us))
+
+    # Level 1: fill inside each (key, bucket).
+    w1 = (
+        Window.partitionBy(key_col, "__bucket")
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("__local", F.last(value_col, ignorenulls=True).over(w1))
+
+    # Bucket summaries: the last non-null value per (key, bucket) —
+    # max_by skips rows whose ordering expression is NULL, so null
+    # observations never win. An aggregation, not a window: map-side
+    # combinable, AQE-splittable.
+    order_key = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.unix_micros(F.col(ts_col)).alias("us"), F.col(order_col).alias("o")),
+    )
+    summaries = (
+        b.groupBy(key_col, "__bucket")
+        .agg(F.max_by(F.col(value_col), order_key).alias("__bucket_last"))
+    )
+
+    # Level 2: carry-in per bucket = last non-null bucket summary among
+    # STRICTLY earlier buckets of the same key. Rows here = active
+    # buckets per key — bounded regardless of per-key event volume.
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.withColumn(
+        "__carry_in", F.last("__bucket_last", ignorenulls=True).over(w2)
+    ).select(key_col, "__bucket", "__carry_in")
+
+    return (
+        local.join(carry, [key_col, "__bucket"], "left")
+        .withColumn(out, F.coalesce(F.col("__local"), F.col("__carry_in")))
+        .drop("__bucket", "__local", "__carry_in")
+    )

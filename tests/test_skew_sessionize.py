@@ -162,3 +162,100 @@ def test_funnel_ignores_nonstep_bot_traffic_and_keeps_all_users(spark):
     assert out[1]["steps_reached"] == 3
     assert out[2]["steps_reached"] == 0 and out[2]["t_view"] is None
     assert out[3]["steps_reached"] == 2 and out[3]["t_click"] == M(5)
+
+
+# ---------------------------------------------------------------------------
+# forward_fill_bucketed agreement (same skew exposure + same structural
+# fix as the sessionizer; operators/fill.py)
+# ---------------------------------------------------------------------------
+
+from implementing_scds_in_hive_spark.operators.fill import (
+    forward_fill,
+    forward_fill_bucketed,
+)
+
+
+def _sparse_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+
+
+def test_fill_bucketed_agrees_on_driver_corpus(spark, sf_dir):
+    e = _sparse_events(spark, sf_dir)
+    plain = forward_fill(e, "value")
+    bucketed = forward_fill_bucketed(e, "value")
+    assert sorted(plain.columns) == sorted(bucketed.columns)
+    assert rows_of(plain) == rows_of(bucketed)
+
+
+def test_fill_bucketed_agrees_on_planted_bot_and_edges(spark):
+    """Planted cases the bucket seams must survive: a bot spanning many
+    buckets, leading nulls in later buckets (carry-in), an all-null
+    user (stays null), and a user whose only observation is in bucket
+    one with nulls ever after (carry across many empty buckets)."""
+    rows = []
+    # bot: 3000 events over 10+ days, nulls at every %3==0 position
+    for i in range(3000):
+        v = None if i % 3 == 0 else float(i)
+        rows.append((i, 1, T0 + timedelta(minutes=5 * i), v))
+    # user 2: single observation day 0, then nulls on days 3..9
+    rows.append((100000, 2, T0, 42.0))
+    for d in range(3, 10):
+        rows.append((100000 + d, 2, T0 + timedelta(days=d), None))
+    # user 3: all null
+    for d in range(4):
+        rows.append((200000 + d, 3, T0 + timedelta(days=d), None))
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    plain = forward_fill(e, "value")
+    bucketed = forward_fill_bucketed(e, "value")
+    assert rows_of(plain) == rows_of(bucketed)
+    got = {r["event_id"]: r["value_filled"] for r in bucketed.collect()}
+    assert got[100009] == 42.0  # carried across six empty-observation days
+    assert got[200003] is None  # all-null user stays null
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_events=st.dictionaries(
+        st.integers(min_value=1, max_value=3),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6 * HOUR_US),  # gap to next
+                st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_fill_bucketed_agrees_on_random_sequences(spark, user_events):
+    rows, eid = [], 0
+    for user, seq in user_events.items():
+        t_us = 0
+        for gap, v in seq:
+            t_us += gap
+            rows.append(
+                (eid, user, T0 + timedelta(microseconds=t_us),
+                 None if v is None else float(v))
+            )
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    # 2-hour buckets force many seams relative to the 0-6h gaps
+    plain = forward_fill(e, "value")
+    bucketed = forward_fill_bucketed(e, "value", bucket_us=2 * HOUR_US)
+    assert rows_of(plain) == rows_of(bucketed)
