@@ -191,10 +191,20 @@ def ivf_topk(
     not at all if the index is pre-bucketed by centroid on disk, the
     physical layout an IVF index file encodes). Recall loss is confined
     to neighbors whose centroid the probe misses — the standard IVF
-    trade; raise ``nprobe`` to trade compute back for recall."""
-    assigned = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
-    )
+    trade; raise ``nprobe`` to trade compute back for recall.
+
+    If ``corpus`` already carries ``centroid_id_col`` (built once with
+    :func:`ivf_assign` and persisted/written bucketed-by-centroid), the
+    assignment step is skipped — the amortized index-probe path every
+    repeated-query workload should use. Passing a raw corpus assigns on
+    the fly (convenient for one-shot use; the build then dominates for
+    small |Q|, measured in PLANS.md r4)."""
+    if centroid_id_col in corpus.columns:
+        assigned = corpus
+    else:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col),
