@@ -11,12 +11,14 @@ later than the previous step's completion — identical semantics to the
 chained ``min(ts) where ts > prev`` formulation the SQL oracle uses.
 
 Scale: the shuffle carries (user, ts, type) — the per-user event list
-must fit in a row. Events whose type is not a funnel step are filtered
-BEFORE the shuffle (they can never advance the fold), so the hot-key
-bound is the per-user count of step-typed events, not raw traffic — a
-bot hammering non-step events costs nothing. For a user heavy in the
-step types themselves, cap with a time window upstream. The fold is
-JVM-side expression code, no Python.
+must fit in a row. Non-step events never enter the collected array
+(the collect_list's `when` yields NULL for them, and collect_list
+skips NULLs), so the hot-key bound is the per-user count of STEP-typed
+events, not raw traffic — a bot hammering non-step events contributes
+zero array entries while still appearing in the output with
+steps_reached 0. For a user heavy in the step types themselves, cap
+with a time window upstream. The fold is JVM-side expression code, no
+Python.
 """
 
 from __future__ import annotations
@@ -38,15 +40,20 @@ def funnel(
     Earliest-completion semantics: each step binds to its first
     occurrence strictly after the previous step's time."""
     n = len(steps)
-    # Pre-shuffle reduction: only step-typed events can advance the
-    # fold; everything else is a no-op row we'd shuffle and collect for
-    # nothing. This also bounds the collected per-user array under
-    # non-step heavy hitters (bot traffic). Users with zero step-typed
-    # events are restored by the key-only join below.
-    typed = events.where(F.col(type_col).isin(list(steps)))
     steps_arr = F.array(*[F.lit(s) for s in steps])
+    # collect_list skips NULL entries, so wrapping the struct in a
+    # step-type `when` collects ONLY step events while aggregating over
+    # every row — one scan, one shuffle, and all users appear (a user
+    # of pure non-step traffic folds an empty array to steps_reached 0).
+    # This bounds the in-row array under non-step heavy hitters (bot
+    # traffic) without a second scan or a restore join.
     evs = F.array_sort(
-        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+        F.collect_list(
+            F.when(
+                F.col(type_col).isin(list(steps)),
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")),
+            )
+        )
     )
 
     def scan(acc, ev):
@@ -72,18 +79,10 @@ def funnel(
     )
     state = F.aggregate(evs, init, scan)
 
-    agg = typed.groupBy(F.col(user_col).alias("user_id")).agg(state.alias("__st"))
-    # Every distinct user appears in the output, step-typed events or
-    # not (steps_reached = 0 past the filter). The distinct is a
-    # key-only aggregation: map-side combined, shuffles only user ids,
-    # and AQE skew-splitting applies (it's an aggregate exchange, not a
-    # window), so the hot key stays tamed end to end.
-    users = events.select(F.col(user_col).alias("user_id")).distinct()
-    joined = users.join(agg, "user_id", "left")
-    idx = F.coalesce(F.col("__st.idx"), F.lit(0))
-    return joined.select(
+    agg = events.groupBy(F.col(user_col).alias("user_id")).agg(state.alias("__st"))
+    return agg.select(
         "user_id",
-        idx.alias("steps_reached"),
+        F.col("__st.idx").alias("steps_reached"),
         *[
             F.try_element_at("__st.times", F.lit(i + 1)).alias(f"t_{s}")
             for i, s in enumerate(steps)
