@@ -27,9 +27,18 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     right_id: str,
+    skew_bounded: bool = False,
+    bucket_us: int = 86_400_000_000,
 ) -> DataFrame:
     """For each ``left`` row, attach ``right_cols`` of the latest
-    ``right`` row with the same key and ``right_ts <= left_ts``."""
+    ``right`` row with the same key and ``right_ts <= left_ts``.
+
+    ``skew_bounded=True`` routes the carried-fact fill through
+    ``operators/fill.py::forward_fill_bucketed`` — same output, but the
+    per-key window is split by time bucket so a power-law key (bot
+    traffic) cannot concentrate one task; see PLANS.md window-skew
+    notes. Default stays the single-window plan (one window beats two
+    when no key is pathological)."""
     lt = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -52,11 +61,28 @@ def asof_join(
     # equal-timestamp fact is visible, i.e. <= semantics), higher fact id
     # wins among same-instant facts.
     u = lt.unionByName(rt)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__fact_seq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    if skew_bounded:
+        from implementing_scds_in_hive_spark.operators.fill import (
+            forward_fill_bucketed,
+        )
+
+        # Fact rows (the only non-null __r) always carry a non-null
+        # __fact_seq, satisfying the composite-order precondition.
+        carried = forward_fill_bucketed(
+            u,
+            "__r",
+            key_col="__k",
+            ts_col="__ts",
+            order_col=["__is_left", "__fact_seq"],
+            out_col="__last_r",
+            bucket_us=bucket_us,
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__fact_seq"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
     out = carried.where(F.col("__is_left") == 1).select("__l.*", "__last_r.*")
     return out

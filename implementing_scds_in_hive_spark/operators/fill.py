@@ -38,21 +38,25 @@ from pyspark.sql import functions as F
 BUCKET_US_DEFAULT = 86_400_000_000  # 1 day
 
 
+def _order_list(order_col: str | list[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
 def forward_fill(
     df: DataFrame,
     value_col: str,
     *,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    order_col: str = "event_id",
+    order_col: str | list[str] = "event_id",
     out_col: str | None = None,
 ) -> DataFrame:
     """Plain per-key running fill: each row takes the latest non-null
-    ``value_col`` at-or-before it (order = (ts, order_col)); rows
+    ``value_col`` at-or-before it (order = (ts, *order_col)); rows
     before the key's first observation stay null."""
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, order_col)
+        .orderBy(ts_col, *_order_list(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
@@ -67,20 +71,27 @@ def forward_fill_bucketed(
     *,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    order_col: str = "event_id",
+    order_col: str | list[str] = "event_id",
     out_col: str | None = None,
     bucket_us: int = BUCKET_US_DEFAULT,
 ) -> DataFrame:
     """Two-level forward fill with bounded window partitions (module
-    docstring). Identical output to :func:`forward_fill`."""
+    docstring). Identical output to :func:`forward_fill`.
+
+    ``order_col`` may be a composite (list) — e.g. the as-of join's
+    ``(is_left, fact_seq)`` tie-break. Precondition for the composite
+    case: order columns must be non-null on rows where ``value_col`` is
+    non-null (the bucket summary's ``max_by`` compares them as a
+    struct)."""
     out = out_col or f"{value_col}_filled"
+    ocols = _order_list(order_col)
     us = F.unix_micros(F.col(ts_col))
     b = df.withColumn("__bucket", F.floor(us / bucket_us))
 
     # Level 1: fill inside each (key, bucket).
     w1 = (
         Window.partitionBy(key_col, "__bucket")
-        .orderBy(ts_col, order_col)
+        .orderBy(ts_col, *ocols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = b.withColumn("__local", F.last(value_col, ignorenulls=True).over(w1))
@@ -91,7 +102,10 @@ def forward_fill_bucketed(
     # combinable, AQE-splittable.
     order_key = F.when(
         F.col(value_col).isNotNull(),
-        F.struct(F.unix_micros(F.col(ts_col)).alias("us"), F.col(order_col).alias("o")),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            *[F.col(c).alias(f"o{i}") for i, c in enumerate(ocols)],
+        ),
     )
     summaries = (
         b.groupBy(key_col, "__bucket")

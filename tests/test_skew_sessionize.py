@@ -259,3 +259,61 @@ def test_fill_bucketed_agrees_on_random_sequences(spark, user_events):
     plain = forward_fill(e, "value")
     bucketed = forward_fill_bucketed(e, "value", bucket_us=2 * HOUR_US)
     assert rows_of(plain) == rows_of(bucketed)
+
+
+# ---------------------------------------------------------------------------
+# asof_join(skew_bounded=True) agreement — the carried-fact struct fill
+# routed through forward_fill_bucketed with a composite order
+# ---------------------------------------------------------------------------
+
+from implementing_scds_in_hive_spark.operators.asof import asof_join
+
+
+def _asof(spark, sf_dir, **kw):
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], right_id="o_orderkey",
+        **kw,
+    )
+
+
+def test_asof_skew_bounded_agrees_on_driver_corpus(spark, sf_dir):
+    plain = _asof(spark, sf_dir)
+    bounded = _asof(spark, sf_dir, skew_bounded=True)
+    assert sorted(plain.columns) == sorted(bounded.columns)
+    assert rows_of(plain) == rows_of(bounded)
+
+
+def test_asof_skew_bounded_agrees_on_planted_hot_user(spark):
+    # bot user: 2000 events over 8 days; facts land mid-stream on
+    # several days, including two facts at the SAME timestamp (the
+    # fact-id tie-break must survive the bucketed path) and a fact at
+    # exactly an event's timestamp (<= semantics)
+    ev = [(i, 1, T0 + timedelta(hours=i % 192, minutes=i // 192)) for i in range(2000)]
+    ev += [(10_000 + j, 2, T0 + timedelta(days=j)) for j in range(3)]
+    events = spark.createDataFrame(ev, "event_id long, user_id long, ts timestamp")
+    facts = spark.createDataFrame(
+        [
+            (1, 101, T0 + timedelta(days=1), 10.0),
+            (1, 102, T0 + timedelta(days=3), 20.0),
+            (1, 103, T0 + timedelta(days=3), 30.0),   # same-instant pair: id 103 wins
+            (1, 104, T0 + timedelta(hours=5), 40.0),  # equals some events' ts exactly
+            (2, 201, T0 + timedelta(days=1), 50.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    kw = dict(left_on="user_id", right_on="o_custkey", left_ts="ts",
+              right_ts="o_orderdate", right_cols=["o_orderkey", "o_totalprice"],
+              right_id="o_orderkey")
+    plain = asof_join(events, facts, **kw)
+    bounded = asof_join(events, facts, skew_bounded=True, **kw)
+    assert rows_of(plain) == rows_of(bounded)
+    got = {r["event_id"]: r["o_orderkey"] for r in bounded.collect()}
+    # user 2's day-2 event sees fact 201; its day-0 event sees nothing
+    assert got[10_000] is None and got[10_002] == 201
