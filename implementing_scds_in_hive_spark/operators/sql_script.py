@@ -35,6 +35,8 @@ semantic fixes, applied here too so the two paths agree:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .scd import SCDConfig
@@ -179,12 +181,20 @@ def run_scd2_script(
     The global ROW_NUMBER in step 8 makes this a single-partition sort at
     the tail, same as the reference's final reducer — tutorial parity,
     not the 100 TB path (that is ``scd2_merge`` + ``two_pass`` keys).
+
+    Table names carry a per-run suffix so CHAINED runs are safe: the
+    returned DataFrame lazily reads this run's ``_dim`` table, and a
+    next merge that fed it back as production must not drop/recreate
+    the table underneath it (the reference's own self-overwrite trap,
+    SCD_script.txt materializes dim_user_new for the same reason —
+    caught by ``test_script_equals_engine_on_random_batches``).
+    ``cleanup_script_tables`` drops every run of the prefix at once.
     """
+    run_id = uuid.uuid4().hex[:8]
     prod_view = f"{name_prefix}_prod"
     staging_view = f"{name_prefix}_staging"
-    work_table = f"{name_prefix}_work"
-    target_table = f"{name_prefix}_dim"
-    cleanup_script_tables(spark, name_prefix)
+    work_table = f"{name_prefix}_work_{run_id}"
+    target_table = f"{name_prefix}_dim_{run_id}"
     prod.createOrReplaceTempView(prod_view)
     staging.createOrReplaceTempView(staging_view)
 
@@ -204,10 +214,16 @@ def run_scd2_script(
 
 
 def cleanup_script_tables(spark: SparkSession, name_prefix: str = "scd_script") -> None:
-    """The reference's own teardown statement type (S4), plus the two
-    input temp views ``run_scd2_script`` registered — otherwise they
-    leak into the shared session catalog across runs."""
-    for t in (f"{name_prefix}_work", f"{name_prefix}_dim"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    """The reference's own teardown statement type (S4): drops EVERY
+    run's work/dim table under ``name_prefix`` (run-suffixed — see
+    :func:`run_scd2_script`), plus the two input temp views — otherwise
+    they leak into the shared session catalog across runs. Call once
+    the returned DataFrames are no longer needed; they read the _dim
+    tables lazily."""
+    for t in spark.catalog.listTables():
+        if t.tableType != "VIEW" and (
+            t.name.startswith(f"{name_prefix}_work") or t.name.startswith(f"{name_prefix}_dim")
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for v in (f"{name_prefix}_prod", f"{name_prefix}_staging"):
         spark.catalog.dropTempView(v)

@@ -135,3 +135,50 @@ def test_cleanup_drops_tables_and_views(spark):
     names = {t.name for t in spark.catalog.listTables()}
     leftovers = {n for n in names if n.startswith("tscript_clean")}
     assert leftovers == set()
+
+
+# ---------------------------------------------------------------------------
+# Property: script == engine on RANDOM batch sequences (reusing the SCD
+# property suite's generators — tiny value pools force no-change
+# batches, NULL Type-2 transitions, and multi-merge version chains).
+# ---------------------------------------------------------------------------
+
+from datetime import timedelta
+
+from hypothesis import HealthCheck, given, settings
+
+from tests.test_scd_properties import (
+    BATCHES,
+    CFG as PROP_CFG,
+    PROD_SCHEMA as PROP_PROD_SCHEMA,
+    STG_SCHEMA as PROP_STG_SCHEMA,
+    T0 as PROP_T0,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=BATCHES)
+def test_script_equals_engine_on_random_batches(spark, batches):
+    prod_engine = spark.createDataFrame([], PROP_PROD_SCHEMA)
+    prod_script = spark.createDataFrame([], PROP_PROD_SCHEMA)
+    try:
+        for i, batch in enumerate(batches):
+            stg = spark.createDataFrame(batch, PROP_STG_SCHEMA)
+            as_of = (PROP_T0 + timedelta(days=i)).strftime("%Y-%m-%d %H:%M:%S")
+            prod_engine = scd2_merge(
+                prod_engine, stg, PROP_CFG, as_of, key_strategy="row_number"
+            )
+            prod_script = run_scd2_script(
+                spark, prod_script, stg, PROP_CFG, as_of, name_prefix="tscript_prop"
+            )
+            # each path consumes ITS OWN previous output, so the chains
+            # must never diverge at any step — this also exercises the
+            # chained-run case (the returned DF lazily reads this run's
+            # _dim table; a later run must not drop it mid-chain)
+            assert_identical(prod_script, prod_engine)
+    finally:
+        cleanup_script_tables(spark, "tscript_prop")
