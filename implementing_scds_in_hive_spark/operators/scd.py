@@ -333,6 +333,18 @@ def assign_surrogate_keys(
             cache_handles += [src, local]
         counts = {r["__pid"]: r["cnt"] for r in
                   local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+        # monotonically_increasing_id packs the in-partition index into
+        # the low 33 bits; the subtraction above is only valid while no
+        # range partition exceeds 2^33 rows (at which point the ids
+        # would bleed into the next pid's space and silently collide).
+        # Free to check — the counts are already on the driver.
+        oversized = {p: c for p, c in counts.items() if c >= (1 << 33)}
+        if oversized:
+            raise ValueError(
+                f"two_pass key generation: range partitions {oversized} exceed "
+                f"2^33 rows, breaking monotonically_increasing_id's in-partition "
+                f"index extraction; raise n_parts or use strategy='hash'"
+            )
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc

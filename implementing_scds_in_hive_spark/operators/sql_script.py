@@ -221,7 +221,9 @@ def cleanup_script_tables(spark: SparkSession, name_prefix: str = "scd_script") 
     the returned DataFrames are no longer needed; they read the _dim
     tables lazily."""
     for t in spark.catalog.listTables():
-        if t.tableType != "VIEW" and (
+        # temp views report tableType "TEMPORARY", not "VIEW" — filter on
+        # isTemporary too so a prefix-matching temp view never gets DROP TABLE
+        if not t.isTemporary and t.tableType != "VIEW" and (
             t.name.startswith(f"{name_prefix}_work") or t.name.startswith(f"{name_prefix}_dim")
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -53,10 +53,19 @@ def get_spark(app_name: str = "scd-engine", cpus: int | None = None) -> SparkSes
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
+
+    def _conf_ok(key: str, want: str) -> bool:
+        got = spark.conf.get(key, None)
+        if key == "spark.driver.extraJavaOptions":
+            # spark-defaults may append extra flags (GC tuning etc.); the
+            # requirement is that our flag is present, not string equality.
+            return got is not None and want in got
+        return got == want
+
     stale = {
         k: spark.conf.get(k, None)
         for k, want in _STATIC_CONFS.items()
-        if spark.conf.get(k, None) != want
+        if not _conf_ok(k, want)
     }
     if stale:
         warnings.warn(

@@ -9,10 +9,13 @@ session granularity); these tests prove (a) exact agreement with the
 plain sessionizer — driver corpus, planted bot, hypothesis boundary
 cases — and (b) the boundedness claim itself on the planted bot.
 
-The funnel's skew guard is data reduction: non-step events are dropped
-before the shuffle, so a bot hammering non-step types contributes
-nothing to the collected array; zero-step users are restored by a
-key-only join (all-users semantics of the SQL oracle preserved).
+The funnel's skew guard is data reduction folded into the aggregate
+itself: the step-typed ``when`` inside ``collect_list`` yields NULL for
+non-step events, which ``collect_list`` skips — so a bot hammering
+non-step types contributes nothing to the collected array while every
+user (including zero-step users) still aggregates to a row. No restore
+join exists or is needed (all-users semantics of the SQL oracle
+preserved).
 """
 
 from datetime import datetime, timedelta
