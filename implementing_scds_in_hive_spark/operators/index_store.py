@@ -1,0 +1,280 @@
+"""Durable on-disk lifecycle for the similarity/dedup index structures.
+
+The MinHash corpus index (``operators/dedup.py:portable_minhash_index``)
+and the IVF assignment (``operators/similarity.py:ivf_assign``) are the
+two artifacts a 100 TB pipeline builds ONCE and probes for months, from
+*different jobs*. This module turns the session-local DataFrames into
+bucketed parquet tables plus a JSON sidecar, so a fresh process — whose
+in-memory catalog is empty — can re-register and probe them without
+rebuilding anything.
+
+Physical layouts (the part that matters at scale):
+
+* MinHash, two tables under one root:
+
+  - ``{table}_docs``   = (did, sh, bb), bucketed+sorted by ``did``.
+    The shingle-verification join pulls candidate docs from here; the
+    bucketing means a sort-merge join against the (small) candidate set
+    never shuffles the corpus side.
+  - ``{table}_buckets`` = (bkey, band, bucket, did), bucketed+sorted by
+    the single composite ``bkey = xxhash64(band, bucket)``. A delta
+    batch touches at most ``|batch| x bands`` bkeys; probing filters
+    this table with a LITERAL ``bkey IN (...)`` predicate, which Spark
+    turns into bucket pruning (``SelectedBucketsCount`` in the scan) —
+    the probe reads only the touched buckets' files, so per-delta cost
+    is O(batch + touched buckets), not O(corpus scan).
+
+* IVF, two tables under one root:
+
+  - ``{table}_assign``    = (vec_id, embedding, centroid_id), bucketed+
+    sorted by ``centroid_id``. ``ivf_topk(..., probe_prune=True)``
+    pushes the probed centroid ids as a literal filter => bucket
+    pruning: only the probed inverted lists are read.
+  - ``{table}_centroids`` = the K centroid rows, plain parquet (tiny).
+
+All tables are EXTERNAL (explicit ``LOCATION``): ``DROP TABLE`` removes
+only catalog metadata, never the index files — which is also how the
+round-trip tests simulate a fresh process (drop the entries, re-load
+from the sidecar). The sidecar (``_index_meta.json``, underscore prefix
+so parquet readers ignore it) records the schema DDL, bucketing spec and
+index parameters; on a cluster it would live on the object store via the
+Hadoop FS API — here plain local-file I/O, same contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = [
+    "save_minhash_index",
+    "load_minhash_index",
+    "incremental_minhash_pairs_stored",
+    "save_ivf_index",
+    "load_ivf_index",
+]
+
+_META_FILE = "_index_meta.json"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _save_external_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None,
+) -> dict:
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").option("path", path).saveAsTable(table)
+    return {
+        "table": table,
+        "path": path,
+        "schema_ddl": _schema_ddl(df),
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "sort_cols": sort_cols or [],
+    }
+
+
+def _register_external_bucketed(spark: SparkSession, spec: dict) -> DataFrame:
+    """(Re-)register an external bucketed table from its saved spec —
+    the fresh-process path: bucketing lives in the catalog, not in the
+    parquet footers, so it must be re-declared; Spark then recovers each
+    file's bucket id from the filename written by ``bucketBy``."""
+    if not spark.catalog.tableExists(spec["table"]):
+        sorted_clause = (
+            f" SORTED BY ({', '.join(spec['sort_cols'])})" if spec["sort_cols"] else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {spec['table']} ({spec['schema_ddl']}) USING parquet "
+            f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}){sorted_clause} "
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{spec['path']}'"
+        )
+    return spark.table(spec["table"])
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def _read_meta(root: str) -> dict:
+    with open(os.path.join(root, _META_FILE)) as f:
+        return json.load(f)
+
+
+def save_minhash_index(
+    index: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int = 32,
+    params: dict | None = None,
+) -> dict:
+    """Persist a ``portable_minhash_index`` DataFrame (did, sh, bb) as
+    the two-table durable layout described in the module docstring.
+    Returns the sidecar metadata. ``params`` should record the build
+    parameters (n, num_perm, bands) so future deltas are built
+    compatibly — they are stored in the sidecar verbatim."""
+    docs_spec = _save_external_bucketed(
+        index,
+        f"{table}_docs",
+        os.path.join(root, "docs"),
+        ["did"],
+        n_buckets,
+        ["did"],
+    )
+    buckets = index.select("did", F.explode("bb").alias("bb")).select(
+        _bkey_from("bb").alias("bkey"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "did",
+    )
+    buckets_spec = _save_external_bucketed(
+        buckets,
+        f"{table}_buckets",
+        os.path.join(root, "buckets"),
+        ["bkey"],
+        n_buckets,
+        ["bkey"],
+    )
+    meta = {
+        "kind": "minhash",
+        "docs": docs_spec,
+        "buckets": buckets_spec,
+        "params": params or {},
+    }
+    _write_meta(root, meta)
+    return meta
+
+
+def _bkey_from(struct_col: str) -> "F.Column":
+    # single composite bucket key: bucket pruning applies to literal
+    # predicates on a SINGLE bucket column, so (band, bucket) is folded
+    # into one deterministic hash on both save and probe sides. A hash
+    # collision only merges two LSH buckets — candidates are always
+    # re-verified by exact Jaccard, so collisions cost recall nothing.
+    return F.xxhash64(F.col(f"{struct_col}.band"), F.col(f"{struct_col}.bucket"))
+
+
+def load_minhash_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a saved MinHash index in (possibly) a fresh process:
+    returns (docs, buckets, params). ``docs`` is drop-in compatible with
+    ``incremental_minhash_pairs``'s ``corpus_index`` argument."""
+    meta = _read_meta(root)
+    if meta.get("kind") != "minhash":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not minhash")
+    docs = _register_external_bucketed(spark, meta["docs"])
+    buckets = _register_external_bucketed(spark, meta["buckets"])
+    return docs, buckets, meta["params"]
+
+
+def incremental_minhash_pairs_stored(
+    spark: SparkSession,
+    root: str,
+    new_index: DataFrame,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs between a SAVED corpus index and a new batch's
+    index (from ``portable_minhash_index``), reading only the touched
+    buckets: the delta's bkey set (≤ |batch| x bands values) is
+    collected driver-side and pushed as a literal IN filter on the
+    bucketed ``_buckets`` table => bucket pruning at the scan. Candidate
+    doc ids are then verified with exact Jaccard against the ``_docs``
+    table, whose did-bucketing keeps the corpus side of that join
+    exchange-free. Semantics identical to ``incremental_minhash_pairs``
+    on the in-memory index (see tests/test_index_store.py)."""
+    docs, buckets, _ = load_minhash_index(spark, root)
+    if new_index.storageLevel == StorageLevel.NONE:
+        # same re-inline trap as incremental_minhash_pairs: the batch is
+        # referenced three times; GC-cleaned checkpoint, nothing pinned
+        new_index = new_index.localCheckpoint(eager=True)
+
+    delta_burst = new_index.select(
+        F.col("did").alias("id_b"), F.explode("bb").alias("bb")
+    ).select(_bkey_from("bb").alias("bkey"), "bb.band", "bb.bucket", "id_b")
+    # the touched-bucket set is tiny by construction — this collect is
+    # O(|batch| x bands), the price of turning the probe into a literal
+    # predicate the scan can prune buckets (and row groups) with
+    touched = [r["bkey"] for r in delta_burst.select("bkey").distinct().collect()]
+
+    cand = (
+        buckets.where(F.col("bkey").isin(touched))
+        .join(F.broadcast(delta_burst), ["bkey", "band", "bucket"])
+        .select(F.col("did").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sh_a = docs.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = new_index.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(F.broadcast(sh_b), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int = 32,
+    centroid_id_col: str = "centroid_id",
+) -> dict:
+    """Persist an IVF index: ``assigned`` from ``ivf_assign`` (vec_id,
+    embedding, centroid_id) bucketed+sorted by centroid id — the on-disk
+    form of the inverted lists — plus the K centroid rows. Returns the
+    sidecar metadata."""
+    assign_spec = _save_external_bucketed(
+        assigned,
+        f"{table}_assign",
+        os.path.join(root, "assign"),
+        [centroid_id_col],
+        n_buckets,
+        [centroid_id_col],
+    )
+    cpath = os.path.join(root, "centroids")
+    centroids.write.mode("overwrite").parquet(cpath)
+    meta = {
+        "kind": "ivf",
+        "assign": assign_spec,
+        "centroids_path": cpath,
+        "centroid_id_col": centroid_id_col,
+        "centroids_schema_ddl": _schema_ddl(centroids),
+    }
+    _write_meta(root, meta)
+    return meta
+
+
+def load_ivf_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    """Load a saved IVF index in (possibly) a fresh process: returns
+    (assigned, centroids). Feed both straight into ``ivf_topk`` — the
+    ``centroid_id`` column on ``assigned`` makes it skip the build, and
+    ``probe_prune=True`` exploits the bucketed layout."""
+    meta = _read_meta(root)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not ivf")
+    assigned = _register_external_bucketed(spark, meta["assign"])
+    centroids = spark.read.parquet(meta["centroids_path"])
+    return assigned, centroids

@@ -181,6 +181,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
+    probe_prune: bool = False,
 ) -> DataFrame:
     """IVF-probed approximate top-k: each query scores only the corpus
     vectors assigned to its ``nprobe`` nearest centroids.
@@ -198,7 +199,17 @@ def ivf_topk(
     assignment step is skipped — the amortized index-probe path every
     repeated-query workload should use. Passing a raw corpus assigns on
     the fly (convenient for one-shot use; the build then dominates for
-    small |Q|, measured in PLANS.md r4)."""
+    small |Q|, measured in PLANS.md r4).
+
+    ``probe_prune=True`` additionally collects the probed centroid-id
+    set (tiny: ≤ |Q| x nprobe values) and applies it as a LITERAL filter
+    on the assignment before the join. Against an index saved bucketed
+    by centroid id (``operators/index_store.py``) Spark turns that into
+    bucket pruning — the scan reads ONLY the probed inverted lists
+    (``SelectedBucketsCount`` in the plan), which is what makes an IVF
+    probe sub-linear in corpus size on disk, not just in compute. Costs
+    one extra tiny job to rank the probes; only worthwhile on a
+    pre-assigned (ideally stored) corpus."""
     if centroid_id_col in corpus.columns:
         assigned = corpus
     else:
@@ -235,6 +246,11 @@ def ivf_topk(
         .where(F.col("__rn") <= nprobe)
         .select(query_id_col, "__qvec", "__qn", centroid_id_col)
     )
+    if probe_prune:
+        probed_ids = [
+            r[centroid_id_col] for r in probes.select(centroid_id_col).distinct().collect()
+        ]
+        assigned = assigned.where(F.col(centroid_id_col).isin(probed_ids))
     assigned_n = assigned.withColumn("__en", norm(F.col(vec_col)))
     scored = assigned_n.join(F.broadcast(probes), centroid_id_col).select(
         query_id_col,
