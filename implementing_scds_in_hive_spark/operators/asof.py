@@ -27,8 +27,11 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     right_id: str,
-    skew_bounded: bool = False,
+    skew_bounded: bool | str = False,
     bucket_us: int = 86_400_000_000,
+    rows_per_key_hint: int | None = None,
+    skew_threshold: int | None = None,
+    probe_fraction: float | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach ``right_cols`` of the latest
     ``right`` row with the same key and ``right_ts <= left_ts``.
@@ -38,7 +41,13 @@ def asof_join(
     per-key window is split by time bucket so a power-law key (bot
     traffic) cannot concentrate one task; see PLANS.md window-skew
     notes. Default stays the single-window plan (one window beats two
-    when no key is pathological)."""
+    when no key is pathological).
+
+    ``skew_bounded="auto"`` decides from evidence (VERDICT r4 #2): an
+    explicit ``rows_per_key_hint`` (max combined event+fact rows any
+    key holds), else a max-rows-per-key probe over the unioned input
+    (optionally sampled via ``probe_fraction``); the routing decision
+    is logged by ``operators/skew_route.py``."""
     lt = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -61,6 +70,22 @@ def asof_join(
     # equal-timestamp fact is visible, i.e. <= semantics), higher fact id
     # wins among same-instant facts.
     u = lt.unionByName(rt)
+    if skew_bounded == "auto":
+        from implementing_scds_in_hive_spark.operators.skew_route import (
+            SKEW_THRESHOLD_DEFAULT,
+            decide_skew_plan,
+        )
+
+        skew_bounded = decide_skew_plan(
+            u,
+            ["__k"],
+            rows_per_key_hint=rows_per_key_hint,
+            threshold=skew_threshold
+            if skew_threshold is not None
+            else SKEW_THRESHOLD_DEFAULT,
+            probe_fraction=probe_fraction,
+            operator="asof_join",
+        ).bucketed
     if skew_bounded:
         from implementing_scds_in_hive_spark.operators.fill import (
             forward_fill_bucketed,

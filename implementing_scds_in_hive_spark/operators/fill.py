@@ -129,3 +129,48 @@ def forward_fill_bucketed(
         .withColumn(out, F.coalesce(F.col("__local"), F.col("__carry_in")))
         .drop("__bucket", "__local", "__carry_in")
     )
+
+
+def forward_fill_auto(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | list[str] = "event_id",
+    out_col: str | None = None,
+    bucket_us: int = BUCKET_US_DEFAULT,
+    rows_per_key_hint: int | None = None,
+    skew_threshold: int | None = None,
+    probe_fraction: float | None = None,
+) -> DataFrame:
+    """Single entry point that routes between :func:`forward_fill` and
+    :func:`forward_fill_bucketed` on evidence of per-key skew (VERDICT
+    r4 #2); hint beats probe, decision logged via
+    ``operators/skew_route.py``. Output identical either way."""
+    from implementing_scds_in_hive_spark.operators.skew_route import (
+        SKEW_THRESHOLD_DEFAULT,
+        decide_skew_plan,
+    )
+
+    d = decide_skew_plan(
+        df,
+        [key_col],
+        rows_per_key_hint=rows_per_key_hint,
+        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        probe_fraction=probe_fraction,
+        operator="forward_fill",
+    )
+    if d.bucketed:
+        return forward_fill_bucketed(
+            df,
+            value_col,
+            key_col=key_col,
+            ts_col=ts_col,
+            order_col=order_col,
+            out_col=out_col,
+            bucket_us=bucket_us,
+        )
+    return forward_fill(
+        df, value_col, key_col=key_col, ts_col=ts_col, order_col=order_col, out_col=out_col
+    )

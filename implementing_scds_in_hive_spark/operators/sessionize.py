@@ -135,3 +135,48 @@ def sessionize_bucketed(
             F.max("__end").alias("session_end"),
         )
     )
+
+
+def sessionize_auto(
+    events: DataFrame,
+    *,
+    gap_us: int = GAP_US_DEFAULT,
+    bucket_us: int = BUCKET_US_DEFAULT,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    rows_per_key_hint: int | None = None,
+    skew_threshold: int | None = None,
+    probe_fraction: float | None = None,
+) -> DataFrame:
+    """Single entry point that routes between :func:`sessionize` and
+    :func:`sessionize_bucketed` on evidence of per-user skew (VERDICT r4
+    #2): an explicit ``rows_per_key_hint`` wins, else a cheap
+    max-rows-per-key probe (optionally sampled via ``probe_fraction``);
+    the decision is logged by ``operators/skew_route.py``. Output is
+    identical either way — only the physical plan differs."""
+    from implementing_scds_in_hive_spark.operators.skew_route import (
+        SKEW_THRESHOLD_DEFAULT,
+        decide_skew_plan,
+    )
+
+    d = decide_skew_plan(
+        events,
+        [user_col],
+        rows_per_key_hint=rows_per_key_hint,
+        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        probe_fraction=probe_fraction,
+        operator="sessionize",
+    )
+    if d.bucketed:
+        return sessionize_bucketed(
+            events,
+            gap_us=gap_us,
+            bucket_us=bucket_us,
+            user_col=user_col,
+            ts_col=ts_col,
+            order_col=order_col,
+        )
+    return sessionize(
+        events, gap_us=gap_us, user_col=user_col, ts_col=ts_col, order_col=order_col
+    )

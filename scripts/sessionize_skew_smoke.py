@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from implementing_scds_in_hive_spark.operators.sessionize import (
     BUCKET_US_DEFAULT,
     sessionize,
+    sessionize_auto,
     sessionize_bucketed,
 )
+from implementing_scds_in_hive_spark.operators.skew_route import decide_skew_plan
 from implementing_scds_in_hive_spark.session import get_spark
 
 
@@ -60,6 +62,13 @@ def main(n_events: int) -> None:
     bucketed, t_bucketed = timed(lambda: sessionize_bucketed(e).count())
     assert plain == bucketed, (plain, bucketed)
 
+    # auto routing (VERDICT r4 #2): with half the events on one user,
+    # the probe must choose the bucketed plan without being asked
+    decision = decide_skew_plan(e, ["user_id"], operator="sessionize")
+    assert decision.bucketed, decision
+    routed, t_routed = timed(lambda: sessionize_auto(e).count())
+    assert routed == plain, (routed, plain)
+
     # max rows any single window partition holds, per plan
     max_plain = e.groupBy("user_id").count().agg(F.max("count")).first()[0]
     us = F.unix_micros(F.col("ts"))
@@ -79,6 +88,12 @@ def main(n_events: int) -> None:
                 "bucketed_sec": t_bucketed,
                 "max_window_rows_plain": max_plain,
                 "max_window_rows_bucketed_l1": max_l1,
+                "auto_route": {
+                    "bucketed": decision.bucketed,
+                    "max_rows_per_key": decision.max_rows_per_key,
+                    "threshold": decision.threshold,
+                    "routed_sec": t_routed,
+                },
             },
             indent=2,
         )
