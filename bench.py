@@ -20,6 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from implementing_scds_in_hive_spark.plans.registry import queries  # noqa: E402
 from implementing_scds_in_hive_spark.session import get_spark  # noqa: E402
 
+
+def _all_queries():
+    """Registry queries plus the pytest-only set: the headline list is
+    frozen for round-over-round comparability, so a query rotated out of
+    the 50 driver slots (e.g. event_hourly_rollup in r5) must stay
+    benchable."""
+    import importlib
+
+    qs = dict(queries())
+    for m in ("scd_queries", "relational", "pipeline_ops"):
+        mod = importlib.import_module(f"implementing_scds_in_hive_spark.plans.{m}")
+        for k, v in getattr(mod, "PYTEST_ONLY_QUERIES", {}).items():
+            qs.setdefault(k, v)
+    return qs
+
 # Representative of every subsystem; excludes the deliberately quadratic
 # exhaustive jaccard oracle (its scale path, minhash_lsh, is included).
 HEADLINE = [
@@ -46,7 +61,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
-    qs = queries()
+    qs = _all_queries()
+    # measured run-to-run noise on this container is ±11% (PLANS.md r4
+    # variance audit) — a single run can mask or fake a 10% win, so each
+    # query reports the MEDIAN of n_runs with its min/max spread.
+    # SPARK_GRAFT_BENCH_RUNS=1 restores the quick single-run mode.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # warm up the JVM/codegen paths (scan, broadcast-join, window, agg,
     # range-shuffle/two-pass-re-key shapes) so the first timed query
@@ -69,22 +89,31 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        # each query starts cold-cache: operators that persist
-        # intermediates (two-pass re-key, minhash shingles) would
-        # otherwise be timed against a previous invocation's cache (the
-        # CacheManager matches canonicalized plans), and accumulated
-        # block-manager memory from earlier queries would pressure later
-        # ones.
-        spark.catalog.clearCache()
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            # each run starts cold-cache: operators that persist
+            # intermediates (two-pass re-key, minhash shingles) would
+            # otherwise be timed against a previous invocation's cache
+            # (the CacheManager matches canonicalized plans), and
+            # accumulated block-manager memory from earlier queries
+            # would pressure later ones.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        median = runs[len(runs) // 2] if n_runs % 2 else round(
+            (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2, 3
+        )
+        timings[name] = median
+        spread[name] = [runs[0], runs[-1]]
+        total += median
+        print(f"# {name}: median {median:.2f}s (min {runs[0]:.2f} max {runs[-1]:.2f})",
+              file=sys.stderr)
 
     print(
         json.dumps(
@@ -93,6 +122,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": sf,
             }
         )

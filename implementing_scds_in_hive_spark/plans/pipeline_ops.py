@@ -935,8 +935,6 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "embedding_near_dups": q_embedding_near_dups,
     "json_typed": q_json_typed,
-    "json_map_explode": q_json_map_explode,
-    "event_hourly_rollup": q_event_hourly_rollup,
     "incremental_rollup": q_incremental_rollup,
     "sessionize": q_sessionize,
     "asof_latest_order": q_asof_latest_order,
@@ -964,8 +962,6 @@ ORACLES = {
     "similarity_topk_ivf": SIMILARITY_IVF_SQL,
     "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "json_typed": JSON_TYPED_SQL,
-    "json_map_explode": JSON_MAP_EXPLODE_SQL,
-    "event_hourly_rollup": EVENT_HOURLY_SQL,
     "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "sessionize": SESSIONIZE_SQL,
     "asof_latest_order": ASOF_SQL,
@@ -1895,7 +1891,16 @@ FROM n JOIN range(0, 16384) t(i) ON i < n_frames AND i % 4 = 0
 # doc_fingerprint folded to pytest in favor of scd_publish_roundtrip: its
 # fingerprint() expression is already driver-verified through
 # dedup_exact_groups (same function, same oracle arithmetic).
+# r5 rotation (VERDICT r4 next-round #3): json_map_explode (from_json
+# machinery driver-evidenced through json_typed; explode through
+# unpivot/sample_frames) and event_hourly_rollup (incremental_rollup
+# produces the IDENTICAL rollup rows — same date_trunc buckets, same
+# aggregates — plus the incremental-merge path on top) fold to pytest;
+# their slots go to the never-slotted dedup_incremental, pack_sequences,
+# forward_fill and funnel_view_click_purchase below.
 PYTEST_ONLY_QUERIES = {
+    "json_map_explode": q_json_map_explode,
+    "event_hourly_rollup": q_event_hourly_rollup,
     "json_extract": q_json_extract,
     "session_window_rollup": q_session_window_rollup,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1903,11 +1908,9 @@ PYTEST_ONLY_QUERIES = {
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
     "dedup_canonical": q_dedup_canonical,
-    "dedup_incremental": q_dedup_incremental,
     "range_join_events_promos": q_range_join_events_promos,
     "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "cohort_retention": q_cohort_retention,
     "pii_redaction": q_pii_redaction,
     "pseudonymize_users": q_pseudonymize_users,
@@ -1915,14 +1918,14 @@ PYTEST_ONLY_QUERIES = {
     "data_quality_orders": q_data_quality_orders,
     "table_profile_customer": q_table_profile_customer,
     "multimodal_modality": q_multimodal_modality,
-    "pack_sequences": q_pack_sequences,
-    "forward_fill": q_forward_fill,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "sample_topk_stratum": q_sample_topk_stratum,
     "assign_split": q_assign_split,
 }
 PYTEST_ONLY_ORACLES = {
+    "json_map_explode": JSON_MAP_EXPLODE_SQL,
+    "event_hourly_rollup": EVENT_HOURLY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
     "session_window_rollup": SESSION_WINDOW_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
@@ -1930,11 +1933,9 @@ PYTEST_ONLY_ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
-    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "range_join_events_promos": RANGE_JOIN_SQL,
     "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
-    "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "pseudonymize_users": PSEUDONYMIZE_SQL,
@@ -1942,8 +1943,6 @@ PYTEST_ONLY_ORACLES = {
     "data_quality_orders": DATA_QUALITY_SQL,
     "table_profile_customer": TABLE_PROFILE_SQL,
     "multimodal_modality": MULTIMODAL_MODALITY_SQL,
-    "pack_sequences": PACK_SEQUENCES_SQL,
-    "forward_fill": FORWARD_FILL_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
@@ -1958,6 +1957,11 @@ QUERIES.update(
         "vocab_topk": q_vocab_topk,
         "mixture_sample": q_mixture_sample,
         "sample_frames": q_sample_frames,
+        # r5 rotation: first-time driver slots (VERDICT r4 next-round #3)
+        "dedup_incremental": q_dedup_incremental,
+        "pack_sequences": q_pack_sequences,
+        "forward_fill": q_forward_fill,
+        "funnel_view_click_purchase": q_funnel_view_click_purchase,
     }
 )
 ORACLES.update(
@@ -1965,5 +1969,9 @@ ORACLES.update(
         "vocab_topk": VOCAB_TOPK_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "sample_frames": SAMPLE_FRAMES_SQL,
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
+        "forward_fill": FORWARD_FILL_SQL,
+        "funnel_view_click_purchase": FUNNEL_SQL,
     }
 )

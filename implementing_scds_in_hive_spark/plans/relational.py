@@ -724,7 +724,6 @@ QUERIES = {
     "top_orders": q_top_orders,
     "scalar_string_funcs": q_scalar_string_funcs,
     "filter_compound": q_filter_compound,
-    "rollup_region_nation": q_rollup_region_nation,
     "pivot_status_by_year": q_pivot_status_by_year,
     "having_agg_filter": q_having_agg_filter,
     "correlated_above_avg": q_correlated_above_avg,
@@ -747,7 +746,6 @@ ORACLES = {
     "top_orders": TOP_ORDERS_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "filter_compound": FILTER_COMPOUND_SQL,
-    "rollup_region_nation": ROLLUP_SQL,
     "pivot_status_by_year": PIVOT_SQL,
     "having_agg_filter": HAVING_SQL,
     "correlated_above_avg": CORRELATED_SQL,
@@ -758,7 +756,12 @@ ORACLES = {
 # pipeline operators: its date/timestamp functions are driver-evidenced
 # through event_hourly_rollup (date_trunc/hour buckets) and every SCD
 # query's timestamp arithmetic (P4/F5 proxy evidence, VERDICT r3 §2).
+# rollup_region_nation folded in r5 (VERDICT r4 next-round #3): ROLLUP
+# is the same grouping-sets machinery as the still-slotted
+# cube_status_segment (CUBE emits a superset of ROLLUP's groupings);
+# the freed slot goes to a never-slotted pipeline operator.
 PYTEST_ONLY_QUERIES = {
+    "rollup_region_nation": q_rollup_region_nation,
     "scalar_date_funcs": q_scalar_date_funcs,
     "agg_distinct_counts": q_agg_distinct_counts,
     "window_range_frame": q_window_range_frame,
@@ -768,6 +771,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "rollup_region_nation": ROLLUP_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
     "agg_distinct_counts": DISTINCT_COUNTS_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,

@@ -652,7 +652,6 @@ FROM stag ANTI JOIN prod USING (c_custkey)
 QUERIES = {
     "scd2_merge_customer": q_scd2_merge,
     "scd_cdc_apply": q_scd_cdc_apply,
-    "scd_step2_carry": q_scd_step2_carry,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_publish_roundtrip": q_scd_publish_roundtrip,
@@ -661,7 +660,6 @@ QUERIES = {
 ORACLES = {
     "scd2_merge_customer": SCD2_MERGE_SQL,
     "scd_cdc_apply": CDC_APPLY_SQL,
-    "scd_step2_carry": STEP2_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_publish_roundtrip": SCD2_MERGE_SQL,
@@ -671,7 +669,12 @@ ORACLES = {
 # scd_staging_fixture folded to pytest in favor of the driver slot for
 # scd_cdc_apply: the flagship's value hash depends on every staging
 # value, so staging correctness is already driver-evidenced through it.
+# scd_step2_carry folded in r5 (VERDICT r4 next-round #3): the carry
+# anti-join is an internal branch of the flagship, whose hash-checked
+# output depends on every carried row — proxy evidence, and the freed
+# slot goes to a never-slotted pipeline operator.
 PYTEST_ONLY_QUERIES = {
+    "scd_step2_carry": q_scd_step2_carry,
     "scd_staging_fixture": q_scd_staging_fixture,
     "scd_production_fixture": q_scd_production_fixture,
     "scd_step4_type1_rewrite": q_scd_step4_unchanged,
@@ -687,6 +690,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scd_step2_carry": STEP2_SQL,
     "scd_staging_fixture": STAGING_SQL,
     "scd_production_fixture": PRODUCTION_SQL,
     "scd_step4_type1_rewrite": STEP4_SQL,
