@@ -42,6 +42,7 @@ def scd2_upsert_stream(
     order_by: list[str] | None = None,
     as_of_fn: Callable[[int], datetime] | None = None,
     trigger_available_now: bool = True,
+    crash_hook: Callable[[int, str], None] | None = None,
 ) -> StreamingQuery:
     """Continuously upsert a staging stream into the dimension at
     ``prod_path``.
@@ -51,12 +52,24 @@ def scd2_upsert_stream(
     merge instant per micro-batch — injectable for deterministic tests,
     defaulting to wall clock (one instant per batch, never per row:
     the reference's per-statement timestamp drift is not reproduced).
-    """
+
+    ``crash_hook(batch_id, phase)`` is a fault-injection point for
+    crash-recovery testing (phases: ``"pre_publish"`` before any work,
+    ``"post_publish"`` after the table swap but BEFORE the checkpoint
+    commits the batch): a hook that raises aborts the stream exactly
+    where a real process death would. The post-publish window is the
+    at-least-once replay case — on restart the same batch_id re-runs
+    against the already-updated table, which the merge absorbs because
+    ``as_of_fn`` is deterministic per batch and a staging batch equal to
+    the active rows produces zero changes (replay idempotence; pinned by
+    the hypothesis chains in tests/test_streaming_cdc.py)."""
     spark = staging_stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if crash_hook:
+            crash_hook(batch_id, "pre_publish")
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
         prod = spark.read.parquet(prod_path)
         staged = dedupe_staging(batch, cfg, order_by=order_by)
@@ -64,6 +77,8 @@ def scd2_upsert_stream(
         # foreachBatch materializes eagerly, so the lazy-read-overwrite
         # trap applies: publish() stages to a temp dir then swaps.
         publish(merged, prod_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
 
     writer = (
         staging_stream.writeStream.foreachBatch(merge_batch)
