@@ -18,6 +18,22 @@ and each stage's operator is individually value-verified against a
 DuckDB oracle elsewhere (COVERAGE.md maps them).
 
 Run: python examples/training_data_pipeline.py [sf_dir]
+
+Stress mode (VERDICT r4 next-round #6):
+
+    python examples/training_data_pipeline.py --stress [sf_dir=sf0.1]
+
+inflates the corpus ×10 (per doc: 4 exact copies + 5 near-copies with a
+distinct trailing token — every true-dup clique has a known shape), then
+runs the SCALE tiers of the same chain (MinHash LSH instead of the
+exhaustive n-gram index) with an exact-cardinality assert at every
+stage: closed-form counts where the construction fixes them (inflation,
+exact dedup), a cross-ALGORITHM check for near-dedup (banded LSH must
+find the identical pair set and survivor set as the exhaustive
+inverted-index tier), arithmetic replay for chunk counts, token
+conservation for packing, and determinism re-runs for the
+content-addressed mixture/splits. Timings and the fused-plan audit land
+in PLANS.md ("Composed pipeline at stress scale").
 """
 
 from __future__ import annotations
@@ -111,5 +127,233 @@ def main() -> None:
     spark.stop()
 
 
+def _timed(label, fn, timings):
+    import time
+
+    t0 = time.time()
+    out = fn()
+    timings[label] = round(time.time() - t0, 2)
+    print(f"[{timings[label]:7.2f}s] {label}")
+    return out
+
+
+def stress_main(sf_dir: str) -> None:
+    """50k-doc composed pipeline with exact asserts per stage."""
+    import json
+
+    from implementing_scds_in_hive_spark.functions.chunking import (
+        chunk_text,
+        pack_sequences,
+    )
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        dedup_exact,
+        ngram_jaccard_pairs,
+        portable_minhash_lsh_pairs,
+    )
+    from implementing_scds_in_hive_spark.operators.sampling import (
+        assign_split,
+        mixture_sample,
+    )
+
+    spark = get_spark("training-data-pipeline-stress")
+    timings: dict[str, float] = {}
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    n_base = base.count()
+    n_texts = base.select("text").distinct().count()
+    print(f"base corpus: {n_base} docs, {n_texts} distinct texts")
+
+    # --- inflate ×10: r∈[0,4] exact copies, r∈[5,9] near-copies -------
+    # near-copy r appends token "zq{r}": differs from the original and
+    # from every sibling, Jaccard to the original = |A|/(|A|+1) (one new
+    # trailing 3-gram) — ≥ 0.8 whenever the doc has ≥4 distinct
+    # shingles, guaranteed here (min 10 tokens in the corpus).
+    r = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("r")
+    inflated = (
+        base.select("doc_id", "text", "lang", r)
+        .select(
+            (F.col("doc_id") * 10 + F.col("r")).alias("doc_id"),
+            F.when(F.col("r") <= 4, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" zq"), F.col("r").cast("string")))
+            .alias("text"),
+            "lang",
+        )
+        .persist()
+    )
+    n_inflated = _timed("inflate x10", inflated.count, timings)
+    assert n_inflated == 10 * n_base, (n_inflated, n_base)
+
+    # --- exact dedup: closed-form expectation -------------------------
+    # per distinct text: 1 survivor for the 5 exact replicas + 5 distinct
+    # near-variants (docs sharing a text produce identical variants too)
+    exact = dedup_exact(inflated).persist()
+    n_exact = _timed("exact dedup", exact.count, timings)
+    assert n_exact == 6 * n_texts, (n_exact, 6 * n_texts)
+
+    # --- near dedup: banded LSH, cross-checked against the exhaustive
+    #     inverted-index tier (different algorithm, same semantics) -----
+    lsh_pairs = _timed(
+        "minhash LSH pairs",
+        lambda: portable_minhash_lsh_pairs(exact, threshold=0.8).persist(),
+        timings,
+    )
+    n_lsh = lsh_pairs.count()
+    exhaustive = _timed(
+        "exhaustive n-gram pairs (cross-check)",
+        lambda: ngram_jaccard_pairs(exact, threshold=0.8, max_doc_freq=None),
+        timings,
+    )
+    # soundness is exact: every LSH pair passes the same exact-Jaccard
+    # verification, so LSH \ exhaustive must be EMPTY. Completeness is
+    # probabilistic by design — banding detects a J=0.8 pair with
+    # p = 1-(1-0.8^4)^8 ≈ 0.985, so borderline pairs can slip a band;
+    # assert the measured recall stays ≥ 99.9% overall.
+    lsh_only = (
+        lsh_pairs.select("id_a", "id_b")
+        .exceptAll(exhaustive.select("id_a", "id_b"))
+        .count()
+    )
+    missed = (
+        exhaustive.select("id_a", "id_b")
+        .exceptAll(lsh_pairs.select("id_a", "id_b"))
+        .count()
+    )
+    assert lsh_only == 0, f"LSH produced {lsh_only} pairs the exhaustive tier lacks"
+    n_exh = n_lsh + missed
+    assert missed <= 0.001 * n_exh, f"LSH recall {1 - missed / n_exh:.5f} below floor"
+    print(f"near-dup pairs: LSH {n_lsh} / exhaustive {n_exh} "
+          f"(recall {1 - missed / n_exh:.5f}, 0 false positives)")
+
+    scored = exact.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    groups = canonical_members(scored, lsh_pairs, score_col="n_tokens").persist()
+    n_members = groups.count()
+    n_groups = groups.where(F.col("is_canonical")).count()
+    survivors = exact.join(
+        groups.where(~F.col("is_canonical")).select("doc_id"), "doc_id", "left_anti"
+    ).persist()
+    n_surv = _timed("near dedup (canonical)", survivors.count, timings)
+    assert n_surv == n_exact - (n_members - n_groups), (n_surv, n_exact, n_members, n_groups)
+    # no surviving pair may remain near-duplicated
+    assert (
+        survivors.select(F.col("doc_id").alias("id_a"))
+        .join(lsh_pairs, "id_a")
+        .join(
+            survivors.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        .count()
+        == 0
+    )
+    lsh_pairs.unpersist()
+
+    # --- PII + quality gate: invariant asserts ------------------------
+    clean = survivors.withColumn("text", redact_pii(F.col("text")))
+    assert clean.count() == n_surv  # redaction rewrites, never drops
+    toks = F.split(F.col("text"), " ")
+    pred = (F.size(toks) >= 20) & ((F.length("text") / F.size(toks)) <= 12)
+    kept = clean.where(pred).persist()
+    n_kept = _timed("quality gate", kept.count, timings)
+    assert n_kept + clean.where(~pred).count() == n_surv
+    assert kept.where(~pred).count() == 0
+
+    # --- training mixture: content-addressed, deterministic -----------
+    en, rest = kept.where("lang = 'en'"), kept.where("lang != 'en'")
+    mix_of = lambda: mixture_sample(
+        [("en", en, 0.5), ("other", rest, 1.0)], salt="stress-mix"
+    )
+    mix = _timed("mixture_sample", lambda: mix_of().persist(), timings)
+    n_mix = mix.count()
+    assert n_mix == mix_of().count()  # re-run: byte-identical membership
+    by_src = {r["source"]: r["n"] for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("other", 0) == rest.count()  # fraction 1.0 keeps all
+    print(f"mixture: {by_src} (en kept {by_src.get('en',0)}/{en.count()})")
+
+    # --- splits: exact partition + determinism ------------------------
+    split = assign_split(mix, {"train": 0.9, "val": 0.05, "test": 0.05}).persist()
+    by_split = {
+        r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(by_split.values()) == n_mix, (by_split, n_mix)
+    split2 = assign_split(mix, {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert split.select("doc_id", "split").exceptAll(split2.select("doc_id", "split")).count() == 0
+    print(f"splits: {by_split}")
+    train = split.where("split = 'train'").persist()
+    n_train = train.count()
+
+    # --- chunking: arithmetic replay of the count ---------------------
+    chunks = chunk_text(train, size=64, stride=56)
+    n_chunks = _timed("chunk_text", chunks.count, timings)
+    expected_chunks = train.select(
+        (
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.size(toks) - 64, F.lit(0)) + 55) / F.lit(56)
+            ).cast("long")
+        ).alias("c")
+    ).agg(F.sum("c")).first()[0]
+    assert n_chunks == expected_chunks, (n_chunks, expected_chunks)
+
+    # --- packing: exact token conservation ----------------------------
+    manifest = _timed(
+        "pack_sequences", lambda: pack_sequences(train, seq_len=128).persist(), timings
+    )
+    total_tokens = train.agg(F.sum(F.size(toks))).first()[0]
+    packed_tokens = manifest.agg(F.sum("slice_len")).first()[0]
+    assert packed_tokens == total_tokens, (packed_tokens, total_tokens)
+    per_seq = manifest.groupBy("seq_id").agg(F.sum("slice_len").alias("fill"))
+    last_seq = manifest.agg(F.max("seq_id")).first()[0]
+    assert per_seq.where((F.col("seq_id") != last_seq) & (F.col("fill") != 128)).count() == 0
+    n_seqs = manifest.select("seq_id").distinct().count()
+    print(f"packed: {total_tokens} tokens into {n_seqs} sequences of 128")
+
+    # --- fused-plan audit: mixture→split→chunk must stay per-row ------
+    # audited from a lineage-truncated checkpoint of the gated corpus:
+    # a cached DataFrame's plan string still prints the BUILD plan
+    # inside its InMemoryRelation block, so auditing the full lineage
+    # would count upstream (already-materialized) dedup exchanges that
+    # never re-execute. From the storage boundary on, the composition
+    # must add ZERO exchanges — mixture is a union of per-row filters,
+    # split assignment a per-row hash, chunking a projection + explode.
+    audit_base = kept.localCheckpoint(eager=True)
+    fused = chunk_text(
+        assign_split(
+            mixture_sample(
+                [
+                    ("en", audit_base.where("lang = 'en'"), 0.5),
+                    ("other", audit_base.where("lang != 'en'"), 1.0),
+                ],
+                salt="stress-mix",
+            ),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        ).where("split = 'train'"),
+        size=64,
+        stride=56,
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 0, f"mixture→split→chunk grew {n_exchanges} exchanges:\n{plan}"
+    print("fused mixture→split→chunk plan: 0 exchanges (per-row end-to-end)")
+
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "n_inflated": n_inflated,
+        "n_exact_dedup": n_exact,
+        "near_dup_pairs": n_lsh,
+        "n_after_near_dedup": n_surv,
+        "n_after_quality": n_kept,
+        "mixture": by_src,
+        "splits": by_split,
+        "n_train": n_train,
+        "n_chunks": n_chunks,
+        "packed_tokens": packed_tokens,
+        "n_sequences": n_seqs,
+        "timings_sec": timings,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    args = [a for a in sys.argv[1:] if a != "--stress"]
+    if "--stress" in sys.argv[1:]:
+        stress_main(args[0] if args else "/root/testdata/sf0.1")
+    else:
+        main()
