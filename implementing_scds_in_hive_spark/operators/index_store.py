@@ -73,6 +73,16 @@ def _save_external_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None,
 ) -> dict:
+    # bucketed-write hygiene: bucketBy splits EVERY task's rows across
+    # all its buckets, so writing from t upstream partitions sprays up
+    # to t x n_buckets files and the probe pays per-file open/footer
+    # cost (measured 3.7x slower probes at 50k docs). repartition on
+    # the bucket columns uses the SAME murmur3-pmod hash as the bucket
+    # assignment, so each task holds exactly one bucket -> one file per
+    # bucket, with sortBy giving clusterd row-group stats inside it.
+    # (At 100 TB an index bucket spanning multiple files is fine too —
+    # raise n_buckets rather than splitting buckets across writers.)
+    df = df.repartition(n_buckets, *bucket_cols)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -187,16 +197,26 @@ def incremental_minhash_pairs_stored(
     new_index: DataFrame,
     *,
     threshold: float = 0.8,
+    prune_threshold: int = 256,
 ) -> DataFrame:
     """Near-dup pairs between a SAVED corpus index and a new batch's
-    index (from ``portable_minhash_index``), reading only the touched
-    buckets: the delta's bkey set (≤ |batch| x bands values) is
-    collected driver-side and pushed as a literal IN filter on the
-    bucketed ``_buckets`` table => bucket pruning at the scan. Candidate
-    doc ids are then verified with exact Jaccard against the ``_docs``
-    table, whose did-bucketing keeps the corpus side of that join
-    exchange-free. Semantics identical to ``incremental_minhash_pairs``
-    on the in-memory index (see tests/test_index_store.py)."""
+    index (from ``portable_minhash_index``). Candidate generation joins
+    the bucketed ``_buckets`` table against the broadcast delta burst;
+    candidate doc ids are then verified with exact Jaccard against the
+    ``_docs`` table, whose did-bucketing keeps the corpus side of that
+    join exchange-free. Semantics identical to
+    ``incremental_minhash_pairs`` on the in-memory index
+    (tests/test_index_store.py).
+
+    When the delta's touched-bkey set is small (≤ ``prune_threshold``),
+    it is additionally pushed as a literal IN filter on the bucket
+    column => Spark prunes untouched buckets (and, with the sorted
+    one-file-per-bucket layout, row groups) at the scan — the
+    tiny-delta regime where the probe reads O(touched buckets) of a
+    100 TB index. For larger deltas the filter is skipped: measured at
+    50k docs / 500-doc delta, a 4 000-literal IN costs ~5 s of
+    planning/codegen while pruning nothing (the delta already touches
+    every bucket), vs 0.7 s for the bare broadcast join."""
     docs, buckets, _ = load_minhash_index(spark, root)
     if new_index.storageLevel == StorageLevel.NONE:
         # same re-inline trap as incremental_minhash_pairs: the batch is
@@ -206,14 +226,14 @@ def incremental_minhash_pairs_stored(
     delta_burst = new_index.select(
         F.col("did").alias("id_b"), F.explode("bb").alias("bb")
     ).select(_bkey_from("bb").alias("bkey"), "bb.band", "bb.bucket", "id_b")
-    # the touched-bucket set is tiny by construction — this collect is
-    # O(|batch| x bands), the price of turning the probe into a literal
-    # predicate the scan can prune buckets (and row groups) with
+    # O(|batch| x bands) driver-side — the price of knowing whether a
+    # literal pruning predicate is worth planning at all
     touched = [r["bkey"] for r in delta_burst.select("bkey").distinct().collect()]
+    if len(touched) <= prune_threshold:
+        buckets = buckets.where(F.col("bkey").isin(touched))
 
     cand = (
-        buckets.where(F.col("bkey").isin(touched))
-        .join(F.broadcast(delta_burst), ["bkey", "band", "bucket"])
+        buckets.join(F.broadcast(delta_burst), ["bkey", "band", "bucket"])
         .select(F.col("did").alias("id_a"), "id_b")
         .distinct()
     )
