@@ -163,6 +163,16 @@ def scd2_merge(
 
     Surrogate keys are then reassigned over the whole result (reference
     step 8 semantics). ``prod``'s schema is the output schema.
+
+    ``key_strategy`` defaults to ``"row_number"`` for REFERENCE PARITY
+    (SCD_script.txt:143's global ROW_NUMBER — dense keys, correct, but a
+    single-partition sort). At scale prefer ``"hash"`` (fully parallel,
+    stable, non-dense; measured 3.4× cheaper than ``two_pass`` at 10M
+    rows) or ``"two_pass"`` when dense 1..n keys are a hard requirement.
+    The reference reassigns every key wholesale each run, so nothing
+    downstream may rely on density — a future major version will flip
+    the default to ``"hash"`` and keep ``"row_number"`` as the opt-in
+    parity mode (PLANS.md "Merge scale smoke" has the measurements).
     """
     out_cols = list(prod.columns)
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
