@@ -53,6 +53,7 @@ from pyspark.storagelevel import StorageLevel
 __all__ = [
     "save_minhash_index",
     "load_minhash_index",
+    "append_minhash_index",
     "incremental_minhash_pairs_stored",
     "save_ivf_index",
     "load_ivf_index",
@@ -189,6 +190,55 @@ def load_minhash_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataF
     docs = _register_external_bucketed(spark, meta["docs"])
     buckets = _register_external_bucketed(spark, meta["buckets"])
     return docs, buckets, meta["params"]
+
+
+def append_minhash_index(spark: SparkSession, root: str, new_index: DataFrame) -> None:
+    """Fold a new batch's index rows (from ``portable_minhash_index``,
+    built with the SAME params the sidecar records) into the saved
+    corpus index: append to both bucketed tables with the identical
+    bucket spec, so future probes see the grown corpus without any
+    rebuild. Each append adds one file per touched bucket — run
+    ``sources/sinks.py:compact``-style maintenance when file counts
+    matter, or size ``n_buckets`` for the append cadence. The caller is
+    responsible for ``did`` uniqueness across appends (ids are the
+    dedup identity)."""
+    meta = _read_meta(root)
+    if meta.get("kind") != "minhash":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not minhash")
+    # make sure both tables are registered before appending by name
+    _register_external_bucketed(spark, meta["docs"])
+    _register_external_bucketed(spark, meta["buckets"])
+
+    def _append(df: DataFrame, spec: dict) -> None:
+        (
+            df.repartition(spec["n_buckets"], *spec["bucket_cols"])
+            .write.mode("append")
+            .bucketBy(spec["n_buckets"], *spec["bucket_cols"])
+            .sortBy(*spec["sort_cols"])
+            .format("parquet")
+            .option("path", spec["path"])
+            .saveAsTable(spec["table"])
+        )
+
+    _append(new_index.select("did", "sh", "bb"), meta["docs"])
+    _append(
+        new_index.select("did", F.explode("bb").alias("bb")).select(
+            _bkey_from("bb").alias("bkey"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+            "did",
+        ),
+        meta["buckets"],
+    )
+    # The write above runs on new_index's OWN session and invalidates
+    # only that session's table-relation cache. Under foreachBatch the
+    # batch DataFrame lives in a per-trigger CLONED session, so without
+    # an explicit refresh the caller's session (and every later clone
+    # seeded from it) keeps serving the pre-append file list — probes
+    # silently miss everything ever appended. Refresh on the session
+    # the caller probes with.
+    spark.catalog.refreshTable(meta["docs"]["table"])
+    spark.catalog.refreshTable(meta["buckets"]["table"])
 
 
 def incremental_minhash_pairs_stored(

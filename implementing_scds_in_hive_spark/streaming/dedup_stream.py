@@ -1,0 +1,118 @@
+"""Streaming near-dup detection against the durable MinHash index.
+
+The production shape of corpus dedup at 100 TB: the corpus index is
+built ONCE (``operators/index_store.py:save_minhash_index``) and then
+kept current by the ingest stream itself — each micro-batch of new
+documents is probed against the stored index (cross-corpus pairs),
+against itself (intra-batch pairs), and finally folded INTO the index,
+so the next batch dedups against everything that came before. State
+lives in the index tables, not Spark's state store — the same
+table-as-state restart story as ``scd_stream.py``: the checkpoint
+replays an uncommitted batch, the pair sink is overwritten per batch id
+(idempotent), and re-appending is guarded by an anti-join on ``did``.
+
+Per-trigger cost is O(batch + touched buckets) — the incremental-probe
+contract — independent of corpus size; the index grows by one file per
+touched bucket per batch (compact on your maintenance cadence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from implementing_scds_in_hive_spark.operators.dedup import (
+    _verify_candidates,
+    portable_minhash_index,
+)
+from implementing_scds_in_hive_spark.operators.index_store import (
+    append_minhash_index,
+    incremental_minhash_pairs_stored,
+    load_minhash_index,
+)
+
+
+def minhash_dedup_stream(
+    doc_stream: DataFrame,
+    index_root: str,
+    pairs_path: str,
+    *,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    append_to_index: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe each micro-batch of documents against the saved corpus
+    index at ``index_root`` and (optionally) fold the batch in.
+
+    Emits to ``pairs_path`` (parquet, partitioned by ``batch_id``) one
+    row per near-dup pair: (batch_id, id_a, id_b, jaccard) — id_a a
+    prior-corpus doc for cross pairs, the lower batch doc id for
+    intra-batch pairs. Batch replay after a crash overwrites its own
+    ``batch_id`` partition, excludes its own already-appended ids from
+    the corpus side, and skips re-appending them — restart-idempotent
+    end to end (same output as the crash-free run).
+
+    The index build params (``n``/``num_perm``/``bands``) must match the
+    sidecar's — they are validated against it when present."""
+    spark = doc_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        _, _, params = load_minhash_index(spark, index_root)
+        for k, v in (("n", n), ("num_perm", num_perm), ("bands", bands)):
+            if k in params and params[k] != v:
+                raise ValueError(
+                    f"index at {index_root} was built with {k}={params[k]}, stream uses {v}"
+                )
+        bidx = portable_minhash_index(
+            docs, n=n, num_perm=num_perm, bands=bands
+        ).localCheckpoint(eager=True)
+
+        # corpus × batch pairs; on a post-append replay the index
+        # already holds this batch's ids — exclude them so the replayed
+        # partition is byte-identical to the crash-free run
+        cross = incremental_minhash_pairs_stored(
+            spark, index_root, bidx, threshold=threshold
+        ).join(
+            bidx.select(F.col("did").alias("id_a")), "id_a", "left_anti"
+        )
+        # intra-batch pairs from the same checkpointed batch index (no
+        # extra persist): burst buckets, shared candidate/verify path
+        banded = bidx.select("did", F.explode("bb").alias("bb")).select(
+            "did", "bb.band", "bb.bucket"
+        )
+        intra = _verify_candidates(bidx.select("did", "sh"), banded, threshold)
+        pairs = cross.unionByName(intra).withColumn("batch_id", F.lit(batch_id))
+        # dynamic partition overwrite: a replayed batch rewrites ONLY its
+        # own partition — the idempotence half of the restart story
+        (
+            pairs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
+
+        if append_to_index:
+            # replay guard: never re-append ids the index already holds
+            existing = load_minhash_index(spark, index_root)[0].select("did")
+            fresh = bidx.join(existing, "did", "left_anti")
+            if not fresh.isEmpty():
+                append_minhash_index(spark, index_root, fresh)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,97 @@
+"""Streaming dedup against the durable MinHash index: each micro-batch
+is probed against the stored corpus, then folded in, so a LATER batch's
+duplicate of an EARLIER batch's doc is caught through the index alone —
+the property that distinguishes index-maintaining streaming dedup from
+per-batch dedup. Also pins restart idempotence (checkpoint + per-batch
+dynamic partition overwrite + append guard)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.dedup import portable_minhash_index
+from implementing_scds_in_hive_spark.operators.index_store import (
+    load_minhash_index,
+    save_minhash_index,
+)
+from implementing_scds_in_hive_spark.sources.registry import load_table
+from implementing_scds_in_hive_spark.streaming.dedup_stream import minhash_dedup_stream
+
+
+def _pairs(spark, path):
+    return {
+        (r["batch_id"], r["id_a"], r["id_b"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_stream_dedups_across_batches_via_index(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 300)
+    index_root = str(tmp_path / "mh")
+    idx = portable_minhash_index(corpus).persist()
+    save_minhash_index(idx, "t_stream_mh", index_root, params={"n": 3, "num_perm": 32, "bands": 8})
+
+    # batch 0: a clone of a corpus doc (cross pair), a brand-new doc
+    # pair that duplicates itself (intra pair), and a unique doc X
+    base = {r["doc_id"]: r["text"] for r in corpus.where("doc_id in (5, 7)").collect()}
+    x_text = "the unique streaming document about spark bucketed index maintenance " * 3
+    b0 = [
+        (100_005, base[5]),              # near/exact dup of corpus doc 5
+        (200_001, x_text), (200_002, x_text),  # intra-batch dup pair
+        (300_001, "x " + x_text),        # X: near-dup of 200_00x too
+    ]
+    # batch 1: a clone of batch 0's doc X — only findable via the index
+    b1 = [(400_001, x_text + " tail"), (500_001, base[7])]
+
+    stg = str(tmp_path / "docs_stream")
+    for chunk in (b0, b1):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(stg)
+        time.sleep(0.05)
+
+    pairs_path = str(tmp_path / "pairs")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stg)
+        )
+        q = minhash_dedup_stream(
+            stream,
+            index_root,
+            pairs_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.7,
+        )
+        q.awaitTermination(120)
+
+    try:
+        run()
+        got = _pairs(spark, pairs_path)
+
+        # cross pair from the pre-built corpus
+        assert (0, 5, 100_005) in got
+        # intra-batch pair, lower id first
+        assert (0, 200_001, 200_002) in got
+        # the decisive case: batch 1's clone pairs with batch 0 docs
+        # THROUGH the index (they were appended after batch 0)
+        batch1_cross = {p for p in got if p[0] == 1 and p[1] in (200_001, 200_002)}
+        assert batch1_cross, f"index append did not carry batch 0 into batch 1: {got}"
+        assert (1, 7, 500_001) in got  # original corpus still probed too
+
+        # index grew by exactly the streamed docs
+        docs_t, buckets_t, _ = load_minhash_index(spark, index_root)
+        assert docs_t.count() == corpus.count() + len(b0) + len(b1)
+        assert buckets_t.count() == 8 * (corpus.count() + len(b0) + len(b1))
+
+        # restart with the same checkpoint: nothing replays, nothing grows
+        run()
+        assert _pairs(spark, pairs_path) == got
+        assert docs_t.count() == corpus.count() + len(b0) + len(b1)
+    finally:
+        idx.unpersist()
+        for t in ("t_stream_mh_docs", "t_stream_mh_buckets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
