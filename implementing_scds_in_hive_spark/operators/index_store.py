@@ -303,6 +303,49 @@ def incremental_minhash_pairs_stored(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    root: str,
+    *,
+    k: int = 256,
+    n_iter: int = 3,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf0",
+) -> dict:
+    """One-call IVF index construction + durable save: deterministic
+    content-addressed sample of ``k`` seed vectors, ``n_iter`` rounds of
+    Lloyd refinement (one corpus pass each), final assignment (one more
+    pass), then :func:`save_ivf_index` bucketed by centroid id. Returns
+    the sidecar metadata; probe with ``load_ivf_index`` +
+    ``ivf_topk(..., probe_prune=True)``.
+
+    Seeding: rank by ``xxhash64(salt, id)`` and take the first ``k`` —
+    reproducible across runs/partitionings without a Date/RNG
+    dependency, and well-spread for any non-adversarial id space. A
+    TakeOrderedAndProject top-k, not a global sort."""
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+    )
+
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.lit(salt), F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    centroids = kmeans_refine(
+        corpus, seeds, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    return save_ivf_index(
+        assigned, centroids, table, root, n_buckets=n_buckets
+    )
+
+
 def save_ivf_index(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -166,3 +166,37 @@ def test_minhash_load_returns_params(spark, minhash_setup):
     assert set(docs.columns) == {"did", "sh", "bb"}
     assert set(buckets.columns) == {"bkey", "band", "bucket", "did"}
     assert buckets.count() > 0 and docs.count() > 0
+
+
+def test_build_ivf_index_end_to_end(spark, sf_dir, tmp_path):
+    """One-call build → save → fresh-session load → pruned probe: the
+    whole IVF lifecycle. Determinism: building twice from the same
+    corpus yields identical centroids and assignment (content-addressed
+    seeding + deterministic refinement)."""
+    from implementing_scds_in_hive_spark.operators.index_store import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    try:
+        build_ivf_index(e, "t_bivf_a", root_a, k=8, n_iter=2, n_buckets=8)
+        build_ivf_index(e, "t_bivf_b", root_b, k=8, n_iter=2, n_buckets=8)
+        a_assigned, a_cent = load_ivf_index(spark, root_a)
+        b_assigned, b_cent = load_ivf_index(spark, root_b)
+        snap = lambda df: sorted(map(tuple, df.collect()))
+        assert snap(a_cent) == snap(b_cent)
+        assert snap(a_assigned.select("vec_id", "centroid_id")) == snap(
+            b_assigned.select("vec_id", "centroid_id")
+        )
+
+        _drop(spark, "t_bivf_a_assign")
+        fresh = spark.newSession()
+        re_assigned, re_cent = load_ivf_index(fresh, root_a)
+        queries = e.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_topk(re_assigned, queries, re_cent, k=5, nprobe=2, probe_prune=True)
+        n_q = queries.count()
+        assert out.count() == 5 * n_q
+        assert out.groupBy("query_id").count().where("count != 5").count() == 0
+    finally:
+        _drop(spark, "t_bivf_a_assign", "t_bivf_b_assign")
