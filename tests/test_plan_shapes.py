@@ -162,3 +162,34 @@ def test_bucketed_sessionizer_plan_is_bounded(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert any("__bucket" in ln for ln in hashes), hashes
+
+
+def test_r5_promoted_slots_plan_shapes(spark, sf_dir):
+    """Plan guards for the queries promoted to driver slots in r5 —
+    each one's scale property, pinned:
+
+    * forward_fill — per-key window only, never a global sort;
+    * pack_sequences — the two-pass prefix sum replaces the global
+      window: any window partitions by the range-partition id;
+    * funnel — ONE full-data shuffle (the per-user collect aggregation,
+      with map-side partial);
+    * dedup_incremental — the corpus index is probed via broadcast
+      joins, never shuffled on its own keys.
+    """
+    q = queries()
+
+    plan = _plan(q["forward_fill"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(q["pack_sequences"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "__pid" in ln, ln
+
+    plan = _plan(q["funnel_view_click_purchase"](spark, sf_dir))
+    assert _shuffles(plan) == 1
+    assert "partial_collect_list" in plan or plan.count("ObjectHashAggregate") >= 2
+
+    plan = _plan(q["dedup_incremental"](spark, sf_dir))
+    assert "hashpartitioning(did" not in plan
