@@ -57,6 +57,7 @@ __all__ = [
     "incremental_minhash_pairs_stored",
     "save_ivf_index",
     "load_ivf_index",
+    "append_ivf_index",
 ]
 
 _META_FILE = "_index_meta.json"
@@ -378,6 +379,47 @@ def save_ivf_index(
     }
     _write_meta(root, meta)
     return meta
+
+
+def append_ivf_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> None:
+    """Fold new vectors into a saved IVF index: assign them to the
+    EXISTING centroids (one broadcast pass over the batch only) and
+    append to the bucketed assignment table. Centroids are left as
+    built — the standard IVF maintenance trade: inserts are cheap and
+    probes stay correct, while centroid drift accumulates until the
+    owner rebuilds (``build_ivf_index``) on their re-train cadence.
+    ``new_vectors`` must carry the index's (id, vector) columns; ids
+    are the caller's responsibility to keep unique."""
+    from implementing_scds_in_hive_spark.operators.similarity import ivf_assign
+
+    meta = _read_meta(root)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not ivf")
+    spec = meta["assign"]
+    _register_external_bucketed(spark, spec)
+    centroids = spark.read.parquet(meta["centroids_path"])
+    id_col, vec_col = [
+        c for c in spark.table(spec["table"]).columns if c != meta["centroid_id_col"]
+    ]
+    assigned = ivf_assign(
+        new_vectors,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=meta["centroid_id_col"],
+    ).select(*spark.table(spec["table"]).columns)
+    (
+        assigned.repartition(spec["n_buckets"], *spec["bucket_cols"])
+        .write.mode("append")
+        .bucketBy(spec["n_buckets"], *spec["bucket_cols"])
+        .sortBy(*spec["sort_cols"])
+        .format("parquet")
+        .option("path", spec["path"])
+        .saveAsTable(spec["table"])
+    )
+    # same cloned-session cache hazard as append_minhash_index: refresh
+    # the caller's session or later probes read the pre-append file list
+    spark.catalog.refreshTable(spec["table"])
 
 
 def load_ivf_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:

@@ -200,3 +200,35 @@ def test_build_ivf_index_end_to_end(spark, sf_dir, tmp_path):
         assert out.groupBy("query_id").count().where("count != 5").count() == 0
     finally:
         _drop(spark, "t_bivf_a_assign", "t_bivf_b_assign")
+
+
+def test_ivf_append_new_vectors_probed(spark, ivf_setup, tmp_path):
+    """append_ivf_index folds new vectors into the stored inverted
+    lists using the existing centroids; a probe whose query IS one of
+    the appended vectors must rank it first (cos=1.0)."""
+    from implementing_scds_in_hive_spark.operators.index_store import append_ivf_index
+
+    _, _, queries, root = ivf_setup
+    re_assigned, re_cent = load_ivf_index(spark, root)
+    n0 = re_assigned.count()
+
+    base = spark.createDataFrame(
+        [(r["query_id"], r["embedding"]) for r in queries.limit(2).collect()],
+        queries.schema,
+    )
+    new_vecs = base.select(
+        (F.col("query_id") + 900_000).alias("vec_id"), F.col("embedding")
+    )
+    append_ivf_index(spark, root, new_vecs)
+    grown, _ = load_ivf_index(spark, root)
+    assert grown.count() == n0 + 2
+
+    probe_q = base.limit(1)
+    out = ivf_topk(grown, probe_q, re_cent, k=3, nprobe=2, probe_prune=True)
+    top = out.where("rank = 1").first()
+    qid = probe_q.first()["query_id"]
+    # identical vector: either the appended twin or the original doc
+    # wins rank 1 at cos 1.0; the appended twin must be in the top-k
+    assert top["cos_sim"] == 1.0
+    appended_hit = out.where(F.col("vec_id") == qid + 900_000).count()
+    assert appended_hit == 1
