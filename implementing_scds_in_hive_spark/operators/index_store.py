@@ -58,6 +58,8 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "append_ivf_index",
+    "compact_index",
+    "ivf_index_stats",
 ]
 
 _META_FILE = "_index_meta.json"
@@ -433,3 +435,89 @@ def load_ivf_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame
     assigned = _register_external_bucketed(spark, meta["assign"])
     centroids = spark.read.parquet(meta["centroids_path"])
     return assigned, centroids
+
+
+def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
+    """Rewrite an index's bucketed tables back to one file per bucket.
+
+    Every ``append_*`` adds one file per touched bucket, so a
+    long-running ingest accumulates per-bucket file counts and probes
+    pay growing open/footer overhead — the same small-file problem as
+    any streaming sink (``sources/sinks.py:compact``), but for bucketed
+    tables the rewrite must preserve the bucket spec, so the generic
+    path-based compactor does not apply. Self-overwrite-safe: the
+    current rows are materialized (localCheckpoint) BEFORE the table is
+    dropped and rewritten — reading lazily from the table being
+    overwritten would corrupt it (the trap operators/scd.py:publish
+    documents). Returns {table: files_before} for observability."""
+    meta = _read_meta(root)
+    specs = (
+        [meta["docs"], meta["buckets"]]
+        if meta.get("kind") == "minhash"
+        else [meta["assign"]]
+    )
+    counts: dict[str, int] = {}
+    for spec in specs:
+        _register_external_bucketed(spark, spec)
+        counts[spec["table"]] = len(
+            [f for f in os.listdir(spec["path"]) if f.startswith("part-")]
+        )
+        rows = spark.table(spec["table"]).localCheckpoint(eager=True)
+        spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")  # external: files stay
+        _save_external_bucketed(
+            rows,
+            spec["table"],
+            spec["path"],
+            spec["bucket_cols"],
+            spec["n_buckets"],
+            spec["sort_cols"] or None,
+        )
+        spark.catalog.refreshTable(spec["table"])
+    return counts
+
+
+def ivf_index_stats(spark: SparkSession, root: str) -> dict:
+    """Health metrics that drive the rebuild decision for an appended
+    IVF index: inverted-list size distribution (append skew — new
+    vectors pile onto whichever centroids fit them best) and the mean
+    cosine of each vector to its centroid (drift — falls as appended
+    data diverges from the build-time distribution). One aggregation
+    pass over the assignment table; compare ``mean_cos`` across
+    maintenance runs and rebuild (``build_ivf_index``) when it sags or
+    ``max/median`` list skew starts starving ``nprobe`` probes."""
+    from implementing_scds_in_hive_spark.functions.vectors import norm
+
+    meta = _read_meta(root)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not ivf")
+    assigned, centroids = load_ivf_index(spark, root)
+    cid = meta["centroid_id_col"]
+    id_col, vec_col = [c for c in assigned.columns if c != cid]
+    c = F.broadcast(
+        centroids.select(
+            F.col(cid), F.col(vec_col).alias("__cv"), norm(F.col(vec_col)).alias("__cn")
+        )
+    )
+    from implementing_scds_in_hive_spark.functions.vectors import dot
+
+    per_list = (
+        assigned.join(c, cid)
+        .select(
+            cid,
+            (
+                dot(F.col(vec_col), F.col("__cv"))
+                / (norm(F.col(vec_col)) * F.col("__cn"))
+            ).alias("__cos"),
+        )
+        .groupBy(cid)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("__cos").alias("mean_cos"))
+    )
+    row = per_list.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_list"),
+        F.expr("percentile(n, 0.5)").alias("median_list"),
+        F.max("n").alias("max_list"),
+        F.avg("mean_cos").alias("mean_cos"),
+    ).first()
+    return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}

@@ -232,3 +232,52 @@ def test_ivf_append_new_vectors_probed(spark, ivf_setup, tmp_path):
     assert top["cos_sim"] == 1.0
     appended_hit = out.where(F.col("vec_id") == qid + 900_000).count()
     assert appended_hit == 1
+
+
+def test_compact_index_restores_one_file_per_bucket(spark, minhash_setup):
+    """Appends accumulate files per bucket; compact_index rewrites each
+    table to exactly n_buckets files with probe results unchanged."""
+    import os
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        append_minhash_index,
+        compact_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs_stored(spark, root, new_index, threshold=0.5).collect()
+    }
+    extra = new_index.withColumn("did", F.col("did") + 7_000_000)
+    append_minhash_index(spark, root, extra)
+    append_minhash_index(spark, root, extra.withColumn("did", F.col("did") + 1_000_000))
+
+    docs_path = os.path.join(root, "docs")
+    n_files = len([f for f in os.listdir(docs_path) if f.startswith("part-")])
+    assert n_files > 32  # base (32) + two appends
+
+    counts = compact_index(spark, root)
+    assert counts["t_mh_docs"] == n_files
+    assert len([f for f in os.listdir(docs_path) if f.startswith("part-")]) == 32
+
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs_stored(spark, root, new_index, threshold=0.5).collect()
+    }
+    # the two appended clone sets pair with the delta too — superset,
+    # and every pre-compact pair survives
+    assert before <= after
+    docs_t, _, _ = load_minhash_index(spark, root)
+    assert docs_t.count() == corpus_index.count() + 2 * new_index.count()
+
+
+def test_ivf_index_stats_shape(spark, ivf_setup):
+    from implementing_scds_in_hive_spark.operators.index_store import ivf_index_stats
+
+    _, _, _, root = ivf_setup
+    s = ivf_index_stats(spark, root)
+    assert s["n_vectors"] == 500
+    assert s["n_lists"] > 0 and s["min_list"] >= 1
+    assert 0.0 < s["mean_cos"] <= 1.0
+    assert s["min_list"] <= s["median_list"] <= s["max_list"]
