@@ -281,3 +281,89 @@ def test_ivf_index_stats_shape(spark, ivf_setup):
     assert s["n_lists"] > 0 and s["min_list"] >= 1
     assert 0.0 < s["mean_cos"] <= 1.0
     assert s["min_list"] <= s["median_list"] <= s["max_list"]
+
+
+# ---------------------------------------------------------------------------
+# Chain property (the r4 stress discipline applied to the new surface):
+# any interleaving of appends and compactions must leave the stored
+# index probe-equivalent to an index built from scratch over the same
+# documents — growth and maintenance can never change answers.
+# ---------------------------------------------------------------------------
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from implementing_scds_in_hive_spark.operators.index_store import (
+    append_minhash_index,
+    compact_index,
+)
+
+# ops: which of 3 delta slices to append (dups allowed -> tests the
+# caller-id contract is the ONLY uniqueness guard we claim), or compact
+_ops = st.lists(
+    st.one_of(st.sampled_from(["a0", "a1", "a2"]), st.just("compact")),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_ops)
+def test_append_compact_chains_probe_like_rebuild(spark, sf_dir, ops):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where("doc_id < 200")
+    slices = {
+        f"a{i}": d.where(F.col("doc_id") % 3 == i)
+        .where("doc_id >= 200 and doc_id < 380")
+        .withColumn("doc_id", F.col("doc_id") + (i + 1) * 10_000)
+        for i in range(3)
+    }
+    probe_docs = d.where("doc_id >= 380 and doc_id < 420").withColumn(
+        "doc_id", F.col("doc_id") + 90_000
+    )
+    probe_index = portable_minhash_index(probe_docs).localCheckpoint(eager=True)
+
+    work = tempfile.mkdtemp(prefix="idx_chain_")
+    try:
+        save_minhash_index(
+            portable_minhash_index(base).localCheckpoint(eager=True),
+            "t_chain", work, n_buckets=8, params={},
+        )
+        members = base
+        for op in ops:
+            if op == "compact":
+                compact_index(spark, work)
+            else:
+                append_minhash_index(
+                    spark, work,
+                    portable_minhash_index(slices[op]).localCheckpoint(eager=True),
+                )
+                members = members.unionByName(slices[op])
+
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in incremental_minhash_pairs_stored(
+                spark, work, probe_index, threshold=0.4
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in incremental_minhash_pairs(
+                portable_minhash_index(members).localCheckpoint(eager=True),
+                probe_index,
+                threshold=0.4,
+            ).collect()
+        }
+        assert got == want
+    finally:
+        for t in ("t_chain_docs", "t_chain_buckets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(work, ignore_errors=True)
