@@ -47,6 +47,7 @@ def minhash_dedup_stream(
     bands: int = 8,
     append_to_index: bool = True,
     trigger_available_now: bool = True,
+    crash_hook=None,
 ) -> StreamingQuery:
     """Probe each micro-batch of documents against the saved corpus
     index at ``index_root`` and (optionally) fold the batch in.
@@ -60,12 +61,22 @@ def minhash_dedup_stream(
     end to end (same output as the crash-free run).
 
     The index build params (``n``/``num_perm``/``bands``) must match the
-    sidecar's — they are validated against it when present."""
+    sidecar's — they are validated against it when present.
+
+    ``crash_hook(batch_id, phase)`` is the same fault-injection contract
+    as ``scd_stream.py``: phases ``"pre"`` (no work yet),
+    ``"post_pairs"`` (pairs published, index NOT yet appended — the
+    dangerous window: a replay must re-probe identically and still
+    append exactly once) and ``"post_append"`` (all effects done,
+    checkpoint not yet committed). Raising aborts where a process death
+    would; recovery is pinned by tests/test_dedup_stream.py."""
     spark = doc_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
         docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         _, _, params = load_minhash_index(spark, index_root)
         for k, v in (("n", n), ("num_perm", num_perm), ("bands", bands)):
@@ -100,6 +111,8 @@ def minhash_dedup_stream(
             .partitionBy("batch_id")
             .parquet(pairs_path)
         )
+        if crash_hook:
+            crash_hook(batch_id, "post_pairs")
 
         if append_to_index:
             # replay guard: never re-append ids the index already holds
@@ -107,6 +120,8 @@ def minhash_dedup_stream(
             fresh = bidx.join(existing, "did", "left_anti")
             if not fresh.isEmpty():
                 append_minhash_index(spark, index_root, fresh)
+        if crash_hook:
+            crash_hook(batch_id, "post_append")
 
     writer = (
         doc_stream.writeStream.foreachBatch(process_batch)

@@ -95,3 +95,74 @@ def test_stream_dedups_across_batches_via_index(spark, sf_dir, tmp_path):
         idx.unpersist()
         for t in ("t_stream_mh_docs", "t_stream_mh_buckets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_recovers_from_crash_in_every_window(spark, sf_dir, tmp_path):
+    """Kill the stream in each phase — before work, after the pairs
+    publish (pairs visible, index NOT appended: the dangerous window),
+    and after the append (all effects done, checkpoint uncommitted) —
+    restart, and require the final pairs AND index to equal the
+    crash-free run's."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") < 200)
+
+    clone = d.where("doc_id = 11").first()["text"]
+    batches = [
+        [(910_000, clone), (910_001, clone + " v2")],
+        [(920_000, clone + " v3")],
+        [(930_000, clone + " v4")],
+    ]
+
+    def run_chain(tag, crash_plan):
+        root = str(tmp_path / f"mh_{tag}")
+        idx = portable_minhash_index(corpus).localCheckpoint(eager=True)
+        save_minhash_index(idx, f"t_cr_{tag}", root, params={})
+        stg = str(tmp_path / f"stg_{tag}")
+        for chunk in batches:
+            spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(stg)
+            time.sleep(0.05)
+        pairs_path = str(tmp_path / f"pairs_{tag}")
+        fired = set()
+
+        def hook(batch_id, phase):
+            if crash_plan.get(batch_id) == phase and batch_id not in fired:
+                fired.add(batch_id)
+                raise RuntimeError(f"injected death: batch {batch_id} at {phase}")
+
+        attempts = 0
+        while True:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stg)
+            )
+            q = minhash_dedup_stream(
+                stream, root, pairs_path,
+                checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+                threshold=0.5, crash_hook=hook,
+            )
+            try:
+                q.awaitTermination(120)
+                break
+            except Exception:
+                q.stop()
+                attempts += 1
+                assert attempts <= len(crash_plan) + 1
+        assert fired == set(crash_plan)
+        docs_t, _, _ = load_minhash_index(spark, root)
+        result = (_pairs(spark, pairs_path), docs_t.count())
+        for t in (f"t_cr_{tag}_docs", f"t_cr_{tag}_buckets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        return result
+
+    baseline = run_chain("clean", {})
+    assert baseline[0], "fixture must produce pairs"
+    for tag, plan in (
+        ("pre", {0: "pre"}),
+        ("postpairs", {1: "post_pairs"}),
+        ("postappend", {2: "post_append"}),
+        ("multi", {0: "post_pairs", 2: "pre"}),
+    ):
+        assert run_chain(tag, plan) == baseline, tag
