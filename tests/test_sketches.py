@@ -1,0 +1,134 @@
+"""Mergeable-sketch semantics (operators/sketches.py).
+
+The driver-style value-hash checks for the two registry queries live in
+test_pytest_only_oracles.py; this file proves the *sketch algebra* —
+exact-below-k, merge == sketch-of-union (the property that makes
+per-partition / per-day sketches composable at 100 TB), estimator
+accuracy bounds, and histogram additivity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.sketches import (
+    binned_histogram,
+    binned_percentiles,
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _vals(spark, rows, group="g"):
+    return spark.createDataFrame([(group, v) for v in rows], "g string, v long")
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, range(40))
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0].kmv_size == 40
+    assert out[0].est_distinct == 40.0
+
+
+def test_kmv_ignores_duplicates(spark):
+    df = _vals(spark, [1, 1, 1, 2, 2, 3])
+    out = kmv_distinct(df, ["g"], "v", k=8).collect()[0]
+    assert out.kmv_size == 3 and out.est_distinct == 3.0
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_kmv_estimate_within_bound(spark, portable):
+    # 5000 distinct values, k=256 -> expected relative error
+    # ~ 1/sqrt(254) ~ 6%; assert a loose 3-sigma-ish 20% bound.
+    df = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    out = kmv_distinct(df, ["g"], "v", k=256, portable=portable).collect()[0]
+    assert out.kmv_size == 256
+    assert abs(out.est_distinct - 5000) / 5000 < 0.20
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    # merge(sketch(A), sketch(B)) must equal sketch(A UNION B) EXACTLY
+    # (same bottom-k arrays), including overlapping values and a group
+    # present on only one side.
+    a = spark.createDataFrame(
+        [("x", v) for v in range(0, 300, 2)] + [("only_a", v) for v in range(10)],
+        "g string, v long",
+    )
+    b = spark.createDataFrame([("x", v) for v in range(150, 450)], "g string, v long")
+    k = 32
+    merged = kmv_merge(
+        kmv_sketch(a, ["g"], "v", k=k),
+        kmv_sketch(b, ["g"], "v", k=k),
+        ["g"],
+        k=k,
+    )
+    direct = kmv_sketch(a.unionByName(b), ["g"], "v", k=k)
+    m = {r.g: r.kmv for r in merged.collect()}
+    d = {r.g: r.kmv for r in direct.collect()}
+    assert m == d
+    # and the estimates therefore agree too
+    em = {r.g: r.est_distinct for r in kmv_estimate(merged, ["g"], k=k).collect()}
+    ed = {r.g: r.est_distinct for r in kmv_estimate(direct, ["g"], k=k).collect()}
+    assert em == ed
+
+
+def test_kmv_two_level_equals_single_window(spark):
+    # the fanout pre-rank is an optimization, not an approximation:
+    # bottom-k must be identical for any fanout
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") * 7919).alias("v")
+    )
+    base = {r.g: r.kmv for r in kmv_sketch(df, ["g"], "v", k=16, fanout=1).collect()}
+    for fanout in (4, 64):
+        got = {r.g: r.kmv for r in kmv_sketch(df, ["g"], "v", k=16, fanout=fanout).collect()}
+        assert got == base
+
+
+def test_histogram_counts_add(spark):
+    # hist(A) + hist(B) == hist(A UNION B): the merge is a plain SUM —
+    # what makes per-day percentile summaries composable.
+    a = _vals(spark, range(0, 500, 3))
+    b = _vals(spark, range(100, 700, 7))
+    kw = dict(lo=0.0, hi=600.0, num_bins=20)
+    ha = binned_histogram(a, ["g"], "v", **kw)
+    hb = binned_histogram(b, ["g"], "v", **kw)
+    summed = (
+        ha.unionByName(hb)
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = binned_histogram(a.unionByName(b), ["g"], "v", **kw)
+    assert sorted(map(tuple, summed.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = _vals(spark, [-50, 0, 599, 600, 10_000])
+    rows = {r.bucket: r.cnt for r in binned_histogram(df, ["g"], "v", lo=0.0, hi=600.0, num_bins=6).collect()}
+    assert rows[0] == 2          # -50 clamps into bucket 0 alongside 0
+    assert rows[5] == 3          # 599 lands in the last bucket; 600 and 10k clamp to it
+
+
+def test_binned_percentile_within_one_bin(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 1000) for _ in range(4000)]
+    df = _vals(spark, [int(v * 1000) for v in vals])  # long col, scaled
+    est = binned_percentiles(
+        df, ["g"], "v", lo=0.0, hi=1_000_000.0, num_bins=500, qs=(0.5, 0.9)
+    ).collect()[0]
+    width = 1_000_000.0 / 500
+    svals = sorted(int(v * 1000) for v in vals)
+    for q, got in ((0.5, est.p50), (0.9, est.p90)):
+        import math
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert abs(got - exact) <= width + 1e-6
+
+
+def test_percentile_group_with_all_values_below_lo(spark):
+    # degenerate range: everything clamps to bucket 0 -> estimate is the
+    # first bucket's upper edge, never NULL / missing rows
+    df = _vals(spark, [-5, -4, -3])
+    out = binned_percentiles(df, ["g"], "v", lo=0.0, hi=100.0, num_bins=10, qs=(0.5,)).collect()
+    assert len(out) == 1 and out[0].p50 == 10.0
