@@ -362,3 +362,154 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate K-nearest-neighbor SELF-join: for EVERY corpus vector,
+    its top-k cosine neighbors among vectors sharing its sign-bit bucket
+    — ``(vec_id, neighbor_id, cos_sim, rank)``.
+
+    This is the all-rows face of similarity search (deduplication
+    clustering, recommendation candidate generation, hard-negative
+    mining), distinct from :func:`cosine_topk`'s few-queries face: the
+    |C|^2 score matrix is never formed. Blocking makes it one
+    bucket-keyed self-join — each side shuffles once on the bucket key —
+    and the per-vector top-k is a window over that vector's own bucket
+    only. Rows in singleton buckets yield no output (no neighbors
+    sampled) — callers wanting guaranteed output per row should lower
+    ``n_bits`` (fewer, larger buckets) or use :func:`knn_join_ivf`,
+    whose k-means cells track the data distribution instead of fixed
+    hyperplanes. Deterministic end to end (sign-bit blocking + tie-break
+    on neighbor id) — the DuckDB oracle replays it exactly.
+
+    Skew note: a bucket holding B vectors costs B^2 scored pairs; sign
+    bits split real embedding distributions unevenly, so at scale prefer
+    ``knn_join_ivf`` (balanced cells by construction of k-means) — same
+    output shape, same join geometry."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+    )
+    left = c.select(
+        F.col(id_col).alias("vec_id_out"),
+        F.col(vec_col).alias("__lv"),
+        F.col("__n").alias("__ln"),
+        "__bucket",
+    )
+    right = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__rv"),
+        F.col("__n").alias("__rn"),
+        "__bucket",
+    )
+    scored = (
+        left.join(right, "__bucket")
+        .where(F.col("vec_id_out") != F.col("neighbor_id"))
+        .select(
+            F.col("vec_id_out"),
+            "neighbor_id",
+            _paired_cosine(F.col("__lv"), F.col("__ln"), F.col("__rv"), F.col("__rn")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id_out").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("vec_id_out").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """KNN self-join with IVF cell blocking: each vector's candidate set
+    is the union of its ``nprobe`` nearest centroids' inverted lists;
+    exact scoring + top-k within that set.
+
+    Geometry: the probe side carries each vector ``nprobe`` times (its
+    probed cells, ranked by query-to-centroid similarity — the standard
+    multi-probe recall dial); the list side is the one-cell assignment
+    built by :func:`ivf_assign` — pass a pre-assigned (ideally
+    bucketed-on-disk, see operators/index_store.py) corpus to skip the
+    build, the amortized path. One equi-join on centroid id; candidate
+    volume is sum over cells of |cell| * |probes into cell| — balanced
+    cells (k-means) bound the quadratic term that sign-bit buckets
+    cannot."""
+    if centroid_id_col in corpus.columns:
+        assigned = corpus
+    else:
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+        )
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col),
+            F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cvn"),
+        )
+    )
+    base = assigned.select(F.col(id_col), F.col(vec_col)) if centroid_id_col in corpus.columns else corpus
+    probes_scored = (
+        base.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__qn", norm(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            F.col(id_col).alias("vec_id_out"),
+            F.col(vec_col).alias("__lv"),
+            F.col("__qn").alias("__ln"),
+            centroid_id_col,
+            _paired_cosine(F.col("__cvec"), F.col("__cvn"), F.col(vec_col), F.col("__qn")).alias(
+                "__sim"
+            ),
+        )
+    )
+    wq = Window.partitionBy("vec_id_out").orderBy(F.col("__sim").desc(), F.col(centroid_id_col))
+    probes = (
+        probes_scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("vec_id_out", "__lv", "__ln", centroid_id_col)
+    )
+    lists = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__rv"),
+        norm(F.col(vec_col)).alias("__rn"),
+        centroid_id_col,
+    )
+    scored = (
+        probes.join(lists, centroid_id_col)
+        .where(F.col("vec_id_out") != F.col("neighbor_id"))
+        .select(
+            "vec_id_out",
+            "neighbor_id",
+            _paired_cosine(F.col("__lv"), F.col("__ln"), F.col("__rv"), F.col("__rn")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    # a neighbor can appear via several probed cells only if it sits in
+    # exactly one list — it cannot duplicate (lists partition the corpus,
+    # each neighbor in one cell), so no dedupe stage is needed
+    w = Window.partitionBy("vec_id_out").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("vec_id_out").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
+    )
