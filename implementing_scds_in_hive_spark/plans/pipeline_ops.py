@@ -1975,3 +1975,173 @@ ORACLES.update(
         "funnel_view_click_purchase": FUNNEL_SQL,
     }
 )
+
+
+# --- mergeable sketches (approximate distinct / percentiles at scale) ----
+
+def q_approx_distinct_kmv(spark, sf_dir):
+    """Per-status approximate distinct customers via the KMV bottom-k
+    sketch (operators/sketches.py) in portable-hash mode: DuckDB replays
+    the identical bottom-64 of the md5-prefix hash, so the ESTIMATE
+    itself hash-matches — the sketch is verified, not just plausible.
+    The scale story: one combinable dedupe shuffle + bounded windows;
+    per-day sketches merge exactly (see test_sketches.py), which exact
+    COUNT(DISTINCT) can never do."""
+    from implementing_scds_in_hive_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey", k=64, portable=True
+    )
+
+
+APPROX_DISTINCT_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT o_orderstatus,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders),
+r AS (
+  SELECT o_orderstatus, h,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+  FROM h)
+SELECT o_orderstatus,
+       CAST(count(*) AS INT) AS kmv_size,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976.0
+                       / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 3)
+       END AS est_distinct
+FROM r
+WHERE rn <= 64
+GROUP BY o_orderstatus
+"""
+
+
+def q_binned_percentiles_price(spark, sf_dir):
+    """p50/p90/p99 of l_extendedprice per return flag from a single
+    1000-bin histogram pass (operators/sketches.py). The raw-data stage
+    is one map-side-combinable (group, bucket) count — never a per-group
+    sort — and the estimate is deterministic bucket arithmetic the
+    oracle replays exactly (unlike approx_percentile's opaque digest)."""
+    from implementing_scds_in_hive_spark.operators.sketches import binned_percentiles
+
+    return binned_percentiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        lo=900.0,
+        hi=105000.0,
+        num_bins=1000,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+BINNED_PERCENTILES_SQL = """
+WITH hist AS (
+  SELECT l_returnflag,
+         LEAST(999, GREATEST(0,
+             CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                        / ((105000.0 - 900.0) / 1000)) AS INT))) AS bucket,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, bucket,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM hist)
+SELECT l_returnflag,
+       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p50,
+       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p90,
+       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p99
+FROM c
+GROUP BY l_returnflag
+"""
+
+
+PYTEST_ONLY_QUERIES.update(
+    {
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+        "binned_percentiles_price": q_binned_percentiles_price,
+    }
+)
+PYTEST_ONLY_ORACLES.update(
+    {
+        "approx_distinct_kmv": APPROX_DISTINCT_KMV_SQL,
+        "binned_percentiles_price": BINNED_PERCENTILES_SQL,
+    }
+)
+
+
+# --- bloom-filter join pruning -------------------------------------------
+
+def q_bloom_semi_orders(spark, sf_dir):
+    """Orders of BUILDING-segment customers via the bloom-prefiltered
+    semi join (operators/bloom.py): the fact side is filtered by a
+    literal bitmap predicate ON THE SCAN — below its Exchange — and the
+    exact join then removes false positives, so the result is
+    EXACTLY the plain semi join the oracle runs. At 100 TB the
+    pre-filter is what keeps ~99% of the fact side out of the shuffle
+    when the dim key set fits a bitmap but not a row broadcast."""
+    from implementing_scds_in_hive_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return bloom_semi_join(
+        orders, dim, "o_custkey", dim_key_col="c_custkey", num_bits=1 << 14
+    )
+
+
+BLOOM_SEMI_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+PYTEST_ONLY_QUERIES["bloom_semi_orders"] = q_bloom_semi_orders
+PYTEST_ONLY_ORACLES["bloom_semi_orders"] = BLOOM_SEMI_SQL
+
+
+# --- KNN self-join (all-rows similarity search) --------------------------
+
+def q_knn_join_embeddings(spark, sf_dir):
+    """Top-3 cosine neighbors for EVERY embedding, sign-bit-blocked
+    (operators/similarity.py:knn_join) — the all-rows face of similarity
+    search (dedup clustering / candidate generation / hard-negative
+    mining). Deterministic blocking + tie-break, so the oracle replays
+    the bucket-restricted ranking exactly. The |C|^2 score matrix is
+    never formed: one bucket-keyed self-join, window over each vector's
+    own bucket."""
+    from implementing_scds_in_hive_spark.operators.similarity import knn_join
+
+    return knn_join(_t(spark, sf_dir, "embeddings"), k=3, n_bits=4)
+
+
+KNN_JOIN_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:4],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+s AS (
+  SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[]))
+               / (a.nrm * b2.nrm), 6) AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+r AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM s)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 3
+"""
+
+
+PYTEST_ONLY_QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
+PYTEST_ONLY_ORACLES["knn_join_embeddings"] = KNN_JOIN_SQL
