@@ -67,18 +67,16 @@ def bloom_build(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """One-row DataFrame ``(bloom array<bigint>, num_hashes int)`` — the
-    bitmap packed as num_bits/64 words plus the parameter the probe side
-    needs (num_bits is implied by the array length, so a persisted
-    filter can never be probed with mismatched parameters). Build shape:
-    explode k positions per key, partial bit_or per word inside each
-    partition, one tiny shuffle of at most ``num_bits/64`` words per
-    partition, final assembly of the dense array in a single
-    aggregation. The key column itself is never collected; only set
-    words travel."""
+    """One-row DataFrame ``(bloom_words map<bigint,bigint>, num_bits,
+    num_hashes)`` — the bitmap as a sparse map of occupied 64-bit words
+    plus the parameters the probe side needs (carried in-row, so a
+    persisted filter can never be probed with mismatched parameters).
+    Build shape: explode k positions per key, partial bit_or per word
+    inside each partition, one tiny shuffle of at most ``num_bits/64``
+    words per partition, final map assembly in a single aggregation.
+    The key column itself is never collected; only set words travel."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
-    words = num_bits // 64
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), num_bits, num_hashes))).alias("__pos")
     )
@@ -92,49 +90,79 @@ def bloom_build(
         .groupBy("__word")
         .agg(F.bit_or("__mask").alias("__bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(words - 1)),
-        lambda w: F.coalesce(F.element_at(F.col("__m"), w.cast("bigint")), F.lit(0).cast("bigint")),
-    )
+    # the filter stays SPARSE (set words only): densifying engine-side
+    # via transform(sequence, w -> element_at(map, w)) measured 16s at
+    # 2^20 bits — element_at on ArrayBasedMapData is a linear scan, so
+    # the dense assembly is O(W^2) on one task. The probe side densifies
+    # the collected map in Python (O(W), microseconds), and a persisted
+    # filter stores only occupied words.
     return word_bits.agg(
-        F.map_from_arrays(F.collect_list("__word"), F.collect_list("__bits")).alias("__m")
-    ).select(dense.alias("bloom"), F.lit(num_hashes).alias("num_hashes"))
+        F.map_from_arrays(F.collect_list("__word"), F.collect_list("__bits")).alias("bloom_words")
+    ).select(
+        "bloom_words",
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+    )
 
 
-def bloom_collect(bloom: DataFrame) -> tuple[list[int], int]:
-    """Materialize a built filter to ``(words, num_hashes)`` — the form
-    the probe-side literal needs. One driver round-trip of the bitmap."""
-    row = bloom.select("bloom", "num_hashes").collect()[0]
-    return list(row.bloom), int(row.num_hashes)
+def bloom_collect(bloom: DataFrame) -> tuple[bytes, int]:
+    """Materialize a built filter to its dense probe form: ``(bitmap
+    bytes, num_hashes)``. One driver round-trip of the sparse word map;
+    densification is a Python scatter over at most num_bits/64 entries.
+
+    The probe form is BYTES, not a list, deliberately: ``F.lit(list)``
+    de-sugars into a CreateArray node with num_bits/64 literal children
+    — a tree the planner walks on every rule pass (seconds of planning
+    at 2^20 bits) and that, referenced inside a higher-order-function
+    lambda, can escape constant folding and be re-evaluated PER ROW
+    (measured 10x run-to-run swings). ``F.lit(bytes)`` is a single
+    BinaryType Literal node with an efficient py4j transfer — O(1) in
+    the plan no matter the filter size. Bit p lives at byte ``p >> 3``,
+    bit ``p & 7`` (little-endian word packing)."""
+    import struct
+
+    row = bloom.select("bloom_words", "num_bits", "num_hashes").collect()[0]
+    words = [0] * (int(row.num_bits) // 64)
+    for w, bits in (row.bloom_words or {}).items():
+        words[int(w)] = int(bits)
+    return struct.pack(f"<{len(words)}q", *words), int(row.num_hashes)
 
 
-def bloom_might_contain(words: list[int], num_hashes: int, key: Column) -> Column:
+def bloom_might_contain(bitmap: bytes, num_hashes: int, key: Column) -> Column:
     """Predicate: every one of the key's k bits is set in the literal
     bitmap — no false negatives by construction; false-positive rate
-    ~ fill_factor^k."""
-    num_bits = 64 * len(words)
-    bitmap = F.lit(words)
+    ~ fill_factor^k.
+
+    Per probe bit: O(1) byte slice out of the single binary literal
+    (``substr`` on BinaryType is byte-indexed — unlike StringType, whose
+    UTF8 substring scans from the start), then hex/conv to surface the
+    byte as an int for ``getbit``. All probes sit at the TOP level of
+    the predicate, never inside a higher-order-function lambda, so
+    constant folding always applies to the literal."""
+    num_bits = 8 * len(bitmap)
+    lit = F.lit(bytearray(bitmap))
     cond = F.lit(True)
     for pos in _positions(key, num_bits, num_hashes):
-        word_val = F.element_at(bitmap, (F.shiftright(pos, 6) + 1).cast("int"))
-        mask = F.element_at(_masks(), (pos.bitwiseAND(F.lit(63)) + 1).cast("int"))
-        cond = cond & (word_val.bitwiseAND(mask) != 0)
+        byte_val = F.conv(
+            F.hex(F.substring(lit, (F.shiftright(pos, 3) + 1).cast("int"), F.lit(1))), 16, 10
+        ).cast("int")
+        cond = cond & (F.getbit(byte_val, pos.bitwiseAND(F.lit(7))) == 1)
     return cond
 
 
 def bloom_prefilter(
     fact: DataFrame,
-    bloom: DataFrame | tuple[list[int], int],
+    bloom: DataFrame | tuple[bytes, int],
     key_col: str,
 ) -> DataFrame:
     """Fact rows whose key MIGHT be in the filter (members + ~FPR of the
     rest). The check is a literal predicate on the fact scan — map-side,
     upstream of any Exchange the caller adds afterwards. ``bloom`` is
     either ``bloom_build``'s output or an already-collected
-    ``(words, num_hashes)`` pair (collect once when probing many
+    ``(bitmap_bytes, num_hashes)`` pair (collect once when probing many
     tables)."""
-    words, k = bloom if isinstance(bloom, tuple) else bloom_collect(bloom)
-    return fact.where(bloom_might_contain(words, k, F.col(key_col)))
+    bitmap, k = bloom if isinstance(bloom, tuple) else bloom_collect(bloom)
+    return fact.where(bloom_might_contain(bitmap, k, F.col(key_col)))
 
 
 def bloom_semi_join(
@@ -162,13 +190,14 @@ def bloom_fill_stats(bloom: DataFrame) -> DataFrame:
     """(set_bits, total_bits, fill_factor) — the health probe: predicted
     FPR is fill_factor^k; past ~0.5 fill the filter needs more bits."""
     set_bits = F.aggregate(
-        F.transform(F.col("bloom"), lambda w: F.bit_count(w).cast("bigint")),
+        F.transform(F.map_values("bloom_words"), lambda w: F.bit_count(w).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    total = F.size("bloom") * 64
     return bloom.select(
         set_bits.alias("set_bits"),
-        total.cast("bigint").alias("total_bits"),
-        F.round(set_bits.cast("double") / total.cast("double"), 6).alias("fill_factor"),
+        F.col("num_bits").cast("bigint").alias("total_bits"),
+        F.round(set_bits.cast("double") / F.col("num_bits").cast("double"), 6).alias(
+            "fill_factor"
+        ),
     )

@@ -49,9 +49,9 @@ def test_prefilter_actually_prunes(spark):
 def test_collected_form_round_trips(spark):
     # persist-shaped path: collect once, probe from the (words, k) pair
     members = _keys(spark, [42, 77])
-    words, k = bloom_collect(bloom_build(members, "k", num_bits=1 << 10, num_hashes=5))
-    assert k == 5 and len(words) == (1 << 10) // 64
-    got = _keys(spark, [41, 42, 77]).where(bloom_might_contain(words, k, F.col("k")))
+    bitmap, k = bloom_collect(bloom_build(members, "k", num_bits=1 << 10, num_hashes=5))
+    assert k == 5 and len(bitmap) == (1 << 10) // 8
+    got = _keys(spark, [41, 42, 77]).where(bloom_might_contain(bitmap, k, F.col("k")))
     vals = {r.k for r in got.collect()}
     assert {42, 77} <= vals  # planted members always pass
 
@@ -89,7 +89,7 @@ def test_bloom_filter_sits_below_fact_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastNestedLoopJoin" not in plan  # the literal form, not the join form
     lines = plan.splitlines()
-    filter_line = next(i for i, l in enumerate(lines) if "element_at" in l and "Filter" in l)
+    filter_line = next(i for i, l in enumerate(lines) if "getbit" in l and "Filter" in l)
     exchange_lines = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(k" in l]
     assert exchange_lines and min(exchange_lines) < filter_line
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
