@@ -1,0 +1,155 @@
+"""Byte-Pair-Encoding tokenizer training — distributed, deterministic,
+oracle-replayable.
+
+The industrial shape (Sennrich et al. 2016, and every production BPE
+trainer since): the CORPUS is read once to build word frequencies; all
+merge iterations then run over the word-frequency table, whose size is
+the distinct-word vocabulary, not the corpus. At 100 TB of text that
+one combinable word-count aggregation is the only corpus-scale stage —
+each merge round is a pair-count aggregation over (typically) a few
+million vocab rows, map-side combinable, with a 1-row argmax collect
+per round (same driver-loop shape as ``kmeans_refine``).
+
+Symbol representation: a word's segmentation is a string with symbols
+joined by a DOUBLE space (``"l  o  w  </w>"``). A BPE merge of pair
+(a, b) is then ``replace(' a  b ' -> ' ab ')`` over the singly-padded
+string — and that is EXACTLY reference greedy BPE: the pattern's outer
+single spaces consume one of the two boundary spaces on each side, so
+consecutive non-overlapping occurrences each keep a space to match on,
+while overlapping occurrences (``a a a`` + pair (a,a)) are consumed
+left-to-right. (A single-space representation is NOT correct: the
+pattern eats the shared boundary space and silently skips every other
+occurrence in a run — found by the ``aaaa``/``aaaaa`` unit tests.)
+Both Spark's and ANSI ``replace`` scan left-to-right without
+re-matching inside a replacement, so the DuckDB oracle replays every
+round with the identical primitive.
+
+Determinism: argmax tie-break is (count desc, pair asc) — byte-wise
+string order, identical across engines for this symbol space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+SEP = "  "  # double-space symbol separator (see module docstring)
+
+
+def word_frequencies(
+    docs: DataFrame, *, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, freq) over whitespace tokenization — the single
+    corpus-scale pass. Map-side combinable; output size = |vocabulary|."""
+    tok = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    base = docs.select(tok).where(F.col("word") != "")
+    if lowercase:
+        base = base.select(F.lower("word").alias("word"))
+    return base.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _initial_symbols(word) -> F.Column:
+    """``'low'`` -> ``'l  o  w  </w>'``: every character double-spaced,
+    plus the end-of-word marker (capture-group regex, ANSI-replayable)."""
+    return F.concat(F.regexp_replace(word, "(.)", "$1" + SEP), F.lit(END_OF_WORD))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(pair 'a  b', cnt) — adjacent-symbol pairs weighted by word freq.
+    One explode over the vocab + a combinable sum."""
+    syms = F.split(F.col("syms_str"), SEP)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.concat(F.element_at(syms, i), F.lit(SEP), F.element_at(syms, i + 1)),
+    )
+    return (
+        vocab.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_once(syms_str: F.Column, pair: str) -> F.Column:
+    """Apply one merge to a canonical (unpadded, double-space-joined)
+    symbol string: pad one space each side, replace `` a  b `` with
+    `` ab ``, trim. Exact greedy left-to-right (module docstring)."""
+    merged = pair.replace(SEP, "")
+    return F.trim(
+        F.replace(
+            F.concat(F.lit(" "), syms_str, F.lit(" ")),
+            F.lit(f" {pair} "),
+            F.lit(f" {merged} "),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    num_merges: int = 8,
+    text_col: str = "text",
+    lowercase: bool = True,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from a document corpus. Returns a
+    DataFrame ``(merge_rank int, pair string, merged string, cnt
+    bigint)`` in merge order — the tokenizer's merge table (``pair`` is
+    single-space-joined, merges.txt convention).
+
+    Per round: pair-count aggregation over the vocab, 1-row argmax
+    collect (count desc, pair asc), literal ``replace`` of the winning
+    pair in every word's symbol string. The vocab is re-persisted per
+    round so round i+1 doesn't recompute rounds 1..i (the lineage would
+    otherwise grow a full replace chain per round)."""
+    spark = spark or docs.sparkSession
+    vocab = word_frequencies(docs, text_col=text_col, lowercase=lowercase).select(
+        _initial_symbols(F.col("word")).alias("syms_str"), "freq"
+    )
+    vocab = vocab.persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, num_merges + 1):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.col("cnt").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0].pair, int(top[0].cnt)
+            merges.append((rank, pair.replace(SEP, " "), pair.replace(SEP, ""), cnt))
+            nxt = vocab.select(
+                _merge_once(F.col("syms_str"), pair).alias("syms_str"), "freq"
+            ).persist()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, cnt bigint"
+    )
+
+
+def bpe_segment(
+    words: DataFrame,
+    merges: list[str],
+    *,
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned merge list (single-space pairs like ``'a b'``, in
+    rank order) to segment words: adds ``bpe_tokens array<string>``.
+
+    Encoding is the replace chain in merge order — semantically the
+    reference BPE encoder. The chain is a nested expression of depth
+    ``len(merges)``; fine for the dozens-of-merges analytical scale this
+    module targets. A production tokenizer with 32k merges would encode
+    via a per-word greedy loop in a pandas UDF instead — the TRAINING
+    side above is the part that needs the cluster."""
+    expr = _initial_symbols(F.col(word_col))
+    for disp in merges:
+        expr = _merge_once(expr, disp.replace(" ", SEP))
+    return words.withColumn("bpe_tokens", F.split(expr, SEP))

@@ -2145,3 +2145,60 @@ FROM r WHERE rnk <= 3
 
 PYTEST_ONLY_QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
 PYTEST_ONLY_ORACLES["knn_join_embeddings"] = KNN_JOIN_SQL
+
+
+# --- BPE tokenizer training ----------------------------------------------
+
+def q_bpe_merges(spark, sf_dir):
+    """First 6 BPE merges learned from the document corpus
+    (operators/bpe.py) — the tokenizer-training operator. Corpus is
+    scanned ONCE (word frequencies); each merge round aggregates over
+    the shrinking vocab with a 1-row argmax collect (the kmeans-style
+    driver loop). The double-space symbol representation makes each
+    round a plain string replace = exact greedy left-to-right BPE, so
+    the oracle replays all 6 rounds as chained CTEs with the identical
+    ANSI primitives."""
+    from implementing_scds_in_hive_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), num_merges=6)
+
+
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Unrolled DuckDB replay: per round, pair counts from the
+    double-space symbol strings, argmax by (cnt desc, pair asc), and
+    the padded-replace merge — the same left-to-right semantics by the
+    same string primitive."""
+    parts = [
+        """WITH wf AS (
+  SELECT lower(tok) AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1),
+v0 AS (SELECT regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>' AS s, freq FROM wf)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(string_split(s, '  ')) - 1),
+            i -> string_split(s, '  ')[i] || '  ' || string_split(s, '  ')[i + 1])) AS p,
+           freq
+    FROM v{i - 1}) GROUP BY p),
+b{i} AS (SELECT p, cnt FROM p{i} ORDER BY cnt DESC, p LIMIT 1),
+v{i} AS (
+  SELECT trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT p FROM b{i}) || ' ',
+                      ' ' || (SELECT replace(p, '  ', '') FROM b{i}) || ' ')) AS s, freq
+  FROM v{i - 1})"""
+        )
+    selects = [
+        f"SELECT {i} AS merge_rank, replace(p, '  ', ' ') AS pair,"
+        f" replace(p, '  ', '') AS merged, cnt FROM b{i}"
+        for i in range(1, num_merges + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_MERGES_SQL = _bpe_oracle_sql(6)
+
+PYTEST_ONLY_QUERIES["bpe_merges"] = q_bpe_merges
+PYTEST_ONLY_ORACLES["bpe_merges"] = BPE_MERGES_SQL
