@@ -160,3 +160,66 @@ def mixture_sample(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_priority(id_col: Column, weight: Column, *, salt: str = "w") -> Column:
+    """Exponential-race priority for weighted sampling: the MINIMUM of
+    ``weight`` independent per-row hashes (uniform on the 60-bit
+    portable space). Ranking ascending by this priority draws items
+    with probability proportional to their integer weight — the
+    min-of-w-uniforms race: P(item wins the global minimum) is exactly
+    w_i/Σw in the exponential limit, and uniform hashes are
+    tail-equivalent to exponentials where minima live (u ≪ 1; relative
+    bias O(u_min), i.e. ~1/(n·w̄) — negligible at any corpus size).
+
+    In-row construction: ``array_min(transform(sequence(1, w), c ->
+    hash(salt:id:c)))`` — NO explode, NO extra shuffle, no join-back;
+    cost O(w) per row, which is why weights are integer and capped by
+    the caller. Content-addressed like every sampler here: stable under
+    repartitioning, replayable by the DuckDB oracle."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), weight),
+            lambda c: portable_token_hash(
+                F.concat(F.lit(salt + ":"), id_col.cast("string"), F.lit(":"), c.cast("string"))
+            ),
+        )
+    )
+
+
+def sample_weighted_topk(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    weight_col: str,
+    by: list[str] | None = None,
+    max_weight: int = 1000,
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the ``k``
+    rows with the smallest weighted priorities, globally or per
+    ``by``-stratum — e.g. "sample 10k documents proportional to token
+    count", the standard corpus-mixture draw, reproducible across
+    engines and partitionings.
+
+    Rows with weight < 1 are excluded (zero weight = never sampled);
+    weights clamp to ``max_weight`` (the O(w) in-row cost bound — at
+    the cap, relative inclusion odds between two capped rows flatten,
+    the usual practical truncation). Global mode is a
+    TakeOrderedAndProject (k rows per partition, merged on the driver
+    — never a global sort); stratified mode is one hash exchange +
+    WindowGroupLimit-pruned per-stratum rank."""
+    w = F.least(F.col(weight_col).cast("int"), F.lit(max_weight))
+    pri = weighted_priority(F.col(id_col), w, salt=salt).alias("__pri")
+    base = df.where(F.col(weight_col) >= 1).select("*", pri)
+    if by:
+        win = Window.partitionBy(*by).orderBy(F.col("__pri"), F.col(id_col))
+        return (
+            base.withColumn("__rk", F.row_number().over(win))
+            .where(F.col("__rk") <= k)
+            .drop("__pri", "__rk")
+        )
+    return (
+        base.orderBy(F.col("__pri"), F.col(id_col)).limit(k).drop("__pri")
+    )

@@ -244,3 +244,54 @@ def binned_percentiles(
         est = F.lit(lo) + (F.min(hit) + F.lit(1)).cast("double") * F.lit(width)
         aggs.append(F.round(est, 4).alias(name))
     return cum.groupBy(*g).agg(*aggs)
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    k: int = DEFAULT_K,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-group set-overlap estimates from two KMV sketch tables:
+    ``jaccard_est``, ``intersection_est``, ``union_est`` — the
+    join-size / overlap planning primitive.
+
+    The standard KMV set construction (Beyer et al. 2007): take the k
+    smallest hashes of the UNION of the two sketches; the fraction of
+    those that appear in BOTH input sketches estimates Jaccard;
+    |A ∩ B| ≈ J · |A ∪ B| with the union size from the union sketch's
+    k-th order statistic. Everything is in-row array arithmetic on two
+    already-built sketches — estimating the overlap of two 100 TB key
+    sets costs two array intersections, no data read. Inner join on the
+    group key: a group absent from either side has no overlap estimate
+    to give."""
+    g = list(group_cols)
+    space = PORTABLE_HASH_SPACE if portable else XX_HASH_SPACE
+    joined = a.select(*g, F.col("kmv").alias("__ka")).join(
+        b.select(*g, F.col("kmv").alias("__kb")), on=g, how="inner"
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ka"), F.col("__kb")))), 1, k
+    )
+    both = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
+        )
+    )
+    n_u = F.size("__u")
+    kth = F.element_at("__u", k).cast("double")
+    union_est = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(space) / kth, 3)
+    )
+    jac = F.round(both.cast("double") / n_u.cast("double"), 6)
+    return (
+        joined.withColumn("__u", union_k)
+        .select(
+            *g,
+            jac.alias("jaccard_est"),
+            F.round(jac * union_est, 3).alias("intersection_est"),
+            union_est.alias("union_est"),
+        )
+    )

@@ -2202,3 +2202,95 @@ BPE_MERGES_SQL = _bpe_oracle_sql(6)
 
 PYTEST_ONLY_QUERIES["bpe_merges"] = q_bpe_merges
 PYTEST_ONLY_ORACLES["bpe_merges"] = BPE_MERGES_SQL
+
+
+# --- KMV set-overlap estimation ------------------------------------------
+
+def q_kmv_overlap_years(spark, sf_dir):
+    """Customer-set overlap between early (<=1997) and late (>=1998)
+    orders per priority, estimated ENTIRELY from two 64-hash KMV
+    sketches (operators/sketches.py:kmv_jaccard) — the join-size /
+    overlap planning primitive: once per-side sketches exist, the
+    overlap of two 100 TB key sets is in-row array arithmetic, no data
+    read. Portable hash mode: the oracle rebuilds both sketches and
+    replays the union-slice/intersection estimator bit-for-bit."""
+    from implementing_scds_in_hive_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.where(F.year("o_orderdate") <= 1997)
+    late = orders.where(F.year("o_orderdate") >= 1998)
+    sa = kmv_sketch(early, ["o_orderpriority"], "o_custkey", k=64, portable=True)
+    sb = kmv_sketch(late, ["o_orderpriority"], "o_custkey", k=64, portable=True)
+    return kmv_jaccard(sa, sb, ["o_orderpriority"], k=64, portable=True)
+
+
+KMV_OVERLAP_SQL = """
+WITH ha AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) <= 1997),
+ra AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha),
+sa AS (SELECT g, list(h ORDER BY h) AS ka FROM ra WHERE rn <= 64 GROUP BY g),
+hb AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) >= 1998),
+rb AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb),
+sb AS (SELECT g, list(h ORDER BY h) AS kb FROM rb WHERE rn <= 64 GROUP BY g),
+u AS (
+  SELECT sa.g, ka, kb, list_sort(list_distinct(ka || kb))[1:64] AS uu
+  FROM sa JOIN sb ON sa.g = sb.g),
+e AS (
+  SELECT g, uu, ka, kb,
+         round(CAST(len(list_intersect(list_intersect(uu, ka), kb)) AS DOUBLE)
+               / CAST(len(uu) AS DOUBLE), 6) AS jac,
+         CASE WHEN len(uu) < 64 THEN CAST(len(uu) AS DOUBLE)
+              ELSE round(63.0 * 1152921504606846976.0 / CAST(uu[64] AS DOUBLE), 3)
+         END AS union_est
+  FROM u)
+SELECT g AS o_orderpriority,
+       jac AS jaccard_est,
+       round(jac * union_est, 3) AS intersection_est,
+       union_est
+FROM e
+"""
+
+
+PYTEST_ONLY_QUERIES["kmv_overlap_years"] = q_kmv_overlap_years
+PYTEST_ONLY_ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
+
+
+# --- weighted sampling ----------------------------------------------------
+
+def q_sample_weighted_docs(spark, sf_dir):
+    """Top-40 documents sampled proportional to token count — the
+    standard corpus-mixture draw (longer docs proportionally likelier),
+    deterministic and partition-invariant
+    (operators/sampling.py:sample_weighted_topk). Priorities are in-row
+    min-of-w hashes (no explode, no join-back); the global top-k is a
+    TakeOrderedAndProject, never a full sort. The oracle replays the
+    exact min-hash race arithmetic."""
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("wt")
+    )
+    return sample_weighted_topk(d, 40, id_col="doc_id", weight_col="wt", max_weight=200)
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS wt FROM documents),
+p AS (
+  SELECT doc_id, wt,
+         list_min(list_transform(generate_series(1, least(wt, 200)),
+             c -> CAST('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)
+                                              || ':' || CAST(c AS VARCHAR)), 1, 15) AS BIGINT)
+         )) AS pri
+  FROM w WHERE wt >= 1)
+SELECT doc_id, CAST(wt AS INT) AS wt FROM p ORDER BY pri, doc_id LIMIT 40
+"""
+
+
+PYTEST_ONLY_QUERIES["sample_weighted_docs"] = q_sample_weighted_docs
+PYTEST_ONLY_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL

@@ -164,3 +164,70 @@ def test_mixture_reweight_composability(spark, rates, new_rate, which):
     lo, hi = sorted([rates[which], new_rate])
     small, big = (s1, s2) if rates[which] == lo else (s2, s1)
     assert small[names[which]] <= big[names[which]]  # monotone in rate
+
+
+# --- weighted sampling ----------------------------------------------------
+
+def test_weighted_topk_deterministic_and_partition_invariant(spark):
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(500)], "id long, w int"
+    )
+    a = {r.id for r in sample_weighted_topk(df, 50, id_col="id", weight_col="w").collect()}
+    b = {
+        r.id
+        for r in sample_weighted_topk(
+            df.repartition(13), 50, id_col="id", weight_col="w"
+        ).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_weighted_topk_zero_weight_never_sampled(spark):
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 2 else 5) for i in range(100)], "id long, w int"
+    )
+    got = {r.id for r in sample_weighted_topk(df, 60, id_col="id", weight_col="w").collect()}
+    assert all(i % 2 == 0 for i in got)
+    assert len(got) == 50  # only 50 rows are eligible
+
+
+def test_weighted_topk_stratified(spark):
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), 1 + i % 5) for i in range(300)],
+        "id long, stratum string, w int",
+    )
+    out = sample_weighted_topk(df, 10, id_col="id", weight_col="w", by=["stratum"])
+    counts = {r.stratum: r.cnt for r in out.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+
+
+def test_weighted_priority_selection_tracks_weights(spark):
+    # statistical check over 400 independent salts: items with weight 9
+    # must be drawn as the per-salt winner ~9x as often as weight-1 items
+    from implementing_scds_in_hive_spark.operators.sampling import weighted_priority
+
+    items = [(i, 9 if i < 10 else 1) for i in range(110)]  # total weight 190
+    df = spark.createDataFrame(items, "id long, w int")
+    trials = spark.range(400).select(F.col("id").alias("trial"))
+    pri = df.crossJoin(trials).select(
+        "trial",
+        "id",
+        "w",
+        weighted_priority(
+            F.concat(F.col("trial"), F.lit("#"), F.col("id")), F.col("w")
+        ).alias("p"),
+    )
+    winners = (
+        pri.groupBy("trial")
+        .agg(F.min_by("id", F.struct(F.col("p"), F.col("id"))).alias("winner"))
+        .collect()
+    )
+    heavy_wins = sum(1 for r in winners if r.winner < 10)
+    # expected heavy share = 90/190 ~ 0.474; sd ~ 0.025 over 400 trials
+    assert 0.35 < heavy_wins / 400 < 0.60
