@@ -1,0 +1,81 @@
+"""Streaming maintenance of a KMV distinct-count sketch table.
+
+The operational answer to "distinct users per day, live, at 100 TB":
+exact streaming COUNT(DISTINCT) needs unbounded state (every seen key);
+this keeps ONE k-hash sketch row per group, folded forward by the
+ingest stream. Each micro-batch is sketched (bounded work in the batch
+size) and merged into the stored table via ``kmv_merge`` — and because
+merge is bottom-k of a hash-set union, it is IDEMPOTENT and
+ASSOCIATIVE: replaying an uncommitted batch after a crash re-merges
+hashes the table already contains and changes nothing, so the
+table-as-state restart story needs no replay guard at all (contrast
+``dedup_stream.py``'s anti-join guard — here the algebra is the
+guard; pinned by tests/test_sketch_stream.py's crash chain).
+
+End state equals the batch computation exactly: stream-maintained
+sketch == ``kmv_sketch`` over all events in one pass (same arrays, not
+just similar estimates) — the merge property, verified per run.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from implementing_scds_in_hive_spark.operators.scd import publish
+from implementing_scds_in_hive_spark.operators.sketches import kmv_merge, kmv_sketch
+
+
+def kmv_sketch_stream(
+    events: DataFrame,
+    sketch_path: str,
+    *,
+    checkpoint_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    portable: bool = False,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Maintain a per-group KMV sketch table at ``sketch_path`` from a
+    stream. Output table schema: ``group_cols..., kmv array<bigint>`` —
+    feed it to ``kmv_estimate`` / ``kmv_merge`` / ``kmv_jaccard`` for
+    live distinct counts, rolling windows, or overlap estimates.
+
+    ``crash_hook(batch_id, phase)`` fault injection, phases ``"pre"``
+    and ``"post_publish"`` (sketch written, checkpoint not committed —
+    the replay window where idempotent merge carries recovery)."""
+    g = list(group_cols)
+    spark = events.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        delta = kmv_sketch(batch, g, value_col, k=k, portable=portable)
+        try:
+            existing = spark.read.parquet(sketch_path)
+            merged = kmv_merge(existing, delta, g, k=k)
+        except Exception:
+            merged = delta
+        # localCheckpoint before publish: `merged` lazily READS
+        # sketch_path, which publish is about to replace — the same
+        # self-overwrite trap publish() documents for the SCD dimension
+        out = merged.localCheckpoint(eager=True)
+        publish(out, sketch_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

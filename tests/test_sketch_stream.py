@@ -1,0 +1,97 @@
+"""Streaming KMV sketch maintenance (streaming/sketch_stream.py):
+stream-maintained sketch tables must equal the one-pass batch sketch
+EXACTLY (same bottom-k arrays — the merge property, not estimate
+similarity), and crashes in the publish-to-checkpoint window must
+recover through merge idempotence alone."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.sketches import kmv_estimate, kmv_sketch
+from implementing_scds_in_hive_spark.streaming.sketch_stream import kmv_sketch_stream
+
+
+BATCHES = [
+    [(d, u) for d in ("d1", "d2") for u in range(d2 * 40, d2 * 40 + 120)]
+    for d2 in range(3)
+]
+
+
+def _write_batches(spark, stg):
+    for chunk in BATCHES:
+        spark.createDataFrame(chunk, "day string, user_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(stg)
+        time.sleep(0.05)
+
+
+def _run(spark, stg, sketch_path, ckpt, crash_hook=None):
+    stream = (
+        spark.readStream.schema("day string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stg)
+    )
+    q = kmv_sketch_stream(
+        stream,
+        sketch_path,
+        checkpoint_dir=ckpt,
+        group_cols=["day"],
+        value_col="user_id",
+        k=64,
+        crash_hook=crash_hook,
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    sketch_path = str(tmp_path / "sketch")
+    _run(spark, stg, sketch_path, str(tmp_path / "ckpt"))
+
+    streamed = {r.day: r.kmv for r in spark.read.parquet(sketch_path).collect()}
+    all_events = spark.createDataFrame(
+        [r for chunk in BATCHES for r in chunk], "day string, user_id long"
+    )
+    direct = {r.day: r.kmv for r in kmv_sketch(all_events, ["day"], "user_id", k=64).collect()}
+    assert streamed == direct  # exact array equality, not estimate proximity
+
+    est = {
+        r.day: r.est_distinct
+        for r in kmv_estimate(spark.read.parquet(sketch_path), ["day"], k=64).collect()
+    }
+    # 3 batches x 120 users per day with 40-user overlap between
+    # consecutive batches -> 200 distinct per day; k=64 < 200 so the
+    # estimator path runs; just sanity-bound it
+    assert all(100 < v < 400 for v in est.values())
+
+
+def test_crash_after_publish_recovers_via_merge_idempotence(spark, tmp_path):
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    sketch_path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+
+    def hook(batch_id, phase):
+        # die once, mid-stream, AFTER the sketch table was replaced but
+        # BEFORE the checkpoint commits — the replay window
+        if phase == "post_publish" and batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash post-publish")
+
+    with pytest.raises(Exception):
+        _run(spark, stg, sketch_path, ckpt, crash_hook=hook)
+    # restart with the same checkpoint: batch 1 replays (its hashes are
+    # already in the table — merge must absorb them), batch 2 proceeds
+    _run(spark, stg, sketch_path, ckpt)
+
+    streamed = {r.day: r.kmv for r in spark.read.parquet(sketch_path).collect()}
+    all_events = spark.createDataFrame(
+        [r for chunk in BATCHES for r in chunk], "day string, user_id long"
+    )
+    direct = {r.day: r.kmv for r in kmv_sketch(all_events, ["day"], "user_id", k=64).collect()}
+    assert streamed == direct  # crash-free and crashed runs converge identically
