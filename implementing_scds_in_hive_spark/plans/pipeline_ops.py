@@ -923,7 +923,6 @@ FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "text_token_classes": q_text_token_classes,
     "dedup_exact_groups": q_dedup_exact_groups,
     "corpus_select": q_corpus_select,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -950,7 +949,6 @@ QUERIES = {
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
-    "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
@@ -1898,7 +1896,11 @@ FROM n JOIN range(0, 16384) t(i) ON i < n_frames AND i % 4 = 0
 # aggregates — plus the incremental-merge path on top) fold to pytest;
 # their slots go to the never-slotted dedup_incremental, pack_sequences,
 # forward_fill and funnel_view_click_purchase below.
+# text_token_classes folded in r5 (slot given to bpe_merges): the
+# token-class expressions stay value-checked here, and tokenizer-family
+# driver evidence moves to the strictly richer BPE trainer.
 PYTEST_ONLY_QUERIES = {
+    "text_token_classes": q_text_token_classes,
     "json_map_explode": q_json_map_explode,
     "event_hourly_rollup": q_event_hourly_rollup,
     "json_extract": q_json_extract,
@@ -1924,6 +1926,7 @@ PYTEST_ONLY_QUERIES = {
     "assign_split": q_assign_split,
 }
 PYTEST_ONLY_ORACLES = {
+    "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
     "json_map_explode": JSON_MAP_EXPLODE_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
@@ -2059,18 +2062,12 @@ GROUP BY l_returnflag
 """
 
 
-PYTEST_ONLY_QUERIES.update(
-    {
-        "approx_distinct_kmv": q_approx_distinct_kmv,
-        "binned_percentiles_price": q_binned_percentiles_price,
-    }
-)
-PYTEST_ONLY_ORACLES.update(
-    {
-        "approx_distinct_kmv": APPROX_DISTINCT_KMV_SQL,
-        "binned_percentiles_price": BINNED_PERCENTILES_SQL,
-    }
-)
+# r5 second rotation: approx_distinct_kmv takes a driver slot (from
+# scd_key_history); binned_percentiles_price stays pytest-tier.
+QUERIES["approx_distinct_kmv"] = q_approx_distinct_kmv
+ORACLES["approx_distinct_kmv"] = APPROX_DISTINCT_KMV_SQL
+PYTEST_ONLY_QUERIES["binned_percentiles_price"] = q_binned_percentiles_price
+PYTEST_ONLY_ORACLES["binned_percentiles_price"] = BINNED_PERCENTILES_SQL
 
 
 # --- bloom-filter join pruning -------------------------------------------
@@ -2103,8 +2100,9 @@ WHERE EXISTS (SELECT 1 FROM customer c
 """
 
 
-PYTEST_ONLY_QUERIES["bloom_semi_orders"] = q_bloom_semi_orders
-PYTEST_ONLY_ORACLES["bloom_semi_orders"] = BLOOM_SEMI_SQL
+# r5 second rotation: driver slot (from join_semi — this IS a semi join)
+QUERIES["bloom_semi_orders"] = q_bloom_semi_orders
+ORACLES["bloom_semi_orders"] = BLOOM_SEMI_SQL
 
 
 # --- KNN self-join (all-rows similarity search) --------------------------
@@ -2200,8 +2198,9 @@ v{i} AS (
 
 BPE_MERGES_SQL = _bpe_oracle_sql(6)
 
-PYTEST_ONLY_QUERIES["bpe_merges"] = q_bpe_merges
-PYTEST_ONLY_ORACLES["bpe_merges"] = BPE_MERGES_SQL
+# r5 second rotation: driver slot (from text_token_classes)
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = BPE_MERGES_SQL
 
 
 # --- KMV set-overlap estimation ------------------------------------------

@@ -718,7 +718,6 @@ QUERIES = {
     "join_left_outer": q_join_left_outer,
     "join_pred_in_on": q_join_pred_in_on,
     "join_anti": q_join_anti,
-    "join_semi": q_join_semi,
     "window_topn_per_group": q_window_topn_per_group,
     "set_ops": q_set_ops,
     "top_orders": q_top_orders,
@@ -740,7 +739,6 @@ ORACLES = {
     "join_left_outer": JOIN_LEFT_SQL,
     "join_pred_in_on": JOIN_PRED_ON_SQL,
     "join_anti": JOIN_ANTI_SQL,
-    "join_semi": JOIN_SEMI_SQL,
     "window_topn_per_group": WINDOW_TOPN_SQL,
     "set_ops": SET_OPS_SQL,
     "top_orders": TOP_ORDERS_SQL,
@@ -760,7 +758,11 @@ ORACLES = {
 # is the same grouping-sets machinery as the still-slotted
 # cube_status_segment (CUBE emits a superset of ROLLUP's groupings);
 # the freed slot goes to a never-slotted pipeline operator.
+# join_semi folded in r5 (slot given to bloom_semi_orders, which IS a
+# left-semi join — J6 stays driver-evidenced through it — plus the new
+# bloom pruning path).
 PYTEST_ONLY_QUERIES = {
+    "join_semi": q_join_semi,
     "rollup_region_nation": q_rollup_region_nation,
     "scalar_date_funcs": q_scalar_date_funcs,
     "agg_distinct_counts": q_agg_distinct_counts,
@@ -771,6 +773,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "join_semi": JOIN_SEMI_SQL,
     "rollup_region_nation": ROLLUP_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
     "agg_distinct_counts": DISTINCT_COUNTS_SQL,

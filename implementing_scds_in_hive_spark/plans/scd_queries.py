@@ -653,7 +653,6 @@ QUERIES = {
     "scd2_merge_customer": q_scd2_merge,
     "scd_cdc_apply": q_scd_cdc_apply,
     "scd_point_in_time": q_scd_point_in_time,
-    "scd_key_history": q_scd_key_history,
     "scd_publish_roundtrip": q_scd_publish_roundtrip,
 }
 
@@ -661,7 +660,6 @@ ORACLES = {
     "scd2_merge_customer": SCD2_MERGE_SQL,
     "scd_cdc_apply": CDC_APPLY_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
-    "scd_key_history": KEY_HISTORY_SQL,
     "scd_publish_roundtrip": SCD2_MERGE_SQL,
 }
 
@@ -673,7 +671,11 @@ ORACLES = {
 # anti-join is an internal branch of the flagship, whose hash-checked
 # output depends on every carried row — proxy evidence, and the freed
 # slot goes to a never-slotted pipeline operator.
+# scd_key_history folded in r5 (slot given to approx_distinct_kmv):
+# version-chain integrity is driver-evidenced through the flagship hash
+# (scd_version is a hashed output column) and scd_point_in_time.
 PYTEST_ONLY_QUERIES = {
+    "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
     "scd_staging_fixture": q_scd_staging_fixture,
     "scd_production_fixture": q_scd_production_fixture,
@@ -690,6 +692,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,
     "scd_staging_fixture": STAGING_SQL,
     "scd_production_fixture": PRODUCTION_SQL,
