@@ -100,35 +100,35 @@ def bpe_train(
 
     Per round: pair-count aggregation over the vocab, 1-row argmax
     collect (count desc, pair asc), literal ``replace`` of the winning
-    pair in every word's symbol string. The vocab is re-persisted per
-    round so round i+1 doesn't recompute rounds 1..i (the lineage would
-    otherwise grow a full replace chain per round)."""
+    pair in every word's symbol string. Round state is carried via an
+    eager ``localCheckpoint`` — a TRUE lineage cut, the same discipline
+    as the label-propagation loop in operators/graph.py. A
+    persist/unpersist chain is NOT enough: the logical plan still
+    nests one replace layer per round, and per-round cost climbs from
+    <1 s to 60 s by round 16 on a THIRTY-ONE-word vocabulary (measured,
+    scripts/bpe_smoke.py — pure planner/expression-tower cost, no data
+    involved); with the checkpoint every round plans against a flat
+    LogicalRDD and cost stays constant (~0.2 s/round, 199 s -> 4.5 s
+    for the 16-round smoke)."""
     spark = spark or docs.sparkSession
     vocab = word_frequencies(docs, text_col=text_col, lowercase=lowercase).select(
         _initial_symbols(F.col("word")).alias("syms_str"), "freq"
-    )
-    vocab = vocab.persist()
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, num_merges + 1):
-            top = (
-                _pair_counts(vocab)
-                .orderBy(F.col("cnt").desc(), F.col("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            pair, cnt = top[0].pair, int(top[0].cnt)
-            merges.append((rank, pair.replace(SEP, " "), pair.replace(SEP, ""), cnt))
-            nxt = vocab.select(
-                _merge_once(F.col("syms_str"), pair).alias("syms_str"), "freq"
-            ).persist()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    for rank in range(1, num_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, int(top[0].cnt)
+        merges.append((rank, pair.replace(SEP, " "), pair.replace(SEP, ""), cnt))
+        vocab = vocab.select(
+            _merge_once(F.col("syms_str"), pair).alias("syms_str"), "freq"
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, cnt bigint"
     )

@@ -231,3 +231,18 @@ def test_weighted_priority_selection_tracks_weights(spark):
     heavy_wins = sum(1 for r in winners if r.winner < 10)
     # expected heavy share = 90/190 ~ 0.474; sd ~ 0.025 over 400 trials
     assert 0.35 < heavy_wins / 400 < 0.60
+
+
+def test_weighted_topk_global_is_take_ordered(spark):
+    # the global draw must be a TakeOrderedAndProject (k per partition,
+    # merged on the driver) — never a full global Sort
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.createDataFrame([(i, 3) for i in range(100)], "id long, w int")
+    plan = (
+        sample_weighted_topk(df, 5, id_col="id", weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
