@@ -255,6 +255,50 @@ def stress_main(sf_dir: str) -> None:
     assert n_kept + clean.where(~pred).count() == n_surv
     assert kept.where(~pred).count() == 0
 
+    # --- weighted draw (r5): token-proportional, two formulations agree
+    from implementing_scds_in_hive_spark.operators.dedup import portable_token_hash
+    from implementing_scds_in_hive_spark.operators.sampling import sample_weighted_topk
+
+    weighted = kept.select("doc_id", F.size(toks).alias("wt"))
+    draw = sample_weighted_topk(weighted, 2000, id_col="doc_id", weight_col="wt")
+    drawn_ids = {r.doc_id for r in _timed("weighted draw", draw.collect, timings)}
+    assert len(drawn_ids) == 2000
+    # equivalence check by a STRUCTURALLY different plan: explode one row
+    # per weight unit, min-aggregate the per-copy hashes, rank — must
+    # select the identical 2000 documents as the in-row array_min path
+    w = F.least(F.col("wt").cast("int"), F.lit(1000))
+    per_copy = (
+        weighted.where(F.col("wt") >= 1)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), w)).alias("c"))
+        .select(
+            "doc_id",
+            portable_token_hash(
+                F.concat(
+                    F.lit("w:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("c").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(2000)
+    )
+    alt_ids = {r.doc_id for r in per_copy.collect()}
+    assert alt_ids == drawn_ids, "in-row and exploded weighted draws diverged"
+
+    # --- corpus distinct via KMV sketch: bounded-state count check ----
+    from implementing_scds_in_hive_spark.operators.sketches import kmv_distinct
+
+    est = kmv_distinct(
+        kept.select(F.lit("all").alias("g"), "doc_id"), ["g"], "doc_id", k=512
+    ).collect()[0]
+    rel_err = abs(est.est_distinct - n_kept) / n_kept
+    print(f"kmv distinct: est {est.est_distinct} vs exact {n_kept} (rel err {rel_err:.3f})")
+    assert rel_err < 0.15  # k=512 -> ~4.4% expected; 3-sigma bound
+
     # --- training mixture: content-addressed, deterministic -----------
     en, rest = kept.where("lang = 'en'"), kept.where("lang != 'en'")
     mix_of = lambda: mixture_sample(

@@ -57,14 +57,19 @@ def _initial_symbols(word) -> F.Column:
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """(pair 'a  b', cnt) — adjacent-symbol pairs weighted by word freq.
-    One explode over the vocab + a combinable sum."""
-    syms = F.split(F.col("syms_str"), SEP)
+    One explode over the vocab + a combinable sum. The split is
+    materialized as a column BEFORE the pair lambda references it —
+    element_at on a computed expression re-evaluates the whole split
+    per element access (the operators/dedup.py:_token_hashes lesson);
+    on a plain column reference each access is O(1)."""
+    syms = F.col("__syms")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(syms) - 1),
         lambda i: F.concat(F.element_at(syms, i), F.lit(SEP), F.element_at(syms, i + 1)),
     )
     return (
-        vocab.where(F.size(syms) >= 2)
+        vocab.select(F.split(F.col("syms_str"), SEP).alias("__syms"), "freq")
+        .where(F.size(syms) >= 2)
         .select(F.explode(pairs).alias("pair"), "freq")
         .groupBy("pair")
         .agg(F.sum("freq").alias("cnt"))

@@ -5,9 +5,9 @@ for a group onto one reducer (distinct shuffle / global sort). At
 cluster scale the right primitive is a *mergeable sketch*: a bounded
 per-group summary that (a) is built in one map-side-combinable pass,
 (b) merges associatively across partitions, days, or tables, and
-(c) answers the query with a bounded error. This module ships two,
-both deterministic and DuckDB-replayable (no RNG, no engine-specific
-sketch formats — the oracle recomputes the identical bottom-k / bucket
+(c) answers the query with a bounded error. Everything here is
+deterministic and DuckDB-replayable (no RNG, no engine-specific sketch
+formats — the oracle recomputes the identical bottom-k / bucket
 arithmetic):
 
 * ``kmv_sketch`` / ``kmv_merge`` / ``kmv_estimate`` — K-Minimum-Values
@@ -20,6 +20,10 @@ arithmetic):
   exactly composable (the incremental-rollup story for distinct
   counts, which plain COUNT(DISTINCT) can never give: distincts don't
   add).
+* ``kmv_jaccard`` — set-overlap estimation (Jaccard / intersection /
+  union cardinality) from two sketches alone (Beyer et al. 2007's
+  union-slice construction): join-size and overlap planning over
+  100 TB key sets as in-row array arithmetic, no data read.
 * ``binned_percentiles`` — single-pass fixed-bin histogram percentiles.
   One map-side-combinable ``(group, bucket) -> count`` aggregation
   (at most ``num_bins`` rows per group regardless of input size),

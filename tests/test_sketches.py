@@ -194,3 +194,92 @@ def test_rolling_distinct_from_daily_sketches(spark):
         truth = len(set().union(*[set(days[d]) for d in (end - 2, end - 1, end)]))
         # truth = 320 per window at k=256 -> estimate is exact-ish (<k exact)
         assert est.est_distinct == float(truth) if truth < 256 else abs(est.est_distinct - truth) / truth < 0.2
+
+
+# --- hypothesis property suite -------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SETS = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 500)),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(a_rows=SETS, b_rows=SETS, k=st.sampled_from([4, 16, 64]))
+def test_property_kmv_merge_is_sketch_of_union(spark, a_rows, b_rows, k):
+    schema = "g string, v long"
+    a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    merged = {
+        r.g: r.kmv
+        for r in kmv_merge(
+            kmv_sketch(a, ["g"], "v", k=k), kmv_sketch(b, ["g"], "v", k=k), ["g"], k=k
+        ).collect()
+    }
+    direct = {
+        r.g: r.kmv for r in kmv_sketch(a.unionByName(b), ["g"], "v", k=k).collect()
+    }
+    assert merged == direct
+    # and exact-below-k: any group with < k true distincts is EXACT
+    truth = {}
+    for g, v in a_rows + b_rows:
+        truth.setdefault(g, set()).add(v)
+    for g, vals in truth.items():
+        if len(vals) < k:
+            assert len(merged[g]) == len(vals)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=SETS, nb=st.sampled_from([5, 20]))
+def test_property_histograms_add(spark, rows, nb):
+    schema = "g string, v long"
+    mid = len(rows) // 2
+    a_rows, b_rows = rows[:mid], rows[mid:]
+    kw = dict(lo=0.0, hi=500.0, num_bins=nb)
+    a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    summed = sorted(
+        map(
+            tuple,
+            binned_histogram(a, ["g"], "v", **kw)
+            .unionByName(binned_histogram(b, ["g"], "v", **kw))
+            .groupBy("g", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, binned_histogram(a.unionByName(b), ["g"], "v", **kw).collect())
+    )
+    assert summed == direct
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(st.integers(-(10**9), 10**9), min_size=0, max_size=150, unique=True))
+def test_property_bloom_never_false_negative(spark, keys):
+    from implementing_scds_in_hive_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    schema = "k long"
+    df = (
+        spark.createDataFrame([(v,) for v in keys], schema)
+        if keys
+        else spark.createDataFrame([], schema)
+    )
+    bloom = bloom_build(df, "k", num_bits=1 << 12)
+    assert bloom_prefilter(df, bloom, "k").count() == len(keys)
