@@ -9,14 +9,15 @@ the pre-filter and are removed by the exact join that follows, so the
 composed operator is *exactly* a semi/inner join — the bloom stage only
 changes how many rows pay for the shuffle.
 
-The bitmap is applied as a single array LITERAL in the filter predicate,
-not as a joined broadcast relation. This is deliberate: expressed as a
-cross join + filter, Catalyst's PushDownLeftSemiAntiJoin pushes the
-exact semi join BELOW the bloom stage (observed), so the full fact
-shuffled first and the bloom ran last — semantically fine, a total
-performance inversion. A literal predicate sits directly on the fact
-scan, below any Exchange, and nothing can reorder above it; one
-Literal(ArrayData) node, not num_words expression nodes, so plan size
+The bitmap is applied as a single BINARY literal in the filter
+predicate, not as a joined broadcast relation. This is deliberate:
+expressed as a cross join + filter, Catalyst's
+PushDownLeftSemiAntiJoin pushes the exact semi join BELOW the bloom
+stage (observed), so the full fact shuffled first and the bloom ran
+last — semantically fine, a total performance inversion. A literal
+predicate sits directly on the fact scan, below any Exchange, and
+nothing can reorder above it; one Literal node (bytes, not a
+CreateArray of num_words children — see bloom_collect), so plan size
 stays flat. The cost is an eager driver-side collect of the bitmap at
 plan-build time — the same data movement a broadcast would do, paid
 once in the build-once / probe-many lifecycle (persist the build
@@ -201,3 +202,28 @@ def bloom_fill_stats(bloom: DataFrame) -> DataFrame:
             "fill_factor"
         ),
     )
+
+
+def bloom_inner_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    *,
+    dim_key_col: str | None = None,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Inner join with the bloom pre-filter on the fact side — same
+    shuffle-sparing geometry as :func:`bloom_semi_join` but keeping the
+    dim's payload columns. Result is EXACTLY ``fact.join(dim, fact.key
+    == dim.key)``; only the fact rows that might match pay for the
+    join's Exchange."""
+    dk = dim_key_col or key_col
+    bloom = bloom_build(
+        dim.select(F.col(dk).alias(key_col)),
+        key_col,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+    reduced = bloom_prefilter(fact, bloom, key_col)
+    return reduced.join(dim, reduced[key_col] == dim[dk], "inner")

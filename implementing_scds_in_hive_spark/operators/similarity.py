@@ -513,3 +513,121 @@ def knn_join_ivf(
         .where(F.col("rank") <= k)
         .select(F.col("vec_id_out").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
     )
+
+
+def quantize_corpus(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric int8 (by default) quantization of an embedding corpus:
+    ``(id, qvec array<tinyint>, qscale double)`` — the storage tier for
+    100 TB of vectors. tinyint elements make the parquet physical type
+    int8: measured ~3-4x smaller files than float32 arrays on the same
+    vectors (tests/test_knn.py pins the ratio). Round-half-up
+    quantization via explicit floor arithmetic
+    (functions/vectors.py:quantize) — deterministic and
+    engine-portable, like everything else in this module."""
+    from implementing_scds_in_hive_spark.functions.vectors import quantize, quantize_scale
+
+    # scale projected as a COLUMN first, then referenced by quantize —
+    # inlining would duplicate the O(d) max-abs fold per element access
+    # (the materialize-before-lambda discipline, operators/dedup.py)
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            quantize_scale(F.col(vec_col), bits=bits).alias("qscale"),
+        )
+        .select(
+            id_col,
+            quantize(F.col(vec_col), F.col("qscale")).cast("array<tinyint>").alias("qvec"),
+            "qscale",
+        )
+    )
+
+
+def quantized_rescore_topk(
+    corpus_q: DataFrame,
+    full_corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN over a quantized corpus: COARSE top-``shortlist``
+    per query scored entirely on int8 vectors (the only pass that
+    touches the full corpus — reading the 4x-smaller storage tier),
+    then EXACT cosine rescoring of the shortlist against the full
+    vectors (a k-row-per-query join back into the float tier).
+
+    ``shortlist`` defaults to ``4 * k`` — the standard rescore margin:
+    quantization perturbs scores by O(scale), so the true top-k lives
+    inside a slightly larger coarse top-m with overwhelming
+    probability; ``shortlist >= |corpus|`` degrades to exact brute
+    force (tested identical to :func:`cosine_topk`). The coarse score
+    is ``dot_int(qa, qq) * qscale_a * qscale_q`` — integer dot in the
+    hot loop, two double multiplies per pair."""
+    m = shortlist or 4 * k
+    qq = quantize_corpus(
+        queries, id_col=query_id_col, vec_col=vec_col
+    ).select(
+        F.col(query_id_col),
+        F.col("qvec").alias("__qq"),
+        F.col("qscale").alias("__qs"),
+    )
+    coarse_scored = corpus_q.select(
+        F.col(id_col), F.col("qvec").alias("__cq"), F.col("qscale").alias("__cs")
+    ).crossJoin(F.broadcast(qq)).select(
+        query_id_col,
+        id_col,
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("__cq"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            * F.col("__cs")
+            * F.col("__qs")
+        ).alias("__coarse"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__coarse").desc(), F.col(id_col))
+    short = (
+        coarse_scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= m)
+        .select(query_id_col, id_col)
+    )
+    full = full_corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
+    )
+    qfull = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    rescored = (
+        short.join(full, id_col)
+        .join(qfull, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -232,22 +232,10 @@ def binned_percentiles(
     ``approx_percentile`` (engine-specific digest the oracle cannot
     replay): this construction is both scale-safe AND verifiable."""
     g = list(group_cols)
-    width = (hi - lo) / num_bins
     hist = binned_histogram(df, g, value_col, lo=lo, hi=hi, num_bins=num_bins)
-    w = Window.partitionBy(*g).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
-        "__total", F.sum("cnt").over(Window.partitionBy(*g))
+    return percentiles_from_histogram(
+        hist, g, lo=lo, hi=hi, num_bins=num_bins, qs=qs
     )
-    aggs = []
-    for q in qs:
-        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
-        hit = F.when(
-            F.col("__cum").cast("double") >= F.lit(q) * F.col("__total").cast("double"),
-            F.col("bucket"),
-        )
-        est = F.lit(lo) + (F.min(hit) + F.lit(1)).cast("double") * F.lit(width)
-        aggs.append(F.round(est, 4).alias(name))
-    return cum.groupBy(*g).agg(*aggs)
 
 
 def kmv_jaccard(
@@ -299,3 +287,49 @@ def kmv_jaccard(
             union_est.alias("union_est"),
         )
     )
+
+
+def merge_histograms(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge two ``binned_histogram`` outputs built with the SAME
+    (lo, hi, num_bins): counts add per (group, bucket) — one combinable
+    aggregation. With per-day histograms stored, any rolling-window
+    percentile is merge + the tiny per-group cumulative scan, never a
+    re-read of raw data."""
+    g = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*g, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def percentiles_from_histogram(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    lo: float,
+    hi: float,
+    num_bins: int = 1000,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """The estimation tail of :func:`binned_percentiles`, factored out
+    so it can run over stored / merged histograms. Same estimator, same
+    column naming (``p50``/``p90``/...)."""
+    g = list(group_cols)
+    width = (hi - lo) / num_bins
+    w = Window.partitionBy(*g).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__total", F.sum("cnt").over(Window.partitionBy(*g))
+    )
+    aggs = []
+    for q in qs:
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        hit = F.when(
+            F.col("__cum").cast("double") >= F.lit(q) * F.col("__total").cast("double"),
+            F.col("bucket"),
+        )
+        est = F.lit(lo) + (F.min(hit) + F.lit(1)).cast("double") * F.lit(width)
+        aggs.append(F.round(est, 4).alias(name))
+    return cum.groupBy(*g).agg(*aggs)

@@ -93,3 +93,20 @@ def test_bloom_filter_sits_below_fact_exchange(spark):
     exchange_lines = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(k" in l]
     assert exchange_lines and min(exchange_lines) < filter_line
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_inner_join_equivalence(spark):
+    from implementing_scds_in_hive_spark.operators.bloom import bloom_inner_join
+
+    fact = _keys(spark, range(2000)).withColumn("fp", F.col("k") * 2)
+    dim = spark.createDataFrame(
+        [(v, f"d{v}") for v in range(0, 2000, 9)], "dk long, payload string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_inner_join(fact, dim, "k", dim_key_col="dk", num_bits=1 << 12).collect(),
+        )
+    )
+    want = sorted(map(tuple, fact.join(dim, fact.k == dim.dk, "inner").collect()))
+    assert got == want and len(got) > 0

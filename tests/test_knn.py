@@ -103,3 +103,70 @@ def test_nprobe_recall_monotone(spark, vecs):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4 == 1.0
     assert r1 > 0.3  # single-probe must still find a meaningful fraction
+
+
+# --- quantized storage tier ----------------------------------------------
+
+def test_quantized_rescore_full_shortlist_is_exact(spark, vecs):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        cosine_topk,
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    queries = vecs.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cq = quantize_corpus(vecs)
+    got = sorted(
+        map(
+            tuple,
+            quantized_rescore_topk(cq, vecs, queries, k=5, shortlist=10_000).collect(),
+        )
+    )
+    want = sorted(map(tuple, cosine_topk(vecs, queries, k=5).collect()))
+    assert got == want  # shortlist >= |corpus| degrades to exact brute force
+
+
+def test_quantized_rescore_default_margin_recall(spark, vecs):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        cosine_topk,
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    queries = vecs.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cq = quantize_corpus(vecs)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in quantized_rescore_topk(cq, vecs, queries, k=5).collect()
+    }
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(vecs, queries, k=5).collect()}
+    assert len(got & truth) / len(truth) >= 0.95  # 4k coarse margin recall
+
+
+def test_quantized_corpus_parquet_is_smaller(spark, tmp_path):
+    # needs enough data that row-group payload dwarfs file metadata
+    from implementing_scds_in_hive_spark.operators.similarity import quantize_corpus
+
+    rng = np.random.default_rng(3)
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64)]) for i in range(5000)],
+        "vec_id long, embedding array<float>",
+    )
+    full_p, q_p = str(tmp_path / "full"), str(tmp_path / "quant")
+    big.coalesce(1).write.parquet(full_p)
+    quantize_corpus(big).coalesce(1).write.parquet(q_p)
+    import os
+
+    def size(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    ratio = size(full_p) / size(q_p)
+    assert ratio > 2.0, f"quantized tier only {ratio:.2f}x smaller"

@@ -283,3 +283,24 @@ def test_property_bloom_never_false_negative(spark, keys):
     )
     bloom = bloom_build(df, "k", num_bits=1 << 12)
     assert bloom_prefilter(df, bloom, "k").count() == len(keys)
+
+
+def test_merged_histogram_percentiles_match_direct(spark):
+    # per-day histograms merged then estimated == percentiles computed
+    # over the union directly — the stored-summary rolling pattern
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        merge_histograms,
+        percentiles_from_histogram,
+    )
+
+    kw = dict(lo=0.0, hi=1000.0, num_bins=100)
+    day1 = _vals(spark, range(0, 600, 3))
+    day2 = _vals(spark, range(200, 900, 2))
+    merged = merge_histograms(
+        binned_histogram(day1, ["g"], "v", **kw),
+        binned_histogram(day2, ["g"], "v", **kw),
+        ["g"],
+    )
+    got = percentiles_from_histogram(merged, ["g"], qs=(0.5, 0.9), **kw).collect()[0]
+    want = binned_percentiles(day1.unionByName(day2), ["g"], "v", qs=(0.5, 0.9), **kw).collect()[0]
+    assert (got.p50, got.p90) == (want.p50, want.p90)
