@@ -180,3 +180,38 @@ def sessionize_auto(
     return sessionize(
         events, gap_us=gap_us, user_col=user_col, ts_col=ts_col, order_col=order_col
     )
+
+
+def detect_gaps(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Silence intervals per key: consecutive-event spacings larger than
+    ``min_gap_seconds`` — the data-downtime / liveness face of the
+    gaps-and-islands family (``sessionize`` is the islands face; a gap
+    here is exactly a session BOUNDARY whose spacing is reported).
+    Output: (key, gap_start, gap_end, gap_seconds).
+
+    One lag window per key — the same partition-skew class as
+    sessionize; at scale with a hot key, apply the identical two-level
+    bucketed mitigation (sessionize_bucketed's plan; a gap is a
+    boundary, and boundaries are exactly what its bucket-edge stitching
+    preserves)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    return (
+        events.select(
+            key_col,
+            F.lag(ts_col).over(w).alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+        )
+        .withColumn(
+            "gap_seconds",
+            F.round(
+                F.col("gap_end").cast("double") - F.col("gap_start").cast("double"), 3
+            ),
+        )
+        .where(F.col("gap_seconds") > min_gap_seconds)
+    )

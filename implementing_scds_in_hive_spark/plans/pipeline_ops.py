@@ -2293,3 +2293,35 @@ SELECT doc_id, CAST(wt AS INT) AS wt FROM p ORDER BY pri, doc_id LIMIT 40
 
 PYTEST_ONLY_QUERIES["sample_weighted_docs"] = q_sample_weighted_docs
 PYTEST_ONLY_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
+
+
+# --- event gap detection --------------------------------------------------
+
+def q_event_gaps(spark, sf_dir):
+    """Per-user silence intervals longer than 6 hours — the
+    data-downtime / liveness query (operators/sessionize.py:detect_gaps,
+    the boundary face of gaps-and-islands). One lag window per user;
+    the hot-key mitigation is sessionize_bucketed's two-level plan."""
+    from implementing_scds_in_hive_spark.operators.sessionize import detect_gaps
+
+    return detect_gaps(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        min_gap_seconds=6 * 3600,
+    )
+
+
+EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+         ts AS gap_end
+  FROM events)
+SELECT user_id, gap_start, gap_end,
+       round(epoch(gap_end) - epoch(gap_start), 3) AS gap_seconds
+FROM g
+WHERE epoch(gap_end) - epoch(gap_start) > 21600
+"""
+
+
+PYTEST_ONLY_QUERIES["event_gaps"] = q_event_gaps
+PYTEST_ONLY_ORACLES["event_gaps"] = EVENT_GAPS_SQL
