@@ -79,3 +79,81 @@ def kmv_sketch_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def histogram_stream(
+    events: DataFrame,
+    hist_path: str,
+    *,
+    checkpoint_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_bins: int = 1000,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Maintain a per-group binned histogram table from a stream — the
+    ADDITIVE counterpart of :func:`kmv_sketch_stream`, and the
+    instructive contrast in the table-as-state taxonomy: histogram
+    merge is a SUM, and sums are NOT idempotent. A replayed batch would
+    double-count, so this stream carries the guard KMV does not need —
+    a batch-id high-watermark column stored in the table itself; a
+    replay (batch_id <= watermark) is skipped wholesale. The three
+    streaming-state recovery modes in this repo:
+
+    * table-as-state upsert (scd_stream): replay-idempotent via
+      anti-join / dynamic partition overwrite;
+    * algebra-idempotent state (kmv_sketch_stream): merge absorbs
+      replays, no guard at all;
+    * additive state (here): watermark guard, because the algebra
+      cannot absorb a replay.
+
+    Output table: ``group_cols..., bucket int, cnt bigint,
+    last_batch_id bigint`` — feed the first three columns to
+    ``percentiles_from_histogram`` for live quantiles."""
+    from implementing_scds_in_hive_spark.operators.sketches import binned_histogram
+
+    g = list(group_cols)
+    spark = events.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        try:
+            existing = spark.read.parquet(hist_path)
+            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
+        except Exception:
+            existing, watermark = None, None
+        if watermark is not None and batch_id <= watermark:
+            # post-publish crash replay: the counts are already in the
+            # table — adding again would double-count; skip wholesale
+            return
+        delta = binned_histogram(batch, g, value_col, lo=lo, hi=hi, num_bins=num_bins)
+        if existing is not None:
+            merged = (
+                existing.select(*g, "bucket", "cnt")
+                .unionByName(delta)
+                .groupBy(*g, "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
+        publish(out, hist_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

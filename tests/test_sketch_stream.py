@@ -95,3 +95,57 @@ def test_crash_after_publish_recovers_via_merge_idempotence(spark, tmp_path):
     )
     direct = {r.day: r.kmv for r in kmv_sketch(all_events, ["day"], "user_id", k=64).collect()}
     assert streamed == direct  # crash-free and crashed runs converge identically
+
+
+def test_histogram_stream_equals_batch_and_guards_replay(spark, tmp_path):
+    # additive state: the watermark guard must make a post-publish crash
+    # replay a no-op — without it the replayed batch double-counts
+    from implementing_scds_in_hive_spark.operators.sketches import binned_histogram
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import histogram_stream
+
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    hist_path = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(group_cols=["day"], value_col="user_id", lo=0.0, hi=300.0, num_bins=30)
+
+    crashed = {"done": False}
+
+    def hook(batch_id, phase):
+        if phase == "post_publish" and batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash post-publish")
+
+    def run(crash_hook=None):
+        stream = (
+            spark.readStream.schema("day string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stg)
+        )
+        q = histogram_stream(
+            stream, hist_path, checkpoint_dir=ckpt, crash_hook=crash_hook, **kw
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception):
+        run(crash_hook=hook)
+    run()  # restart: batch 1 replays against its own published counts
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(hist_path).select("day", "bucket", "cnt").collect(),
+        )
+    )
+    all_events = spark.createDataFrame(
+        [r for chunk in BATCHES for r in chunk], "day string, user_id long"
+    )
+    want = sorted(
+        map(
+            tuple,
+            binned_histogram(
+                all_events, ["day"], "user_id", lo=0.0, hi=300.0, num_bins=30
+            ).collect(),
+        )
+    )
+    assert got == want  # no double-count despite the replayed batch
