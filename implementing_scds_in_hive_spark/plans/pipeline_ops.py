@@ -2325,3 +2325,74 @@ WHERE epoch(gap_end) - epoch(gap_start) > 21600
 
 PYTEST_ONLY_QUERIES["event_gaps"] = q_event_gaps
 PYTEST_ONLY_ORACLES["event_gaps"] = EVENT_GAPS_SQL
+
+
+# --- quantized ANN tier ---------------------------------------------------
+
+def q_quantized_topk(spark, sf_dir):
+    """Two-stage ANN over the int8 storage tier
+    (operators/similarity.py:quantized_rescore_topk): coarse top-12 per
+    query by integer dot over quantized vectors (the only full-corpus
+    pass reads the ~4x-smaller tier), exact cosine rescore of the
+    shortlist to top-3. Every stage is deterministic arithmetic —
+    round-half-up quantization spelled as floor(x/scale + 0.5), long
+    integer dot, documented tie-breaks — so the oracle replays the
+    entire two-stage pipeline bit-for-bit."""
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_rescore_topk(
+        quantize_corpus(e), e, queries, k=3, shortlist=12
+    )
+
+
+QUANTIZED_TOPK_SQL = """
+WITH qz AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale,
+         embedding
+  FROM embeddings),
+cq AS (
+  SELECT vec_id, qscale,
+         CASE WHEN qscale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0)
+         END AS qvec
+  FROM qz),
+qs AS (SELECT vec_id AS query_id, qvec AS qq, qscale AS qqs FROM cq WHERE vec_id % 25 = 0),
+coarse AS (
+  SELECT qs.query_id, cq.vec_id,
+         list_dot_product(CAST(cq.qvec AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
+           * cq.qscale * qs.qqs AS cscore
+  FROM cq CROSS JOIN qs),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, vec_id) AS rn
+    FROM coarse)
+  WHERE rn <= 12),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+               6) AS cos_sim
+  FROM short s
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM rescored)
+WHERE rnk <= 3
+"""
+
+
+PYTEST_ONLY_QUERIES["quantized_topk"] = q_quantized_topk
+PYTEST_ONLY_ORACLES["quantized_topk"] = QUANTIZED_TOPK_SQL
