@@ -157,3 +157,122 @@ def histogram_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_seen_stream(
+    events: DataFrame,
+    bloom_path: str,
+    out_path: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """First-seen / repeat classification of a key stream against a
+    durable Bloom filter — bounded-memory ingest dedup: "have we EVER
+    seen this id" over an unbounded key history costs ``num_bits`` of
+    state, not one entry per key.
+
+    Per batch: probe each row against the stored filter
+    (``seen_before`` — NO false negatives, so ``seen_before = false``
+    is guaranteed-first-delivery; ``true`` is wrong at ~FPR, the
+    documented Bloom asymmetry), write the classified batch to
+    ``out_path`` partitioned by batch id (dynamic-overwrite idempotent,
+    the scd_stream discipline), then OR-fold the batch's keys into the
+    filter. Bit-OR is idempotent — a post-publish crash replay re-ORs
+    bits already set and converges, the kmv_sketch_stream recovery
+    class — but the OUTPUT is not replay-invariant for free: a replayed
+    batch re-probes with its own bits possibly already folded in, which
+    would flip its rows to seen_before=true. The per-batch probe
+    therefore excludes nothing from the filter but rewrites its own
+    output partition from the ORIGINAL pre-batch filter, which is
+    reconstructible because the filter table is versioned by batch id
+    (the row with the highest ``batch_id`` <= current-1 is the probe
+    basis). Filter versions are tiny (sparse word maps), pruned to the
+    latest two."""
+    from implementing_scds_in_hive_spark.operators.bloom import (
+        bloom_collect,
+        bloom_might_contain,
+    )
+
+    spark = events.sparkSession
+
+    def _load_versions():
+        try:
+            return spark.read.parquet(bloom_path)
+        except Exception:
+            return None
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        versions = _load_versions()
+        basis = None
+        if versions is not None:
+            prior = versions.where(F.col("batch_id") < batch_id)
+            if not prior.isEmpty():
+                basis = prior.orderBy(F.col("batch_id").desc()).limit(1)
+        if basis is not None:
+            bitmap, nh = bloom_collect(basis)
+            classified = batch.withColumn(
+                "seen_before", bloom_might_contain(bitmap, nh, F.col(key_col))
+            )
+        else:
+            classified = batch.withColumn("seen_before", F.lit(False))
+        (
+            classified.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        if crash_hook:
+            crash_hook(batch_id, "post_output")
+
+        # fold the batch into a NEW filter version (OR-merge of sparse
+        # word maps) — idempotent: replays re-OR set bits
+        from implementing_scds_in_hive_spark.operators.bloom import bloom_build
+
+        delta = bloom_build(
+            batch.select(key_col), key_col, num_bits=num_bits, num_hashes=num_hashes
+        ).select(F.explode("bloom_words").alias("__word", "__bits"))
+        if basis is not None:
+            base_words = basis.select(
+                F.explode("bloom_words").alias("__word", "__bits")
+            )
+            delta = delta.unionByName(base_words)
+        merged_words = delta.groupBy("__word").agg(F.bit_or("__bits").alias("__bits"))
+        new_version = (
+            merged_words.agg(
+                F.map_from_arrays(
+                    F.collect_list("__word"), F.collect_list("__bits")
+                ).alias("bloom_words")
+            )
+            .withColumn("num_bits", F.lit(num_bits))
+            .withColumn("num_hashes", F.lit(num_hashes))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        keep = new_version
+        if versions is not None:
+            prev = versions.where(F.col("batch_id") < batch_id).orderBy(
+                F.col("batch_id").desc()
+            ).limit(1)
+            keep = new_version.unionByName(prev)
+        out = keep.localCheckpoint(eager=True)
+        publish(out, bloom_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
