@@ -515,6 +515,15 @@ def knn_join_ivf(
     )
 
 
+def _int_dot(a, b):
+    """Exact integer dot product of two int arrays (long accumulator)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def quantize_corpus(
     corpus: DataFrame,
     *,
@@ -523,13 +532,18 @@ def quantize_corpus(
     bits: int = 8,
 ) -> DataFrame:
     """Symmetric int8 (by default) quantization of an embedding corpus:
-    ``(id, qvec array<tinyint>, qscale double)`` — the storage tier for
-    100 TB of vectors. tinyint elements make the parquet physical type
-    int8: measured ~3-4x smaller files than float32 arrays on the same
-    vectors (tests/test_knn.py pins the ratio). Round-half-up
-    quantization via explicit floor arithmetic
-    (functions/vectors.py:quantize) — deterministic and
-    engine-portable, like everything else in this module."""
+    ``(id, qvec array<tinyint>, qscale double, qnorm double)`` — the
+    storage tier for 100 TB of vectors. tinyint elements make the
+    parquet physical type int8: measured ~3x smaller files than float32
+    arrays on the same vectors (tests/test_knn.py pins the ratio).
+    ``qnorm`` is the integer vector's L2 norm, precomputed because the
+    coarse stage ranks by approximate COSINE ``dot_int/(qnorm_a *
+    qnorm_q)`` — the per-vector scales cancel exactly in that ratio. A
+    raw-dot coarse ranking is norm-biased and collapses recall on any
+    corpus with varying norms (measured 0.11 recall@5 at 50k clustered
+    vectors vs 0.97+ normalized). Round-half-up quantization via
+    explicit floor arithmetic (functions/vectors.py:quantize) —
+    deterministic and engine-portable."""
     from implementing_scds_in_hive_spark.functions.vectors import quantize, quantize_scale
 
     # scale projected as a COLUMN first, then referenced by quantize —
@@ -545,6 +559,12 @@ def quantize_corpus(
             id_col,
             quantize(F.col(vec_col), F.col("qscale")).cast("array<tinyint>").alias("qvec"),
             "qscale",
+        )
+        .select(
+            id_col,
+            "qvec",
+            "qscale",
+            F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias("qnorm"),
         )
     )
 
@@ -571,31 +591,26 @@ def quantized_rescore_topk(
     inside a slightly larger coarse top-m with overwhelming
     probability; ``shortlist >= |corpus|`` degrades to exact brute
     force (tested identical to :func:`cosine_topk`). The coarse score
-    is ``dot_int(qa, qq) * qscale_a * qscale_q`` — integer dot in the
-    hot loop, two double multiplies per pair."""
+    is approximate cosine ``dot_int(qa, qq) / (qnorm_a * qnorm_q)`` —
+    integer dot in the hot loop, one divide per pair; the quantization
+    scales cancel exactly in the ratio, and normalizing matters: a
+    raw-dot coarse ranking is norm-biased (see quantize_corpus)."""
     m = shortlist or 4 * k
     qq = quantize_corpus(
         queries, id_col=query_id_col, vec_col=vec_col
     ).select(
         F.col(query_id_col),
         F.col("qvec").alias("__qq"),
-        F.col("qscale").alias("__qs"),
+        F.col("qnorm").alias("__qn2"),
     )
     coarse_scored = corpus_q.select(
-        F.col(id_col), F.col("qvec").alias("__cq"), F.col("qscale").alias("__cs")
+        F.col(id_col), F.col("qvec").alias("__cq"), F.col("qnorm").alias("__cn2")
     ).crossJoin(F.broadcast(qq)).select(
         query_id_col,
         id_col,
         (
-            F.aggregate(
-                F.zip_with(
-                    F.col("__cq"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).cast("double")
-            * F.col("__cs")
-            * F.col("__qs")
+            _int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+            / (F.col("__cn2") * F.col("__qn2"))
         ).alias("__coarse"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__coarse").desc(), F.col(id_col))

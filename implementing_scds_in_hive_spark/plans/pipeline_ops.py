@@ -2366,12 +2366,16 @@ cq AS (
               ELSE list_transform(embedding, x -> 0)
          END AS qvec
   FROM qz),
-qs AS (SELECT vec_id AS query_id, qvec AS qq, qscale AS qqs FROM cq WHERE vec_id % 25 = 0),
+cqn AS (
+  SELECT vec_id, qvec,
+         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[]))) AS qnorm
+  FROM cq),
+qs AS (SELECT vec_id AS query_id, qvec AS qq, qnorm AS qqn FROM cqn WHERE vec_id % 25 = 0),
 coarse AS (
-  SELECT qs.query_id, cq.vec_id,
-         list_dot_product(CAST(cq.qvec AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
-           * cq.qscale * qs.qqs AS cscore
-  FROM cq CROSS JOIN qs),
+  SELECT qs.query_id, cqn.vec_id,
+         list_dot_product(CAST(cqn.qvec AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
+           / (cqn.qnorm * qs.qqn) AS cscore
+  FROM cqn CROSS JOIN qs),
 short AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,

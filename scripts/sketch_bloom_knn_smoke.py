@@ -155,6 +155,51 @@ def main() -> None:
         }
     report["knn_ivf_50k"] = knn_times
 
+    # --- quantized tier at 50k vectors -------------------------------
+    import os
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        cosine_topk,
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    cq = quantize_corpus(vec_df).persist()
+    cq.count()
+    with tempfile.TemporaryDirectory() as td:
+        fp, qp = os.path.join(td, "full"), os.path.join(td, "quant")
+        vec_df.write.parquet(fp)
+        cq.write.parquet(qp)
+
+        def dsize(d):
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        ratio = round(dsize(fp) / dsize(qp), 2)
+    qdf = vec_df.where(F.col("vec_id").isin(sample_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_res, t_exact_knn = timed(
+        lambda: {(r.query_id, r.vec_id) for r in cosine_topk(vec_df, qdf, k=5).collect()}
+    )
+    qres, t_q = timed(
+        lambda: {
+            (r.query_id, r.vec_id)
+            for r in quantized_rescore_topk(cq, vec_df, qdf, k=5).collect()
+        }
+    )
+    report["quantized_50k"] = {
+        "parquet_shrink_x": ratio,
+        "t_full_bruteforce_s": t_exact_knn,
+        "t_coarse_plus_rescore_s": t_q,
+        "recall_at_5": round(len(qres & exact_res) / len(exact_res), 3),
+    }
+    cq.unpersist()
+
     print(json.dumps(report, indent=2))
 
 
