@@ -196,10 +196,9 @@ def detect_gaps(
     Output: (key, gap_start, gap_end, gap_seconds).
 
     One lag window per key — the same partition-skew class as
-    sessionize; at scale with a hot key, apply the identical two-level
-    bucketed mitigation (sessionize_bucketed's plan; a gap is a
-    boundary, and boundaries are exactly what its bucket-edge stitching
-    preserves)."""
+    sessionize; :func:`detect_gaps_bucketed` is the two-level bounded
+    plan for hot keys and :func:`detect_gaps_auto` routes between the
+    two on evidence, exactly like the rest of the window family."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
     return (
         events.select(
@@ -214,4 +213,95 @@ def detect_gaps(
             ),
         )
         .where(F.col("gap_seconds") > min_gap_seconds)
+    )
+
+
+def detect_gaps_bucketed(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 3600,
+    bucket_us: int = BUCKET_US_DEFAULT,
+) -> DataFrame:
+    """Skew-bounded :func:`detect_gaps`: identical output, window
+    partitions bounded by time-bucket instead of one partition per key.
+
+    The consecutive-pair chain per key splits exactly into (a) pairs
+    inside one time bucket — a lag window over (key, bucket) — and (b)
+    one boundary pair per adjacent pair of NON-EMPTY buckets, recovered
+    from per-bucket (min_ts, max_ts) summaries: a lag window over the
+    bucket summaries, whose per-key partition is bounded by
+    time-span/bucket_us rows rather than event count. Equal-timestamp
+    ties share a bucket, so no pair is double-counted. Same
+    construction as sessionize_bucketed; same reason AQE can't do this
+    for us (window partitions cannot be skew-split)."""
+    us = F.unix_micros(F.col(ts_col))
+    based = events.select(
+        key_col, F.col(ts_col), F.floor(us / bucket_us).alias("__bucket")
+    )
+    w1 = Window.partitionBy(key_col, "__bucket").orderBy(ts_col)
+    intra = based.select(
+        key_col,
+        F.lag(ts_col).over(w1).alias("gap_start"),
+        F.col(ts_col).alias("gap_end"),
+    ).where(F.col("gap_start").isNotNull())
+    summaries = based.groupBy(key_col, "__bucket").agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__bucket")
+    boundary = summaries.select(
+        key_col,
+        F.lag("__last").over(w2).alias("gap_start"),
+        F.col("__first").alias("gap_end"),
+    ).where(F.col("gap_start").isNotNull())
+    return (
+        intra.unionByName(boundary)
+        .withColumn(
+            "gap_seconds",
+            F.round(
+                F.col("gap_end").cast("double") - F.col("gap_start").cast("double"), 3
+            ),
+        )
+        .where(F.col("gap_seconds") > min_gap_seconds)
+    )
+
+
+def detect_gaps_auto(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 3600,
+    bucket_us: int = BUCKET_US_DEFAULT,
+    rows_per_key_hint: int | None = None,
+    skew_threshold: int | None = None,
+    probe_fraction: float | None = None,
+) -> DataFrame:
+    """Routed entry point for gap detection: plain lag window for
+    well-distributed keys, the two-level bucketed plan on evidence of
+    skew — same contract as sessionize_auto / forward_fill_auto."""
+    from implementing_scds_in_hive_spark.operators.skew_route import (
+        SKEW_THRESHOLD_DEFAULT,
+        decide_skew_plan,
+    )
+
+    d = decide_skew_plan(
+        events,
+        [key_col],
+        rows_per_key_hint=rows_per_key_hint,
+        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        probe_fraction=probe_fraction,
+        operator="detect_gaps",
+    )
+    if d.bucketed:
+        return detect_gaps_bucketed(
+            events,
+            key_col=key_col,
+            ts_col=ts_col,
+            min_gap_seconds=min_gap_seconds,
+            bucket_us=bucket_us,
+        )
+    return detect_gaps(
+        events, key_col=key_col, ts_col=ts_col, min_gap_seconds=min_gap_seconds
     )

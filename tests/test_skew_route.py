@@ -123,3 +123,47 @@ def test_decision_is_logged(spark, skewed_events, caplog):
         "sessionize skew routing" in r.message and "bucketed plan" in r.message
         for r in caplog.records
     )
+
+
+def test_detect_gaps_bucketed_equals_plain(spark):
+    import random
+
+    from implementing_scds_in_hive_spark.operators.sessionize import (
+        detect_gaps,
+        detect_gaps_bucketed,
+    )
+
+    rng = random.Random(19)
+    base = 1_700_000_000
+    rows = []
+    for u in range(6):
+        t = base + rng.randint(0, 500)
+        for _ in range(200):
+            # mix of sub-bucket steps and multi-bucket jumps so boundary
+            # pairs straddle bucket edges
+            t += rng.choice([5, 40, 90, 4000, 8000, 90_000])
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    kw = dict(key_col="user_id", ts_col="ts", min_gap_seconds=3000)
+    plain = sorted(map(tuple, detect_gaps(df, **kw).collect()))
+    bucketed = sorted(
+        map(tuple, detect_gaps_bucketed(df, bucket_us=3_600_000_000, **kw).collect())
+    )
+    assert plain == bucketed and len(plain) > 0
+
+
+def test_detect_gaps_auto_routes_by_hint(spark):
+    from implementing_scds_in_hive_spark.operators.sessionize import detect_gaps_auto
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000 + i * 10_000) for i in range(50)], "user_id long, epoch long"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+    plain = detect_gaps_auto(df, min_gap_seconds=5000, rows_per_key_hint=10)
+    bucketed = detect_gaps_auto(df, min_gap_seconds=5000, rows_per_key_hint=10_000_000)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bucketed.collect()))
+    # the bucketed plan has two window levels; the plain plan one
+    assert str(bucketed._jdf.queryExecution().executedPlan()).count("Window") > str(
+        plain._jdf.queryExecution().executedPlan()
+    ).count("Window")
