@@ -580,3 +580,65 @@ def simhash_duplicate_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("did")).alias("members"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Training documents sharing at least one token n-gram with an
+    evaluation set — benchmark DECONTAMINATION (the GPT-3/Pile-style
+    n-gram containment check; 8-13 grams are the published range).
+
+    Geometry built for the real asymmetry: eval sets are megabytes,
+    the corpus is the 100 TB side. The eval shingle set is distinct-ed
+    and BROADCAST; the corpus streams through one shingle projection +
+    explode with a broadcast-hash semi join — no corpus-side shuffle
+    except the final distinct over the (small) contaminated-id set.
+    ``portable=True`` switches to the md5-prefix mod-p shingle family
+    so a DuckDB oracle replays the exact hash sets."""
+    sh_fn = portable_shingled_hashes if portable else shingled_hashes
+    doc_sh = sh_fn(docs, id_col, text_col, n=n).select(
+        "did", F.explode("sh").alias("__h")
+    )
+    ev_sh = (
+        sh_fn(eval_docs, id_col, text_col, n=n)
+        .select(F.explode("sh").alias("__h"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(ev_sh), "__h", "left_semi")
+        .select(F.col("did").alias(id_col))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+    mode: str = "drop",
+) -> DataFrame:
+    """Remove (``mode='drop'``) or mark (``mode='flag'`` — adds a
+    ``contaminated`` boolean) training docs that leak evaluation
+    n-grams. Drop is an anti-join on the contaminated-id set; flag is a
+    left semi-derived boolean — either way the corpus is scanned
+    once."""
+    bad = contaminated_doc_ids(
+        docs, eval_docs, n=n, id_col=id_col, text_col=text_col, portable=portable
+    )
+    if mode == "drop":
+        return docs.join(bad, id_col, "left_anti")
+    if mode == "flag":
+        marked = bad.withColumn("contaminated", F.lit(True))
+        return docs.join(marked, id_col, "left").fillna(False, ["contaminated"])
+    raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")

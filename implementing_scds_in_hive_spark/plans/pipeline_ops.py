@@ -2400,3 +2400,67 @@ WHERE rnk <= 3
 
 PYTEST_ONLY_QUERIES["quantized_topk"] = q_quantized_topk
 PYTEST_ONLY_ORACLES["quantized_topk"] = QUANTIZED_TOPK_SQL
+
+
+# --- benchmark decontamination -------------------------------------------
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Eval-set decontamination flags (operators/dedup.py:decontaminate,
+    GPT-3/Pile-style n-gram containment): a planted eval set (a 7-token
+    slice of every 37th document) must flag its source docs — and any
+    other doc sharing one of those 5-grams. The eval shingle set
+    broadcasts; the corpus streams through one shingle scan. Portable
+    mod-p shingles, so the oracle replays the exact hash sets."""
+    from implementing_scds_in_hive_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 37 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 4, 7)).alias("text"),
+    )
+    return decontaminate(docs, ev, n=5, portable=True, mode="flag").select(
+        "doc_id", "contaminated"
+    )
+
+
+def _sh5_fold() -> str:
+    expr = "th[i]"
+    for j in range(1, 5):
+        expr = f"(({expr}) * 1000003 + th[i+{j}]) % 2147483647"
+    return expr
+
+
+DECONTAMINATE_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 3),
+             i -> {_sh5_fold()})) AS sh
+  FROM th WHERE len(th) >= 5),
+ev_txt AS (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[4:10], ' ') AS text
+  FROM documents WHERE doc_id % 37 = 0),
+ev_th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM ev_txt),
+ev_sh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(th) - 3),
+             i -> {_sh5_fold()})) AS h
+  FROM ev_th WHERE len(th) >= 5),
+bad AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s, ev_sh e
+  WHERE list_contains(s.sh, e.h))
+SELECT d.doc_id, (b.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
+"""
+
+
+PYTEST_ONLY_QUERIES["decontaminate_docs"] = q_decontaminate_docs
+PYTEST_ONLY_ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL

@@ -57,3 +57,52 @@ def test_index_has_one_row_per_doc_with_bands(spark, sf_dir):
     assert len(rows) == d.where(F.size(F.split("text", " ")) >= 3).count()
     assert all(len(r["bb"]) == 8 for r in rows)
     assert all(len({bb["band"] for bb in r["bb"]}) == 8 for r in rows)
+
+
+# --- decontamination ------------------------------------------------------
+
+def test_decontaminate_drop_and_flag_agree(spark):
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        contaminated_doc_ids,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "alpha beta gamma delta epsilon other words here"),  # shares doc1's 5-grams
+            (4, "short text"),  # < n tokens: never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    bad = {r.doc_id for r in contaminated_doc_ids(docs, ev, n=5).collect()}
+    assert bad == {1, 3}
+    kept = {r.doc_id for r in decontaminate(docs, ev, n=5, mode="drop").collect()}
+    assert kept == {2, 4}
+    flags = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, ev, n=5, mode="flag").collect()
+    }
+    assert flags == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_decontaminate_eval_shingles_broadcast(spark):
+    # the 100 TB asymmetry: the EVAL side must be the broadcast build side
+    from implementing_scds_in_hive_spark.operators.dedup import contaminated_doc_ids
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, " ".join(f"w7_{j}" for j in range(12)))], "doc_id long, text string")
+    plan = (
+        contaminated_doc_ids(docs, ev, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
