@@ -245,6 +245,25 @@ def stress_main(sf_dir: str) -> None:
     )
     lsh_pairs.unpersist()
 
+    # --- decontamination (r5): planted eval leak must be caught -------
+    from implementing_scds_in_hive_spark.operators.dedup import decontaminate
+
+    # eval set = an 8-token slice of every 101st surviving doc: those
+    # docs (at least) must drop; everything else with >= n tokens and no
+    # shared 6-gram must survive
+    long_enough = F.size(F.split("text", " ")) >= 10  # slice yields full 6-grams
+    eval_set = survivors.where((F.col("doc_id") % 101 == 0) & long_enough).select(
+        "doc_id", F.concat_ws(" ", F.slice(F.split("text", " "), 3, 8)).alias("text")
+    )
+    n_eval_sources = eval_set.count()
+    decon = decontaminate(survivors, eval_set, n=6).persist()
+    n_decon = _timed("decontaminate", decon.count, timings)
+    leaked_kept = decon.where((F.col("doc_id") % 101 == 0) & long_enough).count()
+    assert leaked_kept == 0, f"{leaked_kept} eval-source docs survived decontamination"
+    assert n_surv - n_decon >= n_eval_sources  # sources + any other sharers dropped
+    print(f"decontaminate: dropped {n_surv - n_decon} docs for {n_eval_sources} planted eval slices")
+    survivors, n_surv = decon, n_decon
+
     # --- PII + quality gate: invariant asserts ------------------------
     clean = survivors.withColumn("text", redact_pii(F.col("text")))
     assert clean.count() == n_surv  # redaction rewrites, never drops
