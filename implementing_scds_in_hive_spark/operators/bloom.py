@@ -28,7 +28,9 @@ false-positive rate 2.7% = fill^3 exactly as predicted, build+collect
 2.6 s, probe planning 49 ms (the O(1)-in-filter-size claim holds at a
 1 MiB literal), 4M probes in 2.4 s, zero false negatives. Those are
 dim cardinalities where broadcasting full rows would already be
-multi-GB; drop the FPR with more bits (2^24 -> ~0.5%) or more hashes. Spark's runtime bloom
+multi-GB; drop the FPR with more bits (2^24 -> ~0.5%) or more hashes.
+
+Spark's runtime bloom
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this
 opportunistically inside one query; this operator makes the filter a
 first-class value reusable across queries and days.
