@@ -120,3 +120,93 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def zorder_value(cols: list, *, bits: int = 16):
+    """Morton (Z-order) interleaving of N numeric columns: each value is
+    rank-normalized by the caller (or passed as a bounded non-negative
+    int), truncated to ``bits``, and bit-interleaved into one long —
+    JVM-side bit arithmetic only.
+
+    Clustering by this value is the multi-column file-skipping lever:
+    a sort by (a, b) makes row-group min/max stats selective on ``a``
+    only; a Z-order sort makes them selective on BOTH dimensions, so a
+    2-D range predicate prunes row groups/files in proportion to its
+    area rather than one side length. (Delta's OPTIMIZE ZORDER BY is
+    this idea as a table service; here it is an explicit write-time
+    transform.)"""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.getbit(c.cast("bigint"), F.lit(b))
+            acc = acc + (bit.cast("bigint") * F.lit(1 << (b * n + i)))
+    return acc
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: list[str],
+    bits: int = 12,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> None:
+    """Write parquet clustered by the Z-order of ``zorder_by`` columns.
+    Columns are min/max-normalized into the bit budget via
+    ``width_bucket`` — ONE map-side-combinable aggregation per write,
+    never a global sort (a percent_rank normalization would be exact
+    under skew but costs a single-partition window — the documented
+    anti-pattern; heavy skew degrades bin balance here, not
+    correctness, and stats pruning still applies inside the populated
+    range). ``repartitionByRange`` on the z-value splits the curve
+    across files (sampling-based, distributed), and
+    ``sortWithinPartitions`` clusters inside each file — together,
+    every file and row group owns a compact z-range, which is what
+    makes min/max stats tight on EVERY z-dimension.
+
+    tests/test_zorder.py measures the effect directly on parquet
+    row-group footers via pyarrow: the fraction of row groups whose
+    min/max box overlaps a small 2-D query box drops by >2x vs a
+    linear (a, b) sort on the same data."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in zorder_by],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in zorder_by],
+    ).collect()[0]
+    work = df
+    rank_cols = []
+    nb = 1 << bits
+    for c in zorder_by:
+        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        if hi <= lo:
+            hi = lo + 1.0  # constant column: everything lands in bucket 0
+        # width_bucket returns 1..nb in range; shift to 0-based and clamp
+        zr = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
+                    )
+                    - 1
+                ).cast("bigint"),
+            ),
+        )
+        rank_cols.append(zr.alias(f"__zr_{c}"))
+    work = work.select("*", *rank_cols)
+    z = zorder_value([F.col(f"__zr_{c}") for c in zorder_by], bits=bits).alias("__z")
+    work = work.select("*", z)
+    n_parts = target_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    (
+        work.repartitionByRange(n_parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__zr_{c}" for c in zorder_by])
+        .write.mode(mode)
+        .parquet(path)
+    )
