@@ -333,3 +333,134 @@ def percentiles_from_histogram(
         est = F.lit(lo) + (F.min(hit) + F.lit(1)).cast("double") * F.lit(width)
         aggs.append(F.round(est, 4).alias(name))
     return cum.groupBy(*g).agg(*aggs)
+
+
+# --- count-min sketch: mergeable point-frequency estimation -------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_cell(v: Column, row: int, width: int, portable: bool) -> Column:
+    """Counter column for hash row ``row``: ``h_row(v) % width``. Each
+    row keys an independent hash by suffixing the row index into the
+    hashed payload (portable: md5-prefix of ``v || '#' || row``,
+    replayable in ANSI SQL; scale default: seeded ``xxhash64(v, row)``)."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", v.cast("string"), F.lit(str(row)))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    else:
+        h = F.xxhash64(v, F.lit(row)).bitwiseAND(F.lit((1 << 63) - 1))
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-group count-min sketch (Cormode & Muthukrishnan 2005):
+    ``group_cols..., row int, col int, cnt bigint`` — only touched
+    counters materialize, at most ``depth * width`` rows per group
+    whatever the input size.
+
+    One map-side-combinable aggregation: each input row contributes
+    ``depth`` (row, col) increments via an in-row posexplode (no join,
+    no per-value state). Counters ADD, so per-partition / per-day
+    sketches merge by summing (:func:`cms_merge`) — the frequency
+    analog of the KMV story: answering "how often did key X occur last
+    quarter" from stored daily sketches without re-reading 100 TB.
+    Point estimates never underestimate (min over ``depth`` counters;
+    overestimate bounded by ~e/width of the group's total count)."""
+    g = list(group_cols)
+    v = F.col(value_col)
+    cells = F.array(*[_cms_cell(v, i, width, portable) for i in range(depth)])
+    return (
+        df.select(*g, F.posexplode(cells).alias("row", "col"))
+        .groupBy(*g, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two sketches built with the SAME (depth, width, hash mode):
+    counts add per (group, row, col) — one combinable aggregation.
+    ``merge(cms(A), cms(B)) == cms(A UNION ALL B)`` exactly
+    (property-tested), because each counter is a plain sum."""
+    g = list(group_cols)
+    return a.unionByName(b).groupBy(*g, "row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    portable: bool = False,
+) -> DataFrame:
+    """Estimated frequency for each (group, value) probe row:
+    ``probes... , est_count bigint`` = min over the ``depth`` counters
+    the value hashes to (an untouched counter is 0 — a value the
+    sketch never saw estimates 0, never negative, never a miss).
+
+    Scale shape: probes explode to ``depth`` cells and equi-join the
+    sketch on (group, row, col) — a hash join against a bounded-size
+    table (<= depth*width rows/group), broadcastable whenever the probe
+    or sketch side is small. The probed data itself is never read."""
+    g = list(group_cols)
+    v = F.col(value_col)
+    cells = F.array(*[_cms_cell(v, i, width, portable) for i in range(depth)])
+    exploded = probes.select(
+        *g, v.alias(value_col), F.posexplode(cells).alias("row", "col")
+    )
+    joined = exploded.join(sketch, on=[*g, "row", "col"], how="left")
+    return (
+        joined.groupBy(*g, value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    min_count: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    portable: bool = False,
+) -> DataFrame:
+    """Values whose estimated per-group frequency is >= ``min_count``:
+    build the sketch, probe it with the distinct (group, value) pairs,
+    keep the survivors. CMS never underestimates, so there are NO
+    false negatives — every true heavy hitter survives; collisions can
+    only add spurious rows (bounded by the e/width overestimate), and
+    at default sizing only when a group's cardinality presses against
+    depth*width.
+
+    Honest single-batch note (same as KMV's): with the candidates drawn
+    from ``df`` itself this costs the same one combinable shuffle as the
+    exact count — the sketch earns its keep when it is STORED: daily
+    sketches merge into any window, and :func:`cms_lookup` then answers
+    frequency/heavy-hitter queries over that window without re-reading
+    the raw data, which exact counts cannot (counts of *distinct keys*
+    don't compose without the full key lists)."""
+    g = list(group_cols)
+    sketch = cms_sketch(df, g, value_col, depth=depth, width=width, portable=portable)
+    probes = df.select(*g, value_col).distinct()
+    est = cms_lookup(
+        sketch, probes, g, value_col, depth=depth, width=width, portable=portable
+    )
+    return est.where(F.col("est_count") >= F.lit(min_count))

@@ -2464,3 +2464,58 @@ FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
 
 PYTEST_ONLY_QUERIES["decontaminate_docs"] = q_decontaminate_docs
 PYTEST_ONLY_ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL
+
+
+# --- count-min heavy hitters ---------------------------------------------
+
+def q_cms_heavy_hitters_users(spark, sf_dir):
+    """Users with >= 20 events of a given type, answered from a
+    count-min sketch (operators/sketches.py:cms_heavy_hitters) — the
+    frequency member of the mergeable-sketch family (KMV = distinct,
+    histogram = percentiles, Bloom = membership, CMS = frequency).
+    Per-day sketches ADD per (group, row, col), so stored sketches
+    answer "how often did key X occur last quarter" via cms_lookup
+    without re-reading the raw events; CMS never underestimates, so no
+    true heavy hitter is missed. Portable hash mode: the oracle replays
+    every counter and the min-over-depth probe bit-for-bit."""
+    from implementing_scds_in_hive_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "events").select("event_type", "user_id"),
+        ["event_type"],
+        "user_id",
+        min_count=20,
+        depth=4,
+        width=2048,
+        portable=True,
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = """
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT event_type, r.row AS row,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#'
+                                    || CAST(r.row AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2048 AS col
+  FROM events CROSS JOIN rows4 r),
+sketch AS (
+  SELECT event_type, row, col, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+probe AS (SELECT DISTINCT event_type, user_id FROM events),
+pc AS (
+  SELECT p.event_type, p.user_id, r.row AS row,
+         CAST('0x' || substring(md5(CAST(p.user_id AS VARCHAR) || '#'
+                                    || CAST(r.row AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2048 AS col
+  FROM probe p CROSS JOIN rows4 r),
+est AS (
+  SELECT pc.event_type, pc.user_id, min(COALESCE(s.cnt, 0)) AS est_count
+  FROM pc LEFT JOIN sketch s
+    ON s.event_type = pc.event_type AND s.row = pc.row AND s.col = pc.col
+  GROUP BY 1, 2)
+SELECT event_type, user_id, est_count FROM est WHERE est_count >= 20
+"""
+
+
+PYTEST_ONLY_QUERIES["cms_heavy_hitters_users"] = q_cms_heavy_hitters_users
+PYTEST_ONLY_ORACLES["cms_heavy_hitters_users"] = CMS_HEAVY_HITTERS_SQL

@@ -304,3 +304,87 @@ def test_merged_histogram_percentiles_match_direct(spark):
     got = percentiles_from_histogram(merged, ["g"], qs=(0.5, 0.9), **kw).collect()[0]
     want = binned_percentiles(day1.unionByName(day2), ["g"], "v", qs=(0.5, 0.9), **kw).collect()[0]
     assert (got.p50, got.p90) == (want.p50, want.p90)
+
+
+# --- count-min sketch -----------------------------------------------------
+
+from implementing_scds_in_hive_spark.operators.sketches import (  # noqa: E402
+    cms_heavy_hitters,
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame([("g", v) for v in rows], "g string, v long")
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_cms_never_underestimates(spark, portable):
+    # 3 values with known exact counts; CMS point estimates must be
+    # >= truth for every value (the no-false-negative side), and with
+    # width far above cardinality, exactly equal.
+    df = _events(spark, [1] * 7 + [2] * 3 + [3])
+    sk = cms_sketch(df, ["g"], "v", depth=4, width=1024, portable=portable)
+    probes = _events(spark, [1, 2, 3])
+    got = {
+        r.v: r.est_count
+        for r in cms_lookup(sk, probes, ["g"], "v", depth=4, width=1024,
+                            portable=portable).collect()
+    }
+    assert got == {1: 7, 2: 3, 3: 1}
+
+
+def test_cms_unseen_value_estimates_zero(spark):
+    sk = cms_sketch(_events(spark, [1, 2, 3]), ["g"], "v", width=1024)
+    probes = _events(spark, [99])
+    out = cms_lookup(sk, probes, ["g"], "v", width=1024).collect()
+    assert out[0].est_count == 0
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    # merge(cms(A), cms(B)) == cms(A UNION ALL B) EXACTLY — counters are
+    # plain sums, which is what makes stored per-day sketches composable.
+    a = _events(spark, [1, 1, 2, 5])
+    b = _events(spark, [2, 3, 3, 5])
+    sa = cms_sketch(a, ["g"], "v", depth=4, width=64)
+    sb = cms_sketch(b, ["g"], "v", depth=4, width=64)
+    merged = {
+        (r.row, r.col): r.cnt
+        for r in cms_merge(sa, sb, ["g"]).collect()
+    }
+    union = {
+        (r.row, r.col): r.cnt
+        for r in cms_sketch(a.unionByName(b), ["g"], "v", depth=4, width=64).collect()
+    }
+    assert merged == union
+
+
+def test_cms_heavy_hitters_finds_all_true_hitters(spark):
+    # tiny width=8 forces collisions: overestimates may ADD rows but can
+    # never drop a true heavy hitter.
+    rows = [10] * 30 + [20] * 25 + list(range(100, 140))
+    df = _events(spark, rows)
+    hh_tight = {
+        r.v for r in cms_heavy_hitters(
+            df, ["g"], "v", min_count=25, depth=4, width=8).collect()
+    }
+    assert {10, 20} <= hh_tight
+    # comfortable sizing: estimates are exact, so the survivor set is
+    # exactly the true one.
+    hh_wide = {
+        r.v for r in cms_heavy_hitters(
+            df, ["g"], "v", min_count=25, depth=4, width=2048).collect()
+    }
+    assert hh_wide == {10, 20}
+
+
+def test_cms_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 2, "g string, v long"
+    )
+    sk = cms_sketch(df, ["g"], "v", width=256)
+    probes = spark.createDataFrame([("a", 1), ("b", 1)], "g string, v long")
+    got = {r.g: r.est_count for r in cms_lookup(sk, probes, ["g"], "v", width=256).collect()}
+    assert got == {"a": 5, "b": 2}
