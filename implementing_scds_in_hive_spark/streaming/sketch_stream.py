@@ -276,3 +276,74 @@ def bloom_seen_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def cms_stream(
+    events: DataFrame,
+    cms_path: str,
+    *,
+    checkpoint_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    portable: bool = False,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Maintain a per-group count-min sketch table from a stream — live
+    key-frequency state with ``depth * width`` counters per group,
+    however many distinct keys flow past. Like :func:`histogram_stream`
+    the merge is a SUM (additive, not idempotent), so it carries the
+    same batch-id high-watermark guard against post-publish crash
+    replays; the recovery taxonomy in that docstring applies unchanged.
+
+    Output table: ``group_cols..., row int, col int, cnt bigint,
+    last_batch_id bigint`` — feed the counter columns to ``cms_lookup``
+    for live frequency estimates / heavy-hitter screens (min-over-depth
+    never underestimates, so "key X crossed N occurrences" alerts have
+    no false negatives)."""
+    from implementing_scds_in_hive_spark.operators.sketches import cms_sketch
+
+    g = list(group_cols)
+    spark = events.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        try:
+            existing = spark.read.parquet(cms_path)
+            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
+        except Exception:
+            existing, watermark = None, None
+        if watermark is not None and batch_id <= watermark:
+            # replayed batch: its increments are already in the table
+            return
+        delta = cms_sketch(
+            batch, g, value_col, depth=depth, width=width, portable=portable
+        )
+        if existing is not None:
+            merged = (
+                existing.select(*g, "row", "col", "cnt")
+                .unionByName(delta)
+                .groupBy(*g, "row", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
+        publish(out, cms_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -213,3 +213,53 @@ def test_bloom_seen_stream_classifies_and_recovers(spark, tmp_path):
     ]
     assert len(fresh_flagged) <= 2  # tiny filter, tiny FPR budget
     assert len(rows) == 230
+
+
+def test_cms_stream_equals_batch_and_guards_replay(spark, tmp_path):
+    # additive counters, same recovery class as histogram_stream: the
+    # watermark guard must absorb a post-publish crash replay, and the
+    # final table must equal the one-pass batch sketch exactly.
+    from implementing_scds_in_hive_spark.operators.sketches import cms_sketch
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import cms_stream
+
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    cms_path = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(group_cols=["day"], value_col="user_id", depth=4, width=256)
+
+    crashed = {"done": False}
+
+    def hook(batch_id, phase):
+        if phase == "post_publish" and batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash post-publish")
+
+    def run(crash_hook=None):
+        stream = (
+            spark.readStream.schema("day string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stg)
+        )
+        q = cms_stream(
+            stream, cms_path, checkpoint_dir=ckpt, crash_hook=crash_hook, **kw
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception):
+        run(crash_hook=hook)
+    run()  # restart: batch 1 replays against its own published counters
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(cms_path).select("day", "row", "col", "cnt").collect(),
+        )
+    )
+    all_events = spark.createDataFrame(
+        [r for chunk in BATCHES for r in chunk], "day string, user_id long"
+    )
+    want = sorted(
+        map(tuple, cms_sketch(all_events, ["day"], "user_id", depth=4, width=256).collect())
+    )
+    assert got == want  # no double-count despite the replayed batch
