@@ -80,6 +80,62 @@ def main() -> None:
     }
     big.unpersist()
 
+    # --- CMS heavy hitters at 4M rows --------------------------------
+    # 4 groups; per group ~250k distinct cold keys (1 hit each tier) and
+    # 10 planted hot keys taking every 20th row (~12.5k hits each): the
+    # bot-detection shape. CMS must (a) find every true heavy hitter —
+    # no false negatives by construction — and (b) keep the sketch
+    # bounded at depth*width counters per group.
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    ev = (
+        spark.range(4_000_000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.when(F.col("id") % 20 == 0, F.col("id") % 10)
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1000)
+            .alias("v"),
+        )
+        .persist()
+    )
+    ev.count()
+    threshold = 10_000
+    exact_hh, t_exact_hh = timed(
+        lambda: {
+            (r.g, r.v)
+            for r in ev.groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= threshold)
+            .collect()
+        }
+    )
+    cms_hh, t_cms_hh = timed(
+        lambda: {
+            (r.g, r.v)
+            for r in cms_heavy_hitters(
+                ev, ["g"], "v", min_count=threshold, depth=4, width=4096
+            ).collect()
+        }
+    )
+    assert exact_hh <= cms_hh, "CMS dropped a true heavy hitter"
+    sketch_rows, t_cms_build = timed(
+        lambda: cms_sketch(ev, ["g"], "v", depth=4, width=4096).count()
+    )
+    report["cms"] = {
+        "rows": 4_000_000,
+        "true_heavy_hitters": len(exact_hh),
+        "cms_survivors": len(cms_hh),
+        "spurious": len(cms_hh - exact_hh),
+        "sketch_rows": sketch_rows,
+        "t_exact_groupby_s": t_exact_hh,
+        "t_cms_heavy_hitters_s": t_cms_hh,
+        "t_cms_sketch_build_s": t_cms_build,
+    }
+    ev.unpersist()
+
     # --- bloom at 4M facts, 1% dim -----------------------------------
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     fact = spark.range(4_000_000).select(

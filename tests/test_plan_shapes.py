@@ -193,3 +193,19 @@ def test_r5_promoted_slots_plan_shapes(spark, sf_dir):
 
     plan = _plan(q["dedup_incremental"](spark, sf_dir))
     assert "hashpartitioning(did" not in plan
+
+
+def test_cms_sketch_single_combinable_shuffle(spark, sf_dir):
+    """The CMS build must be ONE hash shuffle with map-side partial
+    aggregation: the depth-way explode stays in-row (no join, no extra
+    exchange), and counters combine before the exchange so a hot
+    group's increments collapse per map task."""
+    from implementing_scds_in_hive_spark.operators.sketches import cms_sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    plan = _plan(cms_sketch(events, ["event_type"], "user_id"))
+    assert _shuffles(plan) == 1
+    assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning")
+    assert "Exchange SinglePartition" not in plan
