@@ -91,18 +91,22 @@ def main() -> None:
         cms_sketch,
     )
 
+    # g and the hot-key id must not share factors with the %20 stride or
+    # the hot rows all collapse onto one (group, key) cell — hash the
+    # group and derive the hot key from id/20 so the 200k hot rows
+    # spread over 4 groups x 10 keys (~5k hits each).
     ev = (
         spark.range(4_000_000)
         .select(
-            (F.col("id") % 4).cast("string").alias("g"),
-            F.when(F.col("id") % 20 == 0, F.col("id") % 10)
-            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1000)
+            F.pmod(F.xxhash64("id"), F.lit(4)).cast("string").alias("g"),
+            F.when(F.col("id") % 20 == 0, (F.col("id") / 20).cast("long") % 10)
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) + 1000)
             .alias("v"),
         )
         .persist()
     )
     ev.count()
-    threshold = 10_000
+    threshold = 3_000
     exact_hh, t_exact_hh = timed(
         lambda: {
             (r.g, r.v)
