@@ -2517,5 +2517,8 @@ SELECT event_type, user_id, est_count FROM est WHERE est_count >= 20
 """
 
 
-PYTEST_ONLY_QUERIES["cms_heavy_hitters_users"] = q_cms_heavy_hitters_users
-PYTEST_ONLY_ORACLES["cms_heavy_hitters_users"] = CMS_HEAVY_HITTERS_SQL
+# late-r5 rotation: driver slot (from scalar_string_funcs, whose scalar
+# surface is proxy-evidenced across the registry) — first driver
+# evidence for the CMS family.
+QUERIES["cms_heavy_hitters_users"] = q_cms_heavy_hitters_users
+ORACLES["cms_heavy_hitters_users"] = CMS_HEAVY_HITTERS_SQL

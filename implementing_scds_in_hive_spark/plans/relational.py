@@ -721,7 +721,6 @@ QUERIES = {
     "window_topn_per_group": q_window_topn_per_group,
     "set_ops": q_set_ops,
     "top_orders": q_top_orders,
-    "scalar_string_funcs": q_scalar_string_funcs,
     "filter_compound": q_filter_compound,
     "pivot_status_by_year": q_pivot_status_by_year,
     "having_agg_filter": q_having_agg_filter,
@@ -742,7 +741,6 @@ ORACLES = {
     "window_topn_per_group": WINDOW_TOPN_SQL,
     "set_ops": SET_OPS_SQL,
     "top_orders": TOP_ORDERS_SQL,
-    "scalar_string_funcs": SCALAR_STRING_SQL,
     "filter_compound": FILTER_COMPOUND_SQL,
     "pivot_status_by_year": PIVOT_SQL,
     "having_agg_filter": HAVING_SQL,
@@ -761,7 +759,13 @@ ORACLES = {
 # join_semi folded in r5 (slot given to bloom_semi_orders, which IS a
 # left-semi join — J6 stays driver-evidenced through it — plus the new
 # bloom pruning path).
+# scalar_string_funcs folded late in r5 (slot given to
+# cms_heavy_hitters_users, a never-slotted family): its P4/F1/F2/F6
+# scalar surface is driver-evidenced everywhere — concat/case-when in
+# corpus_select's hashed score columns, coalesce + eqNullSafe in the
+# flagship's change predicate, substring/length in text_stats.
 PYTEST_ONLY_QUERIES = {
+    "scalar_string_funcs": q_scalar_string_funcs,
     "join_semi": q_join_semi,
     "rollup_region_nation": q_rollup_region_nation,
     "scalar_date_funcs": q_scalar_date_funcs,
@@ -773,6 +777,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scalar_string_funcs": SCALAR_STRING_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "rollup_region_nation": ROLLUP_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
