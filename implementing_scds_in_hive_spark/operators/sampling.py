@@ -223,3 +223,47 @@ def sample_weighted_topk(
     return (
         base.orderBy(F.col("__pri"), F.col(id_col)).limit(k).drop("__pri")
     )
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    *,
+    alpha: float = 0.5,
+    epochs_cap: float = 1.0,
+) -> dict[str, float]:
+    """Per-source sampling fractions implementing temperature-based
+    mixture balancing (the multilingual-pretraining standard: sample
+    source i with probability proportional to ``n_i ** alpha``, so
+    alpha=1 keeps natural proportions and alpha->0 approaches uniform,
+    up-weighting small sources).
+
+    Given raw per-source document counts, returns the fraction of EACH
+    source to keep so that the composed mix has the alpha-tempered
+    shares while never requesting more than ``epochs_cap`` passes over
+    any source (fraction <= epochs_cap; with the default 1.0, no
+    source is oversampled — the whole mix scales down instead, the
+    conservative choice when duplication hurts). Plug the result
+    straight into :func:`mixture_sample`:
+
+        rates = temperature_rates({"web": 9e9, "books": 1e8}, alpha=0.3)
+        mix = mixture_sample([(k, dfs[k], r) for k, r in rates.items()])
+
+    Driver-side arithmetic on the per-source count summary (a handful
+    of numbers, not data); the heavy lifting stays in
+    ``mixture_sample``'s zero-shuffle per-row filters."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("all source counts must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = float(sum(counts.values()))
+    powered = {k: float(n) ** alpha for k, n in counts.items()}
+    z = sum(powered.values())
+    # target share of the mix for source i: n_i^alpha / Z. With mix
+    # size M, source i contributes share_i * M rows = frac_i * n_i, so
+    # frac_i = share_i * M / n_i. Choose the largest M that keeps every
+    # frac_i <= epochs_cap: M = epochs_cap / max_i(share_i / n_i).
+    share = {k: powered[k] / z for k in counts}
+    m = epochs_cap / max(share[k] / counts[k] for k in counts)
+    return {k: share[k] * m / counts[k] for k in counts}

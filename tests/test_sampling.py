@@ -246,3 +246,63 @@ def test_weighted_topk_global_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- temperature-based mixture balancing ---------------------------------
+
+from implementing_scds_in_hive_spark.operators.sampling import (  # noqa: E402
+    mixture_sample,
+    temperature_rates,
+)
+
+
+def test_temperature_rates_alpha_one_is_natural():
+    # alpha=1: natural proportions == the raw data, so every source is
+    # kept whole (the cap binds everywhere simultaneously)
+    assert temperature_rates({"a": 800, "b": 200}, alpha=1.0) == {"a": 1.0, "b": 1.0}
+
+
+def test_temperature_rates_alpha_zero_is_uniform():
+    # alpha=0: uniform target shares; the smallest source caps at one
+    # epoch and every other source downsamples to match its count
+    r = temperature_rates({"a": 800, "b": 200}, alpha=0.0)
+    assert r["b"] == 1.0
+    assert abs(800 * r["a"] - 200 * r["b"]) < 1e-9
+
+
+def test_temperature_rates_expected_shares_match_tempered_target():
+    counts = {"web": 9_000_000, "books": 400_000, "code": 100_000}
+    alpha = 0.5
+    r = temperature_rates(counts, alpha=alpha)
+    expected = {k: counts[k] * r[k] for k in counts}
+    total = sum(expected.values())
+    z = sum(n ** alpha for n in counts.values())
+    for k, n in counts.items():
+        assert abs(expected[k] / total - n ** alpha / z) < 1e-12
+    # cap respected: no source asked for more than one epoch
+    assert all(0 < v <= 1.0 for v in r.values())
+
+
+def test_temperature_rates_validation():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_rates({})
+    with _pt.raises(ValueError):
+        temperature_rates({"a": 0})
+    with _pt.raises(ValueError):
+        temperature_rates({"a": 10}, alpha=-0.1)
+
+
+def test_temperature_rates_feed_mixture_sample(spark):
+    # end-to-end: alpha=0 over a 4:1 imbalance must realize ~equal
+    # per-source counts once fed through the content-addressed sampler
+    big = spark.range(4000).select(F.col("id").alias("doc_id"))
+    small = spark.range(1000).select((F.col("id") + 10_000).alias("doc_id"))
+    r = temperature_rates({"big": 4000, "small": 1000}, alpha=0.0)
+    mix = mixture_sample([("big", big, r["big"]), ("small", small, r["small"])])
+    got = {row["source"]: row["n"] for row in
+           mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 1000  # capped at one full epoch
+    # Bernoulli at 0.25 over 4000 docs: 3-sigma ~ 80
+    assert abs(got["big"] - 1000) < 150
