@@ -319,16 +319,29 @@ def stress_main(sf_dir: str) -> None:
     assert rel_err < 0.15  # k=512 -> ~4.4% expected; 3-sigma bound
 
     # --- training mixture: content-addressed, deterministic -----------
+    # rates come from alpha-temperature balancing over the measured
+    # per-source counts (alpha=0.5 tempers the en/other imbalance; the
+    # smaller source caps at one epoch, en downsamples to match)
+    from implementing_scds_in_hive_spark.operators.sampling import temperature_rates
+
     en, rest = kept.where("lang = 'en'"), kept.where("lang != 'en'")
+    n_en, n_rest = en.count(), rest.count()
+    rates = temperature_rates({"en": n_en, "other": n_rest}, alpha=0.5)
+    print(f"temperature rates (alpha=0.5): {rates}")
+    assert max(rates.values()) == 1.0  # one source always runs a full epoch
     mix_of = lambda: mixture_sample(
-        [("en", en, 0.5), ("other", rest, 1.0)], salt="stress-mix"
+        [("en", en, rates["en"]), ("other", rest, rates["other"])],
+        salt="stress-mix",
     )
     mix = _timed("mixture_sample", lambda: mix_of().persist(), timings)
     n_mix = mix.count()
     assert n_mix == mix_of().count()  # re-run: byte-identical membership
     by_src = {r["source"]: r["n"] for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    assert by_src.get("other", 0) == rest.count()  # fraction 1.0 keeps all
-    print(f"mixture: {by_src} (en kept {by_src.get('en',0)}/{en.count()})")
+    # the capped (smallest) source runs a full epoch — no rows dropped
+    capped = max(rates, key=rates.get)
+    full = {"en": n_en, "other": n_rest}[capped]
+    assert by_src.get(capped, 0) == full
+    print(f"mixture: {by_src} (en kept {by_src.get('en',0)}/{n_en})")
 
     # --- splits: exact partition + determinism ------------------------
     split = assign_split(mix, {"train": 0.9, "val": 0.05, "test": 0.05}).persist()

@@ -266,4 +266,7 @@ def temperature_rates(
     # frac_i <= epochs_cap: M = epochs_cap / max_i(share_i / n_i).
     share = {k: powered[k] / z for k in counts}
     m = epochs_cap / max(share[k] / counts[k] for k in counts)
-    return {k: share[k] * m / counts[k] for k in counts}
+    # the binding source's fraction is epochs_cap by construction, but
+    # the division round-trip can land an ulp above it — clamp so
+    # callers can rely on fraction <= epochs_cap exactly
+    return {k: min(epochs_cap, share[k] * m / counts[k]) for k in counts}

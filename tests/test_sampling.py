@@ -306,3 +306,12 @@ def test_temperature_rates_feed_mixture_sample(spark):
     assert got["small"] == 1000  # capped at one full epoch
     # Bernoulli at 0.25 over 4000 docs: 3-sigma ~ 80
     assert abs(got["big"] - 1000) < 150
+
+
+def test_temperature_rates_cap_is_exact_under_float_roundtrip():
+    # regression: the binding source's fraction came back an ulp above
+    # 1.0 for some count mixes (seen at {en: 3249, other: 4697}-class
+    # inputs in the stress pipeline); the clamp must pin it to the cap
+    r = temperature_rates({"en": 3249, "other": 4697}, alpha=0.5)
+    assert max(r.values()) == 1.0
+    assert all(v <= 1.0 for v in r.values())
