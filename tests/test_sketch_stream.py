@@ -360,3 +360,100 @@ def test_cms_stream_survives_random_crash_chains(spark):
             shutil.rmtree(work, ignore_errors=True)
 
     prop()
+
+
+def test_histogram_stream_survives_random_crash_chains(spark):
+    # same chain property for the OTHER additive stream: the guard
+    # logic lives separately in histogram_stream, so the CMS chain test
+    # would not catch drift here.
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from implementing_scds_in_hive_spark.operators.sketches import binned_histogram
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import histogram_stream
+
+    _batch = st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=5)
+    _crash = st.sampled_from([None, "pre", "post_publish"])
+    _chain = st.lists(st.tuples(_batch, _crash), min_size=1, max_size=3)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(chain=_chain)
+    def prop(chain):
+        work = tempfile.mkdtemp(prefix="hist_crash_chain_")
+        try:
+            stg = f"{work}/events"
+            for batch, _ in chain:
+                spark.createDataFrame(
+                    [("g", v) for v in batch], "g string, v long"
+                ).coalesce(1).write.mode("append").parquet(stg)
+                time.sleep(0.05)
+
+            crash_plan = {i: c for i, (_, c) in enumerate(chain) if c}
+            fired = set()
+
+            def hook(batch_id, phase):
+                if crash_plan.get(batch_id) == phase and batch_id not in fired:
+                    fired.add(batch_id)
+                    raise RuntimeError(f"batch {batch_id} died {phase}")
+
+            def run_once():
+                stream = (
+                    spark.readStream.schema("g string, v long")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(stg)
+                )
+                q = histogram_stream(
+                    stream,
+                    f"{work}/hist",
+                    checkpoint_dir=f"{work}/ckpt",
+                    group_cols=["g"],
+                    value_col="v",
+                    lo=0.0,
+                    hi=100.0,
+                    num_bins=10,
+                    crash_hook=hook,
+                )
+                try:
+                    q.awaitTermination(120)
+                    return True
+                except Exception:
+                    q.stop()
+                    return False
+
+            attempts = 0
+            while not run_once():
+                attempts += 1
+                assert attempts <= len(crash_plan) + 1, "failed more than injected"
+            assert fired == set(crash_plan)
+
+            got = sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(f"{work}/hist")
+                    .select("g", "bucket", "cnt")
+                    .collect(),
+                )
+            )
+            all_events = spark.createDataFrame(
+                [("g", v) for batch, _ in chain for v in batch], "g string, v long"
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    binned_histogram(
+                        all_events, ["g"], "v", lo=0.0, hi=100.0, num_bins=10
+                    ).collect(),
+                )
+            )
+            assert got == want
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    prop()
