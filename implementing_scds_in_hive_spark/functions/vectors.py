@@ -84,3 +84,38 @@ def sign_bits_bucket(a: Column, n_bits: int = 16) -> Column:
         F.slice(a, 1, n_bits), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
     )
     return F.concat_ws("", bits)
+
+
+def projection_signs(dim_in: int, dim_out: int, seed: str = "rp") -> list[list[float]]:
+    """Rademacher (+-1) projection matrix derived from portable md5:
+    sign(i, j) = +1 iff the 60-bit integer prefix of md5('seed:i:j') is
+    even. Any ANSI engine replays the identical matrix (DuckDB twin:
+    ``CAST('0x' || substring(md5(...), 1, 15) AS BIGINT) % 2``), so a
+    projection is verifiable cross-engine without shipping the matrix —
+    the hash IS the matrix. Achlioptas (2003) shows +-1 entries satisfy
+    the Johnson-Lindenstrauss guarantee like Gaussians do."""
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[sign(i, j) for i in range(1, dim_in + 1)] for j in range(1, dim_out + 1)]
+
+
+def random_project(a: Column, dim_in: int, dim_out: int, seed: str = "rp") -> Column:
+    """JL random projection to ``dim_out`` doubles:
+    ``out[j] = dot(a, signs_j) / sqrt(dim_out)``.
+
+    The signs are Python-time constants baked into the plan as array
+    literals — Catalyst sees ``dim_out`` plain dot products against
+    literal arrays, nothing is hashed per row. Each dot is the module's
+    ordered left fold, so the oracle's sequential list_dot_product
+    replays the identical double arithmetic."""
+    import math
+
+    scale = 1.0 / math.sqrt(dim_out)
+    signs = projection_signs(dim_in, dim_out, seed)
+    return F.array(
+        *[(dot(a, F.array(*[F.lit(s) for s in row])) * F.lit(scale)) for row in signs]
+    )

@@ -642,3 +642,98 @@ def decontaminate(
         marked = bad.withColumn("contaminated", F.lit(True))
         return docs.join(marked, id_col, "left").fillna(False, ["contaminated"])
     raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING — the lossless
+    scale path for the exhaustive tier.
+
+    ``ngram_jaccard_pairs`` is exact but must either index every shingle
+    (the join fans out quadratically on common shingles) or cap document
+    frequency (``max_doc_freq`` — bounded, but an explicit approximation
+    that measurably loses tail recall on adversarial corpora). Prefix
+    filtering (the AllPairs / PPJoin family, Bayardo et al. WWW'07 and
+    Xiao et al. WWW'08 — both public) is exact AND bounded: order each
+    document's shingles by one global total order (ascending document
+    frequency, ties by hash — rarest first), and index only the first
+
+        p = |x| - ceil(t * |x|) + 1
+
+    shingles of each document. Two sets with Jaccard >= t must overlap by
+    at least ceil(t * |x|) elements, which is impossible unless their
+    p-prefixes under the shared order intersect — so joining on prefix
+    shingles alone finds every qualifying pair, and because prefixes are
+    dominated by RARE shingles the per-shingle fan-out collapses without
+    any recall dial. A length filter (min size >= t * max size, another
+    exact necessary condition) prunes candidates before verification;
+    survivors are verified with exact intersection over the full arrays.
+
+    One extra shuffle vs the capped tier (the doc-frequency join that
+    establishes the global order) buys losslessness; at 100 TB the
+    candidate set — the term that actually explodes — is strictly
+    smaller than any df-cap variant that keeps full recall. Intermediate
+    shingle projections are persisted (MEMORY_AND_DISK) because the plan
+    reuses them on both join sides — same lifetime convention as
+    ``ngram_jaccard_pairs``.
+    """
+    eps = 1e-9  # guards float ceil: 0.1*30 -> 3.0000000000000004
+    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = sh.select("did", F.explode("sh").alias("hs"))
+    freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc shingles in global (df asc, hs asc) order; prefix slice.
+    ordered = (
+        inv.join(freq, "hs")
+        .groupBy("did")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("osh"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "did",
+            "sz",
+            F.slice(
+                F.transform("osh", lambda s: s["hs"]),
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pf = ordered.select("did", "sz", F.explode("prefix").alias("hs"))
+    a, b = pf.alias("a"), pf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.did") < F.col("b.did"))
+            # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|)
+            & (
+                F.least("a.sz", "b.sz").cast("double")
+                >= F.lit(threshold) * F.greatest("a.sz", "b.sz") - eps
+            ),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -646,3 +646,113 @@ def quantized_rescore_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def rp_project_corpus(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_in: int = 64,
+    dim_out: int = 16,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss storage tier: ``(id, rvec array<double>,
+    rnorm)`` with ``rvec`` the Rademacher projection of the embedding
+    (functions/vectors.py:random_project) — ``dim_in/dim_out``x smaller
+    than the float tier, build-once like the int8 tier. JL preserves
+    pairwise geometry to within ~1/sqrt(dim_out), so ranking by cosine
+    in the projected space is a faithful coarse stage; unlike sign-bit
+    LSH it keeps magnitudes, and unlike IVF it needs no training pass.
+    The projection matrix is hash-derived (the seed string IS the
+    index identity), so probe jobs in later sessions reconstruct it
+    exactly without storing anything."""
+    from implementing_scds_in_hive_spark.functions.vectors import random_project
+
+    return corpus.select(
+        F.col(id_col),
+        random_project(F.col(vec_col), dim_in, dim_out, seed).alias("rvec"),
+    ).select(id_col, "rvec", norm(F.col("rvec")).alias("rnorm"))
+
+
+def rp_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    dim_in: int = 64,
+    dim_out: int = 16,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_rp: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage ANN via random projection: COARSE top-``shortlist`` per
+    query ranked by cosine in the ``dim_out``-dim projected space (the
+    only full-corpus pass — dim_in/dim_out x less arithmetic and I/O
+    than brute force), then EXACT cosine rescoring of the shortlist
+    against the full vectors. Same rescore-margin contract as the int8
+    tier (``shortlist`` defaults to 4k; >= |corpus| degrades to exact
+    brute force). Pass ``corpus_rp`` (a saved :func:`rp_project_corpus`
+    output) to skip the projection pass — build once, probe many.
+
+    The coarse rank orders by the 6-dp-rounded projected cosine with id
+    tiebreak — the same determinism convention every similarity oracle
+    here uses, making the shortlist (not just the final answer)
+    cross-engine replayable."""
+    m = shortlist or 4 * k
+    rp = corpus_rp if corpus_rp is not None else rp_project_corpus(
+        corpus, id_col=id_col, vec_col=vec_col, dim_in=dim_in, dim_out=dim_out, seed=seed
+    )
+    qrp = rp_project_corpus(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+        id_col=id_col, vec_col=vec_col, dim_in=dim_in, dim_out=dim_out, seed=seed,
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        F.col("rvec").alias("__qr"),
+        F.col("rnorm").alias("__qrn"),
+    )
+    coarse = (
+        rp.select(F.col(id_col), F.col("rvec").alias("__cr"), F.col("rnorm").alias("__crn"))
+        .crossJoin(F.broadcast(qrp))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__cr"), F.col("__qr")) / (F.col("__crn") * F.col("__qrn")), 6
+            ).alias("__coarse"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__coarse").desc(), F.col(id_col))
+    short = (
+        coarse.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= m)
+        .select(query_id_col, id_col)
+    )
+    full = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
+    qfull = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    rescored = (
+        short.join(full, id_col)
+        .join(qfull, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _paired_cosine(
+                F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

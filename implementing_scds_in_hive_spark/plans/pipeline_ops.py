@@ -2522,3 +2522,92 @@ SELECT event_type, user_id, est_count FROM est WHERE est_count >= 20
 # evidence for the CMS family.
 QUERIES["cms_heavy_hitters_users"] = q_cms_heavy_hitters_users
 ORACLES["cms_heavy_hitters_users"] = CMS_HEAVY_HITTERS_SQL
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard (AllPairs-style): same answer as
+    dedup_ngram_jaccard by construction — the oracle is the same
+    exhaustive all-pairs SQL — but the Spark plan indexes only the
+    |x| - ceil(t|x|) + 1 rarest shingles per document, which is what
+    makes the exhaustive tier lossless AND bounded at 100 TB."""
+    from implementing_scds_in_hive_spark.operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# Same exhaustive oracle as the inverted-index tier: losslessness means
+# the two queries are value-identical, and the driver proves it.
+DEDUP_JACCARD_PREFIX_SQL = DEDUP_NGRAM_SQL
+
+PYTEST_ONLY_QUERIES["dedup_jaccard_prefix"] = q_dedup_jaccard_prefix
+PYTEST_ONLY_ORACLES["dedup_jaccard_prefix"] = DEDUP_JACCARD_PREFIX_SQL
+
+
+def q_rp_topk(spark, sf_dir):
+    """Two-stage ANN over the Johnson-Lindenstrauss tier
+    (operators/similarity.py:rp_rescore_topk): coarse top-12 per query
+    by cosine in the 16-dim Rademacher projection (the full-corpus pass
+    does 4x less array arithmetic and reads a 4x-smaller tier), exact
+    cosine rescore to top-3. The projection matrix is md5-derived
+    (functions/vectors.py:projection_signs), so the oracle regenerates
+    the identical matrix from the same hash formula and replays BOTH
+    stages — coarse shortlist membership included — not just the final
+    ranking."""
+    from implementing_scds_in_hive_spark.operators.similarity import rp_rescore_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rp_rescore_topk(e, queries, k=3, shortlist=12, dim_in=64, dim_out=16)
+
+
+RP_TOPK_SQL = """
+WITH proj AS (
+  SELECT i, j,
+         CASE WHEN CAST('0x' || substring(md5('rp:' || CAST(i AS VARCHAR) || ':'
+                                          || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(1, 65) t1(i) CROSS JOIN range(1, 17) t2(j)),
+prows AS (SELECT j, list(s ORDER BY i) AS srow FROM proj GROUP BY j),
+rp AS (
+  SELECT e.vec_id, p.j,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), p.srow) / sqrt(16.0) AS v
+  FROM embeddings e CROSS JOIN prows p),
+rvecs AS (
+  SELECT vec_id, list(v ORDER BY j) AS rvec FROM rp GROUP BY vec_id),
+rnorms AS (
+  SELECT vec_id, rvec, sqrt(list_dot_product(rvec, rvec)) AS rnorm FROM rvecs),
+qs AS (SELECT vec_id AS query_id, rvec AS qr, rnorm AS qrn
+       FROM rnorms WHERE vec_id % 25 = 0),
+coarse AS (
+  SELECT qs.query_id, c.vec_id,
+         round(list_dot_product(c.rvec, qs.qr) / (c.rnorm * qs.qrn), 6) AS cscore
+  FROM rnorms c CROSS JOIN qs),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, vec_id) AS rn
+    FROM coarse)
+  WHERE rn <= 12),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))),
+               6) AS cos_sim
+  FROM short s
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id)
+SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM rescored)
+WHERE rnk <= 3
+"""
+
+
+PYTEST_ONLY_QUERIES["rp_topk"] = q_rp_topk
+PYTEST_ONLY_ORACLES["rp_topk"] = RP_TOPK_SQL

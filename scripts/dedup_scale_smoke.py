@@ -109,6 +109,57 @@ def main(sf_dir: str) -> None:
         sh2.unpersist()
     report["ngram_jaccard_sweep"] = sweep
 
+    # --- Prefix-filtered exact tier (lossless, bounded) ---------------
+    # Candidates = distinct pairs sharing a PREFIX shingle and passing
+    # the length filter — the quantity that replaces the cap sweep's
+    # fan-out, with zero recall loss by construction.
+    t = 0.8
+    sh3 = dedup.shingled_hashes(docs, "doc_id", "text", n=3).persist()
+    inv3 = sh3.select("did", F.explode("sh").alias("hs"))
+    freq3 = inv3.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        inv3.join(freq3, "hs")
+        .groupBy("did")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("osh"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "did",
+            "sz",
+            F.slice(
+                F.transform("osh", lambda s: s["hs"]),
+                1,
+                (F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - 1e-9) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    pf = ordered.select("did", "sz", F.explode("prefix").alias("hs"))
+    pa, pb = pf.alias("a"), pf.alias("b")
+    n_pc, t_pc = timed(
+        pa.join(
+            pb,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.did") < F.col("b.did"))
+            & (F.least("a.sz", "b.sz").cast("double")
+               >= F.lit(t) * F.greatest("a.sz", "b.sz") - 1e-9),
+        )
+        .select("a.did", "b.did")
+        .distinct()
+        .count
+    )
+    n_pp, t_pp = timed(
+        lambda: dedup.jaccard_prefix_pairs(docs, threshold=t).count()
+    )
+    report["jaccard_prefix"] = {
+        "candidate_pairs": n_pc,
+        "candidate_gen_sec": t_pc,
+        "result_pairs": n_pp,
+        "end_to_end_sec": t_pp,
+        "true_pairs_lost": (baseline_pairs - n_pp) if baseline_pairs is not None else None,
+    }
+    sh3.unpersist()
+
     print(json.dumps(report, indent=2))
 
 
