@@ -125,3 +125,83 @@ def canonical_members(
             (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """PageRank over a directed edge list: ``(node, pr)`` for every node
+    appearing as source or target, after a FIXED number of power
+    iterations (Brin & Page 1998; fixed count rather than an epsilon
+    test so any engine can replay the exact arithmetic — the kmeans
+    convention in this repo).
+
+    For a training-data pipeline this is the corpus-quality lever the
+    published crawls use (e.g. harmonic/PageRank centrality to weight
+    domains): rank a domain/source graph, then feed the scores into
+    mixture weighting or corpus_select thresholds.
+
+    Semantics per iteration (uniform teleport, dangling mass
+    redistributed uniformly — the standard formulation):
+
+        pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + D/N)
+
+    where D = total pr mass on dangling nodes (outdeg 0).
+
+    Scale shape: each iteration is one equi-join (ranks x edges on the
+    source) + one map-side-combinable sum keyed by target — the same
+    join+agg skeleton as connected_components, shuffling edge-count
+    rows; the dangling term is a 1-row aggregate collected per
+    iteration (O(iterations) driver scalars, like kmeans' K centroid
+    rows). ``localCheckpoint`` per iteration keeps plan depth O(1).
+    Rank state is O(|V|) rows, never collected.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist()
+    )
+    # (src, dst, outdeg) resolved once; reused every iteration
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .join(outdeg.select(F.col("node").alias("u"), "outdeg"), "u")
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(outdeg, "node", "left_anti").agg(F.sum("pr")).collect()[0][0]
+        ) or 0.0
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("u"), "pr"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    outdeg.unpersist()
+    ed.unpersist()
+    return ranks

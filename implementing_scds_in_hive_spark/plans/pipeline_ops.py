@@ -2611,3 +2611,80 @@ WHERE rnk <= 3
 
 PYTEST_ONLY_QUERIES["rp_topk"] = q_rp_topk
 PYTEST_ONLY_ORACLES["rp_topk"] = RP_TOPK_SQL
+
+
+def q_pagerank_suppliers(spark, sf_dir):
+    """PageRank over the customer->supplier order graph
+    (operators/graph.py:pagerank): distinct (custkey, suppkey) edges
+    from orders x lineitem, 5 power iterations at damping 0.85. Every
+    supplier is a dangling node (no out-edges), so the query exercises
+    dangling-mass redistribution, not just the join+sum loop. The
+    oracle replays all 5 iterations as chained CTEs — the same
+    fixed-iteration replay convention as kmeans/BPE."""
+    from implementing_scds_in_hive_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5, damping=0.85).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+
+
+PAGERANK_SQL = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+d1 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r0 WHERE node NOT IN (SELECT node FROM outdeg)),
+c1 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r1 AS (SELECT nd.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS pr
+       FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node),
+d2 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r1 WHERE node NOT IN (SELECT node FROM outdeg)),
+c2 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r2 AS (SELECT nd.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS pr
+       FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node),
+d3 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r2 WHERE node NOT IN (SELECT node FROM outdeg)),
+c3 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r3 AS (SELECT nd.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS pr
+       FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node),
+d4 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r3 WHERE node NOT IN (SELECT node FROM outdeg)),
+c4 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r3 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r4 AS (SELECT nd.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d4) / (SELECT n FROM nn)) AS pr
+       FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node),
+d5 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r4 WHERE node NOT IN (SELECT node FROM outdeg)),
+c5 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r4 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r5 AS (SELECT nd.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d5) / (SELECT n FROM nn)) AS pr
+       FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node)
+SELECT node, round(pr, 6) AS pr FROM r5
+"""
+
+
+PYTEST_ONLY_QUERIES["pagerank_suppliers"] = q_pagerank_suppliers
+PYTEST_ONLY_ORACLES["pagerank_suppliers"] = PAGERANK_SQL

@@ -1,0 +1,93 @@
+"""PageRank (operators/graph.py:pagerank).
+
+Checked against an independent pure-Python power iteration with the
+same published semantics (uniform teleport, uniform dangling
+redistribution), plus the structural invariants that diagnose broken
+implementations: total mass 1 every iteration, uniform ranks on a
+symmetric cycle, and the dangling-sink case where all mass must still
+sum to 1 (the classic bug is losing sink mass each round).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from implementing_scds_in_hive_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, damping=0.85, iterations=5):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(p for v, p in pr.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] / out[u]
+        pr = {
+            v: (1.0 - damping) / n + damping * (inflow[v] + dang / n)
+            for v in nodes
+        }
+    return pr
+
+
+def _spark_pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["pr"] for r in pagerank(df, **kw).collect()}
+
+
+def _close(a, b, tol=1e-9):
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < tol, (k, a[k], b[k])
+
+
+def test_three_node_chain_matches_reference(spark):
+    edges = [("a", "b"), ("b", "c")]
+    _close(_spark_pr(spark, edges), _py_pagerank(edges))
+
+
+def test_cycle_is_uniform_and_mass_conserved(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = _spark_pr(spark, edges, iterations=10)
+    assert all(abs(p - 1 / 3) < 1e-12 for p in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_dangling_sink_keeps_total_mass(spark):
+    # star into a sink: without dangling redistribution total mass decays
+    edges = [("a", "z"), ("b", "z"), ("c", "z")]
+    got = _spark_pr(spark, edges, iterations=8)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got["z"] > got["a"] == got["b"] == got["c"]
+    _close(got, _py_pagerank(edges, iterations=8))
+
+
+def test_authority_orders_by_in_links(spark):
+    edges = [("u1", "hub"), ("u2", "hub"), ("u3", "hub"), ("u1", "minor")]
+    got = _spark_pr(spark, edges)
+    assert got["hub"] > got["minor"] > got["u2"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=20,
+    ).map(lambda es: sorted({(u, v) for u, v in es if u != v})),
+    damping=st.sampled_from([0.5, 0.85]),
+    iterations=st.sampled_from([1, 3, 5]),
+)
+def test_random_graphs_match_reference(spark, edges, damping, iterations):
+    if not edges:
+        return
+    got = _spark_pr(spark, edges, damping=damping, iterations=iterations)
+    _close(got, _py_pagerank(edges, damping=damping, iterations=iterations))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
