@@ -1,0 +1,198 @@
+"""Distribution-drift detection between two dataset snapshots.
+
+A 100 TB training pipeline re-ingests continuously; the question "did
+the data change under me?" needs cheap, mergeable statistics, not a
+model. Three standard detectors, all pure JVM aggregations:
+
+* ``psi_drift`` — Population Stability Index over a categorical column
+  (the industry-standard snapshot-vs-snapshot score:
+  ``sum((p_a - p_b) * ln(p_a / p_b))``; rule-of-thumb thresholds 0.1
+  "watch" / 0.25 "act").
+* ``chi_square_drift`` — two-sample chi-square homogeneity statistic
+  over a categorical column (counts, not fractions, so sample size
+  drives significance). Returns the statistic and degrees of freedom;
+  thresholding against a chi-square quantile is the caller's policy
+  decision (no CDF dependency).
+* ``ks_statistic`` — two-sample Kolmogorov-Smirnov distance over a
+  numeric column: ``max_x |F_a(x) - F_b(x)|``, the standard numeric
+  drift test.
+
+Scale shapes: PSI and chi-square reduce each side to one row PER
+CATEGORY (map-side-combinable count aggregation — the only shuffle is
+|categories| rows). KS needs a global CDF, i.e. a running sum in value
+order; a naive ``Window.orderBy(value)`` with no partition key is the
+Exchange-SinglePartition trap this repo bans, so the cumulative counts
+use the same two-pass distributed prefix sum as sequence packing
+(functions/chunking.py): range-partition by value, per-partition
+window, O(#partitions) driver offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def category_fractions(
+    df: DataFrame, cat_col: str, *, label: str
+) -> DataFrame:
+    """(category, n_<label>, frac_<label>) — one combinable pass."""
+    counts = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias(f"n_{label}")
+    )
+    total = counts.agg(F.sum(f"n_{label}").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "category",
+        f"n_{label}",
+        (F.col(f"n_{label}").cast("double") / F.col("__t")).alias(f"frac_{label}"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+    *,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Per-category PSI contributions plus fractions:
+    ``(category, frac_a, frac_b, psi_term)``; ``sum(psi_term)`` is the
+    PSI. A category absent on one side contributes via the ``epsilon``
+    floor (the standard smoothing — PSI is undefined at zero), so new
+    and vanished categories register as strong drift instead of
+    erroring. Cost: one count-aggregation per side + a |categories|-row
+    outer join."""
+    fa = category_fractions(df_a, cat_col, label="a")
+    fb = category_fractions(df_b, cat_col, label="b")
+    pa = F.greatest(F.coalesce(F.col("frac_a"), F.lit(0.0)), F.lit(epsilon))
+    pb = F.greatest(F.coalesce(F.col("frac_b"), F.lit(0.0)), F.lit(epsilon))
+    return (
+        fa.join(fb, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("frac_a"), F.lit(0.0)).alias("frac_a"),
+            F.coalesce(F.col("frac_b"), F.lit(0.0)).alias("frac_b"),
+            ((pa - pb) * (F.log(pa) - F.log(pb))).alias("psi_term"),
+        )
+    )
+
+
+def chi_square_drift(
+    df_a: DataFrame, df_b: DataFrame, cat_col: str
+) -> DataFrame:
+    """One-row result ``(chi2, dof, n_a, n_b)`` for the two-sample
+    homogeneity test: expected counts come from the pooled category
+    distribution; ``chi2 = sum over (side, category) of
+    (observed - expected)^2 / expected``; ``dof = #categories - 1``.
+    Categories with zero pooled count cannot occur by construction."""
+    ca = category_fractions(df_a, cat_col, label="a").select("category", "n_a")
+    cb = category_fractions(df_b, cat_col, label="b").select("category", "n_b")
+    joined = (
+        ca.join(cb, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("double").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("double").alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    with_exp = joined.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_a",
+        "n_b",
+        (F.col("ta") * (F.col("n_a") + F.col("n_b")) / (F.col("ta") + F.col("tb"))).alias("e_a"),
+        (F.col("tb") * (F.col("n_a") + F.col("n_b")) / (F.col("ta") + F.col("tb"))).alias("e_b"),
+        "ta",
+        "tb",
+    )
+    return with_exp.agg(
+        F.sum(
+            (F.col("n_a") - F.col("e_a")) * (F.col("n_a") - F.col("e_a")) / F.col("e_a")
+            + (F.col("n_b") - F.col("e_b")) * (F.col("n_b") - F.col("e_b")) / F.col("e_b")
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    val_col: str,
+    *,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """One-row ``(ks, n_a, n_b)``: the two-sample KS distance
+    ``max_x |F_a(x) - F_b(x)|`` evaluated at every distinct observed
+    value (where the max is attained; ties handled by aggregating per
+    distinct value BEFORE the running sum, so F jumps once per value).
+
+    The running sums use the distributed two-pass prefix sum over
+    range-partitioned distinct values — no single-partition window.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    per_val = (
+        df_a.select(F.col(val_col).alias("v")).withColumn("__ca", F.lit(1)).withColumn("__cb", F.lit(0))
+        .unionByName(
+            df_b.select(F.col(val_col).alias("v")).withColumn("__ca", F.lit(0)).withColumn("__cb", F.lit(1))
+        )
+        .groupBy("v")
+        .agg(F.sum("__ca").alias("da"), F.sum("__cb").alias("db"))
+    )
+    spark = df_a.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    local = (
+        per_val.repartitionByRange(n_parts, "v")
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__la",
+            F.sum("da").over(
+                Window.partitionBy("__pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "__lb",
+            F.sum("db").over(
+                Window.partitionBy("__pid").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["__pid"]: (r["ta"], r["tb"])
+        for r in local.groupBy("__pid")
+        .agg(F.sum("da").alias("ta"), F.sum("db").alias("tb"))
+        .collect()
+    }
+    offs, acc_a, acc_b = {}, 0, 0
+    for pid in sorted(totals):
+        offs[pid] = (acc_a, acc_b)
+        acc_a += totals[pid][0]
+        acc_b += totals[pid][1]
+    off_df = spark.createDataFrame(
+        [(p, a, b) for p, (a, b) in offs.items()] or [(0, 0, 0)],
+        "__pid int, __oa long, __ob long",
+    )
+    n_a, n_b = float(acc_a), float(acc_b)
+    out = (
+        local.join(F.broadcast(off_df), "__pid")
+        .select(
+            (
+                F.abs(
+                    (F.col("__la") + F.col("__oa")).cast("double") / F.lit(n_a)
+                    - (F.col("__lb") + F.col("__ob")).cast("double") / F.lit(n_b)
+                )
+            ).alias("__d")
+        )
+        .agg(F.max("__d").alias("ks"))
+        .select("ks", F.lit(int(n_a)).alias("n_a"), F.lit(int(n_b)).alias("n_b"))
+    )
+    return out

@@ -2688,3 +2688,120 @@ SELECT node, round(pr, 6) AS pr FROM r5
 
 PYTEST_ONLY_QUERIES["pagerank_suppliers"] = q_pagerank_suppliers
 PYTEST_ONLY_ORACLES["pagerank_suppliers"] = PAGERANK_SQL
+
+
+# --- distribution drift --------------------------------------------------
+
+def q_psi_event_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the events month, per event_type (operators/drift.py:psi_drift).
+    Pure count aggregation per side + a |categories|-row outer join —
+    the snapshot-vs-snapshot monitor a continuously-reingesting corpus
+    runs on every source/lang/modality column."""
+    from implementing_scds_in_hive_spark.operators.drift import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.dayofmonth("ts") <= 15)
+    b = e.where(F.dayofmonth("ts") > 15)
+    return psi_drift(a, b, "event_type").select(
+        "category",
+        F.round("frac_a", 6).alias("frac_a"),
+        F.round("frac_b", 6).alias("frac_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+PSI_EVENT_DRIFT_SQL = """
+WITH a AS (SELECT event_type AS category, COUNT(*) AS n FROM events
+           WHERE day(ts) <= 15 GROUP BY 1),
+b AS (SELECT event_type AS category, COUNT(*) AS n FROM events
+      WHERE day(ts) > 15 GROUP BY 1),
+ta AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM a),
+tb AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM b),
+j AS (SELECT COALESCE(a.category, b.category) AS category,
+             COALESCE(CAST(a.n AS DOUBLE) / (SELECT t FROM ta), 0) AS frac_a,
+             COALESCE(CAST(b.n AS DOUBLE) / (SELECT t FROM tb), 0) AS frac_b
+      FROM a FULL OUTER JOIN b ON a.category = b.category)
+SELECT category, round(frac_a, 6) AS frac_a, round(frac_b, 6) AS frac_b,
+       round((greatest(frac_a, 1e-6) - greatest(frac_b, 1e-6))
+             * (ln(greatest(frac_a, 1e-6)) - ln(greatest(frac_b, 1e-6))), 6) AS psi_term
+FROM j
+"""
+
+
+def q_drift_chi2_events(spark, sf_dir):
+    """Two-sample chi-square homogeneity statistic for the same split
+    (operators/drift.py:chi_square_drift) — counts not fractions, so
+    the statistic carries sample size; dof = categories - 1."""
+    from implementing_scds_in_hive_spark.operators.drift import chi_square_drift
+
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.dayofmonth("ts") <= 15)
+    b = e.where(F.dayofmonth("ts") > 15)
+    return chi_square_drift(a, b, "event_type").select(
+        F.round("chi2", 6).alias("chi2"), "dof", "n_a", "n_b"
+    )
+
+
+DRIFT_CHI2_SQL = """
+WITH a AS (SELECT event_type AS category, COUNT(*) AS n FROM events
+           WHERE day(ts) <= 15 GROUP BY 1),
+b AS (SELECT event_type AS category, COUNT(*) AS n FROM events
+      WHERE day(ts) > 15 GROUP BY 1),
+j AS (SELECT COALESCE(a.category, b.category) AS category,
+             CAST(COALESCE(a.n, 0) AS DOUBLE) AS n_a,
+             CAST(COALESCE(b.n, 0) AS DOUBLE) AS n_b
+      FROM a FULL OUTER JOIN b ON a.category = b.category),
+t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+e AS (SELECT category, n_a, n_b,
+             (SELECT ta FROM t) * (n_a + n_b) / ((SELECT ta FROM t) + (SELECT tb FROM t)) AS e_a,
+             (SELECT tb FROM t) * (n_a + n_b) / ((SELECT ta FROM t) + (SELECT tb FROM t)) AS e_b
+      FROM j)
+SELECT round(SUM((n_a - e_a) * (n_a - e_a) / e_a
+               + (n_b - e_b) * (n_b - e_b) / e_b), 6) AS chi2,
+       CAST(COUNT(*) - 1 AS INT) AS dof,
+       CAST((SELECT ta FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT tb FROM t) AS BIGINT) AS n_b
+FROM e
+"""
+
+
+def q_ks_click_vs_purchase(spark, sf_dir):
+    """Two-sample KS distance between the value distributions of click
+    and purchase events (operators/drift.py:ks_statistic). The CDF
+    running sums are the distributed two-pass prefix sum — no
+    single-partition window anywhere in the plan."""
+    from implementing_scds_in_hive_spark.operators.drift import ks_statistic
+
+    e = _t(spark, sf_dir, "events")
+    return ks_statistic(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        "value",
+    ).select(F.round("ks", 6).alias("ks"), "n_a", "n_b")
+
+
+KS_CLICK_PURCHASE_SQL = """
+WITH pv AS (
+  SELECT v, SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS db
+  FROM (SELECT value AS v, 'a' AS side FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT value AS v, 'b' AS side FROM events WHERE event_type = 'purchase')
+  GROUP BY v),
+t AS (SELECT CAST(SUM(da) AS DOUBLE) AS na, CAST(SUM(db) AS DOUBLE) AS nb FROM pv),
+cum AS (SELECT v, SUM(da) OVER (ORDER BY v) AS ca, SUM(db) OVER (ORDER BY v) AS cb FROM pv)
+SELECT round(MAX(ABS(CAST(ca AS DOUBLE) / (SELECT na FROM t)
+                   - CAST(cb AS DOUBLE) / (SELECT nb FROM t))), 6) AS ks,
+       CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b
+FROM cum
+"""
+
+
+PYTEST_ONLY_QUERIES["psi_event_drift"] = q_psi_event_drift
+PYTEST_ONLY_ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
+PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events
+PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
+PYTEST_ONLY_QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase
+PYTEST_ONLY_ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL

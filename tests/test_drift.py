@@ -1,0 +1,128 @@
+"""Drift detectors (operators/drift.py) against independent Python
+references: PSI with epsilon smoothing, two-sample chi-square
+homogeneity, and the two-sample KS distance (including tie handling —
+F must jump once per distinct value, a classic off-by-one)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from implementing_scds_in_hive_spark.operators.drift import (
+    chi_square_drift,
+    ks_statistic,
+    psi_drift,
+)
+
+
+def _cats(spark, rows):
+    return spark.createDataFrame([(c,) for c in rows], "cat string")
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame([(float(v),) for v in rows], "v double")
+
+
+def _py_ks(a, b):
+    xs = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    return max(
+        abs(sum(1 for x in a if x <= t) / na - sum(1 for x in b if x <= t) / nb)
+        for t in xs
+    )
+
+
+def _py_chi2(a, b):
+    cats = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    chi = 0.0
+    for c in cats:
+        oa, ob = a.count(c), b.count(c)
+        ea = na * (oa + ob) / (na + nb)
+        eb = nb * (oa + ob) / (na + nb)
+        chi += (oa - ea) ** 2 / ea + (ob - eb) ** 2 / eb
+    return chi, len(cats) - 1
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    rows = ["x"] * 30 + ["y"] * 20 + ["z"] * 50
+    out = psi_drift(_cats(spark, rows), _cats(spark, rows), "cat")
+    total = out.agg({"psi_term": "sum"}).collect()[0][0]
+    assert abs(total) < 1e-12
+
+
+def test_psi_known_shift(spark):
+    a = ["x"] * 80 + ["y"] * 20
+    b = ["x"] * 50 + ["y"] * 50
+    total = (
+        psi_drift(_cats(spark, a), _cats(spark, b), "cat")
+        .agg({"psi_term": "sum"})
+        .collect()[0][0]
+    )
+    expect = (0.8 - 0.5) * math.log(0.8 / 0.5) + (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert abs(total - expect) < 1e-12
+
+
+def test_psi_new_category_registers_via_epsilon(spark):
+    a = ["x"] * 100
+    b = ["x"] * 50 + ["new"] * 50
+    terms = {
+        r["category"]: r["psi_term"]
+        for r in psi_drift(_cats(spark, a), _cats(spark, b), "cat").collect()
+    }
+    # frac_a for 'new' floors at 1e-6: (1e-6 - 0.5) * ln(1e-6/0.5) >> 0
+    assert terms["new"] > 5
+    assert terms["new"] == pytest.approx((1e-6 - 0.5) * math.log(1e-6 / 0.5), rel=1e-9)
+
+
+def test_chi2_matches_reference(spark):
+    a = ["x"] * 40 + ["y"] * 60
+    b = ["x"] * 70 + ["y"] * 25 + ["z"] * 5
+    row = chi_square_drift(_cats(spark, a), _cats(spark, b), "cat").collect()[0]
+    chi, dof = _py_chi2(a, b)
+    assert row["chi2"] == pytest.approx(chi, rel=1e-12)
+    assert row["dof"] == dof
+    assert (row["n_a"], row["n_b"]) == (100, 100)
+
+
+def test_ks_identical_zero_disjoint_one(spark):
+    xs = [1, 2, 3, 4, 5]
+    same = ks_statistic(_vals(spark, xs), _vals(spark, xs), "v").collect()[0]
+    assert same["ks"] == 0.0
+    disj = ks_statistic(_vals(spark, [1, 2, 3]), _vals(spark, [10, 11]), "v").collect()[0]
+    assert disj["ks"] == 1.0
+
+
+def test_ks_with_ties_matches_reference(spark):
+    a = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0]
+    b = [1.0, 2.0, 2.0, 2.0, 4.0]
+    got = ks_statistic(_vals(spark, a), _vals(spark, b), "v").collect()[0]
+    assert got["ks"] == pytest.approx(_py_ks(a, b), abs=1e-12)
+    assert (got["n_a"], got["n_b"]) == (6, 5)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+)
+def test_ks_random_matches_reference(spark, a, b):
+    got = ks_statistic(_vals(spark, a), _vals(spark, b), "v").collect()[0]
+    assert got["ks"] == pytest.approx(_py_ks(a, b), abs=1e-12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(st.sampled_from("pqr"), min_size=2, max_size=40),
+    b=st.lists(st.sampled_from("pqr"), min_size=2, max_size=40),
+)
+def test_chi2_random_matches_reference(spark, a, b):
+    row = chi_square_drift(_cats(spark, a), _cats(spark, b), "cat").collect()[0]
+    chi, dof = _py_chi2(a, b)
+    assert row["chi2"] == pytest.approx(chi, rel=1e-9)
+    assert row["dof"] == dof
