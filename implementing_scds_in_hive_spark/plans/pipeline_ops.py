@@ -925,7 +925,6 @@ QUERIES = {
     "lang_id": q_lang_id,
     "dedup_exact_groups": q_dedup_exact_groups,
     "corpus_select": q_corpus_select,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
@@ -951,7 +950,6 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
-    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "kmeans_centroids": KMEANS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
@@ -1959,7 +1957,6 @@ QUERIES.update(
     {
         "vocab_topk": q_vocab_topk,
         "mixture_sample": q_mixture_sample,
-        "sample_frames": q_sample_frames,
         # r5 rotation: first-time driver slots (VERDICT r4 next-round #3)
         "dedup_incremental": q_dedup_incremental,
         "pack_sequences": q_pack_sequences,
@@ -1971,7 +1968,6 @@ ORACLES.update(
     {
         "vocab_topk": VOCAB_TOPK_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
-        "sample_frames": SAMPLE_FRAMES_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "forward_fill": FORWARD_FILL_SQL,
@@ -2541,8 +2537,14 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
 # the two queries are value-identical, and the driver proves it.
 DEDUP_JACCARD_PREFIX_SQL = DEDUP_NGRAM_SQL
 
-PYTEST_ONLY_QUERIES["dedup_jaccard_prefix"] = q_dedup_jaccard_prefix
-PYTEST_ONLY_ORACLES["dedup_jaccard_prefix"] = DEDUP_JACCARD_PREFIX_SQL
+# late-r5 rotation: the prefix tier takes the exhaustive tier's driver
+# slot (same oracle SQL — the n-gram Jaccard row stays driver-evidenced,
+# now through the lossless bounded plan); ngram_jaccard keeps the
+# driver-identical compare in pytest.
+QUERIES["dedup_jaccard_prefix"] = q_dedup_jaccard_prefix
+ORACLES["dedup_jaccard_prefix"] = DEDUP_JACCARD_PREFIX_SQL
+PYTEST_ONLY_QUERIES["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+PYTEST_ONLY_ORACLES["dedup_ngram_jaccard"] = DEDUP_NGRAM_SQL
 
 
 def q_rp_topk(spark, sf_dir):
@@ -2609,8 +2611,13 @@ WHERE rnk <= 3
 """
 
 
-PYTEST_ONLY_QUERIES["rp_topk"] = q_rp_topk
-PYTEST_ONLY_ORACLES["rp_topk"] = RP_TOPK_SQL
+# late-r5 rotation: rp_topk takes sample_frames' slot (the multimodal
+# family keeps two driver slots — features and chunks — and frame
+# sampling, driver-evidenced in r4+r5, moves to the pytest compare).
+QUERIES["rp_topk"] = q_rp_topk
+ORACLES["rp_topk"] = RP_TOPK_SQL
+PYTEST_ONLY_QUERIES["sample_frames"] = q_sample_frames
+PYTEST_ONLY_ORACLES["sample_frames"] = SAMPLE_FRAMES_SQL
 
 
 def q_pagerank_suppliers(spark, sf_dir):
@@ -2686,8 +2693,10 @@ SELECT node, round(pr, 6) AS pr FROM r5
 """
 
 
-PYTEST_ONLY_QUERIES["pagerank_suppliers"] = q_pagerank_suppliers
-PYTEST_ONLY_ORACLES["pagerank_suppliers"] = PAGERANK_SQL
+# late-r5 rotation: first driver evidence for the graph-centrality
+# family (slot from join_pred_in_on — see plans/relational.py).
+QUERIES["pagerank_suppliers"] = q_pagerank_suppliers
+ORACLES["pagerank_suppliers"] = PAGERANK_SQL
 
 
 # --- distribution drift --------------------------------------------------
@@ -2799,8 +2808,10 @@ FROM cum
 """
 
 
-PYTEST_ONLY_QUERIES["psi_event_drift"] = q_psi_event_drift
-PYTEST_ONLY_ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
+# late-r5 rotation: first driver evidence for the drift family (slot
+# from top_orders — see plans/relational.py).
+QUERIES["psi_event_drift"] = q_psi_event_drift
+ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
 PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events
 PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
 PYTEST_ONLY_QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase

@@ -716,11 +716,9 @@ QUERIES = {
     "window_analytics": q_window_analytics,
     "join_star_schema": q_join_star_schema,
     "join_left_outer": q_join_left_outer,
-    "join_pred_in_on": q_join_pred_in_on,
     "join_anti": q_join_anti,
     "window_topn_per_group": q_window_topn_per_group,
     "set_ops": q_set_ops,
-    "top_orders": q_top_orders,
     "filter_compound": q_filter_compound,
     "pivot_status_by_year": q_pivot_status_by_year,
     "having_agg_filter": q_having_agg_filter,
@@ -736,11 +734,9 @@ ORACLES = {
     "window_analytics": WINDOW_ANALYTICS_SQL,
     "join_star_schema": JOIN_STAR_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
-    "join_pred_in_on": JOIN_PRED_ON_SQL,
     "join_anti": JOIN_ANTI_SQL,
     "window_topn_per_group": WINDOW_TOPN_SQL,
     "set_ops": SET_OPS_SQL,
-    "top_orders": TOP_ORDERS_SQL,
     "filter_compound": FILTER_COMPOUND_SQL,
     "pivot_status_by_year": PIVOT_SQL,
     "having_agg_filter": HAVING_SQL,
@@ -764,7 +760,15 @@ ORACLES = {
 # scalar surface is driver-evidenced everywhere — concat/case-when in
 # corpus_select's hashed score columns, coalesce + eqNullSafe in the
 # flagship's change predicate, substring/length in text_stats.
+# join_pred_in_on and top_orders folded late in r5 (slots given to
+# pagerank_suppliers and psi_event_drift, never-slotted families):
+# J4's non-key ON predicate and P8/P9's null-unsafe comparisons stay
+# driver-evidenced through the flagship's <=> change predicate and
+# filter_compound; sort+limit stays evidenced through vocab_topk and
+# window_topn_per_group (both TakeOrdered/WindowGroupLimit paths).
 PYTEST_ONLY_QUERIES = {
+    "join_pred_in_on": q_join_pred_in_on,
+    "top_orders": q_top_orders,
     "scalar_string_funcs": q_scalar_string_funcs,
     "join_semi": q_join_semi,
     "rollup_region_nation": q_rollup_region_nation,
@@ -777,6 +781,8 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "join_pred_in_on": JOIN_PRED_ON_SQL,
+    "top_orders": TOP_ORDERS_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "rollup_region_nation": ROLLUP_SQL,
