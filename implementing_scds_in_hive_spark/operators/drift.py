@@ -196,3 +196,39 @@ def ks_statistic(
         .select("ks", F.lit(int(n_a)).alias("n_a"), F.lit(int(n_b)).alias("n_b"))
     )
     return out
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    reference: DataFrame,
+    *,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """PSI terms from a maintained count table (``category, n`` — e.g.
+    the live table ``streaming/sketch_stream.py:category_count_stream``
+    keeps) against a frozen reference snapshot of the same shape:
+    ``(category, frac_live, frac_ref, psi_term)``. Same epsilon floor
+    and full-outer semantics as :func:`psi_drift`, but consuming
+    pre-aggregated counts so the monitor never rescans the raw stream
+    history."""
+    live = counts.groupBy("category").agg(F.sum("n").alias("__nl"))
+    ref = reference.groupBy("category").agg(F.sum("n").alias("__nr"))
+    tl = live.agg(F.sum("__nl").alias("__tl"))
+    tr = ref.agg(F.sum("__nr").alias("__tr"))
+    fl = live.crossJoin(F.broadcast(tl)).select(
+        "category", (F.col("__nl").cast("double") / F.col("__tl")).alias("frac_live")
+    )
+    fr = ref.crossJoin(F.broadcast(tr)).select(
+        "category", (F.col("__nr").cast("double") / F.col("__tr")).alias("frac_ref")
+    )
+    pl = F.greatest(F.coalesce(F.col("frac_live"), F.lit(0.0)), F.lit(epsilon))
+    pr = F.greatest(F.coalesce(F.col("frac_ref"), F.lit(0.0)), F.lit(epsilon))
+    return (
+        fl.join(fr, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("frac_live"), F.lit(0.0)).alias("frac_live"),
+            F.coalesce(F.col("frac_ref"), F.lit(0.0)).alias("frac_ref"),
+            ((pl - pr) * (F.log(pl) - F.log(pr))).alias("psi_term"),
+        )
+    )

@@ -347,3 +347,69 @@ def cms_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def category_count_stream(
+    events: DataFrame,
+    counts_path: str,
+    *,
+    checkpoint_dir: str,
+    cat_col: str,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Maintain a live per-category count table from a stream — the
+    state half of a streaming DRIFT monitor. Same additive-state
+    recovery mode as :func:`histogram_stream` (sums cannot absorb a
+    replayed batch, so the table carries a batch-id high-watermark and
+    replays are skipped wholesale).
+
+    Output table: ``category, n, last_batch_id`` — feed it to
+    ``operators/drift.py:psi_from_counts`` against a frozen reference
+    snapshot for a live PSI, or diff two maintained tables with
+    ``chi_square_drift``-style pooling. Splitting state maintenance
+    (streaming, tiny additive table) from scoring (a pure batch
+    function over the live table) avoids any cross-table commit
+    problem: the monitor reads one consistent table whenever it
+    likes."""
+    spark = events.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        try:
+            existing = spark.read.parquet(counts_path)
+            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
+        except Exception:
+            existing, watermark = None, None
+        if watermark is not None and batch_id <= watermark:
+            return
+        delta = batch.groupBy(F.col(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if existing is not None:
+            merged = (
+                existing.select("category", "n")
+                .unionByName(delta)
+                .groupBy("category")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = delta
+        out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
+        publish(out, counts_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

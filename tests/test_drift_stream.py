@@ -1,0 +1,122 @@
+"""Streaming drift monitoring: the live category-count table
+(streaming/sketch_stream.py:category_count_stream) must equal the batch
+group-by of all events exactly, survive crashes in the
+publish-to-checkpoint window via its batch-id watermark (additive state
+cannot absorb replays), and feed psi_from_counts to the same PSI
+psi_drift computes from the raw data."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.drift import psi_drift, psi_from_counts
+from implementing_scds_in_hive_spark.streaming.sketch_stream import category_count_stream
+
+
+BATCHES = [
+    [("click",)] * 30 + [("view",)] * 10,
+    [("click",)] * 10 + [("view",)] * 25 + [("purchase",)] * 5,
+    [("view",)] * 40 + [("purchase",)] * 15,
+]
+
+
+def _write_batches(spark, stg):
+    for chunk in BATCHES:
+        spark.createDataFrame(chunk, "event_type string").coalesce(1).write.mode(
+            "append"
+        ).parquet(stg)
+        time.sleep(0.05)
+
+
+def _run(spark, stg, counts_path, ckpt, crash_hook=None):
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stg)
+    )
+    q = category_count_stream(
+        stream,
+        counts_path,
+        checkpoint_dir=ckpt,
+        cat_col="event_type",
+        crash_hook=crash_hook,
+    )
+    q.awaitTermination(120)
+
+
+def _all_events(spark):
+    return spark.createDataFrame(
+        [r for chunk in BATCHES for r in chunk], "event_type string"
+    )
+
+
+def test_streamed_counts_equal_batch_groupby(spark, tmp_path):
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    counts_path = str(tmp_path / "counts")
+    _run(spark, stg, counts_path, str(tmp_path / "ckpt"))
+
+    streamed = {
+        r["category"]: r["n"] for r in spark.read.parquet(counts_path).collect()
+    }
+    direct = {
+        r["event_type"]: r["cnt"]
+        for r in _all_events(spark).groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert streamed == direct
+
+
+def test_crash_replay_does_not_double_count(spark, tmp_path):
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    counts_path = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+
+    def hook(batch_id, phase):
+        # die once AFTER the counts table was replaced but BEFORE the
+        # checkpoint commits — the restart replays this batch, and only
+        # the watermark guard stops a double count
+        if phase == "post_publish" and batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between publish and commit")
+
+    with pytest.raises(Exception):
+        _run(spark, stg, counts_path, ckpt, crash_hook=hook)
+    _run(spark, stg, counts_path, ckpt)  # restart from checkpoint
+
+    streamed = {
+        r["category"]: r["n"] for r in spark.read.parquet(counts_path).collect()
+    }
+    direct = {
+        r["event_type"]: r["cnt"]
+        for r in _all_events(spark).groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert streamed == direct
+
+
+def test_psi_from_live_counts_matches_psi_drift(spark, tmp_path):
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    counts_path = str(tmp_path / "counts")
+    _run(spark, stg, counts_path, str(tmp_path / "ckpt"))
+
+    # reference snapshot = first batch only (the "before" distribution)
+    ref_df = spark.createDataFrame(BATCHES[0], "event_type string")
+    ref_counts = ref_df.groupBy(F.col("event_type").alias("category")).agg(
+        F.count("*").alias("n")
+    )
+    live = spark.read.parquet(counts_path).select("category", "n")
+    via_counts = {
+        r["category"]: r["psi_term"]
+        for r in psi_from_counts(live, ref_counts).collect()
+    }
+    via_raw = {
+        r["category"]: r["psi_term"]
+        for r in psi_drift(_all_events(spark), ref_df, "event_type").collect()
+    }
+    assert via_counts.keys() == via_raw.keys()
+    for k in via_raw:
+        assert via_counts[k] == pytest.approx(via_raw[k], rel=1e-12)
