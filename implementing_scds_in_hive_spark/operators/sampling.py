@@ -270,3 +270,44 @@ def temperature_rates(
     # the division round-trip can land an ulp above it — clamp so
     # callers can rely on fraction <= epochs_cap exactly
     return {k: min(epochs_cap, share[k] * m / counts[k]) for k in counts}
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: near-duplicate documents
+    must land in the SAME split, or eval rows leak into train as
+    near-copies and benchmark numbers inflate (the published dedup
+    papers' motivating failure). Plain ``assign_split`` hashes each doc
+    id independently — two 0.95-Jaccard docs get independent splits.
+
+    Composition: resolve the near-dup ``pairs`` into connected
+    components (operators/graph.py — A~B, B~C links {A,B,C} even when
+    A~C was never emitted), key every doc by its component
+    representative (min reachable id; docs in no pair represent
+    themselves), then content-address the SPLIT BY GROUP KEY with the
+    same portable hash ``assign_split`` uses. Deterministic across
+    re-runs/engines like every sampler here; the only shuffles are the
+    component propagation (pairs-sized) and one membership join —
+    the corpus itself is never re-keyed.
+
+    Returns ``docs`` plus ``split_col`` and ``split_group`` (the group
+    key, exposed because auditing leakage requires it)."""
+    from implementing_scds_in_hive_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, pair_cols[0], pair_cols[1]).select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "split_group", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return assign_split(
+        keyed, splits, id_col="split_group", salt=salt, split_col=split_col
+    )

@@ -2816,3 +2816,63 @@ PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events
 PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
 PYTEST_ONLY_QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase
 PYTEST_ONLY_ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Group-aware train/val/test split
+    (operators/sampling.py:leakage_safe_split): near-dup pairs at
+    J >= 0.5 resolved to components, every member split by its
+    component representative — so 0.95-Jaccard near-copies cannot
+    straddle train and eval. The oracle replays reachability with a
+    recursive CTE and the split with the same md5 bucket formula."""
+    from implementing_scds_in_hive_spark.operators.dedup import ngram_jaccard_pairs
+    from implementing_scds_in_hive_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return leakage_safe_split(
+        d.select("doc_id"), pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split_group", "split")
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w JOIN range(1, 1024) t(i) ON i <= len(ws) - 2
+  WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+bucketed AS (
+  SELECT doc_id, split_group,
+         CAST('0x' || substring(md5('split0' || CAST(split_group AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 AS b
+  FROM keyed)
+SELECT doc_id, split_group,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+PYTEST_ONLY_QUERIES["leakage_safe_split"] = q_leakage_safe_split
+PYTEST_ONLY_ORACLES["leakage_safe_split"] = LEAKAGE_SAFE_SPLIT_SQL

@@ -315,3 +315,55 @@ def test_temperature_rates_cap_is_exact_under_float_roundtrip():
     r = temperature_rates({"en": 3249, "other": 4697}, alpha=0.5)
     assert max(r.values()) == 1.0
     assert all(v <= 1.0 for v in r.values())
+
+
+# --- leakage-safe split --------------------------------------------------
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.sampling import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    # chains: (0,1),(1,2) one group; (10,11); isolated docs elsewhere
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51), (51, 52), (52, 53)],
+        "id_a bigint, id_b bigint",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # every group has exactly one split value among its members
+    distinct_per_group = (
+        out.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert distinct_per_group == 1
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[50]["split"] == rows[53]["split"]  # transitive closure
+    assert rows[0]["split_group"] == 0 and rows[53]["split_group"] == 50
+    # isolated docs: their own group, same split the plain splitter gives
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    for i in (5, 99, 150):
+        assert rows[i]["split_group"] == i and rows[i]["split"] == plain[i]
+
+
+def test_leakage_safe_split_is_deterministic_across_runs(spark):
+    from implementing_scds_in_hive_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id bigint")
+    pairs = spark.createDataFrame([(3, 4), (4, 5)], "id_a bigint, id_b bigint")
+    a = sorted(map(tuple, leakage_safe_split(docs, pairs, {"train": 0.9, "test": 0.1}).collect()))
+    b = sorted(map(tuple, leakage_safe_split(docs.repartition(7), pairs, {"train": 0.9, "test": 0.1}).collect()))
+    assert a == b
