@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from implementing_scds_in_hive_spark.functions.chunking import chunk_text
 from implementing_scds_in_hive_spark.functions.privacy import redact_pii
 from implementing_scds_in_hive_spark.operators.dedup import (
+    jaccard_prefix_pairs,
     dedup_exact,
     ngram_jaccard_pairs,
 )
@@ -72,7 +73,9 @@ def main() -> None:
     print(f"after exact dedup:   {docs.count():6d} docs")
 
     # 2b. near-dup groups -> keep the canonical (longest) member
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    #     (prefix-filtered tier: exact same pairs as the inverted-index
+    #     tier, bounded fan-out — the at-scale default for exact dedup)
+    pairs = jaccard_prefix_pairs(docs, n=3, threshold=0.5)
     scored = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     groups = canonical_members(scored, pairs, score_col="n_tokens")
     drops = groups.where(~F.col("is_canonical")).select("doc_id")
@@ -98,11 +101,17 @@ def main() -> None:
     print(f"after sampling:      {sample.count():6d} docs")
     sample.groupBy("lang").count().orderBy("lang").show()
 
-    # 5. rebuild-stable train/val/test assignment (no leakage across
-    #    re-runs: membership is a pure function of doc content)
-    from implementing_scds_in_hive_spark.operators.sampling import assign_split
+    # 5. rebuild-stable, LEAKAGE-SAFE train/val/test assignment: dedup
+    #    removed >= 0.5-Jaccard near-dups, but docs 0.3-0.5 similar
+    #    survive — guard the split at the looser threshold so they can
+    #    never straddle train and eval (split is content-addressed by
+    #    near-dup COMPONENT, not by individual doc)
+    from implementing_scds_in_hive_spark.operators.sampling import leakage_safe_split
 
-    sample = assign_split(sample, {"train": 0.9, "val": 0.05, "test": 0.05})
+    guard_pairs = jaccard_prefix_pairs(docs, n=3, threshold=0.3)
+    sample = leakage_safe_split(
+        sample, guard_pairs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
     sample.groupBy("split").count().orderBy("split").show()
 
     # 6. chunk into 64-token windows with 8-token overlap
@@ -123,6 +132,18 @@ def main() -> None:
     from implementing_scds_in_hive_spark.functions.scoring import vocab_topk
 
     vocab_topk(sample.where("split = 'train'"), k=10).show()
+
+    # 9. drift audit: did sampling/splitting skew the language mix?
+    #    (PSI of train-split lang distribution vs the full corpus;
+    #    rule of thumb: < 0.1 stable, > 0.25 investigate)
+    from implementing_scds_in_hive_spark.operators.drift import psi_drift
+
+    psi = (
+        psi_drift(sample.where("split = 'train'"), docs, "lang")
+        .agg(F.sum("psi_term").alias("psi"))
+        .collect()[0]["psi"]
+    )
+    print(f"train-vs-corpus lang PSI: {psi:.4f}")
 
     spark.stop()
 
