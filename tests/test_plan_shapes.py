@@ -209,3 +209,66 @@ def test_cms_sketch_single_combinable_shuffle(spark, sf_dir):
     assert _shuffles(plan) == 1
     assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ks_statistic_has_no_single_partition_window(spark, sf_dir):
+    """The KS CDF is a global running sum — the naive formulation is a
+    no-partition window (Exchange SinglePartition). The two-pass prefix
+    sum must keep every exchange partitioned."""
+    from implementing_scds_in_hive_spark.operators.drift import ks_statistic
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ks_statistic(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        "value",
+    )
+    plan = _plan(df)
+    # the final 1-row max aggregation legitimately collapses to a single
+    # partition; what must NOT appear is a Window fed by a
+    # SinglePartition exchange (in toString a child prints directly
+    # beneath its parent — assert no such adjacency)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln:
+            below = "".join(lines[i + 1 : i + 3])
+            assert "Exchange SinglePartition" not in below, ln
+    assert "Exchange rangepartitioning" in plan  # the two-pass shape
+
+
+def test_rp_projection_is_jvm_only_constant_folded(spark, sf_dir):
+    """The JL projection must compile to literal-array dot products —
+    no Python evaluation, no per-row hashing."""
+    from implementing_scds_in_hive_spark.operators.similarity import rp_project_corpus
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(rp_project_corpus(emb, dim_in=64, dim_out=16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "md5" not in plan.lower()  # signs folded at plan-build time
+
+
+def test_jaccard_prefix_has_no_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on the prefix shingle
+    hash — never a cartesian/broadcast-nested-loop over doc pairs."""
+    from implementing_scds_in_hive_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(jaccard_prefix_pairs(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iteration_uses_combinable_aggregation(spark):
+    """Each iteration's inflow sum must be a partial (map-side combine)
+    hash aggregate, and rank state a flat scan (localCheckpoint), not a
+    nested iterative plan."""
+    from implementing_scds_in_hive_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(500) if i % 50 != (i * 7) % 50],
+        "src int, dst int",
+    )
+    ranks = pagerank(edges, iterations=2)
+    plan = _plan(ranks)
+    assert "Scan ExistingRDD" in plan  # localCheckpoint truncated lineage
+    assert "Exchange SinglePartition" not in plan
