@@ -737,3 +737,74 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    w: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via WINNOWING (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every
+    positional n-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum. The selection guarantee: any match of at
+    least ``w + n - 1`` consecutive tokens between two documents shares
+    at least one selected fingerprint, while only ~2/(w+1) of all
+    n-gram hashes are kept — a density/recall dial the full shingle set
+    does not have. This is the containment-robust fingerprint tier:
+    MinHash estimates whole-document resemblance, winnowing detects
+    shared PASSAGES (plagiarism / quote / boilerplate reuse)
+    regardless of how much unrelated text surrounds them.
+
+    Returns ``(did, fps)`` with ``fps`` the sorted distinct selected
+    hashes. Documents with fewer than ``n`` tokens are excluded (no
+    n-gram exists); documents with fewer than ``w`` n-grams yield one
+    fingerprint (the global minimum) — winnowing's "always select at
+    least one" convention. ``portable=True`` switches to the mod-p
+    md5 family so a DuckDB oracle replays hashes, windows, and
+    selections exactly.
+
+    All JVM built-ins: the positional shingle array is materialized
+    BEFORE the window transform (the lambda-CSE discipline), and each
+    window is ``array_min(slice(...))`` — O(tokens * w) per document,
+    no explode until a consumer asks for the inverted index."""
+    if portable:
+        th = _token_hashes(
+            docs, id_col, text_col,
+            lambda t: portable_token_hash(t) % F.lit(PORTABLE_P),
+            min_tokens=n,
+        )
+        psh = th.select("did", portable_shingle_hashes(F.col("th"), n).alias("psh"))
+    else:
+        th = _token_hashes(docs, id_col, text_col, min_tokens=n)
+        psh = th.select("did", _shingle_hashes(F.col("th"), n).alias("psh"))
+    m = F.greatest(F.size("psh") - F.lit(w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(F.col("psh"), j, w))
+    )
+    return psh.select("did", F.array_sort(F.array_distinct(wins)).alias("fps"))
+
+
+def shared_passage_candidates(
+    fps: DataFrame,
+    *,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
+    ``(id_a, id_b, n_shared)``. One explode + equi-join on the
+    fingerprint hash — the same inverted-index shape as the shingle
+    tiers but over the ~2/(w+1)-density selected set, so the join input
+    is a fraction of the full shingle index for the same passage-level
+    recall guarantee."""
+    inv = fps.select("did", F.explode("fps").alias("fp"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -2876,3 +2876,49 @@ FROM bucketed
 
 PYTEST_ONLY_QUERIES["leakage_safe_split"] = q_leakage_safe_split
 PYTEST_ONLY_ORACLES["leakage_safe_split"] = LEAKAGE_SAFE_SPLIT_SQL
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (operators/dedup.py:
+    winnow_fingerprints, portable family): positional 3-gram mod-p
+    hashes, window-of-4 minima, distinct selected set per document.
+    The oracle replays token hashes, positional shingles, every window
+    minimum, and the distinct/sort — the fingerprint SET is
+    value-verified, not just its size."""
+    from implementing_scds_in_hive_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), n=3, w=4, portable=True
+    ).select(
+        F.col("did").alias("doc_id"),
+        F.size("fps").alias("n_fps"),
+        F.to_json("fps").alias("fps_json"),
+    )
+
+
+WINNOW_SQL = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS th
+  FROM documents),
+psh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - 1),
+             i -> (((th[i] * 1000003 + th[i+1]) % 2147483647) * 1000003 + th[i+2])
+                  % 2147483647) AS psh
+  FROM th WHERE len(th) >= 3),
+wins AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             range(1, greatest(len(psh) - 3, 1) + 1),
+             j -> list_min(psh[j : j + 3])))) AS fps
+  FROM psh)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       '[' || array_to_string(fps, ',') || ']' AS fps_json
+FROM wins
+"""
+
+
+PYTEST_ONLY_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+PYTEST_ONLY_ORACLES["winnow_fingerprints"] = WINNOW_SQL
