@@ -2922,3 +2922,39 @@ FROM wins
 
 PYTEST_ONLY_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 PYTEST_ONLY_ORACLES["winnow_fingerprints"] = WINNOW_SQL
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Add-k bigram LM fluency score per document
+    (functions/scoring.py:bigram_logprob_score): counts and vocabulary
+    size are exact integers, so the oracle replays the model exactly;
+    the per-doc mean of logs is rounded at 6 (the cross-engine float
+    convention)."""
+    from implementing_scds_in_hive_spark.functions.scoring import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, ws[i] AS u, ws[i+1] AS v
+  FROM w JOIN range(1, 4096) t(i) ON i <= len(ws) - 1),
+c2 AS (SELECT u, v, COUNT(*) AS c2 FROM big GROUP BY u, v),
+c1 AS (SELECT u, SUM(c2) AS c1 FROM c2 GROUP BY u),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS nv
+          FROM (SELECT unnest(ws) AS tok FROM w)),
+lp AS (
+  SELECT b.doc_id,
+         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT nv FROM vocab))) AS lp
+  FROM big b JOIN c2 ON c2.u = b.u AND c2.v = b.v JOIN c1 ON c1.u = b.u)
+SELECT doc_id, COUNT(*) AS n_bigrams, round(AVG(lp), 6) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+PYTEST_ONLY_QUERIES["bigram_logprob"] = q_bigram_logprob
+PYTEST_ONLY_ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL

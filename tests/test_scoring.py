@@ -42,3 +42,40 @@ def test_unigram_prob_hand_computed(spark):
     # doc 1: (5+1+2) / (9*3)
     assert out[1]["mean_prob"] == 8 / 27
     assert out[1]["n_tokens"] == 3
+
+
+# --- bigram LM fluency score ---------------------------------------------
+
+def test_bigram_logprob_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from implementing_scds_in_hive_spark.functions.scoring import bigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "mat the on sat cat the"),  # same words, mangled adjacencies
+        (4, "solo"),  # < 2 tokens: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_score(docs).collect()}
+
+    texts = {i: t.split(" ") for i, t in rows if len(t.split(" ")) >= 2}
+    c2 = Counter((ws[i], ws[i + 1]) for ws in texts.values() for i in range(len(ws) - 1))
+    c1 = Counter()
+    for (u, _), c in c2.items():
+        c1[u] += c
+    vocab = len({t for ws in texts.values() for t in ws})
+    k = 0.5
+    for did, ws in texts.items():
+        lps = [
+            math.log((c2[(ws[i], ws[i + 1])] + k) / (c1[ws[i]] + k * vocab))
+            for i in range(len(ws) - 1)
+        ]
+        assert got[did]["n_bigrams"] == len(lps)
+        assert abs(got[did]["avg_logprob"] - sum(lps) / len(lps)) < 1e-12
+    assert 4 not in got
+    # fluency ordering: repeated adjacencies outscore the mangled doc
+    assert got[1]["avg_logprob"] > got[3]["avg_logprob"]
+    assert got[2]["avg_logprob"] > got[3]["avg_logprob"]
