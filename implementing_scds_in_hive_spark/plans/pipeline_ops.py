@@ -2958,3 +2958,38 @@ FROM lp GROUP BY doc_id
 
 PYTEST_ONLY_QUERIES["bigram_logprob"] = q_bigram_logprob
 PYTEST_ONLY_ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Corpus covariance entries for the first 6 embedding coordinates,
+    computed THROUGH the distributed mapInPandas moment accumulation
+    (operators/pca.py:covariance_moments) — the oracle recomputes each
+    entry from the exact moment identity avg(x_i x_j) - avg(x_i)avg(x_j)
+    in SQL, so the Arrow partial-sum path itself is value-verified, not
+    just the numpy algebra."""
+    from implementing_scds_in_hive_spark.operators.pca import covariance_moments
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, _, cov = covariance_moments(e, dim=64)
+    rows = [
+        (i + 1, j + 1, round(float(cov[i, j]), 6))
+        for i in range(6)
+        for j in range(6)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT i, j, AVG(e[i] * e[j]) AS exy, AVG(e[i]) AS ex, AVG(e[j]) AS ey
+  FROM x CROSS JOIN range(1, 7) t1(i) CROSS JOIN range(1, 7) t2(j)
+  GROUP BY i, j)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(exy - ex * ey, 6) AS cov
+FROM pairs
+"""
+
+
+PYTEST_ONLY_QUERIES["embedding_covariance"] = q_embedding_covariance
+PYTEST_ONLY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL

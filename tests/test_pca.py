@@ -1,0 +1,98 @@
+"""PCA (operators/pca.py): the distributed moment pass must equal
+numpy on the collected data exactly (same algebra, different
+partitioning), the fitted model must satisfy the spectral invariants
+(orthonormal components, descending variance, score variance ==
+eigenvalue), and the transform must beat the data-oblivious JL tier on
+captured variance at equal output dims — the reason a trained
+projection exists."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.pca import (
+    covariance_moments,
+    pca_fit,
+    pca_transform,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = emb.orderBy("vec_id").collect()
+    return np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def test_moments_match_numpy(emb, X):
+    n, mean, cov = covariance_moments(emb, dim=DIM)
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(X.T, bias=True), rtol=1e-9, atol=1e-12)
+
+
+def test_moments_deterministic_across_runs(emb):
+    _, m1, c1 = covariance_moments(emb, dim=DIM)
+    _, m2, c2 = covariance_moments(emb, dim=DIM)
+    assert (m1 == m2).all() and (c1 == c2).all()
+
+
+def test_model_spectral_invariants(spark, emb, X):
+    k = 8
+    model = pca_fit(emb, k, dim=DIM)
+    W = np.array(model.components)
+    np.testing.assert_allclose(W @ W.T, np.eye(k), atol=1e-10)  # orthonormal
+    ev = np.array(model.explained_variance)
+    assert (ev[:-1] >= ev[1:] - 1e-12).all()  # descending
+    assert 0 < sum(model.explained_ratio) <= 1 + 1e-9
+    # per-component score variance equals its eigenvalue
+    scores = pca_transform(emb, model)
+    S = np.stack(
+        [np.array(r["scores"]) for r in scores.orderBy("vec_id").collect()]
+    )
+    np.testing.assert_allclose(S.var(axis=0), ev, rtol=1e-6)
+    # and matches the numpy projection exactly up to float noise
+    Xc = X - X.mean(axis=0)
+    np.testing.assert_allclose(S, Xc @ W.T, atol=1e-9)
+
+
+def test_pca_beats_jl_on_reconstruction(spark, emb, X):
+    """The reason to pay the training pass: at equal k the trained
+    projection must reconstruct the corpus with lower error than the
+    data-oblivious Rademacher projection. (Variance-sum is NOT the
+    right metric — JL approximately preserves total variance by
+    design; what it cannot do is CONCENTRATE it, which is what
+    reconstruction measures. Best-linear JL reconstruction via least
+    squares, so the comparison is fair.) Measured on this corpus:
+    0.797 vs 0.866 at k=8; assert PCA wins at both tested k."""
+    from implementing_scds_in_hive_spark.operators.similarity import rp_project_corpus
+
+    Xc = X - X.mean(axis=0)
+    total = (Xc ** 2).sum()
+    for k in (8, 16):
+        model = pca_fit(emb, k, dim=DIM)
+        W = np.array(model.components)
+        pca_err = 1 - ((Xc @ W.T) ** 2).sum() / total
+        R = np.stack(
+            [np.array(r["rvec"]) for r in rp_project_corpus(
+                emb, dim_in=DIM, dim_out=k
+            ).orderBy("vec_id").collect()]
+        )
+        Rc = R - R.mean(axis=0)
+        B, *_ = np.linalg.lstsq(Rc, Xc, rcond=None)
+        jl_err = ((Xc - Rc @ B) ** 2).sum() / total
+        assert pca_err < jl_err - 0.02, (k, pca_err, jl_err)
+
+
+def test_transform_plan_is_jvm_literal_dots(spark, emb):
+    model = pca_fit(emb, 4, dim=DIM)
+    plan = pca_transform(emb, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
