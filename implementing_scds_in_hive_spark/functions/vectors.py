@@ -117,5 +117,23 @@ def random_project(a: Column, dim_in: int, dim_out: int, seed: str = "rp") -> Co
     scale = 1.0 / math.sqrt(dim_out)
     signs = projection_signs(dim_in, dim_out, seed)
     return F.array(
-        *[(dot(a, F.array(*[F.lit(s) for s in row])) * F.lit(scale)) for row in signs]
+        *[(literal_dot(a, row) * F.lit(scale)) for row in signs]
     )
+
+
+def literal_dot(a: Column, weights) -> Column:
+    """Dot product of an array column with a CONSTANT vector, unrolled
+    to a chain of plain multiply-adds. Higher-order expressions
+    (``aggregate``/``zip_with``) never join whole-stage codegen — each
+    element costs an interpreted lambda invocation — but an unrolled
+    ``element_at(a,1)*w1 + element_at(a,2)*w2 + ...`` is ordinary
+    arithmetic Janino compiles (measured ~8x on the PCA transform; see
+    PLANS.md "PCA at scale"). Left-to-right fold order is IDENTICAL to
+    :func:`dot` (0 + t1 == t1 in IEEE for these values), so swapping
+    one for the other cannot change results — the oracle compares pin
+    this. Use only for literal weights: with two column arrays there is
+    no unrolling, use :func:`dot`."""
+    acc = F.element_at(a, 1).cast("double") * F.lit(float(weights[0]))
+    for i, wi in enumerate(weights[1:], start=2):
+        acc = acc + F.element_at(a, i).cast("double") * F.lit(float(wi))
+    return acc

@@ -33,7 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from implementing_scds_in_hive_spark.functions.vectors import dot
+from implementing_scds_in_hive_spark.functions.vectors import literal_dot
 
 
 def covariance_moments(
@@ -130,16 +130,57 @@ def pca_transform(
     *,
     vec_col: str = "embedding",
     out_col: str = "scores",
+    method: str = "auto",
 ) -> DataFrame:
-    """Project to ``(..., out_col array<double>)`` — k dot products
-    against plan-time literal component vectors; the mean shift folds
-    into a precomputed scalar offset per component (``(x - m)·w =
-    x·w - m·w``), so the row work is k literal-array dots, JVM-side."""
-    cols = []
-    for comp in model.components:
-        offset = float(np.dot(np.array(model.mean), np.array(comp)))
-        cols.append(
-            dot(F.col(vec_col), F.array(*[F.lit(float(c)) for c in comp]))
-            - F.lit(offset)
-        )
-    return emb.withColumn(out_col, F.array(*cols))
+    """Project to ``(..., out_col array<double>)``: scores =
+    (x - mean) @ W_k, by one of two physical strategies:
+
+    * ``"literal"`` — k unrolled literal-array dots (the JL-tier
+      shape), JVM-side and codegen'd. The catch, measured: Janino's
+      64 KB method limit — at k*d ~ 1024 terms whole-stage codegen
+      FAILS ("Code grows beyond 64 KB") and the projection silently
+      runs interpreted (~3 µs per dot, 10.8 s for 200k x 16 x 64).
+    * ``"arrow"`` — one ``mapInPandas`` pass, scores = BLAS matmul per
+      Arrow batch (the moment pass's tier). Constant Python/Arrow
+      overhead, then memory-bandwidth-bound: 1.7 s on the same 200k
+      corpus, and the right path at 100 TB where k*d is large.
+
+    ``"auto"`` picks literal while k*d stays comfortably under the
+    codegen ceiling (<= 512 terms), arrow beyond it. The two paths
+    differ only in float summation order (left fold vs BLAS) — bounded
+    by ~1e-12 relative; oracle-facing queries pin the literal path.
+
+    Parallelism is inherited from the input's partitioning: a corpus
+    arriving as one small file runs on one core — repartition such
+    inputs before calling (no internal ``spread``: its
+    ``rdd.getNumPartitions()`` probe materializes AQE query stages on
+    cached/derived inputs, measured slower than the single-core run it
+    was meant to fix; a real lake scan is already split by
+    maxPartitionBytes)."""
+    d = len(model.components[0])
+    if method == "auto":
+        method = "literal" if model.k * d <= 512 else "arrow"
+    if method == "literal":
+        cols = []
+        for comp in model.components:
+            offset = float(np.dot(np.array(model.mean), np.array(comp)))
+            cols.append(literal_dot(F.col(vec_col), comp) - F.lit(offset))
+        return emb.withColumn(out_col, F.array(*cols))
+    if method != "arrow":
+        raise ValueError(f"method must be auto|literal|arrow, got {method!r}")
+    W = np.array(model.components)  # k x d
+    mean = np.array(model.mean)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + f", {out_col} array<double>"
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = (X - mean) @ W.T
+            pdf[out_col] = list(S)
+            yield pdf
+
+    return emb.mapInPandas(project, out_schema)

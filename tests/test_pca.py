@@ -96,3 +96,27 @@ def test_transform_plan_is_jvm_literal_dots(spark, emb):
     model = pca_fit(emb, 4, dim=DIM)
     plan = pca_transform(emb, model)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transform_methods_agree_and_auto_picks_arrow_past_codegen_limit(spark, emb):
+    """The literal path loses whole-stage codegen past ~512 terms
+    (Janino 64 KB) — auto must switch to the Arrow/BLAS path there, and
+    the two strategies may differ only in float summation order."""
+    from implementing_scds_in_hive_spark.operators.pca import pca_transform
+
+    m16 = pca_fit(emb, 16, dim=DIM)  # 16*64 = 1024 terms > 512
+    lit = np.stack([np.array(r["scores"]) for r in pca_transform(
+        emb, m16, method="literal").orderBy("vec_id").collect()])
+    arr = np.stack([np.array(r["scores"]) for r in pca_transform(
+        emb, m16, method="arrow").orderBy("vec_id").collect()])
+    auto = np.stack([np.array(r["scores"]) for r in pca_transform(
+        emb, m16).orderBy("vec_id").collect()])
+    np.testing.assert_allclose(lit, arr, rtol=1e-10, atol=1e-12)
+    assert (auto == arr).all()  # auto routed to arrow, bit-identical
+    m4 = pca_fit(emb, 4, dim=DIM)  # 256 terms: stays literal
+    lit4 = pca_transform(emb, m4, method="literal")
+    auto4 = pca_transform(emb, m4)
+    assert lit4.schema == auto4.schema
+    a, b = (np.stack([np.array(r["scores"]) for r in d.orderBy("vec_id").collect()])
+            for d in (lit4, auto4))
+    assert (a == b).all()
