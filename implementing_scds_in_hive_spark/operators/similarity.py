@@ -702,20 +702,54 @@ def rp_rescore_topk(
     tiebreak — the same determinism convention every similarity oracle
     here uses, making the shortlist (not just the final answer)
     cross-engine replayable."""
-    m = shortlist or 4 * k
     rp = corpus_rp if corpus_rp is not None else rp_project_corpus(
         corpus, id_col=id_col, vec_col=vec_col, dim_in=dim_in, dim_out=dim_out, seed=seed
     )
     qrp = rp_project_corpus(
         queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
         id_col=id_col, vec_col=vec_col, dim_in=dim_in, dim_out=dim_out, seed=seed,
-    ).select(
-        F.col(id_col).alias(query_id_col),
-        F.col("rvec").alias("__qr"),
-        F.col("rnorm").alias("__qrn"),
+    ).select(F.col(id_col).alias(query_id_col), "rvec", "rnorm")
+    return projected_rescore_topk(
+        corpus, queries, rp, qrp,
+        k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def projected_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_proj: DataFrame,
+    queries_proj: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    proj_col: str = "rvec",
+    proj_norm_col: str = "rnorm",
+) -> DataFrame:
+    """Generic coarse-then-exact two-stage ANN over ANY low-dim
+    projection: rank by 6-dp-rounded cosine in the projected space,
+    exact-rescore the top-``shortlist``. ``corpus_proj`` /
+    ``queries_proj`` carry ``(id/query_id, proj_col, proj_norm_col)`` —
+    produced by :func:`rp_project_corpus` (data-oblivious JL) or
+    ``operators/pca.py:pca_transform`` + a norm projection (trained;
+    measured recall@5 0.76 vs 0.59 for JL at 16 dims / shortlist 40 —
+    variance concentration is exactly what a coarse ranking wants).
+    Same contracts as the other tiers: shortlist >= |corpus| degrades
+    to exact brute force; deterministic id tie-breaks."""
+    m = shortlist or 4 * k
+    qrp = queries_proj.select(
+        F.col(query_id_col),
+        F.col(proj_col).alias("__qr"),
+        F.col(proj_norm_col).alias("__qrn"),
     )
     coarse = (
-        rp.select(F.col(id_col), F.col("rvec").alias("__cr"), F.col("rnorm").alias("__crn"))
+        corpus_proj.select(
+            F.col(id_col), F.col(proj_col).alias("__cr"), F.col(proj_norm_col).alias("__crn")
+        )
         .crossJoin(F.broadcast(qrp))
         .select(
             query_id_col,
@@ -756,3 +790,55 @@ def rp_rescore_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def pca_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    model,
+    *,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_proj: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage ANN over a TRAINED projection
+    (operators/pca.py:PCAModel): like the JL tier but the coarse space
+    concentrates corpus variance, buying recall per dimension (0.76 vs
+    0.59 recall@5 at 16 dims on the driver corpus). Pass
+    ``corpus_proj`` (a saved :func:`pca_project_corpus` output) to
+    skip re-projection — build once, probe many."""
+    cp = corpus_proj if corpus_proj is not None else pca_project_corpus(
+        corpus, model, id_col=id_col, vec_col=vec_col
+    )
+    qp = pca_project_corpus(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+        model,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias(query_id_col), "rvec", "rnorm")
+    return projected_rescore_topk(
+        corpus, queries, cp, qp,
+        k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def pca_project_corpus(
+    corpus: DataFrame,
+    model,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA storage tier ``(id, rvec, rnorm)`` — the trained counterpart
+    of :func:`rp_project_corpus`, same output contract so the two are
+    interchangeable in :func:`projected_rescore_topk`."""
+    from implementing_scds_in_hive_spark.operators.pca import pca_transform
+
+    return pca_transform(
+        corpus.select(F.col(id_col), F.col(vec_col)), model,
+        vec_col=vec_col, out_col="rvec",
+    ).select(id_col, "rvec", norm(F.col("rvec")).alias("rnorm"))
