@@ -100,13 +100,7 @@ class PCAModel:
         return tuple(v / self.total_variance for v in self.explained_variance)
 
 
-def pca_fit(
-    emb: DataFrame, k: int, *, vec_col: str = "embedding", dim: int
-) -> PCAModel:
-    """Fit a k-component PCA from one corpus pass (see module
-    docstring). Components are orthonormal rows, descending variance,
-    signs canonicalized."""
-    _, mean, cov = covariance_moments(emb, vec_col=vec_col, dim=dim)
+def _fit_from_cov(mean: np.ndarray, cov: np.ndarray, k: int) -> PCAModel:
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []
@@ -122,6 +116,16 @@ def pca_fit(
         explained_variance=tuple(float(vals[i]) for i in order),
         total_variance=float(vals.sum()),
     )
+
+
+def pca_fit(
+    emb: DataFrame, k: int, *, vec_col: str = "embedding", dim: int
+) -> PCAModel:
+    """Fit a k-component PCA from one corpus pass (see module
+    docstring). Components are orthonormal rows, descending variance,
+    signs canonicalized."""
+    _, mean, cov = covariance_moments(emb, vec_col=vec_col, dim=dim)
+    return _fit_from_cov(mean, cov, k)
 
 
 def pca_transform(
@@ -184,3 +188,17 @@ def pca_transform(
             yield pdf
 
     return emb.mapInPandas(project, out_schema)
+
+
+def pca_fit_from_moments(
+    n: int, sumx: np.ndarray, xtx: np.ndarray, k: int, *, dim: int
+) -> PCAModel:
+    """Fit from pre-accumulated moments (e.g. the live table
+    ``streaming/sketch_stream.py:moment_stream`` maintains) — model
+    refresh without rescanning corpus history. Same eigen path and
+    sign canonicalization as :func:`pca_fit`."""
+    sumx = np.asarray(sumx, dtype=np.float64)
+    xtx = np.asarray(xtx, dtype=np.float64).reshape(dim, dim)
+    mean = sumx / n
+    cov = xtx / n - np.outer(mean, mean)
+    return _fit_from_cov(mean, cov, k)

@@ -413,3 +413,68 @@ def category_count_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def moment_stream(
+    vectors: DataFrame,
+    moments_path: str,
+    *,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    dim: int,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Maintain a live covariance-moment table (one row: ``n, sumx,
+    xtx``) from a vector stream — the state that makes PCA
+    CONTINUOUSLY REFRESHABLE: ``operators/pca.py:pca_fit_from_moments``
+    turns the table into a model at any time without rescanning
+    history, because moments are exactly additive (n and the two sums
+    just add). Additive state cannot absorb a replayed batch, so the
+    table carries the batch-id watermark like the histogram/CMS
+    streams. Per trigger: the batch's partials via the same
+    mapInPandas accumulation the batch operator uses, one O(dim^2)
+    driver fold, one tiny table publish."""
+    import numpy as np
+
+    from implementing_scds_in_hive_spark.operators.pca import covariance_moments
+
+    spark = vectors.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        try:
+            existing = spark.read.parquet(moments_path).collect()[0]
+            watermark = existing["last_batch_id"]
+        except Exception:
+            existing, watermark = None, None
+        if watermark is not None and batch_id <= watermark:
+            return
+        n_b, mean_b, cov_b = covariance_moments(batch, vec_col=vec_col, dim=dim)
+        sumx_b = mean_b * n_b
+        xtx_b = (cov_b + np.outer(mean_b, mean_b)) * n_b
+        if existing is not None:
+            n = existing["n"] + n_b
+            sumx = np.array(existing["sumx"]) + sumx_b
+            xtx = np.array(existing["xtx"]).reshape(dim, dim) + xtx_b
+        else:
+            n, sumx, xtx = n_b, sumx_b, xtx_b
+        out = spark.createDataFrame(
+            [(int(n), [float(x) for x in sumx], [float(x) for x in xtx.ravel()], batch_id)],
+            "n long, sumx array<double>, xtx array<double>, last_batch_id long",
+        )
+        publish(out, moments_path)
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        vectors.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -120,3 +120,87 @@ def test_psi_from_live_counts_matches_psi_drift(spark, tmp_path):
     assert via_counts.keys() == via_raw.keys()
     for k in via_raw:
         assert via_counts[k] == pytest.approx(via_raw[k], rel=1e-12)
+
+
+# --- streaming PCA moments -----------------------------------------------
+
+def _vec_batches():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        [(float(i + b * 50), [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+        for b in range(3)
+    ]
+
+
+def _write_vec_batches(spark, stg, batches):
+    for chunk in batches:
+        spark.createDataFrame(chunk, "w double, embedding array<double>").coalesce(
+            1
+        ).write.mode("append").parquet(stg)
+        time.sleep(0.05)
+
+
+def _run_moments(spark, stg, path, ckpt, crash_hook=None):
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import moment_stream
+
+    stream = (
+        spark.readStream.schema("w double, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stg)
+    )
+    q = moment_stream(
+        stream, path, checkpoint_dir=ckpt, vec_col="embedding", dim=8,
+        crash_hook=crash_hook,
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_moments_equal_batch_and_fit_matches(spark, tmp_path):
+    import numpy as np
+
+    from implementing_scds_in_hive_spark.operators.pca import (
+        covariance_moments,
+        pca_fit,
+        pca_fit_from_moments,
+    )
+
+    batches = _vec_batches()
+    stg = str(tmp_path / "vecs")
+    _write_vec_batches(spark, stg, batches)
+    path = str(tmp_path / "moments")
+    _run_moments(spark, stg, path, str(tmp_path / "ckpt"))
+
+    row = spark.read.parquet(path).collect()[0]
+    all_vecs = spark.createDataFrame(
+        [r for chunk in batches for r in chunk], "w double, embedding array<double>"
+    )
+    n, mean, cov = covariance_moments(all_vecs, dim=8)
+    assert row["n"] == n
+    np.testing.assert_allclose(np.array(row["sumx"]) / n, mean, rtol=1e-9)
+    live = pca_fit_from_moments(row["n"], row["sumx"], row["xtx"], 3, dim=8)
+    direct = pca_fit(all_vecs, 3, dim=8)
+    np.testing.assert_allclose(live.components, direct.components, atol=1e-8)
+    np.testing.assert_allclose(
+        live.explained_variance, direct.explained_variance, rtol=1e-8
+    )
+
+
+def test_moment_stream_crash_replay_no_double_count(spark, tmp_path):
+    batches = _vec_batches()
+    stg = str(tmp_path / "vecs")
+    _write_vec_batches(spark, stg, batches)
+    path = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"done": False}
+
+    def hook(batch_id, phase):
+        if phase == "post_publish" and batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between publish and commit")
+
+    with pytest.raises(Exception):
+        _run_moments(spark, stg, path, ckpt, crash_hook=hook)
+    _run_moments(spark, stg, path, ckpt)
+    assert spark.read.parquet(path).collect()[0]["n"] == 150  # not 200
