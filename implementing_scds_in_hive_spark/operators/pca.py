@@ -135,6 +135,7 @@ def pca_transform(
     vec_col: str = "embedding",
     out_col: str = "scores",
     method: str = "auto",
+    whiten: bool = False,
 ) -> DataFrame:
     """Project to ``(..., out_col array<double>)``: scores =
     (x - mean) @ W_k, by one of two physical strategies:
@@ -160,19 +161,33 @@ def pca_transform(
     ``rdd.getNumPartitions()`` probe materializes AQE query stages on
     cached/derived inputs, measured slower than the single-core run it
     was meant to fix; a real lake scan is already split by
-    maxPartitionBytes)."""
+    maxPartitionBytes).
+
+    ``whiten=True`` rescales each component by 1/sqrt(eigenvalue) so
+    scores have unit variance per component (decorrelated + equalized —
+    the preprocessing Mahalanobis-style distances want); the scaling
+    FOLDS INTO the literal weights / the BLAS matrix, costing nothing
+    at row time. Components with eigenvalue <= 0 (numerical zeros)
+    keep scale 1 rather than dividing by ~0.
+    """
     d = len(model.components[0])
+    scales = (
+        [1.0 / np.sqrt(v) if v > 1e-12 else 1.0 for v in model.explained_variance]
+        if whiten
+        else [1.0] * model.k
+    )
     if method == "auto":
         method = "literal" if model.k * d <= 512 else "arrow"
     if method == "literal":
         cols = []
-        for comp in model.components:
-            offset = float(np.dot(np.array(model.mean), np.array(comp)))
-            cols.append(literal_dot(F.col(vec_col), comp) - F.lit(offset))
+        for comp, s in zip(model.components, scales):
+            w = [c * s for c in comp]
+            offset = float(np.dot(np.array(model.mean), np.array(w)))
+            cols.append(literal_dot(F.col(vec_col), w) - F.lit(offset))
         return emb.withColumn(out_col, F.array(*cols))
     if method != "arrow":
         raise ValueError(f"method must be auto|literal|arrow, got {method!r}")
-    W = np.array(model.components)  # k x d
+    W = np.array(model.components) * np.array(scales)[:, None]  # k x d
     mean = np.array(model.mean)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields

@@ -167,3 +167,16 @@ def test_pca_ann_tier(spark, emb):
         emb, q, model, k=3, shortlist=12, corpus_proj=cp).collect()))
     assert a == b
     cp.unpersist()
+
+
+def test_whitened_scores_have_unit_variance(spark, emb):
+    from implementing_scds_in_hive_spark.operators.pca import pca_transform
+
+    m = pca_fit(emb, 6, dim=DIM)
+    S = np.stack([np.array(r["scores"]) for r in pca_transform(
+        emb, m, whiten=True).orderBy("vec_id").collect()])
+    np.testing.assert_allclose(S.var(axis=0), np.ones(6), rtol=1e-6)
+    # whitening folds into the weights: arrow path agrees
+    A = np.stack([np.array(r["scores"]) for r in pca_transform(
+        emb, m, whiten=True, method="arrow").orderBy("vec_id").collect()])
+    np.testing.assert_allclose(S, A, rtol=1e-9, atol=1e-12)
