@@ -217,3 +217,41 @@ def pca_fit_from_moments(
     mean = sumx / n
     cov = xtx / n - np.outer(mean, mean)
     return _fit_from_cov(mean, cov, k)
+
+
+def save_model(model: PCAModel, path: str) -> None:
+    """Persist a model as one JSON sidecar (same convention as the
+    index sidecars in operators/index_store.py): floats round-trip
+    exactly via repr, so a reloaded model projects bit-identically —
+    build the model in a training job, load it in probe jobs for
+    months."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "kind": "pca",
+                "mean": list(model.mean),
+                "components": [list(c) for c in model.components],
+                "explained_variance": list(model.explained_variance),
+                "total_variance": model.total_variance,
+            },
+            f,
+        )
+
+
+def load_model(path: str) -> PCAModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("kind") != "pca":
+        raise ValueError(f"{path} holds a {d.get('kind')!r} model, not pca")
+    return PCAModel(
+        mean=tuple(d["mean"]),
+        components=tuple(tuple(c) for c in d["components"]),
+        explained_variance=tuple(d["explained_variance"]),
+        total_variance=d["total_variance"],
+    )

@@ -160,6 +160,29 @@ def main(sf_dir: str) -> None:
     }
     sh3.unpersist()
 
+    # --- Winnowing tier: selected-index density + passage join --------
+    fps = dedup.winnow_fingerprints(docs, n=3, w=8).persist()
+    n_sel, t_fp = timed(lambda: fps.select(F.explode("fps")).count())
+    full_postings = report.get("full_shingle_postings")
+    if full_postings is None:
+        full_postings = (
+            dedup.shingled_hashes(docs, "doc_id", "text", n=3)
+            .select(F.explode("sh"))
+            .count()
+        )
+    n_pairs, t_pairs = timed(
+        lambda: dedup.shared_passage_candidates(fps, min_shared=2).count()
+    )
+    report["winnow_w8"] = {
+        "selected_postings": n_sel,
+        "full_shingle_postings": full_postings,
+        "density": round(n_sel / full_postings, 4),
+        "fingerprint_sec": t_fp,
+        "passage_pairs_min2": n_pairs,
+        "passage_join_sec": t_pairs,
+    }
+    fps.unpersist()
+
     print(json.dumps(report, indent=2))
 
 

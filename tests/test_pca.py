@@ -180,3 +180,20 @@ def test_whitened_scores_have_unit_variance(spark, emb):
     A = np.stack([np.array(r["scores"]) for r in pca_transform(
         emb, m, whiten=True, method="arrow").orderBy("vec_id").collect()])
     np.testing.assert_allclose(S, A, rtol=1e-9, atol=1e-12)
+
+
+def test_model_roundtrips_bit_identically(spark, emb, tmp_path):
+    from implementing_scds_in_hive_spark.operators.pca import (
+        load_model,
+        pca_transform,
+        save_model,
+    )
+
+    m = pca_fit(emb, 6, dim=DIM)
+    path = str(tmp_path / "model" / "pca.json")
+    save_model(m, path)
+    m2 = load_model(path)
+    assert m2 == m  # frozen dataclass equality: every float identical
+    a = pca_transform(emb, m).orderBy("vec_id").collect()
+    b = pca_transform(emb, m2).orderBy("vec_id").collect()
+    assert [r["scores"] for r in a] == [r["scores"] for r in b]
