@@ -186,3 +186,63 @@ def bigram_logprob_score(
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.avg("lp").alias("avg_logprob")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``pmi(u, v) = ln( p(u,v) / (p(u) p(v)) )`` over adjacent token
+    pairs, with a ``min_count`` support floor (PMI is notoriously
+    noisy on rare pairs — the floor is the standard fix). The corpus
+    statistic behind phrase mining and collocation-aware tokenizer
+    diagnostics.
+
+    Exact integer counts (bigram, unigram, totals) + one log per
+    surviving pair; ranking is deterministic (PMI desc, then pair).
+    One corpus read; both count passes are map-side combinable; top-k
+    compiles to TakeOrderedAndProject (no global sort)."""
+    from implementing_scds_in_hive_spark.sources.registry import spread
+
+    base = spread(docs).where(F.size(F.split(F.col(text_col), " ")) >= 2)
+    ws = base.select(F.split(F.col(text_col), " ").alias("ws"))
+    bigrams = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("u"),
+                    F.element_at(F.col("ws"), i + F.lit(1)).alias("v"),
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    c2 = bigrams.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c_uv"))
+    uni = ws.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_bigrams = bigrams.count()
+    n_tokens = ws.select(F.sum(F.size("ws"))).collect()[0][0]
+    scored = (
+        c2.where(F.col("c_uv") >= min_count)
+        .join(uni.select(F.col("tok").alias("u"), F.col("c").alias("c_u")), "u")
+        .join(uni.select(F.col("tok").alias("v"), F.col("c").alias("c_v")), "v")
+        .select(
+            "u",
+            "v",
+            "c_uv",
+            F.log(
+                (F.col("c_uv").cast("double") / F.lit(float(n_bigrams)))
+                / (
+                    (F.col("c_u").cast("double") / F.lit(float(n_tokens)))
+                    * (F.col("c_v").cast("double") / F.lit(float(n_tokens)))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "u", "v").limit(k)

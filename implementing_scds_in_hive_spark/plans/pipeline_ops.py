@@ -2993,3 +2993,41 @@ FROM pairs
 
 PYTEST_ONLY_QUERIES["embedding_covariance"] = q_embedding_covariance
 PYTEST_ONLY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-25 PMI collocations with support >= 5
+    (functions/scoring.py:pmi_collocations): exact integer counts, one
+    log per surviving pair, deterministic tie-breaks — the oracle
+    replays the statistic term for term."""
+    from implementing_scds_in_hive_spark.functions.scoring import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=25
+    ).select("u", "v", "c_uv", F.round("pmi", 6).alias("pmi"))
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT ws[i] AS u, ws[i+1] AS v
+  FROM w JOIN range(1, 4096) t(i) ON i <= len(ws) - 1),
+c2 AS (SELECT u, v, COUNT(*) AS c_uv FROM big GROUP BY u, v),
+uni AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM big) AS DOUBLE) AS nb,
+               CAST((SELECT SUM(len(ws)) FROM w) AS DOUBLE) AS nt)
+SELECT u, v, c_uv,
+       round(ln((CAST(c_uv AS DOUBLE) / (SELECT nb FROM tot))
+                / ((cu.c / (SELECT nt FROM tot)) * (cv.c / (SELECT nt FROM tot)))), 6) AS pmi
+FROM c2
+JOIN uni cu ON cu.tok = c2.u
+JOIN uni cv ON cv.tok = c2.v
+WHERE c_uv >= 5
+ORDER BY pmi DESC, u, v
+LIMIT 25
+"""
+
+
+PYTEST_ONLY_QUERIES["pmi_collocations"] = q_pmi_collocations
+PYTEST_ONLY_ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL

@@ -79,3 +79,32 @@ def test_bigram_logprob_matches_reference(spark):
     # fluency ordering: repeated adjacencies outscore the mangled doc
     assert got[1]["avg_logprob"] > got[3]["avg_logprob"]
     assert got[2]["avg_logprob"] > got[3]["avg_logprob"]
+
+
+def test_pmi_collocations_reference_and_support_floor(spark):
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from implementing_scds_in_hive_spark.functions.scoring import pmi_collocations
+
+    # "new york" always adjacent (high PMI); "the" precedes many
+    # different words, diluting every "the X" pair's PMI
+    rows = [(i, "the cat saw the dog near new york while the bird flew to new york")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["u"], r["v"]): (r["c_uv"], r["pmi"])
+           for r in pmi_collocations(docs, min_count=6, k=50).collect()}
+
+    texts = [t.split(" ") for _, t in rows]
+    bi = Counter((ws[i], ws[i + 1]) for ws in texts for i in range(len(ws) - 1))
+    un = Counter(t for ws in texts for t in ws)
+    nb = sum(bi.values())
+    nt = sum(un.values())
+    for (u, v), (c_uv, pmi) in got.items():
+        assert c_uv >= 6  # support floor enforced
+        expect = math.log((bi[(u, v)] / nb) / ((un[u] / nt) * (un[v] / nt)))
+        assert pmi == pytest.approx(expect, rel=1e-12)
+    # collocation beats the diluted stop-word pair strictly
+    assert got[("new", "york")][1] > got[("the", "cat")][1]
