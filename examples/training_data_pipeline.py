@@ -264,6 +264,33 @@ def stress_main(sf_dir: str) -> None:
         .count()
         == 0
     )
+
+    # --- leakage-safe split (r5): no clique may straddle train/eval ---
+    # run the group-aware splitter over the PRE-canonical corpus, where
+    # every distinct text forms a >= 6-member near-dup clique: each
+    # clique must land wholly in one split, and the multi-member group
+    # count must equal the clique count the canonical stage found
+    from implementing_scds_in_hive_spark.operators.sampling import leakage_safe_split
+
+    guarded = _timed(
+        "leakage-safe split",
+        lambda: leakage_safe_split(
+            exact.select("doc_id"), lsh_pairs,
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        ).persist(),
+        timings,
+    )
+    worst = (
+        guarded.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("k"), F.count("*").alias("m"))
+        .persist()
+    )
+    assert worst.agg(F.max("k")).first()[0] == 1, "a near-dup clique straddles splits"
+    n_multi = worst.where(F.col("m") > 1).count()
+    assert n_multi == n_groups, (n_multi, n_groups)
+    print(f"leakage-safe split: {n_multi} cliques, every one in a single split")
+    worst.unpersist()
+    guarded.unpersist()
     lsh_pairs.unpersist()
 
     # --- decontamination (r5): planted eval leak must be caught -------
