@@ -204,3 +204,84 @@ def test_moment_stream_crash_replay_no_double_count(spark, tmp_path):
         _run_moments(spark, stg, path, ckpt, crash_hook=hook)
     _run_moments(spark, stg, path, ckpt)
     assert spark.read.parquet(path).collect()[0]["n"] == 150  # not 200
+
+
+def test_category_count_stream_survives_random_crash_chains(spark):
+    """Same chain property as the CMS/histogram streams: random batch
+    chains with a crash injected at a random trigger boundary must
+    still converge to the one-pass batch group-by exactly (the
+    watermark guard absorbs post-publish replays; pre-crashes simply
+    retry)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _batch = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=5)
+    _crash = st.sampled_from([None, "pre", "post_publish"])
+    _chain = st.lists(st.tuples(_batch, _crash), min_size=1, max_size=3)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(chain=_chain)
+    def prop(chain):
+        work = tempfile.mkdtemp(prefix="cat_crash_chain_")
+        try:
+            stg = f"{work}/events"
+            for batch, _ in chain:
+                spark.createDataFrame(
+                    [(c,) for c in batch], "event_type string"
+                ).coalesce(1).write.mode("append").parquet(stg)
+                time.sleep(0.05)
+
+            crash_plan = {i: c for i, (_, c) in enumerate(chain) if c}
+            fired = set()
+
+            def hook(batch_id, phase):
+                if crash_plan.get(batch_id) == phase and batch_id not in fired:
+                    fired.add(batch_id)
+                    raise RuntimeError(f"batch {batch_id} died {phase}")
+
+            def run_once():
+                stream = (
+                    spark.readStream.schema("event_type string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(stg)
+                )
+                q = category_count_stream(
+                    stream,
+                    f"{work}/counts",
+                    checkpoint_dir=f"{work}/ckpt",
+                    cat_col="event_type",
+                    crash_hook=hook,
+                )
+                try:
+                    q.awaitTermination(120)
+                    return True
+                except Exception:
+                    q.stop()
+                    return False
+
+            attempts = 0
+            while not run_once():
+                attempts += 1
+                assert attempts <= len(crash_plan) + 1, "failed more than injected"
+            assert fired == set(crash_plan)
+
+            got = {
+                r["category"]: r["n"]
+                for r in spark.read.parquet(f"{work}/counts").collect()
+            }
+            want = {}
+            for batch, _ in chain:
+                for c in batch:
+                    want[c] = want.get(c, 0) + 1
+            assert got == want
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    prop()
