@@ -134,6 +134,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     iterations: int = 5,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: ``(node, pr)`` for every node
     appearing as source or target, after a FIXED number of power
@@ -160,6 +161,13 @@ def pagerank(
     iteration (O(iterations) driver scalars, like kmeans' K centroid
     rows). ``localCheckpoint`` per iteration keeps plan depth O(1).
     Rank state is O(|V|) rows, never collected.
+
+    ``seeds``: PERSONALIZED PageRank (Haveliwala 2002) — teleport and
+    dangling mass restart uniformly over the seed set instead of all
+    nodes, ranking the graph by proximity to the seeds. The
+    training-data use: expand a trusted domain/source list by
+    centrality relative to it. Seeds fold into the plan as an ``isin``
+    literal predicate (seed lists are small by construction).
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -179,7 +187,15 @@ def pagerank(
         .join(outdeg.select(F.col("node").alias("u"), "outdeg"), "u")
         .persist()
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("seeds must be non-empty when given")
+        s_mass = F.when(
+            F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        s_mass = F.lit(1.0 / n)
+    ranks = nodes.select("node", s_mass.alias("pr")).localCheckpoint(eager=True)
     for _ in range(iterations):
         dangling = (
             ranks.join(outdeg, "node", "left_anti").agg(F.sum("pr")).collect()[0][0]
@@ -194,9 +210,12 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * s_mass
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dangling) * s_mass
+                    )
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)

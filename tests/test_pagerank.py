@@ -91,3 +91,48 @@ def test_random_graphs_match_reference(spark, edges, damping, iterations):
     got = _spark_pr(spark, edges, damping=damping, iterations=iterations)
     _close(got, _py_pagerank(edges, damping=damping, iterations=iterations))
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _py_ppr(edges, seeds, damping=0.85, iterations=5):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    s = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    pr = dict(s)
+    for _ in range(iterations):
+        dang = sum(p for v, p in pr.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            inflow[v] += pr[u] / out[u]
+        pr = {
+            v: (1.0 - damping) * s[v] + damping * (inflow[v] + dang * s[v])
+            for v in nodes
+        }
+    return pr
+
+
+def test_personalized_matches_reference_and_concentrates_near_seeds(spark):
+    # two cycle communities; the bridge points FROM B INTO A, so B
+    # receives no seed mass beyond its (zero) teleport share — seeding
+    # in A must rank every A member above every B member. (With the
+    # bridge reversed, B legitimately outranks A: the B-cycle traps the
+    # leaked mass — correct PPR behavior, just not this test's shape.)
+    a_edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    b_edges = [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    edges = a_edges + b_edges + [("b1", "a1")]
+    got = _spark_pr(spark, edges, seeds=["a1"], iterations=6)
+    _close(got, _py_ppr(edges, {"a1"}, iterations=6))
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved
+    assert min(got["a1"], got["a2"], got["a3"]) > max(got["b1"], got["b2"], got["b3"])
+
+
+def test_personalized_multi_seed_and_empty_seed_error(spark):
+    import pytest as _pytest
+
+    edges = [("x", "y"), ("y", "z"), ("z", "x"), ("q", "x")]
+    got = _spark_pr(spark, edges, seeds=["x", "q"], iterations=4)
+    _close(got, _py_ppr(edges, {"x", "q"}, iterations=4))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with _pytest.raises(ValueError):
+        pagerank(df, seeds=[])
