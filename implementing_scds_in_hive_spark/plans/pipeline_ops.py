@@ -2920,8 +2920,10 @@ FROM wins
 """
 
 
-PYTEST_ONLY_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
-PYTEST_ONLY_ORACLES["winnow_fingerprints"] = WINNOW_SQL
+# end-of-r5 rotation: first driver evidence for the winnowing family
+# (slot from unpivot_part_measures — see plans/relational.py).
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["winnow_fingerprints"] = WINNOW_SQL
 
 
 def q_bigram_logprob(spark, sf_dir):

@@ -711,7 +711,6 @@ QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "cube_status_segment": q_cube_status_segment,
     "fuzzy_name_match": q_fuzzy_name_match,
-    "unpivot_part_measures": q_unpivot_part_measures,
     "percentiles_by_status": q_percentiles_by_status,
     "window_analytics": q_window_analytics,
     "join_star_schema": q_join_star_schema,
@@ -729,7 +728,6 @@ ORACLES = {
     "agg_lineitem_pricing": AGG_LINEITEM_SQL,
     "cube_status_segment": CUBE_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
-    "unpivot_part_measures": UNPIVOT_SQL,
     "percentiles_by_status": PERCENTILES_SQL,
     "window_analytics": WINDOW_ANALYTICS_SQL,
     "join_star_schema": JOIN_STAR_SQL,
@@ -766,7 +764,12 @@ ORACLES = {
 # driver-evidenced through the flagship's <=> change predicate and
 # filter_compound; sort+limit stays evidenced through vocab_topk and
 # window_topn_per_group (both TakeOrdered/WindowGroupLimit paths).
+# unpivot_part_measures folded at end of r5 (slot given to
+# winnow_fingerprints, a new family): reshaping stays driver-evidenced
+# by pivot_status_by_year; unpivot's stack expression keeps the
+# driver-identical compare here.
 PYTEST_ONLY_QUERIES = {
+    "unpivot_part_measures": q_unpivot_part_measures,
     "join_pred_in_on": q_join_pred_in_on,
     "top_orders": q_top_orders,
     "scalar_string_funcs": q_scalar_string_funcs,
@@ -781,6 +784,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "unpivot_part_measures": UNPIVOT_SQL,
     "join_pred_in_on": JOIN_PRED_ON_SQL,
     "top_orders": TOP_ORDERS_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
