@@ -3033,3 +3033,74 @@ LIMIT 25
 
 PYTEST_ONLY_QUERIES["pmi_collocations"] = q_pmi_collocations
 PYTEST_ONLY_ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL
+
+
+def q_ppr_seed_suppliers(spark, sf_dir):
+    """PERSONALIZED PageRank over the same customer->supplier graph,
+    teleporting to a 3-customer seed set (operators/graph.py:pagerank
+    with seeds) — the seed-expansion ranking for source discovery. The
+    oracle replays all 5 iterations with the seed-restart distribution
+    in the same chained-CTE form as the uniform query."""
+    from implementing_scds_in_hive_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(
+        edges, iterations=5, damping=0.85, seeds=["c1", "c2", "c3"]
+    ).select("node", F.round("pr", 6).alias("pr"))
+
+
+PPR_SEED_SQL = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
+sm AS (SELECT node, CASE WHEN node IN ('c1', 'c2', 'c3')
+                         THEN 1.0 / 3.0 ELSE 0.0 END AS s FROM nodes),
+outdeg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+r0 AS (SELECT node, s AS pr FROM sm),
+d1 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r0 WHERE node NOT IN (SELECT node FROM outdeg)),
+c1 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r1 AS (SELECT sm.node,
+              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d1) * sm.s) AS pr
+       FROM sm LEFT JOIN c1 c ON c.node = sm.node),
+d2 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r1 WHERE node NOT IN (SELECT node FROM outdeg)),
+c2 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r2 AS (SELECT sm.node,
+              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d2) * sm.s) AS pr
+       FROM sm LEFT JOIN c2 c ON c.node = sm.node),
+d3 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r2 WHERE node NOT IN (SELECT node FROM outdeg)),
+c3 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r3 AS (SELECT sm.node,
+              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d3) * sm.s) AS pr
+       FROM sm LEFT JOIN c3 c ON c.node = sm.node),
+d4 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r3 WHERE node NOT IN (SELECT node FROM outdeg)),
+c4 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r3 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r4 AS (SELECT sm.node,
+              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d4) * sm.s) AS pr
+       FROM sm LEFT JOIN c4 c ON c.node = sm.node),
+d5 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r4 WHERE node NOT IN (SELECT node FROM outdeg)),
+c5 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r4 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r5 AS (SELECT sm.node,
+              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d5) * sm.s) AS pr
+       FROM sm LEFT JOIN c5 c ON c.node = sm.node)
+SELECT node, round(pr, 6) AS pr FROM r5
+"""
+
+
+PYTEST_ONLY_QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers
+PYTEST_ONLY_ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
