@@ -126,3 +126,74 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
     )
     return row.select(stacked.alias("s")).select("s.*")
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    val_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier bounds via the median absolute
+    deviation: ``median ± k * 1.4826 * MAD`` (1.4826 scales MAD to a
+    Gaussian sigma; k=3.5 is the conventional robust-z cutoff). The
+    point of MAD over mean/stddev: a contaminated column cannot drag
+    its own fence — up to 50% of the data can be corrupt before the
+    bounds move, where one infinite value destroys a z-score.
+
+    Returns ``(group..., n, median, mad, lo, hi, n_outliers)``.
+
+    Two EXACT median aggregations (value, then absolute deviation) —
+    per-group sort-based aggregates, so per-group cardinality must fit
+    an executor; that is the exact tier's contract. At 100 TB use the
+    binned-histogram percentiles (operators/sketches.py) for the
+    medians and keep the same fence arithmetic — one bounded-state
+    combinable pass per median at one-bin-width error."""
+    g = list(group_cols or [])
+    med = df.groupBy(*g).agg(
+        F.percentile(F.col(val_col), F.lit(0.5)).alias("median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = df.join(F.broadcast(med), g) if g else df.crossJoin(F.broadcast(med))
+    mad = joined.groupBy(*g).agg(
+        F.percentile(F.abs(F.col(val_col) - F.col("median")), F.lit(0.5)).alias("mad")
+    )
+    stats = (med.join(mad, g) if g else med.crossJoin(mad)).select(
+        *g,
+        "n",
+        "median",
+        "mad",
+        (F.col("median") - F.lit(k * consistency) * F.col("mad")).alias("lo"),
+        (F.col("median") + F.lit(k * consistency) * F.col("mad")).alias("hi"),
+    )
+    rejoined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    counts = rejoined.groupBy(*g).agg(
+        F.sum(
+            ((F.col(val_col) < F.col("lo")) | (F.col(val_col) > F.col("hi"))).cast("long")
+        ).alias("n_outliers")
+    )
+    return stats.join(counts, g) if g else stats.crossJoin(counts)
+
+
+def flag_mad_outliers(
+    df: DataFrame,
+    val_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Row-level companion of :func:`mad_outlier_stats`: the input plus
+    a boolean ``flag_col``. The fences broadcast (one row per group),
+    so the data side never shuffles for the flagging join."""
+    g = list(group_cols or [])
+    stats = mad_outlier_stats(
+        df, val_col, group_cols=group_cols, k=k, consistency=consistency
+    ).select(*g, "lo", "hi")
+    joined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        flag_col, (F.col(val_col) < F.col("lo")) | (F.col(val_col) > F.col("hi"))
+    ).drop("lo", "hi")

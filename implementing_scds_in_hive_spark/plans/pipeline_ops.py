@@ -3104,3 +3104,55 @@ SELECT node, round(pr, 6) AS pr FROM r5
 
 PYTEST_ONLY_QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers
 PYTEST_ONLY_ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
+
+
+def q_mad_outliers_prices(spark, sf_dir):
+    """Robust per-priority price fences
+    (operators/quality.py:mad_outlier_stats): exact medians (value and
+    absolute deviation), MAD-scaled bounds, outlier counts. The oracle
+    replays both quantile_cont medians and the fence arithmetic."""
+    from implementing_scds_in_hive_spark.operators.quality import mad_outlier_stats
+
+    return mad_outlier_stats(
+        _t(spark, sf_dir, "orders"), "o_totalprice", group_cols=["o_orderpriority"]
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n_outliers",
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority),
+mad AS (
+  SELECT o.o_orderpriority,
+         quantile_cont(abs(o.o_totalprice - m.median), 0.5) AS mad
+  FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+  GROUP BY o.o_orderpriority),
+stats AS (
+  SELECT med.o_orderpriority, med.n, med.median, mad.mad,
+         med.median - 3.5 * 1.4826 * mad.mad AS lo,
+         med.median + 3.5 * 1.4826 * mad.mad AS hi
+  FROM med JOIN mad ON mad.o_orderpriority = med.o_orderpriority),
+cnt AS (
+  SELECT s.o_orderpriority,
+         CAST(SUM(CASE WHEN o.o_totalprice < s.lo OR o.o_totalprice > s.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM orders o JOIN stats s ON s.o_orderpriority = o.o_orderpriority
+  GROUP BY s.o_orderpriority)
+SELECT s.o_orderpriority, s.n, round(s.median, 6) AS median,
+       round(s.mad, 6) AS mad, round(s.lo, 6) AS lo, round(s.hi, 6) AS hi,
+       c.n_outliers
+FROM stats s JOIN cnt c ON c.o_orderpriority = s.o_orderpriority
+"""
+
+
+PYTEST_ONLY_QUERIES["mad_outliers_prices"] = q_mad_outliers_prices
+PYTEST_ONLY_ORACLES["mad_outliers_prices"] = MAD_OUTLIERS_SQL
