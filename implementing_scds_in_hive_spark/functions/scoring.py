@@ -246,3 +246,60 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "u", "v").limit(k)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """One-row Zipf diagnostic for the corpus vocabulary: least-squares
+    slope of log(frequency) against log(rank) over the top-``top_n``
+    tokens (natural text sits near slope -1; heavily templated or
+    synthetic corpora flatten, boilerplate-dominated ones steepen).
+    Returns ``(n_tokens_fit, slope, intercept, r2)``.
+
+    Shape: the vocabulary head's combinable count + TakeOrdered top-n
+    (never a global sort), then ranks assigned by a window over AT MOST
+    ``top_n`` rows (explicitly bounded — the single-partition window is
+    acceptable only because its input is capped by construction), and a
+    closed-form least-squares aggregate. Ties rank deterministically
+    (count desc, token)."""
+    from pyspark.sql import Window
+
+    head = (
+        _tokens(docs, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    xy = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        ((F.col("mxy") - F.col("mx") * F.col("my"))
+         / (F.col("mxx") - F.col("mx") * F.col("mx"))).alias("slope"),
+        (F.col("my") - (F.col("mxy") - F.col("mx") * F.col("my"))
+         / (F.col("mxx") - F.col("mx") * F.col("mx")) * F.col("mx")).alias("intercept"),
+        (
+            F.pow(F.col("mxy") - F.col("mx") * F.col("my"), F.lit(2.0))
+            / (
+                (F.col("mxx") - F.col("mx") * F.col("mx"))
+                * (F.col("myy") - F.col("my") * F.col("my"))
+            )
+        ).alias("r2"),
+    )

@@ -3156,3 +3156,41 @@ FROM stats s JOIN cnt c ON c.o_orderpriority = s.o_orderpriority
 
 PYTEST_ONLY_QUERIES["mad_outliers_prices"] = q_mad_outliers_prices
 PYTEST_ONLY_ORACLES["mad_outliers_prices"] = MAD_OUTLIERS_SQL
+
+
+def q_zipf_fit_vocab(spark, sf_dir):
+    """Corpus Zipf diagnostic (functions/scoring.py:zipf_fit): log-log
+    least squares over the top-1000 vocabulary. The oracle replays the
+    count head, rank assignment, and the closed-form regression."""
+    from implementing_scds_in_hive_spark.functions.scoring import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000).select(
+        "n_tokens_fit",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH head AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY c DESC, tok LIMIT 1000),
+xy AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM head),
+m AS (SELECT COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+             AVG(x * x) AS mxx, AVG(x * y) AS mxy, AVG(y * y) AS myy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((mxy - mx * my) / (mxx - mx * mx), 6) AS slope,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept,
+       round(pow(mxy - mx * my, 2.0) / ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
+FROM m
+"""
+
+
+PYTEST_ONLY_QUERIES["zipf_fit_vocab"] = q_zipf_fit_vocab
+PYTEST_ONLY_ORACLES["zipf_fit_vocab"] = ZIPF_FIT_SQL

@@ -108,3 +108,28 @@ def test_pmi_collocations_reference_and_support_floor(spark):
         assert pmi == pytest.approx(expect, rel=1e-12)
     # collocation beats the diluted stop-word pair strictly
     assert got[("new", "york")][1] > got[("the", "cat")][1]
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus whose token frequencies are an exact power law
+    freq(rank) = round(10000 * rank^-0.8) must fit slope ~ -0.8 with
+    r2 ~ 1; numpy polyfit cross-checks the closed-form regression."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from implementing_scds_in_hive_spark.functions.scoring import zipf_fit
+
+    freqs = [max(int(round(10000 * (r ** -0.8))), 1) for r in range(1, 101)]
+    text = " ".join(f"w{r:03d} " * f for r, f in enumerate(freqs, 1)).split()
+    docs = spark.createDataFrame([(0, " ".join(text))], "doc_id bigint, text string")
+    row = zipf_fit(docs, top_n=100).collect()[0]
+    assert row["n_tokens_fit"] == 100
+    xs = [math.log(r) for r in range(1, 101)]
+    ys = [math.log(f) for f in freqs]
+    slope_np, intercept_np = np.polyfit(xs, ys, 1)
+    assert row["slope"] == pytest.approx(slope_np, rel=1e-9)
+    assert row["intercept"] == pytest.approx(intercept_np, rel=1e-9)
+    assert row["slope"] == pytest.approx(-0.8, abs=0.02)  # rounding-limited
+    assert row["r2"] > 0.999
