@@ -2645,52 +2645,41 @@ def q_pagerank_suppliers(spark, sf_dir):
     )
 
 
-PAGERANK_SQL = """
+def _pagerank_sql(teleport_case: str, init_expr: str, teleport_side: str) -> str:
+    """Chained-CTE 5-iteration PageRank replay, shared by the uniform
+    and personalized oracles — the two differ ONLY in the restart
+    distribution: uniform uses 1/n everywhere, personalized a seed-set
+    CASE. One template keeps the iteration algebra literally identical
+    across both oracles (and avoids maintaining 70 duplicated lines)."""
+    it = """d{i} AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r{p} WHERE node NOT IN (SELECT node FROM outdeg)),
+c{i} AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
+       FROM edges e JOIN r{p} r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
+r{i} AS (SELECT sm.node,
+              (1.0 - 0.85) * {t} + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d{i}) * {t}) AS pr
+       FROM sm LEFT JOIN c{i} c ON c.node = sm.node),"""
+    iters = "\n".join(
+        it.format(i=i, p=i - 1, t=teleport_side) for i in range(1, 6)
+    ).rstrip(",")
+    return f"""
 WITH edges AS (
   SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
                   's' || CAST(l.l_suppkey AS VARCHAR) AS v
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
 nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+sm AS (SELECT node, {teleport_case} AS s FROM nodes),
 outdeg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
-d1 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r0 WHERE node NOT IN (SELECT node FROM outdeg)),
-c1 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r1 AS (SELECT nd.node,
-              (1.0 - 0.85) / (SELECT n FROM nn)
-              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS pr
-       FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node),
-d2 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r1 WHERE node NOT IN (SELECT node FROM outdeg)),
-c2 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r2 AS (SELECT nd.node,
-              (1.0 - 0.85) / (SELECT n FROM nn)
-              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS pr
-       FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node),
-d3 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r2 WHERE node NOT IN (SELECT node FROM outdeg)),
-c3 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r3 AS (SELECT nd.node,
-              (1.0 - 0.85) / (SELECT n FROM nn)
-              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS pr
-       FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node),
-d4 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r3 WHERE node NOT IN (SELECT node FROM outdeg)),
-c4 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r3 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r4 AS (SELECT nd.node,
-              (1.0 - 0.85) / (SELECT n FROM nn)
-              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d4) / (SELECT n FROM nn)) AS pr
-       FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node),
-d5 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r4 WHERE node NOT IN (SELECT node FROM outdeg)),
-c5 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r4 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r5 AS (SELECT nd.node,
-              (1.0 - 0.85) / (SELECT n FROM nn)
-              + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d5) / (SELECT n FROM nn)) AS pr
-       FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node)
+r0 AS (SELECT node, {init_expr} AS pr FROM sm),
+{iters}
 SELECT node, round(pr, 6) AS pr FROM r5
 """
+
+
+PAGERANK_SQL = _pagerank_sql(
+    "1.0 / (SELECT n FROM nn)",
+    "1.0 / (SELECT n FROM nn)",
+    "(1.0 / (SELECT n FROM nn))",
+)
 
 
 # late-r5 rotation: first driver evidence for the graph-centrality
@@ -3058,48 +3047,11 @@ def q_ppr_seed_suppliers(spark, sf_dir):
     ).select("node", F.round("pr", 6).alias("pr"))
 
 
-PPR_SEED_SQL = """
-WITH edges AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
-                  's' || CAST(l.l_suppkey AS VARCHAR) AS v
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
-sm AS (SELECT node, CASE WHEN node IN ('c1', 'c2', 'c3')
-                         THEN 1.0 / 3.0 ELSE 0.0 END AS s FROM nodes),
-outdeg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
-r0 AS (SELECT node, s AS pr FROM sm),
-d1 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r0 WHERE node NOT IN (SELECT node FROM outdeg)),
-c1 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r1 AS (SELECT sm.node,
-              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d1) * sm.s) AS pr
-       FROM sm LEFT JOIN c1 c ON c.node = sm.node),
-d2 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r1 WHERE node NOT IN (SELECT node FROM outdeg)),
-c2 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r2 AS (SELECT sm.node,
-              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d2) * sm.s) AS pr
-       FROM sm LEFT JOIN c2 c ON c.node = sm.node),
-d3 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r2 WHERE node NOT IN (SELECT node FROM outdeg)),
-c3 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r3 AS (SELECT sm.node,
-              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d3) * sm.s) AS pr
-       FROM sm LEFT JOIN c3 c ON c.node = sm.node),
-d4 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r3 WHERE node NOT IN (SELECT node FROM outdeg)),
-c4 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r3 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r4 AS (SELECT sm.node,
-              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d4) * sm.s) AS pr
-       FROM sm LEFT JOIN c4 c ON c.node = sm.node),
-d5 AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r4 WHERE node NOT IN (SELECT node FROM outdeg)),
-c5 AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
-       FROM edges e JOIN r4 r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
-r5 AS (SELECT sm.node,
-              (1.0 - 0.85) * sm.s + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d5) * sm.s) AS pr
-       FROM sm LEFT JOIN c5 c ON c.node = sm.node)
-SELECT node, round(pr, 6) AS pr FROM r5
-"""
+PPR_SEED_SQL = _pagerank_sql(
+    "CASE WHEN node IN ('c1', 'c2', 'c3') THEN 1.0 / 3.0 ELSE 0.0 END",
+    "s",
+    "sm.s",
+)
 
 
 PYTEST_ONLY_QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers
