@@ -41,7 +41,9 @@ def covariance_moments(
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """Exact corpus moments ``(n, mean, cov)`` (population covariance,
     the PCA convention). One corpus pass; partials folded in partition
-    order for run-to-run determinism."""
+    order for run-to-run determinism. Null vectors are skipped (and
+    excluded from ``n``) — a real corpus has them, and np.stack would
+    otherwise throw mid-job."""
     part_schema = "pid long, n long, sumx array<double>, xtx array<double>"
 
     def partials(batches):
@@ -52,6 +54,7 @@ def covariance_moments(
         sumx = np.zeros(dim)
         xtx = np.zeros((dim, dim))
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -197,9 +200,14 @@ def pca_transform(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            S = (X - mean) @ W.T
-            pdf[out_col] = list(S)
+            mask = pdf[vec_col].notna()
+            out = [None] * len(pdf)
+            if mask.any():
+                X = np.stack(pdf.loc[mask, vec_col].to_numpy()).astype(np.float64)
+                S = (X - mean) @ W.T
+                for pos, row in zip(np.flatnonzero(mask.to_numpy()), S):
+                    out[pos] = row
+            pdf[out_col] = out
             yield pdf
 
     return emb.mapInPandas(project, out_schema)

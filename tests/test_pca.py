@@ -197,3 +197,34 @@ def test_model_roundtrips_bit_identically(spark, emb, tmp_path):
     a = pca_transform(emb, m).orderBy("vec_id").collect()
     b = pca_transform(emb, m2).orderBy("vec_id").collect()
     assert [r["scores"] for r in a] == [r["scores"] for r in b]
+
+
+def test_null_vectors_skipped_not_crashing(spark, emb):
+    """A real corpus has null embedding rows; both Arrow paths must
+    skip them (moments exclude from n; arrow transform yields null
+    scores) instead of dying in np.stack."""
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.pca import (
+        covariance_moments,
+        pca_transform,
+    )
+
+    with_nulls = emb.unionByName(
+        spark.createDataFrame(
+            [(100001, None), (100002, None)],
+            emb.schema,
+        )
+    )
+    n_clean, mean_clean, cov_clean = covariance_moments(emb, dim=DIM)
+    n, mean, cov = covariance_moments(with_nulls, dim=DIM)
+    assert n == n_clean
+    np.testing.assert_allclose(mean, mean_clean, rtol=1e-12)
+
+    m = pca_fit(emb, 16, dim=DIM)
+    rows = {
+        r["vec_id"]: r["scores"]
+        for r in pca_transform(with_nulls, m, method="arrow").collect()
+    }
+    assert rows[100001] is None and rows[100002] is None
+    assert rows[0] is not None and len(rows[0]) == 16
