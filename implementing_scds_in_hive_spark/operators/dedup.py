@@ -683,6 +683,8 @@ def jaccard_prefix_pairs(
     reuses them on both join sides — same lifetime convention as
     ``ngram_jaccard_pairs``.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eps = 1e-9  # guards float ceil: 0.1*30 -> 3.0000000000000004
     sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     inv = sh.select("did", F.explode("sh").alias("hs"))
@@ -772,6 +774,8 @@ def winnow_fingerprints(
     BEFORE the window transform (the lambda-CSE discipline), and each
     window is ``array_min(slice(...))`` — O(tokens * w) per document,
     no explode until a consumer asks for the inverted index."""
+    if n < 1 or w < 1:
+        raise ValueError(f"n and w must be >= 1, got n={n}, w={w}")
     if portable:
         th = _token_hashes(
             docs, id_col, text_col,
