@@ -181,8 +181,14 @@ def ks_statistic(
         [(p, a, b) for p, (a, b) in offs.items()] or [(0, 0, 0)],
         "__pid int, __oa long, __ob long",
     )
+    if acc_a == 0 or acc_b == 0:
+        local.unpersist()
+        raise ValueError(
+            f"ks_statistic: empty side (n_a={acc_a}, n_b={acc_b}); "
+            "the KS distance is undefined on an empty sample"
+        )
     n_a, n_b = float(acc_a), float(acc_b)
-    out = (
+    ks_row = (
         local.join(F.broadcast(off_df), "__pid")
         .select(
             (
@@ -193,9 +199,12 @@ def ks_statistic(
             ).alias("__d")
         )
         .agg(F.max("__d").alias("ks"))
-        .select("ks", F.lit(int(n_a)).alias("n_a"), F.lit(int(n_b)).alias("n_b"))
+        .collect()[0]
     )
-    return out
+    local.unpersist()
+    return spark.createDataFrame(
+        [(float(ks_row["ks"]), int(n_a), int(n_b))], "ks double, n_a long, n_b long"
+    )
 
 
 def psi_from_counts(

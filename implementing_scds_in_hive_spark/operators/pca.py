@@ -187,7 +187,11 @@ def pca_transform(
             w = [c * s for c in comp]
             offset = float(np.dot(np.array(model.mean), np.array(w)))
             cols.append(literal_dot(F.col(vec_col), w) - F.lit(offset))
-        return emb.withColumn(out_col, F.array(*cols))
+        # NULL vector -> NULL array (not an array of k NULLs), matching the
+        # arrow path so method="auto" never changes null semantics.
+        return emb.withColumn(
+            out_col, F.when(F.col(vec_col).isNotNull(), F.array(*cols))
+        )
     if method != "arrow":
         raise ValueError(f"method must be auto|literal|arrow, got {method!r}")
     W = np.array(model.components) * np.array(scales)[:, None]  # k x d

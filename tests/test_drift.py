@@ -96,6 +96,15 @@ def test_ks_identical_zero_disjoint_one(spark):
     assert disj["ks"] == 1.0
 
 
+def test_ks_empty_side_raises(spark):
+    """ADVICE r5: an empty side used to yield silent NaN/inf; now a
+    ValueError names the empty sample."""
+    with pytest.raises(ValueError, match="empty side"):
+        ks_statistic(_vals(spark, []), _vals(spark, [1, 2]), "v")
+    with pytest.raises(ValueError, match="empty side"):
+        ks_statistic(_vals(spark, [1, 2]), _vals(spark, []), "v")
+
+
 def test_ks_with_ties_matches_reference(spark):
     a = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0]
     b = [1.0, 2.0, 2.0, 2.0, 4.0]

@@ -228,3 +228,13 @@ def test_null_vectors_skipped_not_crashing(spark, emb):
     }
     assert rows[100001] is None and rows[100002] is None
     assert rows[0] is not None and len(rows[0]) == 16
+
+    # ADVICE r5: the literal path must agree — NULL vector -> NULL array,
+    # not an array of k NULLs, so method="auto" never changes null
+    # semantics when k*d crosses the codegen ceiling.
+    lit_rows = {
+        r["vec_id"]: r["scores"]
+        for r in pca_transform(with_nulls, m, method="literal").collect()
+    }
+    assert lit_rows[100001] is None and lit_rows[100002] is None
+    assert lit_rows[0] is not None and len(lit_rows[0]) == 16
