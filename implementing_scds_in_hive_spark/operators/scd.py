@@ -44,10 +44,6 @@ Design differences from the reference (deliberate, documented):
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-import uuid
 from dataclasses import dataclass, field
 from datetime import datetime
 from functools import reduce
@@ -378,25 +374,18 @@ def assign_surrogate_keys(
     raise ValueError(f"unknown key strategy {strategy!r}")
 
 
-def publish(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+def publish(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> int:
     """Atomic table publish (reference step 8's INSERT OVERWRITE,
-    SCD_script.txt:141). Spark cannot overwrite a parquet path that the
-    plan is lazily reading (the reference sidesteps this by materializing
-    ``dim_user_new`` first); we materialize to a temp sibling dir, then
-    swap directories. On a real deployment this is Delta/Iceberg MERGE or
-    ``INSERT OVERWRITE`` with table-format atomicity.
-    """
-    parent = os.path.dirname(os.path.abspath(path))
-    tmp = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    old = None
-    if os.path.exists(path):
-        old = tempfile.mkdtemp(dir=parent, prefix=".old-")
-        shutil.rmtree(old)
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if old and os.path.exists(old):
-        shutil.rmtree(old)
+    SCD_script.txt:141), via the manifest snapshot-commit protocol
+    (``sources/snapshot.py``): data files are staged under an immutable
+    ``data/snap-*`` dir, then a single atomic manifest link makes the
+    new version visible. Unlike the reference's plain INSERT OVERWRITE
+    (whose lack of isolation its own README laments, README.md:8), a
+    reader can never observe partial state and concurrent publishers
+    linearize. Self-overwrite (``df`` lazily reading ``path``) is safe
+    by construction — the old snapshot's files are never touched.
+    Read the result back with ``snapshot.read_table``; returns the
+    committed version."""
+    from implementing_scds_in_hive_spark.sources.snapshot import write_snapshot
+
+    return write_snapshot(df, path, partition_by=partition_by)

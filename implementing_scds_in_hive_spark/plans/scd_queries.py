@@ -257,22 +257,28 @@ FROM hist WHERE n_versions > 1
 def q_scd_publish_roundtrip(spark, sf_dir):
     """Driver evidence for the publish path (reference step 8's INSERT
     OVERWRITE, SCD_script.txt:141): run the merge, atomically publish it
-    to a scratch directory (temp-sibling write + directory swap — the
-    self-overwrite-safe rewrite of the reference's two-step
-    dim_user_new materialization), read the published table back, and
-    return its rows. The oracle is the merge SQL itself: a publish that
-    loses, duplicates, or retypes anything hash-mismatches."""
+    to a scratch directory via the manifest snapshot-commit protocol
+    (sources/snapshot.py — immutable staged files + one atomic manifest
+    link, the self-overwrite-safe and multi-writer-safe rewrite of the
+    reference's two-step dim_user_new materialization), read the
+    committed snapshot back, and return its rows. The oracle is the
+    merge SQL itself: a publish that loses, duplicates, or retypes
+    anything hash-mismatches."""
     import os
     import tempfile
 
     from implementing_scds_in_hive_spark.operators.scd import publish
+    from implementing_scds_in_hive_spark.sources.snapshot import read_table, vacuum
 
     merged = q_scd2_merge(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"scd_publish_roundtrip_{os.getpid()}"
     )
     publish(merged, path)
-    return spark.read.parquet(path)
+    # Repeated runs in one process accumulate versions; keep the table
+    # tidy (and exercise the reclaim path) while the latest stays pinned.
+    vacuum(path, keep_last=1)
+    return read_table(spark, path)
 
 
 # --- CDC apply (operators/cdc.py): feed → collapse → delete/upsert ------

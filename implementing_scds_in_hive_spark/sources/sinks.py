@@ -13,8 +13,10 @@ INSERT OVERWRITE (SCD_script.txt:8,141). Here:
   sides share the bucketing (co-located join). This is the physical
   design lever for the SCD merge at scale: bucket production AND staging
   by the business key and the merge's join needs no exchange.
-* ``overwrite_atomic``   — the self-overwrite-safe publish
-  (operators/scd.py:publish) re-exported for discoverability.
+* ``overwrite_atomic``   — the manifest snapshot-commit publish
+  (operators/scd.py:publish → sources/snapshot.py) re-exported for
+  discoverability: readers never see partial state, concurrent
+  publishers linearize, old versions stay readable until vacuumed.
 """
 
 from __future__ import annotations
@@ -60,9 +62,36 @@ def compact(
     A hive-partitioned directory MUST pass its partition columns via
     ``partition_by`` or the rewrite would flatten the layout (enforced
     below by walking the ``key=value`` directory levels — nested
-    multi-column layouts included)."""
+    multi-column layouts included).
+
+    Snapshot tables (manifest-backed, ``sources/snapshot.py``) compact
+    by committing a NEW snapshot of the coalesced rows and vacuuming the
+    old versions' files — concurrent readers of the pre-compaction
+    version are unaffected. Plain dirs are rewritten in place via the
+    temp-sibling + dir-swap (physical rewrite is the point here; the
+    swap is the single-writer hazard the snapshot path removes)."""
     import os
     import re
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        is_snapshot_table,
+        read_table,
+        vacuum,
+        write_snapshot,
+    )
+
+    if is_snapshot_table(path):
+        df = read_table(spark, path)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        out = (
+            df.repartitionByRange(n_files, *order_cols)
+            if order_cols
+            else df.repartition(n_files)
+        )
+        write_snapshot(out, path, partition_by=partition_by)
+        vacuum(path, keep_last=1)
+        return n
 
     def _hive_partition_cols(root: str) -> list[str]:
         """Ordered partition-column list from the directory nesting:
@@ -100,8 +129,38 @@ def compact(
         if order_cols
         else df.repartition(n_files)
     )
-    overwrite_atomic(out, path, partition_by=partition_by)
+    _swap_overwrite(out, path, partition_by=partition_by)
     return n
+
+
+def _swap_overwrite(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None
+) -> None:
+    """Legacy single-writer publish for PLAIN parquet dirs: materialize
+    to a temp sibling, then swap directories. Self-overwrite-safe but
+    NOT reader/multi-writer-safe — that is what the manifest protocol
+    (``operators/scd.py:publish`` → ``sources/snapshot.py``) provides;
+    this survives only as compact()'s physical in-place rewrite of
+    non-snapshot directories."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = None
+    if os.path.exists(path):
+        old = tempfile.mkdtemp(dir=parent, prefix=".old-")
+        shutil.rmtree(old)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old and os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def write_bucketed(

@@ -1,0 +1,323 @@
+"""Manifest-based snapshot commits over plain parquet (multi-writer
+atomic publish).
+
+The reference's own pain point was transactionality: plain Hive tables
+give INSERT OVERWRITE no isolation (/root/reference/README.md:8,
+"Hive 2.md":10 lament that a reader racing the overwrite sees partial
+state, and two writers corrupt each other). Table formats (Delta,
+Iceberg) solve this with an ordered log of manifest files; delta-spark
+is unavailable in this environment, so this module implements the same
+protocol shape over nothing but POSIX rename/link semantics:
+
+Layout::
+
+    table_root/
+      data/snap-<uuid>/part-*.parquet   # immutable, uniquely named
+      _manifests/v0000000001.json        # one file per committed version
+
+Commit protocol (the Delta/Iceberg recipe, reduced to its core):
+
+1. The writer stages its data under ``data/snap-<uuid>/`` — a fresh
+   directory no other writer or reader can collide with. Readers never
+   list ``data/``; they only follow manifests, so half-written stage
+   dirs are invisible.
+2. The writer resolves the latest committed version N, renders a
+   manifest (file list, schema JSON, row count, parent version) to a
+   temp file, fsyncs it, and publishes with ``os.link(tmp,
+   v{N+1}.json)``. ``link`` is atomic and fails with ``FileExistsError``
+   if another writer committed N+1 first — exactly one writer wins each
+   version. Readers therefore see either the complete old manifest set
+   or the complete new one, never a torn state.
+3. A losing writer either rebases and retries at N+2 (blind overwrite /
+   append carries no read-dependency, so retrying is linearizable) or —
+   when the caller passed ``expected_version`` for optimistic
+   concurrency — cleans up its stage dir and raises
+   :class:`CommitConflictError`.
+
+Crashes at ANY point before step 2's link leave only an unreferenced
+stage dir / manifest temp, which :func:`vacuum` reclaims; a crash after
+the link is a completed commit. There is no window in which a reader
+can observe partial data — the property the dir-swap ``publish()`` this
+replaces could not give a reader that was mid-listing during the swap.
+
+``read_table`` is the universal reader: manifest-backed roots resolve
+the highest committed manifest (or ``version=`` for time travel); plain
+parquet dirs fall back to ``spark.read.parquet`` so call sites need not
+care which kind of table they were handed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+_VERSION_WIDTH = 10
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this writer expected to
+    write (optimistic-concurrency loss). The loser's staged files have
+    already been removed; retry from the new latest version."""
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, MANIFEST_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{version:0{_VERSION_WIDTH}d}.json")
+
+
+def is_snapshot_table(root: str) -> bool:
+    return os.path.isdir(_manifest_dir(root))
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed versions, ascending. Only fully-committed manifests
+    (``v*.json``) appear — temp files are dot-prefixed and skipped."""
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(root: str) -> int | None:
+    vs = list_versions(root)
+    return vs[-1] if vs else None
+
+
+def load_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def stage_files(
+    df: DataFrame, root: str, *, partition_by: list[str] | None = None
+) -> dict:
+    """Step 1: materialize ``df`` under a fresh immutable stage dir and
+    return the pending-commit description (relative file list, schema
+    JSON, partitioning). Safe to abandon at any point — nothing
+    references the stage dir until a manifest wins its link."""
+    snap_rel = os.path.join(DATA_DIR, f"snap-{uuid.uuid4().hex}")
+    snap_abs = os.path.join(root, snap_rel)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snap_abs)
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(snap_abs):
+        for name in filenames:
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, name), root)
+            files.append(rel)
+    return {
+        "snapshot_dir": snap_rel,
+        "files": sorted(files),
+        "schema": df.schema.json(),
+        "partition_by": list(partition_by or []),
+    }
+
+
+def commit(
+    root: str,
+    staged: dict,
+    *,
+    mode: str = "overwrite",
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Step 2: publish ``staged`` as the next table version via an
+    atomic manifest link. ``mode="overwrite"`` makes the new snapshot
+    the entire table; ``mode="append"`` unions the parent manifest's
+    files with the staged ones (the parent list is re-resolved on every
+    retry, so concurrent appends all land — none overwrites another's
+    rows). With ``expected_version`` set, a single CAS attempt is made
+    at ``expected_version + 1``; on loss the stage dir is deleted and
+    :class:`CommitConflictError` raised."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    attempts = 0
+    while True:
+        parent = latest_version(root)
+        if expected_version is not None and parent is not None and parent != expected_version:
+            _abandon(root, staged)
+            raise CommitConflictError(
+                f"expected version {expected_version} but table is at {parent}"
+            )
+        version = (parent if parent is not None else 0) + 1
+        files = list(staged["files"])
+        dirs = [staged["snapshot_dir"]]
+        if mode == "append" and parent is not None:
+            pm = load_manifest(root, parent)
+            files = pm["files"] + files
+            dirs = pm["snapshot_dirs"] + dirs
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "snapshot_dirs": dirs,
+            "files": files,
+            "schema": staged["schema"],
+            "partition_by": staged["partition_by"],
+            "writer": uuid.uuid4().hex,
+        }
+        tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, version))
+            os.unlink(tmp)
+            _fsync_dir(mdir)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            if expected_version is not None:
+                _abandon(root, staged)
+                raise CommitConflictError(
+                    f"version {version} was committed by a concurrent writer"
+                )
+            attempts += 1
+            if attempts >= max_retries:
+                _abandon(root, staged)
+                raise CommitConflictError(
+                    f"lost {max_retries} consecutive commit races at {root}"
+                )
+
+
+def _abandon(root: str, staged: dict) -> None:
+    shutil.rmtree(os.path.join(root, staged["snapshot_dir"]), ignore_errors=True)
+
+
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # platform without dir fds
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    expected_version: int | None = None,
+) -> int:
+    """Stage + commit in one call; returns the committed version."""
+    staged = stage_files(df, root, partition_by=partition_by)
+    return commit(
+        root, staged, mode=mode, expected_version=expected_version
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest committed). Reads
+    exactly the manifest's file list with the manifest's schema pinned —
+    concurrent commits and staged-but-uncommitted data are invisible."""
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+    m = load_manifest(root, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    # Group by snapshot dir so hive-partition columns resolve against the
+    # right basePath (append manifests span several stage dirs).
+    by_dir: dict[str, list[str]] = {}
+    for rel in m["files"]:
+        for d in m["snapshot_dirs"]:
+            if rel.startswith(d + os.sep):
+                by_dir.setdefault(d, []).append(os.path.join(root, rel))
+                break
+        else:
+            raise ValueError(f"manifest file {rel} outside any snapshot dir")
+    parts = [
+        spark.read.schema(schema)
+        .option("basePath", os.path.join(root, d))
+        .parquet(*paths)
+        for d, paths in sorted(by_dir.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_table(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Universal reader: manifest-backed tables resolve through the
+    commit log; anything else falls back to a plain parquet read (so
+    pre-snapshot seed dirs and external inputs keep working)."""
+    if is_snapshot_table(path):
+        return read_snapshot(spark, path, version=version)
+    if version is not None:
+        raise ValueError(f"{path} is not a snapshot table; cannot time-travel")
+    return spark.read.parquet(path)
+
+
+def vacuum(
+    root: str, *, keep_last: int = 2, grace_seconds: float = 0.0
+) -> dict:
+    """Reclaim storage: drop manifests beyond the last ``keep_last``
+    versions, then delete every ``data/snap-*`` dir no retained manifest
+    references — crashed writers' orphans included — provided it is
+    older than ``grace_seconds`` (the guard that keeps an in-flight
+    stage, which nothing references *yet*, alive until its commit).
+    Also sweeps abandoned manifest temp files. Returns
+    ``{"dropped_versions": [...], "removed_dirs": [...]}``."""
+    versions = list_versions(root)
+    if not versions:
+        return {"dropped_versions": [], "removed_dirs": []}
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in kept:
+        referenced.update(load_manifest(root, v)["snapshot_dirs"])
+    for v in dropped:
+        os.unlink(_manifest_path(root, v))
+    now = time.time()
+    mdir = _manifest_dir(root)
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        if name.startswith(".tmp-") and now - os.path.getmtime(p) >= grace_seconds:
+            os.unlink(p)
+    removed = []
+    ddir = os.path.join(root, DATA_DIR)
+    if os.path.isdir(ddir):
+        for name in sorted(os.listdir(ddir)):
+            rel = os.path.join(DATA_DIR, name)
+            p = os.path.join(ddir, name)
+            if rel in referenced or not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) < grace_seconds:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(rel)
+    return {"dropped_versions": dropped, "removed_dirs": removed}

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 from implementing_scds_in_hive_spark.operators.scd import (
     SCDConfig,
     dedupe_staging,
@@ -71,7 +72,7 @@ def scd2_upsert_stream(
         if crash_hook:
             crash_hook(batch_id, "pre_publish")
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
-        prod = spark.read.parquet(prod_path)
+        prod = read_table(spark, prod_path)
         staged = dedupe_staging(batch, cfg, order_by=order_by)
         merged = scd2_merge(prod, staged, cfg, as_of, broadcast_staging=True)
         # foreachBatch materializes eagerly, so the lazy-read-overwrite
@@ -118,7 +119,7 @@ def cdc_stream(
         if batch.isEmpty():
             return
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
-        prod = spark.read.parquet(prod_path)
+        prod = read_table(spark, prod_path)
         nxt = cdc_apply(prod, batch, cfg, as_of, op_col=op_col, seq_col=seq_col)
         publish(nxt, prod_path)
         # cdc_apply persists the collapsed feed (and two_pass its re-key

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from implementing_scds_in_hive_spark.operators.scd import publish
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 from implementing_scds_in_hive_spark.operators.sketches import kmv_merge, kmv_sketch
 
 
@@ -59,7 +60,7 @@ def kmv_sketch_stream(
             crash_hook(batch_id, "pre")
         delta = kmv_sketch(batch, g, value_col, k=k, portable=portable)
         try:
-            existing = spark.read.parquet(sketch_path)
+            existing = read_table(spark, sketch_path)
             merged = kmv_merge(existing, delta, g, k=k)
         except Exception:
             merged = delta
@@ -124,7 +125,7 @@ def histogram_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         try:
-            existing = spark.read.parquet(hist_path)
+            existing = read_table(spark, hist_path)
             watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
         except Exception:
             existing, watermark = None, None
@@ -202,7 +203,7 @@ def bloom_seen_stream(
 
     def _load_versions():
         try:
-            return spark.read.parquet(bloom_path)
+            return read_table(spark, bloom_path)
         except Exception:
             return None
 
@@ -313,7 +314,7 @@ def cms_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         try:
-            existing = spark.read.parquet(cms_path)
+            existing = read_table(spark, cms_path)
             watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
         except Exception:
             existing, watermark = None, None
@@ -380,7 +381,7 @@ def category_count_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         try:
-            existing = spark.read.parquet(counts_path)
+            existing = read_table(spark, counts_path)
             watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
         except Exception:
             existing, watermark = None, None
@@ -447,7 +448,7 @@ def moment_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         try:
-            existing = spark.read.parquet(moments_path).collect()[0]
+            existing = read_table(spark, moments_path).collect()[0]
             watermark = existing["last_batch_id"]
         except Exception:
             existing, watermark = None, None

@@ -16,12 +16,13 @@ from implementing_scds_in_hive_spark.operators.index_store import (
 )
 from implementing_scds_in_hive_spark.sources.registry import load_table
 from implementing_scds_in_hive_spark.streaming.dedup_stream import minhash_dedup_stream
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 
 
 def _pairs(spark, path):
     return {
         (r["batch_id"], r["id_a"], r["id_b"])
-        for r in spark.read.parquet(path).collect()
+        for r in read_table(spark, path).collect()
     }
 
 

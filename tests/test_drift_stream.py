@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from implementing_scds_in_hive_spark.operators.drift import psi_drift, psi_from_counts
 from implementing_scds_in_hive_spark.streaming.sketch_stream import category_count_stream
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 
 
 BATCHES = [
@@ -58,7 +59,7 @@ def test_streamed_counts_equal_batch_groupby(spark, tmp_path):
     _run(spark, stg, counts_path, str(tmp_path / "ckpt"))
 
     streamed = {
-        r["category"]: r["n"] for r in spark.read.parquet(counts_path).collect()
+        r["category"]: r["n"] for r in read_table(spark, counts_path).collect()
     }
     direct = {
         r["event_type"]: r["cnt"]
@@ -88,7 +89,7 @@ def test_crash_replay_does_not_double_count(spark, tmp_path):
     _run(spark, stg, counts_path, ckpt)  # restart from checkpoint
 
     streamed = {
-        r["category"]: r["n"] for r in spark.read.parquet(counts_path).collect()
+        r["category"]: r["n"] for r in read_table(spark, counts_path).collect()
     }
     direct = {
         r["event_type"]: r["cnt"]
@@ -108,7 +109,7 @@ def test_psi_from_live_counts_matches_psi_drift(spark, tmp_path):
     ref_counts = ref_df.groupBy(F.col("event_type").alias("category")).agg(
         F.count("*").alias("n")
     )
-    live = spark.read.parquet(counts_path).select("category", "n")
+    live = read_table(spark, counts_path).select("category", "n")
     via_counts = {
         r["category"]: r["psi_term"]
         for r in psi_from_counts(live, ref_counts).collect()
@@ -172,7 +173,7 @@ def test_streamed_moments_equal_batch_and_fit_matches(spark, tmp_path):
     path = str(tmp_path / "moments")
     _run_moments(spark, stg, path, str(tmp_path / "ckpt"))
 
-    row = spark.read.parquet(path).collect()[0]
+    row = read_table(spark, path).collect()[0]
     all_vecs = spark.createDataFrame(
         [r for chunk in batches for r in chunk], "w double, embedding array<double>"
     )
@@ -203,7 +204,7 @@ def test_moment_stream_crash_replay_no_double_count(spark, tmp_path):
     with pytest.raises(Exception):
         _run_moments(spark, stg, path, ckpt, crash_hook=hook)
     _run_moments(spark, stg, path, ckpt)
-    assert spark.read.parquet(path).collect()[0]["n"] == 150  # not 200
+    assert read_table(spark, path).collect()[0]["n"] == 150  # not 200
 
 
 def test_category_count_stream_survives_random_crash_chains(spark):
@@ -274,7 +275,7 @@ def test_category_count_stream_survives_random_crash_chains(spark):
 
             got = {
                 r["category"]: r["n"]
-                for r in spark.read.parquet(f"{work}/counts").collect()
+                for r in read_table(spark, f"{work}/counts").collect()
             }
             want = {}
             for batch, _ in chain:

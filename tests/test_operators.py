@@ -29,6 +29,9 @@ from implementing_scds_in_hive_spark.operators.similarity import (
 )
 
 
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
+
+
 def _mk_docs(spark):
     """Corpus with known duplicate structure: 1<->2 exact, 3 a near-dup
     of 1 (one token changed), 4 unrelated, 5<->6 exact."""
@@ -213,14 +216,14 @@ def test_publish_self_overwrite_trap(spark, tmp_path):
     path = str(tmp_path / "dim")
     spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
     # derive the next state FROM the published table, then publish back
-    cur = spark.read.parquet(path)
+    cur = read_table(spark, path)
     nxt = cur.withColumn("v", F.concat("v", F.lit("+")))
     publish(nxt, path)
-    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    got = {(r["id"], r["v"]) for r in read_table(spark, path).collect()}
     assert got == {(1, "a+")}
     # and again, proving repeatability
-    publish(spark.read.parquet(path).withColumn("v", F.concat("v", F.lit("+"))), path)
-    assert {r["v"] for r in spark.read.parquet(path).collect()} == {"a++"}
+    publish(read_table(spark, path).withColumn("v", F.concat("v", F.lit("+"))), path)
+    assert {r["v"] for r in read_table(spark, path).collect()} == {"a++"}
 
 
 def test_sample_frames_slicing_and_boundaries(spark):

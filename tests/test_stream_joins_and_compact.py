@@ -8,6 +8,7 @@ from pyspark.sql import types as T
 
 from implementing_scds_in_hive_spark.sources.sinks import compact
 from implementing_scds_in_hive_spark.streaming.joins import interval_join
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 
 T0 = datetime(2024, 1, 1)
 
@@ -42,8 +43,8 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path):
     spark.createDataFrame(rows_r, rs).write.parquet(rp)
 
     batch = interval_join(
-        spark.read.parquet(lp),
-        spark.read.parquet(rp),
+        read_table(spark, lp),
+        read_table(spark, rp),
         key="user", left_ts="cts", right_ts="its", max_delay="30 minutes",
     )
     want = {(r["click_id"], r["imp_id"]) for r in batch.collect()}
@@ -102,12 +103,12 @@ def test_scd_stream_restart_is_idempotent(spark, tmp_path):
 
     run()
     first = sorted(
-        (r["k"], r["scd_version"], r["v"]) for r in spark.read.parquet(prod_path).collect()
+        (r["k"], r["scd_version"], r["v"]) for r in read_table(spark, prod_path).collect()
     )
     assert len(first) == 2  # close-out + new version
     run()  # restart: same checkpoint, no new files
     second = sorted(
-        (r["k"], r["scd_version"], r["v"]) for r in spark.read.parquet(prod_path).collect()
+        (r["k"], r["scd_version"], r["v"]) for r in read_table(spark, prod_path).collect()
     )
     assert second == first
 
@@ -128,7 +129,7 @@ def test_compact_partitioned_requires_and_preserves_layout(spark, tmp_path):
     for p in ("part=0", "part=1"):
         files = glob.glob(f"{path}/{p}/*.parquet")
         assert 1 <= len(files) <= 2
-    assert spark.read.parquet(path).where("part = 1").count() == 2_000
+    assert read_table(spark, path).where("part = 1").count() == 2_000
 
 
 def test_compact_reduces_file_count(spark, tmp_path):
@@ -142,6 +143,6 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert n == 10_000
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == 2
-    back = spark.read.parquet(path)
+    back = read_table(spark, path)
     assert back.count() == 10_000
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))

@@ -20,6 +20,9 @@ from implementing_scds_in_hive_spark.streaming.windows import (
     windowed_rollup,
 )
 
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
+
+
 T0 = datetime(2024, 1, 1)
 
 
@@ -83,7 +86,7 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path, events_dir):
         (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in spark.sql("select * from rollup_sink").collect()
     }
-    batch = windowed_rollup(spark.read.parquet(events_dir))
+    batch = windowed_rollup(read_table(spark, events_dir))
     want = {
         (r["bucket_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in batch.collect()
@@ -180,7 +183,7 @@ def test_scd2_upsert_stream_converges_to_batch_merges(spark, tmp_path):
 
     got = sorted(
         (r["login"], r["scd_version"], r["address"], r["name"], r["scd_active"])
-        for r in spark.read.parquet(prod_path).collect()
+        for r in read_table(spark, prod_path).collect()
     )
     assert got in (batch_apply([0, 1]), batch_apply([1, 0]))
     # u1 must have 3 versions (two type-2 changes), exactly one active
@@ -258,7 +261,7 @@ def test_stateful_running_profiles(spark, tmp_path, events_dir):
         for r in sink.orderBy("n_events").collect()
     }
     batch = (
-        spark.read.parquet(events_dir)
+        read_table(spark, events_dir)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),

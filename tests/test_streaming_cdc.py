@@ -95,7 +95,7 @@ def test_cdc_stream_matches_sequential_batch_applies(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
 
-    streamed = _snapshot(spark.read.parquet(prod_path))
+    streamed = _snapshot(read_table(spark, prod_path))
 
     batch = spark.createDataFrame(PROD_ROWS, PROD_SCHEMA)
     for i, chunk in enumerate(BATCHES):
@@ -132,6 +132,7 @@ from hypothesis import strategies as st
 
 from implementing_scds_in_hive_spark.operators.scd import dedupe_staging, scd2_merge
 from implementing_scds_in_hive_spark.streaming.scd_stream import scd2_upsert_stream
+from implementing_scds_in_hive_spark.sources.snapshot import read_table
 
 UPSERT_CFG = SCDConfig(
     key="k",
@@ -241,6 +242,6 @@ def test_upsert_stream_survives_random_crash_chains(spark, chain):
                 expected, dedupe_staging(stg, UPSERT_CFG), UPSERT_CFG, as_of_fn(i)
             )
 
-        assert _upsert_snapshot(spark.read.parquet(prod_path)) == _upsert_snapshot(expected)
+        assert _upsert_snapshot(read_table(spark, prod_path)) == _upsert_snapshot(expected)
     finally:
         shutil.rmtree(work, ignore_errors=True)
