@@ -922,16 +922,12 @@ FROM n JOIN range(0, 4096) t(i) ON i < n_chunks
 # public API + pytest target.
 QUERIES = {
     "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
     "dedup_exact_groups": q_dedup_exact_groups,
     "corpus_select": q_corpus_select,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
-    "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
     "kmeans_centroids": q_kmeans_centroids,
-    "embedding_near_dups": q_embedding_near_dups,
     "json_typed": q_json_typed,
     "incremental_rollup": q_incremental_rollup,
     "sessionize": q_sessionize,
@@ -944,19 +940,27 @@ QUERIES = {
 # json_typed + json_map_explode) and session_window_rollup (session
 # semantics driver-evidenced through sessionize, same gap/boundary
 # logic) are folded to pytest to stay inside the 50-slot budget.
+# r6 rotation (VERDICT r5 next-round #2) — slots freed for the 8
+# never-slotted analytics families promoted below: lang_id (language
+# heuristic driver-evidenced through corpus_select, which filters on the
+# same lang expression), dedup_simhash (hamming-dedup evidence overlaps
+# dedup_minhash_lsh + dedup_jaccard_prefix; per-bit arithmetic stays
+# value-checked in pytest), similarity_topk_lsh and embedding_near_dups
+# (both sign-bit blocking — the same bucketing driver-evidenced through
+# rp_topk's Rademacher signs and each other), forward_fill (union+window
+# carry shape shared with asof_latest_order), winnow_fingerprints
+# (in-row window-minimum fingerprints; dedup family driver evidence
+# stays 3-deep), and psi_event_drift (drift family evidence moves to
+# the strictly harder two-pass KS statistic).
 
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
-    "lang_id": LANG_ID_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
     "kmeans_centroids": KMEANS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
-    "dedup_simhash": DEDUP_SIMHASH_SQL,
-    "similarity_topk_lsh": SIMILARITY_LSH_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_topk_ivf": SIMILARITY_IVF_SQL,
-    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "json_typed": JSON_TYPED_SQL,
     "incremental_rollup": INCREMENTAL_ROLLUP_SQL,
     "sessionize": SESSIONIZE_SQL,
@@ -1898,6 +1902,10 @@ FROM n JOIN range(0, 16384) t(i) ON i < n_frames AND i % 4 = 0
 # token-class expressions stay value-checked here, and tokenizer-family
 # driver evidence moves to the strictly richer BPE trainer.
 PYTEST_ONLY_QUERIES = {
+    "lang_id": q_lang_id,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
     "text_token_classes": q_text_token_classes,
     "json_map_explode": q_json_map_explode,
     "event_hourly_rollup": q_event_hourly_rollup,
@@ -1924,6 +1932,10 @@ PYTEST_ONLY_QUERIES = {
     "assign_split": q_assign_split,
 }
 PYTEST_ONLY_ORACLES = {
+    "lang_id": LANG_ID_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "similarity_topk_lsh": SIMILARITY_LSH_SQL,
+    "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     "text_token_classes": TEXT_TOKEN_CLASSES_SQL,
     "json_map_explode": JSON_MAP_EXPLODE_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
@@ -1960,7 +1972,6 @@ QUERIES.update(
         # r5 rotation: first-time driver slots (VERDICT r4 next-round #3)
         "dedup_incremental": q_dedup_incremental,
         "pack_sequences": q_pack_sequences,
-        "forward_fill": q_forward_fill,
         "funnel_view_click_purchase": q_funnel_view_click_purchase,
     }
 )
@@ -1970,10 +1981,13 @@ ORACLES.update(
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
-        "forward_fill": FORWARD_FILL_SQL,
         "funnel_view_click_purchase": FUNNEL_SQL,
     }
 )
+# r6 rotation: forward_fill folds to pytest (see the rotation note above
+# the main QUERIES dict).
+PYTEST_ONLY_QUERIES["forward_fill"] = q_forward_fill
+PYTEST_ONLY_ORACLES["forward_fill"] = FORWARD_FILL_SQL
 
 
 # --- mergeable sketches (approximate distinct / percentiles at scale) ----
@@ -2137,8 +2151,8 @@ FROM r WHERE rnk <= 3
 """
 
 
-PYTEST_ONLY_QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
-PYTEST_ONLY_ORACLES["knn_join_embeddings"] = KNN_JOIN_SQL
+QUERIES["knn_join_embeddings"] = q_knn_join_embeddings  # r6 rotation: first-time driver slot
+ORACLES["knn_join_embeddings"] = KNN_JOIN_SQL
 
 
 # --- BPE tokenizer training ----------------------------------------------
@@ -2394,8 +2408,8 @@ WHERE rnk <= 3
 """
 
 
-PYTEST_ONLY_QUERIES["quantized_topk"] = q_quantized_topk
-PYTEST_ONLY_ORACLES["quantized_topk"] = QUANTIZED_TOPK_SQL
+QUERIES["quantized_topk"] = q_quantized_topk  # r6 rotation: first-time driver slot
+ORACLES["quantized_topk"] = QUANTIZED_TOPK_SQL
 
 
 # --- benchmark decontamination -------------------------------------------
@@ -2458,8 +2472,8 @@ FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
 """
 
 
-PYTEST_ONLY_QUERIES["decontaminate_docs"] = q_decontaminate_docs
-PYTEST_ONLY_ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL
+QUERIES["decontaminate_docs"] = q_decontaminate_docs  # r6 rotation: first-time driver slot
+ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL
 
 
 # --- count-min heavy hitters ---------------------------------------------
@@ -2799,12 +2813,12 @@ FROM cum
 
 # late-r5 rotation: first driver evidence for the drift family (slot
 # from top_orders — see plans/relational.py).
-QUERIES["psi_event_drift"] = q_psi_event_drift
-ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
+PYTEST_ONLY_QUERIES["psi_event_drift"] = q_psi_event_drift  # r6 rotation: folded to pytest
+PYTEST_ONLY_ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
 PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events
 PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
-PYTEST_ONLY_QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase
-PYTEST_ONLY_ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL
+QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase  # r6 rotation: first-time driver slot
+ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL
 
 
 def q_leakage_safe_split(spark, sf_dir):
@@ -2863,8 +2877,8 @@ FROM bucketed
 """
 
 
-PYTEST_ONLY_QUERIES["leakage_safe_split"] = q_leakage_safe_split
-PYTEST_ONLY_ORACLES["leakage_safe_split"] = LEAKAGE_SAFE_SPLIT_SQL
+QUERIES["leakage_safe_split"] = q_leakage_safe_split  # r6 rotation: first-time driver slot
+ORACLES["leakage_safe_split"] = LEAKAGE_SAFE_SPLIT_SQL
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -2911,8 +2925,8 @@ FROM wins
 
 # end-of-r5 rotation: first driver evidence for the winnowing family
 # (slot from unpivot_part_measures — see plans/relational.py).
-QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
-ORACLES["winnow_fingerprints"] = WINNOW_SQL
+PYTEST_ONLY_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints  # r6 rotation: folded to pytest
+PYTEST_ONLY_ORACLES["winnow_fingerprints"] = WINNOW_SQL
 
 
 def q_bigram_logprob(spark, sf_dir):
@@ -3020,8 +3034,8 @@ LIMIT 25
 """
 
 
-PYTEST_ONLY_QUERIES["pmi_collocations"] = q_pmi_collocations
-PYTEST_ONLY_ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL
+QUERIES["pmi_collocations"] = q_pmi_collocations  # r6 rotation: first-time driver slot
+ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL
 
 
 def q_ppr_seed_suppliers(spark, sf_dir):
@@ -3054,8 +3068,8 @@ PPR_SEED_SQL = _pagerank_sql(
 )
 
 
-PYTEST_ONLY_QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers
-PYTEST_ONLY_ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
+QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers  # r6 rotation: first-time driver slot
+ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
 
 
 def q_mad_outliers_prices(spark, sf_dir):
@@ -3106,8 +3120,8 @@ FROM stats s JOIN cnt c ON c.o_orderpriority = s.o_orderpriority
 """
 
 
-PYTEST_ONLY_QUERIES["mad_outliers_prices"] = q_mad_outliers_prices
-PYTEST_ONLY_ORACLES["mad_outliers_prices"] = MAD_OUTLIERS_SQL
+QUERIES["mad_outliers_prices"] = q_mad_outliers_prices  # r6 rotation: first-time driver slot
+ORACLES["mad_outliers_prices"] = MAD_OUTLIERS_SQL
 
 
 def q_zipf_fit_vocab(spark, sf_dir):
