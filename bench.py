@@ -115,6 +115,37 @@ def main() -> None:
         print(f"# {name}: median {median:.2f}s (min {runs[0]:.2f} max {runs[-1]:.2f})",
               file=sys.stderr)
 
+    # Amortized ANN path (VERDICT r5 #3): similarity_topk_ivf's headline
+    # number pays the on-the-fly index build every run — the number real
+    # repeated-query workloads see is the PROBE against a stored bucketed
+    # index. Build once (outside the timing), then time probe-only runs.
+    # Reported under "extra" so the headline total stays frozen for
+    # round-over-round comparability.
+    extra: dict[str, float] = {}
+    extra_spread: dict[str, list[float]] = {}
+    try:
+        for pname, probe_fn in _build_stored_ivf(spark, sf_dir).items():
+            runs = []
+            for _ in range(n_runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                probe_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            runs.sort()
+            median = runs[len(runs) // 2] if n_runs % 2 else round(
+                (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2, 3
+            )
+            extra[pname] = median
+            extra_spread[pname] = [runs[0], runs[-1]]
+            print(
+                f"# {pname}: median {median:.2f}s "
+                f"(min {runs[0]:.2f} max {runs[-1]:.2f}) [stored-index probe; "
+                "build excluded]",
+                file=sys.stderr,
+            )
+    except Exception as e:  # pragma: no cover - bench must always emit JSON
+        print(f"# similarity_topk_ivf_probe failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -123,11 +154,76 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "extra": extra,
+                "extra_spread": extra_spread,
                 "runs": n_runs,
                 "sf": sf,
             }
         )
     )
+
+
+def _build_stored_ivf(spark, sf_dir):
+    """Build the oracle-pinned IVF index (same deterministic centroids as
+    similarity_topk_ivf: vec_id % 40 == 7) into a scratch dir ONCE, and
+    return {name: fn} probing the reloaded bucketed index — identical
+    results to the headline query, amortized cost profile. Two variants:
+
+    * ``similarity_topk_ivf_probe`` — plain equi-join against the stored
+      assignment (ONE job). The right plan at this SF: 20 queries x
+      nprobe 2 probe ~80% of the 50 inverted lists, so bucket pruning
+      cannot pay for its extra probe-ranking job.
+    * ``similarity_topk_ivf_probe_pruned`` — literal-IN bucket-pruned
+      scan (``SelectedBucketsCount``), costing one extra tiny job. The
+      100 TB path: there |C| >> |Q| x nprobe and the pruned scan skips
+      almost every inverted list on DISK, which no in-join filter can.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import _query_vectors
+
+    root = os.path.join(tempfile.gettempdir(), f"bench_ivf_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids = e.where(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(e, centroids)
+    save_ivf_index(assigned, centroids, f"bench_ivf_{os.getpid()}", root)
+    # Register the stored table ONCE — a repeated-query deployment keeps
+    # the index registered; per-probe catalog work is not the workload.
+    stored, cents = load_ivf_index(spark, root)
+
+    def probe(spark, sf_dir):
+        return ivf_topk(
+            stored, _query_vectors(spark, sf_dir), cents, k=10, nprobe=2
+        )
+
+    def probe_pruned(spark, sf_dir):
+        return ivf_topk(
+            stored,
+            _query_vectors(spark, sf_dir),
+            cents,
+            k=10,
+            nprobe=2,
+            probe_prune=True,
+        )
+
+    return {
+        "similarity_topk_ivf_probe": probe,
+        "similarity_topk_ivf_probe_pruned": probe_pruned,
+    }
 
 
 if __name__ == "__main__":

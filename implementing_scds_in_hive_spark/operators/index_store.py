@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +60,8 @@ __all__ = [
     "load_ivf_index",
     "append_ivf_index",
     "compact_index",
+    "index_file_counts",
+    "maintain_index",
     "ivf_index_stats",
 ]
 
@@ -437,7 +440,62 @@ def load_ivf_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame
     return assigned, centroids
 
 
-def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
+def _index_specs(meta: dict) -> list[dict]:
+    return (
+        [meta["docs"], meta["buckets"]]
+        if meta.get("kind") == "minhash"
+        else [meta["assign"]]
+    )
+
+
+def _replace_meta_atomic(root: str, meta: dict) -> None:
+    """Commit a sidecar update with the same temp+rename discipline as
+    the snapshot protocol (sources/snapshot.py): readers resolve either
+    the whole old meta or the whole new one, never a torn file."""
+    tmp = os.path.join(root, f".{_META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _META_FILE))
+
+
+def _sweep_orphan_generations(root: str, meta: dict) -> list[str]:
+    """Remove compaction generation dirs (``<name>-g<hex>``) that no
+    spec in the committed sidecar references — the leftovers of a crash
+    between staging and meta commit (stale new dir) or between meta
+    commit and cleanup (stale old dir)."""
+    import shutil
+
+    referenced = {os.path.basename(s["path"]) for s in _index_specs(meta)}
+    families = {re.sub(r"-g[0-9a-f]{8}$", "", r) for r in referenced}
+    removed = []
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p) or name in referenced:
+            continue
+        # same family = same name modulo the generation suffix; covers
+        # both a stale staged generation (crash pre-commit) and the
+        # original un-suffixed dir (crash post-commit, pre-cleanup)
+        if re.sub(r"-g[0-9a-f]{8}$", "", name) in families:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+def index_file_counts(root: str) -> dict[str, int]:
+    """Data files per index table — the growth signal every ``append_*``
+    feeds (one new file per touched bucket per batch)."""
+    meta = _read_meta(root)
+    return {
+        s["table"]: len(
+            [f for f in os.listdir(s["path"]) if f.startswith("part-")]
+        )
+        for s in _index_specs(meta)
+    }
+
+
+def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[str, int]:
     """Rewrite an index's bucketed tables back to one file per bucket.
 
     Every ``append_*`` adds one file per touched bucket, so a
@@ -445,35 +503,119 @@ def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
     pay growing open/footer overhead — the same small-file problem as
     any streaming sink (``sources/sinks.py:compact``), but for bucketed
     tables the rewrite must preserve the bucket spec, so the generic
-    path-based compactor does not apply. Self-overwrite-safe: the
-    current rows are materialized (localCheckpoint) BEFORE the table is
-    dropped and rewritten — reading lazily from the table being
-    overwritten would corrupt it (the trap operators/scd.py:publish
-    documents). Returns {table: files_before} for observability."""
+    path-based compactor does not apply.
+
+    Crash-safe by the same stage-then-commit discipline as the snapshot
+    protocol: rows stream from the CURRENT files into a fresh generation
+    dir (``<path>-g<hex>`` — no self-overwrite, no whole-index
+    materialization on the driver), then ONE atomic sidecar replace
+    points every spec at its new generation, then the old dirs are
+    removed. A crash before the meta commit leaves the old index fully
+    intact; after it, the new one — either way the orphaned generation
+    is swept by the next maintenance run. ``crash_hook(phase)`` (phases
+    ``"post_stage"``, ``"post_meta"``) injects faults exactly there for
+    the recovery tests. Returns {table: files_before}."""
+    import shutil
+    import uuid
+
     meta = _read_meta(root)
-    specs = (
-        [meta["docs"], meta["buckets"]]
-        if meta.get("kind") == "minhash"
-        else [meta["assign"]]
-    )
+    specs = _index_specs(meta)
     counts: dict[str, int] = {}
+    old_paths: list[str] = []
     for spec in specs:
-        _register_external_bucketed(spark, spec)
         counts[spec["table"]] = len(
             [f for f in os.listdir(spec["path"]) if f.startswith("part-")]
         )
-        rows = spark.table(spec["table"]).localCheckpoint(eager=True)
+        # read the files directly (bypass the catalog): the lazy plan
+        # keeps reading the old generation while the new one is written
+        rows = spark.read.parquet(spec["path"])
+        base = re.sub(r"-g[0-9a-f]{8}$", "", spec["path"])
+        new_path = f"{base}-g{uuid.uuid4().hex[:8]}"
         spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")  # external: files stay
-        _save_external_bucketed(
+        new_spec = _save_external_bucketed(
             rows,
             spec["table"],
-            spec["path"],
+            new_path,
             spec["bucket_cols"],
             spec["n_buckets"],
             spec["sort_cols"] or None,
         )
+        old_paths.append(spec["path"])
+        spec.update(new_spec)
         spark.catalog.refreshTable(spec["table"])
+    if crash_hook:
+        crash_hook("post_stage")
+    _replace_meta_atomic(root, meta)
+    if crash_hook:
+        crash_hook("post_meta")
+    for p in old_paths:
+        shutil.rmtree(p, ignore_errors=True)
     return counts
+
+
+def maintain_index(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_files_per_bucket: float = 8.0,
+    min_mean_cos: float | None = None,
+    max_list_skew: float | None = None,
+) -> dict:
+    """The maintenance policy loop a long-running ingest needs, in one
+    idempotent call: sweep crash orphans, compact when append growth
+    crosses ``max_files_per_bucket`` (mean data files per bucket), and —
+    for IVF indexes with a drift/skew policy set — compute
+    :func:`ivf_index_stats` and FLAG a rebuild (``build_ivf_index`` is
+    the owner's call on their re-train cadence; maintenance never moves
+    centroids behind a prober's back). Returns the decision record::
+
+        {"swept": [...], "files_per_bucket": {table: float},
+         "compacted": bool, "files_before": {..} | None,
+         "stats": {..} | None, "rebuild_recommended": bool,
+         "reasons": [..]}
+    """
+    meta = _read_meta(root)
+    swept = _sweep_orphan_generations(root, meta)
+    counts = index_file_counts(root)
+    per_bucket = {
+        s["table"]: counts[s["table"]] / max(1, s["n_buckets"])
+        for s in _index_specs(meta)
+    }
+    report: dict = {
+        "swept": swept,
+        "files_per_bucket": per_bucket,
+        "compacted": False,
+        "files_before": None,
+        "stats": None,
+        "rebuild_recommended": False,
+        "reasons": [],
+    }
+    if any(v > max_files_per_bucket for v in per_bucket.values()):
+        report["files_before"] = compact_index(spark, root)
+        report["compacted"] = True
+        report["reasons"].append(
+            f"files_per_bucket {max(per_bucket.values()):.1f} > {max_files_per_bucket}"
+        )
+    if meta.get("kind") == "ivf" and (
+        min_mean_cos is not None or max_list_skew is not None
+    ):
+        stats = ivf_index_stats(spark, root)
+        report["stats"] = stats
+        if min_mean_cos is not None and stats["mean_cos"] is not None and (
+            stats["mean_cos"] < min_mean_cos
+        ):
+            report["rebuild_recommended"] = True
+            report["reasons"].append(
+                f"mean_cos {stats['mean_cos']:.4f} < {min_mean_cos}"
+            )
+        if max_list_skew is not None and stats["median_list"]:
+            skew = stats["max_list"] / stats["median_list"]
+            if skew > max_list_skew:
+                report["rebuild_recommended"] = True
+                report["reasons"].append(
+                    f"list skew {skew:.1f} > {max_list_skew}"
+                )
+    return report
 
 
 def ivf_index_stats(spark: SparkSession, root: str) -> dict:

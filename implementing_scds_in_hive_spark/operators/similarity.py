@@ -209,7 +209,12 @@ def ivf_topk(
     (``SelectedBucketsCount`` in the plan), which is what makes an IVF
     probe sub-linear in corpus size on disk, not just in compute. Costs
     one extra tiny job to rank the probes; only worthwhile on a
-    pre-assigned (ideally stored) corpus."""
+    pre-assigned (ideally stored) corpus AND when ``|Q| * nprobe`` is
+    well under ``|centroids|`` — a query batch that probes most lists
+    anyway pays the extra job for a scan that skips almost nothing
+    (measured at sf0.1: 20 queries x 2 probes over 50 lists = 80%
+    probed; the no-prune single-job plan wins there, bench.py reports
+    both)."""
     if centroid_id_col in corpus.columns:
         assigned = corpus
     else:
@@ -247,10 +252,16 @@ def ivf_topk(
         .select(query_id_col, "__qvec", "__qn", centroid_id_col)
     )
     if probe_prune:
-        probed_ids = [
-            r[centroid_id_col] for r in probes.select(centroid_id_col).distinct().collect()
-        ]
+        # One collect serves BOTH needs: the literal bucket-prune filter
+        # AND the probe side of the join. Re-injecting the collected rows
+        # as a local relation means the query-centroid ranking executes
+        # exactly once (lazily, `probes` would be recomputed by the join
+        # after the prune collect — a whole duplicate job). The set is
+        # tiny by contract: ≤ |Q| x nprobe rows of (qvec, centroid_id).
+        probe_rows = probes.collect()
+        probed_ids = sorted({r[centroid_id_col] for r in probe_rows})
         assigned = assigned.where(F.col(centroid_id_col).isin(probed_ids))
+        probes = queries.sparkSession.createDataFrame(probe_rows, probes.schema)
     assigned_n = assigned.withColumn("__en", norm(F.col(vec_col)))
     scored = assigned_n.join(F.broadcast(probes), centroid_id_col).select(
         query_id_col,

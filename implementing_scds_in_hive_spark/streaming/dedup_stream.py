@@ -30,6 +30,7 @@ from implementing_scds_in_hive_spark.operators.index_store import (
     append_minhash_index,
     incremental_minhash_pairs_stored,
     load_minhash_index,
+    maintain_index,
 )
 
 
@@ -46,6 +47,8 @@ def minhash_dedup_stream(
     num_perm: int = 32,
     bands: int = 8,
     append_to_index: bool = True,
+    maintain_every: int = 0,
+    maintain_max_files_per_bucket: float = 8.0,
     trigger_available_now: bool = True,
     crash_hook=None,
 ) -> StreamingQuery:
@@ -63,13 +66,24 @@ def minhash_dedup_stream(
     The index build params (``n``/``num_perm``/``bands``) must match the
     sidecar's — they are validated against it when present.
 
+    ``maintain_every=N`` runs :func:`operators.index_store.maintain_index`
+    after every Nth batch's append (0 = caller owns maintenance): crash
+    orphans are swept and the bucketed tables are compacted once append
+    growth crosses ``maintain_max_files_per_bucket`` — the automation
+    that keeps a months-long ingest's probe cost flat instead of
+    degrading one file-per-bucket-per-batch at a time. Maintenance is
+    idempotent and content-preserving, so a replayed batch that re-runs
+    it (or crashes inside it — compaction itself is stage-then-commit)
+    leaves the same index the crash-free run would.
+
     ``crash_hook(batch_id, phase)`` is the same fault-injection contract
     as ``scd_stream.py``: phases ``"pre"`` (no work yet),
     ``"post_pairs"`` (pairs published, index NOT yet appended — the
     dangerous window: a replay must re-probe identically and still
-    append exactly once) and ``"post_append"`` (all effects done,
-    checkpoint not yet committed). Raising aborts where a process death
-    would; recovery is pinned by tests/test_dedup_stream.py."""
+    append exactly once) and ``"post_append"`` (all effects done —
+    including maintenance, which runs before this hook — checkpoint not
+    yet committed). Raising aborts where a process death would; recovery
+    is pinned by tests/test_dedup_stream.py."""
     spark = doc_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -120,6 +134,12 @@ def minhash_dedup_stream(
             fresh = bidx.join(existing, "did", "left_anti")
             if not fresh.isEmpty():
                 append_minhash_index(spark, index_root, fresh)
+            if maintain_every and batch_id % maintain_every == maintain_every - 1:
+                maintain_index(
+                    spark,
+                    index_root,
+                    max_files_per_bucket=maintain_max_files_per_bucket,
+                )
         if crash_hook:
             crash_hook(batch_id, "post_append")
 

@@ -114,7 +114,7 @@ def test_stream_recovers_from_crash_in_every_window(spark, sf_dir, tmp_path):
         [(930_000, clone + " v4")],
     ]
 
-    def run_chain(tag, crash_plan):
+    def run_chain(tag, crash_plan, **stream_kwargs):
         root = str(tmp_path / f"mh_{tag}")
         idx = portable_minhash_index(corpus).localCheckpoint(eager=True)
         save_minhash_index(idx, f"t_cr_{tag}", root, params={})
@@ -142,7 +142,7 @@ def test_stream_recovers_from_crash_in_every_window(spark, sf_dir, tmp_path):
             q = minhash_dedup_stream(
                 stream, root, pairs_path,
                 checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
-                threshold=0.5, crash_hook=hook,
+                threshold=0.5, crash_hook=hook, **stream_kwargs,
             )
             try:
                 q.awaitTermination(120)
@@ -167,3 +167,11 @@ def test_stream_recovers_from_crash_in_every_window(spark, sf_dir, tmp_path):
         ("multi", {0: "post_pairs", 2: "pre"}),
     ):
         assert run_chain(tag, plan) == baseline, tag
+
+    # maintenance on (VERDICT r5 #5): compact after EVERY batch (the
+    # aggressive 1.0 files-per-bucket policy) — with and without a crash
+    # landing after maintenance ran — results must equal the unmaintained
+    # crash-free chain: maintenance is invisible to answers.
+    maint = dict(maintain_every=1, maintain_max_files_per_bucket=1.0)
+    assert run_chain("maint", {}, **maint) == baseline
+    assert run_chain("maintcrash", {1: "post_append"}, **maint) == baseline

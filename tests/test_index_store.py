@@ -253,11 +253,16 @@ def test_compact_index_restores_one_file_per_bucket(spark, minhash_setup):
     append_minhash_index(spark, root, extra)
     append_minhash_index(spark, root, extra.withColumn("did", F.col("did") + 1_000_000))
 
-    docs_path = os.path.join(root, "docs")
+    from implementing_scds_in_hive_spark.operators.index_store import _read_meta
+
+    docs_path = _read_meta(root)["docs"]["path"]
     n_files = len([f for f in os.listdir(docs_path) if f.startswith("part-")])
     assert n_files > 32  # base (32) + two appends
 
     counts = compact_index(spark, root)
+    # compaction commits a NEW generation dir via the sidecar (crash-safe
+    # stage-then-commit); resolve the current path from the meta
+    docs_path = _read_meta(root)["docs"]["path"]
     assert counts["t_mh_docs"] == n_files
     assert len([f for f in os.listdir(docs_path) if f.startswith("part-")]) == 32
 
@@ -367,3 +372,128 @@ def test_append_compact_chains_probe_like_rebuild(spark, sf_dir, ops):
         for t in ("t_chain_docs", "t_chain_buckets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance automation (VERDICT r5 next-round #5): maintain_index must
+# sweep crash orphans, compact past the growth threshold, flag IVF
+# rebuilds past drift/skew thresholds — and compaction itself must be
+# crash-safe (stage-then-commit): a death before the sidecar replace
+# leaves the old generation fully probe-able, after it the new one.
+# ---------------------------------------------------------------------------
+
+from implementing_scds_in_hive_spark.operators.index_store import (
+    _read_meta,
+    index_file_counts,
+    maintain_index,
+)
+
+
+def _probe_set(spark, root, new_index):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_minhash_pairs_stored(
+            spark, root, new_index, threshold=0.5
+        ).collect()
+    }
+
+
+def test_maintain_index_compacts_past_threshold(spark, minhash_setup):
+    corpus_index, new_index, root = minhash_setup
+    before = _probe_set(spark, root, new_index)
+    extra = new_index.withColumn("did", F.col("did") + 7_000_000)
+    append_minhash_index(spark, root, extra)
+    append_minhash_index(spark, root, extra.withColumn("did", F.col("did") + 1_000_000))
+
+    # below threshold: no-op decision, files untouched
+    counts_pre = index_file_counts(root)
+    rep = maintain_index(spark, root, max_files_per_bucket=1_000)
+    assert not rep["compacted"] and rep["files_before"] is None
+    assert index_file_counts(root) == counts_pre
+
+    # past threshold: compacts back to one file per bucket
+    rep = maintain_index(spark, root, max_files_per_bucket=1.0)
+    assert rep["compacted"]
+    assert rep["files_before"] == counts_pre
+    assert all(v == 32 for v in index_file_counts(root).values())
+    assert any("files_per_bucket" in r for r in rep["reasons"])
+    # probe answers preserved (appended clones only ADD pairs)
+    assert before <= _probe_set(spark, root, new_index)
+
+
+def test_compact_crash_before_meta_commit_keeps_old_generation(spark, minhash_setup):
+    corpus_index, new_index, root = minhash_setup
+    before = _probe_set(spark, root, new_index)
+    old_paths = [s["path"] for s in
+                 (_read_meta(root)["docs"], _read_meta(root)["buckets"])]
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(phase):
+        if phase == "post_stage":
+            raise Boom()
+
+    with pytest.raises(Boom):
+        compact_index(spark, root, crash_hook=hook)
+
+    # sidecar still points at the old generation; probe unchanged.
+    # NOTE: the aborted run's DROP+saveAsTable left the catalog entry on
+    # the staged dir, so simulate the restart that a real crash forces —
+    # the fresh process re-registers from the committed sidecar.
+    meta = _read_meta(root)
+    assert [meta["docs"]["path"], meta["buckets"]["path"]] == old_paths
+    _drop(spark, "t_mh_docs", "t_mh_buckets")
+    fresh = spark.newSession()
+    assert _probe_set(fresh, root, new_index) == before
+
+    # next maintenance sweeps the orphaned staged generation
+    rep = maintain_index(fresh, root, max_files_per_bucket=1_000)
+    assert rep["swept"], "staged -g dir must be swept"
+    assert _probe_set(fresh, root, new_index) == before
+
+
+def test_compact_crash_after_meta_commit_serves_new_generation(spark, minhash_setup):
+    corpus_index, new_index, root = minhash_setup
+    before = _probe_set(spark, root, new_index)
+
+    class Boom(RuntimeError):
+        pass
+
+    def hook(phase):
+        if phase == "post_meta":
+            raise Boom()
+
+    with pytest.raises(Boom):
+        compact_index(spark, root, crash_hook=hook)
+
+    # committed: probes serve the new generation, answers identical
+    assert _probe_set(spark, root, new_index) == before
+    # old un-suffixed dirs are the orphans now; sweep removes them
+    import os
+
+    rep = maintain_index(spark, root, max_files_per_bucket=1_000)
+    assert set(rep["swept"]) >= {"docs", "buckets"}
+    assert not os.path.exists(os.path.join(root, "docs"))
+    assert _probe_set(spark, root, new_index) == before
+
+
+def test_maintain_index_flags_ivf_rebuild_on_drift(spark, ivf_setup):
+    _, _, _, root = ivf_setup
+    # thresholds chosen around the fixture's actual stats
+    from implementing_scds_in_hive_spark.operators.index_store import ivf_index_stats
+
+    stats = ivf_index_stats(spark, root)
+    ok = maintain_index(
+        spark, root, max_files_per_bucket=1_000,
+        min_mean_cos=stats["mean_cos"] - 0.01,
+        max_list_skew=(stats["max_list"] / stats["median_list"]) + 1.0,
+    )
+    assert not ok["rebuild_recommended"]
+    bad = maintain_index(
+        spark, root, max_files_per_bucket=1_000,
+        min_mean_cos=min(1.0, stats["mean_cos"] + 0.01),
+        max_list_skew=max(1.0, (stats["max_list"] / stats["median_list"]) - 0.5),
+    )
+    assert bad["rebuild_recommended"]
+    assert len(bad["reasons"]) == 2
