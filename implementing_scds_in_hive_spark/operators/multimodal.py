@@ -73,6 +73,8 @@ MAGIC_PREFIXES = (
     ("89504E470D0A1A0A", "image/png"),
     ("FFD8FF", "image/jpeg"),
     ("52494646", "audio/riff"),
+    ("5036", "image/x-portable-pixmap"),  # "P6" — decodes for real
+    ("424D", "image/bmp"),                # "BM" — decodes for real
 )
 
 
@@ -94,12 +96,95 @@ def detect_modality(
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Placeholder for the real media decode (PIL/torchvision/ffmpeg are
-    not installed in this environment)."""
+    """Placeholder for COMPRESSED media decode (PIL/torchvision/ffmpeg
+    are not installed in this environment). Uncompressed formats decode
+    for real: see :func:`decode_ppm` / :func:`decode_bmp` /
+    :func:`decode_image`."""
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; wire PIL/torchaudio here in a full deployment"
+        "compressed media decode requires an image/audio library not present "
+        "in this container; wire PIL/torchaudio here in a full deployment "
+        "(uncompressed PPM/BMP decode IS implemented: decode_image)"
     )
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Pure-numpy decode of binary PPM (P6): header ``P6 <w> <h>
+    <maxval>`` as whitespace-separated ASCII tokens with ``#`` comments,
+    one whitespace byte, then ``h*w*3`` raw RGB samples (maxval <= 255).
+    Returns uint8 array of shape (h, w, 3). Raises ValueError on any
+    malformed header/truncated payload — the corrupt-row path the
+    feature extractor must survive."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated ppm header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad ppm header byte {c!r}")
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        raise ValueError(f"bad ppm dims/maxval {w}x{h}/{maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    raster = payload[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated ppm raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Pure-numpy decode of the uncompressed 24-bit BMP everyone means
+    by ".bmp": BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, rows stored
+    bottom-up and padded to 4 bytes, samples ordered BGR. Returns uint8
+    (h, w, 3) in RGB order. Raises ValueError on anything else."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP / truncated file header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if header_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size {header_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported, got {bpp}bpp/{compression}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dims {w}x{h}")
+    flipped = h > 0  # negative height = top-down rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = payload[data_offset : data_offset + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Magic-byte dispatch to a real decoder; compressed formats fall
+    through to the stub (documented sandbox limitation)."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    return decode_image_stub(b)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -120,6 +205,118 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _decode_stats_columns(payloads) -> dict:
+    """Decode loop shared by :func:`image_stats` and
+    :func:`extract_features_with_decode`: per-payload (width, height,
+    channels, sum_r, sum_g, sum_b, decode_ok) lists, failures as NULL
+    rows rather than exceptions."""
+    out = {k: [] for k in ("width", "height", "channels", "sum_r", "sum_g", "sum_b", "decode_ok")}
+    for payload in payloads:
+        try:
+            img = decode_image(bytes(payload))
+            sums = img.reshape(-1, img.shape[2]).sum(axis=0, dtype="int64")
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["channels"].append(img.shape[2])
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+            out["decode_ok"].append(True)
+        except (ValueError, NotImplementedError):
+            for k in ("width", "height", "channels", "sum_r", "sum_g", "sum_b"):
+                out[k].append(None)
+            out["decode_ok"].append(False)
+    return out
+
+
+def _decode_stats_frame(out: dict) -> dict:
+    return {
+        "width": pd.Series(out["width"], dtype="Int32"),
+        "height": pd.Series(out["height"], dtype="Int32"),
+        "channels": pd.Series(out["channels"], dtype="Int32"),
+        "sum_r": pd.Series(out["sum_r"], dtype="Int64"),
+        "sum_g": pd.Series(out["sum_g"], dtype="Int64"),
+        "sum_b": pd.Series(out["sum_b"], dtype="Int64"),
+        "decode_ok": pd.Series(out["decode_ok"], dtype="bool"),
+    }
+
+
+def image_stats(
+    media: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over the binary column: parse each payload with
+    :func:`decode_image` (numpy PPM/BMP) inside the same Arrow-batched
+    ``mapInPandas`` plan as :func:`extract_features`, emitting the
+    dimensions and per-channel sample sums. Channel sums are INTEGERS so
+    a cross-engine oracle can replay them exactly (means = sum/(w*h) are
+    one division away). Rows that fail to decode — corrupt headers,
+    truncated rasters, formats only the stub handles — come back with
+    NULL stats and ``decode_ok = false`` instead of killing the job: at
+    100 TB a decoder that dies on the corpus's one bad byte is useless."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = _decode_stats_columns(pdf[payload_col])
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), **_decode_stats_frame(stats)}
+            )
+
+    return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+FEATURES_WITH_DECODE_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields) + list(IMAGE_STATS_SCHEMA.fields)[1:]
+)
+
+
+def extract_features_with_decode(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    image_col: str = "image_payload",
+) -> DataFrame:
+    """One Arrow pass computing BOTH the byte-level payload features
+    (:func:`extract_features`) and the real decode stats
+    (:func:`image_stats` over ``image_col``) — a multimodal row commonly
+    carries several media columns, and one Python worker pass beats two
+    passes plus a join."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            stats = _decode_stats_columns(pdf[image_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "head_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    **_decode_stats_frame(stats),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURES_WITH_DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

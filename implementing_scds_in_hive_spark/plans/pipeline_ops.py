@@ -866,19 +866,64 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-column feature extraction through the real mapInPandas
-    path (Arrow batches); decode itself is stubbed, byte-level features
-    are deterministic so the oracle can verify the plumbing."""
+    path (Arrow batches): byte-level features of the text payload PLUS a
+    REAL image decode (operators/multimodal.py:decode_ppm — pure-numpy
+    P6 parser, r6 upgrade of the former stub) of a planted PPM payload
+    whose dimensions and pixels are a closed-form function of doc_id, so
+    the oracle replays width/height/channel sums byte-exactly without
+    any media library. One corrupt-header class (doc_id % 97 == 0) pins
+    the must-not-crash path: NULL stats + decode_ok = false."""
+    from implementing_scds_in_hive_spark.operators.multimodal import (
+        extract_features_with_decode,
+    )
+
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return extract_features(media)
+    k = F.col("doc_id")
+    h = (k % 13 + 1).cast("int")  # planted dims: 8 x (1 + doc_id % 13)
+    # pixel byte at pos: 1 + (doc_id*31 + pos) % 255 — 1-based avoids NUL
+    pixels = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), h * 24 - 1),
+            lambda i: F.char(F.pmod(k * 31 + i, F.lit(255)) + 1),
+        ),
+        "",
+    )
+    ppm = F.when(
+        k % 97 == 0, F.encode(F.lit("P6\nnot a header"), "ISO-8859-1")
+    ).otherwise(
+        F.encode(
+            F.concat(F.lit("P6\n8 "), h.cast("string"), F.lit("\n255\n"), pixels),
+            "ISO-8859-1",
+        )
+    )
+    return extract_features_with_decode(
+        media.select("doc_id", "payload", ppm.alias("image_payload"))
+    )
 
 
 MULTIMODAL_SQL = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       md5(text) AS content_md5,
-       CAST(CASE WHEN length(text) > 0
-                 THEN unicode(substring(text, 1, 1)) ELSE -1 END AS INT) AS head_byte
-FROM documents
+WITH px AS (
+  SELECT d.doc_id,
+         SUM(CASE WHEN i % 3 = 0 THEN 1 + (d.doc_id*31 + i) % 255 END) AS s_r,
+         SUM(CASE WHEN i % 3 = 1 THEN 1 + (d.doc_id*31 + i) % 255 END) AS s_g,
+         SUM(CASE WHEN i % 3 = 2 THEN 1 + (d.doc_id*31 + i) % 255 END) AS s_b
+  FROM documents d, generate_series(0, 335) AS t(i)
+  WHERE i < 24 * (1 + d.doc_id % 13)
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+       md5(d.text) AS content_md5,
+       CAST(CASE WHEN length(d.text) > 0
+                 THEN unicode(substring(d.text, 1, 1)) ELSE -1 END AS INT) AS head_byte,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE 8 END AS INT) AS width,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL
+                 ELSE 1 + d.doc_id % 13 END AS INT) AS height,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE 3 END AS INT) AS channels,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE px.s_r END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE px.s_g END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN NULL ELSE px.s_b END AS BIGINT) AS sum_b,
+       d.doc_id % 97 <> 0 AS decode_ok
+FROM documents d JOIN px USING (doc_id)
 """
 
 
@@ -1605,18 +1650,23 @@ FROM customer
 
 def q_multimodal_modality(spark, sf_dir):
     """Magic-byte modality dispatch over planted binary headers: each
-    doc's payload gets a PNG/JPEG/RIFF/none header by doc_id class, and
-    detection must recover exactly the planted class — the oracle IS
-    the plant rule (ground truth by construction), so a wrong prefix
-    table or offset arithmetic hash-mismatches. In-row, zero-shuffle."""
+    doc's payload gets a PNG/JPEG/RIFF/PPM/BMP/none header by doc_id
+    class, and detection must recover exactly the planted class — the
+    oracle IS the plant rule (ground truth by construction), so a wrong
+    prefix table or offset arithmetic hash-mismatches. The unplanted
+    class keeps the raw text, whose own leading bytes the oracle pushes
+    through the same prefix dispatch (a doc legitimately starting "BM"
+    IS a BMP candidate to a magic-byte router). In-row, zero-shuffle."""
     from implementing_scds_in_hive_spark.operators.multimodal import detect_modality
 
     d = _t(spark, sf_dir, "documents")
     k = F.col("doc_id")
     header = (
-        F.when(k % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
-        .when(k % 4 == 1, F.unhex(F.lit("FFD8FFE0")))
-        .when(k % 4 == 2, F.unhex(F.lit("52494646AABBCCDD")))
+        F.when(k % 6 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(k % 6 == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(k % 6 == 2, F.unhex(F.lit("52494646AABBCCDD")))
+        .when(k % 6 == 3, F.unhex(F.lit("50360A")))
+        .when(k % 6 == 4, F.unhex(F.lit("424D0000")))
         .otherwise(F.unhex(F.lit("")))
     )
     media = d.select(
@@ -1631,14 +1681,20 @@ def q_multimodal_modality(spark, sf_dir):
 
 MULTIMODAL_MODALITY_SQL = """
 SELECT doc_id,
-       CASE doc_id % 4
+       CASE doc_id % 6
             WHEN 0 THEN 'image/png'
             WHEN 1 THEN 'image/jpeg'
             WHEN 2 THEN 'audio/riff'
-            ELSE 'application/octet-stream' END AS modality,
+            WHEN 3 THEN 'image/x-portable-pixmap'
+            WHEN 4 THEN 'image/bmp'
+            ELSE CASE WHEN text LIKE 'RIFF%' THEN 'audio/riff'
+                      WHEN text LIKE 'P6%'   THEN 'image/x-portable-pixmap'
+                      WHEN text LIKE 'BM%'   THEN 'image/bmp'
+                      ELSE 'application/octet-stream' END
+       END AS modality,
        octet_length(encode(text))
-         + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                           WHEN 2 THEN 8 ELSE 0 END AS n_bytes
+         + CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 8
+                           WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 0 END AS n_bytes
 FROM documents
 """
 

@@ -296,3 +296,119 @@ def test_ngram_cap_sizes_use_surviving_shingles(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     # filler docs share nothing surviving -> no pairs among them
     assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+# --- real image decode (r6: the stub's PPM/BMP replacement) --------------
+
+def test_decode_ppm_header_variants_and_pixels():
+    import numpy as np
+
+    from implementing_scds_in_hive_spark.operators.multimodal import decode_ppm
+
+    px = bytes(range(2 * 3 * 3))  # 3x2, values 0..17
+    img = decode_ppm(b"P6\n# a comment\n 3\t2 #trailing\n255\n" + px)
+    assert img.shape == (2, 3, 3)
+    np.testing.assert_array_equal(img.reshape(-1), np.arange(18, dtype=np.uint8))
+
+    import pytest as _pytest
+
+    for bad in (
+        b"P5\n1 1\n255\n\x00\x00\x00",        # wrong magic
+        b"P6\n3 2\n255\n" + px[:-1],           # truncated raster
+        b"P6\n3 2\n70000\n" + px,              # 16-bit maxval unsupported
+        b"P6\nnot a header",                   # garbage header
+        b"P6\n3",                              # truncated header
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def _mk_bmp(w, h, rgb_rows, *, top_down=False):
+    """Handcraft a 24bpp BI_RGB BMP: rows padded to 4 bytes, bottom-up
+    unless top_down (negative height)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    for row in rows:
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR on disk
+        raster += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return header + info + raster
+
+
+def test_decode_bmp_bottom_up_padding_and_bgr():
+    import numpy as np
+
+    from implementing_scds_in_hive_spark.operators.multimodal import decode_bmp
+
+    rows = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+            [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    img = decode_bmp(_mk_bmp(3, 2, rows))
+    assert img.shape == (2, 3, 3)
+    np.testing.assert_array_equal(img, np.array(rows, dtype=np.uint8))
+    # top-down (negative height) must land identically
+    img2 = decode_bmp(_mk_bmp(3, 2, rows, top_down=True))
+    np.testing.assert_array_equal(img2, np.array(rows, dtype=np.uint8))
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated
+    bad_bpp = bytearray(_mk_bmp(3, 2, rows))
+    bad_bpp[28] = 32  # bpp field
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_image_dispatch_falls_back_to_stub():
+    from implementing_scds_in_hive_spark.operators.multimodal import decode_image
+
+    assert decode_image(b"P6\n1 1\n255\nabc").shape == (1, 1, 3)
+    assert decode_image(_mk_bmp(1, 1, [[(9, 8, 7)]])).shape == (1, 1, 3)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # compressed: still stubbed
+
+
+def test_image_stats_survives_corrupt_and_foreign_rows(spark):
+    from implementing_scds_in_hive_spark.operators.multimodal import image_stats
+
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    bmp = _mk_bmp(1, 2, [[(1, 2, 3)], [(4, 5, 6)]])
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"P6\nnot a header")),      # corrupt: must not crash
+        (3, bytearray(b"\x89PNG\r\n\x1a\nzz")),   # compressed: stub raises
+        (4, bytearray(bmp)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in image_stats(df).collect()}
+    assert got[1]["width"] == 2 and got[1]["height"] == 1
+    assert (got[1]["sum_r"], got[1]["sum_g"], got[1]["sum_b"]) == (50, 70, 90)
+    assert got[1]["decode_ok"] is True
+    assert got[2]["decode_ok"] is False and got[2]["width"] is None
+    assert got[3]["decode_ok"] is False
+    assert got[4]["decode_ok"] is True and (got[4]["width"], got[4]["height"]) == (1, 2)
+    assert (got[4]["sum_r"], got[4]["sum_g"], got[4]["sum_b"]) == (5, 7, 9)
+
+
+def test_detect_modality_recognizes_ppm_and_bmp(spark):
+    from implementing_scds_in_hive_spark.operators.multimodal import detect_modality
+
+    rows = [
+        (1, bytearray(b"P6\n1 1\n255\nabc")),
+        (2, bytearray(_mk_bmp(1, 1, [[(0, 0, 0)]]))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nxx")),
+        (4, bytearray(b"plain text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["modality"] for r in detect_modality(df).collect()}
+    assert got == {
+        1: "image/x-portable-pixmap",
+        2: "image/bmp",
+        3: "image/png",
+        4: "application/octet-stream",
+    }
