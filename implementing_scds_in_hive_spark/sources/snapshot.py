@@ -283,6 +283,58 @@ def read_table(
     return spark.read.parquet(path)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Row-level change feed between two committed versions (the
+    ``table_changes`` every table format grows once it has time travel):
+    one full-outer join on ``key_cols`` between the two snapshots,
+    emitting I (key only in ``v_to``), D (only in ``v_from``, payload
+    NULLs like a real feed) and U (any null-safe difference in the
+    non-key columns); identical rows emit nothing, so downstream apply
+    cost is O(changed keys). For SCD dimensions prefer
+    ``operators/cdc.py:snapshot_to_cdc`` over the same two reads — this
+    generic form serves any keyed table. Versions must both still be
+    committed (i.e. not vacuumed away)."""
+    from functools import reduce
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, root, version=v_from).alias("o")
+    new = read_snapshot(spark, root, version=v_to).alias("n")
+    payload = [c for c in new.columns if c not in key_cols]
+    if not payload:
+        raise ValueError("need at least one non-key column to diff")
+    oc = lambda c: F.col(f"o.{c}")  # noqa: E731
+    nc = lambda c: F.col(f"n.{c}")  # noqa: E731
+    differs = reduce(
+        Column.__or__, [~oc(c).eqNullSafe(nc(c)) for c in payload]
+    )
+    op = (
+        F.when(oc(key_cols[0]).isNull(), F.lit("I"))
+        .when(nc(key_cols[0]).isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    cond = reduce(Column.__and__, [oc(k).eqNullSafe(nc(k)) for k in key_cols])
+    return (
+        old.join(new, cond, "full_outer")
+        .withColumn("__op", op)
+        .where(F.col("__op").isNotNull())
+        .select(
+            *[F.coalesce(nc(k), oc(k)).alias(k) for k in key_cols],
+            *[F.when(F.col("__op") != "D", nc(c)).alias(c) for c in payload],
+            F.col("__op").alias(op_col),
+        )
+    )
+
+
 def vacuum(
     root: str, *, keep_last: int = 2, grace_seconds: float = 0.0
 ) -> dict:
