@@ -158,3 +158,107 @@ def bpe_segment(
     for disp in merges:
         expr = _merge_once(expr, disp.replace(" ", SEP))
     return words.withColumn("bpe_tokens", F.split(expr, SEP))
+
+
+def _encode_word_greedy(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference greedy encode of ONE word: repeatedly find the
+    lowest-rank adjacent pair present and merge ALL its occurrences
+    left-to-right (overlaps consumed left-to-right, matching the
+    padded-``replace`` primitive the trainer and the literal
+    ``bpe_segment`` chain use — the equivalence the cross-tier tests
+    pin). O(|word| * #distinct-pairs-applied), independent of the merge
+    table size — the property that makes this the 32k-merge tier where
+    the replace chain's expression depth cannot go.
+
+    Equivalence with the sequential chain holds for every
+    TRAINING-CONSISTENT merge table (each merge's operands are single
+    characters or outputs of strictly lower-rank merges — the invariant
+    ``bpe_train`` guarantees by construction): a merge (x,y)->xy only
+    creates pairs involving the new symbol xy, so no earlier rank ever
+    becomes newly applicable. A hand-built table violating the
+    invariant CAN diverge (pinned in tests/test_bpe.py with the 'aab'
+    counterexample hypothesis found)."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (a, b), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode every document with a learned merge list (single-space
+    pairs in rank order, as ``bpe_train`` emits): ``(id, n_tokens int,
+    seg string)`` where ``seg`` is the flat token stream joined by
+    single spaces. Tokenization (whitespace split, empty drop,
+    optional lowercase) matches ``word_frequencies`` exactly.
+
+    Arrow-batched ``mapInPandas`` with a per-batch distinct-word memo —
+    natural-language batches repeat most words, so the greedy encoder
+    runs once per DISTINCT word per batch, the same economics that make
+    the trainer's word-frequency table the right corpus-scale
+    representation. Scales in the merge-table size where the
+    ``bpe_segment`` expression chain cannot (32k merges = 32k nested
+    replaces would blow the codegen ceiling; here it is one dict)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ranks = {tuple(m.split(" ")): i for i, m in enumerate(merges)}
+    split_ws = _re.compile(r"\s+")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            memo: dict[str, list[str]] = {}
+            n_toks, segs = [], []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in split_ws.split(text or ""):
+                    if not w:
+                        continue
+                    if lowercase:
+                        w = w.lower()
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _encode_word_greedy(w, ranks)
+                    toks.extend(got)
+                n_toks.append(len(toks))
+                segs.append(" ".join(toks))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_tokens": pd.Series(n_toks, dtype="int32"),
+                    "seg": segs,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)

@@ -2269,6 +2269,69 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = BPE_MERGES_SQL
 
 
+def q_bpe_encode_tokens(spark, sf_dir):
+    """Tokenizer APPLICATION (r6 — closes the train→encode loop): learn
+    the same 6 merges as ``bpe_merges``, then encode EVERY document with
+    the greedy Arrow tier (``operators/bpe.py:bpe_encode_docs`` —
+    rank-priority merge loop + per-batch distinct-word memo, the
+    32k-merge-scale path the replace-chain ``bpe_segment`` cannot be).
+    Output is the full encoded corpus: (doc_id, n_tokens, seg = the
+    flat token stream) — the oracle replays training AND the per-word
+    encode with the identical padded-replace primitive, so a greedy
+    encoder that diverges from reference BPE semantics on ANY word
+    hash-mismatches."""
+    from implementing_scds_in_hive_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [r["pair"] for r in bpe_train(docs, num_merges=6).collect()]
+    return bpe_encode_docs(docs, merges)
+
+
+def _bpe_encode_oracle_sql(num_merges: int) -> str:
+    """Training replay (same CTEs as ``_bpe_oracle_sql``) + per-word
+    encode: each document word runs the same padded-replace chain in
+    merge order, then tokens re-aggregate per doc in word order."""
+    train = _bpe_oracle_sql(num_merges)
+    # keep only the WITH-chain (drop the merges' UNION ALL tail)
+    train_ctes = train.split("\nSELECT 1 AS merge_rank")[0].rstrip()
+    parts = [
+        train_ctes,
+        r"""docw AS (
+  SELECT doc_id, tok, ord
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '\s+')) AS tok,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS ord
+        FROM documents)
+  WHERE tok <> ''),
+e0 AS (SELECT doc_id, ord,
+              regexp_replace(lower(tok), '(.)', '\1  ', 'g') || '</w>' AS s
+       FROM docw)""",
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"""e{i} AS (
+  SELECT doc_id, ord,
+         trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT p FROM b{i}) || ' ',
+                      ' ' || (SELECT replace(p, '  ', '') FROM b{i}) || ' ')) AS s
+  FROM e{i - 1})"""
+        )
+    final = f"""SELECT d.doc_id,
+       COALESCE(CAST(sum(len(string_split(w.s, '  '))) AS INT), 0) AS n_tokens,
+       COALESCE(string_agg(replace(w.s, '  ', ' '), ' ' ORDER BY w.ord), '') AS seg
+FROM documents d LEFT JOIN e{num_merges} w USING (doc_id)
+GROUP BY d.doc_id"""
+    return ",\n".join(parts) + "\n" + final
+
+
+BPE_ENCODE_SQL = _bpe_encode_oracle_sql(6)
+PYTEST_ONLY_QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens
+PYTEST_ONLY_ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
+
+
 # --- KMV set-overlap estimation ------------------------------------------
 
 def q_kmv_overlap_years(spark, sf_dir):

@@ -119,3 +119,111 @@ def test_exhausted_pairs_stop_early(spark):
     out = bpe_train(d, num_merges=10).collect()
     assert 0 < len(out) < 10
     assert out[0].pair == "a b" and out[0].cnt == 2
+
+
+# --- greedy Arrow encode tier (r6) ---------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from implementing_scds_in_hive_spark.operators.bpe import (
+    _encode_word_greedy,
+    bpe_encode_docs,
+)
+
+
+def _chain_encode(word, merges):
+    """Reference: the literal replace-chain semantics (bpe_segment's
+    expression), replayed in pure Python string ops."""
+    s = "  ".join(list(word)) + "  </w>"
+    for m in merges:
+        a = m.replace(" ", "  ")
+        s = (" " + s + " ").replace(" " + a + " ", " " + m.replace(" ", "") + " ").strip()
+    return s.split("  ")
+
+
+def test_greedy_encoder_matches_chain_on_classic_corpus(spark):
+    d = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = [r["pair"] for r in bpe_train(d, num_merges=8).collect()]
+    for w in ("low", "lower", "newest", "widest", "lowest", "news", "zzz"):
+        ranks = {tuple(m.split(" ")): i for i, m in enumerate(merges)}
+        assert _encode_word_greedy(w, ranks) == _chain_encode(w, merges), w
+
+
+def _training_consistent(merges):
+    """The invariant every trained merge table satisfies: a merge's
+    operands are single characters or outputs of strictly lower-rank
+    merges. Under it, merging (x,y)->xy can only create pairs involving
+    the NEW symbol xy, so no earlier rank ever becomes newly applicable
+    and greedy-by-rank == sequential-chain. (Hypothesis found the
+    counterexample for INCONSISTENT tables: word 'aab' with rank(aa,b) <
+    rank(a,a) — greedy applies (aa,b) after (a,a) creates 'aa', the
+    chain cannot go back. bpe_train can never emit such a table.)"""
+    seen = {"a", "b", "</w>"}
+    for m in merges:
+        x, y = m.split(" ")
+        if x not in seen or y not in seen:
+            return False
+        seen.add(x + y)
+    return True
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=12),
+    merge_perm=st.permutations(
+        ["a a", "a b", "b a", "b b", "aa b", "ab a", "b ab", "aa aa"]
+    ),
+)
+def test_greedy_encoder_equals_chain_semantics(word, merge_perm):
+    """Property: the rank-priority greedy loop == the sequential
+    replace chain for every TRAINING-CONSISTENT merge table, on an
+    adversarial overlapping-merge alphabet (runs of 'a'/'b' are exactly
+    where naive encoders diverge)."""
+    from hypothesis import assume
+
+    merges = list(merge_perm)
+    assume(_training_consistent(merges))
+    ranks = {tuple(m.split(" ")): i for i, m in enumerate(merges)}
+    assert _encode_word_greedy(word, ranks) == _chain_encode(word, merges)
+
+
+def test_greedy_diverges_on_inconsistent_table_documented():
+    """Pin the boundary itself: on the table that VIOLATES the
+    operand-before-use invariant, greedy and chain legitimately differ
+    ('aab': greedy reaches [aab], the chain stops at [aa, b]) — the
+    reason bpe_encode_docs documents the invariant rather than claiming
+    unconditional equivalence."""
+    merges = ["b b", "b a", "aa b", "a a", "a b"]
+    ranks = {tuple(m.split(" ")): i for i, m in enumerate(merges)}
+    assert not _training_consistent(merges)
+    assert _encode_word_greedy("aab", ranks) == ["aab", "</w>"]
+    assert _chain_encode("aab", merges) == ["aa", "b", "</w>"]
+
+
+def test_bpe_encode_docs_matches_segment(spark):
+    """The Arrow corpus encoder agrees with the literal bpe_segment
+    expression chain word-by-word, and handles empty/whitespace docs."""
+    d = spark.createDataFrame(
+        [(1, "low lower low"), (2, ""), (3, "   "), (4, "Newest LOWER")],
+        "doc_id long, text string",
+    )
+    merges = ["l o", "lo w", "e r", "low </w>"]
+    got = {r["doc_id"]: r.asDict() for r in bpe_encode_docs(d, merges).collect()}
+    assert got[2]["n_tokens"] == 0 and got[2]["seg"] == ""
+    assert got[3]["n_tokens"] == 0 and got[3]["seg"] == ""
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",)], "word string"
+    )
+    seg = {
+        r["word"]: r["bpe_tokens"]
+        for r in bpe_segment(words, merges).collect()
+    }
+    assert got[1]["seg"] == " ".join(seg["low"] + seg["lower"] + seg["low"])
+    assert got[1]["n_tokens"] == 2 * len(seg["low"]) + len(seg["lower"])
+    # lowercase folding matches word_frequencies' tokenization
+    assert got[4]["seg"] == " ".join(seg["newest"] + seg["lower"])
