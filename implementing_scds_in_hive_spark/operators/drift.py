@@ -129,10 +129,45 @@ def ks_statistic(
     ``max_x |F_a(x) - F_b(x)|`` evaluated at every distinct observed
     value (where the max is attained; ties handled by aggregating per
     distinct value BEFORE the running sum, so F jumps once per value).
+    Raises ``ValueError`` if either side is empty (the distance is
+    undefined there — an upstream filter that matched nothing should
+    fail loudly, not emit NaN). The result is materialized internally
+    so the per-partition cache releases before return (ADVICE r5); the
+    lazy two-pass plan itself is :func:`_ks_distances` (plan-shape
+    guarded in tests/test_plan_shapes.py)."""
+    handles: list[DataFrame] = []
+    dist, n_a, n_b, spark = _ks_distances(
+        df_a, df_b, val_col, n_parts=n_parts, cache_handles=handles
+    )
+    if n_a == 0 or n_b == 0:
+        for h in handles:
+            h.unpersist()
+        raise ValueError(
+            f"ks_statistic: empty side (n_a={n_a}, n_b={n_b}); "
+            "the KS distance is undefined on an empty sample"
+        )
+    ks = dist.agg(F.max("__d").alias("ks")).collect()[0]["ks"]
+    for h in handles:
+        h.unpersist()
+    return spark.createDataFrame(
+        [(float(ks), int(n_a), int(n_b))], "ks double, n_a long, n_b long"
+    )
 
-    The running sums use the distributed two-pass prefix sum over
-    range-partitioned distinct values — no single-partition window.
-    """
+
+def _ks_distances(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    val_col: str,
+    *,
+    n_parts: int | None = None,
+    cache_handles: list[DataFrame] | None = None,
+):
+    """The lazy two-pass KS plan: per-distinct-value ``__d`` =
+    ``|F_a - F_b|`` via range-partitioned per-partition running sums +
+    broadcast partition offsets — no single-partition window anywhere.
+    Returns ``(distances_df, n_a, n_b, spark)``; the persisted
+    intermediate is appended to ``cache_handles`` for the caller to
+    release."""
     from pyspark.storagelevel import StorageLevel
 
     per_val = (
@@ -181,30 +216,18 @@ def ks_statistic(
         [(p, a, b) for p, (a, b) in offs.items()] or [(0, 0, 0)],
         "__pid int, __oa long, __ob long",
     )
-    if acc_a == 0 or acc_b == 0:
-        local.unpersist()
-        raise ValueError(
-            f"ks_statistic: empty side (n_a={acc_a}, n_b={acc_b}); "
-            "the KS distance is undefined on an empty sample"
-        )
-    n_a, n_b = float(acc_a), float(acc_b)
-    ks_row = (
-        local.join(F.broadcast(off_df), "__pid")
-        .select(
-            (
-                F.abs(
-                    (F.col("__la") + F.col("__oa")).cast("double") / F.lit(n_a)
-                    - (F.col("__lb") + F.col("__ob")).cast("double") / F.lit(n_b)
-                )
-            ).alias("__d")
-        )
-        .agg(F.max("__d").alias("ks"))
-        .collect()[0]
+    if cache_handles is not None:
+        cache_handles.append(local)
+    n_a, n_b = float(max(acc_a, 1)), float(max(acc_b, 1))
+    dist = local.join(F.broadcast(off_df), "__pid").select(
+        (
+            F.abs(
+                (F.col("__la") + F.col("__oa")).cast("double") / F.lit(n_a)
+                - (F.col("__lb") + F.col("__ob")).cast("double") / F.lit(n_b)
+            )
+        ).alias("__d")
     )
-    local.unpersist()
-    return spark.createDataFrame(
-        [(float(ks_row["ks"]), int(n_a), int(n_b))], "ks double, n_a long, n_b long"
-    )
+    return dist, int(acc_a), int(acc_b), spark
 
 
 def psi_from_counts(

@@ -374,7 +374,14 @@ def assign_surrogate_keys(
     raise ValueError(f"unknown key strategy {strategy!r}")
 
 
-def publish(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> int:
+def publish(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    retain_versions: int | None = None,
+    retain_grace_seconds: float = 600.0,
+) -> int:
     """Atomic table publish (reference step 8's INSERT OVERWRITE,
     SCD_script.txt:141), via the manifest snapshot-commit protocol
     (``sources/snapshot.py``): data files are staged under an immutable
@@ -385,7 +392,17 @@ def publish(df: DataFrame, path: str, *, partition_by: list[str] | None = None) 
     linearize. Self-overwrite (``df`` lazily reading ``path``) is safe
     by construction — the old snapshot's files are never touched.
     Read the result back with ``snapshot.read_table``; returns the
-    committed version."""
-    from implementing_scds_in_hive_spark.sources.snapshot import write_snapshot
+    committed version.
 
-    return write_snapshot(df, path, partition_by=partition_by)
+    ``retain_versions=N`` vacuums down to the last N versions after the
+    commit — the retention knob a per-trigger streaming publisher needs
+    (every micro-batch is a new version; unbounded history is a disk
+    leak, not a feature). The grace window protects any OTHER writer's
+    in-flight stage dir from the sweep; in-use readers of a dropped
+    version fail on collect, the standard retention trade."""
+    from implementing_scds_in_hive_spark.sources.snapshot import vacuum, write_snapshot
+
+    v = write_snapshot(df, path, partition_by=partition_by)
+    if retain_versions is not None:
+        vacuum(path, keep_last=retain_versions, grace_seconds=retain_grace_seconds)
+    return v

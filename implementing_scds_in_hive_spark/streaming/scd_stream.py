@@ -77,7 +77,7 @@ def scd2_upsert_stream(
         merged = scd2_merge(prod, staged, cfg, as_of, broadcast_staging=True)
         # foreachBatch materializes eagerly, so the lazy-read-overwrite
         # trap applies: publish() stages to a temp dir then swaps.
-        publish(merged, prod_path)
+        publish(merged, prod_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -121,7 +121,7 @@ def cdc_stream(
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
         prod = read_table(spark, prod_path)
         nxt = cdc_apply(prod, batch, cfg, as_of, op_col=op_col, seq_col=seq_col)
-        publish(nxt, prod_path)
+        publish(nxt, prod_path, retain_versions=2)
         # cdc_apply persists the collapsed feed (and two_pass its re-key
         # intermediates); release them — a long-running stream would
         # otherwise accumulate cached blocks every trigger. The stream

@@ -68,7 +68,7 @@ def kmv_sketch_stream(
         # sketch_path, which publish is about to replace — the same
         # self-overwrite trap publish() documents for the SCD dimension
         out = merged.localCheckpoint(eager=True)
-        publish(out, sketch_path)
+        publish(out, sketch_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -146,7 +146,7 @@ def histogram_stream(
         out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
             eager=True
         )
-        publish(out, hist_path)
+        publish(out, hist_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -265,7 +265,7 @@ def bloom_seen_stream(
             ).limit(1)
             keep = new_version.unionByName(prev)
         out = keep.localCheckpoint(eager=True)
-        publish(out, bloom_path)
+        publish(out, bloom_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -336,7 +336,7 @@ def cms_stream(
         out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
             eager=True
         )
-        publish(out, cms_path)
+        publish(out, cms_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -402,7 +402,7 @@ def category_count_stream(
         out = merged.withColumn("last_batch_id", F.lit(batch_id)).localCheckpoint(
             eager=True
         )
-        publish(out, counts_path)
+        publish(out, counts_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 
@@ -467,7 +467,7 @@ def moment_stream(
             [(int(n), [float(x) for x in sumx], [float(x) for x in xtx.ravel()], batch_id)],
             "n long, sumx array<double>, xtx array<double>, last_batch_id long",
         )
-        publish(out, moments_path)
+        publish(out, moments_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 

@@ -7,6 +7,20 @@ from pyspark.sql import functions as F
 from implementing_scds_in_hive_spark.plans.registry import queries
 
 
+def all_queries():
+    """Driver registry + pytest-only set: plan guards must survive slot
+    rotation (a query folded to the pytest compare keeps its plan
+    contract)."""
+    import importlib
+
+    qs = dict(queries())
+    for m in ("scd_queries", "relational", "pipeline_ops"):
+        mod = importlib.import_module(f"implementing_scds_in_hive_spark.plans.{m}")
+        for k, v in mod.PYTEST_ONLY_QUERIES.items():
+            qs.setdefault(k, v)
+    return qs
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -176,7 +190,7 @@ def test_r5_promoted_slots_plan_shapes(spark, sf_dir):
     * dedup_incremental — the corpus index is probed via broadcast
       joins, never shuffled on its own keys.
     """
-    q = queries()
+    q = all_queries()
 
     plan = _plan(q["forward_fill"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
@@ -215,14 +229,17 @@ def test_ks_statistic_has_no_single_partition_window(spark, sf_dir):
     """The KS CDF is a global running sum — the naive formulation is a
     no-partition window (Exchange SinglePartition). The two-pass prefix
     sum must keep every exchange partitioned."""
-    from implementing_scds_in_hive_spark.operators.drift import ks_statistic
+    from implementing_scds_in_hive_spark.operators.drift import _ks_distances
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = ks_statistic(
+    handles = []
+    df, n_a, n_b, _ = _ks_distances(
         e.where(F.col("event_type") == "click"),
         e.where(F.col("event_type") == "purchase"),
         "value",
+        cache_handles=handles,
     )
+    assert n_a > 0 and n_b > 0
     plan = _plan(df)
     # the final 1-row max aggregation legitimately collapses to a single
     # partition; what must NOT appear is a Window fed by a
@@ -234,6 +251,8 @@ def test_ks_statistic_has_no_single_partition_window(spark, sf_dir):
             below = "".join(lines[i + 1 : i + 3])
             assert "Exchange SinglePartition" not in below, ln
     assert "Exchange rangepartitioning" in plan  # the two-pass shape
+    for h in handles:
+        h.unpersist()
 
 
 def test_rp_projection_is_jvm_only_constant_folded(spark, sf_dir):

@@ -300,3 +300,18 @@ def _commit_child(root, staged):
     from implementing_scds_in_hive_spark.sources.snapshot import commit
 
     return commit(root, staged)
+
+
+def test_publish_retention_bounds_version_history(spark, tmp_path):
+    """publish(retain_versions=2) — the streaming per-trigger publisher
+    shape — keeps the manifest history bounded while the latest version
+    stays correct; grace protects fresh stage dirs, so only manifests
+    shrink immediately."""
+    from implementing_scds_in_hive_spark.operators.scd import publish
+
+    root = str(tmp_path / "t")
+    for i in range(5):
+        publish(_df(spark, [i]), root, retain_versions=2)
+    assert list_versions(root) == [4, 5]
+    assert _ids(read_table(spark, root)) == [4]
+    assert _ids(read_snapshot(spark, root, version=4)) == [3]
