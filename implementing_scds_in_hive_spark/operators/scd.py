@@ -381,6 +381,7 @@ def publish(
     partition_by: list[str] | None = None,
     retain_versions: int | None = None,
     retain_grace_seconds: float = 600.0,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Atomic table publish (reference step 8's INSERT OVERWRITE,
     SCD_script.txt:141), via the manifest snapshot-commit protocol
@@ -394,15 +395,17 @@ def publish(
     Read the result back with ``snapshot.read_table``; returns the
     committed version.
 
-    ``retain_versions=N`` vacuums down to the last N versions after the
-    commit — the retention knob a per-trigger streaming publisher needs
+    ``constraints`` are Delta-style CHECK predicates validated on the
+    staged files before the commit (a violating publish aborts leaving
+    the table untouched). ``retain_versions=N`` vacuums down to the
+    last N versions after the commit — the retention knob a per-trigger streaming publisher needs
     (every micro-batch is a new version; unbounded history is a disk
     leak, not a feature). The grace window protects any OTHER writer's
     in-flight stage dir from the sweep; in-use readers of a dropped
     version fail on collect, the standard retention trade."""
     from implementing_scds_in_hive_spark.sources.snapshot import vacuum, write_snapshot
 
-    v = write_snapshot(df, path, partition_by=partition_by)
+    v = write_snapshot(df, path, partition_by=partition_by, constraints=constraints)
     if retain_versions is not None:
         vacuum(path, keep_last=retain_versions, grace_seconds=retain_grace_seconds)
     return v

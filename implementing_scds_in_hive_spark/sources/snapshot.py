@@ -68,6 +68,41 @@ class CommitConflictError(RuntimeError):
     already been removed; retry from the new latest version."""
 
 
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint failed during publish — nothing was staged or
+    committed. ``.violations`` maps constraint name -> offending row
+    count."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            "snapshot constraints violated: "
+            + ", ".join(f"{k} ({v} rows)" for k, v in violations.items())
+        )
+
+
+def check_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Enforce Delta-style CHECK constraints in ONE aggregation pass
+    (every constraint counted in the same job — not one scan each):
+    raises :class:`ConstraintViolationError` naming each failed
+    constraint and its offending row count. A NULL predicate result
+    counts as a violation (CHECK semantics are 'must be true')."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, pred in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {k: int(row[k]) for k in constraints if row[k] and int(row[k]) > 0}
+    if bad:
+        raise ConstraintViolationError(bad)
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, MANIFEST_DIR)
 
@@ -226,9 +261,32 @@ def write_snapshot(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     expected_version: int | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
-    """Stage + commit in one call; returns the committed version."""
+    """Stage + commit in one call; returns the committed version.
+    ``constraints`` are CHECK predicates (name -> SQL boolean expr)
+    validated against the STAGED files before the manifest commit —
+    the input plan computes exactly once (no second execution for the
+    check, it reads the just-written parquet), and a violating publish
+    abandons the stage dir leaving the table byte-identical: the
+    transactional behavior Delta CHECK constraints give (an empty
+    result set trivially satisfies every CHECK)."""
     staged = stage_files(df, root, partition_by=partition_by)
+    if constraints and staged["files"]:
+        from pyspark.sql.types import StructType
+
+        back = (
+            df.sparkSession.read.schema(
+                StructType.fromJson(json.loads(staged["schema"]))
+            )
+            .option("basePath", os.path.join(root, staged["snapshot_dir"]))
+            .parquet(*[os.path.join(root, f) for f in staged["files"]])
+        )
+        try:
+            check_constraints(back, constraints)
+        except ConstraintViolationError:
+            _abandon(root, staged)
+            raise
     return commit(
         root, staged, mode=mode, expected_version=expected_version
     )

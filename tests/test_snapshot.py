@@ -315,3 +315,47 @@ def test_publish_retention_bounds_version_history(spark, tmp_path):
     assert list_versions(root) == [4, 5]
     assert _ids(read_table(spark, root)) == [4]
     assert _ids(read_snapshot(spark, root, version=4)) == [3]
+
+
+def test_publish_constraints_are_transactional(spark, tmp_path):
+    """Delta-style CHECK constraints: validated on the staged files in
+    one aggregation pass; a violating publish abandons the stage and
+    leaves the table byte-identical (including its version counter)."""
+    import glob
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        ConstraintViolationError,
+    )
+
+    root = str(tmp_path / "t")
+    checks = {"id_positive": "id > 0", "v_not_null": "v IS NOT NULL"}
+    write_snapshot(_df(spark, [1, 2]), root, constraints=checks)
+    bad = spark.createDataFrame(
+        [(0, "x"), (3, None), (4, None), (5, "ok")], "id long, v string"
+    )
+    with pytest.raises(ConstraintViolationError) as ei:
+        write_snapshot(bad, root, constraints=checks)
+    assert ei.value.violations == {"id_positive": 1, "v_not_null": 2}
+    # nothing committed, nothing staged left behind
+    assert list_versions(root) == [1]
+    assert _ids(read_table(spark, root)) == [1, 2]
+    assert glob.glob(os.path.join(root, "data", "snap-*")) and len(
+        glob.glob(os.path.join(root, "data", "snap-*"))
+    ) == 1
+    # partition-column constraints see real partition values
+    parted = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 1800)], "id long, v string, year int"
+    )
+    with pytest.raises(ConstraintViolationError):
+        write_snapshot(
+            str(tmp_path / "p") and parted,
+            str(tmp_path / "p"),
+            partition_by=["year"],
+            constraints={"year_sane": "year >= 1900"},
+        )
+    ok = parted.where("year >= 1900")
+    write_snapshot(
+        ok, str(tmp_path / "p"), partition_by=["year"],
+        constraints={"year_sane": "year >= 1900"},
+    )
+    assert _ids(read_table(spark, str(tmp_path / "p"))) == [1]
