@@ -57,3 +57,43 @@ def merge_rollup(existing: DataFrame, delta_events: DataFrame, **kwargs) -> Data
             F.sum("total_value").alias("total_value"),
         )
     )
+
+def rollup_signed_deltas(deltas: DataFrame, *, ts_col: str = "ts",
+                         bucket: str = "1 hour", weight_col: str = "__w") -> DataFrame:
+    """Aggregate a SIGNED delta batch (rows carrying ±1 weights, e.g.
+    ``sources/snapshot.py:snapshot_deltas`` between two table versions)
+    at the rollup grain: counts become ``sum(w)``, value sums become
+    ``sum(value*w)`` — a deleted row contributes its exact negation, an
+    update contributes old-negated + new. Same decimal discipline as
+    :func:`event_rollup` so incremental and one-shot stay bit-equal."""
+    w = F.col(weight_col).cast("long")
+    return (
+        deltas.groupBy(F.window(ts_col, bucket).alias("win"), "event_type")
+        .agg(
+            F.sum(w).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)") * w).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def merge_rollup_signed(existing: DataFrame, deltas: DataFrame, **kwargs) -> DataFrame:
+    """Maintain a materialized rollup under UPDATES AND DELETES: fold a
+    signed delta batch (see :func:`rollup_signed_deltas`) into the
+    rollup and drop groups whose support reaches zero — the Z-set
+    generalization of :func:`merge_rollup`, which only handles
+    append-only feeds. The maintained table always equals a from-scratch
+    :func:`event_rollup` over the table's current version (pinned by
+    tests/test_incremental.py across snapshot versions)."""
+    delta = rollup_signed_deltas(deltas, **kwargs)
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+        .where(F.col("n_events") > 0)
+    )

@@ -393,6 +393,59 @@ def snapshot_changes(
     )
 
 
+def snapshot_deltas(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+    *,
+    weight_col: str = "__w",
+) -> DataFrame:
+    """Signed row deltas (Z-set style: the differential-dataflow/DBSP
+    representation) between two committed versions: every changed key
+    contributes its OLD row with weight -1 and/or its NEW row with
+    weight +1 (U emits both, I only +1, D only -1); identical rows emit
+    nothing. Any commutative-monoid aggregate then maintains
+    incrementally under updates AND deletes — ``count -> sum(w)``,
+    ``sum(x) -> sum(x*w)`` — which plain insert-only delta folds
+    (``operators/incremental.py:merge_rollup``) cannot express. Cost is
+    one full-outer join of the two snapshots on the key."""
+    from functools import reduce
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, root, version=v_from).alias("o")
+    new = read_snapshot(spark, root, version=v_to).alias("n")
+    cols = new.columns
+    payload = [c for c in cols if c not in key_cols]
+    if not payload:
+        raise ValueError("need at least one non-key column to diff")
+    oc = lambda c: F.col(f"o.{c}")  # noqa: E731
+    nc = lambda c: F.col(f"n.{c}")  # noqa: E731
+    differs = reduce(
+        Column.__or__, [~oc(c).eqNullSafe(nc(c)) for c in payload]
+    )
+    has_old, has_new = oc(key_cols[0]).isNotNull(), nc(key_cols[0]).isNotNull()
+    changed = (~has_old) | (~has_new) | differs
+    mk = lambda side, w: F.struct(  # noqa: E731
+        *[side(c).alias(c) for c in cols], F.lit(w).alias(weight_col)
+    )
+    pair = F.array_compact(
+        F.array(
+            F.when(has_old & changed, mk(oc, -1)),
+            F.when(has_new & changed, mk(nc, 1)),
+        )
+    )
+    cond = reduce(Column.__and__, [oc(k).eqNullSafe(nc(k)) for k in key_cols])
+    return (
+        old.join(new, cond, "full_outer")
+        .select(F.explode(pair).alias("__r"))
+        .select("__r.*")
+    )
+
+
 def vacuum(
     root: str, *, keep_last: int = 2, grace_seconds: float = 0.0
 ) -> dict:
