@@ -2328,6 +2328,68 @@ GROUP BY d.doc_id"""
 
 
 BPE_ENCODE_SQL = _bpe_encode_oracle_sql(6)
+def q_snapshot_version_diff(spark, sf_dir):
+    """End-to-end evidence for the r6 manifest snapshot-commit protocol
+    (sources/snapshot.py): publish TWO versions of a customer-keyed
+    table through the real commit path (immutable staged files + atomic
+    manifest link), then emit the I/U/D change feed between them via
+    time-traveling reads of both manifests. The oracle reconstructs the
+    same two versions in SQL and replays the diff — a publish that
+    loses rows, a manifest that resolves wrong, or a diff with broken
+    null-safe compare all hash-mismatch. Construction: v1 drops keys
+    %7==0; v2 drops keys %11==0 and bumps acctbal by 100 for %5==0 —
+    so %7==0 keys are inserts, %11==0 deletes, %5==0 updates."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+    v1 = c.where(k % 7 != 0)
+    v2 = c.where(k % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 5 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"snapshot_diff_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_snapshot(v1, path)
+    write_snapshot(v2, path)
+    return snapshot_changes(spark, path, 1, 2, ["c_custkey"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 7 <> 0),
+v2 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 11 <> 0),
+j AS (
+  SELECT o.c_custkey AS ok, n.c_custkey AS nk, n.c_name AS nname,
+         n.c_acctbal AS nbal,
+         CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN o.c_name IS DISTINCT FROM n.c_name
+                   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'U'
+         END AS op
+  FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
+SELECT COALESCE(nk, ok) AS c_custkey,
+       CASE WHEN op <> 'D' THEN nname END AS c_name,
+       CASE WHEN op <> 'D' THEN nbal END AS c_acctbal,
+       op
+FROM j WHERE op IS NOT NULL
+"""
+
+PYTEST_ONLY_QUERIES["snapshot_version_diff"] = q_snapshot_version_diff
+PYTEST_ONLY_ORACLES["snapshot_version_diff"] = SNAPSHOT_DIFF_SQL
+
 PYTEST_ONLY_QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens
 PYTEST_ONLY_ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
 

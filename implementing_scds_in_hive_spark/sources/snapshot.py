@@ -446,6 +446,39 @@ def snapshot_deltas(
     )
 
 
+def changes_since(
+    spark: SparkSession,
+    root: str,
+    last_version: int | None,
+    key_cols: list[str],
+    *,
+    signed: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """Poll face of the commit log (the batch analog of a readStream on
+    a table): deltas between ``last_version`` and the current latest,
+    plus the new high-watermark to persist. ``last_version=None`` means
+    "from the beginning" — the full first snapshot arrives as inserts
+    (weight +1 when ``signed``). Returns ``(None, last_version)`` when
+    nothing new committed. ``signed=True`` yields the ±1-weighted Z-set
+    form (:func:`snapshot_deltas`) that feeds incremental aggregate
+    maintenance; default is the I/U/D feed (:func:`snapshot_changes`).
+    A consumer loop is just: persist the watermark after applying each
+    batch — replays are idempotent because the diff of the same two
+    versions is deterministic."""
+    from pyspark.sql import functions as F
+
+    latest = latest_version(root)
+    if latest is None or (last_version is not None and latest <= last_version):
+        return None, last_version if last_version is not None else 0
+    if last_version is None:
+        first = read_snapshot(spark, root)
+        if signed:
+            return first.withColumn("__w", F.lit(1)), latest
+        return first.withColumn("op", F.lit("I")), latest
+    fn = snapshot_deltas if signed else snapshot_changes
+    return fn(spark, root, last_version, latest, key_cols), latest
+
+
 def vacuum(
     root: str, *, keep_last: int = 2, grace_seconds: float = 0.0
 ) -> dict:

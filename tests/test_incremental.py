@@ -93,3 +93,87 @@ def test_signed_delta_maintenance_across_snapshot_versions(spark, tmp_path):
     # weights sanity: update emits -1/+1, delete -1, insert +1
     ws = sorted(r["__w"] for r in deltas.collect())
     assert ws == [-1, -1, -1, 1, 1, 1]
+
+
+def test_follow_table_maintains_rollup_over_random_version_chains(spark, tmp_path):
+    """Property (hypothesis): follow a snapshot table through ANY chain
+    of random edits (insert/update/delete per key per version) with
+    changes_since(signed=True) + merge_rollup_signed — the maintained
+    rollup equals a from-scratch rollup of every intermediate version."""
+    from datetime import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from implementing_scds_in_hive_spark.operators.incremental import (
+        event_rollup,
+        merge_rollup_signed,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        changes_since,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    # each version: key -> None (absent) | (hour, type_idx, value)
+    version_strategy = st.dictionaries(
+        st.integers(min_value=1, max_value=12),
+        st.one_of(
+            st.none(),
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=1),
+                st.integers(min_value=1, max_value=50),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture,
+                               HealthCheck.too_slow],
+    )
+    @given(chain=st.lists(version_strategy, min_size=2, max_size=3))
+    def run(chain):
+        counter[0] += 1
+        root = str(tmp_path / f"chain_{counter[0]}")
+
+        def rows(spec):
+            return [
+                (k, datetime(2024, 1, 1, h, 15), ["click", "view"][t], float(v))
+                for k, val in sorted(spec.items())
+                if val is not None
+                for (h, t, v) in [val]
+            ] or [(999, datetime(2024, 1, 1, 23, 59), "click", 0.0)]
+
+        watermark, maintained = None, None
+        for spec in chain:
+            write_snapshot(spark.createDataFrame(rows(spec), schema), root)
+            deltas, watermark = changes_since(
+                spark, root, watermark, ["event_id"], signed=True
+            )
+            assert deltas is not None
+            batch = event_rollup(
+                deltas.where("__w = 1").drop("__w")
+            ) if maintained is None else None
+            maintained = (
+                batch if maintained is None
+                else merge_rollup_signed(maintained, deltas)
+            ).localCheckpoint(eager=True)
+            key = lambda r: (r["bucket_start"], r["event_type"])  # noqa: E731
+            got = {key(r): (r["n_events"], r["total_value"])
+                   for r in maintained.collect()}
+            want = {key(r): (r["n_events"], r["total_value"])
+                    for r in event_rollup(read_snapshot(spark, root)).collect()}
+            assert got == want
+        # idle poll: nothing new committed
+        none_deltas, wm2 = changes_since(spark, root, watermark, ["event_id"], signed=True)
+        assert none_deltas is None and wm2 == watermark
+
+    run()
