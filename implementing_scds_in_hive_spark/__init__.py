@@ -20,5 +20,12 @@ from implementing_scds_in_hive_spark.operators.scd import (  # noqa: F401
     publish,
     scd2_merge,
 )
+from implementing_scds_in_hive_spark.sources.snapshot import (  # noqa: F401
+    read_snapshot,
+    read_table,
+    snapshot_changes,
+    vacuum,
+    write_snapshot,
+)
 
 __version__ = "0.1.0"
