@@ -142,12 +142,23 @@ def load_manifest(root: str, version: int) -> dict:
 
 
 def stage_files(
-    df: DataFrame, root: str, *, partition_by: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    *,
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Step 1: materialize ``df`` under a fresh immutable stage dir and
     return the pending-commit description (relative file list, schema
     JSON, partitioning). Safe to abandon at any point — nothing
-    references the stage dir until a manifest wins its link."""
+    references the stage dir until a manifest wins its link.
+
+    ``stats_cols`` collects per-file min/max for the named columns from
+    the parquet footers into the manifest (Delta-style data skipping:
+    the commit log carries the file-pruning index, so a predicate read
+    never even LISTS the skipped files — cluster the table on those
+    columns, e.g. ``df.repartitionByRange(...).sortWithinPartitions``,
+    for the stats to be disjoint and the skipping to bite)."""
     snap_rel = os.path.join(DATA_DIR, f"snap-{uuid.uuid4().hex}")
     snap_abs = os.path.join(root, snap_rel)
     writer = df.write.mode("overwrite")
@@ -161,12 +172,60 @@ def stage_files(
                 continue
             rel = os.path.relpath(os.path.join(dirpath, name), root)
             files.append(rel)
-    return {
+    staged = {
         "snapshot_dir": snap_rel,
         "files": sorted(files),
         "schema": df.schema.json(),
         "partition_by": list(partition_by or []),
     }
+    if stats_cols:
+        staged["stats"] = {
+            rel: _footer_stats(os.path.join(root, rel), stats_cols)
+            for rel in staged["files"]
+        }
+    return staged
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet footer (row-group
+    column-chunk statistics folded across groups) — no data read. A
+    column with missing stats (or a type JSON cannot carry faithfully)
+    is simply omitted: skipping is an optimization, absence of stats
+    must only cost performance, never correctness."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if isinstance(mn, (datetime.datetime, datetime.date)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, (int, float, str)):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
 
 
 def commit(
@@ -200,10 +259,12 @@ def commit(
         version = (parent if parent is not None else 0) + 1
         files = list(staged["files"])
         dirs = [staged["snapshot_dir"]]
+        stats = dict(staged.get("stats", {}))
         if mode == "append" and parent is not None:
             pm = load_manifest(root, parent)
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
+            stats = {**pm.get("stats", {}), **stats}
         manifest = {
             "version": version,
             "parent": parent,
@@ -214,6 +275,8 @@ def commit(
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
         }
+        if stats:
+            manifest["stats"] = stats
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -262,8 +325,11 @@ def write_snapshot(
     mode: str = "overwrite",
     expected_version: int | None = None,
     constraints: dict[str, str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Stage + commit in one call; returns the committed version.
+    ``stats_cols`` records per-file min/max in the manifest for
+    data-skipping reads (``read_snapshot(prune=...)``).
     ``constraints`` are CHECK predicates (name -> SQL boolean expr)
     validated against the STAGED files before the manifest commit —
     the input plan computes exactly once (no second execution for the
@@ -271,7 +337,9 @@ def write_snapshot(
     abandons the stage dir leaving the table byte-identical: the
     transactional behavior Delta CHECK constraints give (an empty
     result set trivially satisfies every CHECK)."""
-    staged = stage_files(df, root, partition_by=partition_by)
+    staged = stage_files(
+        df, root, partition_by=partition_by, stats_cols=stats_cols
+    )
     if constraints and staged["files"]:
         from pyspark.sql.types import StructType
 
@@ -293,17 +361,35 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, *, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    *,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest committed). Reads
     exactly the manifest's file list with the manifest's schema pinned —
-    concurrent commits and staged-but-uncommitted data are invisible."""
+    concurrent commits and staged-but-uncommitted data are invisible.
+
+    ``prune`` = ``{col: (lo, hi)}`` closed intervals applies the
+    manifest's per-file min/max stats (written via ``stats_cols``) as a
+    FILE-SKIPPING index: files whose recorded range is disjoint from
+    every interval never reach the scan (Delta-style data skipping —
+    the caller still applies the exact row filter; skipping only
+    shrinks the file list and is a no-op for files without stats).
+    ``(None, hi)`` / ``(lo, None)`` are half-open."""
     if version is None:
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
     m = load_manifest(root, version)
     schema = StructType.fromJson(json.loads(m["schema"]))
+    if prune:
+        stats = m.get("stats", {})
+        m = dict(m)
+        m["files"] = [
+            f for f in m["files"] if _survives_prune(stats.get(f, {}), prune)
+        ]
     if not m["files"]:
         return spark.createDataFrame([], schema)
     # Group by snapshot dir so hive-partition columns resolve against the
@@ -326,6 +412,17 @@ def read_snapshot(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _survives_prune(file_stats: dict, prune: dict) -> bool:
+    for col, (lo, hi) in prune.items():
+        rng = file_stats.get(col)
+        if rng is None:
+            continue  # no stats recorded -> must keep (correctness)
+        fmin, fmax = rng
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            return False
+    return True
 
 
 def read_table(

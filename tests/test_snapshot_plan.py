@@ -48,3 +48,55 @@ def test_append_manifest_scans_both_generations(spark, tmp_path):
     got = _scanned_files(read_snapshot(spark, root, version=2), root)
     assert got == sorted(m2["files"])
     assert len(m2["snapshot_dirs"]) == 2
+
+
+def test_manifest_stats_prune_file_skipping(spark, tmp_path):
+    """Delta-style data skipping from the commit log: a range-clustered
+    snapshot with stats_cols records per-file min/max; a pruned read
+    scans only the overlapping files and stays row-identical to the
+    full-scan filter."""
+    root = str(tmp_path / "t")
+    df = (
+        spark.range(0, 100_000)
+        .selectExpr("id", "cast(id % 13 as string) AS v")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    write_snapshot(df, root, stats_cols=["id"])
+    m = load_manifest(root, 1)
+    assert len(m["files"]) == 8 and len(m["stats"]) == 8
+    assert all("id" in s for s in m["stats"].values())
+
+    pruned = read_snapshot(spark, root, prune={"id": (20_000, 21_000)})
+    full = read_snapshot(spark, root)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) <= 2
+    want = sorted(r["id"] for r in full.where("id between 20000 and 21000").collect())
+    got = sorted(
+        r["id"] for r in pruned.where("id between 20000 and 21000").collect()
+    )
+    assert got == want and len(got) == 1001
+
+    # half-open intervals + a column without recorded stats is a no-op
+    hi_only = read_snapshot(spark, root, prune={"id": (None, 5)})
+    assert len(hi_only.inputFiles()) == 1
+    no_stats = read_snapshot(spark, root, prune={"v": ("0", "1")})
+    assert len(no_stats.inputFiles()) == 8  # keep-all: skipping never drops rows
+
+    # disjoint interval -> empty scan, schema intact
+    nothing = read_snapshot(spark, root, prune={"id": (10_000_000, None)})
+    assert nothing.count() == 0
+    assert [f.name for f in nothing.schema.fields] == ["id", "v"]
+
+
+def test_manifest_stats_string_columns_and_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "apple"), (2, "berry")], "id long, w string")
+    b = spark.createDataFrame([(3, "mango"), (4, "zebra")], "id long, w string")
+    write_snapshot(a.coalesce(1), root, stats_cols=["w"])
+    write_snapshot(b.coalesce(1), root, mode="append", stats_cols=["w"])
+    m = load_manifest(root, 2)
+    assert len(m["stats"]) == 2  # append merged parent stats
+    pruned = read_snapshot(spark, root, version=2, prune={"w": ("a", "c")})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["w"] for r in pruned.collect()) == ["apple", "berry"]
