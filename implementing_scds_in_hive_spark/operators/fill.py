@@ -174,3 +174,60 @@ def forward_fill_auto(
     return forward_fill(
         df, value_col, key_col=key_col, ts_col=ts_col, order_col=order_col, out_col=out_col
     )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | list[str] = "event_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-key LINEAR interpolation of null gaps: a missing value
+    between two observations takes
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` over
+    the microsecond timeline — the time-series repair for continuous
+    signals where LOCF (:func:`forward_fill`) would introduce steps.
+    Leading/trailing gaps (no observation on one side) stay null — no
+    extrapolation; observations pass through unchanged. Equal-timestamp
+    neighbors fall back to the previous observation (zero-width gap).
+
+    Plan shape: four ``ignorenulls`` window expressions over the same
+    two frames forward_fill uses (running last + reversed running
+    first) — two WindowExec passes per key partition, no extra shuffle
+    beyond the key partitioning, and the same skew caveat as the other
+    per-key windows (bucket via ``forward_fill_bucketed``'s pattern if
+    one key dominates)."""
+    out = out_col or f"{value_col}_interp"
+    order = [ts_col, *_order_list(order_col)]
+    v = F.col(value_col)
+    t = F.unix_micros(F.col(ts_col))
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t == prev_t), prev_v
+        )
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * ((t - prev_t).cast("double") / (next_t - prev_t).cast("double")),
+        )
+    )
+    return df.withColumn(out, interp)

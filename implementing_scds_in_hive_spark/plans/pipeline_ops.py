@@ -2046,6 +2046,66 @@ PYTEST_ONLY_QUERIES["forward_fill"] = q_forward_fill
 PYTEST_ONLY_ORACLES["forward_fill"] = FORWARD_FILL_SQL
 
 
+def q_linear_interp_values(spark, sf_dir):
+    """Per-user LINEAR interpolation of planted gaps (%5==0) — the
+    continuous-signal twin of forward_fill's LOCF: interior nulls take
+    the time-weighted blend of the neighboring observations on the
+    microsecond timeline; leading/trailing gaps stay null (no
+    extrapolation). The oracle replays the four ignorenulls window
+    expressions and the identical fraction arithmetic."""
+    from implementing_scds_in_hive_spark.operators.fill import linear_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return linear_interpolate(sparse, "value").select(
+        "event_id",
+        "user_id",
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+LINEAR_INTERP_SQL = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+  FROM events),
+w AS (
+  SELECT event_id, user_id, t, value,
+         last_value(value IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wp AS prev_t,
+         first_value(value IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wn AS next_t
+  FROM sparse
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id,
+       round(CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t = prev_t
+              THEN prev_v
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v + (next_v - prev_v)
+                   * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END, 6) AS value_interp
+FROM w
+"""
+
+PYTEST_ONLY_QUERIES["linear_interp_values"] = q_linear_interp_values
+PYTEST_ONLY_ORACLES["linear_interp_values"] = LINEAR_INTERP_SQL
+
+
 # --- mergeable sketches (approximate distinct / percentiles at scale) ----
 
 def q_approx_distinct_kmv(spark, sf_dir):

@@ -412,3 +412,33 @@ def test_detect_modality_recognizes_ppm_and_bmp(spark):
         3: "image/png",
         4: "application/octet-stream",
     }
+
+
+def test_linear_interpolate_reference_cases(spark):
+    """Hand-computed interpolation: interior gaps time-weighted, leading
+    and trailing gaps null, observations pass through, equal-timestamp
+    neighbors fall back to the previous observation."""
+    from datetime import datetime
+
+    from implementing_scds_in_hive_spark.operators.fill import linear_interpolate
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user a: gap between (t=0,v=10) and (t=10,v=30) probed at t=4 -> 18
+        (1, "a", t(0), 10.0), (2, "a", t(4), None), (3, "a", t(10), 30.0),
+        # leading + trailing gaps stay null
+        (4, "b", t(0), None), (5, "b", t(5), 7.0), (6, "b", t(9), None),
+        # equal timestamps around the gap: zero-width -> previous value
+        (7, "c", t(3), 1.0), (8, "c", t(3), None), (9, "c", t(3), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["value_interp"]
+        for r in linear_interpolate(df, "value").collect()
+    }
+    assert got[2] == pytest.approx(10.0 + (30.0 - 10.0) * 0.4)
+    assert got[1] == 10.0 and got[3] == 30.0
+    assert got[4] is None and got[6] is None and got[5] == 7.0
+    assert got[8] == 1.0  # zero-width gap -> prev observation
