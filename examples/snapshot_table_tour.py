@@ -79,7 +79,7 @@ def main() -> None:
     print("== retention ==")
     write_snapshot(df([(1, "ada", 101.0)]), root)
     print("versions before vacuum:", list_versions(root))
-    print(vacuum(root, keep_last=1))
+    print(vacuum(root, keep_last=1, grace_seconds=0.0))  # demo: reclaim now
     print("versions after:", list_versions(root))
     read_table(spark, root).show()
 

@@ -460,19 +460,28 @@ def _replace_meta_atomic(root: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(root, _META_FILE))
 
 
-def _sweep_orphan_generations(root: str, meta: dict) -> list[str]:
+def _sweep_orphan_generations(
+    root: str, meta: dict, *, grace_seconds: float = 600.0
+) -> list[str]:
     """Remove compaction generation dirs (``<name>-g<hex>``) that no
     spec in the committed sidecar references — the leftovers of a crash
     between staging and meta commit (stale new dir) or between meta
-    commit and cleanup (stale old dir)."""
+    commit and cleanup (stale old dir). ``grace_seconds`` protects a
+    CONCURRENT compaction's freshly staged generation (referenced by
+    nothing until its sidecar commit) from the sweep — the same
+    discipline as ``sources/snapshot.py:vacuum``."""
     import shutil
+    import time
 
     referenced = {os.path.basename(s["path"]) for s in _index_specs(meta)}
     families = {re.sub(r"-g[0-9a-f]{8}$", "", r) for r in referenced}
     removed = []
+    now = time.time()
     for name in os.listdir(root):
         p = os.path.join(root, name)
         if not os.path.isdir(p) or name in referenced:
+            continue
+        if now - os.path.getmtime(p) < grace_seconds:
             continue
         # same family = same name modulo the generation suffix; covers
         # both a stale staged generation (crash pre-commit) and the
@@ -560,6 +569,7 @@ def maintain_index(
     max_files_per_bucket: float = 8.0,
     min_mean_cos: float | None = None,
     max_list_skew: float | None = None,
+    sweep_grace_seconds: float = 600.0,
 ) -> dict:
     """The maintenance policy loop a long-running ingest needs, in one
     idempotent call: sweep crash orphans, compact when append growth
@@ -575,7 +585,7 @@ def maintain_index(
          "reasons": [..]}
     """
     meta = _read_meta(root)
-    swept = _sweep_orphan_generations(root, meta)
+    swept = _sweep_orphan_generations(root, meta, grace_seconds=sweep_grace_seconds)
     counts = index_file_counts(root)
     per_bucket = {
         s["table"]: counts[s["table"]] / max(1, s["n_buckets"])

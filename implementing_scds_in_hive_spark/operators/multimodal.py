@@ -138,7 +138,15 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     w, h, maxval = tokens
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         raise ValueError(f"bad ppm dims/maxval {w}x{h}/{maxval}")
-    pos += 1  # exactly one whitespace byte separates header from raster
+    # one whitespace byte separates header from raster; tolerate the
+    # common nonconformant CRLF (else its \n would silently shift every
+    # pixel by one byte while still passing the length check)
+    sep = payload[pos : pos + 1]
+    if not sep.isspace():
+        raise ValueError(f"bad ppm header terminator {sep!r}")
+    pos += 1
+    if sep == b"\r" and payload[pos : pos + 1] == b"\n":
+        pos += 1
     raster = payload[pos : pos + w * h * 3]
     if len(raster) != w * h * 3:
         raise ValueError("truncated ppm raster")

@@ -51,6 +51,7 @@ def compact(
     target_rows_per_file: int = 1_000_000,
     order_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    vacuum_grace_seconds: float = 600.0,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into files of
     ~``target_rows_per_file`` rows, optionally range-clustered on
@@ -66,8 +67,13 @@ def compact(
 
     Snapshot tables (manifest-backed, ``sources/snapshot.py``) compact
     by committing a NEW snapshot of the coalesced rows and vacuuming the
-    old versions' files — concurrent readers of the pre-compaction
-    version are unaffected. Plain dirs are rewritten in place via the
+    superseded versions: in-flight readers of the pre-compaction version
+    keep working for at least ``vacuum_grace_seconds`` (their resolved
+    file lists stay on disk inside the grace window), after which the
+    old files reclaim. The manifest's own ``partition_by`` and recorded
+    stats columns are reused when the caller does not override them, so
+    compaction never silently flattens a partitioned snapshot or drops
+    its data-skipping index. Plain dirs are rewritten in place via the
     temp-sibling + dir-swap (physical rewrite is the point here; the
     swap is the single-writer hazard the snapshot path removes)."""
     import os
@@ -75,12 +81,20 @@ def compact(
 
     from implementing_scds_in_hive_spark.sources.snapshot import (
         is_snapshot_table,
+        latest_version,
+        load_manifest,
         read_table,
         vacuum,
         write_snapshot,
     )
 
     if is_snapshot_table(path):
+        m = load_manifest(path, latest_version(path))
+        if partition_by is None and m.get("partition_by"):
+            partition_by = list(m["partition_by"])
+        stats_cols = sorted(
+            {c for fs in m.get("stats", {}).values() for c in fs}
+        ) or None
         df = read_table(spark, path)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
@@ -89,8 +103,10 @@ def compact(
             if order_cols
             else df.repartition(n_files)
         )
-        write_snapshot(out, path, partition_by=partition_by)
-        vacuum(path, keep_last=1)
+        write_snapshot(
+            out, path, partition_by=partition_by, stats_cols=stats_cols
+        )
+        vacuum(path, keep_last=1, grace_seconds=vacuum_grace_seconds)
         return n
 
     def _hive_partition_cols(root: str) -> list[str]:

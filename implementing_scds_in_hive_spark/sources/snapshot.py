@@ -243,7 +243,10 @@ def commit(
     retry, so concurrent appends all land — none overwrites another's
     rows). With ``expected_version`` set, a single CAS attempt is made
     at ``expected_version + 1``; on loss the stage dir is deleted and
-    :class:`CommitConflictError` raised."""
+    :class:`CommitConflictError` raised. ``expected_version=0`` means
+    "I expect the table to have NO committed versions" — the CAS guard
+    holds even against a concurrently wiped/initialized table, never
+    silently degrading to a blind write."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     mdir = _manifest_dir(root)
@@ -251,10 +254,10 @@ def commit(
     attempts = 0
     while True:
         parent = latest_version(root)
-        if expected_version is not None and parent is not None and parent != expected_version:
+        if expected_version is not None and (parent or 0) != expected_version:
             _abandon(root, staged)
             raise CommitConflictError(
-                f"expected version {expected_version} but table is at {parent}"
+                f"expected version {expected_version} but table is at {parent or 0}"
             )
         version = (parent if parent is not None else 0) + 1
         files = list(staged["files"])
@@ -462,9 +465,16 @@ def snapshot_changes(
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    old = read_snapshot(spark, root, version=v_from).alias("o")
-    new = read_snapshot(spark, root, version=v_to).alias("n")
-    payload = [c for c in new.columns if c not in key_cols]
+    # presence via literal marker columns, NOT key-null probes: the join
+    # matches NULL keys null-safely, so a legitimately-NULL key must not
+    # read as "row absent" (it would emit a phantom insert every diff)
+    old = read_snapshot(spark, root, version=v_from).withColumn(
+        "__po", F.lit(1)
+    ).alias("o")
+    new = read_snapshot(spark, root, version=v_to).withColumn(
+        "__pn", F.lit(1)
+    ).alias("n")
+    payload = [c for c in new.columns if c not in key_cols and c != "__pn"]
     if not payload:
         raise ValueError("need at least one non-key column to diff")
     oc = lambda c: F.col(f"o.{c}")  # noqa: E731
@@ -473,8 +483,8 @@ def snapshot_changes(
         Column.__or__, [~oc(c).eqNullSafe(nc(c)) for c in payload]
     )
     op = (
-        F.when(oc(key_cols[0]).isNull(), F.lit("I"))
-        .when(nc(key_cols[0]).isNull(), F.lit("D"))
+        F.when(oc("__po").isNull(), F.lit("I"))
+        .when(nc("__pn").isNull(), F.lit("D"))
         .when(differs, F.lit("U"))
     )
     cond = reduce(Column.__and__, [oc(k).eqNullSafe(nc(k)) for k in key_cols])
@@ -513,9 +523,13 @@ def snapshot_deltas(
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    old = read_snapshot(spark, root, version=v_from).alias("o")
-    new = read_snapshot(spark, root, version=v_to).alias("n")
-    cols = new.columns
+    old = read_snapshot(spark, root, version=v_from).withColumn(
+        "__po", F.lit(1)
+    ).alias("o")
+    new = read_snapshot(spark, root, version=v_to).withColumn(
+        "__pn", F.lit(1)
+    ).alias("n")
+    cols = [c for c in new.columns if c != "__pn"]
     payload = [c for c in cols if c not in key_cols]
     if not payload:
         raise ValueError("need at least one non-key column to diff")
@@ -524,7 +538,8 @@ def snapshot_deltas(
     differs = reduce(
         Column.__or__, [~oc(c).eqNullSafe(nc(c)) for c in payload]
     )
-    has_old, has_new = oc(key_cols[0]).isNotNull(), nc(key_cols[0]).isNotNull()
+    # literal presence markers, not key-null probes (NULL keys are data)
+    has_old, has_new = oc("__po").isNotNull(), nc("__pn").isNotNull()
     changed = (~has_old) | (~has_new) | differs
     mk = lambda side, w: F.struct(  # noqa: E731
         *[side(c).alias(c) for c in cols], F.lit(w).alias(weight_col)
@@ -550,13 +565,15 @@ def changes_since(
     key_cols: list[str],
     *,
     signed: bool = False,
-) -> tuple[DataFrame | None, int]:
+) -> tuple[DataFrame | None, int | None]:
     """Poll face of the commit log (the batch analog of a readStream on
     a table): deltas between ``last_version`` and the current latest,
     plus the new high-watermark to persist. ``last_version=None`` means
     "from the beginning" — the full first snapshot arrives as inserts
     (weight +1 when ``signed``). Returns ``(None, last_version)`` when
-    nothing new committed. ``signed=True`` yields the ±1-weighted Z-set
+    nothing new committed (the watermark passes through unchanged —
+    still ``None`` on an empty table, so the eventual first commit
+    arrives as the initial load). ``signed=True`` yields the ±1-weighted Z-set
     form (:func:`snapshot_deltas`) that feeds incremental aggregate
     maintenance; default is the I/U/D feed (:func:`snapshot_changes`).
     A consumer loop is just: persist the watermark after applying each
@@ -566,7 +583,10 @@ def changes_since(
 
     latest = latest_version(root)
     if latest is None or (last_version is not None and latest <= last_version):
-        return None, last_version if last_version is not None else 0
+        # watermark passes through UNCHANGED — fabricating 0 for an
+        # empty table would make the next poll diff against a version
+        # that never existed instead of delivering the initial load
+        return None, last_version
     if last_version is None:
         first = read_snapshot(spark, root)
         if signed:
@@ -577,13 +597,16 @@ def changes_since(
 
 
 def vacuum(
-    root: str, *, keep_last: int = 2, grace_seconds: float = 0.0
+    root: str, *, keep_last: int = 2, grace_seconds: float = 600.0
 ) -> dict:
     """Reclaim storage: drop manifests beyond the last ``keep_last``
     versions, then delete every ``data/snap-*`` dir no retained manifest
     references — crashed writers' orphans included — provided it is
     older than ``grace_seconds`` (the guard that keeps an in-flight
-    stage, which nothing references *yet*, alive until its commit).
+    stage, which nothing references *yet*, alive until its commit — the
+    default 600 s assumes a concurrent writer stages-then-commits well
+    inside ten minutes; pass 0 ONLY when no other writer can be
+    mid-publish).
     Also sweeps abandoned manifest temp files. Returns
     ``{"dropped_versions": [...], "removed_dirs": [...]}``."""
     versions = list_versions(root)

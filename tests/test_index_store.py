@@ -407,12 +407,14 @@ def test_maintain_index_compacts_past_threshold(spark, minhash_setup):
 
     # below threshold: no-op decision, files untouched
     counts_pre = index_file_counts(root)
-    rep = maintain_index(spark, root, max_files_per_bucket=1_000)
+    rep = maintain_index(
+        spark, root, sweep_grace_seconds=0.0, max_files_per_bucket=1_000)
     assert not rep["compacted"] and rep["files_before"] is None
     assert index_file_counts(root) == counts_pre
 
     # past threshold: compacts back to one file per bucket
-    rep = maintain_index(spark, root, max_files_per_bucket=1.0)
+    rep = maintain_index(
+        spark, root, sweep_grace_seconds=0.0, max_files_per_bucket=1.0)
     assert rep["compacted"]
     assert rep["files_before"] == counts_pre
     assert all(v == 32 for v in index_file_counts(root).values())
@@ -448,7 +450,8 @@ def test_compact_crash_before_meta_commit_keeps_old_generation(spark, minhash_se
     assert _probe_set(fresh, root, new_index) == before
 
     # next maintenance sweeps the orphaned staged generation
-    rep = maintain_index(fresh, root, max_files_per_bucket=1_000)
+    rep = maintain_index(
+        fresh, root, sweep_grace_seconds=0.0, max_files_per_bucket=1_000)
     assert rep["swept"], "staged -g dir must be swept"
     assert _probe_set(fresh, root, new_index) == before
 
@@ -472,7 +475,8 @@ def test_compact_crash_after_meta_commit_serves_new_generation(spark, minhash_se
     # old un-suffixed dirs are the orphans now; sweep removes them
     import os
 
-    rep = maintain_index(spark, root, max_files_per_bucket=1_000)
+    rep = maintain_index(
+        spark, root, sweep_grace_seconds=0.0, max_files_per_bucket=1_000)
     assert set(rep["swept"]) >= {"docs", "buckets"}
     assert not os.path.exists(os.path.join(root, "docs"))
     assert _probe_set(spark, root, new_index) == before
@@ -485,13 +489,13 @@ def test_maintain_index_flags_ivf_rebuild_on_drift(spark, ivf_setup):
 
     stats = ivf_index_stats(spark, root)
     ok = maintain_index(
-        spark, root, max_files_per_bucket=1_000,
+        spark, root, sweep_grace_seconds=0.0, max_files_per_bucket=1_000,
         min_mean_cos=stats["mean_cos"] - 0.01,
         max_list_skew=(stats["max_list"] / stats["median_list"]) + 1.0,
     )
     assert not ok["rebuild_recommended"]
     bad = maintain_index(
-        spark, root, max_files_per_bucket=1_000,
+        spark, root, sweep_grace_seconds=0.0, max_files_per_bucket=1_000,
         min_mean_cos=min(1.0, stats["mean_cos"] + 0.01),
         max_list_skew=max(1.0, (stats["max_list"] / stats["median_list"]) - 0.5),
     )

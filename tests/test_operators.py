@@ -442,3 +442,15 @@ def test_linear_interpolate_reference_cases(spark):
     assert got[1] == 10.0 and got[3] == 30.0
     assert got[4] is None and got[6] is None and got[5] == 7.0
     assert got[8] == 1.0  # zero-width gap -> prev observation
+
+
+def test_decode_ppm_crlf_terminated_header():
+    """Nonconformant CRLF after maxval must not silently shift the
+    raster by one byte — the review-found corruption case."""
+    import numpy as np
+
+    from implementing_scds_in_hive_spark.operators.multimodal import decode_ppm
+
+    px = bytes(range(6))
+    img = decode_ppm(b"P6\r\n2 1\r\n255\r\n" + px)
+    np.testing.assert_array_equal(img.reshape(-1), np.arange(6, dtype=np.uint8))

@@ -189,7 +189,8 @@ def test_compact_on_snapshot_table_commits_new_version(spark, tmp_path):
     root = str(tmp_path / "t")
     frag = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp").repartition(40)
     write_snapshot(frag, root)
-    n = compact(spark, root, target_rows_per_file=5_000, order_cols=["id"])
+    n = compact(spark, root, target_rows_per_file=5_000, order_cols=["id"],
+                vacuum_grace_seconds=0.0)  # single-writer test: reclaim now
     assert n == 10_000
     m = load_manifest(root, latest_version(root))
     assert len(m["files"]) == 2
@@ -270,8 +271,13 @@ def test_reader_isolation_across_publish(spark, tmp_path):
     write_snapshot(_df(spark, [9]), root)  # concurrent publish -> v2
     assert _ids(reader) == [1, 2]  # still v1: its files are untouched
     assert _ids(read_table(spark, root)) == [9]  # new readers see v2
+    # retention with the default grace window keeps v1's FILES alive, so
+    # the old reader still works even after its manifest is dropped...
     vacuum(root, keep_last=1)
-    with pytest.raises(Exception):  # retention dropped v1's files
+    assert _ids(reader) == [1, 2]
+    # ...and only an explicit zero-grace reclaim invalidates it
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    with pytest.raises(Exception):
         reader.collect()
 
 
@@ -359,3 +365,84 @@ def test_publish_constraints_are_transactional(spark, tmp_path):
         constraints={"year_sane": "year >= 1900"},
     )
     assert _ids(read_table(spark, str(tmp_path / "p"))) == [1]
+
+
+def test_diff_treats_null_keys_as_data(spark, tmp_path):
+    """A legitimately-NULL key is a row like any other (the join matches
+    it null-safely): unchanged -> silent, deleted -> D, and the signed
+    form emits the matching -1 — NOT a phantom insert every diff."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_deltas,
+    )
+
+    root = str(tmp_path / "t")
+    rows1 = [(None, "keep"), (1, "a"), (2, "b")]
+    rows2 = [(None, "keep"), (1, "a2")]  # NULL-key row unchanged; 2 deleted
+    write_snapshot(spark.createDataFrame(rows1, "id long, v string"), root)
+    write_snapshot(spark.createDataFrame(rows2, "id long, v string"), root)
+    got = {
+        (r["id"], r["op"], r["v"])
+        for r in snapshot_changes(spark, root, 1, 2, ["id"]).collect()
+    }
+    assert got == {(1, "U", "a2"), (2, "D", None)}  # no phantom NULL-key row
+    ws = sorted(
+        (r["id"], r["__w"])
+        for r in snapshot_deltas(spark, root, 1, 2, ["id"]).collect()
+    )
+    assert ws == [(1, -1), (1, 1), (2, -1)]
+    # and a DELETED NULL-key row reports as D / -1, not I
+    write_snapshot(spark.createDataFrame([(1, "a2")], "id long, v string"), root)
+    got3 = {
+        (r["id"], r["op"]) for r in snapshot_changes(spark, root, 2, 3, ["id"]).collect()
+    }
+    assert got3 == {(None, "D")}
+
+
+def test_changes_since_empty_table_keeps_none_watermark(spark, tmp_path):
+    """Polling before the first commit must NOT fabricate watermark 0 —
+    the eventual first commit still arrives as the initial load."""
+    from implementing_scds_in_hive_spark.sources.snapshot import changes_since
+
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    batch, wm = changes_since(spark, root, None, ["id"])
+    assert batch is None and wm is None
+    write_snapshot(_df(spark, [1, 2]), root)
+    batch, wm = changes_since(spark, root, wm, ["id"])
+    assert wm == 1 and sorted(r["id"] for r in batch.collect()) == [1, 2]
+    assert {r["op"] for r in batch.collect()} == {"I"}
+
+
+def test_cas_guard_holds_on_empty_table(spark, tmp_path):
+    """expected_version checks against the REAL table state even when no
+    versions exist: 0 means 'expect empty', anything else conflicts."""
+    root = str(tmp_path / "t")
+    staged = stage_files(_df(spark, [1]), root)
+    with pytest.raises(CommitConflictError):
+        commit(root, staged, expected_version=3)
+    staged2 = stage_files(_df(spark, [1]), root)
+    assert commit(root, staged2, expected_version=0) == 1
+
+
+def test_compact_preserves_partitioning_and_stats(spark, tmp_path):
+    """compact() on a partitioned snapshot with recorded stats reuses
+    the manifest's partition_by and stats columns — the layout and the
+    data-skipping index survive maintenance."""
+    import glob
+
+    from implementing_scds_in_hive_spark.sources.sinks import compact
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), 2023 + i % 2) for i in range(1000)],
+        "id long, x double, year int",
+    ).repartition(6)
+    write_snapshot(df, root, partition_by=["year"], stats_cols=["id"])
+    compact(spark, root, target_rows_per_file=500, vacuum_grace_seconds=0.0)
+    m = load_manifest(root, latest_version(root))
+    assert m["partition_by"] == ["year"]
+    assert m["stats"] and all("id" in fs for fs in m["stats"].values())
+    assert glob.glob(os.path.join(root, "data", "snap-*", "year=2023"))
+    back = read_table(spark, root)
+    assert back.where("year = 2024").count() == 500
