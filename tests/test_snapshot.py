@@ -446,3 +446,65 @@ def test_compact_preserves_partitioning_and_stats(spark, tmp_path):
     assert glob.glob(os.path.join(root, "data", "snap-*", "year=2023"))
     back = read_table(spark, root)
     assert back.where("year = 2024").count() == 500
+
+
+def test_protocol_model_property_random_op_chains(spark, tmp_path):
+    """Model-based check of the WHOLE table protocol: any chain of
+    overwrite / append / compact / vacuum operations must keep
+    read_table() equal to a trivial in-memory model (overwrite replaces
+    the row multiset, append extends it, maintenance never changes it),
+    with the latest version always readable and time travel consistent
+    for every retained version."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from implementing_scds_in_hive_spark.sources.sinks import compact
+
+    rows_strategy = st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=6
+    )
+    op_strategy = st.one_of(
+        st.tuples(st.just("overwrite"), rows_strategy),
+        st.tuples(st.just("append"), rows_strategy),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture,
+                               HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(op_strategy, min_size=2, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        root = str(tmp_path / f"model_{counter[0]}")
+        model: list[int] = []
+        write_snapshot(_df(spark, [0]), root)
+        model = [0]
+        history = {latest_version(root): sorted(model)}
+        for op, arg in ops:
+            if op == "overwrite":
+                write_snapshot(_df(spark, arg), root)
+                model = list(arg)
+            elif op == "append":
+                write_snapshot(_df(spark, arg), root, mode="append")
+                model = model + list(arg)
+            elif op == "compact":
+                compact(spark, root, target_rows_per_file=3,
+                        vacuum_grace_seconds=3600.0)
+                # content-preserving; recorded as a new version
+            elif op == "vacuum":
+                vacuum(root, keep_last=arg, grace_seconds=3600.0)
+            history[latest_version(root)] = sorted(model)
+            got = sorted(r["id"] for r in read_table(spark, root).collect())
+            assert got == sorted(model), f"after {op}: {got} != {sorted(model)}"
+        # every still-committed version time-travels to the content it
+        # had when it was latest (maintenance versions equal their base)
+        for v in list_versions(root):
+            if v in history:
+                tv = sorted(r["id"] for r in read_snapshot(spark, root, version=v).collect())
+                assert tv == history[v], f"time travel v{v}"
+
+    run()
