@@ -108,16 +108,37 @@ def _register_external_bucketed(spark: SparkSession, spec: dict) -> DataFrame:
     """(Re-)register an external bucketed table from its saved spec —
     the fresh-process path: bucketing lives in the catalog, not in the
     parquet footers, so it must be re-declared; Spark then recovers each
-    file's bucket id from the filename written by ``bucketBy``."""
-    if not spark.catalog.tableExists(spec["table"]):
-        sorted_clause = (
-            f" SORTED BY ({', '.join(spec['sort_cols'])})" if spec["sort_cols"] else ""
+    file's bucket id from the filename written by ``bucketBy``.
+
+    An existing catalog entry is trusted only if its LOCATION matches
+    the spec: a compact_index that failed between staging and the
+    sidecar commit leaves the in-process catalog pointing at the
+    uncommitted generation (which the orphan sweep later deletes), so a
+    mismatched entry is dropped and re-created at the committed path."""
+    if spark.catalog.tableExists(spec["table"]):
+        loc = next(
+            (
+                r["data_type"]
+                for r in spark.sql(
+                    f"DESCRIBE FORMATTED {spec['table']}"
+                ).collect()
+                if r["col_name"] == "Location"
+            ),
+            None,
         )
-        spark.sql(
-            f"CREATE TABLE {spec['table']} ({spec['schema_ddl']}) USING parquet "
-            f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}){sorted_clause} "
-            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{spec['path']}'"
-        )
+        want = os.path.abspath(spec["path"]).rstrip("/")
+        have = (loc or "").removeprefix("file:").rstrip("/")
+        if have == want:
+            return spark.table(spec["table"])
+        spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")  # external: files stay
+    sorted_clause = (
+        f" SORTED BY ({', '.join(spec['sort_cols'])})" if spec["sort_cols"] else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {spec['table']} ({spec['schema_ddl']}) USING parquet "
+        f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}){sorted_clause} "
+        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{spec['path']}'"
+    )
     return spark.table(spec["table"])
 
 
@@ -518,13 +539,16 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
     protocol: rows stream from the CURRENT files into a fresh generation
     dir (``<path>-g<hex>`` — no self-overwrite, no whole-index
     materialization on the driver), then ONE atomic sidecar replace
-    points every spec at its new generation, then the old dirs are
-    removed. A crash before the meta commit leaves the old index fully
+    points every spec at its new generation. The superseded generation
+    dirs are left for ``_sweep_orphan_generations`` to reclaim after its
+    grace window (their mtime is touched at dereference so the clock
+    starts here, not at last append) — a prober mid-scan of the old
+    generation keeps working, the same discipline as the snapshot
+    vacuum. A crash before the meta commit leaves the old index fully
     intact; after it, the new one — either way the orphaned generation
     is swept by the next maintenance run. ``crash_hook(phase)`` (phases
     ``"post_stage"``, ``"post_meta"``) injects faults exactly there for
     the recovery tests. Returns {table: files_before}."""
-    import shutil
     import uuid
 
     meta = _read_meta(root)
@@ -557,8 +581,16 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
     _replace_meta_atomic(root, meta)
     if crash_hook:
         crash_hook("post_meta")
+    # Old generations are NOT removed inline: a concurrent prober that
+    # resolved its plan against the pre-compaction generation gets the
+    # same grace window the snapshot vacuum gives dereferenced versions.
+    # Touch restarts the mtime clock at DEREFERENCE time so
+    # _sweep_orphan_generations reclaims them only grace_seconds later.
     for p in old_paths:
-        shutil.rmtree(p, ignore_errors=True)
+        try:
+            os.utime(p, None)
+        except FileNotFoundError:
+            pass
     return counts
 
 

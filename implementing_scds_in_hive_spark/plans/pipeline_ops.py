@@ -2,11 +2,14 @@
 
 Oracle discipline: every SQL twin recomputes the SAME mathematical
 definition independently (e.g., exact Jaccard via SQL set arithmetic) —
-not a transliteration of the Spark plan. Probabilistic operators
-(MinHash-LSH candidates, SimHash, sign-bit ANN) cannot be replayed
-exactly in SQL and get rows-only checks; each has an exact
-oracle-checked counterpart here (ngram Jaccard / brute-force cosine) so
-the semantics are still verified.
+not a transliteration of the Spark plan. EVERY query here — including
+the probabilistic operators (MinHash-LSH candidates, SimHash, sign-bit
+ANN) — has a full value-hash DuckDB oracle: the sketch operators use
+portable hash families (md5 / mod-p) chosen so the oracle replays the
+same signatures arithmetically in SQL (there are no rows-only checks
+anywhere in the registry; exact counterparts like ngram Jaccard /
+brute-force cosine additionally pin the semantics the sketches
+approximate).
 """
 
 from __future__ import annotations

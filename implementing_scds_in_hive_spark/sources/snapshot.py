@@ -289,6 +289,13 @@ def commit(
             os.link(tmp, _manifest_path(root, version))
             os.unlink(tmp)
             _fsync_dir(mdir)
+            # a vacuum racing our stage may have tombstoned the dir while
+            # it was still unreferenced; committing must reset that clock
+            # or a later dereference would reclaim it with no grace
+            try:
+                os.unlink(_tombstone_path(root, staged["snapshot_dir"]))
+            except FileNotFoundError:
+                pass
             return version
         except FileExistsError:
             os.unlink(tmp)
@@ -596,18 +603,42 @@ def changes_since(
     return fn(spark, root, last_version, latest, key_cols), latest
 
 
+_TOMBSTONE = ".dropped-at"
+
+
+def _tombstone_path(root: str, rel_dir: str) -> str:
+    return os.path.join(root, rel_dir, _TOMBSTONE)
+
+
 def vacuum(
     root: str, *, keep_last: int = 2, grace_seconds: float = 600.0
 ) -> dict:
     """Reclaim storage: drop manifests beyond the last ``keep_last``
     versions, then delete every ``data/snap-*`` dir no retained manifest
-    references — crashed writers' orphans included — provided it is
-    older than ``grace_seconds`` (the guard that keeps an in-flight
-    stage, which nothing references *yet*, alive until its commit — the
-    default 600 s assumes a concurrent writer stages-then-commits well
-    inside ten minutes; pass 0 ONLY when no other writer can be
-    mid-publish).
-    Also sweeps abandoned manifest temp files. Returns
+    references — crashed writers' orphans included.
+
+    Reclamation is TWO-PHASE: the first vacuum pass that observes a dir
+    unreferenced writes a ``.dropped-at`` tombstone inside it (phase 1);
+    the dir is deleted only once ``grace_seconds`` have elapsed since
+    that tombstone (phase 2). The grace clock therefore starts when the
+    dir was *dereferenced* (or first seen orphaned), not when its data
+    was written — so compacting or vacuuming a table that was last
+    written long ago still leaves in-flight readers of the superseded
+    version a full grace window mid-scan, and an in-flight writer's
+    stage dir (referenced by nothing until its commit) survives until
+    its commit makes it referenced (``commit`` clears any stale
+    tombstone). ``grace_seconds=0`` collapses both phases into one pass
+    — use ONLY when no other writer or reader can be in flight.
+
+    Reader contract (same trade Delta's VACUUM makes vs time travel):
+    a time-travel read pinned to a version older than ``keep_last``
+    races vacuum — its manifest and files can disappear between plan
+    and collect. Materialize (or copy out) old versions you still need
+    BEFORE vacuuming past them.
+
+    Safe to run concurrently with other vacuums and publishers: files
+    another process reclaims first are skipped, not raised on. Also
+    sweeps abandoned manifest temp files. Returns
     ``{"dropped_versions": [...], "removed_dirs": [...]}``."""
     versions = list_versions(root)
     if not versions:
@@ -615,24 +646,58 @@ def vacuum(
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
     for v in kept:
-        referenced.update(load_manifest(root, v)["snapshot_dirs"])
+        try:
+            referenced.update(load_manifest(root, v)["snapshot_dirs"])
+        except FileNotFoundError:
+            # a concurrent vacuum dropped this version between our
+            # list_versions and the read; its dirs are then fair game
+            # for WHOEVER still references them — nothing to add here
+            continue
     for v in dropped:
-        os.unlink(_manifest_path(root, v))
+        try:
+            os.unlink(_manifest_path(root, v))
+        except FileNotFoundError:
+            pass  # concurrent vacuum got there first
     now = time.time()
     mdir = _manifest_dir(root)
     for name in os.listdir(mdir):
         p = os.path.join(mdir, name)
-        if name.startswith(".tmp-") and now - os.path.getmtime(p) >= grace_seconds:
-            os.unlink(p)
+        if name.startswith(".tmp-"):
+            try:
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
     removed = []
     ddir = os.path.join(root, DATA_DIR)
     if os.path.isdir(ddir):
         for name in sorted(os.listdir(ddir)):
             rel = os.path.join(DATA_DIR, name)
             p = os.path.join(ddir, name)
-            if rel in referenced or not os.path.isdir(p):
+            if not os.path.isdir(p):
                 continue
-            if now - os.path.getmtime(p) < grace_seconds:
+            tomb = _tombstone_path(root, rel)
+            if rel in referenced:
+                # a dir tombstoned while staged but since committed must
+                # not carry a stale clock into its eventual dereference
+                try:
+                    os.unlink(tomb)
+                except FileNotFoundError:
+                    pass
+                continue
+            try:
+                with open(tomb) as f:
+                    dropped_at = float(f.read().strip() or "0")
+            except FileNotFoundError:
+                try:  # phase 1: start the grace clock at dereference
+                    with open(tomb, "w") as f:
+                        f.write(repr(now))
+                except FileNotFoundError:
+                    continue  # dir vanished under a concurrent vacuum
+                dropped_at = now
+            except (OSError, ValueError):
+                dropped_at = now
+            if now - dropped_at < grace_seconds:
                 continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(rel)

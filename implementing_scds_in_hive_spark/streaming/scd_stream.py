@@ -76,7 +76,9 @@ def scd2_upsert_stream(
         staged = dedupe_staging(batch, cfg, order_by=order_by)
         merged = scd2_merge(prod, staged, cfg, as_of, broadcast_staging=True)
         # foreachBatch materializes eagerly, so the lazy-read-overwrite
-        # trap applies: publish() stages to a temp dir then swaps.
+        # trap applies: publish() commits via the manifest snapshot
+        # protocol (immutable staged files + atomic manifest link), so
+        # the plan reading prod_path never has its files overwritten.
         publish(merged, prod_path, retain_versions=2)
         if crash_hook:
             crash_hook(batch_id, "post_publish")

@@ -501,3 +501,60 @@ def test_maintain_index_flags_ivf_rebuild_on_drift(spark, ivf_setup):
     )
     assert bad["rebuild_recommended"]
     assert len(bad["reasons"]) == 2
+
+
+def test_register_external_bucketed_heals_location_mismatch(spark, minhash_setup):
+    """ADVICE r6: an existing catalog entry is trusted only if its
+    LOCATION matches the committed spec — an in-process compact failure
+    between staging and the sidecar commit leaves the catalog pointing
+    at an uncommitted generation the orphan sweep later deletes."""
+    import os
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _read_meta,
+        _register_external_bucketed,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    spec = _read_meta(root)["docs"]
+    n = spark.table(spec["table"]).count()
+    # poison the catalog: same table name, location = a generation dir
+    # that was never committed (and is about to be swept)
+    bogus = dict(spec)
+    bogus["path"] = spec["path"] + "-gdeadbeef"
+    os.makedirs(bogus["path"], exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")
+    _register_external_bucketed(spark, bogus)
+    # healing: re-registering with the COMMITTED spec must drop the
+    # mismatched entry and point the catalog back at the real files
+    df = _register_external_bucketed(spark, spec)
+    assert df.count() == n
+
+
+def test_compact_index_leaves_old_generation_for_graced_sweep(spark, minhash_setup):
+    """ADVICE r6: compact_index must not rmtree the superseded
+    generation inline — a prober mid-scan gets the same grace window the
+    snapshot vacuum gives dereferenced versions (mtime restarted at
+    dereference, swept only past grace)."""
+    import os
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _index_specs,
+        _read_meta,
+        _sweep_orphan_generations,
+        compact_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    old_paths = [s["path"] for s in _index_specs(_read_meta(root))]
+    pinned = spark.read.parquet(old_paths[0])  # prober mid-scan of old gen
+    n = pinned.count()
+    compact_index(spark, root)
+    assert all(os.path.isdir(p) for p in old_paths)  # not removed inline
+    meta = _read_meta(root)
+    # in grace: mtime was touched at dereference time, so even though the
+    # data is old, a fresh compaction leaves the prober working
+    assert _sweep_orphan_generations(root, meta, grace_seconds=3600.0) == []
+    assert pinned.count() == n
+    swept = _sweep_orphan_generations(root, meta, grace_seconds=0.0)
+    assert sorted(swept) == sorted(os.path.basename(p) for p in old_paths)

@@ -508,3 +508,73 @@ def test_protocol_model_property_random_op_chains(spark, tmp_path):
                 assert tv == history[v], f"time travel v{v}"
 
     run()
+
+
+def test_vacuum_grace_runs_from_dereference_not_write_time(spark, tmp_path):
+    """ADVICE r6: reclamation is two-phase — the grace clock starts when
+    a dir is DEREFERENCED (first observed unreferenced, tombstoned), not
+    at the data's mtime, so vacuuming a table last written long ago
+    still leaves in-flight readers of the superseded version a full
+    grace window."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    write_snapshot(_df(spark, [2]), root)
+    # age the data dirs far past any grace window (an old, idle table)
+    ddir = os.path.join(root, "data")
+    for name in os.listdir(ddir):
+        os.utime(os.path.join(ddir, name), (1.0, 1.0))
+    pinned = read_snapshot(spark, root, version=1)  # reader holds v1's file list
+    res = vacuum(root, keep_last=1, grace_seconds=3600.0)
+    assert res["dropped_versions"] == [1]
+    assert res["removed_dirs"] == []  # phase 1 only: tombstoned, files kept
+    assert _ids(pinned) == [1]  # the in-flight reader keeps working
+    # phase 2: once the TOMBSTONE (not the data) is older than grace,
+    # the next vacuum reclaims
+    for name in os.listdir(ddir):
+        tomb = os.path.join(ddir, name, ".dropped-at")
+        if os.path.exists(tomb):
+            with open(tomb, "w") as f:
+                f.write("1.0")
+    res2 = vacuum(root, keep_last=1, grace_seconds=3600.0)
+    assert len(res2["removed_dirs"]) == 1
+
+
+def test_commit_clears_tombstone_written_while_staged(spark, tmp_path):
+    """A vacuum racing a slow writer may tombstone its still-unreferenced
+    stage dir; the commit must reset that clock or the dir would be
+    reclaimed with no grace at its eventual dereference."""
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [0]), root)
+    staged = stage_files(_df(spark, [1]), root)
+    tomb = os.path.join(root, staged["snapshot_dir"], ".dropped-at")
+    with open(tomb, "w") as f:
+        f.write("1.0")  # the racing vacuum's phase-1 mark, long aged
+    commit(root, staged)
+    assert not os.path.exists(tomb)
+    res = vacuum(root, keep_last=2, grace_seconds=0.0)
+    assert res["removed_dirs"] == []  # referenced dir untouched
+    assert _ids(read_table(spark, root)) == [1]
+
+
+def test_vacuum_tolerates_concurrent_reclaim(spark, tmp_path, monkeypatch):
+    """ADVICE r6: publish(retain_versions=2) runs vacuum per micro-batch
+    in a module that advertises multi-writer publish, so a manifest
+    another process reclaimed first must be skipped, not raised on."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "t")
+    for i in range(4):
+        write_snapshot(_df(spark, [i]), root)  # versions 1..4
+    real_load = snap.load_manifest
+
+    def racing_load(r, v):
+        if v == 3:  # concurrent vacuum wins the race on this kept version
+            os.unlink(snap._manifest_path(r, v))
+        return real_load(r, v)
+
+    monkeypatch.setattr(snap, "load_manifest", racing_load)
+    res = snap.vacuum(root, keep_last=2, grace_seconds=0.0)
+    assert res["dropped_versions"] == [1, 2]
+    # the latest version's manifest loaded fine, so its dir survived and
+    # the table stays readable
+    assert _ids(read_table(spark, root)) == [3]
