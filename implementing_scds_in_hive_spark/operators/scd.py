@@ -44,6 +44,7 @@ Design differences from the reference (deliberate, documented):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime
 from functools import reduce
@@ -295,6 +296,11 @@ def assign_surrogate_keys(
       ``xxhash64(key, start, version)``. Preferred at 100 TB when key
       density is not required; the reference itself treats keys as
       non-semantic (wholesale reassignment every run).
+    * ``md5`` — same stability contract as ``hash`` but from the
+      portable md5-prefix family, so a DuckDB oracle can replay every
+      key bit-for-bit (the cross-engine-verifiable stable tier; the
+      copy-on-write merge requires a STABLE strategy — see
+      :func:`scd2_merge_cow`).
 
     ``two_pass`` persists two intermediates internally; a lazily
     returned plan cannot unpersist them itself. One-shot callers can
@@ -371,6 +377,34 @@ def assign_surrogate_keys(
             F.xxhash64(F.col(cfg.key), F.col(cfg.start_col), F.col(cfg.version_col)).cast(sk_type),
         )
 
+    if strategy == "md5":
+        # Stable like "hash", but from the repo's PORTABLE md5-prefix
+        # family (the convention the DuckDB oracles replay bit-for-bit:
+        # 60-bit integer from the first 15 hex chars). Collision bound
+        # is the 60-bit birthday limit (~1e9 rows for even odds) —
+        # prefer "hash" (xxhash64, JVM-native) at 100 TB; this tier
+        # exists so stable-key paths can be value-hash-verified
+        # cross-engine.
+        return df.withColumn(
+            cfg.surrogate_col,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.col(cfg.key).cast("string"),
+                            F.col(cfg.start_col).cast("string"),
+                            F.col(cfg.version_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast(sk_type),
+        )
+
     raise ValueError(f"unknown key strategy {strategy!r}")
 
 
@@ -409,3 +443,137 @@ def publish(
     if retain_versions is not None:
         vacuum(path, keep_last=retain_versions, grace_seconds=retain_grace_seconds)
     return v
+
+
+def scd2_merge_cow(
+    spark,
+    root: str,
+    staging: DataFrame,
+    cfg: SCDConfig,
+    as_of: datetime | str,
+    *,
+    key_strategy: str = "hash",
+    plan: str = "auto",
+) -> dict:
+    """File-granular copy-on-write SCD2 merge on a snapshot table — the
+    incremental flagship publish (VERDICT r6 next-round #1).
+
+    ``publish`` rewrites the ENTIRE dimension every merge (the
+    reference's own INSERT OVERWRITE weakness, SCD_script.txt:141,
+    reproduced at the storage layer): at 100 TB with a 0.1% daily change
+    rate that is a 1000x write amplification. This path instead:
+
+    1. prunes the parent manifest's file list with its per-file min/max
+       stats against the staging key range (driver-side, no data read);
+    2. finds the files that actually CONTAIN a staging key with one
+       column-pruned semi-join of the candidate files against the
+       broadcast staging key set (``_metadata.file_path`` recovers file
+       identity; cost = one scan of the candidates' key column, and the
+       collect is O(#touched files), never rows);
+    3. runs the ordinary :func:`scd2_merge` (broadcast plan) over ONLY
+       the touched files' rows — every row of a staged key lives in a
+       touched file, so Type-1 rewrites of historical rows, close-outs
+       and version inserts all behave identically to the full merge;
+    4. commits rewritten + brand-new files while carrying every
+       untouched file BY REFERENCE (``mode="replace"``, CAS'd on the
+       version the drop-set was computed from; a concurrent commit
+       raises :class:`CommitConflictError` — re-read and re-merge).
+
+    Requires a STABLE ``key_strategy`` (``"hash"`` or ``"md5"``):
+    surrogate keys depend only on ``(key, start, version)``, so carried
+    rows keep their keys without being rewritten. The renumbering
+    strategies (``row_number``/``two_pass``) reassign keys wholesale and
+    therefore REQUIRE the full rewrite — asking for them here raises.
+    With a stable strategy the committed table is row-identical to
+    ``scd2_merge(full_production, staging, ...)`` with the same strategy
+    (pinned by tests/test_cow_merge.py).
+
+    Staging must satisfy the usual at-most-one-row-per-key precondition
+    (``dedupe_staging`` first if unsure). Returns
+    ``{"version", "files_total", "files_candidates", "files_rewritten"}``.
+    """
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        _survives_prune,
+        latest_version,
+        load_manifest,
+        read_manifest_files,
+        write_snapshot,
+    )
+
+    if key_strategy not in ("hash", "md5"):
+        raise ValueError(
+            f"scd2_merge_cow requires a stable key strategy (hash|md5); "
+            f"{key_strategy!r} renumbers carried rows and needs the full "
+            f"rewrite path (scd2_merge + publish)"
+        )
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {root}; publish the initial "
+            f"dimension with write_snapshot/publish first"
+        )
+    m = load_manifest(root, v)
+    out = {"version": v, "files_total": len(m["files"])}
+
+    bounds = staging.agg(
+        F.min(cfg.key).alias("lo"), F.max(cfg.key).alias("hi")
+    ).first()
+    if bounds["lo"] is None and bounds["hi"] is None:
+        # empty staging: nothing to merge, current version stands
+        return {**out, "files_candidates": 0, "files_rewritten": 0}
+
+    stats = m.get("stats", {})
+    key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
+    candidates = [
+        f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
+    ]
+    out["files_candidates"] = len(candidates)
+
+    if candidates:
+        cand = read_manifest_files(spark, root, m, candidates)
+        touched_abs = (
+            cand.select(
+                F.col(cfg.key),
+                F.col("_metadata.file_path").alias("__fp"),
+            )
+            .join(
+                F.broadcast(staging.select(cfg.key).distinct()),
+                cfg.key,
+                "left_semi",
+            )
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        root_abs = os.path.abspath(root)
+        touched = sorted(
+            os.path.relpath(
+                os.path.normpath(r["__fp"].removeprefix("file:")), root_abs
+            )
+            for r in touched_abs
+        )
+    else:
+        # stats prove no file can contain a staging key: pure insert
+        touched = []
+
+    touched_df = read_manifest_files(spark, root, m, touched)
+    merged = scd2_merge(
+        touched_df,
+        staging,
+        cfg,
+        as_of,
+        key_strategy=key_strategy,
+        broadcast_staging=True,
+        plan=plan,
+    )
+    stats_cols = sorted({c for fs in stats.values() for c in fs}) or None
+    new_v = write_snapshot(
+        merged,
+        root,
+        partition_by=list(m["partition_by"]) or None,
+        mode="replace",
+        expected_version=v,
+        stats_cols=stats_cols,
+        drop_files=touched,
+    )
+    return {**out, "version": new_v, "files_rewritten": len(touched)}

@@ -178,12 +178,54 @@ def stage_files(
         "schema": df.schema.json(),
         "partition_by": list(partition_by or []),
     }
+    stats: dict[str, dict] = {}
     if stats_cols:
-        staged["stats"] = {
-            rel: _footer_stats(os.path.join(root, rel), stats_cols)
-            for rel in staged["files"]
-        }
+        for rel in staged["files"]:
+            fs = _footer_stats(os.path.join(root, rel), stats_cols)
+            if fs:
+                stats[rel] = fs
+    if partition_by:
+        # hive-partition columns have no footer stats (their values live
+        # in the path, not the file), so without this a prune on the
+        # FIRST column a user partitions by would silently keep every
+        # file; the path IS the exact [v, v] stats entry.
+        for rel in staged["files"]:
+            pv = _partition_values(os.path.relpath(rel, snap_rel))
+            if pv:
+                stats.setdefault(rel, {}).update(
+                    {c: [v, v] for c, v in pv.items()}
+                )
+    if stats:
+        staged["stats"] = stats
     return staged
+
+
+def _partition_values(rel_in_snapshot: str) -> dict:
+    """Typed partition values parsed from a file's ``col=value`` path
+    segments (Spark's hive layout). Values coerce the way Spark's own
+    partition inference does — int, then float, else URL-unquoted
+    string; the null sentinel yields NO entry so pruning on that column
+    keeps the file (absence of stats must never cost correctness)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_in_snapshot.split(os.sep)[:-1]:
+        name, eq, raw = seg.partition("=")
+        if not eq:
+            continue
+        raw = unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        val: int | float | str
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        out[unquote(name)] = val
+    return out
 
 
 def _footer_stats(path: str, cols: list[str]) -> dict:
@@ -241,14 +283,31 @@ def commit(
     the entire table; ``mode="append"`` unions the parent manifest's
     files with the staged ones (the parent list is re-resolved on every
     retry, so concurrent appends all land — none overwrites another's
-    rows). With ``expected_version`` set, a single CAS attempt is made
+    rows). ``mode="replace"`` is the file-granular copy-on-write commit
+    (the Delta/Iceberg MERGE shape): the parent's files are carried BY
+    REFERENCE except for ``staged["drop_files"]``, which the staged
+    files supersede — a merge touching 0.1% of a 100 TB table commits
+    rewritten-files + carried-references instead of rewriting the table.
+    Because a replace is a read-modify-write of the parent file list, it
+    REQUIRES ``expected_version`` (the version whose manifest the
+    drop-set was computed from): blind retry after a concurrent commit
+    could silently resurrect rows the winner rewrote, so the loser must
+    re-read and re-merge instead.
+
+    With ``expected_version`` set, a single CAS attempt is made
     at ``expected_version + 1``; on loss the stage dir is deleted and
     :class:`CommitConflictError` raised. ``expected_version=0`` means
     "I expect the table to have NO committed versions" — the CAS guard
     holds even against a concurrently wiped/initialized table, never
     silently degrading to a blind write."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode not in ("overwrite", "append", "replace"):
+        raise ValueError(f"mode must be overwrite|append|replace, got {mode!r}")
+    if mode == "replace" and expected_version is None:
+        raise ValueError(
+            "mode='replace' is a read-modify-write of the parent file list "
+            "and requires expected_version= (the version the drop-set was "
+            "computed from) for optimistic concurrency"
+        )
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     attempts = 0
@@ -268,6 +327,49 @@ def commit(
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
+        elif mode == "replace":
+            if parent is None:
+                _abandon(root, staged)
+                raise ValueError(
+                    "mode='replace' needs a committed parent version to "
+                    "carry files from; use overwrite for the first commit"
+                )
+            pm = load_manifest(root, parent)
+            shape = lambda s: [  # noqa: E731 — nullability may relax
+                (f["name"], f["type"]) for f in json.loads(s)["fields"]
+            ]
+            if staged["partition_by"] != pm["partition_by"] or shape(
+                staged["schema"]
+            ) != shape(pm["schema"]):
+                _abandon(root, staged)
+                raise ValueError(
+                    "mode='replace' carries parent files by reference, so "
+                    "the staged column names/types and partition_by must "
+                    "match the parent manifest exactly (schema changes "
+                    "need a full overwrite)"
+                )
+            drop = set(staged.get("drop_files", []))
+            unknown = drop - set(pm["files"])
+            if unknown:
+                _abandon(root, staged)
+                raise ValueError(
+                    f"drop_files not in parent v{parent} manifest: "
+                    f"{sorted(unknown)[:5]}"
+                )
+            carried = [f for f in pm["files"] if f not in drop]
+            files = carried + files
+            # keep only dirs that still contribute at least one file, so
+            # vacuum can reclaim a fully-superseded stage dir
+            sep = os.sep
+            dirs = [
+                d
+                for d in pm["snapshot_dirs"] + dirs
+                if any(f.startswith(d + sep) for f in files)
+            ]
+            stats = {
+                **{f: s for f, s in pm.get("stats", {}).items() if f not in drop},
+                **stats,
+            }
         manifest = {
             "version": version,
             "parent": parent,
@@ -278,6 +380,16 @@ def commit(
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
         }
+        if mode == "replace":
+            manifest["replaced"] = sorted(staged.get("drop_files", []))
+        if staged.get("app_meta") is not None:
+            # application-level metadata committed ATOMICALLY with the
+            # data (the Delta txnAppId/txnVersion idea): e.g. a
+            # materialized view stores its source watermark here, so a
+            # crash can never separate "deltas applied" from "watermark
+            # advanced" — the exactly-once hook operators/matview.py
+            # builds on
+            manifest["app_meta"] = staged["app_meta"]
         if stats:
             manifest["stats"] = stats
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
@@ -336,6 +448,8 @@ def write_snapshot(
     expected_version: int | None = None,
     constraints: dict[str, str] | None = None,
     stats_cols: list[str] | None = None,
+    drop_files: list[str] | None = None,
+    app_meta: dict | None = None,
 ) -> int:
     """Stage + commit in one call; returns the committed version.
     ``stats_cols`` records per-file min/max in the manifest for
@@ -346,10 +460,20 @@ def write_snapshot(
     check, it reads the just-written parquet), and a violating publish
     abandons the stage dir leaving the table byte-identical: the
     transactional behavior Delta CHECK constraints give (an empty
-    result set trivially satisfies every CHECK)."""
+    result set trivially satisfies every CHECK).
+
+    ``mode="replace"`` + ``drop_files`` is the file-granular
+    copy-on-write commit: ``df`` holds ONLY the rewritten rows, the
+    parent manifest's files minus ``drop_files`` are carried by
+    reference, and ``expected_version`` (required) CASes against the
+    version the drop-set was computed from."""
     staged = stage_files(
         df, root, partition_by=partition_by, stats_cols=stats_cols
     )
+    if drop_files is not None:
+        staged["drop_files"] = list(drop_files)
+    if app_meta is not None:
+        staged["app_meta"] = dict(app_meta)
     if constraints and staged["files"]:
         from pyspark.sql.types import StructType
 
@@ -393,19 +517,26 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
     m = load_manifest(root, version)
-    schema = StructType.fromJson(json.loads(m["schema"]))
+    files = m["files"]
     if prune:
         stats = m.get("stats", {})
-        m = dict(m)
-        m["files"] = [
-            f for f in m["files"] if _survives_prune(stats.get(f, {}), prune)
-        ]
-    if not m["files"]:
+        files = [f for f in files if _survives_prune(stats.get(f, {}), prune)]
+    return read_manifest_files(spark, root, m, files)
+
+
+def read_manifest_files(
+    spark: SparkSession, root: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read an explicit subset of a manifest's files with the manifest's
+    schema pinned — the building block behind pruned reads and the
+    copy-on-write merge's touched-files-only scan. Groups by snapshot
+    dir so hive-partition columns resolve against the right basePath
+    (append/replace manifests span several stage dirs)."""
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not files:
         return spark.createDataFrame([], schema)
-    # Group by snapshot dir so hive-partition columns resolve against the
-    # right basePath (append manifests span several stage dirs).
     by_dir: dict[str, list[str]] = {}
-    for rel in m["files"]:
+    for rel in files:
         for d in m["snapshot_dirs"]:
             if rel.startswith(d + os.sep):
                 by_dir.setdefault(d, []).append(os.path.join(root, rel))
@@ -463,7 +594,10 @@ def snapshot_changes(
     emitting I (key only in ``v_to``), D (only in ``v_from``, payload
     NULLs like a real feed) and U (any null-safe difference in the
     non-key columns); identical rows emit nothing, so downstream apply
-    cost is O(changed keys). For SCD dimensions prefer
+    cost is O(changed keys). ``key_cols`` must identify rows uniquely
+    within each version (a KEYED table feed — duplicate keys fan the
+    join out and mis-weight the diff); dedupe or aggregate first for
+    multiset tables. For SCD dimensions prefer
     ``operators/cdc.py:snapshot_to_cdc`` over the same two reads — this
     generic form serves any keyed table. Versions must both still be
     committed (i.e. not vacuumed away)."""
@@ -524,7 +658,9 @@ def snapshot_deltas(
     incrementally under updates AND deletes — ``count -> sum(w)``,
     ``sum(x) -> sum(x*w)`` — which plain insert-only delta folds
     (``operators/incremental.py:merge_rollup``) cannot express. Cost is
-    one full-outer join of the two snapshots on the key."""
+    one full-outer join of the two snapshots on the key. Same keyed-table
+    precondition as :func:`snapshot_changes`: ``key_cols`` unique within
+    each version."""
     from functools import reduce
 
     from pyspark.sql import Column
@@ -642,17 +778,20 @@ def vacuum(
     ``{"dropped_versions": [...], "removed_dirs": [...]}``."""
     versions = list_versions(root)
     if not versions:
-        return {"dropped_versions": [], "removed_dirs": []}
+        return {"dropped_versions": [], "removed_dirs": [], "removed_files": []}
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
+    referenced_files: set[str] = set()
     for v in kept:
         try:
-            referenced.update(load_manifest(root, v)["snapshot_dirs"])
+            pm = load_manifest(root, v)
         except FileNotFoundError:
             # a concurrent vacuum dropped this version between our
             # list_versions and the read; its dirs are then fair game
             # for WHOEVER still references them — nothing to add here
             continue
+        referenced.update(pm["snapshot_dirs"])
+        referenced_files.update(pm["files"])
     for v in dropped:
         try:
             os.unlink(_manifest_path(root, v))
@@ -701,4 +840,65 @@ def vacuum(
                 continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(rel)
-    return {"dropped_versions": dropped, "removed_dirs": removed}
+    removed_files = _sweep_replaced_files(
+        root, referenced, referenced_files, grace_seconds, now
+    )
+    return {
+        "dropped_versions": dropped,
+        "removed_dirs": removed,
+        "removed_files": removed_files,
+    }
+
+
+def _sweep_replaced_files(
+    root: str,
+    referenced_dirs: set[str],
+    referenced_files: set[str],
+    grace_seconds: float,
+    now: float,
+) -> list[str]:
+    """File-granular reclamation inside still-referenced dirs: a
+    ``mode="replace"`` commit supersedes individual files whose stage
+    dir lives on (its untouched siblings are still carried by
+    reference), so dir-level vacuum alone would leak every rewritten
+    file forever. Same two-phase discipline as the dir sweep — a
+    sibling ``<file>.dropped-at`` marker starts the grace clock at the
+    first pass that observes the file unreferenced; the file is deleted
+    a full ``grace_seconds`` later, protecting readers that resolved a
+    pre-replace manifest mid-scan."""
+    removed: list[str] = []
+    for d in sorted(referenced_dirs):
+        base = os.path.join(root, d)
+        for dirpath, _dirnames, filenames in os.walk(base):
+            for name in filenames:
+                if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, name), root)
+                marker = os.path.join(root, rel + ".dropped-at")
+                if rel in referenced_files:
+                    try:
+                        os.unlink(marker)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                try:
+                    with open(marker) as f:
+                        dropped_at = float(f.read().strip() or "0")
+                except FileNotFoundError:
+                    try:
+                        with open(marker, "w") as f:
+                            f.write(repr(now))
+                    except FileNotFoundError:
+                        continue
+                    dropped_at = now
+                except (OSError, ValueError):
+                    dropped_at = now
+                if now - dropped_at < grace_seconds:
+                    continue
+                for victim in (os.path.join(root, rel), marker):
+                    try:
+                        os.unlink(victim)
+                    except FileNotFoundError:
+                        pass
+                removed.append(rel)
+    return removed

