@@ -1,0 +1,167 @@
+"""Streaming change-feed subscription (streaming/changefeed.py): a
+downstream consumer follows a snapshot table's commit log via a
+persisted-watermark poll, with the same recovery-class discipline as
+the other streaming faces — idempotent apply per (from, to) version
+pair, atomic watermark advance AFTER apply, replay-safe crash points.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.sources.registry import load_table
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    latest_version,
+    snapshot_changes,
+    vacuum,
+    write_snapshot,
+)
+from implementing_scds_in_hive_spark.streaming.changefeed import (
+    follow_changes_stream,
+    poll_changes_once,
+    read_watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+KEY = ["c_custkey"]
+
+
+def _cust(spark):
+    return load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def _apply_to(out_path):
+    """The idempotent-upsert apply: each (from, to) batch overwrites its
+    own to_version partition, so a replay is byte-identical."""
+
+    def apply_fn(changes, from_v, to_v):
+        (
+            changes.withColumn("to_version", F.lit(to_v))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("to_version")
+            .parquet(out_path)
+        )
+
+    return apply_fn
+
+
+def _canon(df, drop=("to_version",)):
+    cols = [c for c in df.columns if c not in drop]
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_poll_applies_and_is_idempotent(spark, tmp_path):
+    source = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    c = _cust(spark)
+    k = F.col("c_custkey")
+
+    write_snapshot(c.where(k % 7 != 0), source)
+    rep = poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    assert rep == {"applied": True, "from": None, "to": 1}
+    assert read_watermark(state) == 1
+    # initial load arrives as inserts
+    first = spark.read.parquet(out).where("to_version = 1")
+    assert first.where("op <> 'I'").count() == 0
+
+    # two more source versions; ONE poll spans both (diff 1 -> 3)
+    write_snapshot(c.where(k % 11 != 0), source)
+    write_snapshot(
+        c.where(k % 11 != 0).withColumn("c_acctbal", F.col("c_acctbal") + 5.0),
+        source,
+    )
+    rep = poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    assert rep == {"applied": True, "from": 1, "to": 3}
+    got = spark.read.parquet(out).where("to_version = 3")
+    expected = snapshot_changes(spark, source, 1, 3, KEY)
+    assert _canon(got) == _canon(expected, drop=())
+
+    # nothing new: no-op, watermark unchanged
+    rep = poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    assert rep == {"applied": False, "from": 3, "to": 3}
+
+
+def test_crash_after_apply_replays_identically(spark, tmp_path):
+    source = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    c = _cust(spark)
+
+    write_snapshot(c.where(F.col("c_custkey") % 2 == 0), source)
+    poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    write_snapshot(c, source)
+
+    def crash(_bid, phase):
+        if phase == "post_apply":
+            raise RuntimeError("die before watermark")
+
+    with pytest.raises(RuntimeError, match="die before"):
+        poll_changes_once(spark, source, KEY, _apply_to(out),
+                          state_dir=state, crash_hook=crash)
+    assert read_watermark(state) == 1  # watermark did NOT advance
+
+    rep = poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    assert rep == {"applied": True, "from": 1, "to": 2}
+    got = spark.read.parquet(out).where("to_version = 2")
+    expected = snapshot_changes(spark, source, 1, 2, KEY)
+    assert _canon(got) == _canon(expected, drop=())
+
+
+def test_vacuumed_past_watermark_raises_rebootstrap(spark, tmp_path):
+    source = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    c = _cust(spark)
+
+    write_snapshot(c.limit(100), source)
+    poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+    write_snapshot(c.limit(200), source)
+    write_snapshot(c.limit(300), source)
+    vacuum(source, keep_last=1, grace_seconds=0.0)  # drops v1, v2
+    with pytest.raises(RuntimeError, match="re-bootstrap"):
+        poll_changes_once(spark, source, KEY, _apply_to(out), state_dir=state)
+
+
+def test_stream_subscription_follows_commits(spark, tmp_path):
+    """The real Structured-Streaming face: a rate ticker drives the
+    poll; publishing new versions while the query runs advances the
+    watermark to the source's latest, and the applied partitions match
+    the batch replay of every consecutive diff."""
+    source = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    c = _cust(spark)
+    k = F.col("c_custkey")
+
+    write_snapshot(c.where(k % 3 == 0), source)
+    q = follow_changes_stream(
+        spark, source, KEY, _apply_to(out),
+        state_dir=state, checkpoint_dir=ckpt, poll_interval="0 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while read_watermark(state) != 1 and time.time() < deadline:
+            time.sleep(0.2)
+        assert read_watermark(state) == 1
+
+        write_snapshot(c.where(k % 3 != 2), source)
+        while read_watermark(state) != 2 and time.time() < deadline:
+            time.sleep(0.2)
+        assert read_watermark(state) == 2
+    finally:
+        q.stop()
+
+    assert latest_version(source) == 2
+    got = spark.read.parquet(out).where("to_version = 2")
+    expected = snapshot_changes(spark, source, 1, 2, KEY)
+    assert _canon(got) == _canon(expected, drop=())
+    assert os.path.isdir(ckpt)

@@ -1,0 +1,173 @@
+"""Materialized-view maintenance loop (operators/matview.py): the
+r6 primitives ``changes_since`` + ``merge_rollup_signed`` composed into
+a persisted, crash-safe view over a REAL snapshot table.
+
+The invariant: after every refresh, the maintained view equals a
+from-scratch ``event_rollup`` over the source's CURRENT content —
+across updates, deletes, inserts, appends, compaction, and crash-replay
+— while each refresh only folds O(changed keys). The watermark lives in
+the view's own manifest (atomic with the data), so no crash point can
+double-fold a delta batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.incremental import event_rollup
+from implementing_scds_in_hive_spark.operators.matview import (
+    maintain_view,
+    refresh_until_current,
+    view_watermark,
+)
+from implementing_scds_in_hive_spark.sources.registry import load_table
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    latest_version,
+    list_versions,
+    load_manifest,
+    read_table,
+    write_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+KEY = ["event_id"]
+
+
+def _events(spark):
+    return load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+def _canon(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _assert_current(spark, source, view):
+    expected = event_rollup(read_table(spark, source))
+    got = read_table(spark, view)
+    assert _canon(got) == _canon(expected)
+
+
+def test_initial_load_updates_deletes_inserts(spark, tmp_path):
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+
+    write_snapshot(e.where(F.col("event_id") % 5 != 0), source)
+    rep = maintain_view(spark, source, view, KEY)
+    assert rep["updated"] and rep["watermark"] == 1
+    _assert_current(spark, source, view)
+    assert load_manifest(view, rep["view_version"])["app_meta"] == {
+        "source_watermark": 1
+    }
+
+    # v2: updates (%7 value shift), deletes (%11), inserts (the %5 rows)
+    v2 = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 10.0).otherwise(
+            F.col("value")
+        ),
+    ).where(F.col("event_id") % 11 != 0)
+    write_snapshot(v2, source)
+    rep = maintain_view(spark, source, view, KEY)
+    assert rep["updated"] and rep["watermark"] == 2
+    _assert_current(spark, source, view)
+
+
+def test_noop_when_current(spark, tmp_path):
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    write_snapshot(_events(spark).limit(500), source)
+    maintain_view(spark, source, view, KEY)
+    v_before = latest_version(view)
+    rep = maintain_view(spark, source, view, KEY)
+    assert rep == {"updated": False, "watermark": 1, "view_version": v_before}
+    assert latest_version(view) == v_before
+
+
+def test_view_retention_stays_bounded(spark, tmp_path):
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    for i in range(4):
+        write_snapshot(e.where(F.col("event_id") % 5 >= i), source)
+        maintain_view(spark, source, view, KEY,
+                      retain_versions=2, retain_grace_seconds=0.0)
+    assert len(list_versions(view)) <= 2
+    _assert_current(spark, source, view)
+
+
+def test_crash_before_view_commit_replays_once(spark, tmp_path, monkeypatch):
+    """A refresh that dies before its manifest link leaves the view at
+    the old watermark; the retry folds the SAME deterministic diff once
+    — never twice (the watermark commits atomically with the data)."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    write_snapshot(e.where(F.col("event_id") % 2 == 0), source)
+    maintain_view(spark, source, view, KEY)
+
+    write_snapshot(e, source)  # v2: inserts the odd half
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky_link(src, dst):
+        # the view's commit is the SECOND link this refresh performs?
+        # no — the source is not committed here; the only link is the
+        # view's. Crash it once.
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash before view manifest link")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", flaky_link)
+    with pytest.raises(RuntimeError, match="crash before view"):
+        maintain_view(spark, source, view, KEY)
+    assert view_watermark(view) == 1  # watermark did NOT advance
+
+    rep = maintain_view(spark, source, view, KEY)  # replay
+    assert rep["updated"] and rep["watermark"] == 2
+    _assert_current(spark, source, view)
+    # and a further refresh is a no-op (no double fold possible)
+    assert maintain_view(spark, source, view, KEY)["updated"] is False
+    _assert_current(spark, source, view)
+
+
+def test_chain_overwrite_append_compact(spark, tmp_path):
+    """The maintained view tracks a mixed op chain on the source —
+    overwrites (arbitrary update/delete/insert), appends, and a
+    content-preserving compaction (whose diff is empty) — matching the
+    from-scratch rollup after every step."""
+    from implementing_scds_in_hive_spark.sources.sinks import compact
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+
+    steps = [
+        lambda: write_snapshot(e.where(F.col("event_id") % 3 == 0), source),
+        lambda: write_snapshot(
+            e.where((F.col("event_id") % 3 == 1) & (F.col("event_id") % 2 == 0)),
+            source, mode="append",
+        ),
+        lambda: compact(spark, source, target_rows_per_file=10_000,
+                        vacuum_grace_seconds=3600.0),
+        lambda: write_snapshot(
+            e.withColumn("value", F.col("value") * 2.0)
+            .where(F.col("event_id") % 4 != 0),
+            source,
+        ),
+        # re-insert keys the previous overwrite deleted (%4==0): appends
+        # must not duplicate live keys — the change feed is a KEYED
+        # table diff (key unique per version, as documented)
+        lambda: write_snapshot(
+            e.where((F.col("event_id") % 9 == 2) & (F.col("event_id") % 4 == 0)),
+            source, mode="append",
+        ),
+    ]
+    for step in steps:
+        step()
+        rep = refresh_until_current(spark, source, view, KEY)
+        assert rep["watermark"] == latest_version(source)
+        _assert_current(spark, source, view)
