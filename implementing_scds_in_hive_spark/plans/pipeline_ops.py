@@ -975,7 +975,6 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "similarity_topk_bruteforce": q_similarity_topk_bruteforce,
     "similarity_topk_ivf": q_similarity_topk_ivf,
-    "kmeans_centroids": q_kmeans_centroids,
     "json_typed": q_json_typed,
     "incremental_rollup": q_incremental_rollup,
     "sessionize": q_sessionize,
@@ -1000,12 +999,21 @@ QUERIES = {
 # (in-row window-minimum fingerprints; dedup family driver evidence
 # stays 3-deep), and psi_event_drift (drift family evidence moves to
 # the strictly harder two-pass KS statistic).
+# r7 rotation (VERDICT r6 next-round #2) — slots freed for the promoted
+# never-slotted families (snapshot_version_diff, bpe_encode_tokens,
+# linear_interp_values, embedding_covariance, kmv_overlap_years,
+# matview_rollup): kmeans_centroids (centroid-refinement evidence
+# overlaps similarity_topk_ivf, whose assignment step IS one Lloyd
+# round over the same max_by argmax), vocab_topk (head-of-vocabulary
+# TakeOrdered evidence moves to the strictly richer pmi_collocations +
+# bpe families), and rp_topk (sign-projection ANN evidence overlaps
+# quantized_topk + knn_join_embeddings; the Rademacher projection stays
+# value-checked in pytest).
 
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "corpus_select": CORPUS_SELECT_SQL,
-    "kmeans_centroids": KMEANS_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_topk_ivf": SIMILARITY_IVF_SQL,
@@ -2026,7 +2034,6 @@ PYTEST_ONLY_ORACLES = {
 # the main registry dicts.
 QUERIES.update(
     {
-        "vocab_topk": q_vocab_topk,
         "mixture_sample": q_mixture_sample,
         # r5 rotation: first-time driver slots (VERDICT r4 next-round #3)
         "dedup_incremental": q_dedup_incremental,
@@ -2036,13 +2043,18 @@ QUERIES.update(
 )
 ORACLES.update(
     {
-        "vocab_topk": VOCAB_TOPK_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "funnel_view_click_purchase": FUNNEL_SQL,
     }
 )
+# r7 rotation: vocab_topk and kmeans_centroids fold to pytest (see the
+# rotation note above the main QUERIES dict).
+PYTEST_ONLY_QUERIES["vocab_topk"] = q_vocab_topk
+PYTEST_ONLY_ORACLES["vocab_topk"] = VOCAB_TOPK_SQL
+PYTEST_ONLY_QUERIES["kmeans_centroids"] = q_kmeans_centroids
+PYTEST_ONLY_ORACLES["kmeans_centroids"] = KMEANS_SQL
 # r6 rotation: forward_fill folds to pytest (see the rotation note above
 # the main QUERIES dict).
 PYTEST_ONLY_QUERIES["forward_fill"] = q_forward_fill
@@ -2105,8 +2117,8 @@ SELECT event_id, user_id,
 FROM w
 """
 
-PYTEST_ONLY_QUERIES["linear_interp_values"] = q_linear_interp_values
-PYTEST_ONLY_ORACLES["linear_interp_values"] = LINEAR_INTERP_SQL
+QUERIES["linear_interp_values"] = q_linear_interp_values  # r7 rotation: first-time driver slot
+ORACLES["linear_interp_values"] = LINEAR_INTERP_SQL
 
 
 # --- mergeable sketches (approximate distinct / percentiles at scale) ----
@@ -2450,11 +2462,11 @@ SELECT COALESCE(nk, ok) AS c_custkey,
 FROM j WHERE op IS NOT NULL
 """
 
-PYTEST_ONLY_QUERIES["snapshot_version_diff"] = q_snapshot_version_diff
-PYTEST_ONLY_ORACLES["snapshot_version_diff"] = SNAPSHOT_DIFF_SQL
+QUERIES["snapshot_version_diff"] = q_snapshot_version_diff  # r7 rotation: first-time driver slot (the r6 marquee)
+ORACLES["snapshot_version_diff"] = SNAPSHOT_DIFF_SQL
 
-PYTEST_ONLY_QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens
-PYTEST_ONLY_ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
+QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens  # r7 rotation: first-time driver slot
+ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
 
 
 # --- KMV set-overlap estimation ------------------------------------------
@@ -2509,8 +2521,8 @@ FROM e
 """
 
 
-PYTEST_ONLY_QUERIES["kmv_overlap_years"] = q_kmv_overlap_years
-PYTEST_ONLY_ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
+QUERIES["kmv_overlap_years"] = q_kmv_overlap_years  # r7 rotation: first-time driver slot
+ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
 
 
 # --- weighted sampling ----------------------------------------------------
@@ -2872,8 +2884,8 @@ WHERE rnk <= 3
 # late-r5 rotation: rp_topk takes sample_frames' slot (the multimodal
 # family keeps two driver slots — features and chunks — and frame
 # sampling, driver-evidenced in r4+r5, moves to the pytest compare).
-QUERIES["rp_topk"] = q_rp_topk
-ORACLES["rp_topk"] = RP_TOPK_SQL
+PYTEST_ONLY_QUERIES["rp_topk"] = q_rp_topk  # r7 rotation: folded to pytest
+PYTEST_ONLY_ORACLES["rp_topk"] = RP_TOPK_SQL
 PYTEST_ONLY_QUERIES["sample_frames"] = q_sample_frames
 PYTEST_ONLY_ORACLES["sample_frames"] = SAMPLE_FRAMES_SQL
 
@@ -3240,8 +3252,8 @@ FROM pairs
 """
 
 
-PYTEST_ONLY_QUERIES["embedding_covariance"] = q_embedding_covariance
-PYTEST_ONLY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
+QUERIES["embedding_covariance"] = q_embedding_covariance  # r7 rotation: first-time driver slot
+ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
 
 
 def q_pmi_collocations(spark, sf_dir):
@@ -3462,5 +3474,5 @@ FROM v2
 GROUP BY 1, 2
 """
 
-PYTEST_ONLY_QUERIES["matview_rollup"] = q_matview_rollup
-PYTEST_ONLY_ORACLES["matview_rollup"] = MATVIEW_ROLLUP_SQL
+QUERIES["matview_rollup"] = q_matview_rollup  # r7 rotation: first-time driver slot (the round's view-maintenance feature)
+ORACLES["matview_rollup"] = MATVIEW_ROLLUP_SQL

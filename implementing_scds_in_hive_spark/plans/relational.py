@@ -710,35 +710,25 @@ FROM orders
 QUERIES = {
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "cube_status_segment": q_cube_status_segment,
-    "fuzzy_name_match": q_fuzzy_name_match,
-    "percentiles_by_status": q_percentiles_by_status,
     "window_analytics": q_window_analytics,
     "join_star_schema": q_join_star_schema,
     "join_left_outer": q_join_left_outer,
     "join_anti": q_join_anti,
     "window_topn_per_group": q_window_topn_per_group,
-    "set_ops": q_set_ops,
     "filter_compound": q_filter_compound,
-    "pivot_status_by_year": q_pivot_status_by_year,
     "having_agg_filter": q_having_agg_filter,
-    "correlated_above_avg": q_correlated_above_avg,
 }
 
 ORACLES = {
     "agg_lineitem_pricing": AGG_LINEITEM_SQL,
     "cube_status_segment": CUBE_SQL,
-    "fuzzy_name_match": FUZZY_NAME_SQL,
-    "percentiles_by_status": PERCENTILES_SQL,
     "window_analytics": WINDOW_ANALYTICS_SQL,
     "join_star_schema": JOIN_STAR_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_anti": JOIN_ANTI_SQL,
     "window_topn_per_group": WINDOW_TOPN_SQL,
-    "set_ops": SET_OPS_SQL,
     "filter_compound": FILTER_COMPOUND_SQL,
-    "pivot_status_by_year": PIVOT_SQL,
     "having_agg_filter": HAVING_SQL,
-    "correlated_above_avg": CORRELATED_SQL,
 }
 
 # Folded-out-of-registry queries, still oracle-checkable in pytest.
@@ -768,7 +758,24 @@ ORACLES = {
 # winnow_fingerprints, a new family): reshaping stays driver-evidenced
 # by pivot_status_by_year; unpivot's stack expression keeps the
 # driver-identical compare here.
+# r7 rotation (VERDICT r6 next-round #2): five §2.5 analytics queries
+# fold to pytest to free driver slots for never-slotted families
+# (snapshot_version_diff, bpe_encode_tokens, linear_interp_values,
+# embedding_covariance, kmv_overlap_years, matview_rollup, the CoW
+# flagship, scd3). Their operator surfaces stay driver-evidenced by the
+# remaining slots: grouping-sets via cube_status_segment (CUBE ⊇ PIVOT's
+# grouped agg + ROLLUP), percentile aggregates via mad_outliers_prices'
+# quantile fences, set semantics via join_anti + bloom_semi_orders,
+# correlated-subquery decorrelation via having_agg_filter's agg-join
+# shape, and soundex/levenshtein scalar surface via corpus_select's
+# hashed text functions; all five keep the driver-identical compare
+# below.
 PYTEST_ONLY_QUERIES = {
+    "fuzzy_name_match": q_fuzzy_name_match,
+    "percentiles_by_status": q_percentiles_by_status,
+    "set_ops": q_set_ops,
+    "pivot_status_by_year": q_pivot_status_by_year,
+    "correlated_above_avg": q_correlated_above_avg,
     "unpivot_part_measures": q_unpivot_part_measures,
     "join_pred_in_on": q_join_pred_in_on,
     "top_orders": q_top_orders,
@@ -784,6 +791,11 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "fuzzy_name_match": FUZZY_NAME_SQL,
+    "percentiles_by_status": PERCENTILES_SQL,
+    "set_ops": SET_OPS_SQL,
+    "pivot_status_by_year": PIVOT_SQL,
+    "correlated_above_avg": CORRELATED_SQL,
     "unpivot_part_measures": UNPIVOT_SQL,
     "join_pred_in_on": JOIN_PRED_ON_SQL,
     "top_orders": TOP_ORDERS_SQL,
