@@ -530,12 +530,11 @@ def scd2_merge_cow(
     out["files_candidates"] = len(candidates)
 
     if candidates:
-        cand = read_manifest_files(spark, root, m, candidates)
+        cand = read_manifest_files(
+            spark, root, m, candidates, file_path_col="__fp"
+        )
         touched_abs = (
-            cand.select(
-                F.col(cfg.key),
-                F.col("_metadata.file_path").alias("__fp"),
-            )
+            cand.select(F.col(cfg.key), F.col("__fp"))
             .join(
                 F.broadcast(staging.select(cfg.key).distinct()),
                 cfg.key,

@@ -525,16 +525,33 @@ def read_snapshot(
 
 
 def read_manifest_files(
-    spark: SparkSession, root: str, m: dict, files: list[str]
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    files: list[str],
+    *,
+    file_path_col: str | None = None,
 ) -> DataFrame:
     """Read an explicit subset of a manifest's files with the manifest's
     schema pinned — the building block behind pruned reads and the
     copy-on-write merge's touched-files-only scan. Groups by snapshot
     dir so hive-partition columns resolve against the right basePath
-    (append/replace manifests span several stage dirs)."""
+    (append/replace manifests span several stage dirs).
+
+    ``file_path_col`` appends each row's source file path (from the
+    hidden ``_metadata`` column, captured BEFORE the projection that
+    would drop it) — how the CoW merge recovers file identity."""
+    from pyspark.sql import functions as F
+
     schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if file_path_col:
+            empty = empty.withColumn(
+                file_path_col, F.lit(None).cast("string")
+            )
+        return empty
     by_dir: dict[str, list[str]] = {}
     for rel in files:
         for d in m["snapshot_dirs"]:
@@ -549,10 +566,19 @@ def read_manifest_files(
         .parquet(*paths)
         for d, paths in sorted(by_dir.items())
     ]
+    if file_path_col:
+        parts = [
+            p.withColumn(file_path_col, F.col("_metadata.file_path"))
+            for p in parts
+        ]
+        cols = cols + [file_path_col]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # a partitioned read surfaces partition columns LAST regardless of
+    # the pinned schema; restore manifest order so round-trips (e.g. a
+    # replace-mode rewrite of a partitioned table) keep a stable shape
+    return out.select(*cols)
 
 
 def _survives_prune(file_stats: dict, prune: dict) -> bool:
@@ -577,6 +603,34 @@ def read_table(
     if version is not None:
         raise ValueError(f"{path} is not a snapshot table; cannot time-travel")
     return spark.read.parquet(path)
+
+
+def _diff_sides(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> tuple[DataFrame, DataFrame]:
+    """Both sides of a version diff, restricted to the files that
+    DIFFER between the two manifests. Rows in shared (carried) files
+    are byte-identical on both sides, so they can never contribute a
+    change — and under the keyed-table precondition the restriction is
+    EXACT: if a key's v_from row sat in a dropped file while its v_to
+    row sat in a carried file, the carried file's row would exist in
+    v_from too, giving v_from two rows for the key. On a copy-on-write
+    table this makes the change feed (and everything built on it — the
+    materialized view refresh, the streaming subscriber) cost O(changed
+    files), not O(table): a 1-file merge commit diffs 1+1 files however
+    large the table is. Overwrite commits share no files, so they fall
+    back to the full two-snapshot diff unchanged."""
+    m_from = load_manifest(root, v_from)
+    m_to = load_manifest(root, v_to)
+    shared = set(m_from["files"]) & set(m_to["files"])
+    return (
+        read_manifest_files(
+            spark, root, m_from, [f for f in m_from["files"] if f not in shared]
+        ),
+        read_manifest_files(
+            spark, root, m_to, [f for f in m_to["files"] if f not in shared]
+        ),
+    )
 
 
 def snapshot_changes(
@@ -609,12 +663,9 @@ def snapshot_changes(
     # presence via literal marker columns, NOT key-null probes: the join
     # matches NULL keys null-safely, so a legitimately-NULL key must not
     # read as "row absent" (it would emit a phantom insert every diff)
-    old = read_snapshot(spark, root, version=v_from).withColumn(
-        "__po", F.lit(1)
-    ).alias("o")
-    new = read_snapshot(spark, root, version=v_to).withColumn(
-        "__pn", F.lit(1)
-    ).alias("n")
+    d_old, d_new = _diff_sides(spark, root, v_from, v_to)
+    old = d_old.withColumn("__po", F.lit(1)).alias("o")
+    new = d_new.withColumn("__pn", F.lit(1)).alias("n")
     payload = [c for c in new.columns if c not in key_cols and c != "__pn"]
     if not payload:
         raise ValueError("need at least one non-key column to diff")
@@ -666,12 +717,9 @@ def snapshot_deltas(
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    old = read_snapshot(spark, root, version=v_from).withColumn(
-        "__po", F.lit(1)
-    ).alias("o")
-    new = read_snapshot(spark, root, version=v_to).withColumn(
-        "__pn", F.lit(1)
-    ).alias("n")
+    d_old, d_new = _diff_sides(spark, root, v_from, v_to)
+    old = d_old.withColumn("__po", F.lit(1)).alias("o")
+    new = d_new.withColumn("__pn", F.lit(1)).alias("n")
     cols = [c for c in new.columns if c != "__pn"]
     payload = [c for c in cols if c not in key_cols]
     if not payload:

@@ -10,10 +10,11 @@ Spark's state store — which is exactly how Delta's streaming MERGE
 pattern works and keeps the stream restartable from the table alone.
 
 At scale: each micro-batch is one broadcast-plan merge (production never
-shuffles — see operators/scd.py), so throughput is bounded by one scan +
-rewrite of the dimension per trigger. For a 100 TB dimension the publish
-step would be Delta MERGE (rewrites only touched files) instead of the
-parquet directory swap used here.
+shuffles — see operators/scd.py). :func:`scd2_upsert_stream` publishes a
+full rewrite per trigger (fine for small dimensions);
+:func:`scd2_cow_upsert_stream` is the 100 TB variant — the file-granular
+copy-on-write merge (``scd2_merge_cow``) rewrites only the files a
+batch's keys touch, the engine's own Delta-MERGE equivalent.
 """
 
 from __future__ import annotations
@@ -132,6 +133,89 @@ def cdc_stream(
 
     writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def scd2_cow_upsert_stream(
+    staging_stream: DataFrame,
+    prod_root: str,
+    cfg: SCDConfig,
+    *,
+    checkpoint_dir: str,
+    order_by: list[str] | None = None,
+    as_of_fn: Callable[[int], datetime] | None = None,
+    key_strategy: str = "hash",
+    retain_versions: int | None = 2,
+    retain_grace_seconds: float = 600.0,
+    max_commit_retries: int = 3,
+    trigger_available_now: bool = True,
+    crash_hook: Callable[[int, str], None] | None = None,
+) -> StreamingQuery:
+    """The 100 TB face of :func:`scd2_upsert_stream`: each micro-batch
+    merges through the FILE-GRANULAR copy-on-write path
+    (``operators/scd.py:scd2_merge_cow``) instead of rewriting the whole
+    dimension per trigger — per-trigger write volume is O(touched files
+    + inserts), which is what makes a continuously-upserted large
+    dimension affordable (the full-rewrite stream pays table-size write
+    amplification on EVERY trigger).
+
+    Preconditions: the dimension must already be published as a snapshot
+    table (ideally key-clustered with ``stats_cols`` on the business key
+    so the file prune bites), and ``key_strategy`` must be stable
+    (``hash``/``md5``) — enforced by the merge itself. A lost CAS race
+    against a concurrent writer retries up to ``max_commit_retries``
+    times (each retry re-reads the new latest version and re-merges —
+    safe because the merge is a pure function of current state +
+    batch). Replaying a batch after a crash rewrites the same touched
+    files with identical content (stable keys + deterministic
+    ``as_of_fn``), the same idempotent-upsert recovery class as the
+    full-rewrite stream; ``retain_versions`` bounds the commit history
+    per the usual per-trigger retention discipline."""
+    from implementing_scds_in_hive_spark.operators.scd import scd2_merge_cow
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+        vacuum,
+    )
+
+    spark = staging_stream.sparkSession
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre_publish")
+        as_of = (
+            as_of_fn(batch_id)
+            if as_of_fn
+            else datetime.now(timezone.utc).replace(tzinfo=None)
+        )
+        staged = dedupe_staging(batch, cfg, order_by=order_by)
+        for attempt in range(max_commit_retries):
+            try:
+                scd2_merge_cow(
+                    spark, prod_root, staged, cfg, as_of,
+                    key_strategy=key_strategy,
+                )
+                break
+            except CommitConflictError:
+                if attempt == max_commit_retries - 1:
+                    raise
+        if retain_versions is not None:
+            vacuum(
+                prod_root,
+                keep_last=retain_versions,
+                grace_seconds=retain_grace_seconds,
+            )
+        if crash_hook:
+            crash_hook(batch_id, "post_publish")
+
+    writer = (
+        staging_stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -303,3 +303,249 @@ def test_replace_crash_before_link_leaves_parent_intact(spark, tmp_path, monkeyp
     vacuum(root, keep_last=5, grace_seconds=0.0)
     vacuum(root, keep_last=5, grace_seconds=0.0)
     assert len(glob.glob(os.path.join(root, "data", "snap-*"))) == 1
+
+
+def test_compact_incremental_rewrites_only_small_files(spark, tmp_path):
+    """The Delta-OPTIMIZE shape on replace mode: small append files
+    bin-pack into target-sized outputs while right-sized files are
+    carried by reference — content identical, big file untouched."""
+    from implementing_scds_in_hive_spark.sources.sinks import compact_incremental
+
+    root = str(tmp_path / "t")
+    big = spark.range(100_000).selectExpr(
+        "id", "repeat('x', 40) AS pad"
+    ).coalesce(1)
+    write_snapshot(big, root)
+    m1 = load_manifest(root, 1)
+    assert len(m1["files"]) == 1
+    big_file = m1["files"][0]
+    for i in range(4):  # streaming-style small appends
+        small = spark.range(200_000 + i * 100, 200_000 + (i + 1) * 100).selectExpr(
+            "id", "repeat('y', 4) AS pad"
+        ).coalesce(1)
+        write_snapshot(small, root, mode="append")
+    m5 = load_manifest(root, 5)
+    assert len(m5["files"]) == 5
+
+    rep = compact_incremental(spark, root, target_bytes=200_000)
+    assert rep["files_compacted"] == 4
+    assert rep["files_written"] == 1  # 4 tiny files bin-pack into one
+    m6 = load_manifest(root, rep["version"])
+    assert big_file in m6["files"]  # right-sized file carried, not rewritten
+    assert len(m6["files"]) == 2
+    got = read_table(spark, root)
+    assert got.count() == 100_000 + 400
+    assert got.where("id >= 200000").count() == 400
+
+    # idempotent: nothing small remains, second run is a no-op
+    rep2 = compact_incremental(spark, root, target_bytes=200_000)
+    assert rep2["files_compacted"] == 0
+    assert rep2["version"] == rep["version"]
+
+
+def test_compact_incremental_preserves_clustering_and_stats(spark, tmp_path):
+    """When the manifest records stats columns, the rewritten rows are
+    range-reclustered on them and the new files carry fresh stats —
+    data skipping keeps working after the compaction."""
+    from implementing_scds_in_hive_spark.sources.sinks import compact_incremental
+    from implementing_scds_in_hive_spark.sources.snapshot import _survives_prune
+
+    root = str(tmp_path / "t")
+    for lo in (0, 1000, 2000, 3000):  # four tiny clustered appends
+        part = spark.range(lo, lo + 1000).selectExpr("id", "id * 2 AS v")
+        write_snapshot(
+            part.coalesce(1), root,
+            mode="append" if lo else "overwrite", stats_cols=["id"],
+        )
+    rep = compact_incremental(spark, root, target_bytes=1 << 20)
+    assert rep["files_compacted"] == 4
+    m = load_manifest(root, rep["version"])
+    assert all("id" in s for s in m["stats"].values())
+    pruned = read_snapshot(spark, root, prune={"id": (500, 600)})
+    assert sorted(r["id"] for r in pruned.collect()[:0]) == []  # plan only
+    assert pruned.where("id BETWEEN 500 AND 600").count() == 101
+
+
+def test_compact_incremental_keeps_partition_layout(spark, tmp_path):
+    from implementing_scds_in_hive_spark.sources.sinks import compact_incremental
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 2, f"v{i}") for i in range(50)],
+        "id long, year int, v string",
+    )
+    write_snapshot(df, root, partition_by=["year"])
+    write_snapshot(
+        spark.createDataFrame([(100, 2020, "new")], "id long, year int, v string"),
+        root, mode="append", partition_by=["year"],
+    )
+    rep = compact_incremental(spark, root, target_bytes=1 << 20)
+    assert rep["files_compacted"] >= 2
+    m = load_manifest(root, rep["version"])
+    assert m["partition_by"] == ["year"]
+    assert all("year=" in f for f in m["files"])  # hive layout intact
+    got = read_table(spark, root)
+    assert got.count() == 51
+    assert got.where("year = 2020").count() == 26
+    # partition-value pruning still works on the compacted files
+    pr = read_snapshot(spark, root, prune={"year": (2021, 2021)})
+    assert pr.count() == 25
+
+
+def test_cow_upsert_stream_matches_batch_merges(spark, tmp_path):
+    """Streaming face parity: driving the copy-on-write upsert stream
+    over per-batch staging files lands the dimension in exactly the
+    state of sequential batch scd2_merge calls (stable hash keys), while
+    each trigger rewrites only the touched files."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from implementing_scds_in_hive_spark.streaming.scd_stream import (
+        scd2_cow_upsert_stream,
+    )
+
+    cfg = SCDConfig(
+        key="login",
+        type2_cols=("address",),
+        type1_cols=("name",),
+        surrogate_col="dim_id",
+    )
+    prod_schema = T.StructType(
+        [
+            T.StructField("dim_id", T.LongType()),
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("scd_version", T.IntegerType()),
+            T.StructField("scd_start_date", T.TimestampType()),
+            T.StructField("scd_end_date", T.TimestampType()),
+            T.StructField("scd_active", T.BooleanType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+    eot = datetime(9999, 12, 31, 23, 59, 59)
+    prod_rows = [
+        (None, f"u{i}", f"a{i}", f"N{i}", 1, t0, eot, True) for i in range(40)
+    ]
+    prod = assign_surrogate_keys(
+        spark.createDataFrame(prod_rows, prod_schema), cfg, strategy="hash"
+    )
+    root = str(tmp_path / "dim")
+    write_snapshot(
+        prod.repartitionByRange(8, "login").sortWithinPartitions("login"),
+        root, stats_cols=["login"],
+    )
+    m1_files = load_manifest(root, 1)["files"]
+
+    stg_schema = T.StructType(
+        [
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("batch_ts", T.TimestampType()),
+        ]
+    )
+    # batch 0: u1 type-2 change + brand-new u99; batch 1: u2 type-1
+    # rename + u1 changes address again
+    batches = [
+        [("u1", "a1-new", "N1", t0), ("u99", "a99", "N99", t0)],
+        [("u2", "a2", "N2-renamed", t0), ("u1", "a1-newer", "N1", t0)],
+    ]
+    stg_dir = str(tmp_path / "staging_stream")
+    for chunk in batches:
+        spark.createDataFrame(chunk, stg_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stg_dir)
+
+    as_of = {0: datetime(2024, 2, 1), 1: datetime(2024, 3, 1)}
+    stream = (
+        spark.readStream.schema(stg_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stg_dir)
+    )
+    q = scd2_cow_upsert_stream(
+        stream,
+        root,
+        cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_by=["batch_ts"],
+        as_of_fn=lambda b: as_of[b],
+        retain_versions=None,  # keep every version for the file audit
+    )
+    q.awaitTermination(120)
+
+    def batch_apply(order):
+        cur = prod
+        for i in order:
+            stg = spark.createDataFrame(batches[i], stg_schema).drop("batch_ts")
+            cur = scd2_merge(cur, stg, cfg, as_of[i], key_strategy="hash",
+                             broadcast_staging=True)
+        return _canon(cur.select(*[f.name for f in prod_schema.fields]))
+
+    got = _canon(
+        read_table(spark, root).select(*[f.name for f in prod_schema.fields])
+    )
+    assert got in (batch_apply([0, 1]), batch_apply([1, 0]))
+
+    # file economy: each trigger carried most of the initial files
+    for v in (2, 3):
+        m = load_manifest(root, v)
+        carried = set(m1_files) & set(m["files"])
+        assert len(carried) >= len(m1_files) - 2  # ≤2 touched per batch
+
+
+def test_change_feed_reads_only_differing_files(spark, tmp_path):
+    """On a CoW table the version diff restricts both sides to the
+    files that DIFFER between the manifests (carried files cannot
+    contribute a change, and key-uniqueness makes the restriction
+    exact) — so the change feed costs O(changed files), not O(table),
+    and still emits exactly the right I/U/D rows."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        _diff_sides,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=16)
+    sparse = customer_staging(spark, SF).where(
+        F.col("c_custkey").between(100, 115)
+    )
+    rep = scd2_merge_cow(spark, root, sparse, CUSTOMER_CFG, AS_OF)
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+
+    d_old, d_new = _diff_sides(spark, root, 1, 2)
+    assert len(d_old.inputFiles()) == rep["files_rewritten"]
+    # new side: rewritten files + possibly an inserts file
+    assert len(d_new.inputFiles()) <= rep["files_rewritten"] + 1
+
+    # the pruned diff equals the brute-force full-snapshot diff
+    got = snapshot_changes(
+        spark, root, 1, 2, ["dim_customer_id"]
+    )
+    v1 = read_snapshot(spark, root, version=1)
+    v2 = read_snapshot(spark, root, version=2)
+    old_keys = {r["dim_customer_id"] for r in v1.select("dim_customer_id").collect()}
+    new_rows = {
+        tuple(str(v) for v in r)
+        for r in v2.join(v1, v2.columns, "left_anti").collect()
+    }
+    gone = {
+        r["dim_customer_id"]
+        for r in v1.join(v2, v1.columns, "left_anti").select("dim_customer_id").collect()
+    } - {r["dim_customer_id"] for r in v2.select("dim_customer_id").collect()}
+    by_op = {
+        op: [r for r in got.collect() if r["op"] == op] for op in ("I", "U", "D")
+    }
+    # inserts = rows whose surrogate key did not exist in v1 (hash keys
+    # are stable, so a new version row gets a new key)
+    assert {r["dim_customer_id"] for r in by_op["I"]} == {
+        r["dim_customer_id"]
+        for r in v2.select("dim_customer_id").collect()
+    } - old_keys
+    assert {r["dim_customer_id"] for r in by_op["D"]} == gone
+    # updates carry the v2 payload
+    for r in by_op["U"]:
+        assert tuple(
+            str(r[c]) for c in v2.columns
+        ) in new_rows
