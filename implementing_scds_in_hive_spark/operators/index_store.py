@@ -578,19 +578,24 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
         spark.catalog.refreshTable(spec["table"])
     if crash_hook:
         crash_hook("post_stage")
-    _replace_meta_atomic(root, meta)
-    if crash_hook:
-        crash_hook("post_meta")
     # Old generations are NOT removed inline: a concurrent prober that
     # resolved its plan against the pre-compaction generation gets the
     # same grace window the snapshot vacuum gives dereferenced versions.
-    # Touch restarts the mtime clock at DEREFERENCE time so
-    # _sweep_orphan_generations reclaims them only grace_seconds later.
+    # Touch restarts the mtime clock at dereference time so
+    # _sweep_orphan_generations reclaims them only grace_seconds later —
+    # and the touch happens BEFORE the meta commit (harmless while the
+    # dirs are still referenced), so neither a crash right after the
+    # commit nor a sweep racing the gap between commit and touch can
+    # see an unreferenced dir with a stale clock and reclaim it with
+    # zero grace.
     for p in old_paths:
         try:
             os.utime(p, None)
         except FileNotFoundError:
             pass
+    _replace_meta_atomic(root, meta)
+    if crash_hook:
+        crash_hook("post_meta")
     return counts
 
 

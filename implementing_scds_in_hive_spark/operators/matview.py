@@ -33,6 +33,7 @@ from implementing_scds_in_hive_spark.sources.snapshot import (
     is_snapshot_table,
     latest_version,
     load_manifest,
+    read_snapshot,
     read_table,
     vacuum,
     write_snapshot,
@@ -101,6 +102,7 @@ def maintain_view(
             existing, deltas, **agg_kwargs
         )
     )
+    view_v = latest_version(view_root) if is_snapshot_table(view_root) else None
     last = view_watermark(view_root)
     rebuilt = False
     try:
@@ -116,15 +118,29 @@ def maintain_view(
         batch, new_wm = None, latest_version(source_root)
         rebuilt = True
     if batch is None and not rebuilt:
-        return {"updated": False, "watermark": last, "view_version": latest_version(view_root)}
+        return {"updated": False, "watermark": last, "view_version": view_v}
     if last is None or rebuilt:
-        src = batch.drop("__w") if batch is not None else read_table(
-            spark, source_root
+        # the rebuild MUST read the exact version the watermark records:
+        # an unpinned read_table could resolve a source commit that
+        # landed after new_wm was chosen, making the view newer than
+        # its watermark and double-folding those deltas next refresh
+        src = batch.drop("__w") if batch is not None else read_snapshot(
+            spark, source_root, version=new_wm
         )
         view = init_fn(src)
     else:
         view = fold_fn(read_table(spark, view_root), batch)
-    v = write_snapshot(view, view_root, app_meta={_WATERMARK: new_wm})
+    # CAS on the view version whose content was folded: two concurrent
+    # refreshers would otherwise both fold the same delta batch (the
+    # second one on top of the first's already-folded result). The
+    # loser raises CommitConflictError — re-run; the winner's commit
+    # already advanced the watermark, so the retry is a cheap no-op.
+    v = write_snapshot(
+        view,
+        view_root,
+        app_meta={_WATERMARK: new_wm},
+        expected_version=view_v if view_v is not None else 0,
+    )
     if retain_versions is not None:
         vacuum(
             view_root,

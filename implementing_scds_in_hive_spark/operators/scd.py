@@ -544,10 +544,18 @@ def scd2_merge_cow(
             .distinct()
             .collect()
         )
+        from urllib.parse import unquote, urlparse
+
         root_abs = os.path.abspath(root)
+        # _metadata.file_path is a URI: strip the scheme AND percent-
+        # decoding (a root containing spaces yields %20 segments that
+        # would never match the manifest's plain relative paths)
         touched = sorted(
             os.path.relpath(
-                os.path.normpath(r["__fp"].removeprefix("file:")), root_abs
+                os.path.normpath(
+                    unquote(urlparse(r["__fp"]).path or r["__fp"])
+                ),
+                root_abs,
             )
             for r in touched_abs
         )
@@ -556,6 +564,35 @@ def scd2_merge_cow(
         touched = []
 
     touched_df = read_manifest_files(spark, root, m, touched)
+    # Mixed-key-family guard: carried files keep their existing
+    # surrogate keys, so the parent MUST have been published with the
+    # same stable strategy — a parent keyed by row_number/two_pass (or a
+    # different hash family) would silently end up with two key
+    # families, risking collisions. Recompute the strategy's key for a
+    # tiny sample of parent rows and compare (one O(sample) job).
+    probe_src = touched_df if touched else read_manifest_files(
+        spark, root, m, m["files"][:1]
+    )
+    sample = probe_src.limit(20)
+    mismatched = (
+        assign_surrogate_keys(
+            sample.withColumnRenamed(cfg.surrogate_col, "__old_sk")
+            .withColumn(cfg.surrogate_col, F.col("__old_sk")),
+            cfg,
+            strategy=key_strategy,
+        )
+        .where(~F.col(cfg.surrogate_col).eqNullSafe(F.col("__old_sk")))
+        .limit(1)
+        .count()
+    )
+    if mismatched:
+        raise ValueError(
+            f"parent table at {root} was not keyed with stable strategy "
+            f"{key_strategy!r} (sampled surrogate keys do not match the "
+            f"recomputed values) — carried files would keep a different "
+            f"key family than rewritten ones; republish the dimension "
+            f"with assign_surrogate_keys(strategy={key_strategy!r}) first"
+        )
     merged = scd2_merge(
         touched_df,
         staging,

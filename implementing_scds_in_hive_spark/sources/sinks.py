@@ -354,7 +354,16 @@ def compact_incremental(
     )
     part_cols = list(m["partition_by"])
     cluster_cols = [c for c in stats_cols if c not in part_cols]
-    if part_cols:
+    if part_cols and cluster_cols:
+        # range on (partition, cluster) keeps each task's rows contiguous
+        # in BOTH: partitionBy still splits files per hive partition, and
+        # within a partition each file covers a disjoint cluster range —
+        # the data-skipping stats stay tight instead of every compacted
+        # file spanning its partition's whole key range
+        packed = rows.repartitionByRange(
+            n_out, *part_cols, *cluster_cols
+        ).sortWithinPartitions(*part_cols, *cluster_cols)
+    elif part_cols:
         packed = rows.repartition(n_out, *part_cols)
     elif cluster_cols:
         packed = rows.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(

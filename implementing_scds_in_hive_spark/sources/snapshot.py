@@ -189,8 +189,9 @@ def stage_files(
         # in the path, not the file), so without this a prune on the
         # FIRST column a user partitions by would silently keep every
         # file; the path IS the exact [v, v] stats entry.
+        ptypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for rel in staged["files"]:
-            pv = _partition_values(os.path.relpath(rel, snap_rel))
+            pv = _partition_values(os.path.relpath(rel, snap_rel), ptypes)
             if pv:
                 stats.setdefault(rel, {}).update(
                     {c: [v, v] for c, v in pv.items()}
@@ -200,31 +201,49 @@ def stage_files(
     return staged
 
 
-def _partition_values(rel_in_snapshot: str) -> dict:
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+_INT_RE = None  # compiled lazily
+
+
+def _partition_values(rel_in_snapshot: str, col_types: dict) -> dict:
     """Typed partition values parsed from a file's ``col=value`` path
-    segments (Spark's hive layout). Values coerce the way Spark's own
-    partition inference does — int, then float, else URL-unquoted
-    string; the null sentinel yields NO entry so pruning on that column
-    keeps the file (absence of stats must never cost correctness)."""
+    segments (Spark's hive layout). Coercion follows the COLUMN'S
+    DECLARED TYPE (``col_types``: name -> simpleString), never blind
+    inference — a StringType partition value like '007' must stay the
+    string '007' or pruning against string bounds raises on a str/int
+    comparison (and '1_0' would silently become 10). A value that does
+    not parse as its declared type, an unknown column, or the null
+    sentinel yields NO entry, so pruning on that column keeps the file
+    (absence of stats must never cost correctness)."""
+    import re
     from urllib.parse import unquote
 
+    global _INT_RE
+    if _INT_RE is None:
+        _INT_RE = (
+            re.compile(r"^-?\d+$"),
+            re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"),
+        )
+    int_re, float_re = _INT_RE
     out: dict = {}
     for seg in rel_in_snapshot.split(os.sep)[:-1]:
         name, eq, raw = seg.partition("=")
         if not eq:
             continue
+        name = unquote(name)
         raw = unquote(raw)
-        if raw == "__HIVE_DEFAULT_PARTITION__":
+        if raw == "__HIVE_DEFAULT_PARTITION__" or name not in col_types:
             continue
-        val: int | float | str
-        try:
-            val = int(raw)
-        except ValueError:
-            try:
-                val = float(raw)
-            except ValueError:
-                val = raw
-        out[unquote(name)] = val
+        ctype = col_types[name]
+        if ctype in _INT_TYPES:
+            if int_re.match(raw):
+                out[name] = int(raw)
+        elif ctype in _FLOAT_TYPES or ctype.startswith("decimal"):
+            if float_re.match(raw):
+                out[name] = float(raw)
+        else:
+            out[name] = raw
     return out
 
 
@@ -312,6 +331,25 @@ def commit(
     os.makedirs(mdir, exist_ok=True)
     attempts = 0
     while True:
+        # A vacuum racing a LONG stage may have tombstoned — or, past
+        # the grace window, reclaimed — the still-unreferenced stage
+        # dir. Clear the tombstone (restarting the grace clock) and
+        # refuse to link a manifest whose files are already gone: a
+        # loud failure here beats committing a table that references
+        # deleted data.
+        try:
+            os.unlink(_tombstone_path(root, staged["snapshot_dir"]))
+        except FileNotFoundError:
+            pass
+        if staged["files"] and not os.path.isdir(
+            os.path.join(root, staged["snapshot_dir"])
+        ):
+            raise RuntimeError(
+                f"stage dir {staged['snapshot_dir']} was reclaimed by a "
+                f"concurrent vacuum before the commit (the stage outlived "
+                f"the vacuum grace window) — re-stage, and raise "
+                f"grace_seconds above the longest expected stage duration"
+            )
         parent = latest_version(root)
         if expected_version is not None and (parent or 0) != expected_version:
             _abandon(root, staged)
@@ -322,11 +360,25 @@ def commit(
         files = list(staged["files"])
         dirs = [staged["snapshot_dir"]]
         stats = dict(staged.get("stats", {}))
+        lineage = False
         if mode == "append" and parent is not None:
-            pm = load_manifest(root, parent)
+            try:
+                pm = load_manifest(root, parent)
+            except FileNotFoundError:
+                # a concurrent vacuum dropped the parent between our
+                # latest_version and the read; re-resolve and retry
+                attempts += 1
+                if attempts >= max_retries:
+                    _abandon(root, staged)
+                    raise CommitConflictError(
+                        f"parent manifests kept vanishing under concurrent "
+                        f"vacuums for {max_retries} attempts at {root}"
+                    )
+                continue
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
+            lineage = pm.get("cow_lineage", False)
         elif mode == "replace":
             if parent is None:
                 _abandon(root, staged)
@@ -334,7 +386,15 @@ def commit(
                     "mode='replace' needs a committed parent version to "
                     "carry files from; use overwrite for the first commit"
                 )
-            pm = load_manifest(root, parent)
+            try:
+                pm = load_manifest(root, parent)
+            except FileNotFoundError:
+                _abandon(root, staged)
+                raise CommitConflictError(
+                    f"parent version {parent} was vacuumed during the "
+                    f"commit; re-read the table and re-merge"
+                )
+            lineage = True
             shape = lambda s: [  # noqa: E731 — nullability may relax
                 (f["name"], f["type"]) for f in json.loads(s)["fields"]
             ]
@@ -382,6 +442,13 @@ def commit(
         }
         if mode == "replace":
             manifest["replaced"] = sorted(staged.get("drop_files", []))
+        if lineage:
+            # propagated through append/replace chains, reset by a full
+            # overwrite: tells vacuum whether individually-superseded
+            # files can exist inside still-referenced dirs, so the
+            # file-granular sweep (an O(files) walk) only runs on
+            # tables that have actually seen a replace commit
+            manifest["cow_lineage"] = True
         if staged.get("app_meta") is not None:
             # application-level metadata committed ATOMICALLY with the
             # data (the Delta txnAppId/txnVersion idea): e.g. a
@@ -830,6 +897,7 @@ def vacuum(
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
     referenced_files: set[str] = set()
+    cow_lineage = False
     for v in kept:
         try:
             pm = load_manifest(root, v)
@@ -840,6 +908,7 @@ def vacuum(
             continue
         referenced.update(pm["snapshot_dirs"])
         referenced_files.update(pm["files"])
+        cow_lineage = cow_lineage or pm.get("cow_lineage", False)
     for v in dropped:
         try:
             os.unlink(_manifest_path(root, v))
@@ -888,8 +957,18 @@ def vacuum(
                 continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(rel)
-    removed_files = _sweep_replaced_files(
-        root, referenced, referenced_files, grace_seconds, now
+    # The file-granular sweep is an O(files-on-disk) recursive walk; a
+    # per-trigger vacuum (streaming upsert, view refresh) must not pay
+    # it on tables that never saw a replace commit — the cow_lineage
+    # flag (set by replace, carried by append, reset by overwrite) says
+    # whether an individually-superseded file can possibly exist inside
+    # a still-referenced dir.
+    removed_files = (
+        _sweep_replaced_files(
+            root, referenced, referenced_files, grace_seconds, now
+        )
+        if cow_lineage
+        else []
     )
     return {
         "dropped_versions": dropped,

@@ -549,3 +549,33 @@ def test_change_feed_reads_only_differing_files(spark, tmp_path):
         assert tuple(
             str(r[c]) for c in v2.columns
         ) in new_rows
+
+
+def test_cow_rejects_mismatched_parent_key_family(spark, tmp_path):
+    """Review r7: carried files keep their existing surrogate keys, so
+    a parent published under a DIFFERENT key family must be rejected
+    loudly — a silent mix of dense and hashed keys risks collisions."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, strategy="md5")
+    staging = customer_staging(spark, SF)
+    with pytest.raises(ValueError, match="not keyed with stable strategy"):
+        scd2_merge_cow(spark, root, staging, CUSTOMER_CFG, AS_OF,
+                       key_strategy="hash")
+
+
+def test_cow_handles_roots_with_spaces(spark, tmp_path):
+    """Review r7: _metadata.file_path is a URI — percent-encoded
+    segments (a root containing spaces) must decode before matching the
+    manifest's plain relative paths."""
+    root = str(tmp_path / "my dim table")
+    _publish_v1(spark, root)
+    sparse = customer_staging(spark, SF).where(
+        F.col("c_custkey").between(100, 115)
+    )
+    rep = scd2_merge_cow(spark, root, sparse, CUSTOMER_CFG, AS_OF)
+    assert rep["files_rewritten"] > 0
+    expected = scd2_merge(
+        read_snapshot(spark, root, version=1), sparse, CUSTOMER_CFG, AS_OF,
+        key_strategy="hash", broadcast_staging=True,
+    )
+    assert _canon(read_table(spark, root)) == _canon(expected)

@@ -558,3 +558,37 @@ def test_compact_index_leaves_old_generation_for_graced_sweep(spark, minhash_set
     assert pinned.count() == n
     swept = _sweep_orphan_generations(root, meta, grace_seconds=0.0)
     assert sorted(swept) == sorted(os.path.basename(p) for p in old_paths)
+
+
+def test_compact_index_touches_old_generation_before_meta_commit(spark, minhash_setup):
+    """Review r7: the dereference-time mtime touch must land BEFORE the
+    sidecar commit — a crash right after the commit (or a sweep racing
+    the gap) must still find the old generation inside its grace
+    window."""
+    import os
+    import time
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _index_specs,
+        _read_meta,
+        _sweep_orphan_generations,
+        compact_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    old_paths = [s["path"] for s in _index_specs(_read_meta(root))]
+    for p in old_paths:  # age the dirs: last append long ago
+        os.utime(p, (1.0, 1.0))
+
+    def die_post_meta(phase):
+        if phase == "post_meta":
+            raise RuntimeError("crash right after sidecar commit")
+
+    with __import__("pytest").raises(RuntimeError, match="after sidecar"):
+        compact_index(spark, root, crash_hook=die_post_meta)
+    # the commit landed; the old dirs are now unreferenced orphans — but
+    # their clocks were restarted pre-commit, so a graced sweep keeps them
+    meta = _read_meta(root)
+    assert _sweep_orphan_generations(root, meta, grace_seconds=3600.0) == []
+    assert all(os.path.isdir(p) for p in old_paths)
+    assert all(time.time() - os.path.getmtime(p) < 600 for p in old_paths)

@@ -171,3 +171,84 @@ def test_chain_overwrite_append_compact(spark, tmp_path):
         rep = refresh_until_current(spark, source, view, KEY)
         assert rep["watermark"] == latest_version(source)
         _assert_current(spark, source, view)
+
+
+def test_rebuild_reads_the_watermarked_version(spark, tmp_path, monkeypatch):
+    """Review r7: the rebuild fallback must read the EXACT version its
+    watermark records — an unpinned read racing a concurrent source
+    commit would make the view newer than its watermark and double-fold
+    those deltas on the next refresh."""
+    import implementing_scds_in_hive_spark.operators.matview as mv
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    write_snapshot(e.where(F.col("event_id") % 2 == 0), source)
+    maintain_view(spark, source, view, KEY)
+    # retention outruns the view: v2, v3 land and v1..v2 are vacuumed
+    write_snapshot(e.where(F.col("event_id") % 3 == 0), source)
+    from implementing_scds_in_hive_spark.sources.snapshot import vacuum
+
+    vacuum(source, keep_last=1, grace_seconds=0.0)
+
+    # simulate the race: latest_version says v2 when new_wm is chosen,
+    # but v3 commits before the rebuild's read executes
+    real_latest = mv.latest_version
+    state = {"fired": False}
+
+    def racing_latest(root):
+        v = real_latest(root)
+        if root == source and not state["fired"]:
+            state["fired"] = True
+            write_snapshot(e.where(F.col("event_id") % 5 == 0), source)
+        return v
+
+    monkeypatch.setattr(mv, "latest_version", racing_latest)
+    rep = maintain_view(spark, source, view, KEY)
+    monkeypatch.setattr(mv, "latest_version", real_latest)
+    assert rep["rebuilt"] and rep["watermark"] == 2
+    # the view contains exactly v2's rollup (pinned read), not v3's
+    expected_v2 = event_rollup(
+        read_table(spark, source) if latest_version(source) == 2
+        else __import__("implementing_scds_in_hive_spark.sources.snapshot",
+                        fromlist=["read_snapshot"]).read_snapshot(
+            spark, source, version=2)
+    )
+    assert _canon(read_table(spark, view)) == _canon(expected_v2)
+    # and the NEXT refresh folds v2 -> v3 exactly once
+    maintain_view(spark, source, view, KEY)
+    _assert_current(spark, source, view)
+
+
+def test_concurrent_refreshers_conflict_loudly(spark, tmp_path, monkeypatch):
+    """Review r7: the view commit CASes on the view version whose
+    content was folded — a second refresher that read the pre-fold view
+    raises CommitConflictError instead of folding the same deltas twice
+    on top of the winner's result."""
+    import implementing_scds_in_hive_spark.operators.matview as mv
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+    )
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    write_snapshot(e.where(F.col("event_id") % 2 == 0), source)
+    maintain_view(spark, source, view, KEY)
+    write_snapshot(e, source)  # pending deltas both refreshers will see
+
+    real_ws = mv.write_snapshot
+    state = {"won": False}
+
+    def interleaved(df, root_, **kw):
+        if root_ == view and not state["won"]:
+            state["won"] = True
+            # the concurrent winner completes its whole refresh first
+            mv.maintain_view(spark, source, view, KEY)
+        return real_ws(df, root_, **kw)
+
+    monkeypatch.setattr(mv, "write_snapshot", interleaved)
+    with pytest.raises(CommitConflictError):
+        maintain_view(spark, source, view, KEY)
+    monkeypatch.setattr(mv, "write_snapshot", real_ws)
+    # winner's fold stands, exactly once applied
+    _assert_current(spark, source, view)
+    assert maintain_view(spark, source, view, KEY)["updated"] is False

@@ -633,3 +633,104 @@ def test_partition_null_sentinel_always_kept(spark, tmp_path):
     write_snapshot(df, root, partition_by=["year"])
     pruned = read_snapshot(spark, root, prune={"year": (2020, 2020)})
     assert _ids(pruned) == [1, 2]  # the NULL-partition file survives
+
+
+def test_string_partition_values_keep_declared_type(spark, tmp_path):
+    """Review r7: partition path values coerce by the COLUMN'S declared
+    type, not blind inference — a StringType value like '007' must stay
+    '007' (int coercion would make pruning compare str bounds against
+    int stats and crash)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "007", "a"), (2, "100", "b"), (3, "x1", "c")],
+        "id long, code string, v string",
+    )
+    write_snapshot(df, root, partition_by=["code"])
+    m = load_manifest(root, 1)
+    vals = {s["code"][0] for s in m["stats"].values()}
+    assert vals == {"007", "100", "x1"}  # strings, leading zero intact
+    pruned = read_snapshot(spark, root, prune={"code": ("007", "007")})
+    assert _ids(pruned) == [1]
+
+
+def test_commit_refuses_reclaimed_stage_dir(spark, tmp_path):
+    """Review r7: a stage that outlived the vacuum grace window and was
+    reclaimed must fail the commit LOUDLY — linking a manifest that
+    references deleted files would corrupt the table silently."""
+    import shutil
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [0]), root)
+    staged = stage_files(_df(spark, [1]), root)
+    shutil.rmtree(os.path.join(root, staged["snapshot_dir"]))
+    with pytest.raises(RuntimeError, match="reclaimed by a concurrent vacuum"):
+        commit(root, staged)
+    assert _ids(read_table(spark, root)) == [0]  # table untouched
+
+
+def test_replace_parent_vacuumed_raises_conflict(spark, tmp_path, monkeypatch):
+    """Review r7: a replace whose parent manifest a concurrent vacuum
+    dropped mid-commit surfaces as CommitConflictError (the retryable
+    class the CoW stream catches), not a raw FileNotFoundError, and the
+    stage dir is abandoned."""
+    import glob
+
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    write_snapshot(_df(spark, [2]), root)
+    m2 = load_manifest(root, 2)
+    real_load = snap.load_manifest
+
+    def racing_load(r, v):
+        os.unlink(snap._manifest_path(r, v))
+        return real_load(r, v)
+
+    monkeypatch.setattr(snap, "load_manifest", racing_load)
+    staged = stage_files(_df(spark, [9]), root)
+    staged["drop_files"] = list(m2["files"])
+    with pytest.raises(CommitConflictError, match="vacuumed during"):
+        commit(root, staged, mode="replace", expected_version=2)
+    monkeypatch.setattr(snap, "load_manifest", real_load)
+    # loser's stage dir was abandoned (v1's + v2's dirs remain)
+    assert len(glob.glob(os.path.join(root, "data", "snap-*"))) == 2
+
+
+def test_file_sweep_gated_on_cow_lineage(spark, tmp_path, monkeypatch):
+    """Review r7: the O(files) recursive file sweep only runs when a
+    kept manifest carries cow_lineage (set by replace, carried by
+    append, reset by overwrite) — a per-trigger vacuum on an
+    overwrite-only table must not pay the walk."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    calls = []
+    real = snap._sweep_replaced_files
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(snap, "_sweep_replaced_files", counting)
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    write_snapshot(_df(spark, [3]), root)
+    snap.vacuum(root, keep_last=2, grace_seconds=0.0)
+    assert calls == []  # overwrite-only: no walk
+
+    m = load_manifest(root, 2)
+    staged = stage_files(_df(spark, [4]), root)
+    staged["drop_files"] = list(m["files"])
+    commit(root, staged, mode="replace", expected_version=2)
+    snap.vacuum(root, keep_last=2, grace_seconds=0.0)
+    assert calls == [1]  # replace in kept history: walk runs
+
+    # append on top carries the lineage
+    write_snapshot(_df(spark, [5]), root, mode="append")
+    snap.vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert calls == [1, 1]
+
+    # a fresh overwrite resets it
+    write_snapshot(_df(spark, [6]), root)
+    snap.vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert calls == [1, 1]
