@@ -360,6 +360,7 @@ def commit(
         files = list(staged["files"])
         dirs = [staged["snapshot_dir"]]
         stats = dict(staged.get("stats", {}))
+        deletes: dict[str, list[str]] = {}
         lineage = False
         if mode == "append" and parent is not None:
             try:
@@ -378,6 +379,7 @@ def commit(
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
+            deletes = {k: list(v) for k, v in pm.get("deletes", {}).items()}
             lineage = pm.get("cow_lineage", False)
         elif mode == "replace":
             if parent is None:
@@ -418,18 +420,46 @@ def commit(
                 )
             carried = [f for f in pm["files"] if f not in drop]
             files = carried + files
-            # keep only dirs that still contribute at least one file, so
-            # vacuum can reclaim a fully-superseded stage dir
-            sep = os.sep
-            dirs = [
-                d
-                for d in pm["snapshot_dirs"] + dirs
-                if any(f.startswith(d + sep) for f in files)
-            ]
+            dirs = pm["snapshot_dirs"] + dirs
             stats = {
                 **{f: s for f, s in pm.get("stats", {}).items() if f not in drop},
                 **stats,
             }
+            # a rewritten file's deletion vector dies with it: the staged
+            # replacement holds only live rows
+            deletes = {
+                k: list(v)
+                for k, v in pm.get("deletes", {}).items()
+                if k not in drop
+            }
+        staged_dv = {
+            k: list(v) for k, v in staged.get("delete_vectors", {}).items()
+        }
+        if staged_dv:
+            bad_dv = set(staged_dv) - set(files)
+            if bad_dv:
+                _abandon(root, staged)
+                raise ValueError(
+                    f"delete_vectors reference files not in the committed "
+                    f"file list: {sorted(bad_dv)[:5]}"
+                )
+            # the staged vector REPLACES the parent's for that file — a
+            # merge-on-read writer accumulates prior positions into the
+            # new vector, so the manifest always maps a file to ONE
+            # complete position set (the superseded vector becomes
+            # unreferenced and the file-granular sweep reclaims it)
+            deletes.update(staged_dv)
+            lineage = True
+        if mode == "replace":
+            # keep only dirs that still contribute a data file OR a live
+            # deletion vector, so vacuum can reclaim fully-superseded
+            # stage dirs
+            sep = os.sep
+            live = set(files)
+            live.update(r for rels in deletes.values() for r in rels)
+            dirs = [
+                d for d in dirs if any(f.startswith(d + sep) for f in live)
+            ]
         manifest = {
             "version": version,
             "parent": parent,
@@ -440,6 +470,8 @@ def commit(
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
         }
+        if deletes:
+            manifest["deletes"] = deletes
         if mode == "replace":
             manifest["replaced"] = sorted(staged.get("drop_files", []))
         if lineage:
