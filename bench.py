@@ -56,6 +56,27 @@ HEADLINE = [
 ]
 
 
+# sf-sized scratch tables the extra-entry builders publish (IVF index,
+# snapshot tables); removed after the run so repeated benches don't
+# accumulate temp data (ADVICE r7 #4).
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_root(tag: str) -> str:
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"bench_{tag}_{os.getpid()}")
+    _SCRATCH_ROOTS.append(root)
+    return root
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for root in _SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -165,6 +186,7 @@ def main() -> None:
             }
         )
     )
+    _cleanup_scratch()
 
 
 def _build_stored_ivf(spark, sf_dir):
@@ -197,7 +219,7 @@ def _build_stored_ivf(spark, sf_dir):
     )
     from implementing_scds_in_hive_spark.plans.pipeline_ops import _query_vectors
 
-    root = os.path.join(tempfile.gettempdir(), f"bench_ivf_{os.getpid()}")
+    root = _scratch_root("ivf")
     shutil.rmtree(root, ignore_errors=True)
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     centroids = e.where(F.col("vec_id") % 40 == 7).select(
@@ -254,7 +276,7 @@ def _build_snapshot_read(spark, sf_dir):
         write_snapshot,
     )
 
-    root = os.path.join(tempfile.gettempdir(), f"bench_snap_{os.getpid()}")
+    root = _scratch_root("snap")
     shutil.rmtree(root, ignore_errors=True)
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     write_snapshot(
@@ -289,4 +311,7 @@ def _build_snapshot_read(spark, sf_dir):
 
 
 if __name__ == "__main__":
+    import atexit
+
+    atexit.register(_cleanup_scratch)  # cover exception exits too
     main()

@@ -516,17 +516,27 @@ def scd2_merge_cow(
     out = {"version": v, "files_total": len(m["files"])}
 
     bounds = staging.agg(
-        F.min(cfg.key).alias("lo"), F.max(cfg.key).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.min(cfg.key).alias("lo"),
+        F.max(cfg.key).alias("hi"),
     ).first()
-    if bounds["lo"] is None and bounds["hi"] is None:
+    if bounds["n"] == 0:
         # empty staging: nothing to merge, current version stands
         return {**out, "files_candidates": 0, "files_rewritten": 0}
 
     stats = m.get("stats", {})
-    key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
-    candidates = [
-        f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
-    ]
+    if bounds["lo"] is None:
+        # non-empty staging whose keys are ALL NULL: a NULL key can never
+        # equi-match a production row, so no file is touched — but the
+        # rows still insert as brand-new version-1 rows via the merge's
+        # anti-join, exactly like the full scd2_merge path (ADVICE r7 #3:
+        # previously mis-treated as an empty no-op).
+        candidates = []
+    else:
+        key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
+        candidates = [
+            f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
+        ]
     out["files_candidates"] = len(candidates)
 
     if candidates:

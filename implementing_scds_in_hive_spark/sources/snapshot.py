@@ -878,7 +878,13 @@ def changes_since(
         # that never existed instead of delivering the initial load
         return None, last_version
     if last_version is None:
-        first = read_snapshot(spark, root)
+        # PIN the initial load to the captured watermark: an unpinned
+        # read here races a concurrent commit landing between the
+        # latest_version() capture above and the read's own resolution —
+        # the load would contain rows newer than the returned watermark
+        # and the next poll would replay them (double-folded aggregates
+        # downstream). ADVICE r7 #1.
+        first = read_snapshot(spark, root, version=latest)
         if signed:
             return first.withColumn("__w", F.lit(1)), latest
         return first.withColumn("op", F.lit("I")), latest

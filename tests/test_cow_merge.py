@@ -579,3 +579,33 @@ def test_cow_handles_roots_with_spaces(spark, tmp_path):
         key_strategy="hash", broadcast_staging=True,
     )
     assert _canon(read_table(spark, root)) == _canon(expected)
+
+
+def test_cow_all_null_key_staging_inserts_like_full_merge(spark, tmp_path):
+    """ADVICE r8 #3: staging whose business keys are ALL NULL is not an
+    empty no-op — a NULL key can never equi-match production, so the rows
+    insert as brand-new version-1 rows (no file is touched), exactly like
+    the full scd2_merge's anti-join path."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root)
+    staging = customer_staging(spark, SF)
+    key_type = dict(staging.dtypes)["c_custkey"]
+    nullkeys = staging.limit(3).withColumn(
+        "c_custkey", F.lit(None).cast(key_type)
+    )
+
+    rep = scd2_merge_cow(spark, root, nullkeys, CUSTOMER_CFG, AS_OF)
+    got = read_table(spark, root)
+
+    expected = scd2_merge(
+        read_snapshot(spark, root, version=1),
+        nullkeys,
+        CUSTOMER_CFG,
+        AS_OF,
+        key_strategy="hash",
+        broadcast_staging=True,
+    )
+    assert _canon(got) == _canon(expected)
+    assert rep["version"] == 2
+    assert rep["files_rewritten"] == 0  # pure insert: nothing touched
+    assert got.count() == read_snapshot(spark, root, version=1).count() + 3

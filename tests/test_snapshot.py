@@ -734,3 +734,35 @@ def test_file_sweep_gated_on_cow_lineage(spark, tmp_path, monkeypatch):
     write_snapshot(_df(spark, [6]), root)
     snap.vacuum(root, keep_last=1, grace_seconds=0.0)
     assert calls == [1, 1]
+
+
+def test_changes_since_initial_load_pinned_against_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #1: the initial load (last_version=None) must read the
+    EXACT version captured as the watermark — a concurrent commit landing
+    between the watermark capture and the read must not leak rows past
+    the returned watermark (the next poll would replay them, double-
+    folding downstream aggregates)."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    real = snap.latest_version
+
+    def racy(r):
+        v = real(r)
+        # restore first (write_snapshot resolves versions internally),
+        # then land the concurrent commit right after the capture
+        monkeypatch.setattr(snap, "latest_version", real)
+        write_snapshot(_df(spark, [1, 2, 3]), r)
+        return v
+
+    monkeypatch.setattr(snap, "latest_version", racy)
+    batch, wm = snap.changes_since(spark, root, None, ["id"])
+    assert wm == 1
+    assert sorted(r["id"] for r in batch.collect()) == [1, 2]
+    # and the next poll delivers the concurrent commit exactly once
+    nxt, wm2 = snap.changes_since(spark, root, wm, ["id"])
+    assert wm2 == 2
+    assert sorted(r["id"] for r in nxt.collect()) == [3]
