@@ -454,6 +454,7 @@ def scd2_merge_cow(
     *,
     key_strategy: str = "hash",
     plan: str = "auto",
+    evolve_schema: bool = False,
 ) -> dict:
     """File-granular copy-on-write SCD2 merge on a snapshot table — the
     incremental flagship publish (VERDICT r6 next-round #1).
@@ -574,15 +575,53 @@ def scd2_merge_cow(
         touched = []
 
     touched_df = read_manifest_files(spark, root, m, touched)
-    # Mixed-key-family guard: carried files keep their existing
-    # surrogate keys, so the parent MUST have been published with the
-    # same stable strategy — a parent keyed by row_number/two_pass (or a
-    # different hash family) would silently end up with two key
-    # families, risking collisions. Recompute the strategy's key for a
-    # tiny sample of parent rows and compare (one O(sample) job).
-    probe_src = touched_df if touched else read_manifest_files(
-        spark, root, m, m["files"][:1]
+    # Mixed-key-family guard shared with the merge-on-read path.
+    _assert_stable_key_family(
+        spark, root, m, touched_df if touched else None, cfg, key_strategy
     )
+    merged = scd2_merge(
+        touched_df,
+        staging,
+        cfg,
+        as_of,
+        key_strategy=key_strategy,
+        broadcast_staging=True,
+        plan=plan,
+        evolve_schema=evolve_schema,
+    )
+    stats_cols = sorted({c for fs in stats.values() for c in fs}) or None
+    new_v = write_snapshot(
+        merged,
+        root,
+        partition_by=list(m["partition_by"]) or None,
+        mode="replace",
+        expected_version=v,
+        stats_cols=stats_cols,
+        drop_files=touched,
+    )
+    return {**out, "version": new_v, "files_rewritten": len(touched)}
+
+
+def _assert_stable_key_family(
+    spark, root: str, m: dict, probe_src, cfg: SCDConfig, key_strategy: str
+) -> None:
+    """Shared CoW/MoR precondition probe: carried rows keep their
+    existing surrogate keys, so the parent MUST have been published with
+    the same stable strategy — a parent keyed by row_number/two_pass (or
+    a different hash family) would silently end up with two key
+    families, risking collisions. Recompute the strategy's key for a
+    tiny sample of parent rows and compare (one O(sample) job). A spot
+    check by design: it samples from ONE slice of the parent, so a user
+    hand-mixing key strategies across publishes can pass it — the
+    docstring contract (one stable strategy per table) is the real
+    guarantee; this catches the honest mistake, not adversarial mixing.
+    """
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    if probe_src is None:
+        probe_src = read_manifest_files(spark, root, m, m["files"][:1])
     sample = probe_src.limit(20)
     mismatched = (
         assign_surrogate_keys(
@@ -599,27 +638,188 @@ def scd2_merge_cow(
         raise ValueError(
             f"parent table at {root} was not keyed with stable strategy "
             f"{key_strategy!r} (sampled surrogate keys do not match the "
-            f"recomputed values) — carried files would keep a different "
+            f"recomputed values) — carried rows would keep a different "
             f"key family than rewritten ones; republish the dimension "
             f"with assign_surrogate_keys(strategy={key_strategy!r}) first"
         )
-    merged = scd2_merge(
-        touched_df,
-        staging,
-        cfg,
-        as_of,
-        key_strategy=key_strategy,
-        broadcast_staging=True,
-        plan=plan,
+
+
+def scd2_merge_mor(
+    spark,
+    root: str,
+    staging: DataFrame,
+    cfg: SCDConfig,
+    as_of: datetime | str,
+    *,
+    key_strategy: str = "hash",
+    plan: str = "auto",
+    evolve_schema: bool = False,
+) -> dict:
+    """MERGE-ON-READ SCD2 merge on a snapshot table — the deletion-vector
+    tier for KEY-SCATTERED staging batches (VERDICT r7 next-round #1).
+
+    :func:`scd2_merge_cow` rewrites every file that contains a staged
+    key; its own scale smoke shows a uniformly-scattered 1% batch
+    touching 64/64 files and degrading to a full-table rewrite plus
+    bookkeeping. Scattered small updates are the COMMON dimension-
+    maintenance shape (random customers change, not a contiguous key
+    range), so this path writes O(batch) regardless of scatter:
+
+    1. prune + probe exactly like the CoW merge (stats prune, then one
+       column-pruned semi-join recovering file identity — here via the
+       exact ``rel_path_col`` derivation, never a URI guess);
+    2. run the ordinary :func:`scd2_merge` over ONLY the rows whose key
+       appears in staging (not whole files — the semi-join keeps just
+       the staged keys' rows, every version of them);
+    3. commit the merge OUTPUT as new files plus, per touched file, a
+       key-tombstone deletion vector (prior tombstones for re-vectored
+       files are folded in — a staged vector replaces the parent's).
+       NO data file is dropped or rewritten: reads overlay the vectors
+       (``sources/snapshot.py:read_manifest_files``), and
+       ``sinks.compact_deletes`` folds vectors back into clean files on
+       the maintenance cadence.
+
+    Same stable-key requirement and row-identical-to-full-merge contract
+    as the CoW path (``"hash"``/``"md5"`` only; pinned by
+    tests/test_mor_merge.py), same CAS discipline (``expected_version``
+    = the version the tombstones were computed from; concurrent commits
+    raise :class:`CommitConflictError` — re-read and re-merge). Same
+    SCD2 row semantics as the reference merge (SCD_script.txt:8-137).
+
+    Returns ``{"version", "files_total", "files_candidates",
+    "files_tombstoned", "tombstones"}``."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+        _survives_prune,
+        latest_version,
+        load_manifest,
+        read_manifest_files,
+        write_snapshot,
     )
-    stats_cols = sorted({c for fs in stats.values() for c in fs}) or None
-    new_v = write_snapshot(
-        merged,
-        root,
-        partition_by=list(m["partition_by"]) or None,
-        mode="replace",
-        expected_version=v,
-        stats_cols=stats_cols,
-        drop_files=touched,
+
+    if key_strategy not in ("hash", "md5"):
+        raise ValueError(
+            f"scd2_merge_mor requires a stable key strategy (hash|md5); "
+            f"{key_strategy!r} renumbers carried rows and needs the full "
+            f"rewrite path (scd2_merge + publish)"
+        )
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {root}; publish the initial "
+            f"dimension with write_snapshot/publish first"
+        )
+    m = load_manifest(root, v)
+    out = {"version": v, "files_total": len(m["files"])}
+
+    bounds = staging.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cfg.key).alias("lo"),
+        F.max(cfg.key).alias("hi"),
+    ).first()
+    if bounds["n"] == 0:
+        return {
+            **out,
+            "files_candidates": 0,
+            "files_tombstoned": 0,
+            "tombstones": 0,
+        }
+    stats = m.get("stats", {})
+    if bounds["lo"] is None:
+        candidates = []  # all-NULL keys: pure inserts, nothing matches
+    else:
+        key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
+        candidates = [
+            f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
+        ]
+    out["files_candidates"] = len(candidates)
+
+    cand = read_manifest_files(
+        spark, root, m, candidates, rel_path_col="__rel"
     )
-    return {**out, "version": new_v, "files_rewritten": len(touched)}
+    # every LIVE row of a staged key, with its file identity — the merge
+    # input AND the tombstone source. O(staged keys x versions) rows.
+    matched = (
+        cand.join(
+            F.broadcast(
+                staging.select(cfg.key)
+                .where(F.col(cfg.key).isNotNull())
+                .distinct()
+            ),
+            cfg.key,
+            "left_semi",
+        )
+        # a USING join surfaces the key first; restore manifest column
+        # order so the replace commit's schema-shape check passes
+        .select(*cand.columns)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        _assert_stable_key_family(
+            spark,
+            root,
+            m,
+            matched if candidates else None,
+            cfg,
+            key_strategy,
+        )
+        touched = sorted(
+            r["__rel"] for r in matched.select("__rel").distinct().collect()
+        )
+        tomb = None
+        if touched:
+            tomb = matched.select(
+                F.col("__rel").alias(DELETE_FILE_COL), F.col(cfg.key)
+            ).distinct()
+            prior_rels = sorted(
+                {r for f in touched for r in m.get("deletes", {}).get(f, [])}
+            )
+            if prior_rels:
+                prior = spark.read.parquet(
+                    *[os.path.join(root, p) for p in prior_rels]
+                ).where(F.col(DELETE_FILE_COL).isin(touched))
+                if sorted(prior.columns) != sorted(
+                    [DELETE_FILE_COL, cfg.key]
+                ):
+                    raise ValueError(
+                        f"existing deletion vectors at {root} carry key "
+                        f"columns {prior.columns} — scd2_merge_mor can only "
+                        f"fold vectors keyed by {cfg.key!r}"
+                    )
+                # a staged vector REPLACES the parent's for its file, so
+                # prior tombstones must fold forward or their rows
+                # resurrect. No overlap dedup needed: a key tombstoned in
+                # a file has no live rows there to re-tombstone.
+                tomb = tomb.unionByName(
+                    prior.select(DELETE_FILE_COL, cfg.key)
+                )
+        merged = scd2_merge(
+            matched.drop("__rel"),
+            staging,
+            cfg,
+            as_of,
+            key_strategy=key_strategy,
+            broadcast_staging=True,
+            plan=plan,
+            evolve_schema=evolve_schema,
+        )
+        n_tomb = tomb.count() if tomb is not None else 0
+        stats_cols = sorted({c for fs in stats.values() for c in fs}) or None
+        new_v = write_snapshot(
+            merged,
+            root,
+            partition_by=list(m["partition_by"]) or None,
+            mode="replace",
+            expected_version=v,
+            stats_cols=stats_cols,
+            drop_files=[],
+            delete_vectors=tomb,
+        )
+    finally:
+        matched.unpersist()
+    return {
+        **out,
+        "version": new_v,
+        "files_tombstoned": len(touched),
+        "tombstones": n_tomb,
+    }

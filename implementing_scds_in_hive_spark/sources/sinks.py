@@ -34,6 +34,9 @@ __all__ = [
     "overwrite_atomic",
     "compact",
     "compact_incremental",
+    "compact_deletes",
+    "clustering_overlap",
+    "maintain_table",
 ]
 
 
@@ -353,24 +356,7 @@ def compact_incremental(
         {c for fs in m.get("stats", {}).values() for c in fs}
     )
     part_cols = list(m["partition_by"])
-    cluster_cols = [c for c in stats_cols if c not in part_cols]
-    if part_cols and cluster_cols:
-        # range on (partition, cluster) keeps each task's rows contiguous
-        # in BOTH: partitionBy still splits files per hive partition, and
-        # within a partition each file covers a disjoint cluster range —
-        # the data-skipping stats stay tight instead of every compacted
-        # file spanning its partition's whole key range
-        packed = rows.repartitionByRange(
-            n_out, *part_cols, *cluster_cols
-        ).sortWithinPartitions(*part_cols, *cluster_cols)
-    elif part_cols:
-        packed = rows.repartition(n_out, *part_cols)
-    elif cluster_cols:
-        packed = rows.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
-            *cluster_cols
-        )
-    else:
-        packed = rows.repartition(n_out)
+    packed = _repack(rows, n_out, part_cols, stats_cols)
     new_v = write_snapshot(
         packed,
         path,
@@ -389,4 +375,164 @@ def compact_incremental(
         "files_compacted": len(small),
         "files_written": n_written,
         "bytes_compacted": bytes_small,
+    }
+
+
+def clustering_overlap(root: str, col: str) -> float | None:
+    """Manifest-derivable clustering-health metric (VERDICT r7
+    next-round #4): the expected number of files a random point probe on
+    ``col`` must open, estimated driver-side from the manifest's
+    per-file min/max stats alone — ``sum(per-file range width) /
+    covered span``. 1.0 ≈ perfectly disjoint ranges (a stats prune opens
+    ~one file per key); the value decays toward the file count as
+    repeated CoW merges rewrite touched files with merged (wider) key
+    ranges, until pruning stops biting. Numeric stats only; returns
+    ``None`` when fewer than two files carry numeric stats for ``col``
+    (nothing to measure). O(#files) driver-side, no data read."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+    )
+
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    m = load_manifest(root, v)
+    ranges = []
+    for fs in m.get("stats", {}).values():
+        rng = fs.get(col)
+        if (
+            rng
+            and isinstance(rng[0], (int, float))
+            and not isinstance(rng[0], bool)
+        ):
+            ranges.append((float(rng[0]), float(rng[1])))
+    if len(ranges) < 2:
+        return None
+    span = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+    if span <= 0:
+        return float(len(ranges))  # all files cover one point
+    return sum(hi - lo for lo, hi in ranges) / span
+
+
+def maintain_table(
+    spark,
+    root: str,
+    col: str,
+    *,
+    max_overlap: float = 2.0,
+    target_rows_per_file: int = 1_000_000,
+    vacuum_grace_seconds: float = 600.0,
+) -> dict:
+    """Clustering-decay maintenance policy loop (the ``maintain_index``
+    idiom applied to the table itself): measure
+    :func:`clustering_overlap` and, past ``max_overlap``, re-cluster via
+    one :func:`compact` pass (range-repartitioned on the table's stats
+    columns, partition layout preserved) so the stats prune bites again.
+    Content-preserving and cheap to re-run; a healthy table returns
+    without reading any data (the metric is manifest-only). Run on the
+    same maintenance cadence as ``compact_incremental`` /
+    ``compact_deletes``. Returns ``{"reclustered", "overlap"}`` plus,
+    after a rewrite, ``{"overlap_after", "rows"}``."""
+    ov = clustering_overlap(root, col)
+    if ov is None or ov <= max_overlap:
+        return {"reclustered": False, "overlap": ov}
+    n = compact(
+        spark,
+        root,
+        target_rows_per_file=target_rows_per_file,
+        order_cols=[col],
+        vacuum_grace_seconds=vacuum_grace_seconds,
+    )
+    return {
+        "reclustered": True,
+        "overlap": ov,
+        "overlap_after": clustering_overlap(root, col),
+        "rows": n,
+    }
+
+
+def _repack(rows, n_out: int, part_cols: list[str], stats_cols: list[str]):
+    """Shared compaction layout: range on (partition, cluster) keeps each
+    task's rows contiguous in BOTH — partitionBy still splits files per
+    hive partition, and within a partition each file covers a disjoint
+    cluster range, so the data-skipping stats stay tight instead of
+    every compacted file spanning its partition's whole key range."""
+    cluster_cols = [c for c in stats_cols if c not in part_cols]
+    if part_cols and cluster_cols:
+        return rows.repartitionByRange(
+            n_out, *part_cols, *cluster_cols
+        ).sortWithinPartitions(*part_cols, *cluster_cols)
+    if part_cols:
+        return rows.repartition(n_out, *part_cols)
+    if cluster_cols:
+        return rows.repartitionByRange(
+            n_out, *cluster_cols
+        ).sortWithinPartitions(*cluster_cols)
+    return rows.repartition(n_out)
+
+
+def compact_deletes(
+    spark, path: str, *, target_bytes: int = 128 << 20
+) -> dict:
+    """Fold deletion vectors back into clean data files — the
+    maintenance half of the merge-on-read protocol (the Delta
+    ``REORG TABLE ... APPLY (PURGE)`` shape). Every vectored file's LIVE
+    rows (tombstones applied by the manifest-pinned read) are rewritten
+    into bin-packed, cluster-preserving files via ONE replace commit
+    that drops the vectored files; the dropped files' vector entries die
+    with them, the superseded vector files become unreferenced, and the
+    file-granular vacuum reclaims both two-phase. Cost is bounded by the
+    vectored-file set, never the table — run it on the same cadence as
+    ``compact_incremental`` to keep the read overlay's broadcast
+    tombstone set small.
+
+    CASes on the inspected version: a concurrent writer raises
+    :class:`~implementing_scds_in_hive_spark.sources.snapshot.
+    CommitConflictError` and the fold can simply be re-run (it is
+    content-preserving, so losing a race costs nothing). Returns
+    ``{"version", "files_total", "files_folded", "files_written"}``."""
+    import math
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        read_manifest_files,
+        write_snapshot,
+    )
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    m = load_manifest(path, v)
+    vectored = sorted(m.get("deletes", {}))
+    out = {"version": v, "files_total": len(m["files"])}
+    if not vectored:
+        return {**out, "files_folded": 0, "files_written": 0}
+    rows = read_manifest_files(spark, path, m, vectored)
+    bytes_vectored = sum(
+        os.path.getsize(os.path.join(path, f)) for f in vectored
+    )
+    n_out = max(1, math.ceil(bytes_vectored / target_bytes))
+    stats_cols = sorted(
+        {c for fs in m.get("stats", {}).values() for c in fs}
+    )
+    part_cols = list(m["partition_by"])
+    packed = _repack(rows, n_out, part_cols, stats_cols)
+    new_v = write_snapshot(
+        packed,
+        path,
+        partition_by=part_cols or None,
+        mode="replace",
+        expected_version=v,
+        stats_cols=stats_cols or None,
+        drop_files=vectored,
+    )
+    m2 = load_manifest(path, new_v)
+    assert not m2.get("deletes"), "fold must leave no live vectors"
+    return {
+        **out,
+        "version": new_v,
+        "files_folded": len(vectored),
+        "files_written": len(m2["files"]) - (len(m["files"]) - len(vectored)),
     }

@@ -61,6 +61,11 @@ MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 _VERSION_WIDTH = 10
 
+# Column naming the data file a tombstone row applies to (manifest-
+# relative path) inside a deletion-vector parquet file; every other
+# vector column is a key column the read overlay anti-joins null-safely.
+DELETE_FILE_COL = "__file"
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this writer expected to
@@ -201,6 +206,49 @@ def stage_files(
     return staged
 
 
+def stage_delete_vectors(
+    tomb: DataFrame, root: str
+) -> tuple[str, list[str], list[str]]:
+    """Stage a deletion-vector batch (the merge-on-read write side, the
+    Delta/Iceberg answer to key-scattered small updates): ``tomb`` holds
+    one row per tombstone with ``__file`` = the manifest-relative path of
+    the data file the tombstone applies to, plus >=1 key column that the
+    read overlay anti-joins NULL-SAFELY against that file's rows. Vector
+    files are plain parquet under their own immutable ``data/snap-*``
+    stage dir — nothing references them until a manifest commit wins, so
+    abandoning at any point is safe (vacuum reclaims the orphan dir).
+
+    Returns ``(dir_rel, vector_file_rels, covered_data_files)``; the
+    covered list is read back from the written files (one tiny scan of
+    the vector parquet, never the upstream plan twice). An empty batch
+    returns empty lists and removes the stage dir."""
+    if DELETE_FILE_COL not in tomb.columns or len(tomb.columns) < 2:
+        raise ValueError(
+            f"delete_vectors needs a {DELETE_FILE_COL!r} column plus at "
+            f"least one key column; got {tomb.columns}"
+        )
+    snap_rel = os.path.join(DATA_DIR, f"snap-{uuid.uuid4().hex}")
+    snap_abs = os.path.join(root, snap_rel)
+    tomb.write.mode("overwrite").parquet(snap_abs)
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(snap_abs):
+        for name in filenames:
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            files.append(os.path.relpath(os.path.join(dirpath, name), root))
+    covered = [
+        r[DELETE_FILE_COL]
+        for r in tomb.sparkSession.read.parquet(snap_abs)
+        .select(DELETE_FILE_COL)
+        .distinct()
+        .collect()
+    ]
+    if not covered:
+        shutil.rmtree(snap_abs, ignore_errors=True)
+        return snap_rel, [], []
+    return snap_rel, sorted(files), sorted(covered)
+
+
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_TYPES = {"float", "double"}
 _INT_RE = None  # compiled lazily
@@ -333,23 +381,27 @@ def commit(
     while True:
         # A vacuum racing a LONG stage may have tombstoned — or, past
         # the grace window, reclaimed — the still-unreferenced stage
-        # dir. Clear the tombstone (restarting the grace clock) and
-        # refuse to link a manifest whose files are already gone: a
-        # loud failure here beats committing a table that references
-        # deleted data.
-        try:
-            os.unlink(_tombstone_path(root, staged["snapshot_dir"]))
-        except FileNotFoundError:
-            pass
-        if staged["files"] and not os.path.isdir(
-            os.path.join(root, staged["snapshot_dir"])
-        ):
-            raise RuntimeError(
-                f"stage dir {staged['snapshot_dir']} was reclaimed by a "
-                f"concurrent vacuum before the commit (the stage outlived "
-                f"the vacuum grace window) — re-stage, and raise "
-                f"grace_seconds above the longest expected stage duration"
-            )
+        # dirs (data stage + any deletion-vector stage). Clear the
+        # tombstones (restarting the grace clock) and refuse to link a
+        # manifest whose files are already gone: a loud failure here
+        # beats committing a table that references deleted data.
+        own_dirs = [staged["snapshot_dir"], *staged.get("extra_dirs", [])]
+        for d in own_dirs:
+            try:
+                os.unlink(_tombstone_path(root, d))
+            except FileNotFoundError:
+                pass
+        needed = ([staged["snapshot_dir"]] if staged["files"] else []) + list(
+            staged.get("extra_dirs", [])
+        )
+        for d in needed:
+            if not os.path.isdir(os.path.join(root, d)):
+                raise RuntimeError(
+                    f"stage dir {d} was reclaimed by a concurrent vacuum "
+                    f"before the commit (the stage outlived the vacuum "
+                    f"grace window) — re-stage, and raise grace_seconds "
+                    f"above the longest expected stage duration"
+                )
         parent = latest_version(root)
         if expected_version is not None and (parent or 0) != expected_version:
             _abandon(root, staged)
@@ -358,10 +410,11 @@ def commit(
             )
         version = (parent if parent is not None else 0) + 1
         files = list(staged["files"])
-        dirs = [staged["snapshot_dir"]]
+        dirs = list(own_dirs)
         stats = dict(staged.get("stats", {}))
         deletes: dict[str, list[str]] = {}
         lineage = False
+        schema_json = staged["schema"]
         if mode == "append" and parent is not None:
             try:
                 pm = load_manifest(root, parent)
@@ -376,6 +429,7 @@ def commit(
                         f"vacuums for {max_retries} attempts at {root}"
                     )
                 continue
+            schema_json = _evolved_schema(root, staged, pm, mode)
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
@@ -397,19 +451,7 @@ def commit(
                     f"commit; re-read the table and re-merge"
                 )
             lineage = True
-            shape = lambda s: [  # noqa: E731 — nullability may relax
-                (f["name"], f["type"]) for f in json.loads(s)["fields"]
-            ]
-            if staged["partition_by"] != pm["partition_by"] or shape(
-                staged["schema"]
-            ) != shape(pm["schema"]):
-                _abandon(root, staged)
-                raise ValueError(
-                    "mode='replace' carries parent files by reference, so "
-                    "the staged column names/types and partition_by must "
-                    "match the parent manifest exactly (schema changes "
-                    "need a full overwrite)"
-                )
+            schema_json = _evolved_schema(root, staged, pm, mode)
             drop = set(staged.get("drop_files", []))
             unknown = drop - set(pm["files"])
             if unknown:
@@ -466,7 +508,7 @@ def commit(
             "mode": mode,
             "snapshot_dirs": dirs,
             "files": files,
-            "schema": staged["schema"],
+            "schema": schema_json,
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
         }
@@ -500,13 +542,14 @@ def commit(
             os.link(tmp, _manifest_path(root, version))
             os.unlink(tmp)
             _fsync_dir(mdir)
-            # a vacuum racing our stage may have tombstoned the dir while
-            # it was still unreferenced; committing must reset that clock
-            # or a later dereference would reclaim it with no grace
-            try:
-                os.unlink(_tombstone_path(root, staged["snapshot_dir"]))
-            except FileNotFoundError:
-                pass
+            # a vacuum racing our stage may have tombstoned the dirs while
+            # they were still unreferenced; committing must reset that
+            # clock or a later dereference would reclaim with no grace
+            for d in own_dirs:
+                try:
+                    os.unlink(_tombstone_path(root, d))
+                except FileNotFoundError:
+                    pass
             return version
         except FileExistsError:
             os.unlink(tmp)
@@ -523,8 +566,43 @@ def commit(
                 )
 
 
+def _evolved_schema(root: str, staged: dict, pm: dict, mode: str) -> str:
+    """Schema contract for commits that carry parent files by reference
+    (append/replace): the parent's fields must be a PREFIX of the staged
+    fields with matching names and types (nullability may relax), and
+    partitioning must match. The staged schema may APPEND new columns —
+    SCHEMA EVOLUTION without rewriting a byte: the manifest stores the
+    superset schema (new fields forced nullable), and the pinned-schema
+    read NULL-backfills carried files that predate the column. Anything
+    else — dropped, reordered, renamed, or retyped columns — still
+    requires a full overwrite, exactly as before. Returns the manifest
+    schema JSON."""
+    shape = lambda fs: [(f["name"], f["type"]) for f in fs]  # noqa: E731
+    sdoc = json.loads(staged["schema"])
+    pf = json.loads(pm["schema"])["fields"]
+    sf = sdoc["fields"]
+    if staged["partition_by"] != pm["partition_by"] or len(sf) < len(
+        pf
+    ) or shape(sf[: len(pf)]) != shape(pf):
+        _abandon(root, staged)
+        raise ValueError(
+            f"mode={mode!r} carries parent files by reference, so the "
+            "staged schema must extend the parent's as a prefix (same "
+            "names/types/order; NEW nullable columns may be appended — "
+            "schema evolution) and partition_by must match; dropping, "
+            "reordering or retyping columns needs a full overwrite"
+        )
+    if len(sf) > len(pf):
+        for f in sf[len(pf):]:
+            # carried files lack the column, so reads WILL produce NULLs
+            f["nullable"] = True
+        return json.dumps(sdoc)
+    return staged["schema"]
+
+
 def _abandon(root: str, staged: dict) -> None:
-    shutil.rmtree(os.path.join(root, staged["snapshot_dir"]), ignore_errors=True)
+    for d in [staged["snapshot_dir"], *staged.get("extra_dirs", [])]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def _fsync_dir(path: str) -> None:
@@ -548,6 +626,7 @@ def write_snapshot(
     constraints: dict[str, str] | None = None,
     stats_cols: list[str] | None = None,
     drop_files: list[str] | None = None,
+    delete_vectors: DataFrame | None = None,
     app_meta: dict | None = None,
 ) -> int:
     """Stage + commit in one call; returns the committed version.
@@ -565,10 +644,24 @@ def write_snapshot(
     copy-on-write commit: ``df`` holds ONLY the rewritten rows, the
     parent manifest's files minus ``drop_files`` are carried by
     reference, and ``expected_version`` (required) CASes against the
-    version the drop-set was computed from."""
+    version the drop-set was computed from.
+
+    ``delete_vectors`` is the MERGE-ON-READ tier (key-scattered small
+    updates, where CoW would degrade to a full rewrite): a tombstone
+    DataFrame (``__file`` = manifest-relative data-file path, plus key
+    columns) staged alongside ``df``; reads of the committed version
+    anti-join each vectored file's rows against its tombstones. The
+    staged vector REPLACES any prior vector for the same file, so a
+    merge-on-read writer must fold prior tombstones for the files it
+    re-vectors into the new batch (``scd2_merge_mor`` does)."""
     staged = stage_files(
         df, root, partition_by=partition_by, stats_cols=stats_cols
     )
+    if delete_vectors is not None:
+        dv_dir, dv_files, covered = stage_delete_vectors(delete_vectors, root)
+        if covered:
+            staged["extra_dirs"] = [dv_dir]
+            staged["delete_vectors"] = {f: list(dv_files) for f in covered}
     if drop_files is not None:
         staged["drop_files"] = list(drop_files)
     if app_meta is not None:
@@ -630,6 +723,8 @@ def read_manifest_files(
     files: list[str],
     *,
     file_path_col: str | None = None,
+    rel_path_col: str | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Read an explicit subset of a manifest's files with the manifest's
     schema pinned — the building block behind pruned reads and the
@@ -639,40 +734,148 @@ def read_manifest_files(
 
     ``file_path_col`` appends each row's source file path (from the
     hidden ``_metadata`` column, captured BEFORE the projection that
-    would drop it) — how the CoW merge recovers file identity."""
+    would drop it) — how the CoW merge recovers file identity.
+
+    ``rel_path_col`` appends each row's MANIFEST-RELATIVE file path.
+    Derivation is EXACT by construction, never a URI-parsing guess:
+    files whose basename is unique within the rel-needing read set get
+    the rel via a tiny broadcast basename->rel mapping joined on the
+    file path's last segment (part-file basenames are plain ASCII —
+    the one path component ``_metadata.file_path``'s percent-encoding
+    can never alter); colliding basenames (same write job fanning one
+    task across hive partition dirs) fall back to per-file reads tagged
+    with a literal.
+
+    ``apply_deletes`` (default) overlays the manifest's deletion vectors
+    (merge-on-read): a row whose ``(file, key)`` appears in a live
+    vector is anti-joined out before the caller sees it. Only the
+    vectored subset of ``files`` pays the overlay — files without a
+    vector stream through the plain bulk scan untouched, and the vector
+    side is a broadcast (tombstone volume is bounded by the compaction
+    cadence — ``sinks.compact_deletes`` folds vectors back into clean
+    files)."""
     from pyspark.sql import functions as F
 
     schema = StructType.fromJson(json.loads(m["schema"]))
     cols = [f.name for f in schema.fields]
+    if file_path_col:
+        cols.append(file_path_col)
+    if rel_path_col:
+        cols.append(rel_path_col)
+    fileset = set(files)
+    deletes = {
+        f: v
+        for f, v in (m.get("deletes") or {}).items()
+        if apply_deletes and f in fileset
+    }
     if not files:
         empty = spark.createDataFrame([], schema)
-        if file_path_col:
-            empty = empty.withColumn(
-                file_path_col, F.lit(None).cast("string")
+        for c in (file_path_col, rel_path_col):
+            if c:
+                empty = empty.withColumn(c, F.lit(None).cast("string"))
+        return empty.select(*cols)
+
+    rel_col = rel_path_col or "__mor_rel"
+    # rel paths are needed for every file when the caller asked for
+    # them, else only for the vectored subset (the delete anti-join's
+    # probe side)
+    need_rel = list(files) if rel_path_col else sorted(deletes)
+
+    from collections import Counter
+
+    base_count = Counter(os.path.basename(f) for f in need_rel)
+    tagged = {f for f in need_rel if base_count[os.path.basename(f)] > 1}
+    mapped = [f for f in need_rel if f not in tagged]
+    rel_set = set(need_rel)
+    plain = [f for f in files if f not in rel_set]
+
+    def _by_dir(subset: list[str]) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for rel in subset:
+            for d in m["snapshot_dirs"]:
+                if rel.startswith(d + os.sep):
+                    out.setdefault(d, []).append(rel)
+                    break
+            else:
+                raise ValueError(
+                    f"manifest file {rel} outside any snapshot dir"
+                )
+        return out
+
+    def _bulk(subset: list[str], with_path: bool) -> list[DataFrame]:
+        parts = []
+        for d, rels in sorted(_by_dir(subset).items()):
+            p = (
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(root, d))
+                .parquet(*[os.path.join(root, r) for r in rels])
             )
-        return empty
-    by_dir: dict[str, list[str]] = {}
-    for rel in files:
-        for d in m["snapshot_dirs"]:
-            if rel.startswith(d + os.sep):
-                by_dir.setdefault(d, []).append(os.path.join(root, rel))
-                break
-        else:
-            raise ValueError(f"manifest file {rel} outside any snapshot dir")
-    parts = [
-        spark.read.schema(schema)
-        .option("basePath", os.path.join(root, d))
-        .parquet(*paths)
-        for d, paths in sorted(by_dir.items())
-    ]
-    if file_path_col:
-        parts = [
-            p.withColumn(file_path_col, F.col("_metadata.file_path"))
-            for p in parts
-        ]
-        cols = cols + [file_path_col]
-    out = parts[0]
-    for p in parts[1:]:
+            if with_path:
+                p = p.withColumn("__mor_fp", F.col("_metadata.file_path"))
+            parts.append(p)
+        return parts
+
+    rel_parts: list[DataFrame] = []
+    if mapped:
+        mapping = spark.createDataFrame(
+            [(os.path.basename(f), f) for f in mapped],
+            "__mor_base string, __mor_rel_v string",
+        )
+        for p in _bulk(mapped, True):
+            q = p.withColumn(
+                "__mor_base",
+                F.element_at(F.split(F.col("__mor_fp"), "/"), -1),
+            ).join(F.broadcast(mapping), "__mor_base")
+            rel_parts.append(
+                q.withColumn(rel_col, F.col("__mor_rel_v")).drop(
+                    "__mor_base", "__mor_rel_v"
+                )
+            )
+    for f in sorted(tagged):
+        d = next(
+            d for d in m["snapshot_dirs"] if f.startswith(d + os.sep)
+        )
+        p = (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(root, d))
+            .parquet(os.path.join(root, f))
+            .withColumn("__mor_fp", F.col("_metadata.file_path"))
+            .withColumn(rel_col, F.lit(f))
+        )
+        rel_parts.append(p)
+
+    if rel_parts and deletes:
+        vec_rels = sorted({v for vs in deletes.values() for v in vs})
+        vec = spark.read.parquet(
+            *[os.path.join(root, v) for v in vec_rels]
+        ).where(F.col(DELETE_FILE_COL).isin(list(deletes)))
+        key_cols = [c for c in vec.columns if c != DELETE_FILE_COL]
+        joined = rel_parts[0]
+        for p in rel_parts[1:]:
+            joined = joined.unionByName(p)
+        cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
+        for k in key_cols:
+            cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+        joined = joined.alias("__l").join(
+            F.broadcast(vec.alias("__r")), cond, "left_anti"
+        )
+        rel_parts = [joined]
+
+    parts = rel_parts + _bulk(plain, bool(file_path_col))
+    norm = []
+    for p in parts:
+        q = p
+        if file_path_col:
+            q = q.withColumn(file_path_col, F.col("__mor_fp")) if (
+                "__mor_fp" in q.columns
+            ) else q.withColumn(
+                file_path_col, F.col("_metadata.file_path")
+            )
+        if rel_path_col and rel_col not in q.columns:
+            q = q.withColumn(rel_col, F.lit(None).cast("string"))
+        norm.append(q.select(*cols))
+    out = norm[0]
+    for p in norm[1:]:
         out = out.unionByName(p)
     # a partitioned read surfaces partition columns LAST regardless of
     # the pinned schema; restore manifest order so round-trips (e.g. a
@@ -721,7 +924,17 @@ def _diff_sides(
     back to the full two-snapshot diff unchanged."""
     m_from = load_manifest(root, v_from)
     m_to = load_manifest(root, v_to)
-    shared = set(m_from["files"]) & set(m_to["files"])
+    # a file carried by BOTH manifests still differs if its deletion
+    # vector changed (a merge-on-read commit changes rows without
+    # touching the data file list); reading each side through its own
+    # manifest applies the right vector, so the diff stays exact
+    d_from = m_from.get("deletes", {})
+    d_to = m_to.get("deletes", {})
+    shared = {
+        f
+        for f in set(m_from["files"]) & set(m_to["files"])
+        if d_from.get(f) == d_to.get(f)
+    }
     return (
         read_manifest_files(
             spark, root, m_from, [f for f in m_from["files"] if f not in shared]
@@ -946,6 +1159,13 @@ def vacuum(
             continue
         referenced.update(pm["snapshot_dirs"])
         referenced_files.update(pm["files"])
+        # live deletion-vector files must survive the file-granular
+        # sweep exactly like data files (a superseded vector — its file
+        # re-vectored or rewritten — drops out of every kept manifest
+        # and is then reclaimed two-phase like any superseded file)
+        referenced_files.update(
+            r for rels in pm.get("deletes", {}).values() for r in rels
+        )
         cow_lineage = cow_lineage or pm.get("cow_lineage", False)
     for v in dropped:
         try:

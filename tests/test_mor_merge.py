@@ -1,0 +1,319 @@
+"""Merge-on-read SCD2 merge + deletion-vector protocol (VERDICT r7
+next-round #1).
+
+The invariant that makes the tier trustworthy: with a stable key
+strategy, ``scd2_merge_mor`` (write ONLY the merge output + per-file key
+tombstones, rewrite and drop NOTHING) commits a table ROW-IDENTICAL to
+the full-rewrite ``scd2_merge`` over all of production — across Type-1
+rewrites, close-outs, version inserts, brand-new keys, NULL keys,
+sequential merges whose tombstones must accumulate, and partitioned
+tables whose part-file basenames collide (the exact per-file rel-path
+fallback). Plus the protocol properties: vectors survive vacuum while
+referenced, ``compact_deletes`` folds them away losslessly, and the CAS
+discipline rejects concurrent commits.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.scd import (
+    assign_surrogate_keys,
+    scd2_merge,
+    scd2_merge_mor,
+)
+from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+    AS_OF,
+    CUSTOMER_CFG,
+    customer_production,
+    customer_staging,
+)
+from implementing_scds_in_hive_spark.sources.sinks import compact_deletes
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    CommitConflictError,
+    latest_version,
+    list_versions,
+    load_manifest,
+    read_snapshot,
+    read_table,
+    vacuum,
+    write_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _publish_v1(spark, root, strategy="hash", n_files=8, partition_by=None):
+    prod = assign_surrogate_keys(
+        customer_production(spark, SF), CUSTOMER_CFG, strategy=strategy
+    )
+    clustered = prod.repartitionByRange(
+        n_files, "c_custkey"
+    ).sortWithinPartitions("c_custkey")
+    return write_snapshot(
+        clustered, root, stats_cols=["c_custkey"], partition_by=partition_by
+    )
+
+
+def _canon(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _full_merge(spark, root, staging, version, strategy="hash"):
+    return scd2_merge(
+        read_snapshot(spark, root, version=version),
+        staging,
+        CUSTOMER_CFG,
+        AS_OF,
+        key_strategy=strategy,
+        broadcast_staging=True,
+    )
+
+
+@pytest.mark.parametrize("strategy", ["hash", "md5"])
+def test_mor_equals_full_rewrite(spark, tmp_path, strategy):
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, strategy=strategy)
+    staging = customer_staging(spark, SF)
+
+    rep = scd2_merge_mor(
+        spark, root, staging, CUSTOMER_CFG, AS_OF, key_strategy=strategy
+    )
+    got = read_table(spark, root)
+    expected = _full_merge(spark, root, staging, 1, strategy)
+    assert _canon(got) == _canon(expected)
+    assert rep["version"] == 2
+    assert rep["files_tombstoned"] > 0
+    assert rep["tombstones"] > 0
+
+
+def test_mor_scattered_batch_drops_nothing_and_writes_o_batch(spark, tmp_path):
+    """The motivating case: a key-SCATTERED small batch (where CoW
+    degrades to a full rewrite) commits O(batch) bytes — every parent
+    data file is carried untouched, only merge output + tombstone
+    vectors are written."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=16)
+    m1 = load_manifest(root, 1)
+    bytes_table = sum(
+        os.path.getsize(os.path.join(root, f)) for f in m1["files"]
+    )
+
+    scattered = customer_staging(spark, SF).where(
+        (F.col("c_custkey") % 7 == 3) & (F.col("c_custkey") < 1_000_000)
+    )
+    n_batch = scattered.count()
+    assert n_batch > 0
+
+    rep = scd2_merge_mor(spark, root, scattered, CUSTOMER_CFG, AS_OF)
+    m2 = load_manifest(root, 2)
+    # no parent file dropped or rewritten — the whole point of the tier
+    assert set(m1["files"]) <= set(m2["files"])
+    assert m2["replaced"] == []
+    # scattered keys touch most files...
+    assert rep["files_tombstoned"] > len(m1["files"]) // 2
+    # ...yet the write volume is O(batch): new data + vector files are a
+    # small fraction of the table (CoW would have rewritten ~all of it)
+    new_files = set(m2["files"]) - set(m1["files"])
+    vec_files = {r for rels in m2.get("deletes", {}).values() for r in rels}
+    bytes_new = sum(
+        os.path.getsize(os.path.join(root, f)) for f in new_files | vec_files
+    )
+    assert bytes_new < 0.5 * bytes_table
+
+    expected = _full_merge(spark, root, scattered, 1)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+
+
+def test_mor_sequential_merges_accumulate_tombstones(spark, tmp_path):
+    """Second merge re-vectoring a file must FOLD the first merge's
+    tombstones forward (a staged vector replaces the parent's), or the
+    first batch's superseded rows resurrect."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=4)
+    staging = customer_staging(spark, SF).where(F.col("c_custkey") < 1_000_000)
+    b1 = staging.where(F.col("c_custkey") % 3 == 0)
+    b2 = staging.where(F.col("c_custkey") % 3 == 1)
+
+    scd2_merge_mor(spark, root, b1, CUSTOMER_CFG, AS_OF)
+    scd2_merge_mor(spark, root, b2, CUSTOMER_CFG, AS_OF)
+
+    expected = scd2_merge(
+        _full_merge(spark, root, b1, 1),
+        b2,
+        CUSTOMER_CFG,
+        AS_OF,
+        key_strategy="hash",
+        broadcast_staging=True,
+    )
+    assert _canon(read_table(spark, root)) == _canon(expected)
+    # both batches' keys are tombstoned in the v1 files they came from
+    m3 = load_manifest(root, 3)
+    assert m3.get("deletes"), "expected live vectors after two merges"
+
+
+def test_mor_on_partitioned_table_with_basename_collisions(spark, tmp_path):
+    """A hive-partitioned snapshot produces identical part-file basenames
+    across partition dirs (one write task fans across partitions), which
+    forces the exact per-file rel-path fallback in both the tombstone
+    build and the read overlay."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=2, partition_by=["c_mktsegment"])
+    m1 = load_manifest(root, 1)
+    bases = [os.path.basename(f) for f in m1["files"]]
+    assert len(set(bases)) < len(bases), (
+        "fixture regression: expected colliding basenames to exercise "
+        "the per-file fallback"
+    )
+
+    staging = customer_staging(spark, SF)
+    scd2_merge_mor(spark, root, staging, CUSTOMER_CFG, AS_OF)
+    expected = _full_merge(spark, root, staging, 1)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+
+
+def test_mor_empty_and_all_null_key_staging(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root)
+    staging = customer_staging(spark, SF)
+
+    empty = staging.where(F.lit(False))
+    rep = scd2_merge_mor(spark, root, empty, CUSTOMER_CFG, AS_OF)
+    assert rep["files_tombstoned"] == 0 and rep["tombstones"] == 0
+    assert list_versions(root) == [1]
+
+    key_type = dict(staging.dtypes)["c_custkey"]
+    nullkeys = staging.limit(3).withColumn(
+        "c_custkey", F.lit(None).cast(key_type)
+    )
+    rep = scd2_merge_mor(spark, root, nullkeys, CUSTOMER_CFG, AS_OF)
+    assert rep["files_tombstoned"] == 0  # NULL keys equi-match nothing
+    expected = _full_merge(spark, root, nullkeys, 1)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+
+
+def test_mor_rejects_renumbering_strategies(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root)
+    with pytest.raises(ValueError, match="stable key strategy"):
+        scd2_merge_mor(
+            spark, root, customer_staging(spark, SF), CUSTOMER_CFG, AS_OF,
+            key_strategy="two_pass",
+        )
+
+
+def test_mor_cas_conflict_leaves_winner_intact(spark, tmp_path, monkeypatch):
+    import implementing_scds_in_hive_spark.operators.scd as scdmod
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root)
+    real = scdmod.scd2_merge
+
+    def racy(*a, **k):
+        # a concurrent writer lands v2 between the manifest load and the
+        # merge's replace commit
+        monkeypatch.setattr(scdmod, "scd2_merge", real)
+        write_snapshot(
+            read_snapshot(spark, root, version=1), root, stats_cols=["c_custkey"]
+        )
+        return real(*a, **k)
+
+    monkeypatch.setattr(scdmod, "scd2_merge", racy)
+    with pytest.raises(CommitConflictError):
+        scd2_merge_mor(
+            spark, root, customer_staging(spark, SF), CUSTOMER_CFG, AS_OF
+        )
+    assert latest_version(root) == 2  # winner intact, loser left nothing
+    # loser's stage dirs are unreferenced orphans; vacuum reclaims them
+    vacuum(root, keep_last=5, grace_seconds=0.0)
+    vacuum(root, keep_last=5, grace_seconds=0.0)
+    live = {
+        d
+        for v in list_versions(root)
+        for d in load_manifest(root, v)["snapshot_dirs"]
+    }
+    on_disk = {
+        os.path.join("data", os.path.basename(p))
+        for p in glob.glob(os.path.join(root, "data", "snap-*"))
+    }
+    assert on_disk == live
+
+
+def test_compact_deletes_folds_vectors_losslessly(spark, tmp_path):
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=4)
+    staging = customer_staging(spark, SF)
+    scd2_merge_mor(spark, root, staging, CUSTOMER_CFG, AS_OF)
+    before = _canon(read_table(spark, root))
+    m2 = load_manifest(root, 2)
+    vec_files = {r for rels in m2.get("deletes", {}).values() for r in rels}
+    assert vec_files
+
+    rep = compact_deletes(spark, root)
+    assert rep["files_folded"] == len(m2.get("deletes", {}))
+    m3 = load_manifest(root, rep["version"])
+    assert not m3.get("deletes")
+    assert _canon(read_table(spark, root)) == before
+
+    # the fold's replace commit drops the (now-contributing-nothing)
+    # vector dirs from its manifest, so once v2's manifest is retained
+    # out, the whole vector stage dir reclaims two-phase at DIR level
+    vec_dirs = {os.path.dirname(vf) for vf in vec_files}
+    assert all(d not in m3["snapshot_dirs"] for d in vec_dirs)
+    vacuum(root, keep_last=1, grace_seconds=3600.0)  # phase 1: tombstone
+    for d in vec_dirs:
+        tomb = os.path.join(root, d, ".dropped-at")
+        assert os.path.exists(tomb)
+        with open(tomb, "w") as f:
+            f.write("1.0")  # age past any grace
+    out = vacuum(root, keep_last=1, grace_seconds=3600.0)
+    assert vec_dirs <= set(out["removed_dirs"])
+    for vf in vec_files:
+        assert not os.path.exists(os.path.join(root, vf))
+    assert _canon(read_table(spark, root)) == before
+
+
+def test_mor_change_feed_is_exact(spark, tmp_path):
+    """A merge-on-read commit changes rows WITHOUT changing carried
+    files' bytes — the version diff must still see those rows (vector
+    changes make a carried file 'differ'), emitting exactly the U/I/D
+    set of the merge."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=4)
+    staging = customer_staging(spark, SF).where(
+        (F.col("c_custkey") % 11 == 5) & (F.col("c_custkey") < 1_000_000)
+    )
+    scd2_merge_mor(spark, root, staging, CUSTOMER_CFG, AS_OF)
+
+    # diff keyed by surrogate (unique per version-row): U for type-1
+    # rewrites never happens under a stable hash key... so key by
+    # (c_custkey, scd_version): unique within each version of an SCD2
+    # table, stable across the merge for carried rows.
+    ch = snapshot_changes(
+        spark, root, 1, 2, ["c_custkey", "scd_version"]
+    )
+    got = {
+        (r["c_custkey"], r["scd_version"], r["op"]) for r in ch.collect()
+    }
+    old = read_snapshot(spark, root, version=1)
+    new = read_snapshot(spark, root, version=2)
+    o = {(r["c_custkey"], r["scd_version"]): r for r in old.collect()}
+    n = {(r["c_custkey"], r["scd_version"]): r for r in new.collect()}
+    expected = set()
+    for k in o.keys() | n.keys():
+        if k not in n:
+            expected.add((k[0], k[1], "D"))
+        elif k not in o:
+            expected.add((k[0], k[1], "I"))
+        elif tuple(o[k]) != tuple(n[k]):
+            expected.add((k[0], k[1], "U"))
+    assert got == expected
+    assert expected, "merge should have produced changes"
