@@ -1977,16 +1977,12 @@ PYTEST_ONLY_QUERIES = {
     "json_map_explode": q_json_map_explode,
     "event_hourly_rollup": q_event_hourly_rollup,
     "json_extract": q_json_extract,
-    "session_window_rollup": q_session_window_rollup,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
-    "dedup_canonical": q_dedup_canonical,
-    "range_join_events_promos": q_range_join_events_promos,
     "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
-    "cohort_retention": q_cohort_retention,
     "pii_redaction": q_pii_redaction,
     "pseudonymize_users": q_pseudonymize_users,
     "text_chunks": q_text_chunks,
@@ -2007,16 +2003,12 @@ PYTEST_ONLY_ORACLES = {
     "json_map_explode": JSON_MAP_EXPLODE_SQL,
     "event_hourly_rollup": EVENT_HOURLY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
-    "session_window_rollup": SESSION_WINDOW_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
-    "dedup_canonical": DEDUP_CANONICAL_SQL,
-    "range_join_events_promos": RANGE_JOIN_SQL,
     "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
-    "cohort_retention": COHORT_RETENTION_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "pseudonymize_users": PSEUDONYMIZE_SQL,
     "text_chunks": TEXT_CHUNKS_SQL,
@@ -2028,6 +2020,27 @@ PYTEST_ONLY_ORACLES = {
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
     "assign_split": ASSIGN_SPLIT_SQL,
 }
+
+# r8 rotation (VERDICT r7 next-round #2): four never-slotted families
+# get first-time driver evidence — session windows (gap-based
+# session_window native sessionization), canonical-duplicate election,
+# the event/promo interval range join, and cohort retention matrices.
+QUERIES.update(
+    {
+        "session_window_rollup": q_session_window_rollup,
+        "dedup_canonical": q_dedup_canonical,
+        "range_join_events_promos": q_range_join_events_promos,
+        "cohort_retention": q_cohort_retention,
+    }
+)
+ORACLES.update(
+    {
+        "session_window_rollup": SESSION_WINDOW_SQL,
+        "dedup_canonical": DEDUP_CANONICAL_SQL,
+        "range_join_events_promos": RANGE_JOIN_SQL,
+        "cohort_retention": COHORT_RETENTION_SQL,
+    }
+)
 
 # Round-3 pipeline operators, promoted to driver slots in r4 (VERDICT r3
 # next-round #3). Appended here because their builders are defined after
@@ -2117,8 +2130,8 @@ SELECT event_id, user_id,
 FROM w
 """
 
-QUERIES["linear_interp_values"] = q_linear_interp_values  # r7 rotation: first-time driver slot
-ORACLES["linear_interp_values"] = LINEAR_INTERP_SQL
+PYTEST_ONLY_QUERIES["linear_interp_values"] = q_linear_interp_values  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["linear_interp_values"] = LINEAR_INTERP_SQL
 
 
 # --- mergeable sketches (approximate distinct / percentiles at scale) ----
@@ -2462,11 +2475,11 @@ SELECT COALESCE(nk, ok) AS c_custkey,
 FROM j WHERE op IS NOT NULL
 """
 
-QUERIES["snapshot_version_diff"] = q_snapshot_version_diff  # r7 rotation: first-time driver slot (the r6 marquee)
-ORACLES["snapshot_version_diff"] = SNAPSHOT_DIFF_SQL
+PYTEST_ONLY_QUERIES["snapshot_version_diff"] = q_snapshot_version_diff  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["snapshot_version_diff"] = SNAPSHOT_DIFF_SQL
 
-QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens  # r7 rotation: first-time driver slot
-ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
+PYTEST_ONLY_QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["bpe_encode_tokens"] = BPE_ENCODE_SQL
 
 
 # --- KMV set-overlap estimation ------------------------------------------
@@ -2521,8 +2534,8 @@ FROM e
 """
 
 
-QUERIES["kmv_overlap_years"] = q_kmv_overlap_years  # r7 rotation: first-time driver slot
-ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
+PYTEST_ONLY_QUERIES["kmv_overlap_years"] = q_kmv_overlap_years  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
 
 
 # --- weighted sampling ----------------------------------------------------
@@ -2728,8 +2741,8 @@ FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
 """
 
 
-QUERIES["decontaminate_docs"] = q_decontaminate_docs  # r6 rotation: first-time driver slot
-ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL
+PYTEST_ONLY_QUERIES["decontaminate_docs"] = q_decontaminate_docs  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["decontaminate_docs"] = DECONTAMINATE_SQL
 
 
 # --- count-min heavy hitters ---------------------------------------------
@@ -3252,8 +3265,8 @@ FROM pairs
 """
 
 
-QUERIES["embedding_covariance"] = q_embedding_covariance  # r7 rotation: first-time driver slot
-ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
+PYTEST_ONLY_QUERIES["embedding_covariance"] = q_embedding_covariance  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
 
 
 def q_pmi_collocations(spark, sf_dir):
@@ -3324,8 +3337,8 @@ PPR_SEED_SQL = _pagerank_sql(
 )
 
 
-QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers  # r6 rotation: first-time driver slot
-ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
+PYTEST_ONLY_QUERIES["ppr_seed_suppliers"] = q_ppr_seed_suppliers  # r8 rotation: folded to pytest after r6/r7 driver round
+PYTEST_ONLY_ORACLES["ppr_seed_suppliers"] = PPR_SEED_SQL
 
 
 def q_mad_outliers_prices(spark, sf_dir):
