@@ -63,6 +63,7 @@ def maintain_view(
     fold_fn=None,
     retain_versions: int | None = 2,
     retain_grace_seconds: float = 600.0,
+    to_version: int | None = None,
     **agg_kwargs,
 ) -> dict:
     """One refresh step of a materialized view: read the view's
@@ -105,9 +106,13 @@ def maintain_view(
     view_v = latest_version(view_root) if is_snapshot_table(view_root) else None
     last = view_watermark(view_root)
     rebuilt = False
+    # ``to_version`` bounds the catch-up (changes_since's cap): one call
+    # folds at most up to that committed version — the rate-limit knob a
+    # scheduler (or a bench isolating per-version refresh cost) needs.
     try:
         batch, new_wm = changes_since(
-            spark, source_root, last, key_cols, signed=True
+            spark, source_root, last, key_cols, signed=True,
+            to_version=to_version,
         )
     except FileNotFoundError:
         # the source vacuumed past our watermark (retention outran the
@@ -115,8 +120,10 @@ def maintain_view(
         # the incremental diff is impossible, so fall back to a full
         # rebuild from the current snapshot. Correctness is preserved;
         # only this one refresh pays a rescan.
-        batch, new_wm = None, latest_version(source_root)
-        rebuilt = True
+        new_wm = latest_version(source_root)
+        if to_version is not None and new_wm is not None:
+            new_wm = min(new_wm, to_version)
+        batch, rebuilt = None, True
     if batch is None and not rebuilt:
         return {"updated": False, "watermark": last, "view_version": view_v}
     if last is None or rebuilt:

