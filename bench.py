@@ -320,12 +320,17 @@ def _build_matview_refresh(spark, sf_dir):
     """Bench the materialized-view maintenance loop (VERDICT r7 #7):
 
     * ``matview_refresh_delta`` — ONE ``maintain_view`` step folding a
-      single pre-committed small-delta source version (~0.5% of keys;
-      the source commits are staged in setup, untimed, and ``to_version``
-      pins each timed run to exactly one version) — the O(changed keys)
-      incremental cost, including the view's own commit.
+      single pre-committed APPEND version (~0.5% new events; the source
+      commits are staged in setup, untimed, and ``to_version`` pins each
+      timed run to exactly one version) — the O(changed files + changed
+      keys) incremental cost, including the view's own commit. Append
+      commits share every parent file, so the version diff reads ONLY
+      the appended files (the realistic event-table shape; an overwrite
+      delta would force a full two-snapshot diff and time O(table)).
     * ``event_rollup_rebuild`` — the comparator a view without a change
-      feed pays: a full rollup recompute over the same source.
+      feed pays: a full rollup recompute over the same source. At sf0.1
+      the source is small enough that per-job overhead narrows the gap;
+      scripts/matview_scale_smoke.py measures the crossover at 20M rows.
     """
     import itertools
     import shutil
@@ -352,14 +357,13 @@ def _build_matview_refresh(spark, sf_dir):
     )
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     write_snapshot(e, src)
-    for i in range(1, n_runs + 1):  # one small scattered delta per run
-        delta = e.withColumn(
-            "value",
-            F.when(
-                F.col("event_id") % 211 == i, F.col("value") + float(i)
-            ).otherwise(F.col("value")),
+    n_batch = max(1, e.count() // 200)  # ~0.5% new events per version
+    for i in range(1, n_runs + 1):
+        delta = e.limit(n_batch).select(
+            (F.col("event_id") + F.lit(i * 1_000_000_000)).alias("event_id"),
+            "ts", "event_type", "value",
         )
-        write_snapshot(delta, src)
+        write_snapshot(delta.coalesce(1), src, mode="append")
     maintain_view(spark, src, view, ["event_id"], to_version=1)  # untimed init
     step = itertools.count(2)
 
@@ -369,7 +373,10 @@ def _build_matview_refresh(spark, sf_dir):
             to_version=next(step),
             retain_versions=2, retain_grace_seconds=0.0,
         )
-        return read_table(spark, view).limit(1)
+        # maintain_view already executed + committed the refresh; return
+        # a token DF so the harness's noop write costs ~nothing instead
+        # of re-reading the whole view into the timing
+        return spark.range(1)
 
     def rebuild(spark, sf_dir):
         return event_rollup(read_table(spark, src))
