@@ -32,6 +32,7 @@ from implementing_scds_in_hive_spark.sources.snapshot import (
     changes_since,
     is_snapshot_table,
     latest_version,
+    list_versions,
     load_manifest,
     read_snapshot,
     read_table,
@@ -123,6 +124,16 @@ def maintain_view(
         new_wm = latest_version(source_root)
         if to_version is not None and new_wm is not None:
             new_wm = min(new_wm, to_version)
+            if new_wm not in list_versions(source_root):
+                # the cap itself names a vacuumed version: a bounded
+                # rebuild is impossible and retrying read_snapshot would
+                # just re-raise the error we are handling — fail with
+                # the actionable message instead
+                raise ValueError(
+                    f"to_version={to_version} has been vacuumed away at "
+                    f"{source_root}; drop the cap to rebuild from the "
+                    f"current snapshot"
+                ) from None
         batch, rebuilt = None, True
     if batch is None and not rebuilt:
         return {"updated": False, "watermark": last, "view_version": view_v}

@@ -445,6 +445,52 @@ def publish(
     return v
 
 
+
+def _incremental_merge_preamble(
+    root: str, staging: DataFrame, cfg: SCDConfig, key_strategy: str, op: str
+):
+    """Shared CoW/MoR merge setup: stable-strategy validation, parent
+    manifest resolution, staging bounds (the COUNT distinguishes empty
+    staging from staging whose keys are all NULL — ADVICE r7 #3), and
+    the stats-pruned candidate file list. Returns ``(version, manifest,
+    candidates)``: ``candidates=None`` means EMPTY staging (caller
+    no-ops); ``[]`` means non-empty staging that can touch no file
+    (all-NULL keys equi-match nothing — pure inserts)."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        _survives_prune,
+        latest_version,
+        load_manifest,
+    )
+
+    if key_strategy not in ("hash", "md5"):
+        raise ValueError(
+            f"{op} requires a stable key strategy (hash|md5); "
+            f"{key_strategy!r} renumbers carried rows and needs the full "
+            f"rewrite path (scd2_merge + publish)"
+        )
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {root}; publish the initial "
+            f"dimension with write_snapshot/publish first"
+        )
+    m = load_manifest(root, v)
+    bounds = staging.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cfg.key).alias("lo"),
+        F.max(cfg.key).alias("hi"),
+    ).first()
+    if bounds["n"] == 0:
+        return v, m, None
+    if bounds["lo"] is None:
+        return v, m, []
+    key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
+    stats = m.get("stats", {})
+    return v, m, [
+        f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
+    ]
+
+
 def scd2_merge_cow(
     spark,
     root: str,
@@ -494,50 +540,18 @@ def scd2_merge_cow(
     ``{"version", "files_total", "files_candidates", "files_rewritten"}``.
     """
     from implementing_scds_in_hive_spark.sources.snapshot import (
-        _survives_prune,
-        latest_version,
-        load_manifest,
         read_manifest_files,
         write_snapshot,
     )
 
-    if key_strategy not in ("hash", "md5"):
-        raise ValueError(
-            f"scd2_merge_cow requires a stable key strategy (hash|md5); "
-            f"{key_strategy!r} renumbers carried rows and needs the full "
-            f"rewrite path (scd2_merge + publish)"
-        )
-    v = latest_version(root)
-    if v is None:
-        raise FileNotFoundError(
-            f"no committed snapshot under {root}; publish the initial "
-            f"dimension with write_snapshot/publish first"
-        )
-    m = load_manifest(root, v)
+    v, m, candidates = _incremental_merge_preamble(
+        root, staging, cfg, key_strategy, "scd2_merge_cow"
+    )
     out = {"version": v, "files_total": len(m["files"])}
-
-    bounds = staging.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(cfg.key).alias("lo"),
-        F.max(cfg.key).alias("hi"),
-    ).first()
-    if bounds["n"] == 0:
+    if candidates is None:
         # empty staging: nothing to merge, current version stands
         return {**out, "files_candidates": 0, "files_rewritten": 0}
-
     stats = m.get("stats", {})
-    if bounds["lo"] is None:
-        # non-empty staging whose keys are ALL NULL: a NULL key can never
-        # equi-match a production row, so no file is touched — but the
-        # rows still insert as brand-new version-1 rows via the merge's
-        # anti-join, exactly like the full scd2_merge path (ADVICE r7 #3:
-        # previously mis-treated as an empty no-op).
-        candidates = []
-    else:
-        key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
-        candidates = [
-            f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
-        ]
     out["files_candidates"] = len(candidates)
 
     if candidates:
@@ -690,34 +704,15 @@ def scd2_merge_mor(
     "files_tombstoned", "tombstones"}``."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
-        _survives_prune,
-        latest_version,
-        load_manifest,
         read_manifest_files,
         write_snapshot,
     )
 
-    if key_strategy not in ("hash", "md5"):
-        raise ValueError(
-            f"scd2_merge_mor requires a stable key strategy (hash|md5); "
-            f"{key_strategy!r} renumbers carried rows and needs the full "
-            f"rewrite path (scd2_merge + publish)"
-        )
-    v = latest_version(root)
-    if v is None:
-        raise FileNotFoundError(
-            f"no committed snapshot under {root}; publish the initial "
-            f"dimension with write_snapshot/publish first"
-        )
-    m = load_manifest(root, v)
+    v, m, candidates = _incremental_merge_preamble(
+        root, staging, cfg, key_strategy, "scd2_merge_mor"
+    )
     out = {"version": v, "files_total": len(m["files"])}
-
-    bounds = staging.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(cfg.key).alias("lo"),
-        F.max(cfg.key).alias("hi"),
-    ).first()
-    if bounds["n"] == 0:
+    if candidates is None:
         return {
             **out,
             "files_candidates": 0,
@@ -725,13 +720,6 @@ def scd2_merge_mor(
             "tombstones": 0,
         }
     stats = m.get("stats", {})
-    if bounds["lo"] is None:
-        candidates = []  # all-NULL keys: pure inserts, nothing matches
-    else:
-        key_range = {cfg.key: (bounds["lo"], bounds["hi"])}
-        candidates = [
-            f for f in m["files"] if _survives_prune(stats.get(f, {}), key_range)
-        ]
     out["files_candidates"] = len(candidates)
 
     cand = read_manifest_files(
@@ -763,9 +751,14 @@ def scd2_merge_mor(
             cfg,
             key_strategy,
         )
-        touched = sorted(
-            r["__rel"] for r in matched.select("__rel").distinct().collect()
-        )
+        # ONE grouped collect yields both the touched-file list and the
+        # new-tombstone count (distinct (file, key) pairs) — no separate
+        # counting job over the persisted set later
+        per_file = matched.groupBy("__rel").agg(
+            F.count_distinct(F.col(cfg.key)).alias("__n")
+        ).collect()
+        touched = sorted(r["__rel"] for r in per_file)
+        n_tomb = sum(r["__n"] for r in per_file)
         tomb = None
         if touched:
             tomb = matched.select(
@@ -793,6 +786,7 @@ def scd2_merge_mor(
                 tomb = tomb.unionByName(
                     prior.select(DELETE_FILE_COL, cfg.key)
                 )
+                n_tomb += prior.count()  # tiny vector-file scan
         merged = scd2_merge(
             matched.drop("__rel"),
             staging,
@@ -803,7 +797,6 @@ def scd2_merge_mor(
             plan=plan,
             evolve_schema=evolve_schema,
         )
-        n_tomb = tomb.count() if tomb is not None else 0
         stats_cols = sorted({c for fs in stats.values() for c in fs}) or None
         new_v = write_snapshot(
             merged,

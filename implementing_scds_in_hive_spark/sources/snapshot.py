@@ -141,8 +141,8 @@ def latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
-_MANIFEST_CACHE: dict[str, dict] = {}
-_MANIFEST_CACHE_MAX = 8
+_MANIFEST_CACHE: dict[str, tuple[tuple, dict]] = {}
+_MANIFEST_CACHE_MAX = 16
 
 
 def load_manifest(root: str, version: int) -> dict:
@@ -151,24 +151,30 @@ def load_manifest(root: str, version: int) -> dict:
     parsed dict is reusable for the process lifetime — at ~10^5 file
     entries the JSON parse costs ~0.3 s (measured,
     scripts/manifest_ceiling.py), which a read-heavy driver would
-    otherwise pay on every resolution. Vacuum semantics are preserved:
-    a cache hit re-checks existence (µs) so a reclaimed version still
-    raises FileNotFoundError exactly like the uncached path. Callers
-    must treat the returned dict as read-only (every existing caller
-    copies before mutating). The cache is small-bounded — workloads
-    touch the latest few versions; at the bound it clears wholesale."""
+    otherwise pay on every resolution. Every hit re-validates FILE
+    IDENTITY via ``os.stat`` (inode + mtime + size, µs): a vacuumed
+    version raises FileNotFoundError exactly like the uncached path, and
+    a table DROPPED AND RECREATED at the same root (same v0000000001
+    path, brand-new file) re-parses instead of serving the old table's
+    manifest. Callers must treat the returned dict as read-only (every
+    existing caller copies before mutating). Small-bounded with FIFO
+    eviction — workloads touch the latest few versions per table."""
     p = _manifest_path(root, version)
-    m = _MANIFEST_CACHE.get(p)
-    if m is not None:
-        if not os.path.exists(p):
-            _MANIFEST_CACHE.pop(p, None)
-            raise FileNotFoundError(p)
-        return m
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        _MANIFEST_CACHE.pop(p, None)
+        raise
+    ident = (st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _MANIFEST_CACHE.get(p)
+    if hit is not None and hit[0] == ident:
+        return hit[1]
     with open(p) as f:
         m = json.load(f)
-    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.clear()
-    _MANIFEST_CACHE[p] = m
+    _MANIFEST_CACHE.pop(p, None)
+    while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[p] = (ident, m)
     return m
 
 
@@ -804,15 +810,13 @@ def read_manifest_files(
     rel_col = rel_path_col or "__mor_rel"
     # rel paths are needed for every file when the caller asked for
     # them, else only for the vectored subset (the delete anti-join's
-    # probe side)
-    need_rel = list(files) if rel_path_col else sorted(deletes)
-
-    from collections import Counter
-
-    base_count = Counter(os.path.basename(f) for f in need_rel)
-    tagged = {f for f in need_rel if base_count[os.path.basename(f)] > 1}
-    mapped = [f for f in need_rel if f not in tagged]
-    rel_set = set(need_rel)
+    # probe side); the anti-join itself applies ONLY to vectored files
+    # in either case — clean files never pay the overlay join.
+    vectored = sorted(deletes)
+    extra_rel = (
+        [f for f in files if f not in deletes] if rel_path_col else []
+    )
+    rel_set = set(vectored) | set(extra_rel)
     plain = [f for f in files if f not in rel_set]
 
     def _by_dir(subset: list[str]) -> dict[str, list[str]]:
@@ -841,43 +845,65 @@ def read_manifest_files(
             parts.append(p)
         return parts
 
-    rel_parts: list[DataFrame] = []
-    if mapped:
-        mapping = spark.createDataFrame(
-            [(os.path.basename(f), f) for f in mapped],
-            "__mor_base string, __mor_rel_v string",
-        )
-        for p in _bulk(mapped, True):
-            q = p.withColumn(
-                "__mor_base",
-                F.element_at(F.split(F.col("__mor_fp"), "/"), -1),
-            ).join(F.broadcast(mapping), "__mor_base")
-            rel_parts.append(
-                q.withColumn(rel_col, F.col("__mor_rel_v")).drop(
-                    "__mor_base", "__mor_rel_v"
-                )
-            )
-    for f in sorted(tagged):
-        d = next(
-            d for d in m["snapshot_dirs"] if f.startswith(d + os.sep)
-        )
-        p = (
-            spark.read.schema(schema)
-            .option("basePath", os.path.join(root, d))
-            .parquet(os.path.join(root, f))
-            .withColumn("__mor_fp", F.col("_metadata.file_path"))
-            .withColumn(rel_col, F.lit(f))
-        )
-        rel_parts.append(p)
+    def _rel_tagged(subset: list[str]) -> list[DataFrame]:
+        """Scan ``subset`` with an exact ``rel_col``: basename-unique
+        files via one bulk scan + broadcast basename->rel map (basename
+        ambiguity only matters WITHIN one scan), colliding basenames via
+        per-file literal-tagged reads."""
+        from collections import Counter
 
-    if rel_parts and deletes:
-        vec_rels = sorted({v for vs in deletes.values() for v in vs})
-        vec = spark.read.parquet(
-            *[os.path.join(root, v) for v in vec_rels]
-        ).where(F.col(DELETE_FILE_COL).isin(list(deletes)))
+        base_count = Counter(os.path.basename(f) for f in subset)
+        tagged = {f for f in subset if base_count[os.path.basename(f)] > 1}
+        mapped = [f for f in subset if f not in tagged]
+        parts: list[DataFrame] = []
+        if mapped:
+            mapping = spark.createDataFrame(
+                [(os.path.basename(f), f) for f in mapped],
+                "__mor_base string, __mor_rel_v string",
+            )
+            for p in _bulk(mapped, True):
+                q = p.withColumn(
+                    "__mor_base",
+                    F.element_at(F.split(F.col("__mor_fp"), "/"), -1),
+                ).join(F.broadcast(mapping), "__mor_base")
+                parts.append(
+                    q.withColumn(rel_col, F.col("__mor_rel_v")).drop(
+                        "__mor_base", "__mor_rel_v"
+                    )
+                )
+        for f in sorted(tagged):
+            d = next(
+                d for d in m["snapshot_dirs"] if f.startswith(d + os.sep)
+            )
+            parts.append(
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(root, d))
+                .parquet(os.path.join(root, f))
+                .withColumn("__mor_fp", F.col("_metadata.file_path"))
+                .withColumn(rel_col, F.lit(f))
+            )
+        return parts
+
+    vec_parts = _rel_tagged(vectored)
+    if vec_parts:
+        # Tombstones for file f are EXACTLY the rows with __file == f in
+        # deletes[f]'s vector files — a vector file kept alive by some
+        # OTHER file's entry must not re-apply superseded tombstones to
+        # a re-vectored f (a staged vector REPLACES the prior one). Read
+        # per distinct vector-file list, restricted to the files that
+        # list serves in THIS manifest.
+        by_list: dict[tuple, list[str]] = {}
+        for f, rels in deletes.items():
+            by_list.setdefault(tuple(rels), []).append(f)
+        vec = None
+        for rels, served in sorted(by_list.items()):
+            v = spark.read.parquet(
+                *[os.path.join(root, r) for r in rels]
+            ).where(F.col(DELETE_FILE_COL).isin(served))
+            vec = v if vec is None else vec.unionByName(v)
         key_cols = [c for c in vec.columns if c != DELETE_FILE_COL]
-        joined = rel_parts[0]
-        for p in rel_parts[1:]:
+        joined = vec_parts[0]
+        for p in vec_parts[1:]:
             joined = joined.unionByName(p)
         cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
         for k in key_cols:
@@ -885,9 +911,13 @@ def read_manifest_files(
         joined = joined.alias("__l").join(
             F.broadcast(vec.alias("__r")), cond, "left_anti"
         )
-        rel_parts = [joined]
+        vec_parts = [joined]
 
-    parts = rel_parts + _bulk(plain, bool(file_path_col))
+    parts = (
+        vec_parts
+        + _rel_tagged(extra_rel)
+        + _bulk(plain, bool(file_path_col))
+    )
     norm = []
     for p in parts:
         q = p

@@ -186,10 +186,12 @@ def test_replace_mode_cas_and_validation(spark, tmp_path):
         write_snapshot(one, root, mode="replace", expected_version=1,
                        drop_files=["data/nope/part-0.parquet"])
 
-    with pytest.raises(ValueError, match="must match the parent"):
+    # r8: APPENDING a nullable column is now legal schema evolution
+    # (tests/test_snapshot_evolve.py); a RETYPE is still rejected
+    with pytest.raises(ValueError, match="extend the parent"):
         write_snapshot(
-            one.withColumn("extra", F.lit(1)), root, mode="replace",
-            expected_version=1, drop_files=[],
+            one.withColumn("v", F.lit(1)).select("id", "v"), root,
+            mode="replace", expected_version=1, drop_files=[],
         )
 
     # a concurrent overwrite advances the table; the stale replace loses

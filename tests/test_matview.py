@@ -284,3 +284,23 @@ def test_bounded_catchup_to_version(spark, tmp_path):
     rep = maintain_view(spark, source, view, KEY)
     assert rep["watermark"] == 3
     _assert_current(spark, source, view)
+
+
+def test_bounded_catchup_on_vacuumed_cap_raises_clear_error(spark, tmp_path):
+    """Self-review r8: when to_version itself names a vacuumed version,
+    the rebuild fallback cannot satisfy the cap — it must raise the
+    actionable error, not re-raise the internal FileNotFoundError."""
+    from implementing_scds_in_hive_spark.sources.snapshot import vacuum
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    e = _events(spark)
+    for i in range(3):
+        write_snapshot(e.where(F.col("event_id") % 3 >= i), source)
+    vacuum(source, keep_last=1, grace_seconds=0.0)
+
+    with pytest.raises(ValueError, match="vacuumed away"):
+        maintain_view(spark, source, view, KEY, to_version=1)
+    # uncapped: the standard full-rebuild fallback path still works
+    rep = maintain_view(spark, source, view, KEY)
+    assert rep["updated"] and rep["watermark"] == 3
+    _assert_current(spark, source, view)

@@ -787,3 +787,61 @@ def test_manifest_cache_preserves_vacuum_semantics(spark, tmp_path):
         load_manifest(root, 1)
     # the surviving version still resolves (and re-caches)
     assert load_manifest(root, 2)["version"] == 2
+
+
+def test_manifest_cache_detects_recreated_table(spark, tmp_path):
+    """Self-review r8: a table DROPPED AND RECREATED at the same root
+    reuses the same manifest paths (v0000000001.json, ...) — the cache
+    must detect the new file identity and re-parse, not serve the old
+    table's manifest (whose stage dirs are gone). The driver registry's
+    pid-keyed rebuild-per-process queries hit exactly this."""
+    import shutil
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    m_old = load_manifest(root, 1)
+    assert load_manifest(root, 1) is m_old  # warm hit
+    shutil.rmtree(root)
+    write_snapshot(_df(spark, [7, 8, 9]), root)
+    m_new = load_manifest(root, 1)
+    assert m_new["files"] != m_old["files"]
+    assert _ids(read_table(spark, root)) == [7, 8, 9]
+
+
+def test_revectoring_replaces_prior_tombstones_exactly(spark, tmp_path):
+    """Self-review r8: a staged deletion vector REPLACES the parent's
+    for its file. A vector file kept alive by some OTHER file's entry
+    must not re-apply its superseded tombstones to the re-vectored file
+    — the dropped tombstone's row resurrects, exactly as the manifest
+    says."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        load_manifest as lm,
+    )
+
+    root = str(tmp_path / "t")
+    df = _df(spark, [1, 2, 3, 4, 5, 6])
+    write_snapshot(
+        df.repartitionByRange(2, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    m1 = lm(root, 1)
+    file_a = next(f for f, s in m1["stats"].items() if s["id"][0] == 1)
+    file_b = next(f for f, s in m1["stats"].items() if s["id"][0] != 1)
+    empty = spark.createDataFrame([], "id long, v string")
+
+    # one vector batch covering BOTH files: drop id=1 from A, id=4 from B
+    tomb1 = spark.createDataFrame(
+        [(file_a, 1), (file_b, 4)], "__file string, id long"
+    )
+    write_snapshot(empty, root, mode="replace", expected_version=1,
+                   drop_files=[], delete_vectors=tomb1)
+    assert _ids(read_table(spark, root)) == [2, 3, 5, 6]
+
+    # re-vector ONLY file A with {id=2}, deliberately NOT carrying id=1:
+    # replace semantics say id=1 resurrects; id=4 stays dead via B's
+    # still-live entry in the ORIGINAL vector file
+    tomb2 = spark.createDataFrame([(file_a, 2)], "__file string, id long")
+    write_snapshot(empty, root, mode="replace", expected_version=2,
+                   drop_files=[], delete_vectors=tomb2)
+    assert _ids(read_table(spark, root)) == [1, 3, 5, 6]
