@@ -177,6 +177,114 @@ def scd2_cow_upsert_stream(
     full-rewrite stream; ``retain_versions`` bounds the commit history
     per the usual per-trigger retention discipline."""
     from implementing_scds_in_hive_spark.operators.scd import scd2_merge_cow
+
+    return _incremental_upsert_stream(
+        scd2_merge_cow,
+        staging_stream,
+        prod_root,
+        cfg,
+        checkpoint_dir=checkpoint_dir,
+        order_by=order_by,
+        as_of_fn=as_of_fn,
+        key_strategy=key_strategy,
+        retain_versions=retain_versions,
+        retain_grace_seconds=retain_grace_seconds,
+        max_commit_retries=max_commit_retries,
+        trigger_available_now=trigger_available_now,
+        crash_hook=crash_hook,
+    )
+
+
+def scd2_mor_upsert_stream(
+    staging_stream: DataFrame,
+    prod_root: str,
+    cfg: SCDConfig,
+    *,
+    checkpoint_dir: str,
+    order_by: list[str] | None = None,
+    as_of_fn: Callable[[int], datetime] | None = None,
+    key_strategy: str = "hash",
+    retain_versions: int | None = 2,
+    retain_grace_seconds: float = 600.0,
+    max_commit_retries: int = 3,
+    fold_every: int | None = None,
+    trigger_available_now: bool = True,
+    crash_hook: Callable[[int, str], None] | None = None,
+) -> StreamingQuery:
+    """The KEY-SCATTERED face of :func:`scd2_cow_upsert_stream`: each
+    micro-batch merges through the merge-on-read deletion-vector path
+    (``operators/scd.py:scd2_merge_mor``), so per-trigger write volume
+    is O(batch) no matter how the batch's keys scatter — the shape where
+    the CoW stream degrades to rewriting most of the table per trigger.
+
+    Tombstone vectors accumulate across triggers (the read overlay's
+    broadcast grows with them); ``fold_every=N`` runs
+    ``sinks.compact_deletes`` after every Nth batch to fold vectors back
+    into clean clustered files inline (a fold losing a CAS race is
+    skipped, not retried — it is content-preserving and the next
+    scheduled fold catches up). Leave ``None`` when an external
+    maintenance job owns the compaction cadence.
+
+    Same restart story as the CoW stream: replaying a batch after a
+    crash re-merges against the already-updated table — the staged
+    values equal the active rows, so the replay re-tombstones and
+    rewrites IDENTICAL row content (content-level idempotence; the
+    churned vectors fold away at the next compaction). Same stable-key
+    precondition and CAS-retry discipline."""
+    from implementing_scds_in_hive_spark.operators.scd import scd2_merge_mor
+    from implementing_scds_in_hive_spark.sources.sinks import compact_deletes
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+    )
+
+    def maybe_fold(spark, batch_id: int) -> None:
+        if fold_every and (batch_id + 1) % fold_every == 0:
+            try:
+                compact_deletes(spark, prod_root)
+            except CommitConflictError:
+                pass  # content-preserving; next scheduled fold catches up
+
+    return _incremental_upsert_stream(
+        scd2_merge_mor,
+        staging_stream,
+        prod_root,
+        cfg,
+        checkpoint_dir=checkpoint_dir,
+        order_by=order_by,
+        as_of_fn=as_of_fn,
+        key_strategy=key_strategy,
+        retain_versions=retain_versions,
+        retain_grace_seconds=retain_grace_seconds,
+        max_commit_retries=max_commit_retries,
+        trigger_available_now=trigger_available_now,
+        crash_hook=crash_hook,
+        post_commit=maybe_fold,
+    )
+
+
+def _incremental_upsert_stream(
+    merge_fn,
+    staging_stream: DataFrame,
+    prod_root: str,
+    cfg: SCDConfig,
+    *,
+    checkpoint_dir: str,
+    order_by: list[str] | None,
+    as_of_fn: Callable[[int], datetime] | None,
+    key_strategy: str,
+    retain_versions: int | None,
+    retain_grace_seconds: float,
+    max_commit_retries: int,
+    trigger_available_now: bool,
+    crash_hook: Callable[[int, str], None] | None,
+    post_commit=None,
+) -> StreamingQuery:
+    """Shared trigger loop for the incremental (CoW / MoR) upsert
+    streams: dedupe the batch, run ``merge_fn`` with CAS retries (each
+    retry re-reads the new latest version and re-merges — safe because
+    the merge is a pure function of current state + batch), then the
+    per-trigger retention vacuum and the optional ``post_commit`` hook.
+    """
     from implementing_scds_in_hive_spark.sources.snapshot import (
         CommitConflictError,
         vacuum,
@@ -197,7 +305,7 @@ def scd2_cow_upsert_stream(
         staged = dedupe_staging(batch, cfg, order_by=order_by)
         for attempt in range(max_commit_retries):
             try:
-                scd2_merge_cow(
+                merge_fn(
                     spark, prod_root, staged, cfg, as_of,
                     key_strategy=key_strategy,
                 )
@@ -211,6 +319,8 @@ def scd2_cow_upsert_stream(
                 keep_last=retain_versions,
                 grace_seconds=retain_grace_seconds,
             )
+        if post_commit:
+            post_commit(spark, batch_id)
         if crash_hook:
             crash_hook(batch_id, "post_publish")
 

@@ -317,3 +317,160 @@ def test_mor_change_feed_is_exact(spark, tmp_path):
             expected.add((k[0], k[1], "U"))
     assert got == expected
     assert expected, "merge should have produced changes"
+
+
+def test_mor_commit_crash_before_link_leaves_parent_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection on the MoR commit: before the manifest link the
+    parent version is fully readable and BOTH stage dirs (merge output
+    + deletion vectors) are unreferenced orphans that vacuum reclaims —
+    the commit is atomic or absent, sidecars included."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=4)
+    m1 = load_manifest(root, 1)
+    before = _canon(read_table(spark, root))
+
+    real_link = os.link
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest link")
+
+    monkeypatch.setattr(snap.os, "link", boom)
+    with pytest.raises(RuntimeError, match="crash before"):
+        scd2_merge_mor(
+            spark, root, customer_staging(spark, SF), CUSTOMER_CFG, AS_OF
+        )
+    monkeypatch.setattr(snap.os, "link", real_link)
+
+    assert list_versions(root) == [1]
+    assert _canon(read_table(spark, root)) == before
+    # two orphan stage dirs (merge output + vectors); two graced passes
+    orphans = {
+        os.path.join("data", os.path.basename(p))
+        for p in glob.glob(os.path.join(root, "data", "snap-*"))
+    } - set(m1["snapshot_dirs"])
+    assert len(orphans) == 2
+    vacuum(root, keep_last=5, grace_seconds=0.0)
+    vacuum(root, keep_last=5, grace_seconds=0.0)
+    left = {
+        os.path.join("data", os.path.basename(p))
+        for p in glob.glob(os.path.join(root, "data", "snap-*"))
+    }
+    assert left == set(m1["snapshot_dirs"])
+
+
+def test_mor_upsert_stream_matches_batch_and_folds(spark, tmp_path):
+    """Streaming face parity for the merge-on-read tier: per-batch
+    staging files land the dimension in exactly the state of sequential
+    batch merges; NO initial file is ever dropped mid-stream, and the
+    fold_every cadence compacts the accumulated vectors away."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from implementing_scds_in_hive_spark.operators.scd import (
+        SCDConfig,
+        scd2_merge,
+    )
+    from implementing_scds_in_hive_spark.streaming.scd_stream import (
+        scd2_mor_upsert_stream,
+    )
+
+    cfg = SCDConfig(
+        key="login",
+        type2_cols=("address",),
+        type1_cols=("name",),
+        surrogate_col="dim_id",
+    )
+    prod_schema = T.StructType(
+        [
+            T.StructField("dim_id", T.LongType()),
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("scd_version", T.IntegerType()),
+            T.StructField("scd_start_date", T.TimestampType()),
+            T.StructField("scd_end_date", T.TimestampType()),
+            T.StructField("scd_active", T.BooleanType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+    eot = datetime(9999, 12, 31, 23, 59, 59)
+    prod_rows = [
+        (None, f"u{i:02d}", f"a{i}", f"N{i}", 1, t0, eot, True)
+        for i in range(40)
+    ]
+    prod = assign_surrogate_keys(
+        spark.createDataFrame(prod_rows, prod_schema), cfg, strategy="hash"
+    )
+    root = str(tmp_path / "dim")
+    write_snapshot(
+        prod.repartitionByRange(8, "login").sortWithinPartitions("login"),
+        root, stats_cols=["login"],
+    )
+    m1_files = set(load_manifest(root, 1)["files"])
+
+    stg_schema = T.StructType(
+        [
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("batch_ts", T.TimestampType()),
+        ]
+    )
+    # scattered keys across both batches (u05 / u25 / u38 span the file
+    # range); batch 1 re-touches u05 (tombstone accumulation on its file)
+    batches = [
+        [("u05", "a5-new", "N5", t0), ("u25", "a25-new", "N25", t0),
+         ("u99", "a99", "N99", t0)],
+        [("u05", "a5-newer", "N5", t0), ("u38", "a38-new", "N38", t0)],
+    ]
+    stg_dir = str(tmp_path / "staging_stream")
+    for chunk in batches:
+        spark.createDataFrame(chunk, stg_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stg_dir)
+
+    as_of = {0: datetime(2024, 2, 1), 1: datetime(2024, 3, 1)}
+    stream = (
+        spark.readStream.schema(stg_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stg_dir)
+    )
+    q = scd2_mor_upsert_stream(
+        stream,
+        root,
+        cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_by=["batch_ts"],
+        as_of_fn=lambda b: as_of[b],
+        retain_versions=None,  # keep every version for the audit
+        fold_every=2,  # second batch triggers an inline fold
+    )
+    q.awaitTermination(120)
+
+    def batch_apply(order):
+        cur = prod
+        for i in order:
+            stg = spark.createDataFrame(batches[i], stg_schema).drop(
+                "batch_ts"
+            )
+            cur = scd2_merge(cur, stg, cfg, as_of[i], key_strategy="hash",
+                             broadcast_staging=True)
+        return _canon(cur.select(*[f.name for f in prod_schema.fields]))
+
+    got = _canon(
+        read_table(spark, root).select(*[f.name for f in prod_schema.fields])
+    )
+    assert got in (batch_apply([0, 1]), batch_apply([1, 0]))
+
+    # MoR file economy: both merge versions CARRY every initial file
+    for v in (2, 3):
+        assert m1_files <= set(load_manifest(root, v)["files"])
+    assert load_manifest(root, 2).get("deletes")  # vectors after batch 0
+    # batch 1 hit fold_every=2: the final version is folded clean
+    final = load_manifest(root, latest_version(root))
+    assert not final.get("deletes")
