@@ -446,6 +446,64 @@ def publish(
 
 
 
+def scd2_merge_incremental(
+    spark,
+    root: str,
+    staging: DataFrame,
+    cfg: SCDConfig,
+    as_of: datetime | str,
+    *,
+    key_strategy: str = "hash",
+    plan: str = "auto",
+    evolve_schema: bool = False,
+    tier: str = "auto",
+    cow_max_candidate_fraction: float = 0.25,
+) -> dict:
+    """Policy router over the two incremental publish tiers — the one
+    entry point a maintenance pipeline calls per staging batch:
+
+    * few candidate files (clustered batch)  → :func:`scd2_merge_cow`
+      (rewrite the touched files; zero read overhead afterwards);
+    * many candidate files (scattered batch) → :func:`scd2_merge_mor`
+      (O(batch) write volume + deletion-vector read overlay until the
+      next ``compact_deletes`` fold).
+
+    ``tier="auto"`` decides from the STATS-PRUNE candidate fraction
+    alone — a driver-side computation over the manifest, no data read,
+    so the routing signal is free. Candidates over-approximate the
+    truly-touched files, which errs toward MoR: the safe direction
+    (MoR never write-amplifies; the worst case is a bounded read
+    overlay that the maintenance fold removes), whereas mis-routing a
+    scattered batch to CoW rewrites the table. ``tier="cow"``/``"mor"``
+    force a path. Returns the chosen merge's report plus ``"tier"``.
+
+    The routed merge re-resolves the table itself (its own CAS guards
+    the read-modify-write); the only duplicated work is one tiny
+    staging-bounds aggregate, and the manifest re-load is served by the
+    parsed-manifest cache."""
+    v, m, candidates = _incremental_merge_preamble(
+        root, staging, cfg, key_strategy, "scd2_merge_incremental"
+    )
+    if candidates is None:
+        return {
+            "tier": "noop",
+            "version": v,
+            "files_total": len(m["files"]),
+            "files_candidates": 0,
+        }
+    if tier == "auto":
+        frac = len(candidates) / max(1, len(m["files"]))
+        tier = "cow" if frac <= cow_max_candidate_fraction else "mor"
+    if tier not in ("cow", "mor"):
+        raise ValueError(f"tier must be auto|cow|mor, got {tier!r}")
+    fn = scd2_merge_cow if tier == "cow" else scd2_merge_mor
+    rep = fn(
+        spark, root, staging, cfg, as_of,
+        key_strategy=key_strategy, plan=plan, evolve_schema=evolve_schema,
+    )
+    return {**rep, "tier": tier}
+
+
 def _incremental_merge_preamble(
     root: str, staging: DataFrame, cfg: SCDConfig, key_strategy: str, op: str
 ):

@@ -474,3 +474,64 @@ def test_mor_upsert_stream_matches_batch_and_folds(spark, tmp_path):
     # batch 1 hit fold_every=2: the final version is folded clean
     final = load_manifest(root, latest_version(root))
     assert not final.get("deletes")
+
+
+def test_incremental_router_picks_tier_by_candidate_fraction(
+    spark, tmp_path
+):
+    """scd2_merge_incremental: clustered batches route to CoW (few
+    stats-prune candidates), scattered batches to MoR (no rewrite
+    amplification); both land the identical row set, and forced tiers
+    and empty staging behave."""
+    from implementing_scds_in_hive_spark.operators.scd import (
+        scd2_merge_incremental,
+    )
+
+    staging_all = customer_staging(spark, SF).where(
+        F.col("c_custkey") < 1_000_000
+    )
+
+    # clustered contiguous range -> CoW
+    root = str(tmp_path / "dim_clustered")
+    _publish_v1(spark, root, n_files=16)
+    clustered = staging_all.where(F.col("c_custkey").between(100, 115))
+    rep = scd2_merge_incremental(
+        spark, root, clustered, CUSTOMER_CFG, AS_OF
+    )
+    assert rep["tier"] == "cow" and "files_rewritten" in rep
+    expected = _full_merge(spark, root, clustered, 1)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+
+    # scattered -> MoR, no parent file dropped
+    root2 = str(tmp_path / "dim_scattered")
+    _publish_v1(spark, root2, n_files=16)
+    scattered = staging_all.where(F.col("c_custkey") % 7 == 3)
+    rep2 = scd2_merge_incremental(
+        spark, root2, scattered, CUSTOMER_CFG, AS_OF
+    )
+    assert rep2["tier"] == "mor" and rep2["tombstones"] > 0
+    m1 = load_manifest(root2, 1)
+    assert set(m1["files"]) <= set(load_manifest(root2, 2)["files"])
+    expected2 = _full_merge(spark, root2, scattered, 1)
+    assert _canon(read_table(spark, root2)) == _canon(expected2)
+
+    # forced tier overrides the signal; result identical either way
+    root3 = str(tmp_path / "dim_forced")
+    _publish_v1(spark, root3, n_files=16)
+    rep3 = scd2_merge_incremental(
+        spark, root3, clustered, CUSTOMER_CFG, AS_OF, tier="mor"
+    )
+    assert rep3["tier"] == "mor"
+    assert _canon(read_table(spark, root3)) == _canon(
+        _full_merge(spark, root3, clustered, 1)
+    )
+
+    # empty staging: routed nowhere, table untouched
+    rep4 = scd2_merge_incremental(
+        spark, root3, staging_all.where(F.lit(False)), CUSTOMER_CFG, AS_OF
+    )
+    assert rep4["tier"] == "noop"
+    with pytest.raises(ValueError, match="tier must be"):
+        scd2_merge_incremental(
+            spark, root3, clustered, CUSTOMER_CFG, AS_OF, tier="bogus"
+        )
