@@ -535,3 +535,127 @@ def test_incremental_router_picks_tier_by_candidate_fraction(
         scd2_merge_incremental(
             spark, root3, clustered, CUSTOMER_CFG, AS_OF, tier="bogus"
         )
+
+
+def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
+    """Model-based check of the protocol WITH the r8 merge-on-read ops:
+    any chain of overwrite / append / key-delete (deletion-vector
+    replace commit with prior-vector accumulation) / fold / vacuum keeps
+    read_table() equal to a trivial in-memory multiset model, with time
+    travel consistent for every retained version."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    def _df(spark, rows):
+        return spark.createDataFrame(
+            [(int(i), f"v{i}") for i in rows], "id long, v string"
+        )
+
+    rows_strategy = st.lists(
+        st.integers(min_value=0, max_value=29), min_size=1, max_size=5
+    )
+    keys_strategy = st.lists(
+        st.integers(min_value=0, max_value=29), min_size=1, max_size=4,
+        unique=True,
+    )
+    op_strategy = st.one_of(
+        st.tuples(st.just("overwrite"), rows_strategy),
+        st.tuples(st.just("append"), rows_strategy),
+        st.tuples(st.just("delete"), keys_strategy),
+        st.tuples(st.just("fold"), st.none()),
+        st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
+    )
+    counter = [0]
+
+    def delete_keys(root, keys):
+        """Generic keyed delete via the deletion-vector commit: tombstone
+        every (file, id) pair holding one of ``keys``, folding prior
+        vectors for the re-vectored files forward (replace semantics)."""
+        import os as _os
+
+        v = latest_version(root)
+        m = load_manifest(root, v)
+        rows = read_manifest_files(
+            spark, root, m, m["files"], rel_path_col="__rel"
+        )
+        hits = rows.where(F.col("id").isin(list(keys))).select(
+            F.col("__rel").alias("__file"), "id"
+        )
+        touched = sorted(
+            r["__file"] for r in hits.select("__file").distinct().collect()
+        )
+        if not touched:
+            return False
+        tomb = hits.distinct()
+        prior_rels = sorted(
+            {r for f in touched for r in m.get("deletes", {}).get(f, [])}
+        )
+        if prior_rels:
+            prior = spark.read.parquet(
+                *[_os.path.join(root, p) for p in prior_rels]
+            ).where(F.col("__file").isin(touched))
+            tomb = tomb.unionByName(prior.select("__file", "id"))
+        empty = spark.createDataFrame([], "id long, v string")
+        write_snapshot(
+            empty, root, mode="replace", expected_version=v,
+            drop_files=[], delete_vectors=tomb,
+        )
+        return True
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture,
+                               HealthCheck.too_slow],
+    )
+    @given(ops=st.lists(op_strategy, min_size=2, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        root = str(tmp_path / f"model_{counter[0]}")
+        write_snapshot(
+            _df(spark, [0, 1, 2]).repartition(2), root
+        )
+        model = [0, 1, 2]
+        history = {latest_version(root): sorted(model)}
+        for op, arg in ops:
+            if op == "overwrite":
+                write_snapshot(_df(spark, arg), root)
+                model = list(arg)
+            elif op == "append":
+                write_snapshot(
+                    _df(spark, arg), root, mode="append"
+                )
+                model = model + list(arg)
+            elif op == "delete":
+                delete_keys(root, arg)
+                model = [x for x in model if x not in set(arg)]
+            elif op == "fold":
+                from implementing_scds_in_hive_spark.sources.sinks import (
+                    compact_deletes,
+                )
+
+                compact_deletes(spark, root)  # content-preserving
+            elif op == "vacuum":
+                vacuum(root, keep_last=arg, grace_seconds=3600.0)
+            history[latest_version(root)] = sorted(model)
+            got = sorted(
+                r["id"] for r in read_table(spark, root).collect()
+            )
+            assert got == sorted(model), (
+                f"after {op}({arg}): {got} != {sorted(model)}"
+            )
+        for v in list_versions(root):
+            if v in history:
+                tv = sorted(
+                    r["id"]
+                    for r in read_snapshot(
+                        spark, root, version=v
+                    ).collect()
+                )
+                assert tv == history[v], f"time travel v{v}"
+
+    run()
