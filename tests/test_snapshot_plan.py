@@ -100,3 +100,56 @@ def test_manifest_stats_string_columns_and_append(spark, tmp_path):
     pruned = read_snapshot(spark, root, version=2, prune={"w": ("a", "c")})
     assert len(pruned.inputFiles()) == 1
     assert sorted(r["w"] for r in pruned.collect()) == ["apple", "berry"]
+
+
+def test_mor_overlay_plan_broadcast_anti_and_clean_bypass(spark, tmp_path):
+    """Plan guarantees of the deletion-vector read overlay (r8):
+
+    * the tombstone application is a BROADCAST left-anti hash join —
+      the big (data) side never shuffles for the overlay;
+    * a read restricted to files WITHOUT vectors compiles to a plain
+      scan with no join at all (clean files bypass the overlay);
+    * the vector scan reads only the vector files for the files read.
+    """
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS n")
+    write_snapshot(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    m1 = load_manifest(root, 1)
+    cand = read_manifest_files(spark, root, m1, m1["files"], rel_path_col="__rel")
+    tomb = cand.where(F.col("id") < 5).select(
+        F.col("__rel").alias("__file"), "id"
+    )
+    write_snapshot(
+        spark.createDataFrame([], "id long, n long"),
+        root, mode="replace", expected_version=1,
+        drop_files=[], delete_vectors=tomb,
+    )
+    m2 = load_manifest(root, 2)
+    vectored = sorted(m2["deletes"])
+    clean = [f for f in m2["files"] if f not in m2["deletes"]]
+    assert vectored and clean
+
+    full = read_manifest_files(spark, root, m2, m2["files"])
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert full.count() == 995
+
+    clean_read = read_manifest_files(spark, root, m2, clean)
+    clean_plan = clean_read._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in clean_plan  # overlay fully bypassed
+
+    # the overlay's inputs: data files read + ONLY the relevant vectors
+    vec_files = {r for rels in m2["deletes"].values() for r in rels}
+    scanned = set(_scanned_files(full, root))
+    assert scanned == set(m2["files"]) | vec_files
