@@ -980,6 +980,32 @@ def _diff_sides(
     back to the full two-snapshot diff unchanged."""
     m_from = load_manifest(root, v_from)
     m_to = load_manifest(root, v_to)
+    if m_from["schema"] != m_to["schema"]:
+        # schema evolution across the window: when one side's schema
+        # extends the other's as a prefix (the carried-by-reference
+        # contract), pin the WIDER schema on both sides — the narrow
+        # side's rows read the new columns as NULL, which is exactly
+        # what they were ("the column did not exist"), so the diff
+        # reports the backfill-visible changes. Any other divergence
+        # (an overwrite that dropped/retyped columns) has no coherent
+        # row diff — fail with the re-bootstrap instruction instead of
+        # an analyzer error deep in the join.
+        fields = lambda m: [  # noqa: E731
+            (f["name"], f["type"])
+            for f in json.loads(m["schema"])["fields"]
+        ]
+        ff, tf = fields(m_from), fields(m_to)
+        if tf[: len(ff)] == ff:
+            m_from = {**m_from, "schema": m_to["schema"]}
+        elif ff[: len(tf)] == tf:
+            m_to = {**m_to, "schema": m_from["schema"]}
+        else:
+            raise ValueError(
+                f"versions {v_from} and {v_to} of {root} have incompatible "
+                f"schemas (a full-overwrite change, not an extension) — "
+                f"no row diff exists; re-bootstrap the consumer from the "
+                f"current snapshot"
+            )
     # a file carried by BOTH manifests still differs if its deletion
     # vector changed (a merge-on-read commit changes rows without
     # touching the data file list); reading each side through its own

@@ -126,3 +126,41 @@ def test_incremental_evolve_merge_equals_full(spark, tmp_path, merge_fn):
     # untouched v1 files were carried by reference, not rewritten
     m1, m2 = load_manifest(root, 1), load_manifest(root, 2)
     assert set(m1["files"]) & set(m2["files"]), "expected carried files"
+
+
+def test_change_feed_across_evolved_commit(spark, tmp_path):
+    """The version diff must survive a schema-evolved window: the
+    pre-evolution side reads the new column as NULL (what it was), so an
+    evolved append emits exactly its inserts, a value change against the
+    backfill reads as U, and an incompatible overwrite raises the
+    re-bootstrap error instead of an analyzer failure."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        changes_since,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+    )
+    write_snapshot(
+        spark.createDataFrame([(3, "c", 9.0)], "id long, v string, w double"),
+        root,
+        mode="append",
+    )
+    ch = snapshot_changes(spark, root, 1, 2, ["id"])
+    assert sorted((r["id"], r["op"], r["w"]) for r in ch.collect()) == [
+        (3, "I", 9.0)
+    ]
+    # the poll face spans the evolved window too (signed deltas)
+    batch, wm = changes_since(spark, root, 1, ["id"], signed=True)
+    assert wm == 2
+    assert sorted((r["id"], r["__w"]) for r in batch.collect()) == [(3, 1)]
+
+    # a non-extension rewrite has no coherent diff: clear error
+    write_snapshot(
+        spark.createDataFrame([(1, 5)], "id long, other int"), root
+    )
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        snapshot_changes(spark, root, 2, 3, ["id"])
