@@ -659,3 +659,52 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
                 assert tv == history[v], f"time travel v{v}"
 
     run()
+
+
+def test_cow_after_mor_interleave(spark, tmp_path):
+    """The tiers compose: a CoW merge over a table carrying deletion
+    vectors reads touched files through the overlay (live rows only),
+    drops them (their vectors die with them), and carries untouched
+    files WITH their vectors — sequential full merges are the oracle."""
+    from implementing_scds_in_hive_spark.operators.scd import scd2_merge_cow
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=8)
+    staging = customer_staging(spark, SF).where(F.col("c_custkey") < 1_000_000)
+    scattered = staging.where(F.col("c_custkey") % 7 == 3)
+    clustered = staging.where(F.col("c_custkey").between(100, 130))
+
+    scd2_merge_mor(spark, root, scattered, CUSTOMER_CFG, AS_OF)
+    scd2_merge_cow(spark, root, clustered, CUSTOMER_CFG, AS_OF)
+
+    expected = scd2_merge(
+        _full_merge(spark, root, scattered, 1),
+        clustered,
+        CUSTOMER_CFG,
+        AS_OF,
+        key_strategy="hash",
+        broadcast_staging=True,
+    )
+    assert _canon(read_table(spark, root)) == _canon(expected)
+
+
+def test_pruned_read_applies_vectors_to_surviving_files(spark, tmp_path):
+    """read_snapshot(prune=...) on a vectored table: the overlay applies
+    to exactly the files that survive the prune — skipped vectored files
+    cost nothing, surviving ones still hide their tombstoned rows."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=8)
+    staging = customer_staging(spark, SF).where(
+        (F.col("c_custkey") % 7 == 3) & (F.col("c_custkey") < 1_000_000)
+    )
+    scd2_merge_mor(spark, root, staging, CUSTOMER_CFG, AS_OF)
+
+    lo, hi = 0, 20  # a sliver of the fixture's ~0..150 key span
+    pruned = read_snapshot(
+        spark, root, prune={"c_custkey": (lo, hi)}
+    ).where(F.col("c_custkey").between(lo, hi))
+    full = read_table(spark, root).where(
+        F.col("c_custkey").between(lo, hi)
+    )
+    assert _canon(pruned) == _canon(full)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
