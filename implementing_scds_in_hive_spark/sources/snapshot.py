@@ -908,9 +908,27 @@ def read_manifest_files(
         cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
         for k in key_cols:
             cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
-        joined = joined.alias("__l").join(
-            F.broadcast(vec.alias("__r")), cond, "left_anti"
+        # broadcast is the normal case (compaction bounds tombstone
+        # volume), but forcing it on a table whose fold is overdue would
+        # OOM the driver — past the session's broadcast threshold, leave
+        # the strategy to the planner (shuffle anti-join: slower, safe).
+        # Vector bytes are known driver-side from the file sizes.
+        vec_bytes = sum(
+            os.path.getsize(os.path.join(root, r))
+            for r in {v for vs in deletes.values() for v in vs}
         )
+        try:
+            thresh = int(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                .removesuffix("b")
+                .removesuffix("B")
+            )
+        except (ValueError, TypeError):
+            thresh = 10 << 20  # unit-suffixed custom value: use default
+        right = vec.alias("__r")
+        if thresh >= 0 and vec_bytes <= thresh:
+            right = F.broadcast(right)  # thresh -1 = broadcasts disabled
+        joined = joined.alias("__l").join(right, cond, "left_anti")
         vec_parts = [joined]
 
     parts = (

@@ -153,3 +153,47 @@ def test_mor_overlay_plan_broadcast_anti_and_clean_bypass(spark, tmp_path):
     vec_files = {r for rels in m2["deletes"].values() for r in rels}
     scanned = set(_scanned_files(full, root))
     assert scanned == set(m2["files"]) | vec_files
+
+
+def test_mor_overlay_respects_broadcast_threshold(spark, tmp_path):
+    """Past the session broadcast threshold the overlay must NOT force a
+    driver-side broadcast of the tombstones (an overdue fold could OOM
+    the driver) — the planner falls back to a shuffle anti-join and the
+    result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("id", "id * 2 AS n")
+    write_snapshot(df.repartition(2), root, stats_cols=["id"])
+    m1 = load_manifest(root, 1)
+    cand = read_manifest_files(
+        spark, root, m1, m1["files"], rel_path_col="__rel"
+    )
+    tomb = cand.where(F.col("id") < 3).select(
+        F.col("__rel").alias("__file"), "id"
+    )
+    write_snapshot(
+        spark.createDataFrame([], "id long, n long"),
+        root, mode="replace", expected_version=1,
+        drop_files=[], delete_vectors=tomb,
+    )
+    m2 = load_manifest(root, 2)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        full = read_manifest_files(spark, root, m2, m2["files"])
+        plan = full._jdf.queryExecution().executedPlan().toString()
+        # the tiny basename->rel MAP join stays broadcast (explicitly
+        # hinted, O(#files) rows); the TOMBSTONE anti-join must not be
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines and all(
+            "Broadcast" not in ln for ln in anti_lines
+        ), anti_lines
+        assert full.count() == 197  # correctness unchanged
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
