@@ -708,3 +708,84 @@ def test_pruned_read_applies_vectors_to_surviving_files(spark, tmp_path):
     )
     assert _canon(pruned) == _canon(full)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_mor_stream_replay_after_post_publish_crash(spark, tmp_path):
+    """The at-least-once window: a crash AFTER the merge commit but
+    BEFORE the checkpoint records the batch replays the same batch on
+    restart. With stable keys and a deterministic per-batch as_of the
+    replay re-tombstones and rewrites IDENTICAL row content — the table
+    equals the single-application state (content-level idempotence)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from implementing_scds_in_hive_spark.operators.scd import SCDConfig
+    from implementing_scds_in_hive_spark.streaming.scd_stream import (
+        scd2_mor_upsert_stream,
+    )
+
+    cfg = SCDConfig(
+        key="login", type2_cols=("address",), type1_cols=("name",),
+        surrogate_col="dim_id",
+    )
+    prod_schema = T.StructType(
+        [
+            T.StructField("dim_id", T.LongType()),
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("scd_version", T.IntegerType()),
+            T.StructField("scd_start_date", T.TimestampType()),
+            T.StructField("scd_end_date", T.TimestampType()),
+            T.StructField("scd_active", T.BooleanType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+    eot = datetime(9999, 12, 31, 23, 59, 59)
+    prod = assign_surrogate_keys(
+        spark.createDataFrame(
+            [(None, f"u{i}", f"a{i}", f"N{i}", 1, t0, eot, True)
+             for i in range(20)],
+            prod_schema,
+        ),
+        cfg,
+        strategy="hash",
+    )
+    root = str(tmp_path / "dim")
+    write_snapshot(
+        prod.repartitionByRange(4, "login").sortWithinPartitions("login"),
+        root, stats_cols=["login"],
+    )
+
+    stg_schema = "login string, address string, name string"
+    stg_dir = str(tmp_path / "staging_stream")
+    spark.createDataFrame(
+        [("u3", "a3-new", "N3"), ("u17", "a17-new", "N17")], stg_schema
+    ).coalesce(1).write.parquet(stg_dir)
+    ckpt = str(tmp_path / "ckpt")
+    as_of_fn = lambda b: datetime(2024, 2, 1)  # noqa: E731
+
+    def crash(batch_id, phase):
+        if phase == "post_publish":
+            raise RuntimeError("injected crash after commit")
+
+    q = scd2_mor_upsert_stream(
+        spark.readStream.schema(stg_schema).parquet(stg_dir),
+        root, cfg, checkpoint_dir=ckpt, as_of_fn=as_of_fn,
+        retain_versions=None, crash_hook=crash,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert latest_version(root) == 2  # the merge DID commit
+    state_after_crash = _canon(read_table(spark, root))
+
+    # restart, same checkpoint, no hook: the batch replays
+    q2 = scd2_mor_upsert_stream(
+        spark.readStream.schema(stg_schema).parquet(stg_dir),
+        root, cfg, checkpoint_dir=ckpt, as_of_fn=as_of_fn,
+        retain_versions=None,
+    )
+    q2.awaitTermination(120)
+    assert latest_version(root) >= 3  # replay committed again...
+    assert _canon(read_table(spark, root)) == state_after_crash  # ...idempotently
