@@ -543,6 +543,10 @@ def commit(
             "schema": schema_json,
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
+            # wall-clock commit instant: what resolves TIMESTAMP AS OF
+            # reads (best-effort under writer clock skew, the same trade
+            # Delta/Iceberg make — version pins stay the exact form)
+            "committed_at": time.time(),
         }
         if deletes:
             manifest["deletes"] = deletes
@@ -718,11 +722,43 @@ def write_snapshot(
     )
 
 
+def version_at_timestamp(root: str, ts) -> int:
+    """The committed version a reader at wall-clock instant ``ts``
+    (epoch float or naive-UTC ``datetime``) would have resolved: the
+    LARGEST version whose ``committed_at`` is <= ts — Delta/Iceberg's
+    ``TIMESTAMP AS OF`` resolution. Versions from before the field
+    existed (or vacuumed away) cannot match; a ``ts`` earlier than every
+    known commit raises ValueError with the earliest instant, so a
+    caller can distinguish "before history" from "no such table"."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = ts.replace(tzinfo=_dt.timezone.utc).timestamp()
+    best, earliest = None, None
+    for v in list_versions(root):
+        try:
+            at = load_manifest(root, v).get("committed_at")
+        except FileNotFoundError:
+            continue  # vacuumed between listing and load
+        if at is None:
+            continue  # pre-timestamp manifest: cannot participate
+        earliest = at if earliest is None else min(earliest, at)
+        if at <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version of {root} at or before timestamp {ts}"
+            + (f" (earliest known commit: {earliest})" if earliest else "")
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     *,
     version: int | None = None,
+    as_of_timestamp=None,
     prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest committed). Reads
@@ -735,7 +771,17 @@ def read_snapshot(
     every interval never reach the scan (Delta-style data skipping —
     the caller still applies the exact row filter; skipping only
     shrinks the file list and is a no-op for files without stats).
-    ``(None, hi)`` / ``(lo, None)`` are half-open."""
+    ``(None, hi)`` / ``(lo, None)`` are half-open.
+
+    ``as_of_timestamp`` (epoch float or naive-UTC datetime; mutually
+    exclusive with ``version``) resolves the version via
+    :func:`version_at_timestamp` — the ``TIMESTAMP AS OF`` read."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version= or as_of_timestamp=, not both"
+            )
+        version = version_at_timestamp(root, as_of_timestamp)
     if version is None:
         version = latest_version(root)
         if version is None:
@@ -969,14 +1015,21 @@ def _survives_prune(file_stats: dict, prune: dict) -> bool:
 
 
 def read_table(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Universal reader: manifest-backed tables resolve through the
-    commit log; anything else falls back to a plain parquet read (so
-    pre-snapshot seed dirs and external inputs keep working)."""
+    commit log (``version=`` or ``as_of_timestamp=`` time travel);
+    anything else falls back to a plain parquet read (so pre-snapshot
+    seed dirs and external inputs keep working)."""
     if is_snapshot_table(path):
-        return read_snapshot(spark, path, version=version)
-    if version is not None:
+        return read_snapshot(
+            spark, path, version=version, as_of_timestamp=as_of_timestamp
+        )
+    if version is not None or as_of_timestamp is not None:
         raise ValueError(f"{path} is not a snapshot table; cannot time-travel")
     return spark.read.parquet(path)
 

@@ -845,3 +845,40 @@ def test_revectoring_replaces_prior_tombstones_exactly(spark, tmp_path):
     write_snapshot(empty, root, mode="replace", expected_version=2,
                    drop_files=[], delete_vectors=tomb2)
     assert _ids(read_table(spark, root)) == [1, 3, 5, 6]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """r8: manifests record their commit instant, and
+    read_snapshot(as_of_timestamp=...) resolves the largest version
+    committed at-or-before it — the TIMESTAMP AS OF read every table
+    format grows once it has version pins."""
+    import datetime as dt
+    import time as _time
+
+    import pytest
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        version_at_timestamp,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1]), root)
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    write_snapshot(_df(spark, [1, 2]), root)
+
+    assert version_at_timestamp(root, t_after_v1) == 1
+    assert _ids(read_snapshot(spark, root, as_of_timestamp=t_after_v1)) == [1]
+    assert _ids(read_table(spark, root, as_of_timestamp=_time.time())) == [1, 2]
+    # datetime form (naive UTC) resolves identically
+    as_dt = dt.datetime.utcfromtimestamp(t_after_v1)
+    assert version_at_timestamp(root, as_dt) == 1
+
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(root, t_after_v1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, root, version=1, as_of_timestamp=t_after_v1)
+    # vacuumed history cannot match: only surviving versions resolve
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(root, t_after_v1)
