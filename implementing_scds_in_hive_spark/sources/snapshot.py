@@ -753,6 +753,34 @@ def version_at_timestamp(root: str, ts) -> int:
     return best
 
 
+def table_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY equivalent: one summary dict per RETAINED
+    version, ascending — ``{"version", "committed_at", "mode",
+    "parent", "n_files", "n_replaced", "n_vectored", "app_meta"}`` —
+    read driver-side from the manifests (O(retained versions), no data
+    touched). Vacuumed versions are simply absent; a version vacuumed
+    mid-listing is skipped, not raised on."""
+    out = []
+    for v in list_versions(root):
+        try:
+            m = load_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        out.append(
+            {
+                "version": m["version"],
+                "committed_at": m.get("committed_at"),
+                "mode": m["mode"],
+                "parent": m.get("parent"),
+                "n_files": len(m["files"]),
+                "n_replaced": len(m.get("replaced", [])),
+                "n_vectored": len(m.get("deletes", {})),
+                "app_meta": m.get("app_meta"),
+            }
+        )
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,

@@ -882,3 +882,22 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     vacuum(root, keep_last=1, grace_seconds=0.0)
     with pytest.raises(ValueError, match="at or before"):
         version_at_timestamp(root, t_after_v1)
+
+
+def test_table_history_summarizes_retained_versions(spark, tmp_path):
+    """DESCRIBE HISTORY equivalent: per-version commit summaries from
+    the manifests alone, vacuum-aware."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        table_history,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    write_snapshot(_df(spark, [3]), root, mode="append")
+    h = table_history(root)
+    assert [e["version"] for e in h] == [1, 2]
+    assert [e["mode"] for e in h] == ["overwrite", "append"]
+    assert h[1]["parent"] == 1 and h[1]["n_files"] > h[0]["n_files"] - 1
+    assert all(e["committed_at"] is not None for e in h)
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert [e["version"] for e in table_history(root)] == [2]
