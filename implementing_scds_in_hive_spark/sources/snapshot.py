@@ -724,16 +724,19 @@ def write_snapshot(
 
 def version_at_timestamp(root: str, ts) -> int:
     """The committed version a reader at wall-clock instant ``ts``
-    (epoch float or naive-UTC ``datetime``) would have resolved: the
-    LARGEST version whose ``committed_at`` is <= ts — Delta/Iceberg's
-    ``TIMESTAMP AS OF`` resolution. Versions from before the field
-    existed (or vacuumed away) cannot match; a ``ts`` earlier than every
-    known commit raises ValueError with the earliest instant, so a
-    caller can distinguish "before history" from "no such table"."""
+    (epoch float, naive ``datetime`` read as UTC, or aware ``datetime``
+    in any zone) would have resolved: the LARGEST version whose
+    ``committed_at`` is <= ts — Delta/Iceberg's ``TIMESTAMP AS OF``
+    resolution. Versions from before the field existed (or vacuumed
+    away) cannot match; a ``ts`` earlier than every known commit raises
+    ValueError with the earliest instant, so a caller can distinguish
+    "before history" from "no such table"."""
     import datetime as _dt
 
     if isinstance(ts, _dt.datetime):
-        ts = ts.replace(tzinfo=_dt.timezone.utc).timestamp()
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()  # aware: honor the zone, don't overwrite it
     best, earliest = None, None
     for v in list_versions(root):
         try:

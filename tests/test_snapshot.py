@@ -873,6 +873,13 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     # datetime form (naive UTC) resolves identically
     as_dt = dt.datetime.utcfromtimestamp(t_after_v1)
     assert version_at_timestamp(root, as_dt) == 1
+    # aware datetimes keep their zone: the same instant expressed at
+    # UTC+5 must NOT be reinterpreted (that would shift it 5h earlier)
+    aware = dt.datetime.fromtimestamp(
+        t_after_v1, dt.timezone(dt.timedelta(hours=5))
+    )
+    assert version_at_timestamp(root, aware) == 1
+    assert aware.timestamp() == pytest.approx(t_after_v1)
 
     with pytest.raises(ValueError, match="at or before"):
         version_at_timestamp(root, t_after_v1 - 3600)
