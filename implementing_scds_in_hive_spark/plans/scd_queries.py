@@ -757,6 +757,102 @@ FROM stag ANTI JOIN prod USING (c_custkey)
 
 # Driver registry (the driver verifies only the first 50 registry
 # entries, so every slot must earn its place): the flagship, one fixture
+# --- Generic row-level DML (operators/dml.py) ---------------------------
+
+_DML_PRED = "o_orderstatus = 'F' AND o_totalprice < 100000"
+
+
+def q_dml_delete_where(spark, sf_dir):
+    """Generic ``DELETE FROM ... WHERE`` through the MERGE-ON-READ tier
+    (operators/dml.py delete_where): publish orders as a range-clustered
+    snapshot table, delete a scattered predicate's rows via FULL-ROW
+    deletion vectors (no data file rewritten — the read overlay serves
+    the deletion), and return the committed table. The oracle keeps
+    exactly the rows whose predicate is not TRUE (ANSI 3VL): an overlay
+    that leaks a tombstoned row or drops a survivor hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"dml_delete_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    delete_where(spark, root, _DML_PRED, tier="mor")
+    return read_table(spark, root)
+
+
+DML_DELETE_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE NOT COALESCE({_DML_PRED}, FALSE)
+"""
+
+
+def q_dml_update_where(spark, sf_dir):
+    """Generic ``UPDATE ... SET ... WHERE`` through the COPY-ON-WRITE
+    tier (operators/dml.py update_where): a key-range predicate over the
+    range-clustered table touches a prefix of files; those are rewritten
+    with the SET applied (CASE-WHEN semantics, results cast back to the
+    column's declared type) and every other file is carried by
+    reference. ``* 0.5`` keeps the float arithmetic IEEE-exact in both
+    engines. The oracle replays the CASE-WHEN rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.dml import update_where
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"dml_update_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    update_where(
+        spark,
+        root,
+        {"o_orderstatus": "'X'", "o_totalprice": "o_totalprice * 0.5"},
+        "o_orderkey <= 3000",
+        tier="cow",
+    )
+    return read_table(spark, root)
+
+
+DML_UPDATE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey <= 3000 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+       CASE WHEN o_orderkey <= 3000 THEN o_totalprice * 0.5
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+"""
+
+
 # (staging — production's schema/branches are value-verified through the
 # flagship itself), the non-trivial anti-join branch (step 2), and the
 # two read-side queries derived from the full merge output. The other
@@ -811,6 +907,10 @@ ORACLES = {
 # retro-splice queries, and SCD3's add-prior-column shape stays fully
 # hash-checked here.
 PYTEST_ONLY_QUERIES = {
+    # r9 rotation candidates: generic row-level DML (operators/dml.py),
+    # each exercising a different publish tier end-to-end.
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_where": q_dml_update_where,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
@@ -826,6 +926,8 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "dml_delete_where": DML_DELETE_SQL,
+    "dml_update_where": DML_UPDATE_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,
