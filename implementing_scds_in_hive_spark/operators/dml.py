@@ -366,6 +366,336 @@ def _route(
                 return "cow"
     return chosen
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    when_matched_update: dict | None = None,
+    when_matched_delete=None,
+    when_not_matched_insert="all",
+    update_condition=None,
+    tier: str = "auto",
+    cow_max_touched_fraction: float = 0.25,
+    broadcast_source: bool = True,
+    validate_source_unique: bool = True,
+) -> dict:
+    """Executable generic ``MERGE INTO <root> USING <source> ON
+    <equi-keys>`` — the Delta/Iceberg upsert verb, routed through the
+    same CoW/MoR tiers as the other DML verbs.
+    (``operators/merge_sql.py`` GENERATES lakehouse MERGE SQL for the
+    SCD2 shape; this one EXECUTES an arbitrary merge against the repo's
+    own snapshot protocol.)
+
+    Clauses (any subset, at least one):
+
+    * ``when_matched_delete`` — ``True`` or a boolean SQL string over
+      ``t.``/``s.``-qualified columns: matched target rows satisfying
+      it are deleted. Evaluated FIRST, like a Delta ``WHEN MATCHED
+      THEN DELETE`` listed before the update clause.
+    * ``when_matched_update`` — ``{target_col: expr}`` with exprs over
+      ``t.``/``s.``; applied to matched rows that survived the delete
+      clause and satisfy ``update_condition`` (optional boolean, over
+      ``t.``/``s.``). Results cast back to the column's declared type;
+      ON keys cannot be updated.
+    * ``when_not_matched_insert`` — ``"all"`` (source columns by
+      target name; the source must provide every target column) or
+      ``{target_col: expr}`` over ``s.`` (omitted columns insert
+      NULL). ``None`` disables inserts.
+
+    Expressions are resolved by Spark against the aliased
+    target/source join, so qualification is real scoping, not string
+    rewriting — an unqualified ambiguous reference fails analysis
+    loudly. ``on`` is an equi-key list (null-unsafe, ANSI MERGE: NULL
+    keys match nothing). A source with DUPLICATE keys would match one
+    target row to several source rows — ambiguous; with
+    ``validate_source_unique`` (default) that raises up front, the
+    same error a lakehouse MERGE gives at runtime.
+
+    Candidate files are stats-pruned by the source's key bounds
+    driver-side, then narrowed to files actually containing a source
+    key by one column-pruned semi-join — identical discovery to
+    :func:`operators.scd.scd2_merge_cow`. Conditions follow 3VL (only
+    TRUE fires a clause). Same CAS discipline and tier routing as
+    :func:`delete_where`: CoW rewrites the touched files; MoR
+    tombstones affected rows (full-row vectors) and appends updated +
+    inserted rows — O(affected + inserted) write volume however
+    scattered the keys.
+
+    Returns ``{"op", "tier", "parent_version", "version",
+    "files_total", "files_candidates", "files_touched",
+    "rows_updated", "rows_deleted", "rows_inserted"}``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+        read_manifest_files,
+        write_snapshot,
+    )
+
+    if (
+        when_matched_update is None
+        and when_matched_delete is None
+        and when_not_matched_insert is None
+    ):
+        raise ValueError("merge_into needs at least one WHEN clause")
+    v, m = _resolve(root)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(m["schema"]))
+    t_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    if not on or not set(on) <= set(t_cols):
+        raise ValueError(f"on={on!r} must be non-empty target columns")
+    if not set(on) <= set(source.columns):
+        raise ValueError(f"on={on!r} missing from source {source.columns}")
+    if when_matched_update:
+        bad = sorted(set(when_matched_update) - set(t_cols))
+        if bad:
+            raise ValueError(f"SET references unknown columns {bad}")
+        if set(when_matched_update) & set(on):
+            raise ValueError("updating an ON key column is not supported")
+    if when_not_matched_insert == "all":
+        missing = sorted(set(t_cols) - set(source.columns))
+        if missing:
+            raise ValueError(
+                f'insert="all" needs every target column in the source; '
+                f"missing {missing}"
+            )
+    elif when_not_matched_insert is not None:
+        bad = sorted(set(when_not_matched_insert) - set(t_cols))
+        if bad:
+            raise ValueError(f"INSERT references unknown columns {bad}")
+
+    def _cond(c):
+        if c is None or c is False:
+            return F.lit(False)
+        if c is True:
+            return F.lit(True)
+        e = F.expr(c) if isinstance(c, str) else c
+        return F.coalesce(e.cast("boolean"), F.lit(False))
+
+    def _expr(e):
+        return F.expr(e) if isinstance(e, str) else e
+
+    src = source.persist(StorageLevel.MEMORY_AND_DISK)
+    inserts = None
+    try:
+        keyed = src.where(
+            F.expr(" AND ".join(f"{c} IS NOT NULL" for c in on))
+        )
+        if validate_source_unique:
+            if keyed.groupBy(*on).count().where("count > 1").limit(1).count():
+                raise ValueError(
+                    "multiple source rows share an ON key — a target row "
+                    "would match more than one source row (ambiguous "
+                    "MERGE); pre-aggregate the source or pass "
+                    "validate_source_unique=False at your own risk"
+                )
+        bounds = keyed.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(c).alias(f"lo_{c}") for c in on],
+            *[F.max(c).alias(f"hi_{c}") for c in on],
+        ).first()
+        out = {
+            "op": "merge",
+            "parent_version": v,
+            "version": v,
+            "files_total": len(m["files"]),
+        }
+        candidates = (
+            _candidates(
+                m, {c: (bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in on}
+            )
+            if bounds["n"]
+            else []
+        )
+        out["files_candidates"] = len(candidates)
+        touched: list[str] = []
+        if candidates:
+            cand = read_manifest_files(
+                spark, root, m, candidates, rel_path_col="__rel"
+            )
+            touched = sorted(
+                r["__rel"]
+                for r in cand.select(*on, "__rel")
+                .join(
+                    F.broadcast(keyed.select(*on).distinct()),
+                    on,
+                    "left_semi",
+                )
+                .select("__rel")
+                .distinct()
+                .collect()
+            )
+        out["files_touched"] = len(touched)
+        if not touched and when_not_matched_insert is None:
+            return {
+                **out,
+                "tier": "noop",
+                "rows_updated": 0,
+                "rows_deleted": 0,
+                "rows_inserted": 0,
+            }
+        tier = _route(root, m, touched, tier, cow_max_touched_fraction, t_cols)
+
+        # One aliased left join; every clause expression resolves its
+        # t./s. qualifiers against REAL scopes, so ambiguity is an
+        # analysis error, not a silent capture.
+        t_rows = read_manifest_files(
+            spark, root, m, touched, rel_path_col="__rel"
+        )
+        s_side = src.withColumn("__s_exists", F.lit(True))
+        if broadcast_source:
+            s_side = F.broadcast(s_side)
+        joined = t_rows.alias("t").join(
+            s_side.alias("s"),
+            [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on],
+            "left",
+        )
+        matched = F.col("s.__s_exists").isNotNull()
+        del_hit = matched & _cond(when_matched_delete)
+        upd_gate = (
+            _cond(update_condition)
+            if update_condition is not None
+            else F.lit(True)
+        )
+        upd_hit = (
+            matched & ~del_hit & upd_gate
+            if when_matched_update
+            else F.lit(False)
+        )
+        upd_cols = list(when_matched_update or {})
+        classified = joined.select(
+            *[F.col(f"t.{c}").alias(c) for c in t_cols],
+            *[
+                _expr(when_matched_update[c]).cast(types[c]).alias(f"__new_{c}")
+                for c in upd_cols
+            ],
+            F.col("t.__rel").alias("__rel"),
+            del_hit.alias("__del"),
+            upd_hit.alias("__upd"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            counts = classified.agg(
+                F.sum(F.col("__del").cast("long")).alias("d"),
+                F.sum(F.col("__upd").cast("long")).alias("u"),
+            ).first()
+            rows_deleted = int(counts["d"] or 0)
+            rows_updated = int(counts["u"] or 0)
+            rows_inserted = 0
+            if when_not_matched_insert is not None:
+                unmatched = src.join(
+                    classified.select(*on).distinct(), on, "left_anti"
+                ).alias("s")
+                if when_not_matched_insert == "all":
+                    inserts = unmatched.select(
+                        *[
+                            F.col(f"s.{c}").cast(types[c]).alias(c)
+                            for c in t_cols
+                        ]
+                    )
+                else:
+                    inserts = unmatched.select(
+                        *[
+                            (
+                                _expr(when_not_matched_insert[c]).cast(
+                                    types[c]
+                                )
+                                if c in when_not_matched_insert
+                                else F.lit(None).cast(types[c])
+                            ).alias(c)
+                            for c in t_cols
+                        ]
+                    )
+                inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
+                rows_inserted = inserts.count()
+            if not touched and rows_inserted == 0:
+                return {
+                    **out,
+                    "tier": "noop",
+                    "rows_updated": 0,
+                    "rows_deleted": 0,
+                    "rows_inserted": 0,
+                }
+
+            def _final(c):
+                if c in upd_cols:
+                    return (
+                        F.when(F.col("__upd"), F.col(f"__new_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                return F.col(c)
+
+            if tier == "cow":
+                survivors = classified.where(~F.col("__del")).select(
+                    *[_final(c) for c in t_cols]
+                )
+                new_data = (
+                    survivors.unionByName(inserts)
+                    if inserts is not None
+                    else survivors
+                )
+                new_v = write_snapshot(
+                    new_data,
+                    root,
+                    partition_by=list(m["partition_by"]) or None,
+                    mode="replace",
+                    expected_version=v,
+                    stats_cols=_stats_cols(m),
+                    drop_files=touched,
+                )
+            else:
+                tomb = None
+                if rows_deleted + rows_updated:
+                    tomb = classified.where(
+                        F.col("__del") | F.col("__upd")
+                    ).select(F.col("__rel").alias(DELETE_FILE_COL), *t_cols)
+                    tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
+                rewritten = classified.where(F.col("__upd")).select(
+                    *[
+                        (
+                            F.col(f"__new_{c}").alias(c)
+                            if c in upd_cols
+                            else F.col(c)
+                        )
+                        for c in t_cols
+                    ]
+                )
+                new_data = (
+                    rewritten.unionByName(inserts)
+                    if inserts is not None
+                    else rewritten
+                )
+                new_v = write_snapshot(
+                    new_data,
+                    root,
+                    partition_by=list(m["partition_by"]) or None,
+                    mode="replace",
+                    expected_version=v,
+                    stats_cols=_stats_cols(m),
+                    drop_files=[],
+                    delete_vectors=tomb,
+                )
+            return {
+                **out,
+                "tier": tier,
+                "version": new_v,
+                "rows_updated": rows_updated,
+                "rows_deleted": rows_deleted,
+                "rows_inserted": rows_inserted,
+            }
+        finally:
+            classified.unpersist()
+            if inserts is not None:
+                inserts.unpersist()
+    finally:
+        src.unpersist()
+
 
 def restore_version(
     spark: SparkSession,

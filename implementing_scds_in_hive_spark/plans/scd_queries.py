@@ -853,6 +853,100 @@ FROM orders
 """
 
 
+def q_dml_merge_into(spark, sf_dir):
+    """Executable generic ``MERGE INTO`` (operators/dml.py merge_into)
+    with all three clauses live: matched F-status rows are DELETED,
+    other matched rows take the source status and a halved price
+    (IEEE-exact), and brand-new keys INSERT with a sentinel custkey.
+    The scattered source keys route the auto tier to merge-on-read, so
+    the oracle also proves the vector overlay + appended-files read
+    path under a three-clause merge."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"dml_merge_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    mk = base.agg(F.max("o_orderkey")).first()[0]
+    src = (
+        base.where("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("M").alias("s_status"),
+            F.col("o_totalprice").alias("s_price"),
+        )
+        .unionByName(
+            base.where("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + F.lit(mk)).alias("o_orderkey"),
+                F.lit("N").alias("s_status"),
+                F.lit(1.0).alias("s_price"),
+            )
+        )
+    )
+    merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_delete="t.o_orderstatus = 'F'",
+        when_matched_update={
+            "o_orderstatus": "s.s_status",
+            "o_totalprice": "t.o_totalprice * 0.5",
+        },
+        when_not_matched_insert={
+            "o_orderkey": "s.o_orderkey",
+            "o_custkey": "-1",
+            "o_orderstatus": "s.s_status",
+            "o_totalprice": "s.s_price",
+        },
+    )
+    return read_table(spark, root)
+
+
+DML_MERGE_SQL = """
+WITH maxk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+src AS (
+    SELECT o_orderkey AS k, 'M' AS s_status, o_totalprice AS s_price
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey + (SELECT mk FROM maxk), 'N', 1.0
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders)
+SELECT t.o_orderkey, t.o_custkey,
+       CASE WHEN s.k IS NOT NULL THEN s.s_status
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.k IS NOT NULL THEN t.o_totalprice * 0.5
+            ELSE t.o_totalprice END AS o_totalprice
+FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.k
+WHERE NOT COALESCE(s.k IS NOT NULL AND t.o_orderstatus = 'F', FALSE)
+UNION ALL
+SELECT s.k AS o_orderkey, -1 AS o_custkey, s.s_status AS o_orderstatus,
+       s.s_price AS o_totalprice
+FROM src s WHERE NOT EXISTS (
+    SELECT 1 FROM tgt t WHERE t.o_orderkey = s.k)
+"""
+
+
 # (staging — production's schema/branches are value-verified through the
 # flagship itself), the non-trivial anti-join branch (step 2), and the
 # two read-side queries derived from the full merge output. The other
@@ -911,6 +1005,7 @@ PYTEST_ONLY_QUERIES = {
     # each exercising a different publish tier end-to-end.
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
+    "dml_merge_into": q_dml_merge_into,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
@@ -928,6 +1023,7 @@ PYTEST_ONLY_QUERIES = {
 PYTEST_ONLY_ORACLES = {
     "dml_delete_where": DML_DELETE_SQL,
     "dml_update_where": DML_UPDATE_SQL,
+    "dml_merge_into": DML_MERGE_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,

@@ -244,3 +244,152 @@ def test_restore_version_rolls_forward(spark, tmp_path):
     assert m["app_meta"] == {"restored_from_version": v1}
     # history preserved: the deleted state is still readable
     assert read_table(spark, root, version=v3 - 1).count() < base.count()
+
+
+# --- merge_into ---------------------------------------------------------
+
+
+def _merge_expected(base, src_rows, spark):
+    """Reference semantics computed independently: delete F-status
+    matches, halve matched prices otherwise, insert new keys."""
+    src = {r[0]: r for r in src_rows}
+    out = []
+    for row in base.collect():
+        s = src.get(row["o_orderkey"])
+        if s is None:
+            out.append(tuple(row))
+        elif row["o_orderstatus"] == "F":
+            continue  # deleted
+        else:
+            out.append(
+                (row["o_orderkey"], row["o_custkey"], s[1], row["o_totalprice"] * 0.5)
+            )
+    for k, status, price in [r for r in src_rows if r[0] not in {
+        row["o_orderkey"] for row in base.collect()
+    }]:
+        out.append((k, -1, status, price))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("tier", ["cow", "mor"])
+def test_merge_into_all_three_clauses(spark, tmp_path, tier):
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    keys = [r["o_orderkey"] for r in base.orderBy("o_orderkey").limit(40).collect()]
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    src_rows = [(int(k), "M", 123.0) for k in keys] + [
+        (int(max_key + i), "N", float(i)) for i in (1, 2, 3)
+    ]
+    src = spark.createDataFrame(
+        src_rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_delete="t.o_orderstatus = 'F'",
+        when_matched_update={
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "t.o_totalprice * 0.5",
+        },
+        when_not_matched_insert={
+            "o_orderkey": "s.o_orderkey",
+            "o_custkey": "-1",
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "s.o_totalprice",
+        },
+        tier=tier,
+    )
+    assert rep["tier"] == tier
+    assert rep["rows_inserted"] == 3
+    assert rep["rows_deleted"] + rep["rows_updated"] == 40
+    expected = _merge_expected(base, src_rows, spark)
+    assert _rows(read_table(spark, root)) == expected
+
+
+def test_merge_into_insert_all_and_pure_insert(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    src = spark.createDataFrame(
+        [(int(max_key + 10), int(7), "Z", 1.5)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    rep = merge_into(spark, root, src, ["o_orderkey"])  # insert="all" only
+    assert rep["rows_inserted"] == 1 and rep["rows_updated"] == 0
+    assert rep["files_touched"] == 0  # new key is outside every file's stats
+    got = read_table(spark, root)
+    assert got.count() == base.count() + 1
+    assert got.where(F.col("o_orderkey") == max_key + 10).first()[
+        "o_orderstatus"
+    ] == "Z"
+
+
+def test_merge_into_validations(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    k = base.first()["o_orderkey"]
+    dup = spark.createDataFrame(
+        [(int(k), 1.0), (int(k), 2.0)], "o_orderkey bigint, o_totalprice double"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(
+            spark, root, dup, ["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_not_matched_insert=None,
+        )
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        merge_into(spark, root, dup, ["o_orderkey"],
+                   when_not_matched_insert=None)
+    with pytest.raises(ValueError, match="ON key"):
+        merge_into(
+            spark, root, dup.limit(1), ["o_orderkey"],
+            when_matched_update={"o_orderkey": "0"},
+            when_not_matched_insert=None,
+        )
+    with pytest.raises(ValueError, match="missing"):
+        merge_into(spark, root, dup.limit(1), ["o_orderkey"])  # "all" short
+
+
+def test_merge_into_null_keys_and_3vl(spark, tmp_path):
+    """NULL source keys match nothing (inserted); a NULL update
+    condition keeps the row unchanged."""
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    k = base.orderBy("o_orderkey").first()["o_orderkey"]
+    src = spark.createDataFrame(
+        [(int(k), None), (None, 9.0)],
+        "o_orderkey bigint, adj double",
+    )
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "t.o_totalprice + s.adj"},
+        update_condition="s.adj IS NOT NULL AND s.adj > 0",
+        when_not_matched_insert={
+            "o_orderkey": "coalesce(s.o_orderkey, -7)",
+            "o_orderstatus": "'NULLKEY'",
+        },
+    )
+    assert rep["rows_updated"] == 0  # condition NULL/False -> no update
+    assert rep["rows_inserted"] == 1  # the NULL-key source row
+    got = read_table(spark, root)
+    assert got.where("o_orderkey = -7").first()["o_orderstatus"] == "NULLKEY"
+    # the matched row is byte-identical
+    orig = base.where(F.col("o_orderkey") == k).first()
+    assert got.where(F.col("o_orderkey") == k).first()["o_totalprice"] == orig["o_totalprice"]
