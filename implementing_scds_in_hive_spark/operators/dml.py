@@ -92,38 +92,111 @@ def _touched_files(
     return sorted(r["__rel"] for r in per_file), sum(r["__n"] for r in per_file)
 
 
+def _vector_schemas(root: str, rels) -> dict[str, set]:
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        vector_schemas,
+    )
+
+    return vector_schemas(root, rels)
+
+
 def _fold_prior_vectors(
     spark: SparkSession, root: str, m: dict, touched: list[str], tomb: DataFrame
 ) -> DataFrame:
     """A staged vector REPLACES the parent's for its file, so prior
     tombstones on re-vectored files must fold forward or their rows
-    resurrect. Prior vectors with a DIFFERENT column set (e.g. an SCD
-    merge's single-key vectors under a full-row DML vector) cannot be
-    expressed in one batch — fold them into clean files first."""
+    resurrect. Two exactness rules, both mirroring the read overlay
+    (sources/snapshot.py _rel_tagged vector join):
+
+    * tombstones for file f are EXACTLY the __file == f rows of
+      f's OWN manifest vector list — a vector file shared with some
+      other file must not re-apply tombstones that f's re-vectoring
+      dropped (those rows resurrected, per replace semantics);
+    * EVERY prior vector file must carry this operation's column set
+      (checked per file, driver-side footers — vectors from different
+      commits can differ). A different set (e.g. an SCD merge's
+      single-key vectors under a full-row DML vector) cannot be
+      expressed in one batch — fold them into clean files first."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
     )
 
-    prior_rels = sorted(
-        {r for f in touched for r in m.get("deletes", {}).get(f, [])}
-    )
-    if not prior_rels:
+    deletes = m.get("deletes", {})
+    by_list: dict[tuple, list[str]] = {}
+    for f in touched:
+        rels = deletes.get(f)
+        if rels:
+            by_list.setdefault(tuple(rels), []).append(f)
+    if not by_list:
         return tomb
-    prior = spark.read.parquet(
-        *[os.path.join(root, p) for p in prior_rels]
-    ).where(F.col(DELETE_FILE_COL).isin(touched))
-    if sorted(prior.columns) != sorted(tomb.columns):
-        raise ValueError(
-            f"touched files carry deletion vectors keyed by "
-            f"{sorted(prior.columns)} which cannot fold into this "
-            f"operation's {sorted(tomb.columns)} vectors — run "
-            f"sinks.compact_deletes({root!r}) first"
-        )
-    return tomb.unionByName(prior.select(*tomb.columns))
+    want = set(tomb.columns)
+    for rel, names in _vector_schemas(
+        root, (r for rels in by_list for r in rels)
+    ).items():
+        if names != want:
+            raise ValueError(
+                f"touched files carry a deletion vector ({rel}) keyed by "
+                f"{sorted(names)} which cannot fold into this "
+                f"operation's {sorted(want)} vectors — run "
+                f"sinks.compact_deletes({root!r}) first"
+            )
+    out = tomb
+    for rels, served in sorted(by_list.items()):
+        prior = spark.read.parquet(
+            *[os.path.join(root, p) for p in rels]
+        ).where(F.col(DELETE_FILE_COL).isin(served))
+        out = out.unionByName(prior.select(*tomb.columns))
+    return out
 
 
 def _stats_cols(m: dict) -> list[str] | None:
     return sorted({c for fs in m.get("stats", {}).values() for c in fs}) or None
+
+
+def _predicate_preamble(spark, root: str, predicate, prune: dict | None, op: str):
+    """Shared DELETE/UPDATE front half: resolve the table, parse the
+    pinned schema, stats-prune candidates, and run the one discovery
+    scan. Returns ``(pred, v, m, schema, touched, report)`` — the
+    per-verb code only differs in how it transforms the touched rows."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    v, m = _resolve(root)
+    schema = StructType.fromJson(_json.loads(m["schema"]))
+    candidates = _candidates(m, prune)
+    touched, n_matched = _touched_files(spark, root, m, candidates, pred)
+    report = {
+        "op": op,
+        "parent_version": v,
+        "version": v,
+        "files_total": len(m["files"]),
+        "files_candidates": len(candidates),
+        "files_touched": len(touched),
+        "rows_matched": n_matched,
+    }
+    return pred, v, m, schema, touched, report
+
+
+def _commit_replace(df, root: str, m: dict, v: int, *, drop_files, delete_vectors=None):
+    """The one replace-commit call every DML tier funnels through: CoW
+    passes the touched files as ``drop_files``; MoR/append drop nothing
+    and optionally stage vectors."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    return write_snapshot(
+        df,
+        root,
+        partition_by=list(m["partition_by"]) or None,
+        mode="replace",
+        expected_version=v,
+        stats_cols=_stats_cols(m),
+        drop_files=drop_files,
+        delete_vectors=delete_vectors,
+    )
 
 
 def delete_where(
@@ -155,43 +228,20 @@ def delete_where(
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
         read_manifest_files,
-        write_snapshot,
     )
 
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    v, m = _resolve(root)
-    candidates = _candidates(m, prune)
-    touched, n_matched = _touched_files(spark, root, m, candidates, pred)
-    out = {
-        "op": "delete",
-        "parent_version": v,
-        "version": v,
-        "files_total": len(m["files"]),
-        "files_candidates": len(candidates),
-        "files_touched": len(touched),
-        "rows_matched": n_matched,
-    }
+    pred, v, m, schema, touched, out = _predicate_preamble(
+        spark, root, predicate, prune, "delete"
+    )
     if not touched:
         return {**out, "tier": "noop"}
-    import json as _json
-
-    data_cols = [
-        f["name"] for f in _json.loads(m["schema"])["fields"]
-    ]
+    data_cols = [f.name for f in schema.fields]
     tier = _route(root, m, touched, tier, cow_max_touched_fraction, data_cols)
     if tier == "cow":
         survivors = read_manifest_files(spark, root, m, touched).where(
             ~F.coalesce(pred.cast("boolean"), F.lit(False))
         )
-        new_v = write_snapshot(
-            survivors,
-            root,
-            partition_by=list(m["partition_by"]) or None,
-            mode="replace",
-            expected_version=v,
-            stats_cols=_stats_cols(m),
-            drop_files=touched,
-        )
+        new_v = _commit_replace(survivors, root, m, v, drop_files=touched)
     else:
         rows = read_manifest_files(
             spark, root, m, touched, rel_path_col="__rel"
@@ -200,20 +250,9 @@ def delete_where(
             F.col("__rel").alias(DELETE_FILE_COL), *data_cols
         )
         tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(m["schema"]))
-        )
-        new_v = write_snapshot(
-            empty,
-            root,
-            partition_by=list(m["partition_by"]) or None,
-            mode="replace",
-            expected_version=v,
-            stats_cols=_stats_cols(m),
-            drop_files=[],
-            delete_vectors=tomb,
+        empty = spark.createDataFrame([], schema)
+        new_v = _commit_replace(
+            empty, root, m, v, drop_files=[], delete_vectors=tomb
         )
     return {**out, "tier": tier, "version": new_v}
 
@@ -241,16 +280,11 @@ def update_where(
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
         read_manifest_files,
-        write_snapshot,
     )
 
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    v, m = _resolve(root)
-    import json as _json
-
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(_json.loads(m["schema"]))
+    pred, v, m, schema, touched, out = _predicate_preamble(
+        spark, root, predicate, prune, "update"
+    )
     known = {f.name for f in schema.fields}
     bad = sorted(set(set_exprs) - known)
     if bad:
@@ -259,17 +293,6 @@ def update_where(
     sets = {
         c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
         for c, e in set_exprs.items()
-    }
-    candidates = _candidates(m, prune)
-    touched, n_matched = _touched_files(spark, root, m, candidates, pred)
-    out = {
-        "op": "update",
-        "parent_version": v,
-        "version": v,
-        "files_total": len(m["files"]),
-        "files_candidates": len(candidates),
-        "files_touched": len(touched),
-        "rows_matched": n_matched,
     }
     if not touched:
         return {**out, "tier": "noop"}
@@ -288,15 +311,7 @@ def update_where(
                 for c in rows.columns
             ]
         )
-        new_v = write_snapshot(
-            rewritten,
-            root,
-            partition_by=list(m["partition_by"]) or None,
-            mode="replace",
-            expected_version=v,
-            stats_cols=_stats_cols(m),
-            drop_files=touched,
-        )
+        new_v = _commit_replace(rewritten, root, m, v, drop_files=touched)
     else:
         rows = read_manifest_files(
             spark, root, m, touched, rel_path_col="__rel"
@@ -312,15 +327,8 @@ def update_where(
                 for c in data_cols
             ]
         )
-        new_v = write_snapshot(
-            updated,
-            root,
-            partition_by=list(m["partition_by"]) or None,
-            mode="replace",
-            expected_version=v,
-            stats_cols=_stats_cols(m),
-            drop_files=[],
-            delete_vectors=tomb,
+        new_v = _commit_replace(
+            updated, root, m, v, drop_files=[], delete_vectors=tomb
         )
     return {**out, "tier": tier, "version": new_v}
 
@@ -339,8 +347,11 @@ def _route(
     files carrying vectors a full-row batch cannot fold (a different
     column set, e.g. an SCD merge's single-key vectors) route to CoW,
     which retires those vectors with their files and is therefore
-    always compatible. The probe is one parquet footer read driver-side
-    (all of one commit's vector files share a schema)."""
+    always compatible. The probe reads one parquet footer driver-side
+    per DISTINCT vector file referenced by the touched set — vectors
+    from different commits can have different column sets (an SCD
+    merge's single-key vectors next to a full-row DML vector), so a
+    single-file sample would mis-route."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
     )
@@ -353,17 +364,13 @@ def _route(
     chosen = "cow" if frac <= cow_max_touched_fraction else "mor"
     if chosen == "mor":
         deletes = m.get("deletes", {})
-        vectored = [f for f in touched if f in deletes]
-        if vectored:
-            import pyarrow.parquet as pq
-
-            have = set(
-                pq.read_schema(
-                    os.path.join(root, deletes[vectored[0]][0])
-                ).names
-            )
-            if have != {DELETE_FILE_COL, *full_row_cols}:
-                return "cow"
+        want = {DELETE_FILE_COL, *full_row_cols}
+        rels = {r for f in touched for r in deletes.get(f, [])}
+        if any(
+            names != want
+            for names in _vector_schemas(root, rels).values()
+        ):
+            return "cow"
     return chosen
 
 def merge_into(
@@ -425,13 +432,16 @@ def merge_into(
 
     Returns ``{"op", "tier", "parent_version", "version",
     "files_total", "files_candidates", "files_touched",
-    "rows_updated", "rows_deleted", "rows_inserted"}``."""
+    "rows_updated", "rows_deleted", "rows_inserted"}``; ``tier`` is the
+    routed ``cow``/``mor``, or ``append`` (inserts only — no touched
+    file changes, so a pure append commit carries everything by
+    reference), or ``noop`` (no clause fired: nothing is committed and
+    no version is burned)."""
     from pyspark.storagelevel import StorageLevel
 
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
         read_manifest_files,
-        write_snapshot,
     )
 
     if (
@@ -519,14 +529,17 @@ def merge_into(
             cand = read_manifest_files(
                 spark, root, m, candidates, rel_path_col="__rel"
             )
+            # the discovery semi-join honors broadcast_source too: the
+            # distinct key set of a huge source is itself ~source-sized,
+            # and force-broadcasting it would OOM the driver on exactly
+            # the workloads the flag exists for
+            keys = keyed.select(*on).distinct()
+            if broadcast_source:
+                keys = F.broadcast(keys)
             touched = sorted(
                 r["__rel"]
                 for r in cand.select(*on, "__rel")
-                .join(
-                    F.broadcast(keyed.select(*on).distinct()),
-                    on,
-                    "left_semi",
-                )
+                .join(keys, on, "left_semi")
                 .select("__rel")
                 .distinct()
                 .collect()
@@ -613,7 +626,11 @@ def merge_into(
                     )
                 inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
                 rows_inserted = inserts.count()
-            if not touched and rows_inserted == 0:
+            if rows_deleted + rows_updated + rows_inserted == 0:
+                # keys may match yet no clause fire (update_condition
+                # never TRUE, no insert clause): committing would rewrite
+                # touched files byte-identically and wake change-feed
+                # consumers for an empty diff
                 return {
                     **out,
                     "tier": "noop",
@@ -621,6 +638,12 @@ def merge_into(
                     "rows_deleted": 0,
                     "rows_inserted": 0,
                 }
+            if rows_deleted + rows_updated == 0:
+                # inserts only: nothing in the touched files changes, so
+                # neither rewriting them (CoW) nor vectoring them (MoR)
+                # is needed — a pure append commit carries every parent
+                # file by reference
+                tier = "append"
 
             def _final(c):
                 if c in upd_cols:
@@ -640,14 +663,8 @@ def merge_into(
                     if inserts is not None
                     else survivors
                 )
-                new_v = write_snapshot(
-                    new_data,
-                    root,
-                    partition_by=list(m["partition_by"]) or None,
-                    mode="replace",
-                    expected_version=v,
-                    stats_cols=_stats_cols(m),
-                    drop_files=touched,
+                new_v = _commit_replace(
+                    new_data, root, m, v, drop_files=touched
                 )
             else:
                 tomb = None
@@ -671,15 +688,8 @@ def merge_into(
                     if inserts is not None
                     else rewritten
                 )
-                new_v = write_snapshot(
-                    new_data,
-                    root,
-                    partition_by=list(m["partition_by"]) or None,
-                    mode="replace",
-                    expected_version=v,
-                    stats_cols=_stats_cols(m),
-                    drop_files=[],
-                    delete_vectors=tomb,
+                new_v = _commit_replace(
+                    new_data, root, m, v, drop_files=[], delete_vectors=tomb
                 )
             return {
                 **out,

@@ -755,8 +755,6 @@ SELECT {_BUSINESS},
 FROM stag ANTI JOIN prod USING (c_custkey)
 """
 
-# Driver registry (the driver verifies only the first 50 registry
-# entries, so every slot must earn its place): the flagship, one fixture
 # --- Generic row-level DML (operators/dml.py) ---------------------------
 
 _DML_PRED = "o_orderstatus = 'F' AND o_totalprice < 100000"
@@ -947,6 +945,8 @@ FROM src s WHERE NOT EXISTS (
 """
 
 
+# Driver registry (the driver verifies only the first 50 registry
+# entries, so every slot must earn its place): the flagship, one fixture
 # (staging — production's schema/branches are value-verified through the
 # flagship itself), the non-trivial anti-join branch (step 2), and the
 # two read-side queries derived from the full merge output. The other

@@ -238,6 +238,20 @@ def stage_files(
     return staged
 
 
+def vector_schemas(root: str, rels) -> dict[str, set]:
+    """Column set of each deletion-vector file, one driver-side parquet
+    footer read apiece (O(#vector files), no data scanned). Vector
+    batches from different commits can be keyed differently (single-key
+    SCD vectors vs full-row DML vectors), so both the read overlay and
+    the DML fold/route paths group by this."""
+    import pyarrow.parquet as pq
+
+    return {
+        r: set(pq.read_schema(os.path.join(root, r)).names)
+        for r in sorted(set(rels))
+    }
+
+
 def stage_delete_vectors(
     tomb: DataFrame, root: str
 ) -> tuple[str, list[str], list[str]]:
@@ -961,8 +975,8 @@ def read_manifest_files(
             )
         return parts
 
-    vec_parts = _rel_tagged(vectored)
-    if vec_parts:
+    vec_parts = []
+    if vectored:
         # Tombstones for file f are EXACTLY the rows with __file == f in
         # deletes[f]'s vector files — a vector file kept alive by some
         # OTHER file's entry must not re-apply superseded tombstones to
@@ -970,30 +984,22 @@ def read_manifest_files(
         # per distinct vector-file list, restricted to the files that
         # list serves in THIS manifest.
         by_list: dict[tuple, list[str]] = {}
-        for f, rels in deletes.items():
-            by_list.setdefault(tuple(rels), []).append(f)
-        vec = None
-        for rels, served in sorted(by_list.items()):
-            v = spark.read.parquet(
-                *[os.path.join(root, r) for r in rels]
-            ).where(F.col(DELETE_FILE_COL).isin(served))
-            vec = v if vec is None else vec.unionByName(v)
-        key_cols = [c for c in vec.columns if c != DELETE_FILE_COL]
-        joined = vec_parts[0]
-        for p in vec_parts[1:]:
-            joined = joined.unionByName(p)
-        cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
-        for k in key_cols:
-            cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
-        # broadcast is the normal case (compaction bounds tombstone
-        # volume), but forcing it on a table whose fold is overdue would
-        # OOM the driver — past the session's broadcast threshold, leave
-        # the strategy to the planner (shuffle anti-join: slower, safe).
-        # Vector bytes are known driver-side from the file sizes.
-        vec_bytes = sum(
-            os.path.getsize(os.path.join(root, r))
-            for r in {v for vs in deletes.values() for v in vs}
+        for f in vectored:
+            by_list.setdefault(tuple(deletes[f]), []).append(f)
+        # Vector lists from different commits can be keyed DIFFERENTLY
+        # (an SCD merge's single-key vectors next to a DML verb's
+        # full-row vectors): each key-column set anti-joins its own
+        # data files on its own keys. Grouping is by footer schema —
+        # one driver-side footer read per distinct vector file, no data
+        # scanned; the common all-one-schema case keeps a single join.
+        schema_of = vector_schemas(
+            root, (r for rels in by_list for r in rels)
         )
+        groups: dict[tuple, list[tuple]] = {}
+        for rels, served in sorted(by_list.items()):
+            groups.setdefault(
+                tuple(sorted(schema_of[rels[0]])), []
+            ).append((rels, served))
         try:
             thresh = int(
                 spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1002,11 +1008,37 @@ def read_manifest_files(
             )
         except (ValueError, TypeError):
             thresh = 10 << 20  # unit-suffixed custom value: use default
-        right = vec.alias("__r")
-        if thresh >= 0 and vec_bytes <= thresh:
-            right = F.broadcast(right)  # thresh -1 = broadcasts disabled
-        joined = joined.alias("__l").join(right, cond, "left_anti")
-        vec_parts = [joined]
+        for _cols_key, lists in sorted(groups.items()):
+            g_files = sorted(f for _rels, served in lists for f in served)
+            joined = None
+            for p in _rel_tagged(g_files):
+                joined = p if joined is None else joined.unionByName(p)
+            vec = None
+            for rels, served in lists:
+                v = spark.read.parquet(
+                    *[os.path.join(root, r) for r in rels]
+                ).where(F.col(DELETE_FILE_COL).isin(served))
+                vec = v if vec is None else vec.unionByName(v)
+            key_cols = [c for c in vec.columns if c != DELETE_FILE_COL]
+            cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
+            for k in key_cols:
+                cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+            # broadcast is the normal case (compaction bounds tombstone
+            # volume), but forcing it on a table whose fold is overdue
+            # would OOM the driver — past the session's broadcast
+            # threshold, leave the strategy to the planner (shuffle
+            # anti-join: slower, safe). Vector bytes are known
+            # driver-side from the file sizes.
+            vec_bytes = sum(
+                os.path.getsize(os.path.join(root, r))
+                for r in {r for rels, _served in lists for r in rels}
+            )
+            right = vec.alias("__r")
+            if thresh >= 0 and vec_bytes <= thresh:
+                right = F.broadcast(right)  # thresh -1 = broadcasts off
+            vec_parts.append(
+                joined.alias("__l").join(right, cond, "left_anti")
+            )
 
     parts = (
         vec_parts
@@ -1034,12 +1066,32 @@ def read_manifest_files(
     return out.select(*cols)
 
 
+def _iso_bound(b):
+    """Stats for date/timestamp columns are stored as isoformat STRINGS
+    (JSON can't carry the native types; see _footer_stats) — a
+    date/datetime prune bound must be compared in the same form, or the
+    mixed str/date comparison raises. Isoformat is zero-padded, so its
+    lexicographic order IS chronological order; an aware datetime is
+    normalized to naive UTC first (parquet footer stats are UTC)."""
+    import datetime
+
+    if isinstance(b, datetime.datetime):
+        if b.tzinfo is not None:
+            b = b.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return b.isoformat()
+    if isinstance(b, datetime.date):
+        return b.isoformat()
+    return b
+
+
 def _survives_prune(file_stats: dict, prune: dict) -> bool:
     for col, (lo, hi) in prune.items():
         rng = file_stats.get(col)
         if rng is None:
             continue  # no stats recorded -> must keep (correctness)
         fmin, fmax = rng
+        if isinstance(fmin, str):
+            lo, hi = _iso_bound(lo), _iso_bound(hi)
         if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
             return False
     return True

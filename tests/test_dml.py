@@ -393,3 +393,240 @@ def test_merge_into_null_keys_and_3vl(spark, tmp_path):
     # the matched row is byte-identical
     orig = base.where(F.col("o_orderkey") == k).first()
     assert got.where(F.col("o_orderkey") == k).first()["o_totalprice"] == orig["o_totalprice"]
+
+
+def test_route_probes_every_vector_file_not_just_first(spark, tmp_path):
+    """Self-review r8 (second pass): mixed vector PROVENANCE — one
+    touched file carrying a full-row DML vector, another a single-key
+    SCD-style vector. A single-file probe that happens to sample the
+    full-row vector would mis-route to MoR and then either raise or
+    fold null-padded tombstones; the probe must check every distinct
+    vector file referenced by the touched set."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+    )
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    m = load_manifest(root, latest_version(root))
+    # full-row vector on the FIRST file (sorts first in the probe) via a
+    # real MoR delete confined to that file's key range
+    lo, hi = m["stats"][sorted(m["files"])[0]]["o_orderkey"]
+    rep = delete_where(
+        spark,
+        root,
+        f"o_orderkey >= {lo} AND o_orderkey <= {lo}",
+        tier="mor",
+    )
+    assert rep["tier"] == "mor" and rep["rows_matched"] >= 1
+    # hand-staged single-key (foreign) vector on the LAST file
+    m2 = load_manifest(root, latest_version(root))
+    last_file = sorted(
+        f for f in m2["files"] if "o_orderkey" in m2["stats"].get(f, {})
+    )[-1]
+    flo, fhi = m2["stats"][last_file]["o_orderkey"]
+    tomb = spark.createDataFrame(
+        [(last_file, int(fhi))],
+        f"{DELETE_FILE_COL} string, o_orderkey bigint",
+    )
+    write_snapshot(
+        spark.createDataFrame([], base.schema),
+        root,
+        mode="replace",
+        expected_version=latest_version(root),
+        drop_files=[],
+        delete_vectors=tomb,
+    )
+    before = _rows(read_table(spark, root))
+    # predicate touching BOTH vectored files; fraction prefers MoR but
+    # the foreign vector on the last file must force CoW
+    rep = delete_where(
+        spark,
+        root,
+        "o_orderkey % 2 = 0",
+        cow_max_touched_fraction=0.0,
+    )
+    assert rep["tier"] == "cow"
+    expected = [r for r in before if r[0] % 2 != 0]
+    assert _rows(read_table(spark, root)) == expected
+    # forcing MoR still refuses loudly (per-file schema check)
+    _publish(spark, str(tmp_path / "u"), base)
+
+
+def test_fold_reads_vectors_per_file_list(spark, tmp_path):
+    """Self-review r8 (second pass): tombstones for file f fold forward
+    from f's OWN manifest vector list. A vector file SHARED with
+    another file must not re-apply tombstones that f's re-vectoring
+    dropped — the read overlay already resurrects that row, and a DML
+    MoR fold must not re-kill it."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+    )
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base, n_files=2)
+    m = load_manifest(root, latest_version(root))
+    file_a, file_b = sorted(m["files"])
+    full_cols = [f"`{c}`" for c in base.columns]
+
+    def _tomb(pairs):
+        # (file, row) pairs -> full-row tombstones
+        rows = [(f, *r) for f, r in pairs]
+        return spark.createDataFrame(
+            rows, f"{DELETE_FILE_COL} string, " + base.schema.simpleString()[7:-1]
+        )
+
+    rows_a = base.orderBy("o_orderkey").limit(3).collect()
+    rows_b = base.orderBy(F.desc("o_orderkey")).limit(1).collect()
+    r1, r3 = tuple(rows_a[0]), tuple(rows_a[1])
+    r2 = tuple(rows_b[0])
+    # v1: ONE vector batch covering A (drops r1) and B (drops r2)
+    write_snapshot(
+        spark.createDataFrame([], base.schema), root, mode="replace",
+        expected_version=latest_version(root), drop_files=[],
+        delete_vectors=_tomb([(file_a, r1), (file_b, r2)]).coalesce(1),
+    )
+    # v2: re-vector ONLY A with {r3}, deliberately NOT carrying r1 — by
+    # replace semantics r1 resurrects; r2 stays dead via B's entry in
+    # the (still shared) v1 file
+    write_snapshot(
+        spark.createDataFrame([], base.schema), root, mode="replace",
+        expected_version=latest_version(root), drop_files=[],
+        delete_vectors=_tomb([(file_a, r3)]).coalesce(1),
+    )
+    pre = _rows(read_table(spark, root))
+    assert r1 in pre and r2 not in pre and r3 not in pre
+    # MoR delete touching BOTH files: the fold must take A's tombstones
+    # from v2 only — r1 must stay alive (it doesn't match the predicate)
+    victim = int(r1[0]) + 1  # ensure pred doesn't hit r1 itself
+    rep = delete_where(
+        spark, root, f"o_orderkey = {victim}", tier="mor"
+    )
+    post = _rows(read_table(spark, root))
+    assert r1 in post, "shared-vector stale tombstone re-applied by fold"
+    assert r2 not in post and r3 not in post
+    assert post == [r for r in pre if r[0] != victim]
+
+
+def test_merge_into_date_keys_with_stats_prune(spark, tmp_path):
+    """Self-review r8 (second pass): date/timestamp ON keys — manifest
+    footer stats store isoformat strings while the source bounds agg
+    yields datetime.date objects; the prune must compare them instead
+    of raising TypeError."""
+    import datetime as dt
+
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    base = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(400)
+    )
+    write_snapshot(
+        base.repartitionByRange(4, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        ),
+        root,
+        stats_cols=["o_orderdate"],
+    )
+    d = base.orderBy("o_orderdate").first()["o_orderdate"]
+    src = spark.createDataFrame(
+        [(d, 0.5), (dt.date(2099, 1, 1), 2.0)],
+        "o_orderdate date, factor double",
+    )
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderdate"],
+        when_matched_update={"o_totalprice": "t.o_totalprice * s.factor"},
+        when_not_matched_insert=None,
+    )
+    assert rep["rows_updated"] >= 1
+    # bounds spanning min..2099 keep every file a candidate; the join
+    # narrows to the files actually containing the matched date
+    assert rep["files_candidates"] == rep["files_total"]
+    assert rep["files_touched"] < rep["files_total"]
+    got = read_table(spark, root)
+    exp_sum = base.select(
+        F.sum(
+            F.when(F.col("o_orderdate") == d, F.col("o_totalprice") * 0.5)
+            .otherwise(F.col("o_totalprice"))
+        )
+    ).first()[0]
+    assert abs(got.agg(F.sum("o_totalprice")).first()[0] - exp_sum) < 1e-6
+    # a prune-hinted DELETE with raw date bounds works the same way
+    rep = delete_where(
+        spark,
+        root,
+        f"o_orderdate = DATE'{d.isoformat()}'",
+        prune={"o_orderdate": (d, d)},
+    )
+    assert rep["files_candidates"] < rep["files_total"]
+    assert rep["rows_matched"] >= 1
+
+
+def test_merge_into_zero_effect_is_noop(spark, tmp_path):
+    """Matched keys but no firing clause must NOT burn a version: the
+    old path rewrote every touched file byte-identically and woke
+    change-feed consumers for an empty diff."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    v_before = latest_version(root)
+    k = base.orderBy("o_orderkey").first()["o_orderkey"]
+    src = spark.createDataFrame([(int(k),)], "o_orderkey bigint")
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "t.o_totalprice * 2"},
+        update_condition="1 = 0",
+        when_not_matched_insert=None,
+    )
+    assert rep["tier"] == "noop"
+    assert rep["rows_updated"] == rep["rows_inserted"] == 0
+    assert latest_version(root) == v_before
+
+
+def test_merge_into_insert_only_is_pure_append(spark, tmp_path):
+    """Inserts with zero matched-row effect carry every parent file by
+    reference (no CoW rewrite, no vectors) — write volume O(inserts)."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    m_before = load_manifest(root, latest_version(root))
+    k = base.orderBy("o_orderkey").first()["o_orderkey"]
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    src = spark.createDataFrame(
+        [
+            (int(k), int(1), "F", 1.0),  # matches; condition below blocks
+            (int(max_key) + 5, int(2), "Z", 2.0),  # new key -> insert
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_orderstatus": "s.o_orderstatus"},
+        update_condition="1 = 0",
+        broadcast_source=False,  # the discovery join must honor this too
+    )
+    assert rep["tier"] == "append"
+    assert rep["rows_inserted"] == 1 and rep["rows_updated"] == 0
+    m_after = load_manifest(root, latest_version(root))
+    assert set(m_before["files"]) <= set(m_after["files"])  # all carried
+    assert not m_after.get("deletes")
+    got = read_table(spark, root)
+    assert got.count() == base.count() + 1
+    assert _rows(got.where(F.col("o_orderkey") <= max_key)) == _rows(base)

@@ -908,3 +908,74 @@ def test_table_history_summarizes_retained_versions(spark, tmp_path):
     assert all(e["committed_at"] is not None for e in h)
     vacuum(root, keep_last=1, grace_seconds=0.0)
     assert [e["version"] for e in table_history(root)] == [2]
+
+
+def test_mixed_schema_vectors_across_files_read_correctly(spark, tmp_path):
+    """Self-review r8 (second pass): different files can carry vectors
+    keyed DIFFERENTLY — an SCD merge's single-key vector on one file, a
+    DML verb's full-row vector on another. The read overlay must
+    anti-join each file against its OWN vector's key set (grouped by
+    footer schema), not union mixed-schema vectors (which raised
+    NUM_COLUMNS_MISMATCH and made the whole table unreadable)."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        load_manifest as lm,
+    )
+
+    root = str(tmp_path / "t")
+    df = _df(spark, [1, 2, 3, 4, 5, 6])
+    write_snapshot(
+        df.repartitionByRange(2, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    m1 = lm(root, 1)
+    file_a = next(f for f, s in m1["stats"].items() if s["id"][0] == 1)
+    file_b = next(f for f, s in m1["stats"].items() if s["id"][0] != 1)
+    empty = spark.createDataFrame([], "id long, v string")
+    # single-key vector on A: drop id=2
+    tomb_key = spark.createDataFrame([(file_a, 2)], "__file string, id long")
+    write_snapshot(empty, root, mode="replace", expected_version=1,
+                   drop_files=[], delete_vectors=tomb_key)
+    # full-row vector on B: drop (5, 'v5')
+    tomb_full = spark.createDataFrame(
+        [(file_b, 5, "v5")], "__file string, id long, v string"
+    )
+    write_snapshot(empty, root, mode="replace", expected_version=2,
+                   drop_files=[], delete_vectors=tomb_full)
+    assert _ids(read_table(spark, root)) == [1, 3, 4, 6]
+    # time travel still sees each intermediate overlay
+    assert _ids(read_snapshot(spark, root, version=2)) == [1, 3, 4, 5, 6]
+    # the full-row vector keys on the WHOLE tuple: a row differing only
+    # in payload must survive a full-row tombstone for its id twin
+    m3 = lm(root, 3)
+    assert sorted(
+        r["v"]
+        for r in read_table(spark, root).where("id = 4").collect()
+    ) == ["v4"]
+
+
+def test_prune_accepts_date_bounds(spark, tmp_path):
+    """Self-review r8 (second pass): stats for date/timestamp columns
+    are stored as isoformat strings — a read prune passed raw
+    datetime.date bounds must compare in the same form instead of
+    raising a str/date TypeError."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, i)) for i in range(1, 9)],
+        "id long, d date",
+    )
+    write_snapshot(
+        df.repartitionByRange(2, "d").sortWithinPartitions("d"),
+        root,
+        stats_cols=["d"],
+    )
+    got = read_snapshot(
+        spark, root, prune={"d": (dt.date(2024, 1, 7), dt.date(2024, 1, 8))}
+    )
+    # prune is FILE-level skipping: the surviving file holds the upper
+    # range; the lower-range file (id=1..) must be gone
+    ids = _ids(got)
+    assert 7 in ids and 8 in ids and 1 not in ids
+    assert len(got.inputFiles()) == 1  # the other range file was pruned
