@@ -103,50 +103,15 @@ def _vector_schemas(root: str, rels) -> dict[str, set]:
 def _fold_prior_vectors(
     spark: SparkSession, root: str, m: dict, touched: list[str], tomb: DataFrame
 ) -> DataFrame:
-    """A staged vector REPLACES the parent's for its file, so prior
-    tombstones on re-vectored files must fold forward or their rows
-    resurrect. Two exactness rules, both mirroring the read overlay
-    (sources/snapshot.py _rel_tagged vector join):
-
-    * tombstones for file f are EXACTLY the __file == f rows of
-      f's OWN manifest vector list — a vector file shared with some
-      other file must not re-apply tombstones that f's re-vectoring
-      dropped (those rows resurrected, per replace semantics);
-    * EVERY prior vector file must carry this operation's column set
-      (checked per file, driver-side footers — vectors from different
-      commits can differ). A different set (e.g. an SCD merge's
-      single-key vectors under a full-row DML vector) cannot be
-      expressed in one batch — fold them into clean files first."""
+    """Shared protocol logic — see
+    :func:`~implementing_scds_in_hive_spark.sources.snapshot.
+    fold_prior_vectors` (per-file vector lists, per-file schema
+    validation)."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
-        DELETE_FILE_COL,
+        fold_prior_vectors,
     )
 
-    deletes = m.get("deletes", {})
-    by_list: dict[tuple, list[str]] = {}
-    for f in touched:
-        rels = deletes.get(f)
-        if rels:
-            by_list.setdefault(tuple(rels), []).append(f)
-    if not by_list:
-        return tomb
-    want = set(tomb.columns)
-    for rel, names in _vector_schemas(
-        root, (r for rels in by_list for r in rels)
-    ).items():
-        if names != want:
-            raise ValueError(
-                f"touched files carry a deletion vector ({rel}) keyed by "
-                f"{sorted(names)} which cannot fold into this "
-                f"operation's {sorted(want)} vectors — run "
-                f"sinks.compact_deletes({root!r}) first"
-            )
-    out = tomb
-    for rels, served in sorted(by_list.items()):
-        prior = spark.read.parquet(
-            *[os.path.join(root, p) for p in rels]
-        ).where(F.col(DELETE_FILE_COL).isin(served))
-        out = out.unionByName(prior.select(*tomb.columns))
-    return out
+    return fold_prior_vectors(spark, root, m, touched, tomb)
 
 
 def _stats_cols(m: dict) -> list[str] | None:

@@ -762,6 +762,7 @@ def scd2_merge_mor(
     "files_tombstoned", "tombstones"}``."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
+        fold_prior_vectors,
         read_manifest_files,
         write_snapshot,
     )
@@ -822,29 +823,20 @@ def scd2_merge_mor(
             tomb = matched.select(
                 F.col("__rel").alias(DELETE_FILE_COL), F.col(cfg.key)
             ).distinct()
-            prior_rels = sorted(
-                {r for f in touched for r in m.get("deletes", {}).get(f, [])}
-            )
-            if prior_rels:
-                prior = spark.read.parquet(
-                    *[os.path.join(root, p) for p in prior_rels]
-                ).where(F.col(DELETE_FILE_COL).isin(touched))
-                if sorted(prior.columns) != sorted(
-                    [DELETE_FILE_COL, cfg.key]
-                ):
-                    raise ValueError(
-                        f"existing deletion vectors at {root} carry key "
-                        f"columns {prior.columns} — scd2_merge_mor can only "
-                        f"fold vectors keyed by {cfg.key!r}"
-                    )
+            if any(f in m.get("deletes", {}) for f in touched):
                 # a staged vector REPLACES the parent's for its file, so
                 # prior tombstones must fold forward or their rows
-                # resurrect. No overlap dedup needed: a key tombstoned in
-                # a file has no live rows there to re-tombstone.
-                tomb = tomb.unionByName(
-                    prior.select(DELETE_FILE_COL, cfg.key)
-                )
-                n_tomb += prior.count()  # tiny vector-file scan
+                # resurrect — per (file -> its OWN manifest vector list),
+                # never the union filtered by isin(touched): a vector
+                # file SHARED with a re-vectored file must not re-apply
+                # the tombstones that re-vectoring dropped. Column-set
+                # compatibility is validated per prior vector file
+                # (footer reads); incompatible vectors raise the
+                # compact-first error. No overlap dedup needed: a key
+                # tombstoned in a file has no live rows there to
+                # re-tombstone.
+                tomb = fold_prior_vectors(spark, root, m, touched, tomb)
+                n_tomb = tomb.count()  # tiny: new pairs + prior vectors
         merged = scd2_merge(
             matched.drop("__rel"),
             staging,

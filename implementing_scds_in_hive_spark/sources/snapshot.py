@@ -66,6 +66,17 @@ _VERSION_WIDTH = 10
 # vector column is a key column the read overlay anti-joins null-safely.
 DELETE_FILE_COL = "__file"
 
+# POSITIONAL deletion vectors (the Delta/Iceberg DV design): a vector
+# whose columns are exactly {__file, __pos} tombstones the row at
+# within-file ordinal __pos (parquet row index — stable because data
+# files are immutable). The overlay recovers each row's ordinal from
+# the ``_metadata.row_index`` scan column and anti-joins on
+# (file, position): exact for ANY row — duplicate tuples, NULL keys,
+# no key column required — at two narrow columns per tombstone
+# regardless of table width. Both names are reserved: a data column
+# named __file/__pos would collide with the overlay's join keys.
+DELETE_POS_COL = "__pos"
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this writer expected to
@@ -250,6 +261,59 @@ def vector_schemas(root: str, rels) -> dict[str, set]:
         r: set(pq.read_schema(os.path.join(root, r)).names)
         for r in sorted(set(rels))
     }
+
+
+def fold_prior_vectors(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    touched: list[str],
+    tomb: DataFrame,
+) -> DataFrame:
+    """Fold the parent manifest's live tombstones for ``touched`` files
+    into a new vector batch. A staged vector REPLACES the parent's for
+    its file, so prior tombstones on re-vectored files must fold
+    forward or their rows resurrect. Two exactness rules, both
+    mirroring the read overlay (:func:`read_manifest_files`):
+
+    * tombstones for file f are EXACTLY the ``__file == f`` rows of
+      f's OWN manifest vector list — a vector file shared with some
+      other file must not re-apply tombstones that f's re-vectoring
+      dropped (those rows resurrected, per replace semantics);
+    * EVERY prior vector file must carry this batch's column set
+      (checked per file, driver-side footers — vectors from different
+      commits can differ). A different set (e.g. an SCD merge's
+      single-key vectors under a DML vector) cannot be expressed in
+      one batch — fold them into clean files first
+      (``sinks.compact_deletes``)."""
+    deletes = m.get("deletes", {})
+    by_list: dict[tuple, list[str]] = {}
+    for f in touched:
+        rels = deletes.get(f)
+        if rels:
+            by_list.setdefault(tuple(rels), []).append(f)
+    if not by_list:
+        return tomb
+    want = set(tomb.columns)
+    for rel, names in vector_schemas(
+        root, (r for rels in by_list for r in rels)
+    ).items():
+        if names != want:
+            raise ValueError(
+                f"touched files carry a deletion vector ({rel}) keyed by "
+                f"{sorted(names)} which cannot fold into this "
+                f"operation's {sorted(want)} vectors — run "
+                f"sinks.compact_deletes({root!r}) first"
+            )
+    from pyspark.sql import functions as F
+
+    out = tomb
+    for rels, served in sorted(by_list.items()):
+        prior = spark.read.parquet(
+            *[os.path.join(root, p) for p in rels]
+        ).where(F.col(DELETE_FILE_COL).isin(served))
+        out = out.unionByName(prior.select(*tomb.columns))
+    return out
 
 
 def stage_delete_vectors(
@@ -847,6 +911,7 @@ def read_manifest_files(
     *,
     file_path_col: str | None = None,
     rel_path_col: str | None = None,
+    row_pos_col: str | None = None,
     apply_deletes: bool = True,
 ) -> DataFrame:
     """Read an explicit subset of a manifest's files with the manifest's
@@ -869,14 +934,19 @@ def read_manifest_files(
     task across hive partition dirs) fall back to per-file reads tagged
     with a literal.
 
+    ``row_pos_col`` appends each row's WITHIN-FILE ordinal
+    (``_metadata.row_index``, captured at scan like ``file_path_col``)
+    — how positional deletion vectors are built: ``(rel, pos)``
+    identifies a physical row exactly, whatever its content.
+
     ``apply_deletes`` (default) overlays the manifest's deletion vectors
-    (merge-on-read): a row whose ``(file, key)`` appears in a live
-    vector is anti-joined out before the caller sees it. Only the
-    vectored subset of ``files`` pays the overlay — files without a
-    vector stream through the plain bulk scan untouched, and the vector
-    side is a broadcast (tombstone volume is bounded by the compaction
-    cadence — ``sinks.compact_deletes`` folds vectors back into clean
-    files)."""
+    (merge-on-read): a row whose ``(file, key)`` — or ``(file, pos)``
+    for positional vectors — appears in a live vector is anti-joined
+    out before the caller sees it. Only the vectored subset of
+    ``files`` pays the overlay — files without a vector stream through
+    the plain bulk scan untouched, and the vector side is a broadcast
+    (tombstone volume is bounded by the compaction cadence —
+    ``sinks.compact_deletes`` folds vectors back into clean files)."""
     from pyspark.sql import functions as F
 
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -885,6 +955,8 @@ def read_manifest_files(
         cols.append(file_path_col)
     if rel_path_col:
         cols.append(rel_path_col)
+    if row_pos_col:
+        cols.append(row_pos_col)
     fileset = set(files)
     deletes = {
         f: v
@@ -896,6 +968,10 @@ def read_manifest_files(
         for c in (file_path_col, rel_path_col):
             if c:
                 empty = empty.withColumn(c, F.lit(None).cast("string"))
+        if row_pos_col:
+            empty = empty.withColumn(
+                row_pos_col, F.lit(None).cast("bigint")
+            )
         return empty.select(*cols)
 
     rel_col = rel_path_col or "__mor_rel"
@@ -923,7 +999,11 @@ def read_manifest_files(
                 )
         return out
 
-    def _bulk(subset: list[str], with_path: bool) -> list[DataFrame]:
+    need_pos_all = bool(row_pos_col)
+
+    def _bulk(
+        subset: list[str], with_path: bool, with_pos: bool = False
+    ) -> list[DataFrame]:
         parts = []
         for d, rels in sorted(_by_dir(subset).items()):
             p = (
@@ -931,12 +1011,18 @@ def read_manifest_files(
                 .option("basePath", os.path.join(root, d))
                 .parquet(*[os.path.join(root, r) for r in rels])
             )
+            # metadata columns are only reachable on the scan relation —
+            # materialize BEFORE any join/projection drops them
             if with_path:
                 p = p.withColumn("__mor_fp", F.col("_metadata.file_path"))
+            if with_pos or need_pos_all:
+                p = p.withColumn("__mor_pos", F.col("_metadata.row_index"))
             parts.append(p)
         return parts
 
-    def _rel_tagged(subset: list[str]) -> list[DataFrame]:
+    def _rel_tagged(
+        subset: list[str], with_pos: bool = False
+    ) -> list[DataFrame]:
         """Scan ``subset`` with an exact ``rel_col``: basename-unique
         files via one bulk scan + broadcast basename->rel map (basename
         ambiguity only matters WITHIN one scan), colliding basenames via
@@ -952,7 +1038,7 @@ def read_manifest_files(
                 [(os.path.basename(f), f) for f in mapped],
                 "__mor_base string, __mor_rel_v string",
             )
-            for p in _bulk(mapped, True):
+            for p in _bulk(mapped, True, with_pos):
                 q = p.withColumn(
                     "__mor_base",
                     F.element_at(F.split(F.col("__mor_fp"), "/"), -1),
@@ -966,13 +1052,15 @@ def read_manifest_files(
             d = next(
                 d for d in m["snapshot_dirs"] if f.startswith(d + os.sep)
             )
-            parts.append(
+            p = (
                 spark.read.schema(schema)
                 .option("basePath", os.path.join(root, d))
                 .parquet(os.path.join(root, f))
                 .withColumn("__mor_fp", F.col("_metadata.file_path"))
-                .withColumn(rel_col, F.lit(f))
             )
+            if with_pos or need_pos_all:
+                p = p.withColumn("__mor_pos", F.col("_metadata.row_index"))
+            parts.append(p.withColumn(rel_col, F.lit(f)))
         return parts
 
     vec_parts = []
@@ -1009,9 +1097,10 @@ def read_manifest_files(
         except (ValueError, TypeError):
             thresh = 10 << 20  # unit-suffixed custom value: use default
         for _cols_key, lists in sorted(groups.items()):
+            positional = set(_cols_key) == {DELETE_FILE_COL, DELETE_POS_COL}
             g_files = sorted(f for _rels, served in lists for f in served)
             joined = None
-            for p in _rel_tagged(g_files):
+            for p in _rel_tagged(g_files, with_pos=positional):
                 joined = p if joined is None else joined.unionByName(p)
             vec = None
             for rels, served in lists:
@@ -1019,10 +1108,21 @@ def read_manifest_files(
                     *[os.path.join(root, r) for r in rels]
                 ).where(F.col(DELETE_FILE_COL).isin(served))
                 vec = v if vec is None else vec.unionByName(v)
-            key_cols = [c for c in vec.columns if c != DELETE_FILE_COL]
             cond = F.col(f"__l.{rel_col}") == F.col(f"__r.{DELETE_FILE_COL}")
-            for k in key_cols:
-                cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+            if positional:
+                # a position identifies a physical row exactly — plain
+                # equality on the captured scan ordinal, no key columns
+                cond = cond & (
+                    F.col("__l.__mor_pos") == F.col(f"__r.{DELETE_POS_COL}")
+                )
+            else:
+                key_cols = [
+                    c for c in vec.columns if c != DELETE_FILE_COL
+                ]
+                for k in key_cols:
+                    cond = cond & F.col(f"__l.{k}").eqNullSafe(
+                        F.col(f"__r.{k}")
+                    )
             # broadcast is the normal case (compaction bounds tombstone
             # volume), but forcing it on a table whose fold is overdue
             # would OOM the driver — past the session's broadcast
@@ -1056,6 +1156,12 @@ def read_manifest_files(
             )
         if rel_path_col and rel_col not in q.columns:
             q = q.withColumn(rel_col, F.lit(None).cast("string"))
+        if row_pos_col:
+            q = q.withColumn(row_pos_col, F.col("__mor_pos")) if (
+                "__mor_pos" in q.columns
+            ) else q.withColumn(
+                row_pos_col, F.col("_metadata.row_index")
+            )
         norm.append(q.select(*cols))
     out = norm[0]
     for p in norm[1:]:

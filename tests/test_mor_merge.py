@@ -789,3 +789,84 @@ def test_mor_stream_replay_after_post_publish_crash(spark, tmp_path):
     q2.awaitTermination(120)
     assert latest_version(root) >= 3  # replay committed again...
     assert _canon(read_table(spark, root)) == state_after_crash  # ...idempotently
+
+
+def test_mor_fold_reads_vectors_per_file_list(spark, tmp_path):
+    """Self-review r8 (second pass, SCD tier): tombstones for file f
+    fold forward from f's OWN manifest vector list. A vector file
+    SHARED with another file must not re-apply tombstones that f's
+    re-vectoring dropped — the read overlay already resurrects that
+    key, and the merge's fold must not re-kill it."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+    )
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=2)
+    m1 = load_manifest(root, 1)
+    file_a, file_b = sorted(m1["files"], key=lambda f: m1["stats"][f]["c_custkey"][0])
+    rng_a = m1["stats"][file_a]["c_custkey"]
+    rng_b = m1["stats"][file_b]["c_custkey"]
+    prod = read_snapshot(spark, root, version=1)
+    ktype = dict(prod.dtypes)["c_custkey"]
+    stag = customer_staging(spark, SF)
+    skeys = {r[0] for r in stag.select("c_custkey").distinct().collect()}
+    pkeys_a = sorted(
+        r[0]
+        for r in prod.where(
+            (F.col("c_custkey") >= rng_a[0]) & (F.col("c_custkey") <= rng_a[1])
+        )
+        .select("c_custkey")
+        .distinct()
+        .collect()
+    )
+    # staged keys (merge will touch both files through them) ...
+    k_a3 = next(k for k in sorted(skeys) if rng_a[0] <= k <= rng_a[1])
+    k_b2 = next(k for k in sorted(skeys) if rng_b[0] <= k <= rng_b[1])
+    # ... and vectored keys that the merge does NOT stage
+    k_a1, k_a2 = [k for k in pkeys_a if k != k_a3][:2]
+    k_b = next(
+        r[0]
+        for r in prod.where(
+            (F.col("c_custkey") >= rng_b[0]) & (F.col("c_custkey") != k_b2)
+        )
+        .select("c_custkey")
+        .distinct()
+        .orderBy("c_custkey")
+        .limit(1)
+        .collect()
+    )
+    empty = spark.createDataFrame([], prod.schema)
+    # v2: ONE shared vector file covering A (kills k_a1) and B (kills k_b)
+    write_snapshot(
+        empty, root, mode="replace", expected_version=1, drop_files=[],
+        delete_vectors=spark.createDataFrame(
+            [(file_a, int(k_a1)), (file_b, int(k_b))],
+            f"{DELETE_FILE_COL} string, c_custkey {ktype}",
+        ).coalesce(1),
+    )
+    # v3: re-vector ONLY A with {k_a2}, deliberately dropping k_a1 — by
+    # replace semantics k_a1 resurrects; k_b stays dead via B's entry in
+    # the (still shared) v2 vector file
+    write_snapshot(
+        empty, root, mode="replace", expected_version=2, drop_files=[],
+        delete_vectors=spark.createDataFrame(
+            [(file_a, int(k_a2))],
+            f"{DELETE_FILE_COL} string, c_custkey {ktype}",
+        ).coalesce(1),
+    )
+    pre = read_table(spark, root)
+    assert pre.where(F.col("c_custkey") == k_a1).count() >= 1
+    assert pre.where(F.col("c_custkey").isin([int(k_a2), int(k_b)])).count() == 0
+    # MoR merge touching BOTH files: A's fold must use v3's list only —
+    # k_a1 (unstaged) must stay alive
+    batch = stag.where(F.col("c_custkey").isin([int(k_a3), int(k_b2)]))
+    assert batch.count() >= 1
+    scd2_merge_mor(spark, root, batch, CUSTOMER_CFG, AS_OF)
+    got = read_table(spark, root)
+    assert got.where(F.col("c_custkey") == k_a1).count() >= 1, (
+        "shared-vector stale tombstone re-applied by the SCD MoR fold"
+    )
+    assert got.where(F.col("c_custkey").isin([int(k_a2), int(k_b)])).count() == 0
+    expected = _full_merge(spark, root, batch, 3)
+    assert _canon(got) == _canon(expected)

@@ -979,3 +979,115 @@ def test_prune_accepts_date_bounds(spark, tmp_path):
     ids = _ids(got)
     assert 7 in ids and 8 in ids and 1 not in ids
     assert len(got.inputFiles()) == 1  # the other range file was pruned
+
+
+def _pos_of(spark, root, version, wanted_ids):
+    """(rel, pos) of each wanted id, via the row_pos_col reader param."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    m = load_manifest(root, version)
+    r = read_manifest_files(
+        spark, root, m, sorted(m["files"]),
+        rel_path_col="__rel", row_pos_col="__p",
+    )
+    rows = r.where(r["id"].isin([int(i) for i in wanted_ids])).collect()
+    return {x["id"]: (x["__rel"], x["__p"]) for x in rows}
+
+
+def test_positional_vectors_delete_exact_rows(spark, tmp_path):
+    """Positional deletion vectors ({__file, __pos} via the scan's
+    _metadata.row_index): two narrow columns tombstone a physical row
+    exactly — no key column, any table width. Time travel sees each
+    overlay state."""
+    root = str(tmp_path / "t")
+    df = _df(spark, range(1, 9))
+    write_snapshot(
+        df.repartitionByRange(2, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    locs = _pos_of(spark, root, 1, [3, 6])
+    tomb = spark.createDataFrame(
+        [locs[3], locs[6]], "__file string, __pos bigint"
+    )
+    write_snapshot(
+        spark.createDataFrame([], df.schema), root, mode="replace",
+        expected_version=1, drop_files=[], delete_vectors=tomb,
+    )
+    assert _ids(read_table(spark, root)) == [1, 2, 4, 5, 7, 8]
+    assert _ids(read_snapshot(spark, root, version=1)) == list(range(1, 9))
+    # positions are within-FILE ordinals: a prune-restricted read still
+    # applies the right tombstone to the surviving file
+    got = read_snapshot(spark, root, prune={"id": (5, 8)})
+    assert 6 not in _ids(got)
+
+
+def test_positional_vector_kills_one_duplicate_copy(spark, tmp_path):
+    """The exactness positional vectors add over full-row tombstones:
+    two byte-identical rows are distinct POSITIONS — deleting one copy
+    keeps the other (a full-row tombstone can only kill both)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "id long, v string"
+    )
+    write_snapshot(df.coalesce(1), root)
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    m = load_manifest(root, 1)
+    r = read_manifest_files(
+        spark, root, m, sorted(m["files"]),
+        rel_path_col="__rel", row_pos_col="__p",
+    )
+    dup = sorted(
+        ((x["__rel"], x["__p"]) for x in r.where("id = 1").collect()),
+        key=lambda t: t[1],
+    )
+    assert len(dup) == 2
+    tomb = spark.createDataFrame([dup[0]], "__file string, __pos bigint")
+    write_snapshot(
+        spark.createDataFrame([], df.schema), root, mode="replace",
+        expected_version=1, drop_files=[], delete_vectors=tomb,
+    )
+    left = sorted((x["id"], x["v"]) for x in read_table(spark, root).collect())
+    assert left == [(1, "a"), (2, "b")]
+
+
+def test_positional_and_keyed_vectors_coexist(spark, tmp_path):
+    """A positional vector on one file next to a single-key vector on
+    another: the overlay's schema grouping gives each file its own
+    anti-join — positional on (file, pos), keyed null-safely on the
+    key columns."""
+    root = str(tmp_path / "t")
+    df = _df(spark, range(1, 7))
+    write_snapshot(
+        df.repartitionByRange(2, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    m1 = load_manifest(root, 1)
+    file_lo = next(f for f, s in m1["stats"].items() if s["id"][0] == 1)
+    file_hi = next(f for f, s in m1["stats"].items() if s["id"][0] != 1)
+    locs = _pos_of(spark, root, 1, [2])
+    assert locs[2][0] == file_lo
+    empty = spark.createDataFrame([], df.schema)
+    write_snapshot(
+        empty, root, mode="replace", expected_version=1, drop_files=[],
+        delete_vectors=spark.createDataFrame(
+            [locs[2]], "__file string, __pos bigint"
+        ),
+    )
+    hi_id = max(_ids(read_snapshot(spark, root, version=1)))
+    write_snapshot(
+        empty, root, mode="replace", expected_version=2, drop_files=[],
+        delete_vectors=spark.createDataFrame(
+            [(file_hi, int(hi_id))], "__file string, id long"
+        ),
+    )
+    assert _ids(read_table(spark, root)) == [1, 3, 4, 5]
+    # vector files of BOTH formats stay live under vacuum while referenced
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert _ids(read_table(spark, root)) == [1, 3, 4, 5]
