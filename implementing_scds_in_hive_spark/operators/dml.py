@@ -11,20 +11,23 @@ matching rows, routed through the same two incremental publish tiers:
   row, carry the rest by reference (``mode="replace"`` commit, CAS'd on
   the parent version). Zero read overhead afterwards; write volume =
   the touched files.
-* **merge-on-read** — tombstone the matching rows with FULL-ROW
-  deletion vectors and (for UPDATE) append the rewritten rows as new
-  files. Write volume = O(matched rows) however scattered they are;
-  reads pay the vector overlay until ``sinks.compact_deletes`` folds
-  it away.
+* **merge-on-read** — tombstone the matching rows with deletion
+  vectors and (for UPDATE) append the rewritten rows as new files.
+  Write volume = O(matched rows) however scattered they are; reads pay
+  the vector overlay until ``sinks.compact_deletes`` folds it away.
 
-Full-row tombstones are what make the generic verbs EXACT without a
-key: a deterministic predicate is a pure function of the row's
-columns, so any row column-identical to a matching row also matches —
-deleting every copy of the tuple is precisely DELETE's semantics, with
-no uniqueness precondition on the table. (Non-deterministic predicates
-— ``rand()``, ``current_timestamp()`` — are evaluated independently by
-the discovery scan and the rewrite and are NOT supported; results
-would be undefined in any engine that scans twice.)
+Vectors default to POSITIONAL (``vector_format="pos"``: ``(__file,
+__pos)`` from the scan's ``_metadata.row_index`` — two narrow columns
+per tombstone whatever the table width, exact for any physical row
+with no key or uniqueness precondition; the Delta/Iceberg DV design).
+``vector_format="row"`` keeps the legacy FULL-ROW tombstones, whose
+exactness argument is different: a deterministic predicate is a pure
+function of the row's columns, so every copy of a matching tuple also
+matches and killing them all is precisely DELETE's semantics — but at
+one full-width row per tombstone. (Non-deterministic predicates —
+``rand()``, ``current_timestamp()`` — are evaluated independently by
+the discovery scan and the rewrite and are NOT supported in either
+format; results would be undefined in any engine that scans twice.)
 
 Three-valued logic follows ANSI DELETE/UPDATE: only rows where the
 predicate is TRUE are affected; FALSE and NULL rows are kept
@@ -164,6 +167,30 @@ def _commit_replace(df, root: str, m: dict, v: int, *, drop_files, delete_vector
     )
 
 
+def _bin_tomb(tomb: DataFrame, n_rows: int) -> DataFrame:
+    """A tombstone batch inherits the touched-file scan's partitioning
+    — written as-is that is one near-empty vector file per touched file
+    (footer overhead dominating the payload). Rows are ~tens of bytes;
+    bin at ~4M rows per vector file from the driver-known matched
+    count, no shuffle."""
+    return tomb.coalesce(max(1, -(-n_rows // 4_000_000)))
+
+
+def _vector_cols(vector_format: str, data_cols: list[str]) -> list[str]:
+    """Key columns (beyond ``__file``) a new vector batch will carry —
+    what ``_route``'s fold-compatibility probe checks prior vectors
+    against."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_POS_COL,
+    )
+
+    if vector_format not in ("pos", "row"):
+        raise ValueError(
+            f"vector_format must be pos|row, got {vector_format!r}"
+        )
+    return [DELETE_POS_COL] if vector_format == "pos" else data_cols
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -172,6 +199,7 @@ def delete_where(
     tier: str = "auto",
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
+    vector_format: str = "pos",
 ) -> dict:
     """``DELETE FROM <root> WHERE <predicate>`` as an atomic replace
     commit. ``predicate`` is a SQL boolean string or a ``Column``;
@@ -182,8 +210,9 @@ def delete_where(
 
     ``tier="auto"`` routes on the touched-file fraction: few files →
     copy-on-write (rewrite them minus the matching rows), many →
-    merge-on-read (full-row tombstones, no file rewritten). A table
-    whose touched files carry incompatible (non-full-row) vectors
+    merge-on-read (positional tombstones by default — see the module
+    docstring and ``vector_format`` — no file rewritten). A table
+    whose touched files carry vectors this batch's format cannot fold
     auto-falls-back to CoW, which kills those files' vectors with the
     files. Returns ``{"op", "tier", "parent_version", "version",
     "files_total", "files_candidates", "files_touched",
@@ -192,29 +221,39 @@ def delete_where(
     """
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
+        DELETE_POS_COL,
         read_manifest_files,
     )
 
     pred, v, m, schema, touched, out = _predicate_preamble(
         spark, root, predicate, prune, "delete"
     )
+    data_cols = [f.name for f in schema.fields]
+    vcols = _vector_cols(vector_format, data_cols)
     if not touched:
         return {**out, "tier": "noop"}
-    data_cols = [f.name for f in schema.fields]
-    tier = _route(root, m, touched, tier, cow_max_touched_fraction, data_cols)
+    tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
     if tier == "cow":
         survivors = read_manifest_files(spark, root, m, touched).where(
             ~F.coalesce(pred.cast("boolean"), F.lit(False))
         )
         new_v = _commit_replace(survivors, root, m, v, drop_files=touched)
     else:
+        pos = vector_format == "pos"
         rows = read_manifest_files(
-            spark, root, m, touched, rel_path_col="__rel"
+            spark,
+            root,
+            m,
+            touched,
+            rel_path_col="__rel",
+            row_pos_col=DELETE_POS_COL if pos else None,
         )
         tomb = rows.where(pred).select(
-            F.col("__rel").alias(DELETE_FILE_COL), *data_cols
+            F.col("__rel").alias(DELETE_FILE_COL),
+            *([DELETE_POS_COL] if pos else data_cols),
         )
         tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
+        tomb = _bin_tomb(tomb, out["rows_matched"])
         empty = spark.createDataFrame([], schema)
         new_v = _commit_replace(
             empty, root, m, v, drop_files=[], delete_vectors=tomb
@@ -231,19 +270,21 @@ def update_where(
     tier: str = "auto",
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
+    vector_format: str = "pos",
 ) -> dict:
     """``UPDATE <root> SET col = expr, ... WHERE <predicate>`` as an
     atomic replace commit. ``set_exprs`` maps column names to SQL
     expression strings or ``Column``s evaluated against the matching
     row (self-references fine: ``{"qty": "qty + 1"}``); each result is
     cast back to the column's declared type so the table schema is
-    invariant. Same tiers, routing, pruning, 3VL and CAS semantics as
-    :func:`delete_where`; the merge-on-read form tombstones the
-    original matching rows (full-row vectors) and appends the rewritten
-    rows as new files — O(matched rows) write volume however scattered
-    the predicate."""
+    invariant. Same tiers, routing, pruning, 3VL, CAS and
+    ``vector_format`` semantics as :func:`delete_where`; the
+    merge-on-read form tombstones the original matching rows and
+    appends the rewritten rows as new files — O(matched rows) write
+    volume however scattered the predicate."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
+        DELETE_POS_COL,
         read_manifest_files,
     )
 
@@ -259,10 +300,11 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
         for c, e in set_exprs.items()
     }
+    data_cols = [f.name for f in schema.fields]
+    vcols = _vector_cols(vector_format, data_cols)
     if not touched:
         return {**out, "tier": "noop"}
-    data_cols = [f.name for f in schema.fields]
-    tier = _route(root, m, touched, tier, cow_max_touched_fraction, data_cols)
+    tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
     if tier == "cow":
         rows = read_manifest_files(spark, root, m, touched)
@@ -278,14 +320,22 @@ def update_where(
         )
         new_v = _commit_replace(rewritten, root, m, v, drop_files=touched)
     else:
+        pos = vector_format == "pos"
         rows = read_manifest_files(
-            spark, root, m, touched, rel_path_col="__rel"
+            spark,
+            root,
+            m,
+            touched,
+            rel_path_col="__rel",
+            row_pos_col=DELETE_POS_COL if pos else None,
         )
         matched = rows.where(pred)
         tomb = matched.select(
-            F.col("__rel").alias(DELETE_FILE_COL), *data_cols
+            F.col("__rel").alias(DELETE_FILE_COL),
+            *([DELETE_POS_COL] if pos else data_cols),
         )
         tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
+        tomb = _bin_tomb(tomb, out["rows_matched"])
         updated = matched.select(
             *[
                 (sets[c].alias(c) if c in sets else F.col(c))
@@ -304,19 +354,18 @@ def _route(
     touched: list[str],
     tier: str,
     cow_max_touched_fraction: float,
-    full_row_cols: list[str],
+    vector_cols: list[str],
 ) -> str:
-    """Tier policy shared by both verbs. ``auto`` routes on the
+    """Tier policy shared by the DML verbs. ``auto`` routes on the
     touched-file fraction (the CoW write bill is the touched files; the
     MoR bill is O(matched rows) + a read overlay) — except that touched
-    files carrying vectors a full-row batch cannot fold (a different
-    column set, e.g. an SCD merge's single-key vectors) route to CoW,
-    which retires those vectors with their files and is therefore
-    always compatible. The probe reads one parquet footer driver-side
-    per DISTINCT vector file referenced by the touched set — vectors
-    from different commits can have different column sets (an SCD
-    merge's single-key vectors next to a full-row DML vector), so a
-    single-file sample would mis-route."""
+    files carrying vectors this batch's format cannot fold (a different
+    column set, e.g. an SCD merge's single-key vectors under a
+    positional batch) route to CoW, which retires those vectors with
+    their files and is therefore always compatible. The probe reads one
+    parquet footer driver-side per DISTINCT vector file referenced by
+    the touched set — vectors from different commits can have different
+    column sets, so a single-file sample would mis-route."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
     )
@@ -329,7 +378,7 @@ def _route(
     chosen = "cow" if frac <= cow_max_touched_fraction else "mor"
     if chosen == "mor":
         deletes = m.get("deletes", {})
-        want = {DELETE_FILE_COL, *full_row_cols}
+        want = {DELETE_FILE_COL, *vector_cols}
         rels = {r for f in touched for r in deletes.get(f, [])}
         if any(
             names != want
@@ -352,6 +401,7 @@ def merge_into(
     cow_max_touched_fraction: float = 0.25,
     broadcast_source: bool = True,
     validate_source_unique: bool = True,
+    vector_format: str = "pos",
 ) -> dict:
     """Executable generic ``MERGE INTO <root> USING <source> ON
     <equi-keys>`` — the Delta/Iceberg upsert verb, routed through the
@@ -390,10 +440,10 @@ def merge_into(
     key by one column-pruned semi-join — identical discovery to
     :func:`operators.scd.scd2_merge_cow`. Conditions follow 3VL (only
     TRUE fires a clause). Same CAS discipline and tier routing as
-    :func:`delete_where`: CoW rewrites the touched files; MoR
-    tombstones affected rows (full-row vectors) and appends updated +
-    inserted rows — O(affected + inserted) write volume however
-    scattered the keys.
+    :func:`delete_where` (including ``vector_format``): CoW rewrites
+    the touched files; MoR tombstones affected rows (positional
+    vectors by default) and appends updated + inserted rows —
+    O(affected + inserted) write volume however scattered the keys.
 
     Returns ``{"op", "tier", "parent_version", "version",
     "files_total", "files_candidates", "files_touched",
@@ -406,6 +456,7 @@ def merge_into(
 
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
+        DELETE_POS_COL,
         read_manifest_files,
     )
 
@@ -518,13 +569,20 @@ def merge_into(
                 "rows_deleted": 0,
                 "rows_inserted": 0,
             }
-        tier = _route(root, m, touched, tier, cow_max_touched_fraction, t_cols)
+        vcols = _vector_cols(vector_format, t_cols)
+        tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
+        pos = vector_format == "pos" and tier == "mor"
 
         # One aliased left join; every clause expression resolves its
         # t./s. qualifiers against REAL scopes, so ambiguity is an
         # analysis error, not a silent capture.
         t_rows = read_manifest_files(
-            spark, root, m, touched, rel_path_col="__rel"
+            spark,
+            root,
+            m,
+            touched,
+            rel_path_col="__rel",
+            row_pos_col=DELETE_POS_COL if pos else None,
         )
         s_side = src.withColumn("__s_exists", F.lit(True))
         if broadcast_source:
@@ -554,6 +612,11 @@ def merge_into(
                 for c in upd_cols
             ],
             F.col("t.__rel").alias("__rel"),
+            *(
+                [F.col(f"t.{DELETE_POS_COL}").alias(DELETE_POS_COL)]
+                if pos
+                else []
+            ),
             del_hit.alias("__del"),
             upd_hit.alias("__upd"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -636,8 +699,12 @@ def merge_into(
                 if rows_deleted + rows_updated:
                     tomb = classified.where(
                         F.col("__del") | F.col("__upd")
-                    ).select(F.col("__rel").alias(DELETE_FILE_COL), *t_cols)
+                    ).select(
+                        F.col("__rel").alias(DELETE_FILE_COL),
+                        *([DELETE_POS_COL] if pos else t_cols),
+                    )
                     tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
+                    tomb = _bin_tomb(tomb, rows_deleted + rows_updated)
                 rewritten = classified.where(F.col("__upd")).select(
                     *[
                         (

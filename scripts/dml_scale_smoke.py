@@ -7,13 +7,14 @@ vs MoR tier, on the two predicate shapes that matter:
   prefix of files the slice lives in. Expect files_touched ~ 1/64.
 * scattered — the same 1% selectivity spread uniformly (`k % 100 = 7`):
   every file contains matches, CoW degrades to a full rewrite, and the
-  MoR tier's full-row tombstones keep the write bill O(matched rows).
+  MoR tier's tombstones keep the write bill O(matched rows).
 
-Full-row tombstones are wider than the SCD merge's single-key vectors
-(the whole tuple per deleted row), so the interesting number is MoR
-bytes written vs CoW bytes written at the same selectivity — the tier
-still wins by ~the table/batch ratio, just with a higher constant than
-key-tombstones.
+The MoR rows run in BOTH vector formats: positional (default —
+(__file, __pos), two narrow columns whatever the table width) and
+legacy full-row (the whole tuple per deleted row). The interesting
+numbers are MoR-vs-CoW bytes at the same selectivity (the tier wins by
+~the table/batch ratio) and pos-vs-row bytes (the positional constant
+factor).
 
 Usage: python scripts/dml_scale_smoke.py [n_rows] [n_files]
 Results recorded in PLANS.md (generic row-level DML section).
@@ -80,22 +81,25 @@ def build(spark, root, n_rows, n_files):
     write_snapshot(df, root, stats_cols=["k"])
 
 
-def run_case(spark, root, n_rows, n_files, label, op, predicate, tier, prune):
+def run_case(spark, root, n_rows, n_files, label, op, predicate, tier, prune,
+             vector_format="pos"):
     build(spark, root, n_rows, n_files)
     v0 = latest_version(root)
     t0 = time.time()
     if op == "delete":
-        rep = delete_where(spark, root, predicate, tier=tier, prune=prune)
+        rep = delete_where(spark, root, predicate, tier=tier, prune=prune,
+                           vector_format=vector_format)
     else:
         rep = update_where(
             spark, root, {"val": "val + 1.0"}, predicate, tier=tier,
-            prune=prune,
+            prune=prune, vector_format=vector_format,
         )
     wall = time.time() - t0
     out = {
         "case": label,
         "op": op,
         "tier": rep["tier"],
+        "vectors": vector_format if rep["tier"] == "mor" else None,
         "files_total": rep["files_total"],
         "files_candidates": rep["files_candidates"],
         "files_touched": rep["files_touched"],
@@ -125,9 +129,12 @@ def main():
         ("scattered", scatter_pred, None),
     ):
         for op in ("delete", "update"):
-            for tier in ("cow", "mor"):
+            for tier, fmt in (
+                ("cow", "pos"), ("mor", "pos"), ("mor", "row")
+            ):
                 r = run_case(
-                    spark, root, n_rows, n_files, label, op, pred, tier, prune
+                    spark, root, n_rows, n_files, label, op, pred, tier,
+                    prune, vector_format=fmt,
                 )
                 if base_mb is None:
                     base_mb = round(table_bytes(root, 1) / 1e6, 2)

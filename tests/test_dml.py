@@ -479,9 +479,10 @@ def test_fold_reads_vectors_per_file_list(spark, tmp_path):
         )
 
     rows_a = base.orderBy("o_orderkey").limit(3).collect()
-    rows_b = base.orderBy(F.desc("o_orderkey")).limit(1).collect()
+    rows_b = base.orderBy(F.desc("o_orderkey")).limit(2).collect()
     r1, r3 = tuple(rows_a[0]), tuple(rows_a[1])
     r2 = tuple(rows_b[0])
+    victim_a, victim_b = int(rows_a[2][0]), int(rows_b[1][0])
     # v1: ONE vector batch covering A (drops r1) and B (drops r2)
     write_snapshot(
         spark.createDataFrame([], base.schema), root, mode="replace",
@@ -498,16 +499,23 @@ def test_fold_reads_vectors_per_file_list(spark, tmp_path):
     )
     pre = _rows(read_table(spark, root))
     assert r1 in pre and r2 not in pre and r3 not in pre
-    # MoR delete touching BOTH files: the fold must take A's tombstones
-    # from v2 only — r1 must stay alive (it doesn't match the predicate)
-    victim = int(r1[0]) + 1  # ensure pred doesn't hit r1 itself
+    # MoR delete matching a live row in EACH file (the old fold's union
+    # read needed both touched to leak): A's tombstones must come from
+    # v2's list only — r1 must stay alive (it isn't a victim). Format
+    # "row" matches the hand-staged priors so the fold runs (a "pos"
+    # batch over full-row priors auto-routes/raises instead).
     rep = delete_where(
-        spark, root, f"o_orderkey = {victim}", tier="mor"
+        spark,
+        root,
+        f"o_orderkey IN ({victim_a}, {victim_b})",
+        tier="mor",
+        vector_format="row",
     )
+    assert rep["rows_matched"] == 2 and rep["files_touched"] == 2
     post = _rows(read_table(spark, root))
     assert r1 in post, "shared-vector stale tombstone re-applied by fold"
     assert r2 not in post and r3 not in post
-    assert post == [r for r in pre if r[0] != victim]
+    assert post == [r for r in pre if r[0] not in (victim_a, victim_b)]
 
 
 def test_merge_into_date_keys_with_stats_prune(spark, tmp_path):
@@ -630,3 +638,64 @@ def test_merge_into_insert_only_is_pure_append(spark, tmp_path):
     got = read_table(spark, root)
     assert got.count() == base.count() + 1
     assert _rows(got.where(F.col("o_orderkey") <= max_key)) == _rows(base)
+
+
+def test_positional_dml_sequential_ops_fold_and_stay_narrow(spark, tmp_path):
+    """Default-format (positional) MoR DML: sequential DELETE + UPDATE
+    on overlapping files fold prior positional vectors forward, the
+    staged vector files carry exactly {__file, __pos} (two narrow
+    columns however wide the table), and results match the plain
+    filter/CASE-WHEN oracle."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+        DELETE_POS_COL,
+        vector_schemas,
+    )
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    rep1 = delete_where(spark, root, "o_orderkey % 10 = 3", tier="mor")
+    assert rep1["tier"] == "mor" and rep1["rows_matched"] >= 1
+    rep2 = update_where(
+        spark,
+        root,
+        {"o_totalprice": "o_totalprice + 1"},
+        "o_orderkey % 10 = 4",
+        tier="mor",
+    )
+    assert rep2["tier"] == "mor" and rep2["rows_matched"] >= 1
+    expected = sorted(
+        (
+            r[0],
+            r[1],
+            r[2],
+            r[3] + 1 if r[0] % 10 == 4 else r[3],
+        )
+        for r in base.collect()
+        if r[0] % 10 != 3
+    )
+    assert _rows(read_table(spark, root)) == expected
+    # every live vector file is positional: exactly {__file, __pos}
+    m = load_manifest(root, latest_version(root))
+    rels = {r for v in m["deletes"].values() for r in v}
+    assert rels
+    for rel, names in vector_schemas(root, rels).items():
+        assert names == {DELETE_FILE_COL, DELETE_POS_COL}, (rel, names)
+
+
+def test_positional_dml_on_duplicate_rows_matches_predicate_semantics(
+    spark, tmp_path
+):
+    """Duplicate tuples: every copy matches the predicate, so DELETE
+    kills them all in both formats — positional tombstones list each
+    copy's position explicitly."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    write_snapshot(df.coalesce(1), root)
+    rep = delete_where(spark, root, "id = 1", tier="mor")
+    assert rep["rows_matched"] == 2
+    left = sorted((r["id"], r["v"]) for r in read_table(spark, root).collect())
+    assert left == [(2, "b"), (3, "c")]

@@ -862,7 +862,12 @@ def test_mor_fold_reads_vectors_per_file_list(spark, tmp_path):
     # k_a1 (unstaged) must stay alive
     batch = stag.where(F.col("c_custkey").isin([int(k_a3), int(k_b2)]))
     assert batch.count() >= 1
-    scd2_merge_mor(spark, root, batch, CUSTOMER_CFG, AS_OF)
+    # format "key" matches the hand-staged priors so the fold runs (a
+    # positional batch over key vectors auto-raises the compact-first
+    # error instead of folding)
+    scd2_merge_mor(
+        spark, root, batch, CUSTOMER_CFG, AS_OF, vector_format="key"
+    )
     got = read_table(spark, root)
     assert got.where(F.col("c_custkey") == k_a1).count() >= 1, (
         "shared-vector stale tombstone re-applied by the SCD MoR fold"
@@ -870,3 +875,56 @@ def test_mor_fold_reads_vectors_per_file_list(spark, tmp_path):
     assert got.where(F.col("c_custkey").isin([int(k_a2), int(k_b)])).count() == 0
     expected = _full_merge(spark, root, batch, 3)
     assert _canon(got) == _canon(expected)
+
+
+def test_mor_key_format_still_row_identical(spark, tmp_path):
+    """The legacy single-key vector format stays supported and exact
+    (one tombstone per (file, staged key), all versions killed)."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        vector_schemas,
+    )
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=4)
+    staging = customer_staging(spark, SF).where(
+        F.col("c_custkey") % 5 == 2
+    )
+    rep = scd2_merge_mor(
+        spark, root, staging, CUSTOMER_CFG, AS_OF, vector_format="key"
+    )
+    assert rep["tombstones"] >= 1
+    expected = _full_merge(spark, root, staging, 1)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+    m2 = load_manifest(root, 2)
+    rels = {r for v in m2["deletes"].values() for r in v}
+    for _rel, names in vector_schemas(root, rels).items():
+        assert names == {"__file", "c_custkey"}
+
+
+def test_mor_pos_after_key_needs_compaction_then_succeeds(spark, tmp_path):
+    """Format interop: a positional merge over files still carrying key
+    vectors raises the compact-first error (the formats cannot fold
+    into one batch); after compact_deletes retires the key vectors, the
+    positional merge lands and stays row-identical."""
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=2)
+    staging = customer_staging(spark, SF).where(F.col("c_custkey") < 1_000_000)
+    b1 = staging.where(F.col("c_custkey") % 3 == 0)
+    b2 = staging.where(F.col("c_custkey") % 3 == 1)
+    scd2_merge_mor(spark, root, b1, CUSTOMER_CFG, AS_OF, vector_format="key")
+    with pytest.raises(ValueError, match="compact_deletes"):
+        scd2_merge_mor(
+            spark, root, b2, CUSTOMER_CFG, AS_OF, vector_format="pos"
+        )
+    compact_deletes(spark, root)
+    v = latest_version(root)
+    scd2_merge_mor(spark, root, b2, CUSTOMER_CFG, AS_OF, vector_format="pos")
+    expected = scd2_merge(
+        read_snapshot(spark, root, version=v),
+        b2,
+        CUSTOMER_CFG,
+        AS_OF,
+        key_strategy="hash",
+        broadcast_staging=True,
+    )
+    assert _canon(read_table(spark, root)) == _canon(expected)
