@@ -415,28 +415,82 @@ def clustering_overlap(root: str, col: str) -> float | None:
     return sum(hi - lo for lo, hi in ranges) / span
 
 
+def vector_debt(root: str) -> dict:
+    """Manifest-derived merge-on-read debt — what every vectored read
+    pays until ``compact_deletes`` folds: ``vectored_fraction`` (share
+    of data files whose scan takes the overlay anti-join) and
+    ``vector_bytes`` / ``bytes_fraction`` (tombstone volume vs data
+    volume, the broadcast-side bill). Driver-side file-size walk,
+    no data read."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+    )
+
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    m = load_manifest(root, v)
+    deletes = m.get("deletes") or {}
+    n_files = len(m["files"])
+    vec_rels = {r for rels in deletes.values() for r in rels}
+    vec_bytes = sum(
+        os.path.getsize(os.path.join(root, r)) for r in vec_rels
+    )
+    data_bytes = sum(
+        os.path.getsize(os.path.join(root, f)) for f in m["files"]
+    )
+    return {
+        "version": v,
+        "vectored_files": len(deletes),
+        "vectored_fraction": len(deletes) / max(1, n_files),
+        "vector_bytes": vec_bytes,
+        "bytes_fraction": vec_bytes / max(1, data_bytes),
+    }
+
+
 def maintain_table(
     spark,
     root: str,
     col: str,
     *,
     max_overlap: float = 2.0,
+    max_vectored_fraction: float = 0.2,
     target_rows_per_file: int = 1_000_000,
     vacuum_grace_seconds: float = 600.0,
 ) -> dict:
-    """Clustering-decay maintenance policy loop (the ``maintain_index``
-    idiom applied to the table itself): measure
-    :func:`clustering_overlap` and, past ``max_overlap``, re-cluster via
-    one :func:`compact` pass (range-repartitioned on the table's stats
-    columns, partition layout preserved) so the stats prune bites again.
+    """Table maintenance policy loop (the ``maintain_index`` idiom
+    applied to the table itself), two manifest-only health metrics and
+    their remedies:
+
+    * **merge-on-read debt** — past ``max_vectored_fraction`` of data
+      files carrying deletion vectors (:func:`vector_debt`),
+      :func:`compact_deletes` folds the tombstones back into clean
+      files, bounding every reader's overlay bill. Folded FIRST: the
+      fold rewrites exactly the vectored files (cluster-preserving),
+      and a subsequent recluster — if still needed — then sees the
+      folded layout instead of rewriting rows twice.
+    * **clustering decay** — :func:`clustering_overlap` past
+      ``max_overlap`` triggers one re-clustering :func:`compact` pass
+      (range-repartitioned on the table's stats columns, partition
+      layout preserved) so the stats prune bites again.
+
     Content-preserving and cheap to re-run; a healthy table returns
-    without reading any data (the metric is manifest-only). Run on the
-    same maintenance cadence as ``compact_incremental`` /
-    ``compact_deletes``. Returns ``{"reclustered", "overlap"}`` plus,
+    without reading any data (both metrics are manifest-only). Run on
+    the same cadence as ``compact_incremental``. Returns
+    ``{"folded", "vectored_fraction", "reclustered", "overlap"}`` plus,
     after a rewrite, ``{"overlap_after", "rows"}``."""
+    debt = vector_debt(root)
+    out = {
+        "folded": False,
+        "vectored_fraction": round(debt["vectored_fraction"], 4),
+    }
+    if debt["vectored_fraction"] > max_vectored_fraction:
+        compact_deletes(spark, root)
+        out["folded"] = True
     ov = clustering_overlap(root, col)
     if ov is None or ov <= max_overlap:
-        return {"reclustered": False, "overlap": ov}
+        return {**out, "reclustered": False, "overlap": ov}
     n = compact(
         spark,
         root,
@@ -445,6 +499,7 @@ def maintain_table(
         vacuum_grace_seconds=vacuum_grace_seconds,
     )
     return {
+        **out,
         "reclustered": True,
         "overlap": ov,
         "overlap_after": clustering_overlap(root, col),

@@ -87,6 +87,9 @@ def test_scattered_merges_decay_clustering_and_maintenance_restores(
     before = _canon(read_table(spark, root))
     rep = maintain_table(
         spark, root, "c_custkey",
+        max_vectored_fraction=1.1,  # isolate the clustering policy: the
+        # vector-debt fold would rewrite the vectored files first and
+        # shift the measured overlap (covered by its own test below)
         target_rows_per_file=30,  # keep several files at fixture scale
         vacuum_grace_seconds=0.0,
     )
@@ -99,7 +102,12 @@ def test_scattered_merges_decay_clustering_and_maintenance_restores(
 
     # healthy table: the policy loop is a manifest-only no-op
     rep2 = maintain_table(spark, root, "c_custkey", vacuum_grace_seconds=0.0)
-    assert rep2 == {"reclustered": False, "overlap": rep["overlap_after"]}
+    assert rep2 == {
+        "folded": False,
+        "vectored_fraction": 0.0,
+        "reclustered": False,
+        "overlap": rep["overlap_after"],
+    }
 
 
 def test_overlap_none_without_numeric_stats(spark, tmp_path):
@@ -110,4 +118,58 @@ def test_overlap_none_without_numeric_stats(spark, tmp_path):
     )
     assert clustering_overlap(root, "id") is None
     rep = maintain_table(spark, root, "id")
-    assert rep == {"reclustered": False, "overlap": None}
+    assert rep == {
+        "folded": False,
+        "vectored_fraction": 0.0,
+        "reclustered": False,
+        "overlap": None,
+    }
+
+
+def test_vector_debt_policy_folds_past_threshold(spark, tmp_path):
+    """The merge-on-read half of the maintenance loop: MoR merges
+    accumulate deletion vectors; past max_vectored_fraction one
+    maintenance tick folds them into clean files (content-preserving)
+    and the debt metric returns to zero. A healthy table no-ops."""
+    from implementing_scds_in_hive_spark.sources.sinks import vector_debt
+
+    root = str(tmp_path / "dim")
+    prod = assign_surrogate_keys(
+        customer_production(spark, SF), CUSTOMER_CFG, strategy="hash"
+    )
+    write_snapshot(
+        prod.repartitionByRange(4, "c_custkey").sortWithinPartitions(
+            "c_custkey"
+        ),
+        root,
+        stats_cols=["c_custkey"],
+    )
+    debt0 = vector_debt(root)
+    assert debt0["vectored_fraction"] == 0.0 and debt0["vector_bytes"] == 0
+    rep = maintain_table(spark, root, "c_custkey")
+    assert rep["folded"] is False and rep["reclustered"] is False
+
+    # a scattered MoR merge vectors most files
+    scattered = customer_staging(spark, SF).where(
+        (F.col("c_custkey") % 7 == 3) & (F.col("c_custkey") < 1_000_000)
+    )
+    scd2_merge_mor(spark, root, scattered, CUSTOMER_CFG, AS_OF)
+    debt1 = vector_debt(root)
+    assert debt1["vectored_fraction"] > 0.2 and debt1["vector_bytes"] > 0
+    before = _canon(read_table(spark, root))
+
+    rep = maintain_table(spark, root, "c_custkey")
+    assert rep["folded"] is True
+    debt2 = vector_debt(root)
+    assert debt2["vectored_fraction"] == 0.0 and debt2["vector_bytes"] == 0
+    assert _canon(read_table(spark, root)) == before  # content-preserving
+
+    # below threshold: vectors are left for the next cadence tick
+    tiny = customer_staging(spark, SF).orderBy("c_custkey").limit(1)
+    scd2_merge_mor(spark, root, tiny, CUSTOMER_CFG, AS_OF)
+    assert 0 < vector_debt(root)["vectored_fraction"] <= 0.5
+    rep = maintain_table(
+        spark, root, "c_custkey", max_vectored_fraction=0.5
+    )
+    assert rep["folded"] is False
+    assert vector_debt(root)["vector_bytes"] > 0
