@@ -170,7 +170,7 @@ def main() -> None:
             )
 
     for builder in (_build_stored_ivf, _build_snapshot_read,
-                    _build_matview_refresh):
+                    _build_matview_refresh, _build_snapshot_vectored):
         try:  # pragma: no cover - bench must always emit JSON
             _time_extra_group(builder(spark, sf_dir))
         except Exception as e:
@@ -314,6 +314,60 @@ def _build_snapshot_read(spark, sf_dir):
         "snapshot_read_full": read_full,
         "snapshot_read_pruned": read_pruned,
     }
+
+
+def _build_snapshot_vectored(spark, sf_dir):
+    """Bench the merge-on-read READ overlay (r8 positional deletion
+    vectors): commit the sf lineitem snapshot, apply one key-SCATTERED
+    ~1% MoR DELETE in setup (untimed — every file ends up vectored,
+    the worst case for the overlay), then time the same narrow-range
+    aggregate as ``snapshot_read_full``:
+
+    * ``snapshot_read_vectored`` — manifest-resolved read where every
+      file pays the positional anti-join against its broadcast
+      tombstones. Compare to ``snapshot_read_full`` (its own group, so
+      warmup order stays isolated): the delta IS the overlay bill a
+      reader carries until ``compact_deletes``/``maintain_table`` folds
+      it.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = _scratch_root("snapv")
+    shutil.rmtree(root, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    write_snapshot(
+        li.repartitionByRange(64, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        ),
+        root,
+        stats_cols=["l_orderkey"],
+    )
+    rep = delete_where(spark, root, "l_orderkey % 97 = 13", tier="mor")
+    assert rep["tier"] == "mor" and rep["rows_matched"] > 0
+    b = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    lo = b[0]
+    hi = b[0] + max(1, (b[1] - b[0]) // 64)
+
+    def read_vectored(spark, sf_dir):
+        return (
+            read_snapshot(spark, root)
+            .where(F.col("l_orderkey").between(lo, hi))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("revenue"),
+            )
+        )
+
+    return {"snapshot_read_vectored": read_vectored}
 
 
 def _build_matview_refresh(spark, sf_dir):

@@ -402,6 +402,8 @@ def merge_into(
     broadcast_source: bool = True,
     validate_source_unique: bool = True,
     vector_format: str = "pos",
+    target_alias: str = "t",
+    source_alias: str = "s",
 ) -> dict:
     """Executable generic ``MERGE INTO <root> USING <source> ON
     <equi-keys>`` — the Delta/Iceberg upsert verb, routed through the
@@ -429,7 +431,9 @@ def merge_into(
     Expressions are resolved by Spark against the aliased
     target/source join, so qualification is real scoping, not string
     rewriting — an unqualified ambiguous reference fails analysis
-    loudly. ``on`` is an equi-key list (null-unsafe, ANSI MERGE: NULL
+    loudly. ``target_alias``/``source_alias`` (default ``t``/``s``)
+    rename the scopes — how the SQL face passes statements whose MERGE
+    aliases the user chose. ``on`` is an equi-key list (null-unsafe, ANSI MERGE: NULL
     keys match nothing). A source with DUPLICATE keys would match one
     target row to several source rows — ambiguous; with
     ``validate_source_unique`` (default) that raises up front, the
@@ -587,12 +591,18 @@ def merge_into(
         s_side = src.withColumn("__s_exists", F.lit(True))
         if broadcast_source:
             s_side = F.broadcast(s_side)
-        joined = t_rows.alias("t").join(
-            s_side.alias("s"),
-            [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on],
+        ta, sa = target_alias, source_alias
+        if not ta or not sa or ta == sa:
+            raise ValueError(
+                f"target_alias/source_alias must be distinct non-empty "
+                f"names, got {ta!r}/{sa!r}"
+            )
+        joined = t_rows.alias(ta).join(
+            s_side.alias(sa),
+            [F.col(f"{ta}.{c}") == F.col(f"{sa}.{c}") for c in on],
             "left",
         )
-        matched = F.col("s.__s_exists").isNotNull()
+        matched = F.col(f"{sa}.__s_exists").isNotNull()
         del_hit = matched & _cond(when_matched_delete)
         upd_gate = (
             _cond(update_condition)
@@ -606,14 +616,14 @@ def merge_into(
         )
         upd_cols = list(when_matched_update or {})
         classified = joined.select(
-            *[F.col(f"t.{c}").alias(c) for c in t_cols],
+            *[F.col(f"{ta}.{c}").alias(c) for c in t_cols],
             *[
                 _expr(when_matched_update[c]).cast(types[c]).alias(f"__new_{c}")
                 for c in upd_cols
             ],
-            F.col("t.__rel").alias("__rel"),
+            F.col(f"{ta}.__rel").alias("__rel"),
             *(
-                [F.col(f"t.{DELETE_POS_COL}").alias(DELETE_POS_COL)]
+                [F.col(f"{ta}.{DELETE_POS_COL}").alias(DELETE_POS_COL)]
                 if pos
                 else []
             ),
@@ -631,11 +641,11 @@ def merge_into(
             if when_not_matched_insert is not None:
                 unmatched = src.join(
                     classified.select(*on).distinct(), on, "left_anti"
-                ).alias("s")
+                ).alias(sa)
                 if when_not_matched_insert == "all":
                     inserts = unmatched.select(
                         *[
-                            F.col(f"s.{c}").cast(types[c]).alias(c)
+                            F.col(f"{sa}.{c}").cast(types[c]).alias(c)
                             for c in t_cols
                         ]
                     )

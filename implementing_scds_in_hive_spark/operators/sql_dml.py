@@ -1,0 +1,409 @@
+"""Textual SQL face for the snapshot-table DML and maintenance verbs:
+``run_sql(spark, statement, tables)`` executes the lakehouse SQL
+surface — ``DELETE`` / ``UPDATE`` / ``MERGE INTO`` / ``INSERT INTO``
+(Spark's own grammar) plus the Delta-style maintenance statements
+(``RESTORE`` / ``VACUUM`` / ``OPTIMIZE``) — against this repo's
+snapshot protocol.
+
+Spark-first by construction: the statement is parsed by SPARK'S SQL
+parser (``sessionState().sqlParser().parsePlan``), and every
+condition / assignment / clause expression is carried as the parsed
+tree's own ``Expression.sql()`` rendering straight back into
+``F.expr`` — so expression semantics (3VL, casts, functions) are
+Catalyst's end to end, never a re-implementation. This module only
+maps the STATEMENT shape onto the executable verbs
+(:mod:`~implementing_scds_in_hive_spark.operators.dml`,
+``sources/sinks``, ``sources/snapshot``), which carry the tiers,
+routing, CAS discipline and deletion-vector formats.
+
+``tables`` maps statement-level table names to snapshot roots (str) —
+or, for a MERGE source, optionally a DataFrame. Names are looked up by
+their dotted form (``db.tbl`` keys match ``MERGE INTO db.tbl``).
+
+Reference anchor: the reference IS a SQL script (SCD_script.txt) —
+this face is what lets a user drive the engine's write verbs the same
+way, in SQL text, while the engine keeps its manifest-commit
+semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from implementing_scds_in_hive_spark.operators.dml import (
+    delete_where,
+    merge_into,
+    restore_version,
+    update_where,
+)
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<t>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(?P<v>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<t>[\w.]+)"
+    r"(\s+RETAIN\s+(?P<h>\d+(\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<t>[\w.]+)"
+    r"(\s+APPLY\s*\(\s*(?P<purge>PURGE)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _opt(o):
+    """scala Option -> value or None (some plan fields are raw
+    expressions, not Options — pass those through)."""
+    if o is None:
+        return None
+    if hasattr(o, "isEmpty"):
+        return None if o.isEmpty() else o.get()
+    return o
+
+
+def _name_of(rel) -> tuple[str, str]:
+    """(dotted table name, alias) of a parsed relation: a bare
+    ``UnresolvedRelation`` is its own alias (last name part), an
+    explicit ``... AS x`` wraps it in a SubqueryAlias."""
+    cls = rel.getClass().getSimpleName()
+    if cls == "SubqueryAlias":
+        child = rel.child()
+        if child.getClass().getSimpleName() != "UnresolvedRelation":
+            raise ValueError(
+                "only plain table references are supported here "
+                f"(got {child.getClass().getSimpleName()})"
+            )
+        name = ".".join(str(x) for x in _seq(child.multipartIdentifier()))
+        return name, str(rel.identifier().name())
+    if cls == "UnresolvedRelation":
+        parts = [str(x) for x in _seq(rel.multipartIdentifier())]
+        return ".".join(parts), parts[-1]
+    raise ValueError(f"unsupported relation shape {cls}")
+
+
+def _root_for(tables: dict, name: str) -> str:
+    if name not in tables:
+        raise KeyError(
+            f"statement references table {name!r}; register its snapshot "
+            f"root in tables= (have {sorted(tables)})"
+        )
+    root = tables[name]
+    if not isinstance(root, str):
+        raise TypeError(
+            f"tables[{name!r}] must be a snapshot root path for a write "
+            f"target (a DataFrame is only valid as a MERGE source)"
+        )
+    return root
+
+
+def _equi_keys(cond, t_alias: str, s_alias: str) -> list[tuple[str, str]]:
+    """Walk the parsed ON condition: a conjunction of
+    ``t.col = s.col`` equalities (either side order) — the executable
+    merge's equi-key contract. Returns (target_col, source_col) pairs;
+    anything else raises with the offending fragment."""
+    cls = cond.getClass().getSimpleName()
+    if cls == "And":
+        return _equi_keys(cond.left(), t_alias, s_alias) + _equi_keys(
+            cond.right(), t_alias, s_alias
+        )
+    if cls != "EqualTo":
+        raise ValueError(
+            f"MERGE ON must be a conjunction of t.col = s.col "
+            f"equalities; got {cond.sql()}"
+        )
+
+    def attr(side):
+        if side.getClass().getSimpleName() != "UnresolvedAttribute":
+            raise ValueError(
+                f"MERGE ON sides must be plain columns; got {side.sql()}"
+            )
+        return [str(x) for x in _seq(side.nameParts())]
+
+    l, r = attr(cond.left()), attr(cond.right())
+    quals = {t_alias: None, s_alias: None}
+    for parts in (l, r):
+        q = parts[-2] if len(parts) >= 2 else None
+        if q not in quals or quals[q] is not None:
+            raise ValueError(
+                f"MERGE ON equality must pair the target and source "
+                f"aliases exactly once each; got {cond.sql()}"
+            )
+        quals[q] = parts[-1]
+    return [(quals[t_alias], quals[s_alias])]
+
+
+def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
+    t_name, t_alias = _name_of(plan.targetTable())
+    root = _root_for(tables, t_name)
+    src_rel = plan.sourceTable()
+    s_cls = src_rel.getClass().getSimpleName()
+    if s_cls in ("UnresolvedRelation", "SubqueryAlias"):
+        s_name, s_alias = _name_of(src_rel)
+        src = tables.get(s_name)
+        if src is None:
+            raise KeyError(
+                f"MERGE source {s_name!r} not registered in tables="
+            )
+        if isinstance(src, str):
+            from implementing_scds_in_hive_spark.sources.snapshot import (
+                read_table,
+            )
+
+            src = read_table(spark, src)
+    else:
+        raise ValueError(
+            f"MERGE USING must name a registered table (got {s_cls}); "
+            f"materialize subqueries into a DataFrame and register it"
+        )
+    if _seq(plan.notMatchedBySourceActions()):
+        raise ValueError("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    upd = None
+    upd_cond = None
+    delete = None
+    for a in _seq(plan.matchedActions()):
+        cls = a.getClass().getSimpleName()
+        if cls == "DeleteAction":
+            if delete is not None:
+                raise ValueError("at most one WHEN MATCHED ... DELETE")
+            c = _opt(a.condition())
+            delete = True if c is None else c.sql()
+        elif cls == "UpdateAction":
+            if upd is not None:
+                raise ValueError("at most one WHEN MATCHED ... UPDATE")
+            upd = {
+                str(g.key().sql()).strip("`"): g.value().sql()
+                for g in _seq(a.assignments())
+            }
+            c = _opt(a.condition())
+            upd_cond = None if c is None else c.sql()
+        else:
+            raise ValueError(f"unsupported WHEN MATCHED action {cls}")
+    insert = None
+    for a in _seq(plan.notMatchedActions()):
+        cls = a.getClass().getSimpleName()
+        if insert is not None:
+            raise ValueError("at most one WHEN NOT MATCHED ... INSERT")
+        if cls == "InsertStarAction":
+            if _opt(a.condition()) is not None:
+                raise ValueError("conditional INSERT * is not supported")
+            insert = "all"
+        elif cls == "InsertAction":
+            if _opt(a.condition()) is not None:
+                raise ValueError("conditional INSERT is not supported")
+            insert = {
+                str(g.key().sql()).strip("`"): g.value().sql()
+                for g in _seq(a.assignments())
+            }
+        else:
+            raise ValueError(f"unsupported WHEN NOT MATCHED action {cls}")
+
+    pairs = _equi_keys(plan.mergeCondition(), t_alias, s_alias)
+    # the executable merge joins USING-style (one shared key name per
+    # equality); a differently-named source key is projected onto the
+    # target's name, keeping the original column for clause expressions
+    from pyspark.sql import functions as F
+
+    for t_col, s_col in pairs:
+        if s_col != t_col:
+            if t_col in src.columns:
+                raise ValueError(
+                    f"MERGE ON maps {s_alias}.{s_col} to {t_alias}."
+                    f"{t_col}, but the source already has a column "
+                    f"{t_col!r} — rename one to disambiguate"
+                )
+            src = src.withColumn(t_col, F.col(s_col))
+    on = [t for t, _ in pairs]
+    return merge_into(
+        spark,
+        root,
+        src,
+        on,
+        when_matched_update=upd,
+        when_matched_delete=delete,
+        when_not_matched_insert=insert,
+        update_condition=upd_cond,
+        target_alias=t_alias,
+        source_alias=s_alias,
+        **opts,
+    )
+
+
+def _run_insert(spark, plan, tables: dict) -> dict:
+    """INSERT INTO / INSERT OVERWRITE: materialize the parsed query via
+    ``Dataset.ofRows`` (registered tables become temp views for the
+    analysis, dropped after), align positionally to the target schema
+    (SQL INSERT semantics; an explicit column list maps those columns,
+    the rest insert NULL), commit append or overwrite."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        read_table,
+        write_snapshot,
+    )
+
+    t_name, _ = _name_of(plan.table())
+    root = _root_for(tables, t_name)
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    m = load_manifest(root, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    t_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+
+    registered = []
+    try:
+        for name, src in tables.items():
+            view = name.replace(".", "__")
+            df = read_table(spark, src) if isinstance(src, str) else src
+            df.createOrReplaceTempView(view)
+            registered.append(view)
+            if "." in name:
+                # also expose the dotted form's last part for bare refs
+                df.createOrReplaceTempView(name.split(".")[-1])
+                registered.append(name.split(".")[-1])
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, plan.query()
+        )
+        q = DataFrame(jdf, spark)
+    finally:
+        for view in registered:
+            spark.catalog.dropTempView(view)
+
+    user_cols = [str(c) for c in _seq(plan.userSpecifiedCols())]
+    target = user_cols or t_cols
+    bad = sorted(set(target) - set(t_cols))
+    if bad:
+        raise ValueError(f"INSERT column list references unknown {bad}")
+    if len(q.columns) != len(target):
+        raise ValueError(
+            f"INSERT query yields {len(q.columns)} columns; target list "
+            f"has {len(target)}"
+        )
+    by_pos = {t: q.columns[i] for i, t in enumerate(target)}
+    aligned = q.select(
+        *[
+            (
+                F.col(f"`{by_pos[c]}`").cast(types[c])
+                if c in by_pos
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in t_cols
+        ]
+    )
+    mode = "overwrite" if plan.overwrite() else "append"
+    stats = sorted({c for fs in m.get("stats", {}).values() for c in fs})
+    new_v = write_snapshot(
+        aligned,
+        root,
+        partition_by=list(m["partition_by"]) or None,
+        mode=mode,
+        expected_version=v,
+        stats_cols=stats or None,
+    )
+    return {"op": "insert", "mode": mode, "version": new_v}
+
+
+def run_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: dict,
+    **opts,
+) -> dict:
+    """Execute one DML / maintenance SQL statement against snapshot
+    tables. ``tables`` maps statement table names to snapshot roots
+    (MERGE sources may be DataFrames). ``**opts`` pass through to the
+    underlying verb (``tier=``, ``vector_format=``, ``prune=``,
+    ``cow_max_touched_fraction=``, ...).
+
+    Statements: ``DELETE FROM t [WHERE ...]``, ``UPDATE t SET ...
+    [WHERE ...]``, ``MERGE INTO t USING s ON ... WHEN ...``,
+    ``INSERT INTO/OVERWRITE t [(cols)] SELECT ...|VALUES ...``,
+    ``RESTORE TABLE t TO VERSION AS OF n``, ``VACUUM t [RETAIN n
+    HOURS]``, ``OPTIMIZE t [APPLY (PURGE)]``. Returns the verb's
+    report dict."""
+    m = _RESTORE_RE.match(statement)
+    if m:
+        root = _root_for(tables, m.group("t"))
+        new_v = restore_version(
+            spark, root, int(m.group("v")), **opts
+        )
+        return {"op": "restore", "version": new_v}
+    m = _VACUUM_RE.match(statement)
+    if m:
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            vacuum,
+        )
+
+        root = _root_for(tables, m.group("t"))
+        kw = dict(opts)
+        if m.group("h") is not None:
+            kw.setdefault("grace_seconds", float(m.group("h")) * 3600.0)
+        return {"op": "vacuum", **vacuum(root, **kw)}
+    m = _OPTIMIZE_RE.match(statement)
+    if m:
+        root = _root_for(tables, m.group("t"))
+        if m.group("purge"):
+            from implementing_scds_in_hive_spark.sources.sinks import (
+                compact_deletes,
+            )
+
+            return {"op": "optimize", **compact_deletes(spark, root, **opts)}
+        from implementing_scds_in_hive_spark.sources.sinks import (
+            compact_incremental,
+        )
+
+        return {"op": "optimize", **compact_incremental(spark, root, **opts)}
+
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
+        statement
+    )
+    cls = plan.getClass().getSimpleName()
+    if cls == "DeleteFromTable":
+        name, _ = _name_of(plan.table())
+        return delete_where(
+            spark,
+            _root_for(tables, name),
+            plan.condition().sql(),
+            **opts,
+        )
+    if cls == "UpdateTable":
+        name, _ = _name_of(plan.table())
+        sets = {
+            str(a.key().sql()).strip("`"): a.value().sql()
+            for a in _seq(plan.assignments())
+        }
+        cond = _opt(plan.condition())
+        return update_where(
+            spark,
+            _root_for(tables, name),
+            sets,
+            "true" if cond is None else cond.sql(),
+            **opts,
+        )
+    if cls == "MergeIntoTable":
+        return _run_merge(spark, plan, tables, opts)
+    if cls == "InsertIntoStatement":
+        if opts:
+            raise ValueError(f"INSERT takes no options; got {sorted(opts)}")
+        return _run_insert(spark, plan, tables)
+    raise ValueError(
+        f"unsupported statement kind {cls} — run_sql executes DML and "
+        f"maintenance verbs; run read queries through the DataFrame/"
+        f"spark.sql face"
+    )

@@ -763,9 +763,10 @@ _DML_PRED = "o_orderstatus = 'F' AND o_totalprice < 100000"
 def q_dml_delete_where(spark, sf_dir):
     """Generic ``DELETE FROM ... WHERE`` through the MERGE-ON-READ tier
     (operators/dml.py delete_where): publish orders as a range-clustered
-    snapshot table, delete a scattered predicate's rows via FULL-ROW
-    deletion vectors (no data file rewritten — the read overlay serves
-    the deletion), and return the committed table. The oracle keeps
+    snapshot table, delete a scattered predicate's rows via POSITIONAL
+    deletion vectors ((__file, __pos) from the scan's row index; no
+    data file rewritten — the read overlay serves the deletion), and
+    return the committed table. The oracle keeps
     exactly the rows whose predicate is not TRUE (ANSI 3VL): an overlay
     that leaks a tombstoned row or drops a survivor hash-mismatches."""
     import os
@@ -848,6 +849,67 @@ SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey <= 3000 THEN o_totalprice * 0.5
             ELSE o_totalprice END AS o_totalprice
 FROM orders
+"""
+
+
+def q_sql_dml_script(spark, sf_dir):
+    """The textual SQL face end-to-end (operators/sql_dml.py run_sql):
+    a three-statement script — merge-on-read DELETE, copy-on-write
+    UPDATE, INSERT INTO VALUES — parsed by SPARK'S OWN SQL parser and
+    mapped onto the executable verbs, committed through the snapshot
+    protocol. The oracle replays the composition in one relational
+    expression (filter -> CASE-WHEN -> union of the inserted literals);
+    any statement-mapping defect (condition mis-extracted, assignment
+    mis-keyed, insert mis-aligned) hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"sql_dml_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    t = {"orders": root}
+    run_sql(spark, f"DELETE FROM orders WHERE {_DML_PRED}", t, tier="mor")
+    run_sql(
+        spark,
+        "UPDATE orders SET o_totalprice = o_totalprice * 0.5 "
+        "WHERE o_orderkey <= 3000",
+        t,
+        tier="cow",
+    )
+    run_sql(
+        spark,
+        "INSERT INTO orders VALUES "
+        "(-1, -1, 'Q', 128.0), (-2, -2, 'Q', 1.5)",
+        t,
+    )
+    return read_table(spark, root)
+
+
+SQL_DML_SCRIPT_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey <= 3000 THEN o_totalprice * 0.5
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE NOT COALESCE({_DML_PRED}, FALSE)
+UNION ALL
+SELECT * FROM (VALUES (-1, -1, 'Q', 128.0), (-2, -2, 'Q', 1.5))
+    AS v(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
 """
 
 
@@ -1006,6 +1068,7 @@ PYTEST_ONLY_QUERIES = {
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "dml_merge_into": q_dml_merge_into,
+    "sql_dml_script": q_sql_dml_script,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
@@ -1024,6 +1087,7 @@ PYTEST_ONLY_ORACLES = {
     "dml_delete_where": DML_DELETE_SQL,
     "dml_update_where": DML_UPDATE_SQL,
     "dml_merge_into": DML_MERGE_SQL,
+    "sql_dml_script": SQL_DML_SCRIPT_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,

@@ -1,0 +1,254 @@
+"""Textual SQL face (operators/sql_dml.py): every statement must be
+row-identical to calling the underlying verb directly — the statement
+is parsed by SPARK'S parser and the clause expressions are replayed
+through Catalyst (`Expression.sql()` -> `F.expr`), so this suite pins
+the statement-shape mapping, not expression semantics (those are the
+verbs' suites).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    latest_version,
+    load_manifest,
+    read_snapshot,
+    read_table,
+    write_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+
+
+def _publish(spark, root, df, n_files=4):
+    return write_snapshot(
+        df.repartitionByRange(n_files, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sql_delete_matches_filter(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    rep = run_sql(
+        spark,
+        "DELETE FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 150000",
+        {"orders": root},
+    )
+    assert rep["op"] == "delete" and rep["rows_matched"] > 0
+    expected = base.where(
+        ~F.coalesce(
+            F.expr("o_orderstatus = 'F' AND o_totalprice < 150000"),
+            F.lit(False),
+        )
+    )
+    assert _rows(read_table(spark, root)) == _rows(expected)
+
+
+def test_sql_update_matches_case_when_and_passes_opts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    rep = run_sql(
+        spark,
+        "UPDATE orders SET o_totalprice = o_totalprice * 2, o_orderstatus = 'Z' "
+        "WHERE o_orderkey % 3 = 0",
+        {"orders": root},
+        tier="mor",
+    )
+    assert rep["op"] == "update" and rep["tier"] == "mor"
+    hit = F.coalesce(F.expr("o_orderkey % 3 = 0"), F.lit(False))
+    expected = base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(hit, F.lit("Z")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(hit, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    assert _rows(read_table(spark, root)) == _rows(expected)
+
+
+def test_sql_update_without_where_touches_all(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    write_snapshot(df, root)
+    run_sql(spark, "UPDATE t SET v = v + 1", {"t": root})
+    assert _rows(read_table(spark, root)) == [(1, 2.0), (2, 3.0)]
+
+
+def test_sql_merge_full_three_clause_with_user_aliases(spark, tmp_path):
+    """Arbitrary MERGE aliases flow through target_alias/source_alias;
+    update + conditional update + delete + insert clauses all land."""
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    ks = [r[0] for r in base.orderBy("o_orderkey").limit(3).collect()]
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    src = spark.createDataFrame(
+        [
+            (int(ks[0]), 111.0, "del"),
+            (int(ks[1]), 222.0, "upd"),
+            (int(max_key) + 7, 333.0, "ins"),
+        ],
+        "k bigint, price double, action string",
+    )
+    rep = run_sql(
+        spark,
+        """MERGE INTO orders AS tgt USING src AS stg ON tgt.o_orderkey = stg.k
+           WHEN MATCHED AND stg.action = 'del' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET o_totalprice = stg.price
+           WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+               VALUES (stg.k, stg.price)""",
+        {"orders": root, "src": src},
+    )
+    assert rep["op"] == "merge"
+    assert (
+        rep["rows_deleted"],
+        rep["rows_updated"],
+        rep["rows_inserted"],
+    ) == (1, 1, 1)
+    got = read_table(spark, root)
+    assert got.where(F.col("o_orderkey") == ks[0]).count() == 0
+    assert got.where(F.col("o_orderkey") == ks[1]).first()[
+        "o_totalprice"
+    ] == 222.0
+    ins = got.where(F.col("o_orderkey") == max_key + 7).first()
+    assert ins["o_totalprice"] == 333.0 and ins["o_orderstatus"] is None
+    assert got.count() == base.count()  # -1 del +1 ins
+
+
+def test_sql_merge_source_can_be_snapshot_root(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sroot = str(tmp_path / "s")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    k = int(base.orderBy("o_orderkey").first()["o_orderkey"])
+    write_snapshot(
+        spark.createDataFrame([(k, 9.5)], "o_orderkey bigint, f double"),
+        sroot,
+    )
+    rep = run_sql(
+        spark,
+        "MERGE INTO t USING s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.f",
+        {"t": root, "s": sroot},
+    )
+    assert rep["rows_updated"] == 1
+    assert (
+        read_table(spark, root)
+        .where(F.col("o_orderkey") == k)
+        .first()["o_totalprice"]
+        == 9.5
+    )
+
+
+def test_sql_merge_rejects_non_equi_on(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    src = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="equalities"):
+        run_sql(
+            spark,
+            "MERGE INTO t USING s ON t.o_orderkey > s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"t": root, "s": src},
+        )
+    # a differently-named source key is fine (projected onto the
+    # target's name) — UNLESS the source already has a column by the
+    # target key's name, which would be ambiguous
+    src2 = spark.createDataFrame([(1, 2)], "k bigint, o_orderkey bigint")
+    with pytest.raises(ValueError, match="rename one to disambiguate"):
+        run_sql(
+            spark,
+            "MERGE INTO t USING s ON t.o_orderkey = s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"t": root, "s": src2},
+        )
+
+
+def test_sql_insert_values_select_and_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_snapshot(df, root)
+    rep = run_sql(
+        spark, "INSERT INTO t VALUES (3, 'c'), (4, 'd')", {"t": root}
+    )
+    assert rep == {"op": "insert", "mode": "append", "version": 2}
+    assert _rows(read_table(spark, root)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    # explicit column list: unnamed columns insert NULL
+    run_sql(spark, "INSERT INTO t (id) VALUES (5)", {"t": root})
+    assert (5, None) in _rows(read_table(spark, root))
+    # INSERT ... SELECT over another registered table
+    root2 = str(tmp_path / "u")
+    write_snapshot(
+        spark.createDataFrame([(9, "z")], "id long, v string"), root2
+    )
+    run_sql(
+        spark,
+        "INSERT INTO t SELECT id + 100, upper(v) FROM u",
+        {"t": root, "u": root2},
+    )
+    assert (109, "Z") in _rows(read_table(spark, root))
+    # OVERWRITE replaces content in one atomic commit
+    run_sql(spark, "INSERT OVERWRITE t VALUES (7, 'only')", {"t": root})
+    assert _rows(read_table(spark, root)) == [(7, "only")]
+
+
+def test_sql_restore_vacuum_optimize(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_snapshot(df, root)
+    run_sql(spark, "INSERT INTO t VALUES (2, 'b')", {"t": root})
+    rep = run_sql(
+        spark, "RESTORE TABLE t TO VERSION AS OF 1", {"t": root}
+    )
+    assert rep["op"] == "restore" and rep["version"] == 3
+    assert _rows(read_table(spark, root)) == [(1, "a")]
+    # MoR delete leaves vectors; OPTIMIZE t APPLY (PURGE) folds them
+    run_sql(spark, "INSERT INTO t VALUES (2, 'b'), (3, 'c')", {"t": root})
+    run_sql(
+        spark, "DELETE FROM t WHERE id = 2", {"t": root}, tier="mor"
+    )
+    assert load_manifest(root, latest_version(root)).get("deletes")
+    rep = run_sql(spark, "OPTIMIZE t APPLY (PURGE)", {"t": root})
+    assert rep["op"] == "optimize" and rep["files_folded"] >= 1
+    assert not load_manifest(root, latest_version(root)).get("deletes")
+    assert _rows(read_table(spark, root)) == [(1, "a"), (3, "c")]
+    # VACUUM with RETAIN 0 HOURS drops history beyond keep_last
+    run_sql(spark, "VACUUM t RETAIN 0 HOURS", {"t": root}, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=1)
+    assert _rows(read_table(spark, root)) == [(1, "a"), (3, "c")]
+
+
+def test_sql_unknown_table_and_statement_kind(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), root)
+    with pytest.raises(KeyError, match="register its snapshot root"):
+        run_sql(spark, "DELETE FROM nope WHERE id = 1", {"t": root})
+    with pytest.raises(ValueError, match="unsupported statement kind"):
+        run_sql(spark, "SELECT 1", {"t": root})
