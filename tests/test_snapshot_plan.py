@@ -197,3 +197,60 @@ def test_mor_overlay_respects_broadcast_threshold(spark, tmp_path):
         assert full.count() == 197  # correctness unchanged
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_positional_overlay_plan_shape(spark, tmp_path):
+    """Positional vectors keep every plan guarantee of the keyed
+    overlay — broadcast left-anti, clean-file bypass, exact scan set —
+    with a NARROWER join: the anti-join keys on (file, row ordinal)
+    only, so the condition carries no data columns and no null-safe
+    comparators, whatever the table width."""
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_manifest_files,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b", "CAST(id AS STRING) AS c"
+    )
+    write_snapshot(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    m1 = load_manifest(root, 1)
+    cand = read_manifest_files(
+        spark, root, m1, m1["files"],
+        rel_path_col="__rel", row_pos_col="__pos",
+    )
+    tomb = cand.where(F.col("id") < 5).select(
+        F.col("__rel").alias("__file"), "__pos"
+    )
+    write_snapshot(
+        spark.createDataFrame([], df.schema),
+        root, mode="replace", expected_version=1,
+        drop_files=[], delete_vectors=tomb,
+    )
+    m2 = load_manifest(root, 2)
+    clean = [f for f in m2["files"] if f not in m2["deletes"]]
+    assert m2["deletes"] and clean
+
+    full = read_manifest_files(spark, root, m2, m2["files"])
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the anti-join condition references positions, not data columns:
+    # no null-safe comparators anywhere in the plan
+    assert "<=>" not in plan
+    assert full.count() == 995
+
+    clean_read = read_manifest_files(spark, root, m2, clean)
+    assert "Join" not in (
+        clean_read._jdf.queryExecution().executedPlan().toString()
+    )
+
+    vec_files = {r for rels in m2["deletes"].values() for r in rels}
+    scanned = set(_scanned_files(full, root))
+    assert scanned == set(m2["files"]) | vec_files
