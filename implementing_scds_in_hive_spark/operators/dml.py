@@ -755,22 +755,33 @@ def restore_version(
     version: int,
     *,
     expected_version: int | None = None,
+    rewrite: bool = False,
 ) -> int:
     """``RESTORE TABLE <root> TO VERSION AS OF <version>`` — commit a
     NEW version whose content equals the historical one (roll-forward
     restore, like Delta's: history is preserved, the restore is itself
-    a commit that a second restore can undo). Implemented as a full
-    re-publish of the pinned read — correct for any retained version;
-    a carry-by-reference restore is a possible future protocol
-    extension (the old files still exist while their manifest is
-    retained, but the replace-commit validation intentionally only
-    admits parent files). Returns the new version."""
+    a commit that a second restore can undo).
+
+    Default is the CARRY-BY-REFERENCE restore
+    (:func:`~implementing_scds_in_hive_spark.sources.snapshot.
+    restore_commit`): the retained manifest's files are adopted into a
+    new manifest — O(manifest) however large the table (a re-publishing
+    restore of a 100 TB table would rewrite 100 TB that is still on
+    disk). ``rewrite=True`` keeps the materializing form: a full
+    re-publish of the pinned read, which drops every dependence on the
+    historical stage dirs (e.g. before a deep vacuum). Returns the new
+    version."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         load_manifest,
         read_snapshot,
+        restore_commit,
         write_snapshot,
     )
 
+    if not rewrite:
+        return restore_commit(
+            root, version, expected_version=expected_version
+        )
     m = load_manifest(root, version)
     df = read_snapshot(spark, root, version=version)
     return write_snapshot(

@@ -680,6 +680,107 @@ def commit(
                 )
 
 
+def restore_commit(
+    root: str,
+    version: int,
+    *,
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """Commit a NEW version whose manifest ADOPTS a retained historical
+    version's files, deletion vectors, stats and schema BY REFERENCE —
+    the O(manifest) restore (a re-publishing restore of a 100 TB table
+    would rewrite 100 TB; the bytes are still on disk, protected by the
+    retained manifest, so only a manifest commit is needed). History is
+    preserved Delta-style: the restore is itself a commit a second
+    restore can undo.
+
+    Safety against a racing vacuum mirrors ``commit``: every adopted
+    file is required to EXIST immediately before the link (a retained
+    manifest keeps its files live, and phase-1 tombstones give
+    ``grace_seconds`` of slack), and dir tombstones / file drop markers
+    on adopted paths are cleared after the link wins, restarting any
+    grace clock a concurrent sweep started."""
+    mdir = _manifest_dir(root)
+    attempts = 0
+    while True:
+        m_old = load_manifest(root, version)  # FileNotFoundError if vacuumed
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        if expected_version is not None and parent != expected_version:
+            raise CommitConflictError(
+                f"expected version {expected_version} but table is at {parent}"
+            )
+        live = list(m_old["files"]) + [
+            r for rels in m_old.get("deletes", {}).values() for r in rels
+        ]
+        missing = [
+            f for f in live if not os.path.exists(os.path.join(root, f))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"cannot restore {root} to v{version}: adopted files are "
+                f"gone (vacuumed mid-restore?): {missing[:5]}"
+            )
+        new_v = parent + 1
+        manifest = {
+            **{
+                k: m_old[k]
+                for k in (
+                    "snapshot_dirs",
+                    "files",
+                    "schema",
+                    "partition_by",
+                )
+            },
+            "version": new_v,
+            "parent": parent,
+            "mode": "restore",
+            "writer": uuid.uuid4().hex,
+            "committed_at": time.time(),
+            # adopted dirs can hold files newer manifests superseded, so
+            # the file-granular sweep must keep running on this table
+            "cow_lineage": True,
+            "app_meta": {"restored_from_version": version},
+        }
+        for k in ("deletes", "stats"):
+            if m_old.get(k):
+                manifest[k] = m_old[k]
+        tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, new_v))
+            os.unlink(tmp)
+            _fsync_dir(mdir)
+        except FileExistsError:
+            os.unlink(tmp)
+            if expected_version is not None:
+                raise CommitConflictError(
+                    f"version {new_v} was committed by a concurrent writer"
+                )
+            attempts += 1
+            if attempts >= max_retries:
+                raise CommitConflictError(
+                    f"lost {max_retries} consecutive commit races at {root}"
+                )
+            continue
+        for d in manifest["snapshot_dirs"]:
+            try:
+                os.unlink(_tombstone_path(root, d))
+            except FileNotFoundError:
+                pass
+        for f_rel in live:
+            try:
+                os.unlink(os.path.join(root, f_rel + ".dropped-at"))
+            except FileNotFoundError:
+                pass
+        return new_v
+
+
 def _evolved_schema(root: str, staged: dict, pm: dict, mode: str) -> str:
     """Schema contract for commits that carry parent files by reference
     (append/replace): the parent's fields must be a PREFIX of the staged

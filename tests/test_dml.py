@@ -699,3 +699,68 @@ def test_positional_dml_on_duplicate_rows_matches_predicate_semantics(
     assert rep["rows_matched"] == 2
     left = sorted((r["id"], r["v"]) for r in read_table(spark, root).collect())
     assert left == [(2, "b"), (3, "c")]
+
+
+def test_restore_carries_by_reference_and_survives_vacuum(spark, tmp_path):
+    """The default restore is O(manifest): the adopted version's files
+    are referenced, not rewritten — zero new data files — and the new
+    manifest keeps them alive through a deep vacuum. A second restore
+    undoes the first; rewrite=True still materializes."""
+    import os as _os
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_snapshot,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    v1 = latest_version(root)
+    m1 = load_manifest(root, v1)
+    delete_where(spark, root, "o_totalprice < 100000", tier="mor")
+    v2 = latest_version(root)
+    n_v2 = read_table(spark, root).count()
+
+    v3 = restore_version(spark, root, v1)
+    m3 = load_manifest(root, v3)
+    assert m3["files"] == m1["files"]  # adopted, not rewritten
+    assert m3["mode"] == "restore"
+    assert _rows(read_table(spark, root)) == _rows(base)
+    # restore of the MoR state adopts its deletion vectors too
+    v4 = restore_version(spark, root, v2)
+    assert read_table(spark, root).count() == n_v2
+    assert load_manifest(root, v4).get("deletes")
+    # back to v1 content, then vacuum everything but the tip: the
+    # adopted files must stay live (referenced by the tip manifest)
+    restore_version(spark, root, v1)
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert _rows(read_table(spark, root)) == _rows(base)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=v1)
+    # a vacuumed version cannot be restored
+    with pytest.raises(FileNotFoundError):
+        restore_version(spark, root, v1)
+    # rewrite=True re-publishes: brand-new files, same content
+    tip = latest_version(root)
+    v_new = restore_version(spark, root, tip, rewrite=True)
+    m_new = load_manifest(root, v_new)
+    assert not set(m_new["files"]) & set(m3["files"])
+    assert _rows(read_table(spark, root)) == _rows(base)
+
+
+def test_restore_cas_conflict(spark, tmp_path):
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+    )
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    v1 = latest_version(root)
+    delete_where(spark, root, "o_totalprice < 100000", tier="cow")
+    with pytest.raises(CommitConflictError):
+        restore_version(spark, root, v1, expected_version=v1)
+    assert restore_version(
+        spark, root, v1, expected_version=latest_version(root)
+    ) == latest_version(root)
