@@ -49,6 +49,10 @@ _VACUUM_RE = re.compile(
     r"(\s+RETAIN\s+(?P<h>\d+(\.\d+)?)\s+HOURS)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<t>[\w.]+)"
     r"(\s+APPLY\s*\(\s*(?P<purge>PURGE)\s*\))?\s*;?\s*$",
@@ -319,6 +323,35 @@ def _run_insert(spark, plan, tables: dict) -> dict:
     return {"op": "insert", "mode": mode, "version": new_v}
 
 
+def _run_add_columns(spark, plan, tables: dict) -> dict:
+    """ALTER TABLE ... ADD COLUMNS: a PURE METADATA commit
+    (``snapshot.evolve_schema_commit``) — the new manifest adopts the
+    parent's files verbatim with the union schema; pinned reads
+    NULL-backfill every carried file (the r8 evolution contract). Not a
+    byte of data is written."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+    )
+
+    parts = [str(x) for x in _seq(plan.table().multipartIdentifier())]
+    root = _root_for(tables, ".".join(parts))
+    added = []
+    for c in _seq(plan.columnsToAdd()):
+        name_parts = [str(x) for x in _seq(c.name())]
+        if len(name_parts) != 1:
+            raise ValueError(
+                f"only top-level columns can be added; got "
+                f"{'.'.join(name_parts)}"
+            )
+        added.append((name_parts[0], c.dataType().catalogString()))
+    new_v = evolve_schema_commit(root, added)
+    return {
+        "op": "add_columns",
+        "version": new_v,
+        "added": [n for n, _ in added],
+    }
+
+
 def run_sql(
     spark: SparkSession,
     statement: str,
@@ -334,9 +367,11 @@ def run_sql(
     Statements: ``DELETE FROM t [WHERE ...]``, ``UPDATE t SET ...
     [WHERE ...]``, ``MERGE INTO t USING s ON ... WHEN ...``,
     ``INSERT INTO/OVERWRITE t [(cols)] SELECT ...|VALUES ...``,
-    ``RESTORE TABLE t TO VERSION AS OF n``, ``VACUUM t [RETAIN n
-    HOURS]``, ``OPTIMIZE t [APPLY (PURGE)]``. Returns the verb's
-    report dict."""
+    ``ALTER TABLE t ADD COLUMNS (...)`` (zero-rewrite schema
+    evolution), ``RESTORE TABLE t TO VERSION AS OF n`` (carry-by-
+    reference), ``VACUUM t [RETAIN n HOURS]``, ``OPTIMIZE t [APPLY
+    (PURGE)]``, ``DESCRIBE HISTORY t``. Returns the verb's report
+    dict."""
     m = _RESTORE_RE.match(statement)
     if m:
         root = _root_for(tables, m.group("t"))
@@ -355,6 +390,14 @@ def run_sql(
         if m.group("h") is not None:
             kw.setdefault("grace_seconds", float(m.group("h")) * 3600.0)
         return {"op": "vacuum", **vacuum(root, **kw)}
+    m = _HISTORY_RE.match(statement)
+    if m:
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            table_history,
+        )
+
+        root = _root_for(tables, m.group("t"))
+        return {"op": "describe_history", "history": table_history(root)}
     m = _OPTIMIZE_RE.match(statement)
     if m:
         root = _root_for(tables, m.group("t"))
@@ -402,6 +445,10 @@ def run_sql(
         if opts:
             raise ValueError(f"INSERT takes no options; got {sorted(opts)}")
         return _run_insert(spark, plan, tables)
+    if cls == "AddColumns":
+        if opts:
+            raise ValueError(f"ALTER takes no options; got {sorted(opts)}")
+        return _run_add_columns(spark, plan, tables)
     raise ValueError(
         f"unsupported statement kind {cls} — run_sql executes DML and "
         f"maintenance verbs; run read queries through the DataFrame/"

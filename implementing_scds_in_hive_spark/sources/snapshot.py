@@ -781,6 +781,83 @@ def restore_commit(
         return new_v
 
 
+def evolve_schema_commit(
+    root: str,
+    new_fields: list[tuple[str, str]],
+    *,
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """``ALTER TABLE ... ADD COLUMNS`` as a PURE METADATA commit: a new
+    manifest adopting the parent's files/vectors/stats verbatim with
+    the union schema (new columns appended, forced nullable). Not a
+    byte of data is written — pinned reads NULL-backfill every carried
+    file (the same evolution contract append/replace commits use).
+    ``new_fields`` is ``[(name, catalog_type_string), ...]``."""
+    from pyspark.sql.types import StructType
+
+    mdir = _manifest_dir(root)
+    attempts = 0
+    while True:
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        if expected_version is not None and parent != expected_version:
+            raise CommitConflictError(
+                f"expected version {expected_version} but table is at {parent}"
+            )
+        pm = load_manifest(root, parent)
+        sdoc = json.loads(pm["schema"])
+        have = {f["name"] for f in sdoc["fields"]}
+        dup = sorted({n for n, _ in new_fields} & have)
+        if dup:
+            raise ValueError(f"columns already exist: {dup}")
+        widened = StructType.fromJson(sdoc)
+        for name, typ in new_fields:
+            widened = widened.add(name, typ, nullable=True)  # validates typ
+        manifest = {
+            **{
+                k: pm[k]
+                for k in (
+                    "snapshot_dirs",
+                    "files",
+                    "partition_by",
+                )
+            },
+            "version": parent + 1,
+            "parent": parent,
+            "mode": "evolve",
+            "schema": json.dumps(widened.jsonValue()),
+            "writer": uuid.uuid4().hex,
+            "committed_at": time.time(),
+        }
+        for k in ("deletes", "stats", "cow_lineage"):
+            if pm.get(k):
+                manifest[k] = pm[k]
+        tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, manifest["version"]))
+            os.unlink(tmp)
+            _fsync_dir(mdir)
+            return manifest["version"]
+        except FileExistsError:
+            os.unlink(tmp)
+            if expected_version is not None:
+                raise CommitConflictError(
+                    f"version {manifest['version']} was committed by a "
+                    f"concurrent writer"
+                )
+            attempts += 1
+            if attempts >= max_retries:
+                raise CommitConflictError(
+                    f"lost {max_retries} consecutive commit races at {root}"
+                )
+
+
 def _evolved_schema(root: str, staged: dict, pm: dict, mode: str) -> str:
     """Schema contract for commits that carry parent files by reference
     (append/replace): the parent's fields must be a PREFIX of the staged

@@ -540,9 +540,11 @@ def test_incremental_router_picks_tier_by_candidate_fraction(
 def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
     """Model-based check of the protocol WITH the r8 merge-on-read ops:
     any chain of overwrite / append / key-delete (deletion-vector
-    replace commit with prior-vector accumulation) / fold / vacuum keeps
-    read_table() equal to a trivial in-memory multiset model, with time
-    travel consistent for every retained version."""
+    replace commit with prior-vector accumulation) / positional delete
+    (the DML verb, compact-then-retry when key vectors block the fold)
+    / carry-by-reference restore / fold / vacuum keeps read_table()
+    equal to a trivial in-memory multiset model, with time travel
+    consistent for every retained version."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
     from pyspark.sql import functions as F
@@ -567,6 +569,8 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
         st.tuples(st.just("overwrite"), rows_strategy),
         st.tuples(st.just("append"), rows_strategy),
         st.tuples(st.just("delete"), keys_strategy),
+        st.tuples(st.just("pos_delete"), keys_strategy),
+        st.tuples(st.just("restore"), st.integers(min_value=0, max_value=7)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
     )
@@ -633,6 +637,32 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
             elif op == "delete":
                 delete_keys(root, arg)
                 model = [x for x in model if x not in set(arg)]
+            elif op == "pos_delete":
+                from implementing_scds_in_hive_spark.operators.dml import (
+                    delete_where,
+                )
+                from implementing_scds_in_hive_spark.sources.sinks import (
+                    compact_deletes,
+                )
+
+                pred = "id IN (" + ",".join(map(str, arg)) + ")"
+                try:
+                    delete_where(spark, root, pred, tier="mor")
+                except ValueError:
+                    # key vectors on touched files can't fold into a
+                    # positional batch — the documented remedy, then retry
+                    compact_deletes(spark, root)
+                    delete_where(spark, root, pred, tier="mor")
+                model = [x for x in model if x not in set(arg)]
+            elif op == "restore":
+                from implementing_scds_in_hive_spark.operators.dml import (
+                    restore_version,
+                )
+
+                vs = list_versions(root)
+                target = vs[arg % len(vs)]
+                restore_version(spark, root, target)
+                model = list(history[target])
             elif op == "fold":
                 from implementing_scds_in_hive_spark.sources.sinks import (
                     compact_deletes,

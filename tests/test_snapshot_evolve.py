@@ -164,3 +164,37 @@ def test_change_feed_across_evolved_commit(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="re-bootstrap"):
         snapshot_changes(spark, root, 2, 3, ["id"])
+
+
+def test_metadata_only_evolve_commit_feeds_and_reads(spark, tmp_path):
+    """evolve_schema_commit (the ALTER TABLE path) writes no data: the
+    new manifest adopts the parent's files with the union schema. The
+    change feed across it is EMPTY (no row changed — the new column is
+    NULL on both sides of the pinned-schema diff), and subsequent
+    appends land in the widened schema."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_snapshot(df.coalesce(1), root)
+    v2 = evolve_schema_commit(root, [("score", "double")])
+    assert v2 == 2
+    m2 = load_manifest(root, 2)
+    assert m2["files"] == load_manifest(root, 1)["files"]
+    assert m2["mode"] == "evolve"
+    changes = snapshot_changes(spark, root, 1, 2, ["id"])
+    assert changes.count() == 0
+    wide = spark.createDataFrame([(3, "c", 1.5)], "id long, v string, score double")
+    write_snapshot(wide, root, mode="append")
+    got = read_table(spark, root)
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a", None), (2, "b", None), (3, "c", 1.5),
+    ]
+    # duplicate / invalid adds refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exist"):
+        evolve_schema_commit(root, [("v", "string")])

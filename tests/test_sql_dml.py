@@ -252,3 +252,39 @@ def test_sql_unknown_table_and_statement_kind(spark, tmp_path):
         run_sql(spark, "DELETE FROM nope WHERE id = 1", {"t": root})
     with pytest.raises(ValueError, match="unsupported statement kind"):
         run_sql(spark, "SELECT 1", {"t": root})
+
+
+def test_sql_alter_add_columns_and_describe_history(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS evolves the schema with a zero-rewrite
+    empty append (carried files NULL-backfill); DESCRIBE HISTORY
+    surfaces the retained commit chain."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_snapshot(df.coalesce(1), root)
+    m1 = load_manifest(root, 1)
+    rep = run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMNS (score double, note string)",
+        {"t": root},
+    )
+    assert rep["op"] == "add_columns" and rep["added"] == ["score", "note"]
+    m2 = load_manifest(root, rep["version"])
+    assert m2["files"] == m1["files"]  # zero rewrite
+    got = read_table(spark, root)
+    assert got.columns == ["id", "v", "score", "note"]
+    assert _rows(got) == [(1, "a", None, None), (2, "b", None, None)]
+    # the new column is immediately writable through the SQL face
+    run_sql(
+        spark,
+        "UPDATE t SET score = id * 1.5 WHERE id = 2",
+        {"t": root},
+    )
+    assert _rows(read_table(spark, root)) == [
+        (1, "a", None, None),
+        (2, "b", 3.0, None),
+    ]
+    with pytest.raises(ValueError, match="already exist"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMNS (id long)", {"t": root})
+    h = run_sql(spark, "DESCRIBE HISTORY t", {"t": root})["history"]
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[1]["mode"] == "evolve"  # v2 was the ALTER; v3 the UPDATE
