@@ -71,7 +71,12 @@ def _candidates(m: dict, prune: dict | None) -> list[str]:
 
 
 def _touched_files(
-    spark: SparkSession, root: str, m: dict, candidates: list[str], pred
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    candidates: list[str],
+    pred,
+    scope_alias: str | None = None,
 ) -> tuple[list[str], int]:
     """One scan of the candidate files — column-pruned by Catalyst to
     the predicate's columns, parquet-filter-pushed within each file —
@@ -86,6 +91,8 @@ def _touched_files(
     cand = read_manifest_files(
         spark, root, m, candidates, rel_path_col="__rel"
     )
+    if scope_alias:
+        cand = cand.alias(scope_alias)
     per_file = (
         cand.where(pred)
         .groupBy("__rel")
@@ -121,11 +128,20 @@ def _stats_cols(m: dict) -> list[str] | None:
     return sorted({c for fs in m.get("stats", {}).values() for c in fs}) or None
 
 
-def _predicate_preamble(spark, root: str, predicate, prune: dict | None, op: str):
+def _predicate_preamble(
+    spark,
+    root: str,
+    predicate,
+    prune: dict | None,
+    op: str,
+    scope_alias: str | None = None,
+):
     """Shared DELETE/UPDATE front half: resolve the table, parse the
     pinned schema, stats-prune candidates, and run the one discovery
     scan. Returns ``(pred, v, m, schema, touched, report)`` — the
-    per-verb code only differs in how it transforms the touched rows."""
+    per-verb code only differs in how it transforms the touched rows.
+    ``scope_alias`` names the scan's scope so table-qualified
+    references in the predicate (``t.col``, legal SQL) resolve."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -134,7 +150,9 @@ def _predicate_preamble(spark, root: str, predicate, prune: dict | None, op: str
     v, m = _resolve(root)
     schema = StructType.fromJson(_json.loads(m["schema"]))
     candidates = _candidates(m, prune)
-    touched, n_matched = _touched_files(spark, root, m, candidates, pred)
+    touched, n_matched = _touched_files(
+        spark, root, m, candidates, pred, scope_alias
+    )
     report = {
         "op": op,
         "parent_version": v,
@@ -200,6 +218,7 @@ def delete_where(
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
     vector_format: str = "pos",
+    scope_alias: str | None = None,
 ) -> dict:
     """``DELETE FROM <root> WHERE <predicate>`` as an atomic replace
     commit. ``predicate`` is a SQL boolean string or a ``Column``;
@@ -226,7 +245,7 @@ def delete_where(
     )
 
     pred, v, m, schema, touched, out = _predicate_preamble(
-        spark, root, predicate, prune, "delete"
+        spark, root, predicate, prune, "delete", scope_alias
     )
     data_cols = [f.name for f in schema.fields]
     vcols = _vector_cols(vector_format, data_cols)
@@ -234,9 +253,12 @@ def delete_where(
         return {**out, "tier": "noop"}
     tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
     if tier == "cow":
-        survivors = read_manifest_files(spark, root, m, touched).where(
+        scan = read_manifest_files(spark, root, m, touched)
+        if scope_alias:
+            scan = scan.alias(scope_alias)
+        survivors = scan.where(
             ~F.coalesce(pred.cast("boolean"), F.lit(False))
-        )
+        ).select(*[f.name for f in schema.fields])
         new_v = _commit_replace(survivors, root, m, v, drop_files=touched)
     else:
         pos = vector_format == "pos"
@@ -248,6 +270,8 @@ def delete_where(
             rel_path_col="__rel",
             row_pos_col=DELETE_POS_COL if pos else None,
         )
+        if scope_alias:
+            rows = rows.alias(scope_alias)
         tomb = rows.where(pred).select(
             F.col("__rel").alias(DELETE_FILE_COL),
             *([DELETE_POS_COL] if pos else data_cols),
@@ -271,6 +295,7 @@ def update_where(
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
     vector_format: str = "pos",
+    scope_alias: str | None = None,
 ) -> dict:
     """``UPDATE <root> SET col = expr, ... WHERE <predicate>`` as an
     atomic replace commit. ``set_exprs`` maps column names to SQL
@@ -288,13 +313,22 @@ def update_where(
         read_manifest_files,
     )
 
-    pred, v, m, schema, touched, out = _predicate_preamble(
-        spark, root, predicate, prune, "update"
-    )
-    known = {f.name for f in schema.fields}
+    # validate the SET list from the manifest schema BEFORE the
+    # discovery scan — an input error must not cost a table-wide read
+    import json as _json
+
+    known = {
+        f["name"]
+        for f in _json.loads(_resolve(root)[1]["schema"])["fields"]
+    }
     bad = sorted(set(set_exprs) - known)
     if bad:
-        raise ValueError(f"SET references unknown columns {bad}; table has {sorted(known)}")
+        raise ValueError(
+            f"SET references unknown columns {bad}; table has {sorted(known)}"
+        )
+    pred, v, m, schema, touched, out = _predicate_preamble(
+        spark, root, predicate, prune, "update", scope_alias
+    )
     types = {f.name: f.dataType for f in schema.fields}
     sets = {
         c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
@@ -308,6 +342,8 @@ def update_where(
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
     if tier == "cow":
         rows = read_manifest_files(spark, root, m, touched)
+        if scope_alias:
+            rows = rows.alias(scope_alias)
         rewritten = rows.select(
             *[
                 (
@@ -329,6 +365,8 @@ def update_where(
             rel_path_col="__rel",
             row_pos_col=DELETE_POS_COL if pos else None,
         )
+        if scope_alias:
+            rows = rows.alias(scope_alias)
         matched = rows.where(pred)
         tomb = matched.select(
             F.col("__rel").alias(DELETE_FILE_COL),
@@ -530,6 +568,28 @@ def merge_into(
             *[F.min(c).alias(f"lo_{c}") for c in on],
             *[F.max(c).alias(f"hi_{c}") for c in on],
         ).first()
+
+        def _tz_bound(val):
+            # Spark collects TIMESTAMP values as NAIVE datetimes in the
+            # SESSION time zone; footer stats are naive UTC. Attach the
+            # session zone so the prune compares in one frame — under a
+            # non-UTC session a naive compare would shift the window by
+            # the offset and silently mis-prune boundary files.
+            import datetime as _dt
+
+            if isinstance(val, _dt.datetime) and val.tzinfo is None:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    return val.replace(
+                        tzinfo=ZoneInfo(
+                            spark.conf.get("spark.sql.session.timeZone")
+                        )
+                    )
+                except Exception:
+                    return val
+            return val
+
         out = {
             "op": "merge",
             "parent_version": v,
@@ -538,7 +598,14 @@ def merge_into(
         }
         candidates = (
             _candidates(
-                m, {c: (bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in on}
+                m,
+                {
+                    c: (
+                        _tz_bound(bounds[f"lo_{c}"]),
+                        _tz_bound(bounds[f"hi_{c}"]),
+                    )
+                    for c in on
+                },
             )
             if bounds["n"]
             else []

@@ -145,6 +145,26 @@ def _equi_keys(cond, t_alias: str, s_alias: str) -> list[tuple[str, str]]:
     return [(quals[t_alias], quals[s_alias])]
 
 
+def _assign_key(assignment, allowed_quals: set[str]) -> str:
+    """Column name of a SET assignment key. A qualified key
+    (``SET t.col = ...``) is legal SQL — resolve it when the qualifier
+    is the statement's own table/alias, refuse anything else loudly
+    (``.sql()``-and-strip would mangle backticked qualifiers into
+    nonsense column names)."""
+    k = assignment.key()
+    if k.getClass().getSimpleName() != "UnresolvedAttribute":
+        raise ValueError(f"unsupported SET key {k.sql()}")
+    parts = [str(x) for x in _seq(k.nameParts())]
+    if len(parts) == 1:
+        return parts[0]
+    if len(parts) == 2 and parts[0] in allowed_quals:
+        return parts[1]
+    raise ValueError(
+        f"SET key {'.'.join(parts)} must be a column of the target "
+        f"table (qualifier in {sorted(allowed_quals)})"
+    )
+
+
 def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     t_name, t_alias = _name_of(plan.targetTable())
     root = _root_for(tables, t_name)
@@ -185,7 +205,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             if upd is not None:
                 raise ValueError("at most one WHEN MATCHED ... UPDATE")
             upd = {
-                str(g.key().sql()).strip("`"): g.value().sql()
+                _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
             }
             c = _opt(a.condition())
@@ -205,7 +225,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             if _opt(a.condition()) is not None:
                 raise ValueError("conditional INSERT is not supported")
             insert = {
-                str(g.key().sql()).strip("`"): g.value().sql()
+                _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
             }
         else:
@@ -270,30 +290,45 @@ def _run_insert(spark, plan, tables: dict) -> dict:
     t_cols = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
 
+    # Only simple (un-dotted) names can back the query's relations: a
+    # temp view cannot shadow a catalog-qualified db.tbl reference.
+    # Pre-existing session temp views with colliding names are saved
+    # and restored — run_sql must not destroy the user's views.
+    existing = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and not t.namespace
+    }
+    saved = {}
     registered = []
     try:
         for name, src in tables.items():
-            view = name.replace(".", "__")
-            df = read_table(spark, src) if isinstance(src, str) else src
-            df.createOrReplaceTempView(view)
-            registered.append(view)
             if "." in name:
-                # also expose the dotted form's last part for bare refs
-                df.createOrReplaceTempView(name.split(".")[-1])
-                registered.append(name.split(".")[-1])
+                continue
+            if name in existing:
+                saved[name] = spark.table(name)
+            df = read_table(spark, src) if isinstance(src, str) else src
+            df.createOrReplaceTempView(name)
+            registered.append(name)
         jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             spark._jsparkSession, plan.query()
         )
         q = DataFrame(jdf, spark)
     finally:
         for view in registered:
-            spark.catalog.dropTempView(view)
+            if view in saved:
+                saved[view].createOrReplaceTempView(view)
+            else:
+                spark.catalog.dropTempView(view)
 
     user_cols = [str(c) for c in _seq(plan.userSpecifiedCols())]
     target = user_cols or t_cols
     bad = sorted(set(target) - set(t_cols))
     if bad:
         raise ValueError(f"INSERT column list references unknown {bad}")
+    if len(set(target)) != len(target):
+        dupes = sorted({c for c in target if target.count(c) > 1})
+        raise ValueError(f"INSERT column list repeats columns {dupes}")
     if len(q.columns) != len(target):
         raise ValueError(
             f"INSERT query yields {len(q.columns)} columns; target list "
@@ -418,17 +453,18 @@ def run_sql(
     )
     cls = plan.getClass().getSimpleName()
     if cls == "DeleteFromTable":
-        name, _ = _name_of(plan.table())
+        name, alias = _name_of(plan.table())
         return delete_where(
             spark,
             _root_for(tables, name),
             plan.condition().sql(),
+            scope_alias=alias,
             **opts,
         )
     if cls == "UpdateTable":
-        name, _ = _name_of(plan.table())
+        name, alias = _name_of(plan.table())
         sets = {
-            str(a.key().sql()).strip("`"): a.value().sql()
+            _assign_key(a, {alias, name}): a.value().sql()
             for a in _seq(plan.assignments())
         }
         cond = _opt(plan.condition())
@@ -437,6 +473,7 @@ def run_sql(
             _root_for(tables, name),
             sets,
             "true" if cond is None else cond.sql(),
+            scope_alias=alias,
             **opts,
         )
     if cls == "MergeIntoTable":

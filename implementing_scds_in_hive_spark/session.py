@@ -49,6 +49,13 @@ def get_spark(app_name: str = "scd-engine", cpus: int | None = None) -> SparkSes
             _STATIC_CONFS["spark.driver.extraJavaOptions"],
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark still defaults parquet timestamps to the deprecated
+        # INT96 encoding, which carries NO usable column statistics —
+        # every timestamp-keyed stats prune (snapshot data-skipping,
+        # DML/merge candidate discovery) would silently keep all files.
+        # TIMESTAMP_MICROS is the modern lakehouse default (Delta/
+        # Iceberg) and restores footer min/max.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -249,18 +249,38 @@ def stage_files(
     return staged
 
 
+_VECTOR_SCHEMA_CACHE: dict[tuple, set] = {}
+
+
 def vector_schemas(root: str, rels) -> dict[str, set]:
     """Column set of each deletion-vector file, one driver-side parquet
     footer read apiece (O(#vector files), no data scanned). Vector
     batches from different commits can be keyed differently (single-key
     SCD vectors vs full-row DML vectors), so both the read overlay and
-    the DML fold/route paths group by this."""
+    the DML fold/route paths group by this.
+
+    Memoized: vector files are IMMUTABLE once staged (content-addressed
+    dirs, never rewritten in place), so a footer read is valid for the
+    file's lifetime — one DML statement probes the same footers in its
+    route/fold/overlay steps, and on object storage each read is a
+    round trip. Existence is re-checked per hit so a vacuumed file's
+    entry dies with it (FIFO-bounded, the manifest-cache idiom)."""
     import pyarrow.parquet as pq
 
-    return {
-        r: set(pq.read_schema(os.path.join(root, r)).names)
-        for r in sorted(set(rels))
-    }
+    out = {}
+    for r in sorted(set(rels)):
+        key = (os.path.realpath(root), r)
+        path = os.path.join(root, r)
+        cached = _VECTOR_SCHEMA_CACHE.get(key)
+        if cached is not None and os.path.exists(path):
+            out[r] = cached
+            continue
+        names = set(pq.read_schema(path).names)
+        if len(_VECTOR_SCHEMA_CACHE) >= 4096:
+            _VECTOR_SCHEMA_CACHE.pop(next(iter(_VECTOR_SCHEMA_CACHE)))
+        _VECTOR_SCHEMA_CACHE[key] = names
+        out[r] = names
+    return out
 
 
 def fold_prior_vectors(
@@ -436,6 +456,16 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
                     ok = False
                     break
             if isinstance(mn, (datetime.datetime, datetime.date)):
+                # normalize tz-aware stats (TIMESTAMP columns read back
+                # as UTC-aware) to NAIVE-UTC isoformat so the stored
+                # form compares lexicographically with prune bounds
+                if (
+                    isinstance(mn, datetime.datetime)
+                    and mn.tzinfo is not None
+                ):
+                    utc = datetime.timezone.utc
+                    mn = mn.astimezone(utc).replace(tzinfo=None)
+                    mx = mx.astimezone(utc).replace(tzinfo=None)
                 mn, mx = mn.isoformat(), mx.isoformat()
             if not isinstance(mn, (int, float, str)):
                 ok = False
@@ -742,7 +772,13 @@ def restore_commit(
             # adopted dirs can hold files newer manifests superseded, so
             # the file-granular sweep must keep running on this table
             "cow_lineage": True,
-            "app_meta": {"restored_from_version": version},
+            # the restored CONTENT corresponds to m_old's app-level
+            # metadata (e.g. a matview's source watermark), so adopt it
+            # — dropping it would silently force a full view rebuild
+            "app_meta": {
+                **(m_old.get("app_meta") or {}),
+                "restored_from_version": version,
+            },
         }
         for k in ("deletes", "stats"):
             if m_old.get(k):
@@ -831,7 +867,10 @@ def evolve_schema_commit(
             "writer": uuid.uuid4().hex,
             "committed_at": time.time(),
         }
-        for k in ("deletes", "stats", "cow_lineage"):
+        for k in ("deletes", "stats", "cow_lineage", "app_meta"):
+            # app_meta adopted verbatim: content is unchanged, so the
+            # parent's atomically-committed metadata (e.g. a matview
+            # watermark) still describes this version exactly
             if pm.get(k):
                 manifest[k] = pm[k]
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
@@ -1368,14 +1407,41 @@ def _iso_bound(b):
     return b
 
 
+def _canon_iso(s: str) -> str:
+    """Stored stats strings from manifests written before the naive-UTC
+    normalization carry a timezone suffix ('...+00:00'); canonicalize
+    to naive-UTC isoformat so the lexicographic compare is exact at the
+    boundary. Non-temporal strings pass through untouched."""
+    import datetime
+
+    try:
+        d = datetime.datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        return s
+    if d.tzinfo is not None:
+        return d.astimezone(datetime.timezone.utc).replace(
+            tzinfo=None
+        ).isoformat()
+    return s
+
+
 def _survives_prune(file_stats: dict, prune: dict) -> bool:
+    import datetime
+
     for col, (lo, hi) in prune.items():
         rng = file_stats.get(col)
         if rng is None:
             continue  # no stats recorded -> must keep (correctness)
         fmin, fmax = rng
-        if isinstance(fmin, str):
+        probe = lo if lo is not None else hi
+        if isinstance(fmin, str) and isinstance(
+            probe, (datetime.date, datetime.datetime)
+        ):
+            # temporal bounds vs string-stored stats: compare both
+            # sides in naive-UTC isoformat (zero-padded, so the
+            # lexicographic order IS chronological order)
             lo, hi = _iso_bound(lo), _iso_bound(hi)
+            fmin, fmax = _canon_iso(fmin), _canon_iso(fmax)
         if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
             return False
     return True

@@ -764,3 +764,17 @@ def test_restore_cas_conflict(spark, tmp_path):
     assert restore_version(
         spark, root, v1, expected_version=latest_version(root)
     ) == latest_version(root)
+
+
+def test_update_invalid_set_fails_before_any_scan(spark, tmp_path):
+    """Self-review r8 (third pass): an unknown SET column is checkable
+    from the manifest schema alone — it must raise before the discovery
+    scan reads a byte (pinned via the scan counter)."""
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, root, {"nope": "1"}, "o_orderkey > 0")
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "validation ran Spark jobs before raising"

@@ -18,6 +18,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from implementing_scds_in_hive_spark.sources.snapshot import (
     CommitConflictError,
@@ -1091,3 +1092,69 @@ def test_positional_and_keyed_vectors_coexist(spark, tmp_path):
     # vector files of BOTH formats stay live under vacuum while referenced
     vacuum(root, keep_last=1, grace_seconds=0.0)
     assert _ids(read_table(spark, root)) == [1, 3, 4, 5]
+
+
+def test_prune_timestamp_bounds_match_tz_aware_stats(spark, tmp_path):
+    """Self-review r8 (third pass, CONFIRMED): footer stats for
+    TIMESTAMP columns come back tz-aware and were stored with a
+    '+00:00' suffix while prune bounds render naive — at the boundary
+    'X+00:00' > 'X' lexicographically and the file holding the exact
+    bound was silently pruned. Both sides now canonicalize to naive-UTC
+    isoformat (new manifests store it; _canon_iso repairs old ones)."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 5) + dt.timedelta(hours=i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    write_snapshot(
+        df.repartitionByRange(2, "ts").sortWithinPartitions("ts"),
+        root,
+        stats_cols=["ts"],
+    )
+    # stored stats are naive-UTC isoformat (no offset suffix)
+    m = load_manifest(root, 1)
+    for st in m["stats"].values():
+        lo, hi = st["ts"]
+        assert "+" not in lo and "+" not in hi, (lo, hi)
+    # a prune at EXACTLY a file's min timestamp keeps that file
+    lo_file = min(s["ts"][0] for s in m["stats"].values())
+    bound = dt.datetime.fromisoformat(lo_file)
+    got = read_snapshot(spark, root, prune={"ts": (bound, bound)})
+    # prune is FILE-level skipping: the file holding the exact bound
+    # must be KEPT (the old compare pruned it), the other file skipped
+    assert len(got.inputFiles()) == 1
+    assert got.where(F.col("ts") == bound).count() == 1
+    # legacy manifests (stats stored WITH the offset) still prune right
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        _survives_prune,
+    )
+
+    legacy = {"ts": ["2024-01-05T00:00:00+00:00", "2024-01-05T03:00:00+00:00"]}
+    assert _survives_prune(legacy, {"ts": (bound, bound)})
+    assert not _survives_prune(
+        legacy, {"ts": (dt.datetime(2024, 1, 6), dt.datetime(2024, 1, 7))}
+    )
+
+
+def test_restore_and_evolve_commits_adopt_app_meta(spark, tmp_path):
+    """Self-review r8 (third pass): the two metadata commits must adopt
+    the source manifest's app_meta — dropping it would silently lose a
+    materialized view's atomically-committed watermark and force a full
+    rebuild."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+        restore_commit,
+    )
+
+    root = str(tmp_path / "t")
+    df = _df(spark, [1, 2])
+    write_snapshot(df, root, app_meta={"source_watermark": 7})
+    v2 = evolve_schema_commit(root, [("x", "double")])
+    assert load_manifest(root, v2)["app_meta"] == {"source_watermark": 7}
+    write_snapshot(_df(spark, [3]), root, app_meta={"source_watermark": 9})
+    v4 = restore_commit(root, 1)
+    am = load_manifest(root, v4)["app_meta"]
+    assert am == {"source_watermark": 7, "restored_from_version": 1}

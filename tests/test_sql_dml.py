@@ -288,3 +288,56 @@ def test_sql_alter_add_columns_and_describe_history(spark, tmp_path):
     h = run_sql(spark, "DESCRIBE HISTORY t", {"t": root})["history"]
     assert [e["version"] for e in h] == [1, 2, 3]
     assert h[1]["mode"] == "evolve"  # v2 was the ALTER; v3 the UPDATE
+
+
+def test_sql_insert_preserves_users_temp_view(spark, tmp_path):
+    """Self-review r8 (third pass): run_sql INSERT must not destroy a
+    pre-existing session temp view whose name collides with a
+    registered table — it is saved and restored."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    mine = spark.createDataFrame([(99,)], "marker long")
+    mine.createOrReplaceTempView("t")
+    try:
+        run_sql(spark, "INSERT INTO t VALUES (2, 'b')", {"t": root})
+        assert _rows(read_table(spark, root)) == [(1, "a"), (2, "b")]
+        # the user's view survived, un-rebound
+        assert spark.sql("SELECT * FROM t").collect()[0]["marker"] == 99
+    finally:
+        spark.catalog.dropTempView("t")
+
+
+def test_sql_insert_rejects_duplicate_column_list(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    with pytest.raises(ValueError, match="repeats columns"):
+        run_sql(spark, "INSERT INTO t (id, id) VALUES (1, 2)", {"t": root})
+
+
+def test_sql_qualified_set_keys_resolve(spark, tmp_path):
+    """Self-review r8 (third pass): 'SET t.col = ...' is legal SQL —
+    the qualifier resolves when it names the statement's own table or
+    alias; a foreign qualifier refuses loudly (the old .sql()-strip
+    mangled '`t`.`v`' into a nonsense column name)."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        root,
+    )
+    run_sql(spark, "UPDATE t SET t.v = t.v + 10 WHERE id = 1", {"t": root})
+    assert _rows(read_table(spark, root)) == [(1, 11.0), (2, 2.0)]
+    with pytest.raises(ValueError, match="must be a column of the target"):
+        run_sql(spark, "UPDATE t SET other.v = 1", {"t": root})
+    # MERGE with alias-qualified SET keys
+    src = spark.createDataFrame([(2, 5.0)], "id long, nv double")
+    run_sql(
+        spark,
+        "MERGE INTO t AS tg USING s ON tg.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET tg.v = s.nv",
+        {"t": root, "s": src},
+    )
+    assert _rows(read_table(spark, root)) == [(1, 11.0), (2, 5.0)]
