@@ -435,6 +435,9 @@ def merge_into(
     when_matched_delete=None,
     when_not_matched_insert="all",
     update_condition=None,
+    when_not_matched_by_source_update: dict | None = None,
+    when_not_matched_by_source_delete=None,
+    not_matched_by_source_condition=None,
     tier: str = "auto",
     cow_max_touched_fraction: float = 0.25,
     broadcast_source: bool = True,
@@ -465,6 +468,16 @@ def merge_into(
       target name; the source must provide every target column) or
       ``{target_col: expr}`` over ``s.`` (omitted columns insert
       NULL). ``None`` disables inserts.
+    * ``when_not_matched_by_source_delete`` / ``..._update`` (+
+      ``not_matched_by_source_condition`` gating the update) — the
+      Delta ``WHEN NOT MATCHED BY SOURCE`` clauses: applied to TARGET
+      rows whose key has no source match. Expressions should reference
+      ``t.`` columns only (source columns are NULL on these rows, so an
+      ``s.`` reference evaluates through 3VL to no-fire). NOTE the
+      inherent cost: these clauses reach the WHOLE table, so discovery
+      becomes one full-candidate scan + join instead of the
+      source-bounds prune + semi-join — exactly the trade a lakehouse
+      MERGE makes. Write volume stays O(affected) on the MoR tier.
 
     Expressions are resolved by Spark against the aliased
     target/source join, so qualification is real scoping, not string
@@ -506,6 +519,8 @@ def merge_into(
         when_matched_update is None
         and when_matched_delete is None
         and when_not_matched_insert is None
+        and when_not_matched_by_source_update is None
+        and when_not_matched_by_source_delete is None
     ):
         raise ValueError("merge_into needs at least one WHEN clause")
     v, m = _resolve(root)
@@ -526,6 +541,16 @@ def merge_into(
             raise ValueError(f"SET references unknown columns {bad}")
         if set(when_matched_update) & set(on):
             raise ValueError("updating an ON key column is not supported")
+    if when_not_matched_by_source_update:
+        bad = sorted(set(when_not_matched_by_source_update) - set(t_cols))
+        if bad:
+            raise ValueError(f"NBS SET references unknown columns {bad}")
+        if set(when_not_matched_by_source_update) & set(on):
+            raise ValueError("updating an ON key column is not supported")
+    nbs = (
+        when_not_matched_by_source_update is not None
+        or when_not_matched_by_source_delete is not None
+    )
     if when_not_matched_insert == "all":
         missing = sorted(set(t_cols) - set(source.columns))
         if missing:
@@ -610,9 +635,14 @@ def merge_into(
             if bounds["n"]
             else []
         )
+        if nbs:
+            # NOT MATCHED BY SOURCE rows can sit in ANY file — the
+            # source-bounds prune and semi-join discovery don't apply;
+            # touched files fall out of the classification itself
+            candidates = list(m["files"])
         out["files_candidates"] = len(candidates)
         touched: list[str] = []
-        if candidates:
+        if candidates and not nbs:
             cand = read_manifest_files(
                 spark, root, m, candidates, rel_path_col="__rel"
             )
@@ -632,7 +662,7 @@ def merge_into(
                 .collect()
             )
         out["files_touched"] = len(touched)
-        if not touched and when_not_matched_insert is None:
+        if not nbs and not touched and when_not_matched_insert is None:
             return {
                 **out,
                 "tier": "noop",
@@ -641,8 +671,17 @@ def merge_into(
                 "rows_inserted": 0,
             }
         vcols = _vector_cols(vector_format, t_cols)
-        tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
-        pos = vector_format == "pos" and tier == "mor"
+        if nbs:
+            # tier is routed AFTER classification (touched unknown yet);
+            # capture positions up front whenever the format may need them
+            tier_req = tier
+            capture_pos = vector_format == "pos"
+        else:
+            tier = _route(
+                root, m, touched, tier, cow_max_touched_fraction, vcols
+            )
+            capture_pos = vector_format == "pos" and tier == "mor"
+        pos = capture_pos
 
         # One aliased left join; every clause expression resolves its
         # t./s. qualifiers against REAL scopes, so ambiguity is an
@@ -651,7 +690,7 @@ def merge_into(
             spark,
             root,
             m,
-            touched,
+            candidates if nbs else touched,
             rel_path_col="__rel",
             row_pos_col=DELETE_POS_COL if pos else None,
         )
@@ -681,13 +720,44 @@ def merge_into(
             if when_matched_update
             else F.lit(False)
         )
-        upd_cols = list(when_matched_update or {})
+        nbs_del_hit = ~matched & _cond(when_not_matched_by_source_delete)
+        nbs_gate = (
+            _cond(not_matched_by_source_condition)
+            if not_matched_by_source_condition is not None
+            else F.lit(True)
+        )
+        nbs_upd_hit = (
+            ~matched & ~nbs_del_hit & nbs_gate
+            if when_not_matched_by_source_update
+            else F.lit(False)
+        )
+        # the matched and by-source clauses fold into ONE delete flag and
+        # ONE per-column rewrite (each row fires at most one side, so the
+        # CASE chain is exact) — everything downstream (counts, CoW
+        # survivors, MoR tombstones, rewritten rows) is clause-agnostic
+        m_upd_hit = upd_hit  # matched-clause hits only (closure below)
+        del_hit = del_hit | nbs_del_hit
+        upd_hit = upd_hit | nbs_upd_hit
+        upd_cols = sorted(
+            set(when_matched_update or {})
+            | set(when_not_matched_by_source_update or {})
+        )
+
+        def _new_val(c):
+            e = F.col(f"{ta}.{c}")
+            expr = F.when(
+                m_upd_hit,
+                _expr((when_matched_update or {}).get(c, e)).cast(types[c]),
+            )
+            return expr.when(
+                nbs_upd_hit,
+                _expr(
+                    (when_not_matched_by_source_update or {}).get(c, e)
+                ).cast(types[c]),
+            ).otherwise(e.cast(types[c]))
         classified = joined.select(
             *[F.col(f"{ta}.{c}").alias(c) for c in t_cols],
-            *[
-                _expr(when_matched_update[c]).cast(types[c]).alias(f"__new_{c}")
-                for c in upd_cols
-            ],
+            *[_new_val(c).alias(f"__new_{c}") for c in upd_cols],
             F.col(f"{ta}.__rel").alias("__rel"),
             *(
                 [F.col(f"{ta}.{DELETE_POS_COL}").alias(DELETE_POS_COL)]
@@ -704,6 +774,27 @@ def merge_into(
             ).first()
             rows_deleted = int(counts["d"] or 0)
             rows_updated = int(counts["u"] or 0)
+            if nbs:
+                touched = sorted(
+                    r["__rel"]
+                    for r in classified.where(
+                        F.col("__del") | F.col("__upd")
+                    )
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                )
+                out["files_touched"] = len(touched)
+                tier = _route(
+                    root,
+                    m,
+                    touched,
+                    tier_req,
+                    cow_max_touched_fraction,
+                    vcols,
+                )
+                if tier == "mor" and vector_format == "pos" and not pos:
+                    raise AssertionError("pos capture invariant")
             rows_inserted = 0
             if when_not_matched_insert is not None:
                 unmatched = src.join(
@@ -760,7 +851,12 @@ def merge_into(
                 return F.col(c)
 
             if tier == "cow":
-                survivors = classified.where(~F.col("__del")).select(
+                surv_base = (
+                    classified.where(F.col("__rel").isin(touched))
+                    if nbs
+                    else classified
+                )
+                survivors = surv_base.where(~F.col("__del")).select(
                     *[_final(c) for c in t_cols]
                 )
                 new_data = (

@@ -188,8 +188,33 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             f"MERGE USING must name a registered table (got {s_cls}); "
             f"materialize subqueries into a DataFrame and register it"
         )
-    if _seq(plan.notMatchedBySourceActions()):
-        raise ValueError("WHEN NOT MATCHED BY SOURCE is not supported")
+    nbs_upd = None
+    nbs_cond = None
+    nbs_del = None
+    for a in _seq(plan.notMatchedBySourceActions()):
+        cls = a.getClass().getSimpleName()
+        if cls == "DeleteAction":
+            if nbs_del is not None:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED BY SOURCE ... DELETE"
+                )
+            c = _opt(a.condition())
+            nbs_del = True if c is None else c.sql()
+        elif cls == "UpdateAction":
+            if nbs_upd is not None:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE"
+                )
+            nbs_upd = {
+                _assign_key(g, {t_alias, t_name}): g.value().sql()
+                for g in _seq(a.assignments())
+            }
+            c = _opt(a.condition())
+            nbs_cond = None if c is None else c.sql()
+        else:
+            raise ValueError(
+                f"unsupported WHEN NOT MATCHED BY SOURCE action {cls}"
+            )
 
     upd = None
     upd_cond = None
@@ -256,6 +281,9 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
         when_matched_delete=delete,
         when_not_matched_insert=insert,
         update_condition=upd_cond,
+        when_not_matched_by_source_update=nbs_upd,
+        when_not_matched_by_source_delete=nbs_del,
+        not_matched_by_source_condition=nbs_cond,
         target_alias=t_alias,
         source_alias=s_alias,
         **opts,

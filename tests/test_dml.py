@@ -778,3 +778,85 @@ def test_update_invalid_set_fails_before_any_scan(spark, tmp_path):
         update_where(spark, root, {"nope": "1"}, "o_orderkey > 0")
     after = tracker.getJobIdsForGroup(None)
     assert before == after, "validation ran Spark jobs before raising"
+
+
+@pytest.mark.parametrize("tier", ["cow", "mor"])
+def test_merge_not_matched_by_source_clauses(spark, tmp_path, tier):
+    """WHEN NOT MATCHED BY SOURCE: target rows with no source key are
+    deleted / updated by their own clauses, composing with the matched
+    clauses and insert in one commit — reference semantics computed
+    independently row by row."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    rows = base.collect()
+    keys = sorted(r["o_orderkey"] for r in rows)
+    src_keys = {k for k in keys if k % 3 == 0}
+    max_key = keys[-1]
+    src = spark.createDataFrame(
+        [(int(k), 7.0) for k in sorted(src_keys)]
+        + [(int(max_key) + 11, 99.0)],
+        "o_orderkey bigint, price double",
+    )
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.price"},
+        when_not_matched_insert={"o_orderkey": "s.o_orderkey",
+                                 "o_totalprice": "s.price"},
+        # unmatched targets: drop the cheap ones, flag the rest
+        when_not_matched_by_source_delete="t.o_totalprice < 100000",
+        when_not_matched_by_source_update={"o_orderstatus": "'S'"},
+        tier=tier,
+    )
+    assert rep["tier"] == tier
+    expected = []
+    for r in rows:
+        t = tuple(r)
+        if r["o_orderkey"] in src_keys:
+            expected.append((t[0], t[1], t[2], 7.0))
+        elif r["o_totalprice"] < 100000:
+            continue  # NBS delete
+        else:
+            expected.append((t[0], t[1], "S", t[3]))  # NBS update
+    expected.append((max_key + 11, None, None, 99.0))
+    assert _rows(read_table(spark, root)) == sorted(expected)
+    n_del = sum(
+        1
+        for r in rows
+        if r["o_orderkey"] not in src_keys and r["o_totalprice"] < 100000
+    )
+    n_nbs_upd = sum(
+        1
+        for r in rows
+        if r["o_orderkey"] not in src_keys and r["o_totalprice"] >= 100000
+    )
+    assert rep["rows_deleted"] == n_del
+    assert rep["rows_updated"] == len(src_keys) + n_nbs_upd
+    assert rep["rows_inserted"] == 1
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    """The SQL face maps WHEN NOT MATCHED BY SOURCE clauses through."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    write_snapshot(df, root)
+    src = spark.createDataFrame([(1, 5.0)], "id long, nv double")
+    rep = run_sql(
+        spark,
+        """MERGE INTO t USING s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.nv
+           WHEN NOT MATCHED BY SOURCE AND t.v < 25 THEN DELETE
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""",
+        {"t": root, "s": src},
+    )
+    assert rep["rows_updated"] == 2 and rep["rows_deleted"] == 1
+    assert _rows(read_table(spark, root)) == [(1, 5.0), (3, 31.0)]
