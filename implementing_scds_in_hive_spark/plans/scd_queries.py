@@ -1007,6 +1007,84 @@ FROM src s WHERE NOT EXISTS (
 """
 
 
+def q_dml_merge_nbs(spark, sf_dir):
+    """``MERGE INTO`` with the full FIVE-clause surface, the two
+    WHEN NOT MATCHED BY SOURCE clauses live: source keys update their
+    match; target rows with NO source key are deleted when cheap and
+    status-flagged otherwise; new keys insert. Clause interactions and
+    the full-candidate NBS discovery are value-verified against one
+    relational oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"dml_nbs_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    mk = base.agg(F.max("o_orderkey")).first()[0]
+    src = (
+        base.where("o_orderkey % 7 = 0")
+        .select("o_orderkey", F.lit(8.0).alias("s_price"))
+        .unionByName(
+            spark.createDataFrame([(int(mk) + 13, 99.0)],
+                                  "o_orderkey bigint, s_price double")
+        )
+    )
+    merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.s_price"},
+        when_not_matched_insert={
+            "o_orderkey": "s.o_orderkey",
+            "o_totalprice": "s.s_price",
+        },
+        when_not_matched_by_source_delete="t.o_totalprice < 100000",
+        when_not_matched_by_source_update={"o_orderstatus": "'S'"},
+    )
+    return read_table(spark, root)
+
+
+DML_MERGE_NBS_SQL = """
+WITH maxk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+src AS (
+    SELECT o_orderkey AS k, 8.0 AS s_price FROM orders
+    WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT (SELECT mk FROM maxk) + 13, 99.0
+)
+SELECT t.o_orderkey, t.o_custkey,
+       CASE WHEN s.k IS NULL THEN 'S' ELSE t.o_orderstatus END
+           AS o_orderstatus,
+       CASE WHEN s.k IS NOT NULL THEN s.s_price
+            ELSE t.o_totalprice END AS o_totalprice
+FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+WHERE NOT COALESCE(s.k IS NULL AND t.o_totalprice < 100000, FALSE)
+UNION ALL
+SELECT s.k, NULL, NULL, s.s_price
+FROM src s WHERE NOT EXISTS (
+    SELECT 1 FROM orders t WHERE t.o_orderkey = s.k)
+"""
+
+
 # Driver registry (the driver verifies only the first 50 registry
 # entries, so every slot must earn its place): the flagship, one fixture
 # (staging — production's schema/branches are value-verified through the
@@ -1069,6 +1147,7 @@ PYTEST_ONLY_QUERIES = {
     "dml_update_where": q_dml_update_where,
     "dml_merge_into": q_dml_merge_into,
     "sql_dml_script": q_sql_dml_script,
+    "dml_merge_nbs": q_dml_merge_nbs,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
@@ -1088,6 +1167,7 @@ PYTEST_ONLY_ORACLES = {
     "dml_update_where": DML_UPDATE_SQL,
     "dml_merge_into": DML_MERGE_SQL,
     "sql_dml_script": SQL_DML_SCRIPT_SQL,
+    "dml_merge_nbs": DML_MERGE_NBS_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,
