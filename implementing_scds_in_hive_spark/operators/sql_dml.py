@@ -290,6 +290,95 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     )
 
 
+def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
+    """Analyze a parsed query sub-plan into a DataFrame via
+    ``Dataset.ofRows``, with registered tables exposed as temp views
+    for the analysis. Only simple (un-dotted) names can back the
+    query's relations: a temp view cannot shadow a catalog-qualified
+    ``db.tbl`` reference. Pre-existing session temp views with
+    colliding names are saved and restored — run_sql must not destroy
+    the user's views."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+    )
+
+    existing = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and not t.namespace
+    }
+    saved = {}
+    registered = []
+    try:
+        for name, src in tables.items():
+            if "." in name:
+                continue
+            if name in existing:
+                saved[name] = spark.table(name)
+            df = read_table(spark, src) if isinstance(src, str) else src
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, jquery
+        )
+        return DataFrame(jdf, spark)
+    finally:
+        for view in registered:
+            if view in saved:
+                saved[view].createOrReplaceTempView(view)
+            else:
+                spark.catalog.dropTempView(view)
+
+
+def _run_ctas(spark, plan, tables: dict) -> dict:
+    """``CREATE TABLE t [PARTITIONED BY (cols)] AS SELECT ...``:
+    materialize the query and publish it as version 1 of a NEW snapshot
+    table at the registered root. Refuses an existing table (ANSI
+    CREATE; use INSERT OVERWRITE to replace content)."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        write_snapshot,
+    )
+
+    name = ".".join(
+        str(x) for x in _seq(plan.name().nameParts())
+    )
+    root = _root_for(tables, name)
+    try:
+        exists = latest_version(root) is not None
+    except FileNotFoundError:
+        exists = False
+    if exists:
+        raise ValueError(
+            f"table {name!r} already exists at {root} — CREATE TABLE "
+            f"refuses to replace it (INSERT OVERWRITE replaces content; "
+            f"RESTORE rolls back)"
+        )
+    part_cols = []
+    for i in range(plan.partitioning().size()):
+        tr = plan.partitioning().apply(i)
+        if tr.getClass().getSimpleName() != "IdentityTransform":
+            raise ValueError(
+                f"only PARTITIONED BY (column) is supported; got "
+                f"{tr.describe()}"
+            )
+        part_cols.append(str(tr.describe()))
+    # the not-yet-created target must not be registered as a view for
+    # the query's analysis (reading it would fail — and a self-read
+    # CTAS is meaningless anyway)
+    q = _materialize_query(
+        spark,
+        plan.query(),
+        {k: v for k, v in tables.items() if k != name},
+    )
+    new_v = write_snapshot(q, root, partition_by=part_cols or None)
+    return {
+        "op": "create_table",
+        "version": new_v,
+        "partition_by": part_cols,
+    }
+
+
 def _run_insert(spark, plan, tables: dict) -> dict:
     """INSERT INTO / INSERT OVERWRITE: materialize the parsed query via
     ``Dataset.ofRows`` (registered tables become temp views for the
@@ -318,36 +407,7 @@ def _run_insert(spark, plan, tables: dict) -> dict:
     t_cols = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
 
-    # Only simple (un-dotted) names can back the query's relations: a
-    # temp view cannot shadow a catalog-qualified db.tbl reference.
-    # Pre-existing session temp views with colliding names are saved
-    # and restored — run_sql must not destroy the user's views.
-    existing = {
-        t.name
-        for t in spark.catalog.listTables()
-        if t.isTemporary and not t.namespace
-    }
-    saved = {}
-    registered = []
-    try:
-        for name, src in tables.items():
-            if "." in name:
-                continue
-            if name in existing:
-                saved[name] = spark.table(name)
-            df = read_table(spark, src) if isinstance(src, str) else src
-            df.createOrReplaceTempView(name)
-            registered.append(name)
-        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            spark._jsparkSession, plan.query()
-        )
-        q = DataFrame(jdf, spark)
-    finally:
-        for view in registered:
-            if view in saved:
-                saved[view].createOrReplaceTempView(view)
-            else:
-                spark.catalog.dropTempView(view)
+    q = _materialize_query(spark, plan.query(), tables)
 
     user_cols = [str(c) for c in _seq(plan.userSpecifiedCols())]
     target = user_cols or t_cols
@@ -430,8 +490,9 @@ def run_sql(
     Statements: ``DELETE FROM t [WHERE ...]``, ``UPDATE t SET ...
     [WHERE ...]``, ``MERGE INTO t USING s ON ... WHEN ...``,
     ``INSERT INTO/OVERWRITE t [(cols)] SELECT ...|VALUES ...``,
-    ``ALTER TABLE t ADD COLUMNS (...)`` (zero-rewrite schema
-    evolution), ``RESTORE TABLE t TO VERSION AS OF n`` (carry-by-
+    ``CREATE TABLE t [PARTITIONED BY (...)] AS SELECT ...`` (new
+    snapshot root), ``ALTER TABLE t ADD COLUMNS (...)`` (zero-rewrite
+    schema evolution), ``RESTORE TABLE t TO VERSION AS OF n`` (carry-by-
     reference), ``VACUUM t [RETAIN n HOURS]``, ``OPTIMIZE t [APPLY
     (PURGE)]``, ``DESCRIBE HISTORY t``. Returns the verb's report
     dict."""
@@ -514,6 +575,10 @@ def run_sql(
         if opts:
             raise ValueError(f"ALTER takes no options; got {sorted(opts)}")
         return _run_add_columns(spark, plan, tables)
+    if cls == "CreateTableAsSelect":
+        if opts:
+            raise ValueError(f"CREATE takes no options; got {sorted(opts)}")
+        return _run_ctas(spark, plan, tables)
     raise ValueError(
         f"unsupported statement kind {cls} — run_sql executes DML and "
         f"maintenance verbs; run read queries through the DataFrame/"

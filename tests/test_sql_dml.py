@@ -341,3 +341,36 @@ def test_sql_qualified_set_keys_resolve(spark, tmp_path):
         {"t": root, "s": src},
     )
     assert _rows(read_table(spark, root)) == [(1, 11.0), (2, 5.0)]
+
+
+def test_sql_create_table_as_select(spark, tmp_path):
+    """CTAS publishes version 1 of a NEW snapshot root (partitioned
+    form included); an existing table refuses."""
+    src_root = str(tmp_path / "src")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, grp string, v double",
+        ),
+        src_root,
+    )
+    dst = str(tmp_path / "dst")
+    rep = run_sql(
+        spark,
+        "CREATE TABLE agg PARTITIONED BY (grp) AS "
+        "SELECT grp, SUM(v) AS total FROM src GROUP BY grp",
+        {"src": src_root, "agg": dst},
+    )
+    assert rep == {"op": "create_table", "version": 1, "partition_by": ["grp"]}
+    got = read_table(spark, dst)
+    assert sorted(map(tuple, got.collect())) == [("a", 40.0), ("b", 20.0)]
+    assert load_manifest(dst, 1)["partition_by"] == ["grp"]
+    # the new table is immediately writable through the face
+    run_sql(spark, "DELETE FROM agg WHERE total > 30", {"agg": dst})
+    assert sorted(map(tuple, read_table(spark, dst).collect())) == [("b", 20.0)]
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(
+            spark,
+            "CREATE TABLE agg AS SELECT 1 AS x",
+            {"agg": dst},
+        )
