@@ -673,9 +673,10 @@ def merge_into(
         vcols = _vector_cols(vector_format, t_cols)
         if nbs:
             # tier is routed AFTER classification (touched unknown yet);
-            # capture positions up front whenever the format may need them
+            # capture positions up front whenever the format may need
+            # them — an EXPLICIT cow tier never will
             tier_req = tier
-            capture_pos = vector_format == "pos"
+            capture_pos = vector_format == "pos" and tier != "cow"
         else:
             tier = _route(
                 root, m, touched, tier, cow_max_touched_fraction, vcols

@@ -165,6 +165,20 @@ def _assign_key(assignment, allowed_quals: set[str]) -> str:
     )
 
 
+def _first_match_wins(upd_first: bool, upd, upd_cond, delete):
+    """SQL MERGE applies the FIRST matching clause in textual order;
+    the executable merge evaluates delete-first. When the statement
+    lists UPDATE before DELETE, restrict the delete to rows the update
+    clause does NOT claim (``cd AND NOT COALESCE(cu, FALSE)``) — an
+    exact mapping, including 3VL (a NULL update condition does not
+    claim the row, so the delete may still fire)."""
+    if not (upd_first and upd is not None and delete is not None):
+        return delete
+    cu = "TRUE" if upd_cond is None else upd_cond
+    cd = "TRUE" if delete is True else delete
+    return f"({cd}) AND NOT COALESCE(({cu}), FALSE)"
+
+
 def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     t_name, t_alias = _name_of(plan.targetTable())
     root = _root_for(tables, t_name)
@@ -191,6 +205,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     nbs_upd = None
     nbs_cond = None
     nbs_del = None
+    nbs_upd_first = False
     for a in _seq(plan.notMatchedBySourceActions()):
         cls = a.getClass().getSimpleName()
         if cls == "DeleteAction":
@@ -205,6 +220,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
                 raise ValueError(
                     "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE"
                 )
+            nbs_upd_first = nbs_del is None
             nbs_upd = {
                 _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
@@ -215,10 +231,12 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             raise ValueError(
                 f"unsupported WHEN NOT MATCHED BY SOURCE action {cls}"
             )
+    nbs_del = _first_match_wins(nbs_upd_first, nbs_upd, nbs_cond, nbs_del)
 
     upd = None
     upd_cond = None
     delete = None
+    upd_listed_first = False
     for a in _seq(plan.matchedActions()):
         cls = a.getClass().getSimpleName()
         if cls == "DeleteAction":
@@ -229,6 +247,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
         elif cls == "UpdateAction":
             if upd is not None:
                 raise ValueError("at most one WHEN MATCHED ... UPDATE")
+            upd_listed_first = delete is None
             upd = {
                 _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
@@ -237,6 +256,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             upd_cond = None if c is None else c.sql()
         else:
             raise ValueError(f"unsupported WHEN MATCHED action {cls}")
+    delete = _first_match_wins(upd_listed_first, upd, upd_cond, delete)
     insert = None
     for a in _seq(plan.notMatchedActions()):
         cls = a.getClass().getSimpleName()
@@ -344,15 +364,18 @@ def _run_ctas(spark, plan, tables: dict) -> dict:
         str(x) for x in _seq(plan.name().nameParts())
     )
     root = _root_for(tables, name)
-    try:
-        exists = latest_version(root) is not None
-    except FileNotFoundError:
-        exists = False
-    if exists:
+    existing = latest_version(root)
+    if existing is not None:
+        if plan.ignoreIfExists():
+            return {
+                "op": "create_table",
+                "version": existing,
+                "skipped": True,
+            }
         raise ValueError(
             f"table {name!r} already exists at {root} — CREATE TABLE "
             f"refuses to replace it (INSERT OVERWRITE replaces content; "
-            f"RESTORE rolls back)"
+            f"RESTORE rolls back; IF NOT EXISTS no-ops)"
         )
     part_cols = []
     for i in range(plan.partitioning().size()):
@@ -362,7 +385,16 @@ def _run_ctas(spark, plan, tables: dict) -> dict:
                 f"only PARTITIONED BY (column) is supported; got "
                 f"{tr.describe()}"
             )
-        part_cols.append(str(tr.describe()))
+        # raw name parts via ref().fieldNames() (a Java array py4j
+        # iterates), not describe() — which backtick-quotes non-simple
+        # identifiers into names partitionBy can't resolve
+        fparts = [str(x) for x in tr.ref().fieldNames()]
+        if len(fparts) != 1:
+            raise ValueError(
+                f"PARTITIONED BY must name top-level columns; got "
+                f"{'.'.join(fparts)}"
+            )
+        part_cols.append(fparts[0])
     # the not-yet-created target must not be registered as a view for
     # the query's analysis (reading it would fail — and a self-read
     # CTAS is meaningless anyway)

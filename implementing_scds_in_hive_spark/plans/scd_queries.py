@@ -1008,10 +1008,11 @@ FROM src s WHERE NOT EXISTS (
 
 
 def q_dml_merge_nbs(spark, sf_dir):
-    """``MERGE INTO`` with the full FIVE-clause surface, the two
-    WHEN NOT MATCHED BY SOURCE clauses live: source keys update their
-    match; target rows with NO source key are deleted when cheap and
-    status-flagged otherwise; new keys insert. Clause interactions and
+    """``MERGE INTO`` with ALL FIVE clauses live: matched rows with a
+    negative source price are DELETED, other matches take the source
+    price; target rows with NO source key are deleted when cheap and
+    status-flagged otherwise; new keys insert. Clause interactions
+    (including matched-delete folding with the by-source delete) and
     the full-candidate NBS discovery are value-verified against one
     relational oracle."""
     import os
@@ -1041,7 +1042,13 @@ def q_dml_merge_nbs(spark, sf_dir):
     mk = base.agg(F.max("o_orderkey")).first()[0]
     src = (
         base.where("o_orderkey % 7 = 0")
-        .select("o_orderkey", F.lit(8.0).alias("s_price"))
+        .select(
+            "o_orderkey",
+            # every 3rd source key carries the delete sentinel
+            F.when(F.col("o_orderkey") % 21 == 0, F.lit(-1.0))
+            .otherwise(F.lit(8.0))
+            .alias("s_price"),
+        )
         .unionByName(
             spark.createDataFrame([(int(mk) + 13, 99.0)],
                                   "o_orderkey bigint, s_price double")
@@ -1052,6 +1059,7 @@ def q_dml_merge_nbs(spark, sf_dir):
         root,
         src,
         ["o_orderkey"],
+        when_matched_delete="s.s_price < 0",
         when_matched_update={"o_totalprice": "s.s_price"},
         when_not_matched_insert={
             "o_orderkey": "s.o_orderkey",
@@ -1066,8 +1074,9 @@ def q_dml_merge_nbs(spark, sf_dir):
 DML_MERGE_NBS_SQL = """
 WITH maxk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
 src AS (
-    SELECT o_orderkey AS k, 8.0 AS s_price FROM orders
-    WHERE o_orderkey % 7 = 0
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 21 = 0 THEN -1.0 ELSE 8.0 END AS s_price
+    FROM orders WHERE o_orderkey % 7 = 0
     UNION ALL
     SELECT (SELECT mk FROM maxk) + 13, 99.0
 )
@@ -1077,7 +1086,8 @@ SELECT t.o_orderkey, t.o_custkey,
        CASE WHEN s.k IS NOT NULL THEN s.s_price
             ELSE t.o_totalprice END AS o_totalprice
 FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
-WHERE NOT COALESCE(s.k IS NULL AND t.o_totalprice < 100000, FALSE)
+WHERE NOT COALESCE(s.k IS NOT NULL AND s.s_price < 0, FALSE)
+  AND NOT COALESCE(s.k IS NULL AND t.o_totalprice < 100000, FALSE)
 UNION ALL
 SELECT s.k, NULL, NULL, s.s_price
 FROM src s WHERE NOT EXISTS (

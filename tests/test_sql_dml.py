@@ -374,3 +374,50 @@ def test_sql_create_table_as_select(spark, tmp_path):
             "CREATE TABLE agg AS SELECT 1 AS x",
             {"agg": dst},
         )
+
+
+def test_sql_merge_first_match_wins_clause_order(spark, tmp_path):
+    """Self-review r8 (fourth pass): SQL MERGE applies the FIRST
+    matching clause in textual order. UPDATE listed before an
+    unconditional DELETE must claim its rows — the engine's
+    delete-first evaluation is remapped by restricting the delete to
+    rows the update does not claim."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rep = run_sql(
+        spark,
+        """MERGE INTO t USING s ON t.id = s.id
+           WHEN MATCHED AND t.v < 25 THEN UPDATE SET v = 0
+           WHEN MATCHED THEN DELETE""",
+        {"t": root, "s": src},
+    )
+    assert rep["rows_updated"] == 2 and rep["rows_deleted"] == 1
+    assert _rows(read_table(spark, root)) == [(1, 0.0), (2, 0.0)]
+    # same rule for the by-source clauses
+    run_sql(
+        spark,
+        """MERGE INTO t USING e ON t.id = e.id
+           WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN UPDATE SET v = 7
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"t": root, "e": spark.createDataFrame([(99,)], "id long")},
+    )
+    assert _rows(read_table(spark, root)) == [(1, 7.0)]
+
+
+def test_sql_create_if_not_exists_noops(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rep = run_sql(
+        spark, "CREATE TABLE t AS SELECT 1 AS a", {"t": root}
+    )
+    assert rep["version"] == 1
+    rep = run_sql(
+        spark, "CREATE TABLE IF NOT EXISTS t AS SELECT 2 AS a", {"t": root}
+    )
+    assert rep == {"op": "create_table", "version": 1, "skipped": True}
+    assert _rows(read_table(spark, root)) == [(1,)]
