@@ -1158,3 +1158,50 @@ def test_restore_and_evolve_commits_adopt_app_meta(spark, tmp_path):
     v4 = restore_commit(root, 1)
     am = load_manifest(root, v4)["app_meta"]
     assert am == {"source_watermark": 7, "restored_from_version": 1}
+
+
+def test_restore_commit_survives_racing_vacuum_tombstones(
+    spark, tmp_path, monkeypatch
+):
+    """The restore<->vacuum race the grace window protects: a vacuum
+    that drops the adopted version's manifest and PHASE-1 tombstones
+    its dirs between restore's manifest read and its link must not
+    poison the restored table — the existence check passes inside the
+    grace window and the winning restore clears the tombstones,
+    restarting any grace clock, so a later vacuum keeps the
+    (re-referenced) dirs."""
+    import os as _os
+
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, [1, 2]), root)
+    write_snapshot(_df(spark, [3]), root)
+    m1 = load_manifest(root, 1)
+
+    real_link = _os.link
+    fired = {"n": 0}
+
+    def racing_link(src, dst):
+        if "_manifests" in dst and fired["n"] == 0:
+            fired["n"] = 1
+            # between the restore's manifest read and its link: v1 is
+            # dropped and its dirs get phase-1 tombstones (long grace,
+            # so nothing is deleted yet)
+            vacuum(root, keep_last=1, grace_seconds=3600.0)
+            for d in m1["snapshot_dirs"]:
+                assert _os.path.exists(
+                    snap._tombstone_path(root, d)
+                ), "racing vacuum should have tombstoned v1's dirs"
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    v3 = snap.restore_commit(root, 1)
+    monkeypatch.setattr(snap.os, "link", real_link)
+    assert _ids(read_table(spark, root)) == [1, 2]
+    # the winner cleared the tombstones; a later vacuum keeps the dirs
+    for d in m1["snapshot_dirs"]:
+        assert not _os.path.exists(snap._tombstone_path(root, d))
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert _ids(read_table(spark, root)) == [1, 2]
+    assert latest_version(root) == v3
