@@ -217,6 +217,7 @@ def delete_where(
     tier: str = "auto",
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
+    mor_max_matched_fraction: float = 0.7,
     vector_format: str = "pos",
     scope_alias: str | None = None,
 ) -> dict:
@@ -230,8 +231,12 @@ def delete_where(
     ``tier="auto"`` routes on the touched-file fraction: few files →
     copy-on-write (rewrite them minus the matching rows), many →
     merge-on-read (positional tombstones by default — see the module
-    docstring and ``vector_format`` — no file rewritten). A table
-    whose touched files carry vectors this batch's format cannot fold
+    docstring and ``vector_format`` — no file rewritten) — EXCEPT that
+    a predicate matching ≥ ``mor_max_matched_fraction`` of the touched
+    files' rows (e.g. a whole-table DELETE) routes back to CoW, where
+    MoR would tombstone nearly every row and leave the table all
+    vector debt (see ``_route``). A table whose touched files carry
+    vectors this batch's format cannot fold also
     auto-falls-back to CoW, which kills those files' vectors with the
     files. Returns ``{"op", "tier", "parent_version", "version",
     "files_total", "files_candidates", "files_touched",
@@ -251,7 +256,16 @@ def delete_where(
     vcols = _vector_cols(vector_format, data_cols)
     if not touched:
         return {**out, "tier": "noop"}
-    tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
+    tier = _route(
+        root,
+        m,
+        touched,
+        tier,
+        cow_max_touched_fraction,
+        vcols,
+        rows_matched=out["rows_matched"],
+        mor_max_matched_fraction=mor_max_matched_fraction,
+    )
     if tier == "cow":
         scan = read_manifest_files(spark, root, m, touched)
         if scope_alias:
@@ -294,6 +308,7 @@ def update_where(
     tier: str = "auto",
     prune: dict | None = None,
     cow_max_touched_fraction: float = 0.25,
+    mor_max_matched_fraction: float = 0.7,
     vector_format: str = "pos",
     scope_alias: str | None = None,
 ) -> dict:
@@ -338,7 +353,16 @@ def update_where(
     vcols = _vector_cols(vector_format, data_cols)
     if not touched:
         return {**out, "tier": "noop"}
-    tier = _route(root, m, touched, tier, cow_max_touched_fraction, vcols)
+    tier = _route(
+        root,
+        m,
+        touched,
+        tier,
+        cow_max_touched_fraction,
+        vcols,
+        rows_matched=out["rows_matched"],
+        mor_max_matched_fraction=mor_max_matched_fraction,
+    )
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
     if tier == "cow":
         rows = read_manifest_files(spark, root, m, touched)
@@ -393,19 +417,37 @@ def _route(
     tier: str,
     cow_max_touched_fraction: float,
     vector_cols: list[str],
+    *,
+    rows_matched: int | None = None,
+    mor_max_matched_fraction: float = 0.7,
 ) -> str:
     """Tier policy shared by the DML verbs. ``auto`` routes on the
     touched-file fraction (the CoW write bill is the touched files; the
-    MoR bill is O(matched rows) + a read overlay) — except that touched
-    files carrying vectors this batch's format cannot fold (a different
-    column set, e.g. an SCD merge's single-key vectors under a
-    positional batch) route to CoW, which retires those vectors with
-    their files and is therefore always compatible. The probe reads one
-    parquet footer driver-side per DISTINCT vector file referenced by
-    the touched set — vectors from different commits can have different
-    column sets, so a single-file sample would mis-route."""
+    MoR bill is O(matched rows) + a read overlay) — with two overrides:
+
+    * **matched-density cap** (ADVICE r8): a predicate matching most of
+      the touched files' ROWS (e.g. an unqualified ``UPDATE``: touched
+      fraction 1.0, matched fraction 1.0) would make MoR append a
+      near-complete copy of the table PLUS a tombstone per row and
+      leave every file carrying vector debt — strictly worse than CoW.
+      When ``rows_matched / rows(touched files) >=
+      mor_max_matched_fraction`` the auto tier routes back to CoW. The
+      denominator comes from memoized driver-side footer counts
+      (O(#touched), no data read), paid only when auto already chose
+      MoR. Note the cap is on ROW density, never the touched-FILE
+      fraction — a uniformly-scattered 1% batch touches 100% of files
+      and must stay MoR (the whole point of the tier).
+    * **fold compatibility**: touched files carrying vectors this
+      batch's format cannot fold (a different column set, e.g. an SCD
+      merge's single-key vectors under a positional batch) route to
+      CoW, which retires those vectors with their files and is
+      therefore always compatible. The probe reads one parquet footer
+      driver-side per DISTINCT vector file referenced by the touched
+      set — vectors from different commits can have different column
+      sets, so a single-file sample would mis-route."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
+        file_row_counts,
     )
 
     if tier not in ("auto", "cow", "mor"):
@@ -414,6 +456,10 @@ def _route(
         return tier
     frac = len(touched) / max(1, len(m["files"]))
     chosen = "cow" if frac <= cow_max_touched_fraction else "mor"
+    if chosen == "mor" and rows_matched is not None:
+        total = sum(file_row_counts(root, touched).values())
+        if total and rows_matched / total >= mor_max_matched_fraction:
+            return "cow"
     if chosen == "mor":
         deletes = m.get("deletes", {})
         want = {DELETE_FILE_COL, *vector_cols}
@@ -424,6 +470,53 @@ def _route(
         ):
             return "cow"
     return chosen
+
+def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
+    """WHEN NOT MATCHED BY SOURCE expressions evaluate on target rows
+    with NO source match — every source column is NULL there, so a
+    source reference in a SET value silently writes NULL and in a
+    condition 3VL-no-fires. Delta/Spark MERGE rejects source references
+    in NBS clauses at analysis; mirror that loudly. ``clauses`` is a
+    list of (label, expr) with expr a SQL string or Column; walks each
+    parsed tree for attributes qualified by the source alias, or
+    unqualified attributes that resolve only against the source."""
+
+    def _attrs(e, out):
+        if e.getClass().getSimpleName() == "UnresolvedAttribute":
+            out.append([str(x) for x in _jseq(e.nameParts())])
+        ch = e.children()
+        for i in range(ch.size()):
+            _attrs(ch.apply(i), out)
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for label, expr in clauses:
+        if expr is None or expr is True or expr is False:
+            continue
+        je = (
+            parser.parseExpression(expr)
+            if isinstance(expr, str)
+            else expr._jc.expr()
+        )
+        attrs: list[list[str]] = []
+        _attrs(je, attrs)
+        bad = sorted(
+            ".".join(p)
+            for p in attrs
+            if (len(p) >= 2 and p[-2] == sa)
+            or (len(p) == 1 and p[0] in s_cols and p[0] not in t_cols)
+        )
+        if bad:
+            raise ValueError(
+                f"WHEN NOT MATCHED BY SOURCE {label} references source "
+                f"columns {bad} — these rows have no source match, so "
+                f"every source column is NULL there; reference only "
+                f"target ({sorted(t_cols)[:8]}...) columns"
+            )
+
+
+def _jseq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
 
 def merge_into(
     spark: SparkSession,
@@ -440,6 +533,7 @@ def merge_into(
     not_matched_by_source_condition=None,
     tier: str = "auto",
     cow_max_touched_fraction: float = 0.25,
+    mor_max_matched_fraction: float = 0.7,
     broadcast_source: bool = True,
     validate_source_unique: bool = True,
     vector_format: str = "pos",
@@ -471,9 +565,11 @@ def merge_into(
     * ``when_not_matched_by_source_delete`` / ``..._update`` (+
       ``not_matched_by_source_condition`` gating the update) — the
       Delta ``WHEN NOT MATCHED BY SOURCE`` clauses: applied to TARGET
-      rows whose key has no source match. Expressions should reference
-      ``t.`` columns only (source columns are NULL on these rows, so an
-      ``s.`` reference evaluates through 3VL to no-fire). NOTE the
+      rows whose key has no source match. Expressions must reference
+      ``t.`` columns only — source columns are NULL on these rows, so a
+      source reference would silently write NULLs (SET) or 3VL-no-fire
+      (conditions); like Delta's MERGE, these clauses reject source
+      references up front (loudly, before any scan). NOTE the
       inherent cost: these clauses reach the WHOLE table, so discovery
       becomes one full-candidate scan + join instead of the
       source-bounds prune + semi-join — exactly the trade a lakehouse
@@ -551,6 +647,23 @@ def merge_into(
         when_not_matched_by_source_update is not None
         or when_not_matched_by_source_delete is not None
     )
+    if nbs:
+        _assert_nbs_target_only(
+            spark,
+            [
+                *[
+                    (f"SET {c}", e)
+                    for c, e in (
+                        when_not_matched_by_source_update or {}
+                    ).items()
+                ],
+                ("condition", not_matched_by_source_condition),
+                ("DELETE condition", when_not_matched_by_source_delete),
+            ],
+            source_alias,
+            set(t_cols),
+            set(source.columns),
+        )
     if when_not_matched_insert == "all":
         missing = sorted(set(t_cols) - set(source.columns))
         if missing:
@@ -642,6 +755,7 @@ def merge_into(
             candidates = list(m["files"])
         out["files_candidates"] = len(candidates)
         touched: list[str] = []
+        n_key_matched = 0
         if candidates and not nbs:
             cand = read_manifest_files(
                 spark, root, m, candidates, rel_path_col="__rel"
@@ -653,14 +767,18 @@ def merge_into(
             keys = keyed.select(*on).distinct()
             if broadcast_source:
                 keys = F.broadcast(keys)
-            touched = sorted(
-                r["__rel"]
-                for r in cand.select(*on, "__rel")
+            # one grouped collect (O(#touched files), never rows) yields
+            # the touched list AND the key-matched row count — the auto
+            # router's matched-density signal
+            per_file = (
+                cand.select(*on, "__rel")
                 .join(keys, on, "left_semi")
-                .select("__rel")
-                .distinct()
+                .groupBy("__rel")
+                .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
             )
+            touched = sorted(r["__rel"] for r in per_file)
+            n_key_matched = sum(r["__n"] for r in per_file)
         out["files_touched"] = len(touched)
         if not nbs and not touched and when_not_matched_insert is None:
             return {
@@ -678,8 +796,21 @@ def merge_into(
             tier_req = tier
             capture_pos = vector_format == "pos" and tier != "cow"
         else:
+            # the matched-density signal here is KEY-match density (the
+            # discovery semi-join's row count): clause conditions may
+            # fire on fewer rows, so the cap over-approximates toward
+            # CoW exactly for whole-table-key merges (the shape the cap
+            # exists for); a key-dense merge whose conditions fire
+            # sparsely should pass tier="mor" explicitly
             tier = _route(
-                root, m, touched, tier, cow_max_touched_fraction, vcols
+                root,
+                m,
+                touched,
+                tier,
+                cow_max_touched_fraction,
+                vcols,
+                rows_matched=n_key_matched,
+                mor_max_matched_fraction=mor_max_matched_fraction,
             )
             capture_pos = vector_format == "pos" and tier == "mor"
         pos = capture_pos
@@ -793,6 +924,8 @@ def merge_into(
                     tier_req,
                     cow_max_touched_fraction,
                     vcols,
+                    rows_matched=rows_deleted + rows_updated,
+                    mor_max_matched_fraction=mor_max_matched_fraction,
                 )
                 if tier == "mor" and vector_format == "pos" and not pos:
                     raise AssertionError("pos capture invariant")
@@ -955,5 +1088,12 @@ def restore_version(
         mode="overwrite",
         expected_version=expected_version,
         stats_cols=_stats_cols(m),
-        app_meta={"restored_from_version": version},
+        # adopt the historical manifest's app_meta exactly like the
+        # carry-by-reference restore_commit does — dropping it would
+        # silently force e.g. a full matview rebuild (the refresh loop
+        # keys off app_meta watermarks)
+        app_meta={
+            **(m.get("app_meta") or {}),
+            "restored_from_version": version,
+        },
     )

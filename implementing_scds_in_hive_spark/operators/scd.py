@@ -458,6 +458,7 @@ def scd2_merge_incremental(
     evolve_schema: bool = False,
     tier: str = "auto",
     cow_max_candidate_fraction: float = 0.25,
+    vector_format: str = "pos",
 ) -> dict:
     """Policy router over the two incremental publish tiers — the one
     entry point a maintenance pipeline calls per staging batch:
@@ -474,8 +475,16 @@ def scd2_merge_incremental(
     truly-touched files, which errs toward MoR: the safe direction
     (MoR never write-amplifies; the worst case is a bounded read
     overlay that the maintenance fold removes), whereas mis-routing a
-    scattered batch to CoW rewrites the table. ``tier="cow"``/``"mor"``
-    force a path. Returns the chosen merge's report plus ``"tier"``.
+    scattered batch to CoW rewrites the table. One exception mirrors
+    ``dml._route`` (ADVICE r8): an auto-chosen MoR probes the candidate
+    files' PRIOR vectors (driver-side footers, memoized) and falls back
+    to CoW when any carries a column set this batch's ``vector_format``
+    cannot fold — the fold would otherwise raise the compact-first
+    error mid-pipeline, failing scheduled maintainers/stream batches
+    that auto-route, while CoW simply retires those vectors with the
+    files. ``tier="cow"``/``"mor"`` force a path (a forced mor still
+    raises on incompatible vectors — explicit asks stay loud). Returns
+    the chosen merge's report plus ``"tier"``.
 
     The routed merge re-resolves the table itself (its own CAS guards
     the read-modify-write); the only duplicated work is one tiny
@@ -494,13 +503,38 @@ def scd2_merge_incremental(
     if tier == "auto":
         frac = len(candidates) / max(1, len(m["files"]))
         tier = "cow" if frac <= cow_max_candidate_fraction else "mor"
+        if tier == "mor":
+            from implementing_scds_in_hive_spark.sources.snapshot import (
+                DELETE_FILE_COL,
+                DELETE_POS_COL,
+                vector_schemas,
+            )
+
+            want = {
+                DELETE_FILE_COL,
+                DELETE_POS_COL if vector_format == "pos" else cfg.key,
+            }
+            deletes = m.get("deletes", {})
+            rels = {r for f in candidates for r in deletes.get(f, [])}
+            if any(
+                names != want
+                for names in vector_schemas(root, rels).values()
+            ):
+                tier = "cow"
     if tier not in ("cow", "mor"):
         raise ValueError(f"tier must be auto|cow|mor, got {tier!r}")
-    fn = scd2_merge_cow if tier == "cow" else scd2_merge_mor
-    rep = fn(
-        spark, root, staging, cfg, as_of,
-        key_strategy=key_strategy, plan=plan, evolve_schema=evolve_schema,
-    )
+    if tier == "cow":
+        rep = scd2_merge_cow(
+            spark, root, staging, cfg, as_of,
+            key_strategy=key_strategy, plan=plan,
+            evolve_schema=evolve_schema,
+        )
+    else:
+        rep = scd2_merge_mor(
+            spark, root, staging, cfg, as_of,
+            key_strategy=key_strategy, plan=plan,
+            evolve_schema=evolve_schema, vector_format=vector_format,
+        )
     return {**rep, "tier": tier}
 
 

@@ -283,6 +283,35 @@ def vector_schemas(root: str, rels) -> dict[str, set]:
     return out
 
 
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def file_row_counts(root: str, rels) -> dict[str, int]:
+    """Per-file row counts from parquet footer metadata, one driver-side
+    read apiece (O(#files), no data scanned) — the DML auto-router's
+    matched-row-fraction signal. Memoized like ``vector_schemas``: data
+    files are IMMUTABLE once staged (content-addressed dirs, never
+    rewritten in place), so a footer count is valid for the file's
+    lifetime; existence is re-checked per hit so a vacuumed file's entry
+    dies with it (FIFO-bounded)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for r in sorted(set(rels)):
+        key = (os.path.realpath(root), r)
+        path = os.path.join(root, r)
+        cached = _ROW_COUNT_CACHE.get(key)
+        if cached is not None and os.path.exists(path):
+            out[r] = cached
+            continue
+        n = pq.ParquetFile(path).metadata.num_rows
+        if len(_ROW_COUNT_CACHE) >= 65536:
+            _ROW_COUNT_CACHE.pop(next(iter(_ROW_COUNT_CACHE)))
+        _ROW_COUNT_CACHE[key] = n
+        out[r] = n
+    return out
+
+
 def fold_prior_vectors(
     spark: SparkSession,
     root: str,
@@ -1408,10 +1437,15 @@ def _iso_bound(b):
 
 
 def _canon_iso(s: str) -> str:
-    """Stored stats strings from manifests written before the naive-UTC
-    normalization carry a timezone suffix ('...+00:00'); canonicalize
-    to naive-UTC isoformat so the lexicographic compare is exact at the
-    boundary. Non-temporal strings pass through untouched."""
+    """Stored stats strings can deviate from the canonical naive-UTC
+    'T'-separated isoformat two ways: manifests written before the
+    naive-UTC normalization carry a timezone suffix ('...+00:00'), and
+    TIMESTAMP-typed hive-partition path values use Spark's
+    SPACE-separated form ('2024-01-01 00:00:00' — stored verbatim by
+    ``_partition_values``). Both orders wrong lexicographically against
+    a 'T'-separated bound (' ' < 'T' < '+'), silently pruning boundary
+    files, so re-render every parseable value through ``isoformat()``.
+    Non-temporal strings pass through untouched."""
     import datetime
 
     try:
@@ -1419,10 +1453,8 @@ def _canon_iso(s: str) -> str:
     except (ValueError, TypeError):
         return s
     if d.tzinfo is not None:
-        return d.astimezone(datetime.timezone.utc).replace(
-            tzinfo=None
-        ).isoformat()
-    return s
+        d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return d.isoformat()
 
 
 def _survives_prune(file_stats: dict, prune: dict) -> bool:

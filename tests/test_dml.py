@@ -156,6 +156,54 @@ def test_noop_and_prune_and_routing(spark, tmp_path):
     assert rep["tier"] == "mor"
 
 
+def test_auto_caps_mor_at_high_matched_density(spark, tmp_path):
+    """ADVICE r8: the auto tier had no upper bound, so a whole-table
+    predicate (the SQL face's unqualified UPDATE passes 'true') routed
+    to MoR and appended a complete copy of the table plus a tombstone
+    per row — strictly worse than CoW, leaving 100% of files carrying
+    vector debt. Auto now caps on MATCHED-ROW density (footer counts of
+    the touched files): dense → CoW. Crucially the cap is on ROW
+    density, not touched-FILE fraction — a scattered sparse predicate
+    still touches every file and must stay MoR (the r8 marquee case)."""
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    # whole-table UPDATE: touched fraction 1.0 AND matched density 1.0
+    rep = update_where(spark, root, {"o_orderstatus": "'Z'"}, "true")
+    assert rep["tier"] == "cow"
+    assert not load_manifest(root, latest_version(root)).get("deletes")
+    # scattered sparse predicate: touches every file, density ~10% ->
+    # stays MoR (no rewrite amplification)
+    rep2 = delete_where(spark, root, "o_orderkey % 10 = 3")
+    assert rep2["tier"] == "mor"
+    assert rep2["files_touched"] == rep2["files_total"]
+    # the cap is a knob: loosening it lets the dense predicate stay MoR
+    rep3 = update_where(
+        spark,
+        root,
+        {"o_orderstatus": "'Y'"},
+        "o_orderkey % 10 <> 3",
+        mor_max_matched_fraction=1.01,
+        vector_format="pos",
+    )
+    assert rep3["tier"] == "mor"
+    # merge: a source carrying (nearly) every live key routes auto->CoW
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    src = read_table(spark, root).select("o_orderkey").withColumn(
+        "price", F.lit(3.0)
+    )
+    rep4 = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.price"},
+        when_not_matched_insert=None,
+    )
+    assert rep4["tier"] == "cow"
+
+
 def test_auto_falls_back_to_cow_over_foreign_vectors(spark, tmp_path):
     """Touched files carrying vectors a full-row batch cannot fold
     (different column set — here a hand-staged single-key vector) route
@@ -838,6 +886,49 @@ def test_merge_not_matched_by_source_clauses(spark, tmp_path, tier):
     assert rep["rows_deleted"] == n_del
     assert rep["rows_updated"] == len(src_keys) + n_nbs_upd
     assert rep["rows_inserted"] == 1
+
+
+def test_merge_nbs_rejects_source_references(spark, tmp_path):
+    """ADVICE r8: NBS expressions referencing source columns evaluate
+    to NULL on unmatched rows — a SET would silently write NULLs.
+    Delta/Spark MERGE rejects source references in NBS clauses at
+    analysis; ours must raise the same loud error (qualified s.col AND
+    an unqualified source-only column), before any scan."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    src = spark.createDataFrame(
+        [(1, 7.0)], "o_orderkey bigint, price double"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE SET"):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_not_matched_by_source_update={"o_totalprice": "s.price"},
+        )
+    # unqualified reference that only the source can resolve
+    with pytest.raises(ValueError, match="references source columns"):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_not_matched_by_source_update={"o_totalprice": "price"},
+        )
+    # conditions are validated too (3VL would silently no-fire them)
+    with pytest.raises(ValueError, match="DELETE condition"):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_not_matched_by_source_delete="s.price < 0",
+        )
+    assert before == tracker.getJobIdsForGroup(None)
+    # target-only expressions (possibly alias-qualified) still pass
+    merge_into(
+        spark, root, src, ["o_orderkey"],
+        when_not_matched_by_source_update={
+            "o_totalprice": "t.o_totalprice + 1"
+        },
+        when_not_matched_insert=None,
+    )
 
 
 def test_sql_merge_not_matched_by_source(spark, tmp_path):

@@ -537,6 +537,59 @@ def test_incremental_router_picks_tier_by_candidate_fraction(
         )
 
 
+def test_incremental_router_falls_back_to_cow_on_legacy_vectors(
+    spark, tmp_path
+):
+    """ADVICE r8: the auto router decided cow/mor from the candidate
+    fraction alone — auto-routing to MoR over touched files carrying
+    legacy KEY vectors raised the compact-first ValueError mid-pipeline
+    (failing scheduled maintainers instead of doing the work). The auto
+    branch now mirrors dml._route's footer probe: incompatible prior
+    vectors route to CoW, which retires them with their files. A FORCED
+    mor tier still raises — explicit asks stay loud."""
+    from implementing_scds_in_hive_spark.operators.scd import (
+        scd2_merge_incremental,
+    )
+
+    root = str(tmp_path / "dim")
+    _publish_v1(spark, root, n_files=16)
+    staging_all = customer_staging(spark, SF).where(
+        F.col("c_custkey") < 1_000_000
+    )
+    scattered = staging_all.where(F.col("c_custkey") % 7 == 3)
+    # leave legacy single-key vectors on most files
+    rep1 = scd2_merge_mor(
+        spark, root, scattered, CUSTOMER_CFG, AS_OF, vector_format="key"
+    )
+    assert rep1["files_tombstoned"] > 0
+    v2 = latest_version(root)
+    # a second scattered batch would route mor — but its positional
+    # vectors can't fold into the key vectors: auto falls back to cow
+    scattered2 = staging_all.where(F.col("c_custkey") % 7 == 5)
+    rep2 = scd2_merge_incremental(
+        spark, root, scattered2, CUSTOMER_CFG, AS_OF
+    )
+    assert rep2["tier"] == "cow"
+    expected = _full_merge(spark, root, scattered2, v2)
+    assert _canon(read_table(spark, root)) == _canon(expected)
+    # matching format still auto-routes mor (fold is compatible)
+    scattered3 = staging_all.where(F.col("c_custkey") % 7 == 1)
+    rep3 = scd2_merge_incremental(
+        spark, root, scattered3, CUSTOMER_CFG, AS_OF, vector_format="key"
+    )
+    assert rep3["tier"] == "mor"
+    # forced mor with the incompatible format raises loudly
+    with pytest.raises(ValueError, match="compact_deletes"):
+        scd2_merge_incremental(
+            spark,
+            root,
+            staging_all.where(F.col("c_custkey") % 7 == 2),
+            CUSTOMER_CFG,
+            AS_OF,
+            tier="mor",
+        )
+
+
 def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
     """Model-based check of the protocol WITH the r8 merge-on-read ops:
     any chain of overwrite / append / key-delete (deletion-vector

@@ -1139,6 +1139,43 @@ def test_prune_timestamp_bounds_match_tz_aware_stats(spark, tmp_path):
     )
 
 
+def test_prune_timestamp_partition_boundary(spark, tmp_path):
+    """ADVICE r8 (medium): TIMESTAMP-typed hive-partition path values
+    are Spark's SPACE-separated form ('2024-01-01 00:00:00'), stored
+    verbatim as the file's [v, v] stats entry, while prune bounds render
+    'T'-separated — ' ' < 'T' made fmax < lo for any file sharing the
+    bound's calendar date, silently pruning boundary files (and with
+    them delete_where/update_where/merge_into candidate discovery).
+    _canon_iso now re-renders every parseable temporal string through
+    isoformat(), so both forms compare in one canonical frame."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 5 + (i % 2)))  # two partition values
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    write_snapshot(df, root, partition_by=["ts"])
+    m = load_manifest(root, 1)
+    # the path-derived stats carry Spark's space-separated form — the
+    # very shape the fix must canonicalize (if Spark ever changes the
+    # path rendering this assert documents the assumption)
+    forms = {s["ts"][0] for s in m["stats"].values()}
+    assert any(" " in v for v in forms), forms
+    bound = dt.datetime(2024, 1, 5)
+    got = read_snapshot(spark, root, prune={"ts": (bound, bound)})
+    assert sorted(r["id"] for r in got.collect()) == [0, 2, 4, 6]
+    # the boundary file survives candidate discovery in the DML verbs too
+    from implementing_scds_in_hive_spark.operators.dml import _candidates
+
+    cands = _candidates(m, {"ts": (bound, bound)})
+    assert len(cands) == sum(
+        1 for s in m["stats"].values()
+        if dt.datetime.fromisoformat(s["ts"][0]) == bound
+    ) > 0
+
+
 def test_restore_and_evolve_commits_adopt_app_meta(spark, tmp_path):
     """Self-review r8 (third pass): the two metadata commits must adopt
     the source manifest's app_meta — dropping it would silently lose a
