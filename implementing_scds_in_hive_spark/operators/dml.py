@@ -528,6 +528,7 @@ def merge_into(
     when_matched_delete=None,
     when_not_matched_insert="all",
     update_condition=None,
+    insert_condition=None,
     when_not_matched_by_source_update: dict | None = None,
     when_not_matched_by_source_delete=None,
     not_matched_by_source_condition=None,
@@ -561,7 +562,11 @@ def merge_into(
     * ``when_not_matched_insert`` — ``"all"`` (source columns by
       target name; the source must provide every target column) or
       ``{target_col: expr}`` over ``s.`` (omitted columns insert
-      NULL). ``None`` disables inserts.
+      NULL). ``None`` disables inserts. ``insert_condition``
+      (optional boolean over ``s.`` columns only, 3VL: only TRUE
+      inserts) gates the clause — ANSI/Delta ``WHEN NOT MATCHED AND
+      <cond> THEN INSERT``; a ``t.`` reference fails analysis loudly
+      (not-matched rows have no target side).
     * ``when_not_matched_by_source_delete`` / ``..._update`` (+
       ``not_matched_by_source_condition`` gating the update) — the
       Delta ``WHEN NOT MATCHED BY SOURCE`` clauses: applied to TARGET
@@ -675,6 +680,10 @@ def merge_into(
         bad = sorted(set(when_not_matched_insert) - set(t_cols))
         if bad:
             raise ValueError(f"INSERT references unknown columns {bad}")
+    if insert_condition is not None and when_not_matched_insert is None:
+        raise ValueError(
+            "insert_condition given but when_not_matched_insert is None"
+        )
 
     def _cond(c):
         if c is None or c is False:
@@ -934,6 +943,8 @@ def merge_into(
                 unmatched = src.join(
                     classified.select(*on).distinct(), on, "left_anti"
                 ).alias(sa)
+                if insert_condition is not None:
+                    unmatched = unmatched.where(_cond(insert_condition))
                 if when_not_matched_insert == "all":
                     inserts = unmatched.select(
                         *[

@@ -184,7 +184,17 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     root = _root_for(tables, t_name)
     src_rel = plan.sourceTable()
     s_cls = src_rel.getClass().getSimpleName()
-    if s_cls in ("UnresolvedRelation", "SubqueryAlias"):
+    if (
+        s_cls == "SubqueryAlias"
+        and src_rel.child().getClass().getSimpleName()
+        != "UnresolvedRelation"
+    ):
+        # MERGE ... USING (SELECT ...) AS s: analyze the subquery via
+        # the same Dataset.ofRows path INSERT uses (registered tables
+        # become temp views for the analysis, saved/restored after)
+        s_alias = str(src_rel.identifier().name())
+        src = _materialize_query(spark, src_rel.child(), tables)
+    elif s_cls in ("UnresolvedRelation", "SubqueryAlias"):
         s_name, s_alias = _name_of(src_rel)
         src = tables.get(s_name)
         if src is None:
@@ -199,8 +209,8 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             src = read_table(spark, src)
     else:
         raise ValueError(
-            f"MERGE USING must name a registered table (got {s_cls}); "
-            f"materialize subqueries into a DataFrame and register it"
+            f"MERGE USING takes a registered table or an aliased "
+            f"subquery (USING (SELECT ...) AS s); got {s_cls}"
         )
     nbs_upd = None
     nbs_cond = None
@@ -258,23 +268,22 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             raise ValueError(f"unsupported WHEN MATCHED action {cls}")
     delete = _first_match_wins(upd_listed_first, upd, upd_cond, delete)
     insert = None
+    ins_cond = None
     for a in _seq(plan.notMatchedActions()):
         cls = a.getClass().getSimpleName()
         if insert is not None:
             raise ValueError("at most one WHEN NOT MATCHED ... INSERT")
         if cls == "InsertStarAction":
-            if _opt(a.condition()) is not None:
-                raise ValueError("conditional INSERT * is not supported")
             insert = "all"
         elif cls == "InsertAction":
-            if _opt(a.condition()) is not None:
-                raise ValueError("conditional INSERT is not supported")
             insert = {
                 _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
             }
         else:
             raise ValueError(f"unsupported WHEN NOT MATCHED action {cls}")
+        c = _opt(a.condition())
+        ins_cond = None if c is None else c.sql()
 
     pairs = _equi_keys(plan.mergeCondition(), t_alias, s_alias)
     # the executable merge joins USING-style (one shared key name per
@@ -301,6 +310,7 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
         when_matched_delete=delete,
         when_not_matched_insert=insert,
         update_condition=upd_cond,
+        insert_condition=ins_cond,
         when_not_matched_by_source_update=nbs_upd,
         when_not_matched_by_source_delete=nbs_del,
         not_matched_by_source_condition=nbs_cond,
@@ -454,6 +464,16 @@ def _run_insert(spark, plan, tables: dict) -> dict:
             f"INSERT query yields {len(q.columns)} columns; target list "
             f"has {len(target)}"
         )
+    if len(set(q.columns)) != len(q.columns):
+        # the positional alignment below maps by NAME (F.col), so a
+        # query yielding duplicate output names (SELECT a, a FROM ...)
+        # would fail analysis with an opaque ambiguity error — say why
+        dupes = sorted({c for c in q.columns if q.columns.count(c) > 1})
+        raise ValueError(
+            f"INSERT query yields duplicate output column names {dupes}; "
+            f"alias them uniquely (SELECT a, a AS a2 ...) — positional "
+            f"mapping needs unambiguous names"
+        )
     by_pos = {t: q.columns[i] for i, t in enumerate(target)}
     aligned = q.select(
         *[
@@ -520,7 +540,9 @@ def run_sql(
     ``cow_max_touched_fraction=``, ...).
 
     Statements: ``DELETE FROM t [WHERE ...]``, ``UPDATE t SET ...
-    [WHERE ...]``, ``MERGE INTO t USING s ON ... WHEN ...``,
+    [WHERE ...]``, ``MERGE INTO t USING s | (SELECT ...) AS s ON ...
+    WHEN [NOT] MATCHED [AND cond] ...`` (conditional INSERT and
+    subquery sources included),
     ``INSERT INTO/OVERWRITE t [(cols)] SELECT ...|VALUES ...``,
     ``CREATE TABLE t [PARTITIONED BY (...)] AS SELECT ...`` (new
     snapshot root), ``ALTER TABLE t ADD COLUMNS (...)`` (zero-rewrite

@@ -888,6 +888,49 @@ def test_merge_not_matched_by_source_clauses(spark, tmp_path, tier):
     assert rep["rows_inserted"] == 1
 
 
+@pytest.mark.parametrize("tier", ["cow", "mor"])
+def test_merge_insert_condition_gates_inserts(spark, tmp_path, tier):
+    """``insert_condition`` (WHEN NOT MATCHED AND cond THEN INSERT):
+    only unmatched source rows where the condition is TRUE insert —
+    FALSE and NULL no-fire (3VL), matched rows are unaffected."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    base = _orders(spark)
+    _publish(spark, root, base)
+    mk = base.agg(F.max("o_orderkey")).first()[0]
+    src = spark.createDataFrame(
+        [
+            (int(mk) + 1, 5.0),    # inserts (cond TRUE)
+            (int(mk) + 2, -1.0),   # cond FALSE
+            (int(mk) + 3, None),   # cond NULL -> no-fire
+        ],
+        "o_orderkey bigint, price double",
+    )
+    rep = merge_into(
+        spark,
+        root,
+        src,
+        ["o_orderkey"],
+        when_not_matched_insert={
+            "o_orderkey": "s.o_orderkey",
+            "o_totalprice": "s.price",
+        },
+        insert_condition="s.price > 0",
+        tier=tier,
+    )
+    assert rep["rows_inserted"] == 1
+    got = read_table(spark, root).where(f"o_orderkey > {mk}")
+    assert _rows(got) == [(mk + 1, None, None, 5.0)]
+    with pytest.raises(ValueError, match="insert_condition"):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_matched_delete=True,
+            when_not_matched_insert=None,
+            insert_condition="s.price > 0",
+        )
+
+
 def test_merge_nbs_rejects_source_references(spark, tmp_path):
     """ADVICE r8: NBS expressions referencing source columns evaluate
     to NULL on unmatched rows — a SET would silently write NULLs.
