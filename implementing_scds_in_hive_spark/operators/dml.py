@@ -165,10 +165,23 @@ def _predicate_preamble(
     return pred, v, m, schema, touched, report
 
 
-def _commit_replace(df, root: str, m: dict, v: int, *, drop_files, delete_vectors=None):
+def _commit_replace(
+    df,
+    root: str,
+    m: dict,
+    v: int,
+    *,
+    drop_files,
+    delete_vectors=None,
+    app_meta=None,
+):
     """The one replace-commit call every DML tier funnels through: CoW
     passes the touched files as ``drop_files``; MoR/append drop nothing
-    and optionally stage vectors."""
+    and optionally stage vectors. ``app_meta`` commits atomically with
+    the data (the Delta txnAppId/txnVersion hook — merge_stream's
+    exactly-once marker rides here); like every commit, omitting it
+    drops the parent's app_meta, so a caller who needs carry-forward
+    merges the parent manifest's dict in itself."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         write_snapshot,
     )
@@ -182,6 +195,7 @@ def _commit_replace(df, root: str, m: dict, v: int, *, drop_files, delete_vector
         stats_cols=_stats_cols(m),
         drop_files=drop_files,
         delete_vectors=delete_vectors,
+        app_meta=app_meta,
     )
 
 
@@ -540,6 +554,7 @@ def merge_into(
     vector_format: str = "pos",
     target_alias: str = "t",
     source_alias: str = "s",
+    app_meta: dict | None = None,
 ) -> dict:
     """Executable generic ``MERGE INTO <root> USING <source> ON
     <equi-keys>`` — the Delta/Iceberg upsert verb, routed through the
@@ -603,7 +618,11 @@ def merge_into(
 
     Returns ``{"op", "tier", "parent_version", "version",
     "files_total", "files_candidates", "files_touched",
-    "rows_updated", "rows_deleted", "rows_inserted"}``; ``tier`` is the
+    "rows_updated", "rows_deleted", "rows_inserted"}``. ``app_meta``
+    commits atomically with the merge (the Delta txnAppId/txnVersion
+    hook — how ``streaming/dml_stream.py:merge_stream`` gets
+    exactly-once replay); the parent's app_meta is NOT carried
+    implicitly — merge it in if you need carry-forward. ``tier`` is the
     routed ``cow``/``mor``, or ``append`` (inserts only — no touched
     file changes, so a pure append commit carries everything by
     reference), or ``noop`` (no clause fired: nothing is committed and
@@ -1010,7 +1029,8 @@ def merge_into(
                     else survivors
                 )
                 new_v = _commit_replace(
-                    new_data, root, m, v, drop_files=touched
+                    new_data, root, m, v, drop_files=touched,
+                    app_meta=app_meta,
                 )
             else:
                 tomb = None
@@ -1039,7 +1059,8 @@ def merge_into(
                     else rewritten
                 )
                 new_v = _commit_replace(
-                    new_data, root, m, v, drop_files=[], delete_vectors=tomb
+                    new_data, root, m, v, drop_files=[],
+                    delete_vectors=tomb, app_meta=app_meta,
                 )
             return {
                 **out,

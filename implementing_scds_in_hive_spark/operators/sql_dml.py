@@ -360,6 +360,117 @@ def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
                 spark.catalog.dropTempView(view)
 
 
+def _replace_time_travel(spark, plan, tables: dict, pins: dict):
+    """Recursive plan transform behind :func:`query_sql`: every
+    ``RelationTimeTravel`` leaf (Spark's parse of ``t VERSION AS OF n``
+    / ``t TIMESTAMP AS OF ts``, both bare and ``FOR``-prefixed) is
+    resolved through the snapshot protocol's pinned read and replaced
+    by a reference to a generated temp-view name, SubqueryAlias'd back
+    to the original table name so qualified references (``t.col``)
+    keep resolving. Returns ``(new_plan, changed)``; the pinned
+    DataFrames land in ``pins``. Timestamps are evaluated by Catalyst
+    itself (one driver-side row) into epoch seconds, so the session
+    time zone is honored exactly as a write-side commit timestamp is.
+
+    Known limit: the walk covers plan CHILDREN (joins, CTEs, unions,
+    subqueries in FROM) but not relations inside expression-level
+    subqueries (``WHERE x > (SELECT ... FROM t VERSION AS OF 1)``) —
+    those fail analysis loudly (temp views refuse time travel), never
+    silently read the wrong version."""
+    cls = plan.getClass().getSimpleName()
+    if cls == "RelationTimeTravel":
+        rel = plan.relation()
+        if rel.getClass().getSimpleName() != "UnresolvedRelation":
+            raise ValueError(
+                f"time travel is supported on plain table references; "
+                f"got {rel.getClass().getSimpleName()}"
+            )
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            read_table,
+        )
+
+        parts = [str(x) for x in _seq(rel.multipartIdentifier())]
+        root = _root_for(tables, ".".join(parts))
+        v = _opt(plan.version())
+        if v is not None:
+            df = read_table(spark, root, version=int(str(v)))
+        else:
+            ts_sql = plan.timestamp().get().sql()
+            micros = spark.sql(
+                f"SELECT unix_micros(CAST(({ts_sql}) AS TIMESTAMP)) AS t"
+            ).first()["t"]
+            if micros is None:
+                raise ValueError(
+                    f"TIMESTAMP AS OF expression {ts_sql} evaluated to "
+                    f"NULL"
+                )
+            df = read_table(spark, root, as_of_timestamp=micros / 1e6)
+        gen = f"__tt_pin_{len(pins)}"
+        pins[gen] = df
+        snippet = spark._jsparkSession.sessionState().sqlParser().parsePlan(
+            f"SELECT * FROM {gen} AS `{parts[-1]}`"
+        )
+        return snippet.children().apply(0), True
+    ch = plan.children()
+    n = ch.size()
+    if n == 0:
+        return plan, False
+    new_children = []
+    changed = False
+    for i in range(n):
+        nc, c = _replace_time_travel(spark, ch.apply(i), tables, pins)
+        new_children.append(nc)
+        changed = changed or c
+    if not changed:
+        return plan, False
+    to_seq = spark.sparkContext._jvm.PythonUtils.toSeq
+    return plan.withNewChildren(to_seq(new_children)), True
+
+
+_WRITE_PLAN_KINDS = frozenset(
+    {
+        "DeleteFromTable",
+        "UpdateTable",
+        "MergeIntoTable",
+        "InsertIntoStatement",
+        "AddColumns",
+        "CreateTableAsSelect",
+    }
+)
+
+
+def query_sql(
+    spark: SparkSession, statement: str, tables: dict
+) -> DataFrame:
+    """The READ half of the textual face (VERDICT r8 next-round #2):
+    execute one SELECT (or VALUES/TABLE/CTE) statement against snapshot
+    tables, including Delta-style time travel — ``SELECT ... FROM t
+    VERSION AS OF n`` and ``TIMESTAMP AS OF <expr>`` (``FOR``-prefixed
+    forms too), anywhere a relation can appear (joins, CTEs, derived
+    tables; several pins of the SAME table in one query are fine).
+
+    Same machinery as the write face: Spark's own parser, pins resolved
+    through :func:`~...sources.snapshot.read_table` (version pin or
+    ``version_at_timestamp``), and the plan materialized via
+    ``Dataset.ofRows`` with registered tables exposed as temp views
+    (pre-existing user views saved and restored). ``tables`` maps
+    statement names to snapshot roots or DataFrames. Returns the result
+    DataFrame — nothing is committed; write statements are refused
+    (use :func:`run_sql`)."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
+        statement
+    )
+    cls = plan.getClass().getSimpleName()
+    if cls in _WRITE_PLAN_KINDS:
+        raise ValueError(
+            f"query_sql executes read statements; got {cls} — run write "
+            f"statements through run_sql"
+        )
+    pins: dict[str, DataFrame] = {}
+    plan, _ = _replace_time_travel(spark, plan, tables, pins)
+    return _materialize_query(spark, plan, {**tables, **pins})
+
+
 def _run_ctas(spark, plan, tables: dict) -> dict:
     """``CREATE TABLE t [PARTITIONED BY (cols)] AS SELECT ...``:
     materialize the query and publish it as version 1 of a NEW snapshot

@@ -2022,10 +2022,13 @@ PYTEST_ONLY_ORACLES = {
 }
 
 # r8 rotation (VERDICT r7 next-round #2): four never-slotted families
-# get first-time driver evidence — session windows (gap-based
-# session_window native sessionization), canonical-duplicate election,
-# the event/promo interval range join, and cohort retention matrices.
-QUERIES.update(
+# got first-time driver evidence in r8 — session windows, canonical-
+# duplicate election, the event/promo interval range join, cohort
+# retention. r9 rotation (VERDICT r8 next-round #1): after earning
+# their first-time driver round they fold to pytest (the proven
+# one-round pattern), freeing slots for the generic-DML/SQL-face
+# family plus the never-slotted event_gaps and drift_chi2_events.
+PYTEST_ONLY_QUERIES.update(
     {
         "session_window_rollup": q_session_window_rollup,
         "dedup_canonical": q_dedup_canonical,
@@ -2033,7 +2036,7 @@ QUERIES.update(
         "cohort_retention": q_cohort_retention,
     }
 )
-ORACLES.update(
+PYTEST_ONLY_ORACLES.update(
     {
         "session_window_rollup": SESSION_WINDOW_SQL,
         "dedup_canonical": DEDUP_CANONICAL_SQL,
@@ -2602,8 +2605,8 @@ WHERE epoch(gap_end) - epoch(gap_start) > 21600
 """
 
 
-PYTEST_ONLY_QUERIES["event_gaps"] = q_event_gaps
-PYTEST_ONLY_ORACLES["event_gaps"] = EVENT_GAPS_SQL
+QUERIES["event_gaps"] = q_event_gaps  # r9 rotation: first-time driver slot
+ORACLES["event_gaps"] = EVENT_GAPS_SQL
 
 
 # --- quantized ANN tier ---------------------------------------------------
@@ -3084,8 +3087,8 @@ FROM cum
 # from top_orders — see plans/relational.py).
 PYTEST_ONLY_QUERIES["psi_event_drift"] = q_psi_event_drift  # r6 rotation: folded to pytest
 PYTEST_ONLY_ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
-PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events
-PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
+QUERIES["drift_chi2_events"] = q_drift_chi2_events  # r9 rotation: first-time driver slot
+ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
 QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase  # r6 rotation: first-time driver slot
 ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL
 
@@ -3487,5 +3490,5 @@ FROM v2
 GROUP BY 1, 2
 """
 
-QUERIES["matview_rollup"] = q_matview_rollup  # r7 rotation: first-time driver slot (the round's view-maintenance feature)
-ORACLES["matview_rollup"] = MATVIEW_ROLLUP_SQL
+PYTEST_ONLY_QUERIES["matview_rollup"] = q_matview_rollup  # r9 rotation: folded to pytest after two driver rounds (r7/r8)
+PYTEST_ONLY_ORACLES["matview_rollup"] = MATVIEW_ROLLUP_SQL

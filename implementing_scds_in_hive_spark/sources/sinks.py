@@ -110,7 +110,10 @@ def compact(
             else df.repartition(n_files)
         )
         write_snapshot(
-            out, path, partition_by=partition_by, stats_cols=stats_cols
+            out, path, partition_by=partition_by, stats_cols=stats_cols,
+            # content-preserving: the parent's app_meta (matview
+            # watermarks, stream_txn exactly-once markers) must survive
+            app_meta=m.get("app_meta"),
         )
         vacuum(path, keep_last=1, grace_seconds=vacuum_grace_seconds)
         return n
@@ -365,6 +368,9 @@ def compact_incremental(
         expected_version=v,
         stats_cols=stats_cols or None,
         drop_files=small,
+        # content-preserving: carry the parent's app_meta (matview
+        # watermarks, stream_txn exactly-once markers) verbatim
+        app_meta=m.get("app_meta"),
     )
     n_written = len(load_manifest(path, new_v)["files"]) - (
         len(m["files"]) - len(small)
@@ -582,6 +588,9 @@ def compact_deletes(
         expected_version=v,
         stats_cols=stats_cols or None,
         drop_files=vectored,
+        # content-preserving: carry the parent's app_meta (matview
+        # watermarks, stream_txn exactly-once markers) verbatim
+        app_meta=m.get("app_meta"),
     )
     m2 = load_manifest(path, new_v)
     assert not m2.get("deletes"), "fold must leave no live vectors"

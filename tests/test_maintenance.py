@@ -173,3 +173,48 @@ def test_vector_debt_policy_folds_past_threshold(spark, tmp_path):
     )
     assert rep["folded"] is False
     assert vector_debt(root)["vector_bytes"] > 0
+
+
+def test_maintenance_commits_carry_app_meta(spark, tmp_path):
+    """Self-review r9: content-preserving maintenance (compact_deletes /
+    compact_incremental / compact) committed WITHOUT app_meta, silently
+    dropping matview watermarks and merge_stream's exactly-once
+    stream_txn markers on every OPTIMIZE. All three now carry the
+    parent's dict verbatim."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        compact,
+        compact_deletes,
+        compact_incremental,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    meta = {"watermark": 7, "stream_txn": {"m1": 3}}
+    write_snapshot(
+        spark.range(200).selectExpr("id", "id * 2 AS v"),
+        root,
+        stats_cols=["id"],
+        app_meta=meta,
+    )
+    delete_where(spark, root, "id % 5 = 0", tier="mor")
+    # the DML commit drops app_meta by default (documented) — restore it
+    # the way a metadata-aware writer would, then fold
+    assert load_manifest(root, latest_version(root)).get("app_meta") is None
+    write_snapshot(
+        spark.range(0).selectExpr("id", "id * 2 AS v"),
+        root,
+        mode="append",
+        app_meta=meta,
+    )
+    compact_deletes(spark, root)
+    m = load_manifest(root, latest_version(root))
+    assert m["app_meta"] == meta and not m.get("deletes")
+    compact_incremental(spark, root, min_small_files=2)
+    assert load_manifest(root, latest_version(root))["app_meta"] == meta
+    compact(spark, root, vacuum_grace_seconds=600.0)
+    assert load_manifest(root, latest_version(root))["app_meta"] == meta

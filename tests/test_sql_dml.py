@@ -541,3 +541,119 @@ def test_sql_insert_rejects_duplicate_query_output_names(spark, tmp_path):
                 "src": spark.createDataFrame([(5,)], "id long"),
             },
         )
+
+
+# --- query_sql: the textual READ face with time travel -------------------
+
+
+def _three_versions(spark, root):
+    """v1 = {1,2}, v2 adds 3, v3 updates v of id=1. Returns the commit
+    instants (epoch seconds) of each version."""
+    import time
+
+    from implementing_scds_in_hive_spark.operators.dml import update_where
+
+    write_snapshot(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        root,
+    )
+    t1 = time.time()
+    time.sleep(0.05)
+    run_sql(
+        spark,
+        "INSERT INTO t VALUES (3, 30.0)",
+        {"t": root},
+    )
+    t2 = time.time()
+    time.sleep(0.05)
+    update_where(spark, root, {"v": "777.0"}, "id = 1")
+    return t1, t2, time.time()
+
+
+def test_query_sql_version_as_of(spark, tmp_path):
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    _three_versions(spark, root)
+    got = query_sql(
+        spark, "SELECT id, v FROM t VERSION AS OF 1 ORDER BY id",
+        {"t": root},
+    )
+    assert _rows(got) == [(1, 10.0), (2, 20.0)]
+    # FOR-prefixed form, pinned mid-history
+    got2 = query_sql(
+        spark, "SELECT id, v FROM t FOR VERSION AS OF 2", {"t": root}
+    )
+    assert _rows(got2) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # unpinned = latest (divergence from the pin proves the pin is real)
+    got3 = query_sql(spark, "SELECT id, v FROM t", {"t": root})
+    assert _rows(got3) == [(1, 777.0), (2, 20.0), (3, 30.0)]
+
+
+def test_query_sql_timestamp_as_of_and_mixed_pins(spark, tmp_path):
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    t1, t2, t3 = _three_versions(spark, root)
+
+    def iso(ts):
+        import datetime as dt
+
+        return (
+            dt.datetime.fromtimestamp(ts, dt.timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat(sep=" ")
+        )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = query_sql(
+            spark,
+            f"SELECT id, v FROM t TIMESTAMP AS OF '{iso(t1)}'",
+            {"t": root},
+        )
+        assert _rows(got) == [(1, 10.0), (2, 20.0)]
+        # the timestamp is an EXPRESSION, evaluated by Catalyst
+        got2 = query_sql(
+            spark,
+            f"SELECT id, v FROM t TIMESTAMP AS OF "
+            f"(TIMESTAMP '{iso(t2)}' + INTERVAL 0 SECOND)",
+            {"t": root},
+        )
+        assert _rows(got2) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    # two pins of the SAME table joined against its latest state: the
+    # rows whose v changed between v1 and latest
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    got3 = query_sql(
+        spark,
+        """SELECT cur.id, old.v AS v_old, cur.v AS v_new
+           FROM t cur JOIN t VERSION AS OF 1 old ON cur.id = old.id
+           WHERE cur.v <> old.v""",
+        {"t": root},
+    )
+    assert _rows(got3) == [(1, 10.0, 777.0)]
+
+
+def test_query_sql_rejects_writes_and_bad_pins(spark, tmp_path):
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), root
+    )
+    with pytest.raises(ValueError, match="run_sql"):
+        query_sql(spark, "DELETE FROM t WHERE id = 1", {"t": root})
+    with pytest.raises(FileNotFoundError):
+        query_sql(spark, "SELECT * FROM t VERSION AS OF 99", {"t": root})
+    with pytest.raises(KeyError, match="register"):
+        query_sql(spark, "SELECT * FROM nope VERSION AS OF 1", {"t": root})
+    # a pinned read must not clobber the user's own temp view named t
+    spark.range(5).createOrReplaceTempView("t")
+    got = query_sql(spark, "SELECT id, v FROM t VERSION AS OF 1", {"t": root})
+    assert _rows(got) == [(1, 1.0)]
+    assert spark.table("t").count() == 5
+    spark.catalog.dropTempView("t")
