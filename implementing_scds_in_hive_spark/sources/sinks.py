@@ -450,6 +450,7 @@ def vector_debt(root: str) -> dict:
         "version": v,
         "vectored_files": len(deletes),
         "vectored_fraction": len(deletes) / max(1, n_files),
+        "vector_files": len(vec_rels),
         "vector_bytes": vec_bytes,
         "bytes_fraction": vec_bytes / max(1, data_bytes),
     }
@@ -462,6 +463,7 @@ def maintain_table(
     *,
     max_overlap: float = 2.0,
     max_vectored_fraction: float = 0.2,
+    max_vector_files: int | None = 32,
     target_rows_per_file: int = 1_000_000,
     vacuum_grace_seconds: float = 600.0,
 ) -> dict:
@@ -470,12 +472,23 @@ def maintain_table(
     their remedies:
 
     * **merge-on-read debt** — past ``max_vectored_fraction`` of data
-      files carrying deletion vectors (:func:`vector_debt`),
+      files carrying deletion vectors (:func:`vector_debt`) OR past
+      ``max_vector_files`` DISTINCT live vector files,
       :func:`compact_deletes` folds the tombstones back into clean
-      files, bounding every reader's overlay bill. Folded FIRST: the
-      fold rewrites exactly the vectored files (cluster-preserving),
-      and a subsequent recluster — if still needed — then sees the
-      folded layout instead of rewriting rows twice.
+      files, bounding every reader's overlay bill. The second trigger
+      exists because the overlay reads vectors per (file -> its
+      manifest vector list): each distinct list is one plan branch, and
+      the measured bill grows ~linearly in VECTOR FILES at fixed
+      vectored fraction (scripts/vector_overlay_smoke.py: 64/64 files
+      vectored costs 2.7x clean through ONE vector file but 15.3x
+      through 44 of them). The fraction cap alone scales the allowed
+      vector-file count with TABLE SIZE (0.2 x 10^5 files would permit
+      ~2*10^4 branches), so the file-count trigger is a CONSTANT bound
+      — the policy a steady drip of small disjoint MoR commits needs.
+      Folded FIRST: the fold rewrites exactly the vectored files
+      (cluster-preserving), and a subsequent recluster — if still
+      needed — then sees the folded layout instead of rewriting rows
+      twice.
     * **clustering decay** — :func:`clustering_overlap` past
       ``max_overlap`` triggers one re-clustering :func:`compact` pass
       (range-repartitioned on the table's stats columns, partition
@@ -484,14 +497,18 @@ def maintain_table(
     Content-preserving and cheap to re-run; a healthy table returns
     without reading any data (both metrics are manifest-only). Run on
     the same cadence as ``compact_incremental``. Returns
-    ``{"folded", "vectored_fraction", "reclustered", "overlap"}`` plus,
-    after a rewrite, ``{"overlap_after", "rows"}``."""
+    ``{"folded", "vectored_fraction", "vector_files", "reclustered",
+    "overlap"}`` plus, after a rewrite, ``{"overlap_after", "rows"}``."""
     debt = vector_debt(root)
     out = {
         "folded": False,
         "vectored_fraction": round(debt["vectored_fraction"], 4),
+        "vector_files": debt["vector_files"],
     }
-    if debt["vectored_fraction"] > max_vectored_fraction:
+    if debt["vectored_fraction"] > max_vectored_fraction or (
+        max_vector_files is not None
+        and debt["vector_files"] > max_vector_files
+    ):
         compact_deletes(spark, root)
         out["folded"] = True
     ov = clustering_overlap(root, col)

@@ -105,6 +105,7 @@ def test_scattered_merges_decay_clustering_and_maintenance_restores(
     assert rep2 == {
         "folded": False,
         "vectored_fraction": 0.0,
+        "vector_files": 0,
         "reclustered": False,
         "overlap": rep["overlap_after"],
     }
@@ -121,6 +122,7 @@ def test_overlap_none_without_numeric_stats(spark, tmp_path):
     assert rep == {
         "folded": False,
         "vectored_fraction": 0.0,
+        "vector_files": 0,
         "reclustered": False,
         "overlap": None,
     }
@@ -218,3 +220,53 @@ def test_maintenance_commits_carry_app_meta(spark, tmp_path):
     assert load_manifest(root, latest_version(root))["app_meta"] == meta
     compact(spark, root, vacuum_grace_seconds=600.0)
     assert load_manifest(root, latest_version(root))["app_meta"] == meta
+
+
+def test_maintain_table_folds_on_vector_file_count(spark, tmp_path):
+    """scripts/vector_overlay_smoke.py verdict: the overlay bill grows
+    ~linearly in DISTINCT VECTOR FILES at fixed vectored fraction, and
+    max_vectored_fraction alone scales the allowed count with table
+    size — maintain_table therefore folds on a CONSTANT
+    max_vector_files bound too."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        maintain_table,
+        vector_debt,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(1600)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(16, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    # three DISJOINT small MoR deletes -> three distinct vector files,
+    # fraction still low (3/16 < 0.25)
+    for i in range(3):
+        lo = i * 100
+        delete_where(
+            spark, root, f"id >= {lo} AND id < {lo + 100} AND id % 7 = 0",
+            tier="mor", prune={"id": (lo, lo + 99)},
+        )
+    debt = vector_debt(root)
+    assert debt["vector_files"] == 3
+    assert debt["vectored_fraction"] <= 0.25
+    # fraction trigger alone: healthy -> no fold
+    rep = maintain_table(
+        spark, root, "id",
+        max_vectored_fraction=0.25, max_vector_files=None,
+    )
+    assert rep["folded"] is False and rep["vector_files"] == 3
+    # the constant file-count trigger fires
+    rep2 = maintain_table(
+        spark, root, "id",
+        max_vectored_fraction=0.25, max_vector_files=2,
+    )
+    assert rep2["folded"] is True
+    assert vector_debt(root)["vector_files"] == 0
