@@ -879,7 +879,9 @@ def evolve_schema_commit(
             raise ValueError(f"columns already exist: {dup}")
         widened = StructType.fromJson(sdoc)
         for name, typ in new_fields:
-            widened = widened.add(name, typ, nullable=True)  # validates typ
+            widened = widened.add(
+                name, _parse_col_type(typ), nullable=True
+            )
         manifest = {
             **{
                 k: pm[k]
@@ -924,6 +926,45 @@ def evolve_schema_commit(
                 raise CommitConflictError(
                     f"lost {max_retries} consecutive commit races at {root}"
                 )
+
+
+# schema-JSON primitive names differ from the DDL/catalogString names
+# users (and Spark's own parser, via the SQL face's catalogString())
+# write — 'x int' must not crash the ALTER with an opaque
+# CANNOT_PARSE_DATATYPE
+_DDL_TYPE_ALIASES = {
+    "int": "integer",
+    "bigint": "long",
+    "smallint": "short",
+    "tinyint": "byte",
+}
+
+
+def _parse_col_type(typ):
+    """A column type for ``evolve_schema_commit``: a DataType instance
+    passes through; a string accepts BOTH the schema-JSON primitive
+    names ('integer', 'string', 'decimal(10,2)') and the DDL /
+    ``catalogString`` forms ('int', 'bigint', 'array<int>', ...) — the
+    latter via the alias map then Spark's DDL parser (which needs an
+    active session, always true when a statement face calls this)."""
+    if not isinstance(typ, str):
+        return typ
+    canon = _DDL_TYPE_ALIASES.get(typ.strip().lower(), typ)
+    from pyspark.sql.types import _parse_datatype_json_value
+
+    try:
+        return _parse_datatype_json_value(canon)
+    except Exception:
+        from pyspark.sql.types import DataType
+
+        try:
+            return DataType.fromDDL(typ)
+        except Exception:
+            raise ValueError(
+                f"cannot parse column type {typ!r}; use a schema-JSON "
+                f"name ('integer', 'string', ...) or a DDL type "
+                f"('int', 'decimal(10,2)', 'array<int>', ...)"
+            ) from None
 
 
 def _evolved_schema(root: str, staged: dict, pm: dict, mode: str) -> str:

@@ -595,9 +595,15 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
     any chain of overwrite / append / key-delete (deletion-vector
     replace commit with prior-vector accumulation) / positional delete
     (the DML verb, compact-then-retry when key vectors block the fold)
-    / carry-by-reference restore / fold / vacuum keeps read_table()
-    equal to a trivial in-memory multiset model, with time travel
-    consistent for every retained version."""
+    / carry-by-reference restore / ZERO-REWRITE SCHEMA EVOLUTION (r9,
+    VERDICT r8 next-round #8) / fold / vacuum keeps read_table() equal
+    to a trivial in-memory model (id multiset + evolved-column list),
+    with time travel consistent for every retained version. Evolution
+    composes with everything else in the chain: restore ACROSS a schema
+    change reverts to the historical schema (restore-of-restore too),
+    appends after an evolve carry the widened schema, MoR deletes and
+    folds run over NULL-backfilled carried files, vacuum interleaves
+    anywhere."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
     from pyspark.sql import functions as F
@@ -606,10 +612,13 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
         read_manifest_files,
     )
 
-    def _df(spark, rows):
-        return spark.createDataFrame(
+    def _df(spark, rows, extra_cols=()):
+        df = spark.createDataFrame(
             [(int(i), f"v{i}") for i in rows], "id long, v string"
         )
+        for c in extra_cols:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+        return df
 
     rows_strategy = st.lists(
         st.integers(min_value=0, max_value=29), min_size=1, max_size=5
@@ -624,6 +633,7 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
         st.tuples(st.just("delete"), keys_strategy),
         st.tuples(st.just("pos_delete"), keys_strategy),
         st.tuples(st.just("restore"), st.integers(min_value=0, max_value=7)),
+        st.tuples(st.just("evolve"), st.none()),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
     )
@@ -657,7 +667,15 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
                 *[_os.path.join(root, p) for p in prior_rels]
             ).where(F.col("__file").isin(touched))
             tomb = tomb.unionByName(prior.select("__file", "id"))
-        empty = spark.createDataFrame([], "id long, v string")
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        # the replace commit's schema must match the CURRENT manifest
+        # (which may carry evolved-in columns), not the seed schema
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(m["schema"]))
+        )
         write_snapshot(
             empty, root, mode="replace", expected_version=v,
             drop_files=[], delete_vectors=tomb,
@@ -677,14 +695,16 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
             _df(spark, [0, 1, 2]).repartition(2), root
         )
         model = [0, 1, 2]
-        history = {latest_version(root): sorted(model)}
+        extra: list[str] = []  # evolved-in columns at HEAD
+        n_evolved = [0]
+        history = {latest_version(root): (sorted(model), tuple(extra))}
         for op, arg in ops:
             if op == "overwrite":
-                write_snapshot(_df(spark, arg), root)
+                write_snapshot(_df(spark, arg, extra), root)
                 model = list(arg)
             elif op == "append":
                 write_snapshot(
-                    _df(spark, arg), root, mode="append"
+                    _df(spark, arg, extra), root, mode="append"
                 )
                 model = model + list(arg)
             elif op == "delete":
@@ -715,7 +735,17 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
                 vs = list_versions(root)
                 target = vs[arg % len(vs)]
                 restore_version(spark, root, target)
-                model = list(history[target])
+                model = list(history[target][0])
+                extra = list(history[target][1])
+            elif op == "evolve":
+                from implementing_scds_in_hive_spark.sources.snapshot import (
+                    evolve_schema_commit,
+                )
+
+                n_evolved[0] += 1
+                name = f"e{n_evolved[0]}"
+                evolve_schema_commit(root, [(name, "string")])
+                extra = extra + [name]
             elif op == "fold":
                 from implementing_scds_in_hive_spark.sources.sinks import (
                     compact_deletes,
@@ -724,24 +754,84 @@ def test_protocol_model_property_with_deletion_vectors(spark, tmp_path):
                 compact_deletes(spark, root)  # content-preserving
             elif op == "vacuum":
                 vacuum(root, keep_last=arg, grace_seconds=3600.0)
-            history[latest_version(root)] = sorted(model)
-            got = sorted(
-                r["id"] for r in read_table(spark, root).collect()
+            history[latest_version(root)] = (sorted(model), tuple(extra))
+            head = read_table(spark, root)
+            assert head.columns == ["id", "v", *extra], (
+                f"after {op}({arg}): schema {head.columns}"
             )
+            got = sorted(r["id"] for r in head.collect())
             assert got == sorted(model), (
                 f"after {op}({arg}): {got} != {sorted(model)}"
             )
+            if extra:
+                # carried (pre-evolve) files NULL-backfill every evolved
+                # column; appended post-evolve rows wrote literal NULLs
+                assert head.where(
+                    F.col(extra[-1]).isNotNull()
+                ).count() == 0
         for v in list_versions(root):
             if v in history:
-                tv = sorted(
-                    r["id"]
-                    for r in read_snapshot(
-                        spark, root, version=v
-                    ).collect()
-                )
-                assert tv == history[v], f"time travel v{v}"
+                pin = read_snapshot(spark, root, version=v)
+                ids, cols = history[v]
+                assert pin.columns == ["id", "v", *cols], f"schema v{v}"
+                tv = sorted(r["id"] for r in pin.collect())
+                assert tv == ids, f"time travel v{v}"
 
     run()
+
+
+def test_restore_evolve_directed_chain(spark, tmp_path):
+    """Directed companion to the model property (VERDICT r8 #8 names
+    these compositions explicitly, so they must not depend on what
+    hypothesis happens to sample): evolve -> MoR delete over the
+    NULL-backfilled carried files -> restore ACROSS the schema change
+    (schema reverts) -> restore-of-restore (back to the evolved+deleted
+    state) -> vacuum interleaved -> a second evolve on the restored
+    lineage."""
+    from implementing_scds_in_hive_spark.operators.dml import (
+        delete_where,
+        restore_version,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    write_snapshot(df.repartition(2), root)  # v1: 2-col schema
+    evolve_schema_commit(root, [("e1", "string")])  # v2: +e1, zero bytes
+    got = read_table(spark, root)
+    assert got.columns == ["id", "v", "e1"]
+    assert got.where(F.col("e1").isNotNull()).count() == 0
+    # MoR delete over NULL-backfilled carried files (pos vectors)
+    delete_where(spark, root, "id % 3 = 0", tier="mor")  # v3
+    assert sorted(
+        r["id"] for r in read_table(spark, root).collect()
+    ) == [1, 2, 4, 5, 7, 8]
+    # restore ACROSS the schema change: v1's 2-col schema comes back
+    restore_version(spark, root, 1)  # v4
+    got = read_table(spark, root)
+    assert got.columns == ["id", "v"] and got.count() == 10
+    # restore-of-restore: back to the evolved + vectored state (the
+    # adopted manifest carries BOTH the schema and the live vectors)
+    restore_version(spark, root, 3)  # v5
+    got = read_table(spark, root)
+    assert got.columns == ["id", "v", "e1"]
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 4, 5, 7, 8]
+    # vacuum interleaves (grace keeps the carried files alive)
+    vacuum(root, keep_last=2, grace_seconds=3600.0)
+    assert read_table(spark, root).count() == 6
+    # a second evolve on the restored lineage
+    evolve_schema_commit(root, [("e2", "int")])  # v6
+    got = read_table(spark, root)
+    assert got.columns == ["id", "v", "e1", "e2"]
+    # pinned reads keep every historical schema
+    assert read_snapshot(spark, root, version=4).columns == ["id", "v"]
+    assert read_snapshot(spark, root, version=5).columns == [
+        "id", "v", "e1",
+    ]
 
 
 def test_cow_after_mor_interleave(spark, tmp_path):

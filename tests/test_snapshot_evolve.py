@@ -198,3 +198,41 @@ def test_metadata_only_evolve_commit_feeds_and_reads(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exist"):
         evolve_schema_commit(root, [("v", "string")])
+
+
+def test_evolve_accepts_ddl_and_json_type_names(spark, tmp_path):
+    """Self-review r9 (found by the protocol-model extension): the SQL
+    face passes catalogString() type names ('int', 'bigint',
+    'array<int>') but evolve_schema_commit only accepted schema-JSON
+    names — 'ALTER TABLE t ADD COLUMNS (x int)' crashed with an opaque
+    CANNOT_PARSE_DATATYPE. Both families parse now; junk types get a
+    clear error."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+        read_table,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    evolve_schema_commit(
+        root,
+        [("j", "integer"), ("d", "decimal(10,2)"), ("a", "array<int>")],
+    )
+    rep = run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMNS (x int, y bigint, z map<string,int>)",
+        {"t": root},
+    )
+    assert rep["added"] == ["x", "y", "z"]
+    got = read_table(spark, root)
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "id:bigint", "v:string", "j:int", "d:decimal(10,2)",
+        "a:array<int>", "x:int", "y:bigint", "z:map<string,int>",
+    ]
+    assert got.count() == 1  # carried file NULL-backfills every column
+    with pytest.raises(ValueError, match="cannot parse column type"):
+        evolve_schema_commit(root, [("bad", "noSuchType")])
