@@ -86,8 +86,12 @@ def main() -> None:
     # measured run-to-run noise on this container is ±11% (PLANS.md r4
     # variance audit) — a single run can mask or fake a 10% win, so each
     # query reports the MEDIAN of n_runs with its min/max spread.
+    # Default raised 3 -> 5 in r9 (VERDICT r8 'what's wrong' + ask #7):
+    # two rounds of driver-vs-builder bench adjudication were pure
+    # container-noise arbitration that medians-of-5 would have settled
+    # at the source, for ~4 extra minutes per round.
     # SPARK_GRAFT_BENCH_RUNS=1 restores the quick single-run mode.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
     # warm up the JVM/codegen paths (scan, broadcast-join, window, agg,
     # range-shuffle/two-pass-re-key shapes) so the first timed query
