@@ -234,6 +234,7 @@ def delete_where(
     mor_max_matched_fraction: float = 0.7,
     vector_format: str = "pos",
     scope_alias: str | None = None,
+    app_meta: dict | None = None,
 ) -> dict:
     """``DELETE FROM <root> WHERE <predicate>`` as an atomic replace
     commit. ``predicate`` is a SQL boolean string or a ``Column``;
@@ -287,7 +288,9 @@ def delete_where(
         survivors = scan.where(
             ~F.coalesce(pred.cast("boolean"), F.lit(False))
         ).select(*[f.name for f in schema.fields])
-        new_v = _commit_replace(survivors, root, m, v, drop_files=touched)
+        new_v = _commit_replace(
+            survivors, root, m, v, drop_files=touched, app_meta=app_meta
+        )
     else:
         pos = vector_format == "pos"
         rows = read_manifest_files(
@@ -308,7 +311,8 @@ def delete_where(
         tomb = _bin_tomb(tomb, out["rows_matched"])
         empty = spark.createDataFrame([], schema)
         new_v = _commit_replace(
-            empty, root, m, v, drop_files=[], delete_vectors=tomb
+            empty, root, m, v, drop_files=[], delete_vectors=tomb,
+            app_meta=app_meta,
         )
     return {**out, "tier": tier, "version": new_v}
 
@@ -325,6 +329,7 @@ def update_where(
     mor_max_matched_fraction: float = 0.7,
     vector_format: str = "pos",
     scope_alias: str | None = None,
+    app_meta: dict | None = None,
 ) -> dict:
     """``UPDATE <root> SET col = expr, ... WHERE <predicate>`` as an
     atomic replace commit. ``set_exprs`` maps column names to SQL
@@ -392,7 +397,9 @@ def update_where(
                 for c in rows.columns
             ]
         )
-        new_v = _commit_replace(rewritten, root, m, v, drop_files=touched)
+        new_v = _commit_replace(
+            rewritten, root, m, v, drop_files=touched, app_meta=app_meta
+        )
     else:
         pos = vector_format == "pos"
         rows = read_manifest_files(
@@ -419,7 +426,8 @@ def update_where(
             ]
         )
         new_v = _commit_replace(
-            updated, root, m, v, drop_files=[], delete_vectors=tomb
+            updated, root, m, v, drop_files=[], delete_vectors=tomb,
+            app_meta=app_meta,
         )
     return {**out, "tier": tier, "version": new_v}
 
@@ -472,7 +480,21 @@ def _route(
     chosen = "cow" if frac <= cow_max_touched_fraction else "mor"
     if chosen == "mor" and rows_matched is not None:
         total = sum(file_row_counts(root, touched).values())
-        if total and rows_matched / total >= mor_max_matched_fraction:
+        deletes = m.get("deletes", {})
+        vec_rels = {r for f in touched for r in deletes.get(f, [])}
+        if vec_rels:
+            # footer totals count already-tombstoned rows — on a
+            # vector-heavy table that UNDERSTATES density and lets the
+            # whole-table pathology slip through the cap (r9 self-
+            # review). Subtract the touched files' vector rows (same
+            # memoized footer reads). The correction is approximate
+            # (shared vector files / key-format multi-kill rows), so
+            # clamp the denominator at rows_matched: an overshoot
+            # reads as density 1.0 and errs toward CoW, the safe
+            # direction exactly where the fold is overdue.
+            total -= sum(file_row_counts(root, vec_rels).values())
+        denom = max(total, rows_matched)
+        if denom > 0 and rows_matched / denom >= mor_max_matched_fraction:
             return "cow"
     if chosen == "mor":
         deletes = m.get("deletes", {})
@@ -493,7 +515,12 @@ def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
     in NBS clauses at analysis; mirror that loudly. ``clauses`` is a
     list of (label, expr) with expr a SQL string or Column; walks each
     parsed tree for attributes qualified by the source alias, or
-    unqualified attributes that resolve only against the source."""
+    unqualified attributes that resolve only against the source.
+    Identifier comparison is CASE-INSENSITIVE like Spark's default
+    analyzer — 'S.price' under source_alias 's' must not bypass the
+    guard and silently write NULLs (r9 self-review; under
+    spark.sql.caseSensitive=true this errs toward rejecting, the loud
+    direction)."""
 
     def _attrs(e, out):
         if e.getClass().getSimpleName() == "UnresolvedAttribute":
@@ -502,6 +529,9 @@ def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
         for i in range(ch.size()):
             _attrs(ch.apply(i), out)
 
+    sa_l = sa.casefold()
+    s_l = {c.casefold() for c in s_cols}
+    t_l = {c.casefold() for c in t_cols}
     parser = spark._jsparkSession.sessionState().sqlParser()
     for label, expr in clauses:
         if expr is None or expr is True or expr is False:
@@ -516,8 +546,12 @@ def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
         bad = sorted(
             ".".join(p)
             for p in attrs
-            if (len(p) >= 2 and p[-2] == sa)
-            or (len(p) == 1 and p[0] in s_cols and p[0] not in t_cols)
+            if (len(p) >= 2 and p[-2].casefold() == sa_l)
+            or (
+                len(p) == 1
+                and p[0].casefold() in s_l
+                and p[0].casefold() not in t_l
+            )
         )
         if bad:
             raise ValueError(
@@ -555,6 +589,7 @@ def merge_into(
     target_alias: str = "t",
     source_alias: str = "s",
     app_meta: dict | None = None,
+    expected_version: int | None = None,
 ) -> dict:
     """Executable generic ``MERGE INTO <root> USING <source> ON
     <equi-keys>`` — the Delta/Iceberg upsert verb, routed through the
@@ -622,7 +657,13 @@ def merge_into(
     commits atomically with the merge (the Delta txnAppId/txnVersion
     hook — how ``streaming/dml_stream.py:merge_stream`` gets
     exactly-once replay); the parent's app_meta is NOT carried
-    implicitly — merge it in if you need carry-forward. ``tier`` is the
+    implicitly — merge it in if you need carry-forward, and pass
+    ``expected_version`` = the version you read it FROM: the merge
+    normally CASes on whatever version it resolves at entry, so a
+    writer landing between your read and this call would otherwise
+    have its app_meta silently rebuilt from your stale copy
+    (:class:`CommitConflictError` fires instead; re-read and retry).
+    ``tier`` is the
     routed ``cow``/``mor``, or ``append`` (inserts only — no touched
     file changes, so a pure append commit carries everything by
     reference), or ``noop`` (no clause fired: nothing is committed and
@@ -644,6 +685,14 @@ def merge_into(
     ):
         raise ValueError("merge_into needs at least one WHEN clause")
     v, m = _resolve(root)
+    if expected_version is not None and v != expected_version:
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            CommitConflictError,
+        )
+
+        raise CommitConflictError(
+            f"expected version {expected_version} but table is at {v}"
+        )
     import json as _json
 
     from pyspark.sql.types import StructType

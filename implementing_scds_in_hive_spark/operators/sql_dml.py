@@ -372,12 +372,37 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
     itself (one driver-side row) into epoch seconds, so the session
     time zone is honored exactly as a write-side commit timestamp is.
 
-    Known limit: the walk covers plan CHILDREN (joins, CTEs, unions,
-    subqueries in FROM) but not relations inside expression-level
-    subqueries (``WHERE x > (SELECT ... FROM t VERSION AS OF 1)``) —
-    those fail analysis loudly (temp views refuse time travel), never
-    silently read the wrong version."""
+    Known limit: the walk covers plan CHILDREN plus CTE definitions
+    (joins, unions, subqueries in FROM, WITH bodies) but not relations
+    inside expression-level subqueries (``WHERE x > (SELECT ... FROM t
+    VERSION AS OF 1)``) — those fail analysis loudly (temp views refuse
+    time travel), never silently read the wrong version."""
     cls = plan.getClass().getSimpleName()
+    if cls == "UnresolvedWith":
+        # CTE bodies live in cteRelations (innerChildren), NOT in
+        # children() — the generic walk below would never see a pin
+        # inside a WITH definition (r9 self-review)
+        jvm = spark._jvm
+        to_seq = spark.sparkContext._jvm.PythonUtils.toSeq
+        ctes = plan.cteRelations()
+        new_ctes = []
+        changed = False
+        for i in range(ctes.size()):
+            t = ctes.apply(i)
+            nb, c = _replace_time_travel(spark, t._2(), tables, pins)
+            changed = changed or c
+            new_ctes.append(
+                jvm.scala.Tuple3(t._1(), nb, t._3())
+                if t.productArity() == 3
+                else jvm.scala.Tuple2(t._1(), nb)
+            )
+        nc, c2 = _replace_time_travel(spark, plan.child(), tables, pins)
+        if not (changed or c2):
+            return plan, False
+        return (
+            plan.copy(nc, to_seq(new_ctes), plan.allowRecursion()),
+            True,
+        )
     if cls == "RelationTimeTravel":
         rel = plan.relation()
         if rel.getClass().getSimpleName() != "UnresolvedRelation":
@@ -427,16 +452,21 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
     return plan.withNewChildren(to_seq(new_children)), True
 
 
-_WRITE_PLAN_KINDS = frozenset(
-    {
-        "DeleteFromTable",
-        "UpdateTable",
-        "MergeIntoTable",
-        "InsertIntoStatement",
-        "AddColumns",
-        "CreateTableAsSelect",
-    }
-)
+def _is_command_plan(spark, plan) -> bool:
+    """True for any statement with side effects. ``Dataset.ofRows``
+    EXECUTES Catalyst commands eagerly, so the read face must refuse
+    every command plan, not just the verbs ``run_sql`` handles — a
+    blacklist would let e.g. ``CREATE OR REPLACE TABLE``/``DROP
+    TABLE``/``SET`` write real catalog state from the documented
+    read-only path (r9 self-review). The ``Command`` trait covers all
+    DDL/DML/config/cache statements Spark parses except
+    ``InsertIntoStatement`` (checked by name)."""
+    if plan.getClass().getSimpleName() == "InsertIntoStatement":
+        return True
+    cmd = spark._jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    return bool(cmd.isInstance(plan))
 
 
 def query_sql(
@@ -460,11 +490,11 @@ def query_sql(
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
         statement
     )
-    cls = plan.getClass().getSimpleName()
-    if cls in _WRITE_PLAN_KINDS:
+    if _is_command_plan(spark, plan):
         raise ValueError(
-            f"query_sql executes read statements; got {cls} — run write "
-            f"statements through run_sql"
+            f"query_sql executes read statements; got "
+            f"{plan.getClass().getSimpleName()} — run write statements "
+            f"through run_sql (other commands are not supported)"
         )
     pins: dict[str, DataFrame] = {}
     plan, _ = _replace_time_travel(spark, plan, tables, pins)

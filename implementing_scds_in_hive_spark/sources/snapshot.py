@@ -1485,10 +1485,17 @@ def _canon_iso(s: str) -> str:
     SPACE-separated form ('2024-01-01 00:00:00' — stored verbatim by
     ``_partition_values``). Both orders wrong lexicographically against
     a 'T'-separated bound (' ' < 'T' < '+'), silently pruning boundary
-    files, so re-render every parseable value through ``isoformat()``.
-    Non-temporal strings pass through untouched."""
+    files, so re-render values WITH a time component through
+    ``isoformat()``. Values WITHOUT one (DATE-typed stats like
+    '2024-01-05', and non-temporal strings) pass through untouched —
+    inflating a date to midnight here while ``_iso_bound`` renders a
+    ``date`` bound as the bare date would wrongly prune the
+    upper-boundary file (r9 self-review); the date-vs-datetime MIXED
+    frame is handled by ``_survives_prune`` inflating BOTH sides."""
     import datetime
 
+    if "T" not in s and " " not in s:
+        return s
     try:
         d = datetime.datetime.fromisoformat(s)
     except (ValueError, TypeError):
@@ -1515,6 +1522,25 @@ def _survives_prune(file_stats: dict, prune: dict) -> bool:
             # lexicographic order IS chronological order)
             lo, hi = _iso_bound(lo), _iso_bound(hi)
             fmin, fmax = _canon_iso(fmin), _canon_iso(fmax)
+            vals = (lo, hi, fmin, fmax)
+            if any(v is not None and "T" in v for v in vals):
+                # MIXED date/datetime frame (datetime bounds over a
+                # DATE column or vice versa): bare dates order before
+                # any same-day 'T'-form, wrongly pruning the boundary
+                # file — inflate date-only values to midnight so every
+                # operand lives in one frame (a DATE value IS its
+                # midnight instant)
+                def _mid(v):
+                    return (
+                        v + "T00:00:00"
+                        if v is not None
+                        and "T" not in v
+                        and len(v) == 10
+                        and v[4:5] == "-"
+                        else v
+                    )
+
+                lo, hi, fmin, fmax = map(_mid, vals)
         if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
             return False
     return True

@@ -171,6 +171,13 @@ def merge_stream(
                     tier=tier,
                     vector_format=vector_format,
                     app_meta={**prior, TXN_KEY: txns},
+                    # CAS on the version prior was read FROM: without
+                    # this the merge CASes on whatever version it
+                    # resolves at entry, and a writer landing between
+                    # our manifest read and the merge would have its
+                    # app_meta (markers, watermarks) silently clobbered
+                    # by our stale copy (r9 self-review)
+                    expected_version=v,
                 )
                 break
             except CommitConflictError:

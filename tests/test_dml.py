@@ -994,3 +994,75 @@ def test_sql_merge_not_matched_by_source(spark, tmp_path):
     )
     assert rep["rows_updated"] == 2 and rep["rows_deleted"] == 1
     assert _rows(read_table(spark, root)) == [(1, 5.0), (3, 31.0)]
+
+
+def test_nbs_guard_is_case_insensitive(spark, tmp_path):
+    """r9 self-review: the NBS source-reference guard compared alias
+    and column names case-sensitively while Spark's analyzer resolves
+    identifiers case-insensitively — 'S.price' / 'PRICE' bypassed the
+    guard and silently wrote NULLs."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    src = spark.createDataFrame([(1, 7.0)], "o_orderkey bigint, price double")
+    for expr in ("S.price", "PRICE", "s.PRICE"):
+        with pytest.raises(ValueError, match="references source columns"):
+            merge_into(
+                spark, root, src, ["o_orderkey"],
+                when_not_matched_by_source_update={"o_totalprice": expr},
+                when_not_matched_insert=None,
+            )
+
+
+def test_merge_expected_version_cas(spark, tmp_path):
+    """r9 self-review (merge_stream clobber window): merge_into CASes
+    on whatever version it resolves at entry, so a caller who read
+    app_meta from version v must pass expected_version=v — a writer
+    landing in between now raises CommitConflictError instead of
+    having its app_meta silently rebuilt from the stale copy."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+    )
+
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    v1 = latest_version(root)
+    src = spark.createDataFrame([(1, 7.0)], "o_orderkey bigint, price double")
+    # a concurrent writer commits between the app_meta read and the merge
+    delete_where(spark, root, "o_orderkey = 2", tier="cow")
+    with pytest.raises(CommitConflictError):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.price"},
+            when_not_matched_insert=None,
+            expected_version=v1,
+        )
+    # correct version passes
+    merge_into(
+        spark, root, src, ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.price"},
+        when_not_matched_insert=None,
+        expected_version=latest_version(root),
+    )
+
+
+def test_delete_update_carry_app_meta_when_asked(spark, tmp_path):
+    """r9 self-review: delete_where/update_where could neither accept
+    nor carry app_meta, so ad-hoc DML on a merge_stream target erased
+    the exactly-once markers the rest of the diff preserves. Both now
+    take app_meta= (the merge_into idiom: caller merges the parent's
+    dict in)."""
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    meta = {"stream_txn": {"m1": 4}}
+    delete_where(
+        spark, root, "o_orderkey % 2 = 0", tier="mor", app_meta=meta
+    )
+    assert load_manifest(root, latest_version(root))["app_meta"] == meta
+    update_where(
+        spark, root, {"o_orderstatus": "'Z'"}, "o_orderkey = 1",
+        tier="cow", app_meta=meta,
+    )
+    assert load_manifest(root, latest_version(root))["app_meta"] == meta

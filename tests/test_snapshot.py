@@ -1176,6 +1176,60 @@ def test_prune_timestamp_partition_boundary(spark, tmp_path):
     ) > 0
 
 
+def test_prune_date_and_mixed_temporal_frames(spark, tmp_path):
+    """r9 self-review (CONFIRMED regression): the first _canon_iso fix
+    inflated DATE-typed stats ('2024-01-05') to midnight datetimes
+    while _iso_bound rendered date bounds bare — the upper-boundary
+    file was wrongly pruned. Date-only strings now pass through
+    untouched, and the MIXED date/datetime frame inflates BOTH sides
+    to midnight instants (Spark's own date->timestamp coercion)."""
+    import datetime as dt
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        _survives_prune,
+    )
+
+    # DATE stats vs date bounds: boundary kept, disjoint pruned
+    assert _survives_prune(
+        {"d": ["2024-01-05", "2024-01-05"]},
+        {"d": (dt.date(2024, 1, 1), dt.date(2024, 1, 5))},
+    )
+    assert not _survives_prune(
+        {"d": ["2024-01-06", "2024-01-07"]},
+        {"d": (dt.date(2024, 1, 1), dt.date(2024, 1, 5))},
+    )
+    # datetime bounds over DATE stats: boundary file kept
+    assert _survives_prune(
+        {"d": ["2024-01-05", "2024-01-05"]},
+        {"d": (dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 6))},
+    )
+    assert not _survives_prune(
+        {"d": ["2024-01-03", "2024-01-04"]},
+        {"d": (dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 6))},
+    )
+    # date bounds over TIMESTAMP stats coerce to midnight instants
+    assert not _survives_prune(
+        {"ts": ["2024-01-05T10:00:00", "2024-01-05T12:00:00"]},
+        {"ts": (dt.date(2024, 1, 5), dt.date(2024, 1, 5))},
+    )
+    assert _survives_prune(
+        {"ts": ["2024-01-05T00:00:00", "2024-01-05T12:00:00"]},
+        {"ts": (dt.date(2024, 1, 5), dt.date(2024, 1, 5))},
+    )
+    # end-to-end: a DATE-partitioned table pruned at the boundary
+    rows = [(i, dt.date(2024, 1, 5 + (i % 2))) for i in range(8)]
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(rows, "id long, d date"),
+        root,
+        partition_by=["d"],
+    )
+    got = read_snapshot(
+        spark, root, prune={"d": (dt.date(2024, 1, 5), dt.date(2024, 1, 5))}
+    )
+    assert sorted(r["id"] for r in got.collect()) == [0, 2, 4, 6]
+
+
 def test_restore_and_evolve_commits_adopt_app_meta(spark, tmp_path):
     """Self-review r8 (third pass): the two metadata commits must adopt
     the source manifest's app_meta — dropping it would silently lose a

@@ -657,3 +657,61 @@ def test_query_sql_rejects_writes_and_bad_pins(spark, tmp_path):
     assert _rows(got) == [(1, 1.0)]
     assert spark.table("t").count() == 5
     spark.catalog.dropTempView("t")
+
+
+def test_query_sql_rejects_every_command_kind(spark, tmp_path):
+    """r9 self-review: the write guard was a blacklist of run_sql's six
+    verbs, but Dataset.ofRows EXECUTES Catalyst commands eagerly — an
+    unlisted command (CREATE OR REPLACE TABLE, DROP TABLE, SET, CACHE)
+    would write real catalog/config state from the documented read-only
+    face. Now any Command plan is refused."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), root
+    )
+    for stmt in [
+        "CREATE OR REPLACE TABLE junk AS SELECT 1 AS a",
+        "DROP TABLE t",
+        "TRUNCATE TABLE t",
+        "CREATE VIEW vx AS SELECT 1 AS a",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE t",
+        "ALTER TABLE t DROP COLUMN v",
+        "INSERT INTO t VALUES (2, 2.0)",
+    ]:
+        with pytest.raises(ValueError, match="read statements"):
+            query_sql(spark, stmt, {"t": root})
+    # no side effects leaked
+    assert not any(
+        tb.name in ("junk", "vx") for tb in spark.catalog.listTables()
+    )
+    assert _rows(read_table(spark, root)) == [(1, 1.0)]
+
+
+def test_query_sql_time_travel_inside_cte(spark, tmp_path):
+    """r9 self-review: CTE bodies live in cteRelations (innerChildren),
+    not children() — a pin inside a WITH definition was never rewritten
+    and failed analysis. The walk now rebuilds UnresolvedWith."""
+    from implementing_scds_in_hive_spark.operators.dml import update_where
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ),
+        root,
+    )
+    update_where(spark, root, {"v": "v * 10"}, "id = 1")
+    got = query_sql(
+        spark,
+        """WITH old AS (SELECT id, v FROM t VERSION AS OF 1),
+                diffs AS (
+                    SELECT cur.id, cur.v - old.v AS dv
+                    FROM t cur JOIN old ON cur.id = old.id)
+           SELECT id, dv FROM diffs WHERE dv <> 0""",
+        {"t": root},
+    )
+    assert _rows(got) == [(1, 90.0)]
