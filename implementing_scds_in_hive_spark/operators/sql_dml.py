@@ -323,7 +323,13 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
 def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
     """Analyze a parsed query sub-plan into a DataFrame via
     ``Dataset.ofRows``, with registered tables exposed as temp views
-    for the analysis. Only simple (un-dotted) names can back the
+    for the analysis. Time-travel pins (``VERSION AS OF`` /
+    ``TIMESTAMP AS OF``) are rewritten FIRST, so every query path that
+    funnels here — ``query_sql``, INSERT/CTAS sources, MERGE subquery
+    sources — can read a pinned version (``CREATE TABLE backup AS
+    SELECT * FROM t VERSION AS OF 5`` is the table-clone verb; ``MERGE
+    ... USING (SELECT ... FROM t TIMESTAMP AS OF ...) AS s`` merges
+    from history). Only simple (un-dotted) names can back the
     query's relations: a temp view cannot shadow a catalog-qualified
     ``db.tbl`` reference. Pre-existing session temp views with
     colliding names are saved and restored — run_sql must not destroy
@@ -332,6 +338,9 @@ def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
         read_table,
     )
 
+    pins: dict[str, DataFrame] = {}
+    jquery, _ = _replace_time_travel(spark, jquery, tables, pins)
+    tables = {**tables, **pins}
     existing = {
         t.name
         for t in spark.catalog.listTables()
@@ -496,9 +505,7 @@ def query_sql(
             f"{plan.getClass().getSimpleName()} — run write statements "
             f"through run_sql (other commands are not supported)"
         )
-    pins: dict[str, DataFrame] = {}
-    plan, _ = _replace_time_travel(spark, plan, tables, pins)
-    return _materialize_query(spark, plan, {**tables, **pins})
+    return _materialize_query(spark, plan, tables)
 
 
 def _run_ctas(spark, plan, tables: dict) -> dict:

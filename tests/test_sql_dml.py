@@ -715,3 +715,50 @@ def test_query_sql_time_travel_inside_cte(spark, tmp_path):
         {"t": root},
     )
     assert _rows(got) == [(1, 90.0)]
+
+
+def test_time_travel_in_write_statement_sources(spark, tmp_path):
+    """Pins rewrite inside EVERY query path that funnels through
+    _materialize_query: CTAS from a pinned version (the table-clone
+    verb), INSERT from history, and a pinned MERGE subquery source."""
+    from implementing_scds_in_hive_spark.operators.dml import update_where
+
+    root = str(tmp_path / "t")
+    clone = str(tmp_path / "clone")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ),
+        root,
+    )
+    update_where(spark, root, {"v": "999.0"}, "id = 1")  # v2
+    # CTAS from the pinned v1: a physical table clone of history
+    rep = run_sql(
+        spark,
+        "CREATE TABLE clone AS SELECT id, v FROM t VERSION AS OF 1",
+        {"t": root, "clone": clone},
+    )
+    assert rep["op"] == "create_table"
+    assert _rows(read_table(spark, clone)) == [(1, 10.0), (2, 20.0)]
+    # INSERT from history: re-append v1's row for id=1
+    run_sql(
+        spark,
+        "INSERT INTO clone SELECT id + 100, v FROM t VERSION AS OF 1 "
+        "WHERE id = 1",
+        {"t": root, "clone": clone},
+    )
+    assert _rows(read_table(spark, clone)) == [
+        (1, 10.0), (2, 20.0), (101, 10.0),
+    ]
+    # MERGE with a pinned subquery source: roll id=1 back to its v1
+    # value through the merge verb
+    rep = run_sql(
+        spark,
+        """MERGE INTO t USING (
+               SELECT id, v AS old_v FROM t VERSION AS OF 1
+           ) AS s ON t.id = s.id
+           WHEN MATCHED AND t.v <> s.old_v THEN UPDATE SET v = s.old_v""",
+        {"t": root},
+    )
+    assert rep["rows_updated"] == 1
+    assert _rows(read_table(spark, root)) == [(1, 10.0), (2, 20.0)]
