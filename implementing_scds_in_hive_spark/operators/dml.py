@@ -566,6 +566,133 @@ def _jseq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 
 
+def _normalize_chain(
+    name: str,
+    clauses,
+    *,
+    scalar_update,
+    scalar_update_condition,
+    scalar_delete,
+) -> list[dict]:
+    """Normalize a WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause
+    family to ONE canonical form: an ordered list of
+    ``{"action": "update"|"delete", "condition": ..., "set": {...}}``
+    evaluated FIRST-MATCH-WINS (the SQL rule). The scalar sugar maps to
+    the chain ``[delete(cond), update(update_condition)]`` — exactly
+    the legacy semantics (delete evaluated first; the update applies to
+    matched rows the delete did not claim AND satisfying its gate)."""
+    if clauses is not None:
+        if (
+            scalar_update is not None
+            or scalar_update_condition is not None
+            or scalar_delete is not None
+        ):
+            raise ValueError(
+                f"pass {name}= or its scalar forms, not both"
+            )
+        out = []
+        for cl in clauses:
+            if not isinstance(cl, dict) or cl.get("action") not in (
+                "update",
+                "delete",
+            ):
+                raise ValueError(
+                    f"{name} clauses need action='update'|'delete'; "
+                    f"got {cl!r}"
+                )
+            unknown = set(cl) - {"action", "condition", "set"}
+            if unknown:
+                raise ValueError(
+                    f"{name} clause has unknown keys {sorted(unknown)}"
+                )
+            if cl["action"] == "update" and not cl.get("set"):
+                raise ValueError(
+                    f"{name} update clause needs a non-empty set="
+                )
+            if cl["action"] == "delete" and cl.get("set"):
+                raise ValueError(
+                    f"{name} delete clause cannot carry set="
+                )
+            out.append(
+                {
+                    "action": cl["action"],
+                    "condition": cl.get("condition"),
+                    "set": dict(cl.get("set") or {}),
+                }
+            )
+        return out
+    out = []
+    if scalar_delete is not None:
+        out.append(
+            {
+                "action": "delete",
+                "condition": None if scalar_delete is True else scalar_delete,
+                "set": {},
+            }
+        )
+    if scalar_update:
+        out.append(
+            {
+                "action": "update",
+                "condition": scalar_update_condition,
+                "set": dict(scalar_update),
+            }
+        )
+    return out
+
+
+def _normalize_inserts(clauses, scalar_values, scalar_condition) -> list[dict]:
+    """Normalize the WHEN NOT MATCHED family to an ordered
+    first-match-wins list of ``{"condition": ..., "values":
+    "all"|{col: expr}}``; an unmatched source row firing NO clause is
+    not inserted."""
+    if clauses is not None:
+        if scalar_values != "all" or scalar_condition is not None:
+            raise ValueError(
+                "pass when_not_matched= or when_not_matched_insert=, "
+                "not both"
+            )
+        out = []
+        for cl in clauses:
+            if not isinstance(cl, dict):
+                raise ValueError(
+                    f"when_not_matched clauses are dicts; got {cl!r}"
+                )
+            unknown = set(cl) - {"condition", "values"}
+            if unknown:
+                raise ValueError(
+                    f"when_not_matched clause has unknown keys "
+                    f"{sorted(unknown)}"
+                )
+            vals = cl.get("values", "all")
+            if vals != "all":
+                vals = dict(vals)
+                if not vals:
+                    raise ValueError(
+                        "when_not_matched values= must be 'all' or a "
+                        "non-empty {column: expr} dict"
+                    )
+            out.append({"condition": cl.get("condition"), "values": vals})
+        return out
+    if scalar_values is None:
+        if scalar_condition is not None:
+            raise ValueError(
+                "insert_condition given but when_not_matched_insert is "
+                "None"
+            )
+        return []
+    return [
+        {
+            "condition": scalar_condition,
+            "values": (
+                scalar_values
+                if scalar_values == "all"
+                else dict(scalar_values)
+            ),
+        }
+    ]
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -580,6 +707,9 @@ def merge_into(
     when_not_matched_by_source_update: dict | None = None,
     when_not_matched_by_source_delete=None,
     not_matched_by_source_condition=None,
+    when_matched: list | None = None,
+    when_not_matched: list | None = None,
+    when_not_matched_by_source: list | None = None,
     tier: str = "auto",
     cow_max_touched_fraction: float = 0.25,
     mor_max_matched_fraction: float = 0.7,
@@ -598,7 +728,23 @@ def merge_into(
     SCD2 shape; this one EXECUTES an arbitrary merge against the repo's
     own snapshot protocol.)
 
-    Clauses (any subset, at least one):
+    Clauses come in TWO equivalent forms. The LIST form is full Delta
+    parity — first-match-wins chains in statement order:
+
+    * ``when_matched=[{"action": "update"|"delete", "condition":
+      <bool SQL | None>, "set": {col: expr}}, ...]`` — each matched
+      row fires exactly the FIRST clause whose condition is TRUE
+      (3VL: a NULL condition does not claim the row);
+    * ``when_not_matched=[{"condition": ..., "values": "all"|{col:
+      expr}}, ...]`` — first-match-wins inserts; an unmatched source
+      row firing no clause is not inserted;
+    * ``when_not_matched_by_source=[...]`` — same shape as
+      ``when_matched``, over target rows with no source key.
+
+    The scalar sugar below normalizes to single-clause chains (the
+    delete evaluated first, exactly the legacy semantics); passing a
+    family's list AND its scalars raises. Scalar clauses (any subset,
+    at least one across all families):
 
     * ``when_matched_delete`` — ``True`` or a boolean SQL string over
       ``t.``/``s.``-qualified columns: matched target rows satisfying
@@ -676,13 +822,24 @@ def merge_into(
         read_manifest_files,
     )
 
-    if (
-        when_matched_update is None
-        and when_matched_delete is None
-        and when_not_matched_insert is None
-        and when_not_matched_by_source_update is None
-        and when_not_matched_by_source_delete is None
-    ):
+    matched_clauses = _normalize_chain(
+        "when_matched",
+        when_matched,
+        scalar_update=when_matched_update,
+        scalar_update_condition=update_condition,
+        scalar_delete=when_matched_delete,
+    )
+    insert_clauses = _normalize_inserts(
+        when_not_matched, when_not_matched_insert, insert_condition
+    )
+    nbs_clauses = _normalize_chain(
+        "when_not_matched_by_source",
+        when_not_matched_by_source,
+        scalar_update=when_not_matched_by_source_update,
+        scalar_update_condition=not_matched_by_source_condition,
+        scalar_delete=when_not_matched_by_source_delete,
+    )
+    if not matched_clauses and not insert_clauses and not nbs_clauses:
         raise ValueError("merge_into needs at least one WHEN clause")
     v, m = _resolve(root)
     if expected_version is not None and v != expected_version:
@@ -704,54 +861,45 @@ def merge_into(
         raise ValueError(f"on={on!r} must be non-empty target columns")
     if not set(on) <= set(source.columns):
         raise ValueError(f"on={on!r} missing from source {source.columns}")
-    if when_matched_update:
-        bad = sorted(set(when_matched_update) - set(t_cols))
+    for cl in matched_clauses + nbs_clauses:
+        if cl["action"] != "update":
+            continue
+        bad = sorted(set(cl["set"]) - set(t_cols))
         if bad:
             raise ValueError(f"SET references unknown columns {bad}")
-        if set(when_matched_update) & set(on):
+        if set(cl["set"]) & set(on):
             raise ValueError("updating an ON key column is not supported")
-    if when_not_matched_by_source_update:
-        bad = sorted(set(when_not_matched_by_source_update) - set(t_cols))
-        if bad:
-            raise ValueError(f"NBS SET references unknown columns {bad}")
-        if set(when_not_matched_by_source_update) & set(on):
-            raise ValueError("updating an ON key column is not supported")
-    nbs = (
-        when_not_matched_by_source_update is not None
-        or when_not_matched_by_source_delete is not None
-    )
+    nbs = bool(nbs_clauses)
     if nbs:
+        probes = []
+        for i, cl in enumerate(nbs_clauses):
+            tag = f" (clause {i})" if len(nbs_clauses) > 1 else ""
+            probes.extend(
+                (f"SET {c}{tag}", e) for c, e in cl["set"].items()
+            )
+            lbl = (
+                "DELETE condition" if cl["action"] == "delete" else "condition"
+            )
+            probes.append((f"{lbl}{tag}", cl["condition"]))
         _assert_nbs_target_only(
             spark,
-            [
-                *[
-                    (f"SET {c}", e)
-                    for c, e in (
-                        when_not_matched_by_source_update or {}
-                    ).items()
-                ],
-                ("condition", not_matched_by_source_condition),
-                ("DELETE condition", when_not_matched_by_source_delete),
-            ],
+            probes,
             source_alias,
             set(t_cols),
             set(source.columns),
         )
-    if when_not_matched_insert == "all":
-        missing = sorted(set(t_cols) - set(source.columns))
-        if missing:
-            raise ValueError(
-                f'insert="all" needs every target column in the source; '
-                f"missing {missing}"
-            )
-    elif when_not_matched_insert is not None:
-        bad = sorted(set(when_not_matched_insert) - set(t_cols))
-        if bad:
-            raise ValueError(f"INSERT references unknown columns {bad}")
-    if insert_condition is not None and when_not_matched_insert is None:
-        raise ValueError(
-            "insert_condition given but when_not_matched_insert is None"
-        )
+    for cl in insert_clauses:
+        if cl["values"] == "all":
+            missing = sorted(set(t_cols) - set(source.columns))
+            if missing:
+                raise ValueError(
+                    f'insert="all" needs every target column in the '
+                    f"source; missing {missing}"
+                )
+        else:
+            bad = sorted(set(cl["values"]) - set(t_cols))
+            if bad:
+                raise ValueError(f"INSERT references unknown columns {bad}")
 
     def _cond(c):
         if c is None or c is False:
@@ -857,7 +1005,7 @@ def merge_into(
             touched = sorted(r["__rel"] for r in per_file)
             n_key_matched = sum(r["__n"] for r in per_file)
         out["files_touched"] = len(touched)
-        if not nbs and not touched and when_not_matched_insert is None:
+        if not nbs and not touched and not insert_clauses:
             return {
                 **out,
                 "tier": "noop",
@@ -918,52 +1066,72 @@ def merge_into(
             "left",
         )
         matched = F.col(f"{sa}.__s_exists").isNotNull()
-        del_hit = matched & _cond(when_matched_delete)
-        upd_gate = (
-            _cond(update_condition)
-            if update_condition is not None
-            else F.lit(True)
+
+        def _fired(clauses, gate):
+            """First-match-wins clause index over a gate (NULL when no
+            clause fires) — the CASE chain IS the SQL textual-order
+            rule, and 3VL falls out of _cond (a NULL condition does not
+            claim the row, the next clause may)."""
+            expr = None
+            for i, cl in enumerate(clauses):
+                c = gate & (
+                    F.lit(True)
+                    if cl["condition"] is None
+                    else _cond(cl["condition"])
+                )
+                expr = (F.when if expr is None else expr.when)(c, F.lit(i))
+            return expr
+
+        m_fired = _fired(matched_clauses, matched)
+        nbs_fired = _fired(nbs_clauses, ~matched)
+
+        def _hits(fired, clauses, action):
+            idx = [
+                i for i, cl in enumerate(clauses) if cl["action"] == action
+            ]
+            if fired is None or not idx:
+                return F.lit(False)
+            return F.coalesce(fired.isin(idx), F.lit(False))
+
+        # the matched and by-source chains fold into ONE delete flag and
+        # ONE per-column rewrite (each row fires at most one clause of
+        # one chain, so the CASE chains are exact) — everything
+        # downstream (counts, CoW survivors, MoR tombstones, rewritten
+        # rows) is clause-agnostic
+        del_hit = _hits(m_fired, matched_clauses, "delete") | _hits(
+            nbs_fired, nbs_clauses, "delete"
         )
-        upd_hit = (
-            matched & ~del_hit & upd_gate
-            if when_matched_update
-            else F.lit(False)
+        upd_hit = _hits(m_fired, matched_clauses, "update") | _hits(
+            nbs_fired, nbs_clauses, "update"
         )
-        nbs_del_hit = ~matched & _cond(when_not_matched_by_source_delete)
-        nbs_gate = (
-            _cond(not_matched_by_source_condition)
-            if not_matched_by_source_condition is not None
-            else F.lit(True)
-        )
-        nbs_upd_hit = (
-            ~matched & ~nbs_del_hit & nbs_gate
-            if when_not_matched_by_source_update
-            else F.lit(False)
-        )
-        # the matched and by-source clauses fold into ONE delete flag and
-        # ONE per-column rewrite (each row fires at most one side, so the
-        # CASE chain is exact) — everything downstream (counts, CoW
-        # survivors, MoR tombstones, rewritten rows) is clause-agnostic
-        m_upd_hit = upd_hit  # matched-clause hits only (closure below)
-        del_hit = del_hit | nbs_del_hit
-        upd_hit = upd_hit | nbs_upd_hit
         upd_cols = sorted(
-            set(when_matched_update or {})
-            | set(when_not_matched_by_source_update or {})
+            {
+                c
+                for cl in matched_clauses + nbs_clauses
+                if cl["action"] == "update"
+                for c in cl["set"]
+            }
         )
 
         def _new_val(c):
             e = F.col(f"{ta}.{c}")
-            expr = F.when(
-                m_upd_hit,
-                _expr((when_matched_update or {}).get(c, e)).cast(types[c]),
-            )
-            return expr.when(
-                nbs_upd_hit,
-                _expr(
-                    (when_not_matched_by_source_update or {}).get(c, e)
-                ).cast(types[c]),
-            ).otherwise(e.cast(types[c]))
+            expr = None
+            for fired, clauses in (
+                (m_fired, matched_clauses),
+                (nbs_fired, nbs_clauses),
+            ):
+                if fired is None:
+                    continue
+                for i, cl in enumerate(clauses):
+                    if cl["action"] != "update":
+                        continue
+                    val = _expr(cl["set"].get(c, e)).cast(types[c])
+                    expr = (F.when if expr is None else expr.when)(
+                        fired == F.lit(i), val
+                    )
+            if expr is None:
+                return e.cast(types[c])
+            return expr.otherwise(e.cast(types[c]))
         classified = joined.select(
             *[F.col(f"{ta}.{c}").alias(c) for c in t_cols],
             *[_new_val(c).alias(f"__new_{c}") for c in upd_cols],
@@ -1007,32 +1175,38 @@ def merge_into(
                 if tier == "mor" and vector_format == "pos" and not pos:
                     raise AssertionError("pos capture invariant")
             rows_inserted = 0
-            if when_not_matched_insert is not None:
+            if insert_clauses:
                 unmatched = src.join(
                     classified.select(*on).distinct(), on, "left_anti"
                 ).alias(sa)
-                if insert_condition is not None:
-                    unmatched = unmatched.where(_cond(insert_condition))
-                if when_not_matched_insert == "all":
-                    inserts = unmatched.select(
-                        *[
-                            F.col(f"{sa}.{c}").cast(types[c]).alias(c)
-                            for c in t_cols
-                        ]
-                    )
-                else:
-                    inserts = unmatched.select(
-                        *[
-                            (
-                                _expr(when_not_matched_insert[c]).cast(
-                                    types[c]
-                                )
-                                if c in when_not_matched_insert
+                ins_fired = _fired(insert_clauses, F.lit(True))
+
+                def _ins_val(c):
+                    expr = None
+                    for i, cl in enumerate(insert_clauses):
+                        val = (
+                            F.col(f"{sa}.{c}").cast(types[c])
+                            if cl["values"] == "all"
+                            else (
+                                _expr(cl["values"][c]).cast(types[c])
+                                if c in cl["values"]
                                 else F.lit(None).cast(types[c])
-                            ).alias(c)
-                            for c in t_cols
-                        ]
-                    )
+                            )
+                        )
+                        expr = (F.when if expr is None else expr.when)(
+                            F.col("__ins") == F.lit(i), val
+                        )
+                    return expr.otherwise(F.lit(None).cast(types[c])).alias(c)
+
+                # __ins is computed under the sa alias (clause conditions
+                # are s.-qualified), then the frame is RE-aliased so the
+                # value projections' s. references still resolve
+                inserts = (
+                    unmatched.withColumn("__ins", ins_fired)
+                    .alias(sa)
+                    .where(F.col("__ins").isNotNull())
+                    .select(*[_ins_val(c) for c in t_cols])
+                )
                 inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
                 rows_inserted = inserts.count()
             if rows_deleted + rows_updated + rows_inserted == 0:

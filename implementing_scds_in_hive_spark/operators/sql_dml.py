@@ -165,20 +165,6 @@ def _assign_key(assignment, allowed_quals: set[str]) -> str:
     )
 
 
-def _first_match_wins(upd_first: bool, upd, upd_cond, delete):
-    """SQL MERGE applies the FIRST matching clause in textual order;
-    the executable merge evaluates delete-first. When the statement
-    lists UPDATE before DELETE, restrict the delete to rows the update
-    clause does NOT claim (``cd AND NOT COALESCE(cu, FALSE)``) — an
-    exact mapping, including 3VL (a NULL update condition does not
-    claim the row, so the delete may still fire)."""
-    if not (upd_first and upd is not None and delete is not None):
-        return delete
-    cu = "TRUE" if upd_cond is None else upd_cond
-    cd = "TRUE" if delete is True else delete
-    return f"({cd}) AND NOT COALESCE(({cu}), FALSE)"
-
-
 def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
     t_name, t_alias = _name_of(plan.targetTable())
     root = _root_for(tables, t_name)
@@ -212,78 +198,52 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
             f"MERGE USING takes a registered table or an aliased "
             f"subquery (USING (SELECT ...) AS s); got {s_cls}"
         )
-    nbs_upd = None
-    nbs_cond = None
-    nbs_del = None
-    nbs_upd_first = False
-    for a in _seq(plan.notMatchedBySourceActions()):
-        cls = a.getClass().getSimpleName()
-        if cls == "DeleteAction":
-            if nbs_del is not None:
-                raise ValueError(
-                    "at most one WHEN NOT MATCHED BY SOURCE ... DELETE"
-                )
+    def _chain(actions, family):
+        """Parsed WHEN clauses -> the executable merge's first-match-
+        wins chain, in TEXTUAL ORDER (the engine evaluates the list in
+        order, so SQL's first-match-wins rule maps one-to-one — no
+        condition rewriting needed)."""
+        out = []
+        for a in _seq(actions):
+            cls = a.getClass().getSimpleName()
             c = _opt(a.condition())
-            nbs_del = True if c is None else c.sql()
-        elif cls == "UpdateAction":
-            if nbs_upd is not None:
-                raise ValueError(
-                    "at most one WHEN NOT MATCHED BY SOURCE ... UPDATE"
+            cond = None if c is None else c.sql()
+            if cls == "DeleteAction":
+                out.append({"action": "delete", "condition": cond})
+            elif cls == "UpdateAction":
+                out.append(
+                    {
+                        "action": "update",
+                        "condition": cond,
+                        "set": {
+                            _assign_key(g, {t_alias, t_name}): g.value().sql()
+                            for g in _seq(a.assignments())
+                        },
+                    }
                 )
-            nbs_upd_first = nbs_del is None
-            nbs_upd = {
-                _assign_key(g, {t_alias, t_name}): g.value().sql()
-                for g in _seq(a.assignments())
-            }
-            c = _opt(a.condition())
-            nbs_cond = None if c is None else c.sql()
-        else:
-            raise ValueError(
-                f"unsupported WHEN NOT MATCHED BY SOURCE action {cls}"
-            )
-    nbs_del = _first_match_wins(nbs_upd_first, nbs_upd, nbs_cond, nbs_del)
+            else:
+                raise ValueError(f"unsupported {family} action {cls}")
+        return out
 
-    upd = None
-    upd_cond = None
-    delete = None
-    upd_listed_first = False
-    for a in _seq(plan.matchedActions()):
-        cls = a.getClass().getSimpleName()
-        if cls == "DeleteAction":
-            if delete is not None:
-                raise ValueError("at most one WHEN MATCHED ... DELETE")
-            c = _opt(a.condition())
-            delete = True if c is None else c.sql()
-        elif cls == "UpdateAction":
-            if upd is not None:
-                raise ValueError("at most one WHEN MATCHED ... UPDATE")
-            upd_listed_first = delete is None
-            upd = {
-                _assign_key(g, {t_alias, t_name}): g.value().sql()
-                for g in _seq(a.assignments())
-            }
-            c = _opt(a.condition())
-            upd_cond = None if c is None else c.sql()
-        else:
-            raise ValueError(f"unsupported WHEN MATCHED action {cls}")
-    delete = _first_match_wins(upd_listed_first, upd, upd_cond, delete)
-    insert = None
-    ins_cond = None
+    matched_list = _chain(plan.matchedActions(), "WHEN MATCHED")
+    nbs_list = _chain(
+        plan.notMatchedBySourceActions(), "WHEN NOT MATCHED BY SOURCE"
+    )
+    insert_list = []
     for a in _seq(plan.notMatchedActions()):
         cls = a.getClass().getSimpleName()
-        if insert is not None:
-            raise ValueError("at most one WHEN NOT MATCHED ... INSERT")
+        c = _opt(a.condition())
+        cond = None if c is None else c.sql()
         if cls == "InsertStarAction":
-            insert = "all"
+            values = "all"
         elif cls == "InsertAction":
-            insert = {
+            values = {
                 _assign_key(g, {t_alias, t_name}): g.value().sql()
                 for g in _seq(a.assignments())
             }
         else:
             raise ValueError(f"unsupported WHEN NOT MATCHED action {cls}")
-        c = _opt(a.condition())
-        ins_cond = None if c is None else c.sql()
+        insert_list.append({"condition": cond, "values": values})
 
     pairs = _equi_keys(plan.mergeCondition(), t_alias, s_alias)
     # the executable merge joins USING-style (one shared key name per
@@ -301,21 +261,23 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
                 )
             src = src.withColumn(t_col, F.col(s_col))
     on = [t for t, _ in pairs]
+    kw = {}
+    if insert_list:
+        kw["when_not_matched"] = insert_list
+    else:
+        # the scalar default is insert="all"; no textual INSERT clause
+        # means NO inserts
+        kw["when_not_matched_insert"] = None
     return merge_into(
         spark,
         root,
         src,
         on,
-        when_matched_update=upd,
-        when_matched_delete=delete,
-        when_not_matched_insert=insert,
-        update_condition=upd_cond,
-        insert_condition=ins_cond,
-        when_not_matched_by_source_update=nbs_upd,
-        when_not_matched_by_source_delete=nbs_del,
-        not_matched_by_source_condition=nbs_cond,
+        when_matched=matched_list or None,
+        when_not_matched_by_source=nbs_list or None,
         target_alias=t_alias,
         source_alias=s_alias,
+        **kw,
         **opts,
     )
 
