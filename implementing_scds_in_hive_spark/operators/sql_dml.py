@@ -349,6 +349,56 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
     VERSION AS OF 1)``) — those fail analysis loudly (temp views refuse
     time travel), never silently read the wrong version."""
     cls = plan.getClass().getSimpleName()
+    if cls == "UnresolvedTableValuedFunction":
+        # Delta-parity change-feed TVF: table_changes(table, v_from,
+        # v_to, 'key1[,key2,...]') resolves through snapshot_changes
+        # (this engine's diff is key-join-derived, so the key columns
+        # are an explicit argument where Delta reads stored CDF files)
+        name_parts = [str(x) for x in _seq(plan.name())]
+        if [p.casefold() for p in name_parts] != ["table_changes"]:
+            raise ValueError(
+                f"unsupported table function {'.'.join(name_parts)} — "
+                f"query_sql supports table_changes(table, v_from, v_to, "
+                f"'key1[,key2,...]')"
+            )
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            snapshot_changes,
+        )
+
+        args = plan.functionArgs()
+        vals = []
+        for i in range(args.size()):
+            a = args.apply(i)
+            if a.getClass().getSimpleName() != "Literal":
+                raise ValueError(
+                    f"table_changes arguments must be literals; got "
+                    f"{a.sql()}"
+                )
+            vals.append(str(a.value()))
+        if len(vals) != 4:
+            raise ValueError(
+                "table_changes takes (table_name, v_from, v_to, "
+                "'key1[,key2,...]') — the key columns drive the diff "
+                "join"
+            )
+        keys = [k.strip() for k in vals[3].split(",") if k.strip()]
+        if not keys:
+            raise ValueError("table_changes needs at least one key column")
+        df = snapshot_changes(
+            spark,
+            _root_for(tables, vals[0]),
+            int(vals[1]),
+            int(vals[2]),
+            keys,
+        )
+        gen = f"__tt_pin_{len(pins)}"
+        pins[gen] = df
+        return (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parsePlan(f"TABLE {gen}"),
+            True,
+        )
     if cls == "UnresolvedWith":
         # CTE bodies live in cteRelations (innerChildren), NOT in
         # children() — the generic walk below would never see a pin

@@ -84,6 +84,9 @@ def merge_stream(
     when_not_matched_by_source_update: dict | None = None,
     when_not_matched_by_source_delete=None,
     not_matched_by_source_condition=None,
+    when_matched: list | None = None,
+    when_not_matched: list | None = None,
+    when_not_matched_by_source: list | None = None,
     order_by: list[str] | None = None,
     tier: str = "auto",
     vector_format: str = "pos",
@@ -168,6 +171,9 @@ def merge_stream(
                     not_matched_by_source_condition=(
                         not_matched_by_source_condition
                     ),
+                    when_matched=when_matched,
+                    when_not_matched=when_not_matched,
+                    when_not_matched_by_source=when_not_matched_by_source,
                     tier=tier,
                     vector_format=vector_format,
                     app_meta={**prior, TXN_KEY: txns},

@@ -762,3 +762,51 @@ def test_time_travel_in_write_statement_sources(spark, tmp_path):
     )
     assert rep["rows_updated"] == 1
     assert _rows(read_table(spark, root)) == [(1, 10.0), (2, 20.0)]
+
+
+def test_query_sql_table_changes_tvf(spark, tmp_path):
+    """Delta-parity change-feed TVF in the read face:
+    ``table_changes(table, v_from, v_to, 'keys')`` resolves through
+    snapshot_changes (key-join diff), composable with filters, joins
+    and pins in the same statement."""
+    from implementing_scds_in_hive_spark.operators.dml import (
+        delete_where,
+        update_where,
+    )
+    from implementing_scds_in_hive_spark.operators.sql_dml import query_sql
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+        root,
+    )
+    update_where(spark, root, {"v": "111.0"}, "id = 1")  # v2: U
+    delete_where(spark, root, "id = 3")  # v3: D
+    run_sql(spark, "INSERT INTO t VALUES (9, 90.0)", {"t": root})  # v4: I
+    got = query_sql(
+        spark,
+        "SELECT op, id, v FROM table_changes('t', 1, 4, 'id') ORDER BY id",
+        {"t": root},
+    )
+    # the feed carries the NEW-side payload (NULL for a delete)
+    assert _rows(got) == [
+        ("D", 3, None),
+        ("I", 9, 90.0),
+        ("U", 1, 111.0),
+    ]
+    # composes with a pin of the same table in one statement
+    got2 = query_sql(
+        spark,
+        """SELECT c.op, c.id, old.v AS v_before
+           FROM table_changes('t', 1, 4, 'id') c
+           JOIN t VERSION AS OF 1 old ON c.id = old.id
+           WHERE c.op = 'U'""",
+        {"t": root},
+    )
+    assert _rows(got2) == [("U", 1, 10.0)]
+    with pytest.raises(ValueError, match="table_changes takes"):
+        query_sql(spark, "SELECT * FROM table_changes('t', 1, 4)", {"t": root})
+    with pytest.raises(ValueError, match="unsupported table function"):
+        query_sql(spark, "SELECT * FROM range(10)", {"t": root})
