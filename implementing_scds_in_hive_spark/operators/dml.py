@@ -647,7 +647,10 @@ def _normalize_inserts(clauses, scalar_values, scalar_condition) -> list[dict]:
     "all"|{col: expr}}``; an unmatched source row firing NO clause is
     not inserted."""
     if clauses is not None:
-        if scalar_values != "all" or scalar_condition is not None:
+        # None (disable scalar inserts) and the untouched "all" default
+        # both carry no conflicting insert spec — only an explicit
+        # column mapping alongside the list is ambiguous
+        if scalar_values not in (None, "all") or scalar_condition is not None:
             raise ValueError(
                 "pass when_not_matched= or when_not_matched_insert=, "
                 "not both"
@@ -1123,9 +1126,12 @@ def merge_into(
                 if fired is None:
                     continue
                 for i, cl in enumerate(clauses):
-                    if cl["action"] != "update":
+                    if cl["action"] != "update" or c not in cl["set"]:
+                        # a clause not setting c falls to the otherwise
+                        # (identity) — emitting a branch would just
+                        # bloat the per-column CASE
                         continue
-                    val = _expr(cl["set"].get(c, e)).cast(types[c])
+                    val = _expr(cl["set"][c]).cast(types[c])
                     expr = (F.when if expr is None else expr.when)(
                         fired == F.lit(i), val
                     )

@@ -261,23 +261,19 @@ def _run_merge(spark, plan, tables: dict, opts: dict) -> dict:
                 )
             src = src.withColumn(t_col, F.col(s_col))
     on = [t for t, _ in pairs]
-    kw = {}
-    if insert_list:
-        kw["when_not_matched"] = insert_list
-    else:
-        # the scalar default is insert="all"; no textual INSERT clause
-        # means NO inserts
-        kw["when_not_matched_insert"] = None
     return merge_into(
         spark,
         root,
         src,
         on,
         when_matched=matched_list or None,
+        when_not_matched=insert_list or None,
+        # the scalar default is insert="all"; no textual INSERT clause
+        # means NO inserts
+        when_not_matched_insert=None,
         when_not_matched_by_source=nbs_list or None,
         target_alias=t_alias,
         source_alias=s_alias,
-        **kw,
         **opts,
     )
 
@@ -356,11 +352,10 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
         # are an explicit argument where Delta reads stored CDF files)
         name_parts = [str(x) for x in _seq(plan.name())]
         if [p.casefold() for p in name_parts] != ["table_changes"]:
-            raise ValueError(
-                f"unsupported table function {'.'.join(name_parts)} — "
-                f"query_sql supports table_changes(table, v_from, v_to, "
-                f"'key1[,key2,...]')"
-            )
+            # any other TVF (range, explode, inline, ...) is Spark's to
+            # resolve — intercepting only our own name keeps built-in
+            # table functions working in every SQL path (r9 review #2)
+            return plan, False
         from implementing_scds_in_hive_spark.sources.snapshot import (
             snapshot_changes,
         )
@@ -384,11 +379,21 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
         keys = [k.strip() for k in vals[3].split(",") if k.strip()]
         if not keys:
             raise ValueError("table_changes needs at least one key column")
+
+        def _version_arg(label, raw):
+            try:
+                return int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"table_changes {label} must be an integer version; "
+                    f"got {raw!r}"
+                ) from None
+
         df = snapshot_changes(
             spark,
             _root_for(tables, vals[0]),
-            int(vals[1]),
-            int(vals[2]),
+            _version_arg("v_from", vals[1]),
+            _version_arg("v_to", vals[2]),
             keys,
         )
         gen = f"__tt_pin_{len(pins)}"

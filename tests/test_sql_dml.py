@@ -808,5 +808,19 @@ def test_query_sql_table_changes_tvf(spark, tmp_path):
     assert _rows(got2) == [("U", 1, 10.0)]
     with pytest.raises(ValueError, match="table_changes takes"):
         query_sql(spark, "SELECT * FROM table_changes('t', 1, 4)", {"t": root})
-    with pytest.raises(ValueError, match="unsupported table function"):
-        query_sql(spark, "SELECT * FROM range(10)", {"t": root})
+    with pytest.raises(ValueError, match="integer version"):
+        query_sql(
+            spark,
+            "SELECT * FROM table_changes('t', NULL, 4, 'id')",
+            {"t": root},
+        )
+    # Spark's own TVFs stay Spark's to resolve — in the read face AND
+    # in write-statement sources (r9 review: intercepting every TVF
+    # broke range() in INSERT sources)
+    assert query_sql(spark, "SELECT id FROM range(3)", {"t": root}).count() == 3
+    run_sql(
+        spark,
+        "INSERT INTO t SELECT id + 1000, CAST(id AS DOUBLE) FROM range(2)",
+        {"t": root},
+    )
+    assert read_table(spark, root).where("id >= 1000").count() == 2
