@@ -28,6 +28,7 @@ semantics.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,6 +311,12 @@ def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
         for name, src in tables.items():
             if "." in name:
                 continue
+            if isinstance(src, str) and not os.path.exists(src):
+                # a registered root that doesn't exist yet (e.g. the
+                # TARGET of a later CTAS in a script) cannot back a
+                # view; a query referencing it fails with a clear
+                # table-not-found instead of a path error here
+                continue
             if name in existing:
                 saved[name] = spark.table(name)
             df = read_table(spark, src) if isinstance(src, str) else src
@@ -476,6 +483,18 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
         return plan, False
     to_seq = spark.sparkContext._jvm.PythonUtils.toSeq
     return plan.withNewChildren(to_seq(new_children)), True
+
+
+_WRITE_STMT_KINDS = frozenset(
+    {
+        "DeleteFromTable",
+        "UpdateTable",
+        "MergeIntoTable",
+        "InsertIntoStatement",
+        "AddColumns",
+        "CreateTableAsSelect",
+    }
+)
 
 
 def _is_command_plan(spark, plan) -> bool:
@@ -803,3 +822,110 @@ def run_sql(
         f"maintenance verbs; run read queries through the DataFrame/"
         f"spark.sql face"
     )
+
+
+def split_sql_statements(script: str) -> list[str]:
+    """Split a multi-statement SQL script on the ``;`` separators that
+    are OUTSIDE string literals ('...' with backslash escapes, "..."),
+    backticked identifiers, line comments (``-- ...``) and block
+    comments (``/* ... */``) — the places a naive ``split(';')``
+    corrupts. Comments stay attached to their statement (Spark's parser
+    handles them); fragments containing only comments/whitespace are
+    dropped. Pure driver-side text scan, O(len(script))."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    has_code = False
+    state: str | None = None
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        nxt = script[i + 1] if i + 1 < n else ""
+        if state in ("'", '"'):
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(nxt)
+                i += 2
+                continue
+            if ch == state:
+                state = None
+            i += 1
+            continue
+        if state == "`":
+            buf.append(ch)
+            if ch == "`":
+                state = None
+            i += 1
+            continue
+        if state == "--":
+            buf.append(ch)
+            if ch == "\n":
+                state = None
+            i += 1
+            continue
+        if state == "/*":
+            buf.append(ch)
+            if ch == "*" and nxt == "/":
+                buf.append(nxt)
+                i += 2
+                state = None
+                continue
+            i += 1
+            continue
+        if ch == ";":
+            s = "".join(buf).strip()
+            if s and has_code:
+                stmts.append(s)
+            buf = []
+            has_code = False
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            state = ch
+            has_code = True
+        elif ch == "-" and nxt == "-":
+            state = "--"
+        elif ch == "/" and nxt == "*":
+            state = "/*"
+            buf.append(ch)
+            buf.append(nxt)
+            i += 2
+            continue
+        elif not ch.isspace():
+            has_code = True
+        buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s and has_code:
+        stmts.append(s)
+    return stmts
+
+
+def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
+    """Execute a multi-statement SQL script against snapshot tables —
+    the reference's own modality (SCD_script.txt is an 8-statement
+    script) generalized to this engine's full surface: each statement
+    is routed to :func:`run_sql` (DML / DDL / maintenance, returning
+    its report dict) or :func:`query_sql` (reads, returning the result
+    DataFrame), in order, and the per-statement results come back as a
+    list. Statements run with default options (``tier="auto"`` etc.);
+    use :func:`run_sql` directly when a statement needs explicit
+    options. A failing statement raises with everything before it
+    committed — statement-level atomicity, exactly the semantics of
+    running the script through any SQL CLI (the manifest protocol has
+    no cross-statement transactions, like Delta)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    results = []
+    for stmt in split_sql_statements(script):
+        if any(
+            rx.match(stmt)
+            for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE)
+        ):
+            results.append(run_sql(spark, stmt, tables))
+            continue
+        cls = parser.parsePlan(stmt).getClass().getSimpleName()
+        if cls in _WRITE_STMT_KINDS:
+            results.append(run_sql(spark, stmt, tables))
+        else:
+            # query_sql refuses non-read commands loudly
+            results.append(query_sql(spark, stmt, tables))
+    return results

@@ -824,3 +824,79 @@ def test_query_sql_table_changes_tvf(spark, tmp_path):
         {"t": root},
     )
     assert read_table(spark, root).where("id >= 1000").count() == 2
+
+
+def test_split_sql_statements_quote_and_comment_aware():
+    """Pure splitter: ';' inside string literals, backticks, line and
+    block comments must not split; comment-only fragments drop."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        split_sql_statements,
+    )
+
+    script = """
+    -- leading comment; with a semicolon
+    INSERT INTO t VALUES (1, 'a;b');
+    /* block; comment */ UPDATE t SET v = 'x;y' -- trail; note
+    WHERE id = 1;
+    SELECT `weird;name`, "d;q" FROM t;
+    DELETE FROM t WHERE v = 'it''s;fine\\'; still same';
+    ;  ; -- only comments and empties between these
+    SELECT 1
+    """
+    got = split_sql_statements(script)
+    assert len(got) == 5, got
+    assert got[0].endswith("VALUES (1, 'a;b')")
+    assert "WHERE id = 1" in got[1] and "block; comment" in got[1]
+    assert got[2].startswith("SELECT `weird;name`")
+    assert "still same'" in got[3]
+    # a comment between statements attaches to the NEXT statement
+    # (harmless: Spark's parser handles leading comments)
+    assert got[4].endswith("SELECT 1")
+    assert split_sql_statements(" -- nothing\n ; /* x */ ;") == []
+
+
+def test_run_sql_script_routes_writes_and_reads(spark, tmp_path):
+    """The script runner executes statements in order, returning report
+    dicts for writes/maintenance and DataFrames for reads — the
+    reference's script modality over the full engine surface."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        run_sql_script,
+    )
+
+    root = str(tmp_path / "t")
+    clone = str(tmp_path / "clone")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+        root,
+    )
+    results = run_sql_script(
+        spark,
+        """
+        -- a realistic mixed script
+        INSERT INTO t VALUES (4, 40.0);
+        UPDATE t SET v = v * 2 WHERE id <= 2;
+        DELETE FROM t WHERE id = 3;
+        DESCRIBE HISTORY t;
+        CREATE TABLE c AS SELECT * FROM t VERSION AS OF 1;
+        SELECT id, v FROM t ORDER BY id
+        """,
+        {"t": root, "c": clone},
+    )
+    assert [r["op"] for r in results[:3]] == ["insert", "update", "delete"]
+    assert results[3]["op"] == "describe_history"
+    assert results[4]["op"] == "create_table"
+    assert _rows(results[5]) == [(1, 20.0), (2, 40.0), (4, 40.0)]
+    assert _rows(read_table(spark, clone)) == [
+        (1, 10.0), (2, 20.0), (3, 30.0),
+    ]
+    # a non-read command still refuses loudly mid-script, after the
+    # prior statements committed
+    with pytest.raises(ValueError, match="read statements"):
+        run_sql_script(
+            spark,
+            "INSERT INTO t VALUES (9, 90.0); DROP TABLE t",
+            {"t": root},
+        )
+    assert (9, 90.0) in _rows(read_table(spark, root))
