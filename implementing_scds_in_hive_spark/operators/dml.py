@@ -179,9 +179,10 @@ def _commit_replace(
     passes the touched files as ``drop_files``; MoR/append drop nothing
     and optionally stage vectors. ``app_meta`` commits atomically with
     the data (the Delta txnAppId/txnVersion hook — merge_stream's
-    exactly-once marker rides here); like every commit, omitting it
-    drops the parent's app_meta, so a caller who needs carry-forward
-    merges the parent manifest's dict in itself."""
+    exactly-once marker rides here); the parent manifest's app_meta is
+    carried forward by default and the explicit dict merges over it
+    (``snapshot._merge_app_meta``), so foreign writers' markers and
+    watermarks survive this commit."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         write_snapshot,
     )
@@ -805,13 +806,29 @@ def merge_into(
     "rows_updated", "rows_deleted", "rows_inserted"}``. ``app_meta``
     commits atomically with the merge (the Delta txnAppId/txnVersion
     hook — how ``streaming/dml_stream.py:merge_stream`` gets
-    exactly-once replay); the parent's app_meta is NOT carried
-    implicitly — merge it in if you need carry-forward, and pass
-    ``expected_version`` = the version you read it FROM: the merge
-    normally CASes on whatever version it resolves at entry, so a
-    writer landing between your read and this call would otherwise
-    have its app_meta silently rebuilt from your stale copy
-    (:class:`CommitConflictError` fires instead; re-read and retry).
+    exactly-once replay); the parent's app_meta is carried forward BY
+    DEFAULT, with the explicit dict merging over it one level deep
+    (``snapshot._merge_app_meta`` — Delta's SetTransaction
+    accumulation), so a merge with ``app_meta=None`` can no longer
+    erase another stream's marker or a matview watermark. A caller
+    whose explicit value must win against a concurrent writer's (e.g.
+    a marker read from a specific version) should still pass
+    ``expected_version`` = the version it read FROM, so the race fails
+    loudly (:class:`CommitConflictError`; re-read and retry) instead
+    of committing stale metadata.
+
+    ``mor_max_matched_fraction`` (auto tier only): when the discovery
+    semi-join's KEY-matched row count reaches this fraction of the
+    touched files' live rows, auto routes back to CoW — MoR on a
+    near-whole-table merge would append ~a full copy plus a tombstone
+    per row. NOTE the signal is KEY-match density, measured BEFORE
+    clause conditions run: a key-dense merge whose WHEN conditions
+    fire sparsely is also routed to CoW (a full rewrite of the touched
+    files where MoR would have written only the fired rows). That
+    over-approximation is deliberate — routing from clause-fired
+    counts would need the classification join BEFORE the tier choice
+    (forcing position capture on every CoW merge); if you know your
+    conditions are sparse, pass ``tier="mor"`` explicitly.
     ``tier`` is the
     routed ``cow``/``mor``, or ``append`` (inserts only — no touched
     file changes, so a pure append commit carries everything by

@@ -506,6 +506,23 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _merge_app_meta(parent: dict | None, explicit: dict | None) -> dict:
+    """Carry-forward merge for ``app_meta``: the parent's dict survives
+    every commit by default, the committing writer's explicit dict wins
+    per key, and keys whose values are BOTH dicts merge one level deep
+    — so ``{"stream_txn": {"A": 5}}`` and a later ``{"stream_txn":
+    {"B": 3}}`` coexist instead of clobbering each other (the Delta
+    SetTransaction accumulation semantics). Deeper nesting is
+    last-writer-wins, documented."""
+    out = dict(parent or {})
+    for k, v in (explicit or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
+
+
 def commit(
     root: str,
     staged: dict,
@@ -584,6 +601,25 @@ def commit(
         deletes: dict[str, list[str]] = {}
         lineage = False
         schema_json = staged["schema"]
+        parent_meta: dict = {}
+        if mode == "overwrite" and parent is not None:
+            # app_meta carry-forward needs the parent manifest even
+            # though an overwrite carries no files from it
+            try:
+                parent_meta = (
+                    load_manifest(root, parent).get("app_meta") or {}
+                )
+            except FileNotFoundError:
+                # a concurrent vacuum dropped the parent between our
+                # latest_version and the read; re-resolve and retry
+                attempts += 1
+                if attempts >= max_retries:
+                    _abandon(root, staged)
+                    raise CommitConflictError(
+                        f"parent manifests kept vanishing under concurrent "
+                        f"vacuums for {max_retries} attempts at {root}"
+                    )
+                continue
         if mode == "append" and parent is not None:
             try:
                 pm = load_manifest(root, parent)
@@ -598,6 +634,7 @@ def commit(
                         f"vacuums for {max_retries} attempts at {root}"
                     )
                 continue
+            parent_meta = pm.get("app_meta") or {}
             schema_json = _evolved_schema(root, staged, pm, mode)
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
@@ -620,6 +657,7 @@ def commit(
                     f"commit; re-read the table and re-merge"
                 )
             lineage = True
+            parent_meta = pm.get("app_meta") or {}
             schema_json = _evolved_schema(root, staged, pm, mode)
             drop = set(staged.get("drop_files", []))
             unknown = drop - set(pm["files"])
@@ -696,14 +734,22 @@ def commit(
             # file-granular sweep (an O(files) walk) only runs on
             # tables that have actually seen a replace commit
             manifest["cow_lineage"] = True
-        if staged.get("app_meta") is not None:
+        merged_meta = _merge_app_meta(parent_meta, staged.get("app_meta"))
+        if merged_meta:
             # application-level metadata committed ATOMICALLY with the
             # data (the Delta txnAppId/txnVersion idea): e.g. a
             # materialized view stores its source watermark here, so a
             # crash can never separate "deltas applied" from "watermark
             # advanced" — the exactly-once hook operators/matview.py
-            # builds on
-            manifest["app_meta"] = staged["app_meta"]
+            # builds on. The PARENT's app_meta is carried forward by
+            # default and the explicit dict merges OVER it (one level
+            # deep for dict values, so two streams' markers under one
+            # key coexist): Delta's SetTransaction survives unrelated
+            # commits via log accumulation, and before this carry an
+            # ordinary foreign write (any verb with app_meta=None)
+            # silently erased every stream marker and matview watermark
+            # — the ADVICE r9 double-apply window.
+            manifest["app_meta"] = merged_meta
         if stats:
             manifest["stats"] = stats
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")

@@ -29,7 +29,14 @@ Crash classes:
 Concurrent writers are safe: the merge CASes on the version its
 discovery ran against, and each retry re-reads BOTH the table and the
 parent's ``app_meta`` (other writers' metadata — matview watermarks,
-other streams' markers — is carried forward, never clobbered).
+other streams' markers — is carried forward, never clobbered). Since
+r10 the commit layer itself carries the parent's app_meta forward on
+EVERY commit (``snapshot._merge_app_meta`` — the Delta SetTransaction
+log-accumulation semantics), so an interleaved foreign write that
+passes no ``app_meta`` can no longer erase this stream's marker — the
+r9 ADVICE double-apply window (crash between manifest link and
+checkpoint commit, plus one ordinary foreign write) is closed at the
+protocol level, not just for well-behaved writers.
 
 Reference anchor: the reference is batch-only HiveQL
 (/root/reference/SCD_script.txt); this face is the storage-layer verb a
@@ -92,6 +99,7 @@ def merge_stream(
     vector_format: str = "pos",
     retain_versions: int | None = 2,
     retain_grace_seconds: float = 600.0,
+    vacuum_every: int = 1,
     max_commit_retries: int = 3,
     fold_every: int | None = None,
     trigger_available_now: bool = True,
@@ -113,7 +121,12 @@ def merge_stream(
     last-wins per key before merging (duplicate keys otherwise raise,
     per merge_into's source-uniqueness contract). ``fold_every=N``
     runs ``sinks.compact_deletes`` after every Nth batch, as in the
-    MoR SCD stream. ``crash_hook(batch_id, phase)`` is the usual
+    MoR SCD stream. ``vacuum_every=N`` (default 1 = every batch) runs
+    the retention vacuum only after every Nth batch — vacuum is
+    O(manifest) and content-preserving, but at high trigger rates that
+    driver-side walk is pure per-trigger latency; skipped vacuums just
+    leave a few extra retained versions for the next one to reclaim.
+    ``crash_hook(batch_id, phase)`` is the usual
     fault-injection point (``"pre_publish"`` / ``"post_publish"``)."""
     from implementing_scds_in_hive_spark.operators.dml import merge_into
     from implementing_scds_in_hive_spark.sources.sinks import (
@@ -191,7 +204,9 @@ def merge_stream(
                 # app_meta (their metadata must carry forward) and retry
                 if attempt == max_commit_retries - 1:
                     raise
-        if retain_versions is not None:
+        if retain_versions is not None and (
+            vacuum_every <= 1 or (batch_id + 1) % vacuum_every == 0
+        ):
             vacuum(
                 target_root,
                 keep_last=retain_versions,

@@ -152,6 +152,7 @@ def scd2_cow_upsert_stream(
     key_strategy: str = "hash",
     retain_versions: int | None = 2,
     retain_grace_seconds: float = 600.0,
+    vacuum_every: int = 1,
     max_commit_retries: int = 3,
     trigger_available_now: bool = True,
     crash_hook: Callable[[int, str], None] | None = None,
@@ -175,7 +176,10 @@ def scd2_cow_upsert_stream(
     files with identical content (stable keys + deterministic
     ``as_of_fn``), the same idempotent-upsert recovery class as the
     full-rewrite stream; ``retain_versions`` bounds the commit history
-    per the usual per-trigger retention discipline."""
+    per the usual per-trigger retention discipline, and
+    ``vacuum_every=N`` thins the O(manifest) retention vacuum to every
+    Nth batch (skipped vacuums just leave extra retained versions for
+    the next one — content-preserving either way)."""
     from implementing_scds_in_hive_spark.operators.scd import scd2_merge_cow
 
     return _incremental_upsert_stream(
@@ -189,6 +193,7 @@ def scd2_cow_upsert_stream(
         key_strategy=key_strategy,
         retain_versions=retain_versions,
         retain_grace_seconds=retain_grace_seconds,
+        vacuum_every=vacuum_every,
         max_commit_retries=max_commit_retries,
         trigger_available_now=trigger_available_now,
         crash_hook=crash_hook,
@@ -206,6 +211,7 @@ def scd2_mor_upsert_stream(
     key_strategy: str = "hash",
     retain_versions: int | None = 2,
     retain_grace_seconds: float = 600.0,
+    vacuum_every: int = 1,
     max_commit_retries: int = 3,
     fold_every: int | None = None,
     trigger_available_now: bool = True,
@@ -255,6 +261,7 @@ def scd2_mor_upsert_stream(
         key_strategy=key_strategy,
         retain_versions=retain_versions,
         retain_grace_seconds=retain_grace_seconds,
+        vacuum_every=vacuum_every,
         max_commit_retries=max_commit_retries,
         trigger_available_now=trigger_available_now,
         crash_hook=crash_hook,
@@ -274,6 +281,7 @@ def _incremental_upsert_stream(
     key_strategy: str,
     retain_versions: int | None,
     retain_grace_seconds: float,
+    vacuum_every: int,
     max_commit_retries: int,
     trigger_available_now: bool,
     crash_hook: Callable[[int, str], None] | None,
@@ -313,7 +321,9 @@ def _incremental_upsert_stream(
             except CommitConflictError:
                 if attempt == max_commit_retries - 1:
                     raise
-        if retain_versions is not None:
+        if retain_versions is not None and (
+            vacuum_every <= 1 or (batch_id + 1) % vacuum_every == 0
+        ):
             vacuum(
                 prod_root,
                 keep_last=retain_versions,

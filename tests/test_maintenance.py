@@ -204,15 +204,10 @@ def test_maintenance_commits_carry_app_meta(spark, tmp_path):
         app_meta=meta,
     )
     delete_where(spark, root, "id % 5 = 0", tier="mor")
-    # the DML commit drops app_meta by default (documented) — restore it
-    # the way a metadata-aware writer would, then fold
-    assert load_manifest(root, latest_version(root)).get("app_meta") is None
-    write_snapshot(
-        spark.range(0).selectExpr("id", "id * 2 AS v"),
-        root,
-        mode="append",
-        app_meta=meta,
-    )
+    # since r10 the commit layer carries the parent's app_meta forward
+    # on EVERY commit (ADVICE r9 medium) — the DML verb no longer drops
+    # it, so the fold sees the metadata without a restoring writer
+    assert load_manifest(root, latest_version(root))["app_meta"] == meta
     compact_deletes(spark, root)
     m = load_manifest(root, latest_version(root))
     assert m["app_meta"] == meta and not m.get("deletes")

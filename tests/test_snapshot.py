@@ -1296,3 +1296,73 @@ def test_restore_commit_survives_racing_vacuum_tombstones(
     vacuum(root, keep_last=1, grace_seconds=0.0)
     assert _ids(read_table(spark, root)) == [1, 2]
     assert latest_version(root) == v3
+
+
+def test_app_meta_carries_forward_by_default(spark, tmp_path):
+    """ADVICE r9 (medium): a commit that passes no app_meta must carry
+    the parent's forward — before this, ANY ordinary foreign write
+    (DML verb, SQL face, plain write_snapshot) erased every stream
+    marker and matview watermark, re-opening merge_stream's
+    exactly-once window. Explicit app_meta merges OVER the carried
+    dict, one level deep for dict values (Delta SetTransaction
+    accumulation: two streams' markers under one key coexist)."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        _df(spark, [1, 2]),
+        root,
+        app_meta={"stream_txn": {"A": 5}, "watermark": 3},
+    )
+    # foreign OVERWRITE with no app_meta: everything survives
+    v2 = write_snapshot(_df(spark, [9]), root)
+    assert load_manifest(root, v2)["app_meta"] == {
+        "stream_txn": {"A": 5},
+        "watermark": 3,
+    }
+    # append from a SECOND stream: dict values merge, not clobber
+    v3 = write_snapshot(
+        _df(spark, [7]), root, mode="append",
+        app_meta={"stream_txn": {"B": 1}},
+    )
+    assert load_manifest(root, v3)["app_meta"] == {
+        "stream_txn": {"A": 5, "B": 1},
+        "watermark": 3,
+    }
+    # explicit scalar wins per key; untouched keys carry
+    v4 = write_snapshot(
+        _df(spark, [8]), root, mode="append", app_meta={"watermark": 9}
+    )
+    assert load_manifest(root, v4)["app_meta"] == {
+        "stream_txn": {"A": 5, "B": 1},
+        "watermark": 9,
+    }
+    # replace-mode (the DML commit shape) carries too
+    m4 = load_manifest(root, v4)
+    v5 = write_snapshot(
+        _df(spark, [1]),
+        root,
+        mode="replace",
+        expected_version=v4,
+        drop_files=[m4["files"][0]],
+    )
+    assert load_manifest(root, v5)["app_meta"] == {
+        "stream_txn": {"A": 5, "B": 1},
+        "watermark": 9,
+    }
+    # restore still ADOPTS the restored version's app_meta (that dict
+    # describes the restored CONTENT: markers newer than the restore
+    # point describe undone work, and replaying those batches onto the
+    # restored content is the correct recovery)
+    v6 = restore_commit_for_meta(root, 1)
+    assert load_manifest(root, v6)["app_meta"] == {
+        "stream_txn": {"A": 5},
+        "watermark": 3,
+        "restored_from_version": 1,
+    }
+
+
+def restore_commit_for_meta(root, version):
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        restore_commit,
+    )
+
+    return restore_commit(root, version)

@@ -900,3 +900,31 @@ def test_run_sql_script_routes_writes_and_reads(spark, tmp_path):
             {"t": root},
         )
     assert (9, 90.0) in _rows(read_table(spark, root))
+
+
+def test_split_sql_statements_nested_block_comments():
+    """ADVICE r9: Spark supports NESTED bracketed comments
+    (SPARK-28880) — ``/* a /* b */ ; c */`` is one comment, so the
+    scanner must track depth; a flat scanner leaves comment state at
+    the first ``*/`` and splits on the ';' in the outer tail, handing
+    run_sql_script an unparseable fragment."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        split_sql_statements,
+    )
+
+    got = split_sql_statements(
+        "SELECT 1 /* a /* b */ ; c */ ; SELECT 2; /* x /* y; */ z */ "
+        "SELECT 3;"
+    )
+    assert got == [
+        "SELECT 1 /* a /* b */ ; c */",
+        "SELECT 2",
+        "/* x /* y; */ z */ SELECT 3",
+    ]
+    # two levels deep, and a '/*' opener inside a line comment or
+    # string must NOT increment depth
+    assert split_sql_statements(
+        "SELECT '/*' /* l1 /* l2 /* l3; */ */ ; */; SELECT 2;"
+    ) == ["SELECT '/*' /* l1 /* l2 /* l3; */ */ ; */", "SELECT 2"]
+    # comment-only fragments still drop
+    assert split_sql_statements("/* a /* b */ c */ ;") == []
