@@ -35,6 +35,7 @@ __all__ = [
     "compact",
     "compact_incremental",
     "compact_deletes",
+    "consolidate_vectors",
     "clustering_overlap",
     "maintain_table",
 ]
@@ -471,21 +472,32 @@ def maintain_table(
     applied to the table itself), two manifest-only health metrics and
     their remedies:
 
-    * **merge-on-read debt** — past ``max_vectored_fraction`` of data
-      files carrying deletion vectors (:func:`vector_debt`) OR past
-      ``max_vector_files`` DISTINCT live vector files,
-      :func:`compact_deletes` folds the tombstones back into clean
-      files, bounding every reader's overlay bill. The second trigger
-      exists because the overlay reads vectors per (file -> its
-      manifest vector list): each distinct list is one plan branch, and
-      the measured bill grows ~linearly in VECTOR FILES at fixed
-      vectored fraction (scripts/vector_overlay_smoke.py: 64/64 files
-      vectored costs 2.7x clean through ONE vector file but 15.3x
-      through 44 of them). The fraction cap alone scales the allowed
-      vector-file count with TABLE SIZE (0.2 x 10^5 files would permit
-      ~2*10^4 branches), so the file-count trigger is a CONSTANT bound
-      — the policy a steady drip of small disjoint MoR commits needs.
-      Folded FIRST: the fold rewrites exactly the vectored files
+    * **merge-on-read debt**, two triggers with two DIFFERENT remedies
+      (r10 — matched to what each trigger actually measures):
+
+      - past ``max_vectored_fraction`` of data files carrying deletion
+        vectors (:func:`vector_debt`), :func:`compact_deletes` folds
+        the tombstones back into clean DATA files — the full rewrite
+        is justified because the debt here is per-data-file overlay
+        joins, which only retiring the vectors removes;
+      - past ``max_vector_files`` DISTINCT live vector files when the
+        fraction is still healthy, :func:`consolidate_vectors` rewrites
+        ONLY the vector files (O(vector bytes), data carried by
+        reference). This trigger exists because the overlay reads
+        vectors per (file -> its manifest vector list): each distinct
+        list is one plan branch, and the measured bill grows ~linearly
+        in VECTOR FILES at fixed vectored fraction
+        (scripts/vector_overlay_smoke.py: 64/64 files vectored costs
+        2.7x clean through ONE vector file but 15.3x through 44 of
+        them) — a plan-branch problem, not a tombstone-volume problem,
+        so rewriting data files for it was paying an O(data) bill for
+        an O(vector) debt. The fraction cap alone scales the allowed
+        vector-file count with TABLE SIZE (0.2 x 10^5 files would
+        permit ~2*10^4 branches), so the file-count trigger is a
+        CONSTANT bound — together they make a steady drip of small
+        disjoint MoR commits sustainable indefinitely.
+
+      Folded FIRST: a fold rewrites at most the vectored files
       (cluster-preserving), and a subsequent recluster — if still
       needed — then sees the folded layout instead of rewriting rows
       twice.
@@ -497,20 +509,31 @@ def maintain_table(
     Content-preserving and cheap to re-run; a healthy table returns
     without reading any data (both metrics are manifest-only). Run on
     the same cadence as ``compact_incremental``. Returns
-    ``{"folded", "vectored_fraction", "vector_files", "reclustered",
-    "overlap"}`` plus, after a rewrite, ``{"overlap_after", "rows"}``."""
+    ``{"folded", "fold_tier", "vectored_fraction", "vector_files",
+    "reclustered", "overlap"}`` plus, after a rewrite,
+    ``{"overlap_after", "rows"}``; ``fold_tier`` is ``"data"`` /
+    ``"vectors"`` / ``None``."""
     debt = vector_debt(root)
     out = {
         "folded": False,
+        "fold_tier": None,
         "vectored_fraction": round(debt["vectored_fraction"], 4),
         "vector_files": debt["vector_files"],
     }
-    if debt["vectored_fraction"] > max_vectored_fraction or (
+    if debt["vectored_fraction"] > max_vectored_fraction:
+        compact_deletes(spark, root)
+        out["folded"] = True
+        out["fold_tier"] = "data"
+    elif (
         max_vector_files is not None
         and debt["vector_files"] > max_vector_files
     ):
-        compact_deletes(spark, root)
-        out["folded"] = True
+        # plan-branch debt with healthy tombstone volume: the cheap
+        # tier — consolidate the vector FILES, carry data by reference
+        res = consolidate_vectors(spark, root)
+        out["folded"] = res["consolidated"]
+        out["fold_tier"] = "vectors" if res["consolidated"] else None
+        out["vector_files"] = res["vector_files_after"]
     ov = clustering_overlap(root, col)
     if ov is None or ov <= max_overlap:
         return {**out, "reclustered": False, "overlap": ov}
@@ -548,6 +571,141 @@ def _repack(rows, n_out: int, part_cols: list[str], stats_cols: list[str]):
             n_out, *cluster_cols
         ).sortWithinPartitions(*cluster_cols)
     return rows.repartition(n_out)
+
+
+def consolidate_vectors(
+    spark, path: str, *, target_bytes: int = 64 << 20
+) -> dict:
+    """The vectors-ONLY fold tier (VERDICT r9 next-round #3): rewrite
+    the deletion-VECTOR files without touching a single data file.
+
+    Why it exists: the read overlay pays one plan branch per DISTINCT
+    (data file -> vector-file list) group, and the measured bill is
+    ~linear in DISTINCT VECTOR FILES at fixed vectored fraction
+    (scripts/vector_overlay_smoke.py: 64/64 files vectored reads at
+    2.7x clean through ONE vector file but 15.3x through 44). A steady
+    drip of small disjoint MoR commits therefore accumulates plan-branch
+    debt even when tombstone VOLUME stays tiny — and
+    ``compact_deletes`` retires it by rewriting all vectored DATA
+    files, an O(data bytes) bill for an O(vector bytes) problem. This
+    verb reads every live tombstone (restricted per data file to ITS
+    manifest list, exactly like the read overlay — a shared vector file
+    must not resurrect superseded positions), regroups them into ONE
+    bin-packed vector-file set per vector SCHEMA (vectors from
+    different commits can be keyed differently and must not merge), and
+    commits a replace manifest where every vectored data file is
+    carried BY REFERENCE and points at the consolidated list. After the
+    commit the overlay is one branch per schema (usually one total);
+    the superseded vector files become unreferenced and the
+    file-granular vacuum reclaims them.
+
+    Content-preserving (the live row set is untouched), CASes on the
+    inspected version like every fold, and a no-op — no version burned
+    — when the vectors are already consolidated. Returns ``{"version",
+    "vector_files_before", "vector_files_after", "lists_before",
+    "lists_after", "consolidated"}``."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        DELETE_FILE_COL,
+        commit,
+        latest_version,
+        load_manifest,
+        stage_delete_vectors,
+        vector_schemas,
+    )
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    m = load_manifest(path, v)
+    deletes = m.get("deletes") or {}
+    all_rels = sorted({r for rels in deletes.values() for r in rels})
+    out = {
+        "version": v,
+        "vector_files_before": len(all_rels),
+        "lists_before": len({tuple(rels) for rels in deletes.values()}),
+    }
+    if not deletes:
+        return {
+            **out,
+            "vector_files_after": 0,
+            "lists_after": 0,
+            "consolidated": False,
+        }
+    # group data files by their list, then lists by vector SCHEMA
+    by_list: dict[tuple, list[str]] = {}
+    for f, rels in deletes.items():
+        by_list.setdefault(tuple(rels), []).append(f)
+    schema_of = vector_schemas(path, all_rels)
+    groups: dict[tuple, list[tuple]] = {}
+    for rels, served in sorted(by_list.items()):
+        groups.setdefault(tuple(sorted(schema_of[rels[0]])), []).append(
+            (rels, served)
+        )
+    # per-group consolidation target: bin-packed by byte size
+    plan = []
+    already = True
+    for _schema, lists in sorted(groups.items()):
+        rel_set = sorted({r for rels, _served in lists for r in rels})
+        bytes_g = sum(
+            os.path.getsize(os.path.join(path, r)) for r in rel_set
+        )
+        n_out = max(1, math.ceil(bytes_g / target_bytes))
+        if len(lists) > 1 or len(rel_set) > n_out:
+            already = False
+        plan.append((lists, n_out))
+    if already:
+        return {
+            **out,
+            "vector_files_after": len(all_rels),
+            "lists_after": out["lists_before"],
+            "consolidated": False,
+        }
+    staged = {
+        # vectors-only commit: no data rows staged; the stage dirs all
+        # ride in extra_dirs so commit's existence check covers them
+        "snapshot_dir": os.path.join("data", "snap-consolidate-none"),
+        "files": [],
+        "schema": m["schema"],
+        "partition_by": list(m["partition_by"]),
+        "extra_dirs": [],
+        "delete_vectors": {},
+        "drop_files": [],
+    }
+    for lists, n_out in plan:
+        vec = None
+        for rels, served in lists:
+            p = spark.read.parquet(
+                *[os.path.join(path, r) for r in rels]
+            ).where(F.col(DELETE_FILE_COL).isin(served))
+            vec = p if vec is None else vec.unionByName(p)
+        dv_dir, dv_files, covered = stage_delete_vectors(
+            vec.coalesce(n_out), path
+        )
+        want = sorted(f for _rels, served in lists for f in served)
+        if covered != want:  # pragma: no cover - protocol invariant
+            raise RuntimeError(
+                f"consolidation lost coverage: staged {len(covered)} "
+                f"files, expected {len(want)}"
+            )
+        staged["extra_dirs"].append(dv_dir)
+        for f in covered:
+            staged["delete_vectors"][f] = list(dv_files)
+    new_v = commit(path, staged, mode="replace", expected_version=v)
+    m2 = load_manifest(path, new_v)
+    d2 = m2.get("deletes") or {}
+    return {
+        **out,
+        "version": new_v,
+        "vector_files_after": len(
+            {r for rels in d2.values() for r in rels}
+        ),
+        "lists_after": len({tuple(rels) for rels in d2.values()}),
+        "consolidated": True,
+    }
 
 
 def compact_deletes(

@@ -48,7 +48,10 @@ sys.path.insert(0, "/root/repo")
 
 from implementing_scds_in_hive_spark.operators.dml import delete_where  # noqa: E402
 from implementing_scds_in_hive_spark.session import get_spark  # noqa: E402
-from implementing_scds_in_hive_spark.sources.sinks import compact_deletes  # noqa: E402
+from implementing_scds_in_hive_spark.sources.sinks import (  # noqa: E402
+    compact_deletes,
+    consolidate_vectors,
+)
 from implementing_scds_in_hive_spark.sources.snapshot import (  # noqa: E402
     latest_version,
     load_manifest,
@@ -119,7 +122,22 @@ def main():
                 len(m.get("deletes", {})),
             )
 
-    # the remedy: one fold, timed
+    # the CHEAP remedy first (r10): vectors-only consolidation — the
+    # 64-list state collapses to ONE vector file with every data file
+    # carried by reference; the read bill should drop to the one-commit
+    # level (the bill was plan branches, not tombstone volume)
+    t0 = time.perf_counter()
+    crep = consolidate_vectors(spark, root)
+    consolidate_s = time.perf_counter() - t0
+    m = load_manifest(root, latest_version(root))
+    results["consolidated"] = (
+        timed_read(spark, root),
+        vector_file_count(root),
+        len(m.get("deletes", {})),
+    )
+
+    # the data-rewrite remedy: one fold, timed (runs on the
+    # consolidated state; retires the vectors entirely)
     t0 = time.perf_counter()
     rep = compact_deletes(spark, root)
     fold_s = time.perf_counter() - t0
@@ -141,7 +159,12 @@ def main():
           f"{'vec_files':>9} {'vectored':>9}")
     for k, (s, nvf, nvd) in results.items():
         print(f"{k:<12} {s:>8.3f} {s / clean:>8.2f}x {nvf:>9} {nvd:>9}")
-    print(f"fold: {fold_s:.3f}s folded={rep['files_folded']} files")
+    print(
+        f"consolidate: {consolidate_s:.3f}s "
+        f"{crep['vector_files_before']}->{crep['vector_files_after']} "
+        f"vector files (data untouched); "
+        f"fold: {fold_s:.3f}s folded={rep['files_folded']} files"
+    )
     shutil.rmtree(base, ignore_errors=True)
 
 

@@ -104,6 +104,7 @@ def test_scattered_merges_decay_clustering_and_maintenance_restores(
     rep2 = maintain_table(spark, root, "c_custkey", vacuum_grace_seconds=0.0)
     assert rep2 == {
         "folded": False,
+        "fold_tier": None,
         "vectored_fraction": 0.0,
         "vector_files": 0,
         "reclustered": False,
@@ -121,6 +122,7 @@ def test_overlap_none_without_numeric_stats(spark, tmp_path):
     rep = maintain_table(spark, root, "id")
     assert rep == {
         "folded": False,
+        "fold_tier": None,
         "vectored_fraction": 0.0,
         "vector_files": 0,
         "reclustered": False,
@@ -258,10 +260,163 @@ def test_maintain_table_folds_on_vector_file_count(spark, tmp_path):
         max_vectored_fraction=0.25, max_vector_files=None,
     )
     assert rep["folded"] is False and rep["vector_files"] == 3
-    # the constant file-count trigger fires
+    # the constant file-count trigger fires — and (r10) takes the
+    # vectors-only tier: lists consolidate to one, data files untouched
     rep2 = maintain_table(
         spark, root, "id",
         max_vectored_fraction=0.25, max_vector_files=2,
     )
-    assert rep2["folded"] is True
-    assert vector_debt(root)["vector_files"] == 0
+    assert rep2["folded"] is True and rep2["fold_tier"] == "vectors"
+    debt2 = vector_debt(root)
+    assert debt2["vector_files"] == 1
+    assert debt2["vectored_fraction"] == debt["vectored_fraction"]
+
+
+def test_consolidate_vectors_folds_lists_without_touching_data(
+    spark, tmp_path
+):
+    """VERDICT r9 next-round #3: the vectors-only fold tier. Disjoint
+    small MoR deletes accumulate one vector file per commit (plan-
+    branch debt, ~0.13s/file measured); consolidate_vectors must
+    collapse them to ONE list per vector schema with every data file
+    carried BY REFERENCE — identical content, identical data file
+    list, O(vector bytes) work — then no-op on re-run."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        consolidate_vectors,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(3200)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(16, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+        app_meta={"watermark": 5},
+    )
+    for k in range(8):
+        lo = k * 400
+        delete_where(
+            spark, root, f"id >= {lo} AND id < {lo + 7}", tier="mor"
+        )
+    m = load_manifest(root, latest_version(root))
+    lists = {tuple(r) for r in (m.get("deletes") or {}).values()}
+    assert len(lists) == 8, "disjoint commits must accumulate lists"
+    before = sorted(map(tuple, read_snapshot(spark, root).collect()))
+
+    res = consolidate_vectors(spark, root)
+    assert res["consolidated"]
+    assert res["lists_after"] == 1 and res["vector_files_after"] == 1
+    m2 = load_manifest(root, latest_version(root))
+    assert m2["files"] == m["files"], "data files must be untouched"
+    assert m2["app_meta"]["watermark"] == 5, "app_meta carries"
+    assert before == sorted(map(tuple, read_snapshot(spark, root).collect()))
+    # idempotent: an already-consolidated table burns no version
+    v = latest_version(root)
+    assert not consolidate_vectors(spark, root)["consolidated"]
+    assert latest_version(root) == v
+    # the superseded vector files are reclaimable, content survives
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    vacuum(root, keep_last=1, grace_seconds=0.0)
+    assert before == sorted(map(tuple, read_snapshot(spark, root).collect()))
+    # post-consolidation DML still folds prior vectors correctly
+    # (id=1000 is alive: the range deletes covered [k*400, k*400+7))
+    delete_where(spark, root, "id = 1000", tier="mor")
+    assert read_snapshot(spark, root).where("id = 1000").count() == 0
+    assert read_snapshot(spark, root).count() == len(before) - 1
+
+
+def test_consolidate_vectors_groups_by_schema(spark, tmp_path):
+    """Vectors from different commits can be keyed differently
+    (positional vs full-row); consolidation must merge WITHIN a schema
+    group only — one list per schema, never a cross-schema union."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        consolidate_vectors,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(1600)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    # four disjoint commits: two positional, two full-row vectors
+    for k, fmt in [(0, "pos"), (1, "pos"), (2, "row"), (3, "row")]:
+        lo = k * 400
+        delete_where(
+            spark,
+            root,
+            f"id >= {lo} AND id < {lo + 5}",
+            tier="mor",
+            vector_format=fmt,
+        )
+    before = sorted(map(tuple, read_snapshot(spark, root).collect()))
+    res = consolidate_vectors(spark, root)
+    assert res["consolidated"] and res["lists_before"] == 4
+    assert res["lists_after"] == 2, "one list per vector schema"
+    assert before == sorted(map(tuple, read_snapshot(spark, root).collect()))
+
+
+def test_maintain_table_routes_count_breach_to_vectors_tier(
+    spark, tmp_path
+):
+    """Policy order (r10): a vector-FILE-count breach with a healthy
+    vectored fraction takes the cheap vectors-only fold (fold_tier=
+    'vectors', data files untouched); only a fraction breach pays the
+    compact_deletes data rewrite (fold_tier='data')."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import maintain_table
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(3200)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(16, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    for k in range(4):
+        lo = k * 400
+        delete_where(
+            spark, root, f"id >= {lo} AND id < {lo + 5}", tier="mor"
+        )
+    m = load_manifest(root, latest_version(root))
+    # count breach only: 4 vector files > 2, fraction 4/16 < 0.5
+    rep = maintain_table(
+        spark, root, "id", max_vector_files=2, max_vectored_fraction=0.5
+    )
+    assert rep["folded"] and rep["fold_tier"] == "vectors"
+    m2 = load_manifest(root, latest_version(root))
+    assert m2["files"] == m["files"], "vectors tier must not touch data"
+    assert m2.get("deletes"), "vectors remain (consolidated), not purged"
+    # fraction breach: the data tier purges the vectors entirely
+    rep2 = maintain_table(
+        spark, root, "id", max_vector_files=32, max_vectored_fraction=0.1
+    )
+    assert rep2["folded"] and rep2["fold_tier"] == "data"
+    assert not load_manifest(root, latest_version(root)).get("deletes")
