@@ -102,12 +102,15 @@ def _touched_files(
     return sorted(r["__rel"] for r in per_file), sum(r["__n"] for r in per_file)
 
 
-def _vector_schemas(root: str, rels) -> dict[str, set]:
+def _vector_schemas(root: str, m: dict, rels) -> dict[str, set]:
+    """Footer column sets of prior vector files, translated PHYSICAL ->
+    LOGICAL through the manifest's column mapping so the fold-compat
+    probe compares like with like after a RENAME COLUMN."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
-        vector_schemas,
+        logical_vector_schemas,
     )
 
-    return vector_schemas(root, rels)
+    return logical_vector_schemas(root, m, rels)
 
 
 def _fold_prior_vectors(
@@ -503,7 +506,7 @@ def _route(
         rels = {r for f in touched for r in deletes.get(f, [])}
         if any(
             names != want
-            for names in _vector_schemas(root, rels).values()
+            for names in _vector_schemas(root, m, rels).values()
         ):
             return "cow"
     return chosen

@@ -507,7 +507,7 @@ def scd2_merge_incremental(
             from implementing_scds_in_hive_spark.sources.snapshot import (
                 DELETE_FILE_COL,
                 DELETE_POS_COL,
-                vector_schemas,
+                logical_vector_schemas,
             )
 
             want = {
@@ -518,7 +518,7 @@ def scd2_merge_incremental(
             rels = {r for f in candidates for r in deletes.get(f, [])}
             if any(
                 names != want
-                for names in vector_schemas(root, rels).values()
+                for names in logical_vector_schemas(root, m, rels).values()
             ):
                 tier = "cow"
     if tier not in ("cow", "mor"):

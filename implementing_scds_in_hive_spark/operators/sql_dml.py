@@ -580,6 +580,8 @@ _WRITE_STMT_KINDS = frozenset(
         "MergeIntoTable",
         "InsertIntoStatement",
         "AddColumns",
+        "RenameColumn",
+        "DropColumns",
         "CreateTableAsSelect",
     }
 )
@@ -799,6 +801,69 @@ def _run_add_columns(spark, plan, tables: dict) -> dict:
     }
 
 
+def _run_rename_column(spark, plan, tables: dict) -> dict:
+    """ALTER TABLE ... RENAME COLUMN a TO b: a PURE METADATA commit
+    (``snapshot.rename_column_commit``, Delta/Iceberg name-mode column
+    mapping) — carried files keep serving the unchanged PHYSICAL name;
+    pinned reads at pre-rename versions still see the old name."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        rename_column_commit,
+    )
+
+    parts = [str(x) for x in _seq(plan.table().multipartIdentifier())]
+    root = _root_for(tables, ".".join(parts))
+    old_parts = [str(x) for x in _seq(plan.column().name())]
+    if len(old_parts) != 1:
+        raise ValueError(
+            f"only top-level columns can be renamed; got "
+            f"{'.'.join(old_parts)}"
+        )
+    new = str(plan.newName())
+    new_v = rename_column_commit(root, old_parts[0], new)
+    return {
+        "op": "rename_column",
+        "version": new_v,
+        "renamed": {old_parts[0]: new},
+    }
+
+
+def _run_drop_columns(spark, plan, tables: dict) -> dict:
+    """ALTER TABLE ... DROP COLUMN(S): PURE METADATA commits
+    (``snapshot.drop_column_commit``) — the physical names retire so a
+    later ADD of the same logical name can never resurrect the dropped
+    bytes. ``IF EXISTS`` skips missing columns like Spark does."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        drop_column_commit,
+    )
+
+    parts = [str(x) for x in _seq(plan.table().multipartIdentifier())]
+    root = _root_for(tables, ".".join(parts))
+    if_exists = bool(plan.ifExists())
+    dropped, skipped = [], []
+    new_v = None
+    for c in _seq(plan.columnsToDrop()):
+        name_parts = [str(x) for x in _seq(c.name())]
+        if len(name_parts) != 1:
+            raise ValueError(
+                f"only top-level columns can be dropped; got "
+                f"{'.'.join(name_parts)}"
+            )
+        try:
+            new_v = drop_column_commit(root, name_parts[0])
+            dropped.append(name_parts[0])
+        except ValueError as e:
+            if if_exists and "no such column" in str(e):
+                skipped.append(name_parts[0])
+                continue
+            raise
+    return {
+        "op": "drop_columns",
+        "version": new_v,
+        "dropped": dropped,
+        "skipped": skipped,
+    }
+
+
 def run_sql(
     spark: SparkSession,
     statement: str,
@@ -901,6 +966,14 @@ def run_sql(
         if opts:
             raise ValueError(f"ALTER takes no options; got {sorted(opts)}")
         return _run_add_columns(spark, plan, tables)
+    if cls == "RenameColumn":
+        if opts:
+            raise ValueError(f"ALTER takes no options; got {sorted(opts)}")
+        return _run_rename_column(spark, plan, tables)
+    if cls == "DropColumns":
+        if opts:
+            raise ValueError(f"ALTER takes no options; got {sorted(opts)}")
+        return _run_drop_columns(spark, plan, tables)
     if cls == "CreateTableAsSelect":
         if opts:
             raise ValueError(f"CREATE takes no options; got {sorted(opts)}")

@@ -189,6 +189,69 @@ def load_manifest(root: str, version: int) -> dict:
     return m
 
 
+def column_mapping(m: dict) -> dict:
+    """The manifest's LOGICAL -> PHYSICAL column-name mapping (Delta's
+    name-mode column mapping): absent/empty means identity. Files and
+    deletion vectors always store PHYSICAL names; the manifest schema,
+    partition_by and stats keys are LOGICAL. RENAME COLUMN changes only
+    the logical name (the mapping keeps serving the old physical name
+    from every carried file); DROP COLUMN removes the field and retires
+    its physical name (``retired_physical``) so a later ADD of the same
+    logical name gets a FRESH physical name and can never resurrect the
+    dropped column's bytes from old files."""
+    return dict(m.get("column_mapping") or {})
+
+
+def physical_schema(m: dict):
+    """The manifest's schema with field names translated to their
+    PHYSICAL (file-side) names — what parquet scans of the manifest's
+    files must be pinned with once a mapping is active."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cm = column_mapping(m)
+    if not cm:
+        return schema
+    return StructType(
+        [
+            StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def logical_vector_schemas(root: str, m: dict, rels) -> dict[str, set]:
+    """:func:`vector_schemas` translated PHYSICAL -> LOGICAL through
+    ``m``'s column mapping — what fold-compatibility probes compare
+    against a new (logical-named) vector batch. A physical name with no
+    live logical (its column was dropped) passes through untranslated,
+    so the probe mismatches loudly instead of silently folding."""
+    cm = column_mapping(m)
+    rev = {p: l for l, p in cm.items()}
+    return {
+        r: {rev.get(n, n) for n in names}
+        for r, names in vector_schemas(root, rels).items()
+    }
+
+
+def _used_physical(sdoc: dict, cm: dict, retired) -> set:
+    """Physical names that exist (or may exist) in referenced or
+    historical files — the collision set a new column's physical name
+    must avoid."""
+    return {cm.get(f["name"], f["name"]) for f in sdoc["fields"]} | set(
+        retired or []
+    )
+
+
+def _fresh_physical(name: str, version: int, used: set) -> str:
+    """A physical name for a NEW column whose logical name collides
+    with a used/retired physical name."""
+    phys = f"{name}__r{version}"
+    while phys in used:
+        phys += "x"
+    return phys
+
+
 def stage_files(
     df: DataFrame,
     root: str,
@@ -343,11 +406,15 @@ def fold_prior_vectors(
             by_list.setdefault(tuple(rels), []).append(f)
     if not by_list:
         return tomb
+    # tomb is LOGICAL-named (callers build it from reads); prior vector
+    # files store PHYSICAL names — compare and fold through the mapping
+    cm = column_mapping(m)
+    rev = {p: l for l, p in cm.items()}
     want = set(tomb.columns)
     for rel, names in vector_schemas(
         root, (r for rels in by_list for r in rels)
     ).items():
-        if names != want:
+        if {rev.get(n, n) for n in names} != want:
             raise ValueError(
                 f"touched files carry a deletion vector ({rel}) keyed by "
                 f"{sorted(names)} which cannot fold into this "
@@ -361,6 +428,10 @@ def fold_prior_vectors(
         prior = spark.read.parquet(
             *[os.path.join(root, p) for p in rels]
         ).where(F.col(DELETE_FILE_COL).isin(served))
+        if rev:
+            prior = prior.select(
+                *[prior[c].alias(rev.get(c, c)) for c in prior.columns]
+            )
         out = out.unionByName(prior.select(*tomb.columns))
     return out
 
@@ -718,11 +789,25 @@ def commit(
             "schema": schema_json,
             "partition_by": staged["partition_by"],
             "writer": uuid.uuid4().hex,
-            # wall-clock commit instant: what resolves TIMESTAMP AS OF
-            # reads (best-effort under writer clock skew, the same trade
-            # Delta/Iceberg make — version pins stay the exact form)
-            "committed_at": time.time(),
         }
+        if mode in ("append", "replace") and parent is not None:
+            # column mapping + retired physical names travel with the
+            # carried files they describe; a full overwrite resets both
+            # (write_snapshot stages an explicit mapping when it
+            # translated columns; manual stagers inherit the parent's)
+            mapping = staged.get("column_mapping")
+            if mapping is None:
+                mapping = pm.get("column_mapping")
+            if mapping:
+                manifest["column_mapping"] = mapping
+            if pm.get("retired_physical"):
+                manifest["retired_physical"] = pm["retired_physical"]
+        elif staged.get("column_mapping"):
+            manifest["column_mapping"] = staged["column_mapping"]
+        # wall-clock commit instant: what resolves TIMESTAMP AS OF
+        # reads (best-effort under writer clock skew, the same trade
+        # Delta/Iceberg make — version pins stay the exact form)
+        manifest["committed_at"] = time.time()
         if deletes:
             manifest["deletes"] = deletes
         if mode == "replace":
@@ -855,7 +940,10 @@ def restore_commit(
                 "restored_from_version": version,
             },
         }
-        for k in ("deletes", "stats"):
+        for k in ("deletes", "stats", "column_mapping", "retired_physical"):
+            # mapping + retirement travel WITH the schema they describe:
+            # a restore across a rename/drop must read the adopted files
+            # under the adopted version's names
             if m_old.get(k):
                 manifest[k] = m_old[k]
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
@@ -928,6 +1016,18 @@ def evolve_schema_commit(
             widened = widened.add(
                 name, _parse_col_type(typ), nullable=True
             )
+        # column mapping: a new logical name whose PHYSICAL name is
+        # already used (a live column's physical, or a RETIRED one from
+        # a dropped/renamed-away column that still exists inside old
+        # files) gets a fresh physical name — reading the new column
+        # from pre-existing files must NULL-backfill, never resurrect
+        # the old bytes that happen to share the name
+        cm = column_mapping(pm)
+        used = _used_physical(sdoc, cm, pm.get("retired_physical"))
+        for name, _typ in new_fields:
+            if name in used:
+                cm[name] = _fresh_physical(name, parent + 1, used)
+                used.add(cm[name])
         manifest = {
             **{
                 k: pm[k]
@@ -944,12 +1044,15 @@ def evolve_schema_commit(
             "writer": uuid.uuid4().hex,
             "committed_at": time.time(),
         }
-        for k in ("deletes", "stats", "cow_lineage", "app_meta"):
+        for k in ("deletes", "stats", "cow_lineage", "app_meta",
+                  "retired_physical"):
             # app_meta adopted verbatim: content is unchanged, so the
             # parent's atomically-committed metadata (e.g. a matview
             # watermark) still describes this version exactly
             if pm.get(k):
                 manifest[k] = pm[k]
+        if cm:
+            manifest["column_mapping"] = cm
         tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -972,6 +1075,221 @@ def evolve_schema_commit(
                 raise CommitConflictError(
                     f"lost {max_retries} consecutive commit races at {root}"
                 )
+
+
+def _resolve_field(sdoc: dict, name: str) -> str:
+    """Resolve ``name`` against the schema CASE-INSENSITIVELY (like
+    Spark's analyzer — a case-sensitive guard would be bypassable) to
+    the field's exact stored name; loud on missing/ambiguous."""
+    hits = [
+        f["name"] for f in sdoc["fields"]
+        if f["name"].casefold() == name.casefold()
+    ]
+    if not hits:
+        raise ValueError(
+            f"no such column {name!r}; table has "
+            f"{[f['name'] for f in sdoc['fields']]}"
+        )
+    if len(hits) > 1:
+        raise ValueError(f"column name {name!r} is ambiguous: {hits}")
+    return hits[0]
+
+
+def _metadata_commit(root, compute, *, expected_version, max_retries):
+    """Shared CAS loop for the pure-metadata column commits: per
+    attempt, re-read the latest manifest, re-run ``compute(pm) ->
+    manifest_updates`` against it (a lost race must NOT re-apply
+    updates derived from a stale parent — a concurrent append's new
+    files and stats would be clobbered), adopt the parent's
+    files/vectors/stats/meta verbatim, apply the updates, link."""
+    mdir = _manifest_dir(root)
+    attempts = 0
+    while True:
+        parent = latest_version(root)
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        if expected_version is not None and parent != expected_version:
+            raise CommitConflictError(
+                f"expected version {expected_version} but table is at "
+                f"{parent}"
+            )
+        pm = load_manifest(root, parent)
+        manifest_updates = compute(pm)
+        manifest = {
+            **{
+                k: pm[k]
+                for k in ("snapshot_dirs", "files", "partition_by")
+            },
+            "version": pm["version"] + 1,
+            "parent": pm["version"],
+            "schema": pm["schema"],
+            "writer": uuid.uuid4().hex,
+            "committed_at": time.time(),
+        }
+        for k in ("deletes", "stats", "cow_lineage", "app_meta",
+                  "column_mapping", "retired_physical"):
+            if pm.get(k):
+                manifest[k] = pm[k]
+        for k, v in manifest_updates.items():
+            if not v and k in (
+                "stats", "column_mapping", "retired_physical", "deletes"
+            ):
+                # empty OPTIONAL keys leave the manifest entirely;
+                # required keys (schema, partition_by, mode) always set
+                manifest.pop(k, None)
+            else:
+                manifest[k] = v
+        tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, manifest["version"]))
+            os.unlink(tmp)
+            _fsync_dir(mdir)
+            return manifest["version"]
+        except FileExistsError:
+            os.unlink(tmp)
+            if expected_version is not None:
+                raise CommitConflictError(
+                    f"version {manifest['version']} was committed by a "
+                    f"concurrent writer"
+                )
+            attempts += 1
+            if attempts >= max_retries:
+                raise CommitConflictError(
+                    f"lost {max_retries} consecutive commit races at "
+                    f"{root}"
+                )
+
+
+def rename_column_commit(
+    root: str,
+    old: str,
+    new: str,
+    *,
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` as a PURE METADATA
+    commit (Delta/Iceberg name-mode column mapping, VERDICT r9
+    next-round #2): the schema field, partition_by entry and stats keys
+    take the new LOGICAL name while the column mapping keeps serving
+    the unchanged PHYSICAL name from every carried file — not a byte of
+    data is written, and a pinned read at a pre-rename version still
+    sees the OLD name (the pin resolves through that manifest's own
+    schema + mapping). Deletion vectors are keyed by PHYSICAL names and
+    keep working untouched. Name matching is case-insensitive like the
+    analyzer; renaming onto an existing column is refused."""
+    if not new or "." in new:
+        raise ValueError(f"invalid column name {new!r}")
+
+    def compute(pm: dict) -> dict:
+        sdoc = json.loads(pm["schema"])
+        old_exact = _resolve_field(sdoc, old)
+        if new.casefold() != old_exact.casefold() and any(
+            f["name"].casefold() == new.casefold() for f in sdoc["fields"]
+        ):
+            raise ValueError(f"column {new!r} already exists")
+        cm = column_mapping(pm)
+        phys = cm.pop(old_exact, old_exact)
+        if new != phys:
+            cm[new] = phys
+        fields = [
+            {**f, "name": new} if f["name"] == old_exact else f
+            for f in sdoc["fields"]
+        ]
+        stats = {
+            rel: {
+                (new if c == old_exact else c): v for c, v in per.items()
+            }
+            for rel, per in (pm.get("stats") or {}).items()
+        }
+        return {
+            "mode": "rename_column",
+            "schema": json.dumps({**sdoc, "fields": fields}),
+            "partition_by": [
+                new if c == old_exact else c for c in pm["partition_by"]
+            ],
+            "stats": stats,
+            "column_mapping": cm,
+        }
+
+    return _metadata_commit(
+        root, compute,
+        expected_version=expected_version, max_retries=max_retries,
+    )
+
+
+def drop_column_commit(
+    root: str,
+    name: str,
+    *,
+    expected_version: int | None = None,
+    max_retries: int = 50,
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a PURE METADATA commit: the
+    field leaves the schema and its PHYSICAL name is RETIRED
+    (``retired_physical``) — carried files keep the bytes (pinned
+    pre-drop reads still serve them; rewrites retire them physically
+    over time), but a later ADD COLUMN of the same logical name maps to
+    a FRESH physical name, so the dropped values can never resurrect.
+    Refused for partition columns (the hive path layout cannot be
+    remapped), for the last remaining column, and while any LIVE
+    deletion vector is keyed by the column (row-format vectors embed
+    key VALUES per column — fold them into clean files first:
+    ``sinks.compact_deletes``); positional vectors are unaffected."""
+
+    def compute(pm: dict) -> dict:
+        sdoc = json.loads(pm["schema"])
+        exact = _resolve_field(sdoc, name)
+        if len(sdoc["fields"]) == 1:
+            raise ValueError("cannot drop the table's only column")
+        if exact in pm["partition_by"]:
+            raise ValueError(
+                f"cannot drop partition column {exact!r}; rewrite the "
+                f"table with a different partitioning first"
+            )
+        cm = column_mapping(pm)
+        phys = cm.pop(exact, exact)
+        rels = {
+            r for rels in (pm.get("deletes") or {}).values() for r in rels
+        }
+        keyed = [
+            r for r, names in vector_schemas(root, rels).items()
+            if phys in names
+        ]
+        if keyed:
+            raise ValueError(
+                f"cannot drop {exact!r}: live deletion vectors are keyed "
+                f"by it ({keyed[:3]}); run sinks.compact_deletes first"
+            )
+        stats = {
+            rel: {c: v for c, v in per.items() if c != exact}
+            for rel, per in (pm.get("stats") or {}).items()
+        }
+        return {
+            "mode": "drop_column",
+            "schema": json.dumps(
+                {
+                    **sdoc,
+                    "fields": [
+                        f for f in sdoc["fields"] if f["name"] != exact
+                    ],
+                }
+            ),
+            "stats": {rel: per for rel, per in stats.items() if per},
+            "column_mapping": cm,
+            "retired_physical": sorted(
+                {*(pm.get("retired_physical") or []), phys}
+            ),
+        }
+
+    return _metadata_commit(
+        root, compute,
+        expected_version=expected_version, max_retries=max_retries,
+    )
 
 
 # schema-JSON primitive names differ from the DDL/catalogString names
@@ -1100,10 +1418,66 @@ def write_snapshot(
     anti-join each vectored file's rows against its tombstones. The
     staged vector REPLACES any prior vector for the same file, so a
     merge-on-read writer must fold prior tombstones for the files it
-    re-vectors into the new batch (``scd2_merge_mor`` does)."""
+    re-vectors into the new batch (``scd2_merge_mor`` does).
+
+    Column mapping (RENAME/DROP COLUMN support): callers always work in
+    LOGICAL names. When the parent manifest carries a non-identity
+    ``column_mapping`` and the commit carries parent files by reference
+    (append/replace), the staged data AND delete-vector columns are
+    translated to their PHYSICAL names before writing (files are
+    physical by protocol), while the staged manifest schema, stats keys
+    and partition_by stay logical; brand-new evolution columns whose
+    logical name collides with a used/RETIRED physical name get a fresh
+    physical name, so a dropped column can never resurrect. A full
+    ``overwrite`` resets the mapping (no carried files to serve)."""
+    logical_schema_json = df.schema.json()
+    logical_partition = list(partition_by or [])
+    cm: dict = {}
+    if mode in ("append", "replace"):
+        pv = latest_version(root)
+        if pv is not None:
+            pmeta = load_manifest(root, pv)
+            cm = column_mapping(pmeta)
+            retired = pmeta.get("retired_physical") or []
+            if cm or retired:
+                sdoc = json.loads(pmeta["schema"])
+                parent_names = {f["name"] for f in sdoc["fields"]}
+                used = _used_physical(sdoc, cm, retired)
+                for f in df.schema.fields:
+                    if f.name not in parent_names and f.name in used:
+                        cm[f.name] = _fresh_physical(f.name, pv + 1, used)
+                        used.add(cm[f.name])
+    if cm:
+        df = df.select(
+            *[df[f.name].alias(cm.get(f.name, f.name))
+              for f in df.schema.fields]
+        )
+        partition_by = [cm.get(c, c) for c in logical_partition] or None
+        stats_cols = (
+            [cm.get(c, c) for c in stats_cols] if stats_cols else None
+        )
+        if delete_vectors is not None:
+            delete_vectors = delete_vectors.select(
+                *[
+                    delete_vectors[c].alias(cm.get(c, c))
+                    for c in delete_vectors.columns
+                ]
+            )
     staged = stage_files(
         df, root, partition_by=partition_by, stats_cols=stats_cols
     )
+    if cm:
+        rev = {p: l for l, p in cm.items()}
+        staged["schema"] = logical_schema_json
+        staged["partition_by"] = logical_partition
+        if staged.get("stats"):
+            staged["stats"] = {
+                rel: {rev.get(c, c): v for c, v in per.items()}
+                for rel, per in staged["stats"].items()
+            }
+        staged["column_mapping"] = {
+            l: p for l, p in cm.items() if l != p
+        }
     if delete_vectors is not None:
         dv_dir, dv_files, covered = stage_delete_vectors(delete_vectors, root)
         if covered:
@@ -1117,12 +1491,15 @@ def write_snapshot(
         from pyspark.sql.types import StructType
 
         back = (
-            df.sparkSession.read.schema(
-                StructType.fromJson(json.loads(staged["schema"]))
-            )
+            df.sparkSession.read.schema(df.schema)
             .option("basePath", os.path.join(root, staged["snapshot_dir"]))
             .parquet(*[os.path.join(root, f) for f in staged["files"]])
         )
+        if cm:
+            rev = {p: l for l, p in cm.items()}
+            back = back.select(
+                *[back[c].alias(rev.get(c, c)) for c in back.columns]
+            )
         try:
             check_constraints(back, constraints)
         except ConstraintViolationError:
@@ -1282,14 +1659,20 @@ def read_manifest_files(
     ``sinks.compact_deletes`` folds vectors back into clean files)."""
     from pyspark.sql import functions as F
 
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    cols = [f.name for f in schema.fields]
-    if file_path_col:
-        cols.append(file_path_col)
-    if rel_path_col:
-        cols.append(rel_path_col)
-    if row_pos_col:
-        cols.append(row_pos_col)
+    logical = StructType.fromJson(json.loads(m["schema"]))
+    # files (and deletion vectors) store PHYSICAL names; once a column
+    # mapping is active the scan is pinned with the physical schema and
+    # the very last projection renames back to the manifest's LOGICAL
+    # names — so every internal step (vector overlay keys, hive
+    # partition dirs, metadata capture) stays name-consistent with the
+    # bytes on disk
+    schema = physical_schema(m)
+    logical_cols = [f.name for f in logical.fields]
+    meta_cols = [
+        c for c in (file_path_col, rel_path_col, row_pos_col) if c
+    ]
+    cols = [f.name for f in schema.fields] + meta_cols
+    remap = [f.name for f in schema.fields] != logical_cols
     fileset = set(files)
     deletes = {
         f: v
@@ -1297,7 +1680,7 @@ def read_manifest_files(
         if apply_deletes and f in fileset
     }
     if not files:
-        empty = spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], logical)
         for c in (file_path_col, rel_path_col):
             if c:
                 empty = empty.withColumn(c, F.lit(None).cast("string"))
@@ -1305,7 +1688,7 @@ def read_manifest_files(
             empty = empty.withColumn(
                 row_pos_col, F.lit(None).cast("bigint")
             )
-        return empty.select(*cols)
+        return empty.select(*logical_cols, *meta_cols)
 
     rel_col = rel_path_col or "__mor_rel"
     # rel paths are needed for every file when the caller asked for
@@ -1502,7 +1885,19 @@ def read_manifest_files(
     # a partitioned read surfaces partition columns LAST regardless of
     # the pinned schema; restore manifest order so round-trips (e.g. a
     # replace-mode rewrite of a partitioned table) keep a stable shape
-    return out.select(*cols)
+    out = out.select(*cols)
+    if remap:
+        # the one projection that translates PHYSICAL -> LOGICAL names
+        # (resolution happens against the physical input before any
+        # alias lands, so even a full name SWAP a<->b is exact)
+        out = out.select(
+            *[
+                out[p].alias(l)
+                for p, l in zip(cols[: len(logical_cols)], logical_cols)
+            ],
+            *meta_cols,
+        )
+    return out
 
 
 def _iso_bound(b):
