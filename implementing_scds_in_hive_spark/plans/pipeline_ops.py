@@ -1983,11 +1983,9 @@ PYTEST_ONLY_QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
-    "pii_redaction": q_pii_redaction,
     "pseudonymize_users": q_pseudonymize_users,
     "text_chunks": q_text_chunks,
     "data_quality_orders": q_data_quality_orders,
-    "table_profile_customer": q_table_profile_customer,
     "multimodal_modality": q_multimodal_modality,
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
@@ -2009,17 +2007,24 @@ PYTEST_ONLY_ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
-    "pii_redaction": PII_REDACTION_SQL,
     "pseudonymize_users": PSEUDONYMIZE_SQL,
     "text_chunks": TEXT_CHUNKS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
-    "table_profile_customer": TABLE_PROFILE_SQL,
     "multimodal_modality": MULTIMODAL_MODALITY_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_topk_stratum": SAMPLE_TOPK_STRATUM_SQL,
     "assign_split": ASSIGN_SPLIT_SQL,
 }
+
+# r10 rotation (VERDICT r9 next-round #1): four never-slotted families
+# get their first-time driver evidence — zipf_fit_vocab and
+# bigram_logprob are registered where they are defined below;
+# pii_redaction and table_profile_customer promote here.
+QUERIES["pii_redaction"] = q_pii_redaction  # r10: first-time driver slot
+ORACLES["pii_redaction"] = PII_REDACTION_SQL
+QUERIES["table_profile_customer"] = q_table_profile_customer  # r10: first-time driver slot
+ORACLES["table_profile_customer"] = TABLE_PROFILE_SQL
 
 # r8 rotation (VERDICT r7 next-round #2): four never-slotted families
 # got first-time driver evidence in r8 — session windows, canonical-
@@ -2541,6 +2546,68 @@ PYTEST_ONLY_QUERIES["kmv_overlap_years"] = q_kmv_overlap_years  # r8 rotation: f
 PYTEST_ONLY_ORACLES["kmv_overlap_years"] = KMV_OVERLAP_SQL
 
 
+def q_kmv_overlap_k128(spark, sf_dir):
+    """The deliberate RE-SLOT at changed parameters (VERDICT r9
+    next-round #7 — a guard against oracle overfitting to one
+    configuration): the same customer-set overlap estimator as
+    ``kmv_overlap_years`` but with k=128 sketches and a different year
+    split (<=1996 vs >=1997), so every constant in the estimator — the
+    union slice, the (k-1)/threshold cardinality formula, the
+    intersection arithmetic — is exercised at values the r6/r7 driver
+    rounds never saw."""
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.where(F.year("o_orderdate") <= 1996)
+    late = orders.where(F.year("o_orderdate") >= 1997)
+    sa = kmv_sketch(
+        early, ["o_orderpriority"], "o_custkey", k=128, portable=True
+    )
+    sb = kmv_sketch(
+        late, ["o_orderpriority"], "o_custkey", k=128, portable=True
+    )
+    return kmv_jaccard(sa, sb, ["o_orderpriority"], k=128, portable=True)
+
+
+KMV_OVERLAP_K128_SQL = """
+WITH ha AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) <= 1996),
+ra AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha),
+sa AS (SELECT g, list(h ORDER BY h) AS ka FROM ra WHERE rn <= 128 GROUP BY g),
+hb AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE year(o_orderdate) >= 1997),
+rb AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb),
+sb AS (SELECT g, list(h ORDER BY h) AS kb FROM rb WHERE rn <= 128 GROUP BY g),
+u AS (
+  SELECT sa.g, ka, kb, list_sort(list_distinct(ka || kb))[1:128] AS uu
+  FROM sa JOIN sb ON sa.g = sb.g),
+e AS (
+  SELECT g, uu, ka, kb,
+         round(CAST(len(list_intersect(list_intersect(uu, ka), kb)) AS DOUBLE)
+               / CAST(len(uu) AS DOUBLE), 6) AS jac,
+         CASE WHEN len(uu) < 128 THEN CAST(len(uu) AS DOUBLE)
+              ELSE round(127.0 * 1152921504606846976.0 / CAST(uu[128] AS DOUBLE), 3)
+         END AS union_est
+  FROM u)
+SELECT g AS o_orderpriority,
+       jac AS jaccard_est,
+       round(jac * union_est, 3) AS intersection_est,
+       union_est
+FROM e
+"""
+
+
+QUERIES["kmv_overlap_k128"] = q_kmv_overlap_k128  # r10: re-slot at changed params (VERDICT r9 #7)
+ORACLES["kmv_overlap_k128"] = KMV_OVERLAP_K128_SQL
+
+
 # --- weighted sampling ----------------------------------------------------
 
 def q_sample_weighted_docs(spark, sf_dir):
@@ -2605,8 +2672,8 @@ WHERE epoch(gap_end) - epoch(gap_start) > 21600
 """
 
 
-QUERIES["event_gaps"] = q_event_gaps  # r9 rotation: first-time driver slot
-ORACLES["event_gaps"] = EVENT_GAPS_SQL
+PYTEST_ONLY_QUERIES["event_gaps"] = q_event_gaps  # r10 rotation: folded to pytest after its r9 driver round
+PYTEST_ONLY_ORACLES["event_gaps"] = EVENT_GAPS_SQL
 
 
 # --- quantized ANN tier ---------------------------------------------------
@@ -3087,8 +3154,8 @@ FROM cum
 # from top_orders — see plans/relational.py).
 PYTEST_ONLY_QUERIES["psi_event_drift"] = q_psi_event_drift  # r6 rotation: folded to pytest
 PYTEST_ONLY_ORACLES["psi_event_drift"] = PSI_EVENT_DRIFT_SQL
-QUERIES["drift_chi2_events"] = q_drift_chi2_events  # r9 rotation: first-time driver slot
-ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
+PYTEST_ONLY_QUERIES["drift_chi2_events"] = q_drift_chi2_events  # r10 rotation: folded to pytest after its r9 driver round
+PYTEST_ONLY_ORACLES["drift_chi2_events"] = DRIFT_CHI2_SQL
 QUERIES["ks_click_vs_purchase"] = q_ks_click_vs_purchase  # r6 rotation: first-time driver slot
 ORACLES["ks_click_vs_purchase"] = KS_CLICK_PURCHASE_SQL
 
@@ -3233,8 +3300,8 @@ FROM lp GROUP BY doc_id
 """
 
 
-PYTEST_ONLY_QUERIES["bigram_logprob"] = q_bigram_logprob
-PYTEST_ONLY_ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL
+QUERIES["bigram_logprob"] = q_bigram_logprob  # r10: first-time driver slot
+ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL
 
 
 def q_embedding_covariance(spark, sf_dir):
@@ -3430,8 +3497,8 @@ FROM m
 """
 
 
-PYTEST_ONLY_QUERIES["zipf_fit_vocab"] = q_zipf_fit_vocab
-PYTEST_ONLY_ORACLES["zipf_fit_vocab"] = ZIPF_FIT_SQL
+QUERIES["zipf_fit_vocab"] = q_zipf_fit_vocab  # r10: first-time driver slot
+ORACLES["zipf_fit_vocab"] = ZIPF_FIT_SQL
 
 
 def q_matview_rollup(spark, sf_dir):

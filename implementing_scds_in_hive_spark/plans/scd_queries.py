@@ -1162,6 +1162,220 @@ WHERE o_orderkey % 3 = 0
 """
 
 
+def q_sql_script_pipeline(spark, sf_dir):
+    """One multi-statement script through ``run_sql_script`` composing
+    THREE surfaces that shipped after the r9 rotation (VERDICT r9
+    next-round #1's 'strongest single slot'): (1) CTAS **from a
+    time-travel pin** clones v1 into a second snapshot table, (2) a
+    **multi-clause first-match-wins MERGE chain** (conditional DELETE,
+    conditional UPDATE, unconditional UPDATE — textual order is clause
+    order) whose source is a subquery over the clone, (3) the
+    ``table_changes`` **TVF** diffs v1->v2 and joins back against the
+    clone in the final SELECT. The oracle replays the chain
+    relationally: a wrong clause order, a CTAS pin that read the wrong
+    version, or a diff that leaks an unchanged row all hash-mismatch.
+    ``* 0.5`` keeps the float arithmetic IEEE-exact in both engines."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        run_sql_script,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"sql_pipe_{os.getpid()}"
+    )
+    backup = os.path.join(
+        tempfile.gettempdir(), f"sql_pipe_bk_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    results = run_sql_script(
+        spark,
+        """
+        -- clone the published state via a pinned CTAS
+        CREATE TABLE backup AS SELECT * FROM orders VERSION AS OF 1;
+
+        /* first-match-wins chain: cheap orders leave, F-status
+           flips to G, everything else halves */
+        MERGE INTO orders t
+        USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM backup WHERE o_orderkey % 7 = 0) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        WHEN MATCHED AND t.o_orderstatus = 'F'
+            THEN UPDATE SET o_orderstatus = 'G'
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * 0.5;
+
+        SELECT c.o_orderkey, c.op,
+               c.o_orderstatus AS status_now,
+               c.o_totalprice AS price_now,
+               b.o_orderstatus AS status_v1,
+               b.o_totalprice AS price_v1
+        FROM table_changes('orders', 1, 2, 'o_orderkey') c
+        JOIN backup b ON b.o_orderkey = c.o_orderkey;
+        """,
+        {"orders": root, "backup": backup},
+    )
+    return results[-1]
+
+
+SQL_SCRIPT_PIPELINE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'D' ELSE 'U' END AS op,
+       CASE WHEN o_totalprice < 50000 THEN NULL
+            WHEN o_orderstatus = 'F' THEN 'G'
+            ELSE o_orderstatus END AS status_now,
+       CASE WHEN o_totalprice < 50000 THEN NULL
+            WHEN o_orderstatus = 'F' THEN o_totalprice
+            ELSE o_totalprice * 0.5 END AS price_now,
+       o_orderstatus AS status_v1,
+       o_totalprice AS price_v1
+FROM orders
+WHERE o_orderkey % 7 = 0
+"""
+
+
+def q_alter_column_mapping(spark, sf_dir):
+    """Column mapping end-to-end (VERDICT r9 next-round #2): publish
+    part as a snapshot table, RENAME ``p_retailprice`` to ``price``
+    (pure metadata — carried files keep the physical name), run a CoW
+    UPDATE against the NEW logical name through the SQL face, DROP
+    ``p_type``, then re-ADD the same logical name — which must map to a
+    fresh physical name and read NULL everywhere (the dropped bytes
+    still sit inside every carried file; resurrection would
+    hash-mismatch the oracle's literal NULL column)."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"alter_map_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_brand", "p_type"
+    )
+    write_snapshot(
+        base.repartitionByRange(4, "p_partkey").sortWithinPartitions(
+            "p_partkey"
+        ),
+        root,
+        stats_cols=["p_partkey"],
+    )
+    t = {"part": root}
+    run_sql(
+        spark, "ALTER TABLE part RENAME COLUMN p_retailprice TO price", t
+    )
+    run_sql(
+        spark,
+        "UPDATE part SET price = price * 0.5 WHERE p_partkey <= 500",
+        t,
+        tier="cow",
+    )
+    run_sql(spark, "ALTER TABLE part DROP COLUMN p_type", t)
+    run_sql(spark, "ALTER TABLE part ADD COLUMNS (p_type string)", t)
+    return read_table(spark, root)
+
+
+ALTER_COLUMN_MAPPING_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey <= 500 THEN p_retailprice * 0.5
+            ELSE p_retailprice END AS price,
+       p_brand,
+       CAST(NULL AS VARCHAR) AS p_type
+FROM part
+"""
+
+
+def q_subquery_time_travel(spark, sf_dir):
+    """Expression-level subquery time travel (VERDICT r9 next-round
+    #4): after a merge-on-read UPDATE halves every third order's price
+    (v2), ONE textual SELECT filters the LATEST state through a pinned
+    scalar subquery (``max`` over v1 — IEEE-exact, no float-sum order)
+    AND a pinned IN-subquery (v1's F-status keys). Both pins live
+    INSIDE the WHERE expression, the hole r9 documented as
+    fails-loudly; a pin that silently resolved to v2 shifts the max
+    threshold and the key set, hash-mismatching the oracle's relational
+    replay of both versions."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        query_sql,
+        run_sql,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"subq_tt_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    t = {"orders": root}
+    run_sql(
+        spark,
+        "UPDATE orders SET o_totalprice = o_totalprice * 0.5 "
+        "WHERE o_orderkey % 3 = 0",
+        t,
+        tier="mor",
+    )
+    return query_sql(
+        spark,
+        """SELECT o_orderkey, o_totalprice AS price_v2
+           FROM orders
+           WHERE o_totalprice >
+                 (SELECT max(o_totalprice) * 0.5
+                  FROM orders VERSION AS OF 1)
+             AND o_orderkey IN (SELECT o_orderkey
+                                FROM orders VERSION AS OF 1
+                                WHERE o_orderstatus = 'F')""",
+        t,
+    )
+
+
+SUBQUERY_TIME_TRAVEL_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders)
+SELECT o_orderkey, o_totalprice AS price_v2
+FROM v2
+WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
+  AND o_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'F')
+"""
+
+
 # Driver registry (the driver verifies only the first 50 registry
 # entries, so every slot must earn its place): the flagship, one fixture
 # (staging — production's schema/branches are value-verified through the
@@ -1179,18 +1393,21 @@ QUERIES = {
     # vector commit + overlay-read path stays driver-evidenced every
     # round alongside CoW).
     "scd2_merge_mor": q_scd2_merge_mor,
-    # r9 rotation (VERDICT r8 next-round #1): first-time driver slots
-    # for the generic row-level DML family — each exercising a
-    # different publish tier end-to-end (MoR positional vectors, CoW
-    # rewrite, auto-routed three-clause merge, five-clause merge with
-    # NOT MATCHED BY SOURCE) — the textual SQL DML face, and (#2) the
-    # textual READ face with VERSION AS OF time travel.
-    "dml_delete_where": q_dml_delete_where,
-    "dml_update_where": q_dml_update_where,
-    "dml_merge_into": q_dml_merge_into,
-    "dml_merge_nbs": q_dml_merge_nbs,
-    "sql_dml_script": q_sql_dml_script,
-    "sql_time_travel": q_sql_time_travel,
+    # r10 rotation (VERDICT r9 next-round #1): the eight r9 first-timers
+    # fold back to pytest (the proven one-round pattern) and the freed
+    # slots go to the r9 late additions + this round's new protocol
+    # verbs, each never driver-evidenced before:
+    # - sql_script_pipeline: run_sql_script composing CTAS-from-a-pin +
+    #   a multi-clause first-match-wins MERGE chain + the table_changes
+    #   TVF — three surfaces under one hash (the verdict's "strongest
+    #   single slot");
+    # - alter_column_mapping: RENAME/DROP/re-ADD COLUMN through the SQL
+    #   face with the no-resurrection guarantee in the hashed output;
+    # - subquery_time_travel: expression-level subquery pins (scalar +
+    #   IN) — the hole r9 documented, closed this round.
+    "sql_script_pipeline": q_sql_script_pipeline,
+    "alter_column_mapping": q_alter_column_mapping,
+    "subquery_time_travel": q_subquery_time_travel,
 }
 
 ORACLES = {
@@ -1199,12 +1416,9 @@ ORACLES = {
     "scd_publish_roundtrip": SCD2_MERGE_SQL,
     "scd2_merge_cow": SCD2_MERGE_COW_SQL,
     "scd2_merge_mor": SCD2_MERGE_COW_SQL,
-    "dml_delete_where": DML_DELETE_SQL,
-    "dml_update_where": DML_UPDATE_SQL,
-    "dml_merge_into": DML_MERGE_SQL,
-    "dml_merge_nbs": DML_MERGE_NBS_SQL,
-    "sql_dml_script": SQL_DML_SCRIPT_SQL,
-    "sql_time_travel": SQL_TIME_TRAVEL_SQL,
+    "sql_script_pipeline": SQL_SCRIPT_PIPELINE_SQL,
+    "alter_column_mapping": ALTER_COLUMN_MAPPING_SQL,
+    "subquery_time_travel": SUBQUERY_TIME_TRAVEL_SQL,
 }
 
 # Retained for pytest branch-level verification (not driver slots).
@@ -1228,6 +1442,16 @@ ORACLES = {
 # retro-splice queries, and SCD3's add-prior-column shape stays fully
 # hash-checked here.
 PYTEST_ONLY_QUERIES = {
+    # r10 rotation: the six r9 first-timers of this module fold back to
+    # pytest with their full oracle compare intact (the proven
+    # one-round pattern; event_gaps/drift_chi2_events fold in
+    # pipeline_ops.py).
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_where": q_dml_update_where,
+    "dml_merge_into": q_dml_merge_into,
+    "dml_merge_nbs": q_dml_merge_nbs,
+    "sql_dml_script": q_sql_dml_script,
+    "sql_time_travel": q_sql_time_travel,
     # r9 rotation: the three never-slotted SCD families that earned
     # their first-time driver evidence in r8 fold back to pytest (the
     # proven one-round pattern), freeing slots for the DML/SQL-face
@@ -1250,6 +1474,12 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "dml_delete_where": DML_DELETE_SQL,
+    "dml_update_where": DML_UPDATE_SQL,
+    "dml_merge_into": DML_MERGE_SQL,
+    "dml_merge_nbs": DML_MERGE_NBS_SQL,
+    "sql_dml_script": SQL_DML_SCRIPT_SQL,
+    "sql_time_travel": SQL_TIME_TRAVEL_SQL,
     "scd6_current_columns": SCD6_SQL,
     "scd_temporal_join": TEMPORAL_JOIN_SQL,
     "scd_retro_splice": RETRO_SPLICE_SQL,
