@@ -496,10 +496,22 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
     return plan.makeCopy(arr), True
 
 
+_JCLASS_CACHE: dict = {}
+
+
 def _jinstance(spark, obj, class_name: str) -> bool:
-    return bool(
-        spark._jvm.java.lang.Class.forName(class_name).isInstance(obj)
-    )
+    """``isinstance`` against a JVM class, with the resolved Class
+    object cached per gateway — the makeCopy walk tests every product
+    arg and every expression node, and an uncached Class.forName would
+    multiply py4j round-trips per statement (r10 self-review)."""
+    key = (id(spark._jvm), class_name)
+    cls = _JCLASS_CACHE.get(key)
+    if cls is None:
+        if len(_JCLASS_CACHE) >= 64:
+            _JCLASS_CACHE.clear()  # gateway restarts; tiny, just reset
+        cls = spark._jvm.java.lang.Class.forName(class_name)
+        _JCLASS_CACHE[key] = cls
+    return bool(cls.isInstance(obj))
 
 
 def _replace_tt_in_arg(spark, a, tables: dict, pins: dict):
@@ -828,19 +840,24 @@ def _run_rename_column(spark, plan, tables: dict) -> dict:
 
 
 def _run_drop_columns(spark, plan, tables: dict) -> dict:
-    """ALTER TABLE ... DROP COLUMN(S): PURE METADATA commits
+    """ALTER TABLE ... DROP COLUMN(S): ONE PURE METADATA commit
     (``snapshot.drop_column_commit``) — the physical names retire so a
     later ADD of the same logical name can never resurrect the dropped
-    bytes. ``IF EXISTS`` skips missing columns like Spark does."""
+    bytes. A multi-column drop is ATOMIC: every name validates against
+    the same manifest and either all drop or none (a per-column commit
+    loop would leave the table half-altered when a later name is
+    refused — r10 self-review). ``IF EXISTS`` skips missing columns
+    like Spark does (resolved up front, before any commit)."""
     from implementing_scds_in_hive_spark.sources.snapshot import (
         drop_column_commit,
+        latest_version,
+        load_manifest,
     )
 
     parts = [str(x) for x in _seq(plan.table().multipartIdentifier())]
     root = _root_for(tables, ".".join(parts))
     if_exists = bool(plan.ifExists())
-    dropped, skipped = [], []
-    new_v = None
+    names = []
     for c in _seq(plan.columnsToDrop()):
         name_parts = [str(x) for x in _seq(c.name())]
         if len(name_parts) != 1:
@@ -848,18 +865,25 @@ def _run_drop_columns(spark, plan, tables: dict) -> dict:
                 f"only top-level columns can be dropped; got "
                 f"{'.'.join(name_parts)}"
             )
-        try:
-            new_v = drop_column_commit(root, name_parts[0])
-            dropped.append(name_parts[0])
-        except ValueError as e:
-            if if_exists and "no such column" in str(e):
-                skipped.append(name_parts[0])
-                continue
-            raise
+        names.append(name_parts[0])
+    skipped = []
+    if if_exists:
+        v = latest_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        import json as _json
+
+        have = {
+            f["name"].casefold()
+            for f in _json.loads(load_manifest(root, v)["schema"])["fields"]
+        }
+        skipped = [n for n in names if n.casefold() not in have]
+        names = [n for n in names if n.casefold() in have]
+    new_v = drop_column_commit(root, names) if names else None
     return {
         "op": "drop_columns",
         "version": new_v,
-        "dropped": dropped,
+        "dropped": names,
         "skipped": skipped,
     }
 

@@ -534,6 +534,17 @@ def maintain_table(
         out["folded"] = res["consolidated"]
         out["fold_tier"] = "vectors" if res["consolidated"] else None
         out["vector_files"] = res["vector_files_after"]
+        if res["vector_files_after"] > max_vector_files:
+            # consolidation could not get under the bound (already one
+            # bin-packed list per schema: many vector SCHEMAS, or raw
+            # tombstone bytes needing more bins than the cap) — without
+            # escalation the trigger would re-fire forever with no
+            # remedy (r10 self-review); the data fold retires the
+            # vectors entirely
+            compact_deletes(spark, root)
+            out["folded"] = True
+            out["fold_tier"] = "data"
+            out["vector_files"] = 0
     ov = clustering_overlap(root, col)
     if ov is None or ov <= max_overlap:
         return {**out, "reclustered": False, "overlap": ov}
@@ -645,9 +656,13 @@ def consolidate_vectors(
         groups.setdefault(tuple(sorted(schema_of[rels[0]])), []).append(
             (rels, served)
         )
-    # per-group consolidation target: bin-packed by byte size
+    # per-group consolidation target: bin-packed by byte size; groups
+    # that are ALREADY one bin-packed list are skipped entirely — their
+    # manifest entries carry by the replace semantics (a staged vector
+    # only supersedes files it covers), so a clean positional group
+    # pays nothing when a fragmented row-format group folds (r10
+    # self-review)
     plan = []
-    already = True
     for _schema, lists in sorted(groups.items()):
         rel_set = sorted({r for rels, _served in lists for r in rels})
         bytes_g = sum(
@@ -655,9 +670,8 @@ def consolidate_vectors(
         )
         n_out = max(1, math.ceil(bytes_g / target_bytes))
         if len(lists) > 1 or len(rel_set) > n_out:
-            already = False
-        plan.append((lists, n_out))
-    if already:
+            plan.append((lists, n_out))
+    if not plan:
         return {
             **out,
             "vector_files_after": len(all_rels),

@@ -577,6 +577,45 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _check_staged_physical(root: str, staged: dict, pm: dict) -> None:
+    """Guard for the stage->commit window (r10 self-review): the staged
+    files were written with physical names computed from the parent AT
+    STAGE TIME. If a concurrent DROP/RENAME COLUMN committed in
+    between, an evolution column whose staged physical name is now
+    RETIRED (or collides with a live physical) would — once committed —
+    silently serve the dropped/renamed column's bytes from every
+    carried file, breaking the no-resurrection invariant. The staged
+    parquet already holds the stale name, so the only safe outcome is
+    a loud abort; the caller re-stages against the new parent. (A
+    concurrent RENAME of a PREFIX column already fails loudly through
+    ``_evolved_schema``'s exact-name prefix check — this guard covers
+    the appended-evolution-column hole.)"""
+    sdoc_p = json.loads(pm["schema"])
+    new_fields = json.loads(staged["schema"])["fields"][
+        len(sdoc_p["fields"]):
+    ]
+    if not new_fields:
+        return
+    cm_staged = staged.get("column_mapping") or {}
+    used = _used_physical(
+        sdoc_p, column_mapping(pm), pm.get("retired_physical")
+    )
+    bad = [
+        (f["name"], cm_staged.get(f["name"], f["name"]))
+        for f in new_fields
+        if cm_staged.get(f["name"], f["name"]) in used
+    ]
+    if bad:
+        _abandon(root, staged)
+        raise CommitConflictError(
+            f"staged evolution columns {bad} collide with physical "
+            f"names used or retired by the CURRENT parent "
+            f"v{pm['version']} — a concurrent RENAME/DROP COLUMN "
+            f"landed between stage and commit; re-stage against the "
+            f"new parent"
+        )
+
+
 def _merge_app_meta(parent: dict | None, explicit: dict | None) -> dict:
     """Carry-forward merge for ``app_meta``: the parent's dict survives
     every commit by default, the committing writer's explicit dict wins
@@ -707,6 +746,7 @@ def commit(
                 continue
             parent_meta = pm.get("app_meta") or {}
             schema_json = _evolved_schema(root, staged, pm, mode)
+            _check_staged_physical(root, staged, pm)
             files = pm["files"] + files
             dirs = pm["snapshot_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
@@ -730,6 +770,7 @@ def commit(
             lineage = True
             parent_meta = pm.get("app_meta") or {}
             schema_json = _evolved_schema(root, staged, pm, mode)
+            _check_staged_physical(root, staged, pm)
             drop = set(staged.get("drop_files", []))
             unknown = drop - set(pm["files"])
             if unknown:
@@ -1224,49 +1265,64 @@ def rename_column_commit(
 
 def drop_column_commit(
     root: str,
-    name: str,
+    name,
     *,
     expected_version: int | None = None,
     max_retries: int = 50,
 ) -> int:
-    """``ALTER TABLE ... DROP COLUMN`` as a PURE METADATA commit: the
-    field leaves the schema and its PHYSICAL name is RETIRED
+    """``ALTER TABLE ... DROP COLUMN(S)`` as ONE PURE METADATA commit:
+    the fields leave the schema and their PHYSICAL names are RETIRED
     (``retired_physical``) — carried files keep the bytes (pinned
     pre-drop reads still serve them; rewrites retire them physically
     over time), but a later ADD COLUMN of the same logical name maps to
     a FRESH physical name, so the dropped values can never resurrect.
-    Refused for partition columns (the hive path layout cannot be
-    remapped), for the last remaining column, and while any LIVE
-    deletion vector is keyed by the column (row-format vectors embed
-    key VALUES per column — fold them into clean files first:
-    ``sinks.compact_deletes``); positional vectors are unaffected."""
+    ``name`` is one column or a list; a multi-column drop is ATOMIC —
+    every name is validated against the same manifest and either all
+    drop in one commit or none do (a per-column loop would leave the
+    table half-altered when the second name is refused, r10
+    self-review). Refused for partition columns (the hive path layout
+    cannot be remapped), for dropping ALL remaining columns, and while
+    any LIVE deletion vector is keyed by a dropped column (row-format
+    vectors embed key VALUES per column — fold them into clean files
+    first: ``sinks.compact_deletes``); positional vectors are
+    unaffected."""
+    names = [name] if isinstance(name, str) else list(name)
+    if not names:
+        raise ValueError("drop_column_commit needs at least one column")
 
     def compute(pm: dict) -> dict:
         sdoc = json.loads(pm["schema"])
-        exact = _resolve_field(sdoc, name)
-        if len(sdoc["fields"]) == 1:
-            raise ValueError("cannot drop the table's only column")
-        if exact in pm["partition_by"]:
-            raise ValueError(
-                f"cannot drop partition column {exact!r}; rewrite the "
-                f"table with a different partitioning first"
-            )
+        exact = []
+        for n in names:
+            e = _resolve_field(sdoc, n)
+            if e in exact:
+                raise ValueError(f"duplicate column in drop list: {e!r}")
+            exact.append(e)
+        if len(exact) >= len(sdoc["fields"]):
+            raise ValueError("cannot drop every column of the table")
+        for e in exact:
+            if e in pm["partition_by"]:
+                raise ValueError(
+                    f"cannot drop partition column {e!r}; rewrite the "
+                    f"table with a different partitioning first"
+                )
         cm = column_mapping(pm)
-        phys = cm.pop(exact, exact)
+        phys = {e: cm.pop(e, e) for e in exact}
         rels = {
             r for rels in (pm.get("deletes") or {}).values() for r in rels
         }
-        keyed = [
-            r for r, names in vector_schemas(root, rels).items()
-            if phys in names
-        ]
-        if keyed:
-            raise ValueError(
-                f"cannot drop {exact!r}: live deletion vectors are keyed "
-                f"by it ({keyed[:3]}); run sinks.compact_deletes first"
-            )
+        vschemas = vector_schemas(root, rels)
+        for e, p in phys.items():
+            keyed = [r for r, cols in vschemas.items() if p in cols]
+            if keyed:
+                raise ValueError(
+                    f"cannot drop {e!r}: live deletion vectors are "
+                    f"keyed by it ({keyed[:3]}); run "
+                    f"sinks.compact_deletes first"
+                )
+        gone = set(exact)
         stats = {
-            rel: {c: v for c, v in per.items() if c != exact}
+            rel: {c: v for c, v in per.items() if c not in gone}
             for rel, per in (pm.get("stats") or {}).items()
         }
         return {
@@ -1275,14 +1331,14 @@ def drop_column_commit(
                 {
                     **sdoc,
                     "fields": [
-                        f for f in sdoc["fields"] if f["name"] != exact
+                        f for f in sdoc["fields"] if f["name"] not in gone
                     ],
                 }
             ),
             "stats": {rel: per for rel, per in stats.items() if per},
             "column_mapping": cm,
             "retired_physical": sorted(
-                {*(pm.get("retired_physical") or []), phys}
+                {*(pm.get("retired_physical") or []), *phys.values()}
             ),
         }
 

@@ -195,11 +195,50 @@ def test_drop_refusals(spark, tmp_path):
     cur = read_snapshot(spark, root)
     assert cur.columns == ["id", "p"]
     assert cur.where("id IN (3, 5)").count() == 0
-    # last column
-    drop_column_commit(root, "p") if False else None
     with pytest.raises(ValueError, match="partition column"):
         drop_column_commit(root, "p")
     assert latest_version(root) == v
+
+
+def test_drop_every_column_and_multi_drop_atomicity(spark, tmp_path):
+    """The 'drop everything' refusal, and (r10 self-review) the ATOMIC
+    multi-column drop: a list with one refused name must commit
+    NOTHING — a per-column loop would leave the table half-altered."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "id * 2 AS a", "id * 3 AS b"),
+        root,
+    )
+    with pytest.raises(ValueError, match="every column"):
+        drop_column_commit(root, ["id", "a", "b"])
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column_commit(root, ["a", "nope"])
+    with pytest.raises(ValueError, match="duplicate column"):
+        drop_column_commit(root, ["a", "A"])
+    # nothing committed by the refused statements
+    assert latest_version(root) == 1
+    assert read_snapshot(spark, root).columns == ["id", "a", "b"]
+    # a valid multi-drop lands as ONE commit
+    v = drop_column_commit(root, ["a", "b"])
+    assert v == 2
+    assert read_snapshot(spark, root).columns == ["id"]
+    # SQL face: one refused name aborts the whole statement atomically
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+
+    root2 = str(tmp_path / "t2")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "id * 2 AS a", "id * 3 AS b"),
+        root2,
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        run_sql(spark, "ALTER TABLE t DROP COLUMNS (a, nope)", {"t": root2})
+    assert read_snapshot(spark, root2).columns == ["id", "a", "b"]
+    assert latest_version(root2) == 1
+    rep = run_sql(
+        spark, "ALTER TABLE t DROP COLUMNS (a, b)", {"t": root2}
+    )
+    assert rep["dropped"] == ["a", "b"] and rep["version"] == 2
+    assert read_snapshot(spark, root2).columns == ["id"]
 
 
 def test_partition_column_rename(spark, tmp_path):
@@ -510,3 +549,51 @@ def test_protocol_model_with_column_mapping(spark, tmp_path):
                 assert got == want, f"time travel v{v}"
 
     run()
+
+
+def test_append_staged_before_concurrent_drop_aborts_loudly(
+    spark, tmp_path
+):
+    """r10 self-review (the one CONFIRMED race): an append STAGED
+    against the pre-drop parent carries the dropped column as an
+    apparent evolution column whose identity physical name is now
+    RETIRED — committing it would silently resurrect the dropped bytes
+    from every carried file. The commit guard must abort loudly and
+    abandon the stage instead."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+        commit,
+        stage_files,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr(
+            "id", "id * 2 AS price", "CAST(id AS STRING) AS seg"
+        ),
+        root,
+    )
+    staged = stage_files(
+        spark.range(5, 8).selectExpr(
+            "id", "id * 2 AS price", "CAST(id AS STRING) AS seg"
+        ),
+        root,
+    )
+    drop_column_commit(root, "seg")  # the concurrent writer wins
+    with pytest.raises(CommitConflictError, match="re-stage"):
+        commit(root, staged, mode="append")
+    # nothing leaked: no version burned, no resurrection, stage gone
+    assert latest_version(root) == 2
+    cur = read_snapshot(spark, root)
+    assert cur.columns == ["id", "price"] and cur.count() == 5
+    # the same race against a RENAME: the prefix check catches it
+    write_snapshot(
+        spark.range(3).selectExpr("id", "id * 2 AS v"), str(tmp_path / "u")
+    )
+    staged2 = stage_files(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v"),
+        str(tmp_path / "u"),
+    )
+    rename_column_commit(str(tmp_path / "u"), "v", "w")
+    with pytest.raises(ValueError, match="prefix"):
+        commit(str(tmp_path / "u"), staged2, mode="append")

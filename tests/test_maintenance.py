@@ -420,3 +420,45 @@ def test_maintain_table_routes_count_breach_to_vectors_tier(
     )
     assert rep2["folded"] and rep2["fold_tier"] == "data"
     assert not load_manifest(root, latest_version(root)).get("deletes")
+
+
+def test_maintain_table_escalates_when_consolidation_cannot_fold(
+    spark, tmp_path
+):
+    """r10 self-review: when the vector-file-count trigger fires but
+    consolidation cannot get under the bound (one bin-packed list per
+    SCHEMA, several schemas), maintain_table must escalate to the data
+    fold — otherwise the trigger re-fires forever with no remedy."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        maintain_table,
+        vector_debt,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(800)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+    )
+    # two vector SCHEMAS on disjoint files: pos and row formats can
+    # never merge, so lists can't go below 2
+    delete_where(spark, root, "id = 3", tier="mor", vector_format="pos")
+    delete_where(spark, root, "id = 403", tier="mor", vector_format="row")
+    assert vector_debt(root)["vector_files"] == 2
+    rep = maintain_table(
+        spark, root, "id", max_vector_files=1, max_vectored_fraction=0.9
+    )
+    assert rep["folded"] is True and rep["fold_tier"] == "data"
+    assert vector_debt(root)["vector_files"] == 0
+    got = sorted(r["id"] for r in
+                 __import__("implementing_scds_in_hive_spark.sources.snapshot",
+                            fromlist=["read_snapshot"]).read_snapshot(
+                     spark, root).collect())
+    assert 3 not in got and 403 not in got and len(got) == 798
