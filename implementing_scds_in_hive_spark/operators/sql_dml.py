@@ -298,7 +298,17 @@ def _materialize_query(spark, jquery, tables: dict) -> DataFrame:
     )
 
     pins: dict[str, DataFrame] = {}
-    jquery, _ = _replace_time_travel(spark, jquery, tables, pins)
+    # Fast path (r10 second review pass): the pin walk now recurses
+    # through every product arg AND every expression node (makeCopy +
+    # SubqueryExpression support), which costs O(tree) py4j round trips
+    # — wasted on the vast majority of statements that contain no pin.
+    # Both rewrite triggers are visible in the UNRESOLVED tree string
+    # (RelationTimeTravel nodes — including inside CTE bodies and
+    # expression subqueries, which print as innerChildren — and the
+    # table_changes TVF name), so one toString probe gates the walk.
+    tree = jquery.toString()
+    if "RelationTimeTravel" in tree or "table_changes" in tree.lower():
+        jquery, _ = _replace_time_travel(spark, jquery, tables, pins)
     tables = {**tables, **pins}
     existing = {
         t.name

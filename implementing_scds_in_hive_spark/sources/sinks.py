@@ -622,10 +622,10 @@ def consolidate_vectors(
     from implementing_scds_in_hive_spark.sources.snapshot import (
         DELETE_FILE_COL,
         commit,
+        group_vector_lists,
         latest_version,
         load_manifest,
         stage_delete_vectors,
-        vector_schemas,
     )
 
     v = latest_version(path)
@@ -646,16 +646,9 @@ def consolidate_vectors(
             "lists_after": 0,
             "consolidated": False,
         }
-    # group data files by their list, then lists by vector SCHEMA
-    by_list: dict[tuple, list[str]] = {}
-    for f, rels in deletes.items():
-        by_list.setdefault(tuple(rels), []).append(f)
-    schema_of = vector_schemas(path, all_rels)
-    groups: dict[tuple, list[tuple]] = {}
-    for rels, served in sorted(by_list.items()):
-        groups.setdefault(tuple(sorted(schema_of[rels[0]])), []).append(
-            (rels, served)
-        )
+    # group data files by their list, then lists by vector SCHEMA (the
+    # read overlay's exact grouping — shared helper)
+    groups = group_vector_lists(path, deletes)
     # per-group consolidation target: bin-packed by byte size; groups
     # that are ALREADY one bin-packed list are skipped entirely — their
     # manifest entries carry by the replace semantics (a staged vector

@@ -220,6 +220,33 @@ def physical_schema(m: dict):
     )
 
 
+def group_vector_lists(root: str, deletes: dict) -> dict[tuple, list]:
+    """Group a manifest ``deletes`` map for per-schema vector
+    processing (shared by the read overlay and ``consolidate_vectors``
+    — r10 second review pass deduplication): data files sharing the
+    SAME vector-file list form one ``(rels, served)`` unit — tombstones
+    for file f are EXACTLY the ``__file == f`` rows of f's OWN manifest
+    list, so a vector file shared with another file must not re-apply
+    superseded positions (replace semantics) — and units group by the
+    vector files' footer column set (vector batches from different
+    commits can be keyed differently; a single-file sample would
+    mis-group). One driver-side footer read per DISTINCT vector file,
+    no data scanned. Returns ``{sorted-column-name-tuple:
+    [(rels_tuple, served_sorted_list), ...]}``."""
+    by_list: dict[tuple, list[str]] = {}
+    for f, rels in deletes.items():
+        by_list.setdefault(tuple(rels), []).append(f)
+    schema_of = vector_schemas(
+        root, (r for rels in by_list for r in rels)
+    )
+    groups: dict[tuple, list] = {}
+    for rels, served in sorted(by_list.items()):
+        groups.setdefault(tuple(sorted(schema_of[rels[0]])), []).append(
+            (rels, sorted(served))
+        )
+    return groups
+
+
 def logical_vector_schemas(root: str, m: dict, rels) -> dict[str, set]:
     """:func:`vector_schemas` translated PHYSICAL -> LOGICAL through
     ``m``'s column mapping — what fold-compatibility probes compare
@@ -237,17 +264,24 @@ def logical_vector_schemas(root: str, m: dict, rels) -> dict[str, set]:
 def _used_physical(sdoc: dict, cm: dict, retired) -> set:
     """Physical names that exist (or may exist) in referenced or
     historical files — the collision set a new column's physical name
-    must avoid."""
-    return {cm.get(f["name"], f["name"]) for f in sdoc["fields"]} | set(
-        retired or []
-    )
+    must avoid. CASEFOLDED (r10 second review pass, CONFIRMED): parquet
+    name resolution follows the analyzer's case-insensitivity
+    (``spark.sql.caseSensitive=false``), so re-adding a dropped ``seg``
+    as ``Seg`` would resolve to the old bytes in every carried file —
+    an exact-case check here would let the no-resurrection invariant be
+    bypassed by a case variant. Membership tests against this set must
+    casefold the probe."""
+    return {
+        cm.get(f["name"], f["name"]).casefold() for f in sdoc["fields"]
+    } | {r.casefold() for r in (retired or [])}
 
 
 def _fresh_physical(name: str, version: int, used: set) -> str:
     """A physical name for a NEW column whose logical name collides
-    with a used/retired physical name."""
+    (case-insensitively) with a used/retired physical name. ``used``
+    is the casefolded set from :func:`_used_physical`."""
     phys = f"{name}__r{version}"
-    while phys in used:
+    while phys.casefold() in used:
         phys += "x"
     return phys
 
@@ -603,7 +637,7 @@ def _check_staged_physical(root: str, staged: dict, pm: dict) -> None:
     bad = [
         (f["name"], cm_staged.get(f["name"], f["name"]))
         for f in new_fields
-        if cm_staged.get(f["name"], f["name"]) in used
+        if cm_staged.get(f["name"], f["name"]).casefold() in used
     ]
     if bad:
         _abandon(root, staged)
@@ -1066,9 +1100,9 @@ def evolve_schema_commit(
         cm = column_mapping(pm)
         used = _used_physical(sdoc, cm, pm.get("retired_physical"))
         for name, _typ in new_fields:
-            if name in used:
+            if name.casefold() in used:
                 cm[name] = _fresh_physical(name, parent + 1, used)
-                used.add(cm[name])
+                used.add(cm[name].casefold())
         manifest = {
             **{
                 k: pm[k]
@@ -1497,12 +1531,17 @@ def write_snapshot(
             retired = pmeta.get("retired_physical") or []
             if cm or retired:
                 sdoc = json.loads(pmeta["schema"])
-                parent_names = {f["name"] for f in sdoc["fields"]}
+                parent_names = {
+                    f["name"].casefold() for f in sdoc["fields"]
+                }
                 used = _used_physical(sdoc, cm, retired)
                 for f in df.schema.fields:
-                    if f.name not in parent_names and f.name in used:
+                    if (
+                        f.name.casefold() not in parent_names
+                        and f.name.casefold() in used
+                    ):
                         cm[f.name] = _fresh_physical(f.name, pv + 1, used)
-                        used.add(cm[f.name])
+                        used.add(cm[f.name].casefold())
     if cm:
         df = df.select(
             *[df[f.name].alias(cm.get(f.name, f.name))
@@ -1837,29 +1876,10 @@ def read_manifest_files(
 
     vec_parts = []
     if vectored:
-        # Tombstones for file f are EXACTLY the rows with __file == f in
-        # deletes[f]'s vector files — a vector file kept alive by some
-        # OTHER file's entry must not re-apply superseded tombstones to
-        # a re-vectored f (a staged vector REPLACES the prior one). Read
-        # per distinct vector-file list, restricted to the files that
-        # list serves in THIS manifest.
-        by_list: dict[tuple, list[str]] = {}
-        for f in vectored:
-            by_list.setdefault(tuple(deletes[f]), []).append(f)
-        # Vector lists from different commits can be keyed DIFFERENTLY
-        # (an SCD merge's single-key vectors next to a DML verb's
-        # full-row vectors): each key-column set anti-joins its own
-        # data files on its own keys. Grouping is by footer schema —
-        # one driver-side footer read per distinct vector file, no data
-        # scanned; the common all-one-schema case keeps a single join.
-        schema_of = vector_schemas(
-            root, (r for rels in by_list for r in rels)
-        )
-        groups: dict[tuple, list[tuple]] = {}
-        for rels, served in sorted(by_list.items()):
-            groups.setdefault(
-                tuple(sorted(schema_of[rels[0]])), []
-            ).append((rels, served))
+        # Per-(vector list, footer schema) groups — replace semantics
+        # and keyed-differently handling documented on the shared
+        # helper; the common all-one-schema case keeps a single join.
+        groups = group_vector_lists(root, deletes)
         try:
             thresh = int(
                 spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

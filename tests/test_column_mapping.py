@@ -597,3 +597,39 @@ def test_append_staged_before_concurrent_drop_aborts_loudly(
     rename_column_commit(str(tmp_path / "u"), "v", "w")
     with pytest.raises(ValueError, match="prefix"):
         commit(str(tmp_path / "u"), staged2, mode="append")
+
+
+def test_case_variant_readd_does_not_resurrect(spark, tmp_path):
+    """r10 second review pass (CONFIRMED): parquet name resolution is
+    case-insensitive like the analyzer, so after DROP COLUMN seg a
+    re-ADD as 'Seg' must get a fresh physical name — an exact-case
+    collision check would serve the dropped bytes under the case
+    variant."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(10).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root,
+    )
+    drop_column_commit(root, "seg")
+    evolve_schema_commit(root, [("Seg", "string")])
+    cur = read_snapshot(spark, root)
+    assert cur.where("Seg IS NOT NULL").count() == 0
+    m = load_manifest(root, latest_version(root))
+    assert m["column_mapping"]["Seg"].casefold() != "seg"
+    # the same invariant through append-mode evolution
+    root2 = str(tmp_path / "u")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root2,
+    )
+    drop_column_commit(root2, "seg")
+    write_snapshot(
+        spark.range(5, 7).selectExpr(
+            "id", "CAST(NULL AS STRING) AS SEG"
+        ),
+        root2,
+        mode="append",
+    )
+    cur2 = read_snapshot(spark, root2)
+    assert cur2.columns == ["id", "SEG"]
+    assert cur2.where("SEG IS NOT NULL").count() == 0
