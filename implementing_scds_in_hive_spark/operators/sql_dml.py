@@ -59,6 +59,10 @@ _OPTIMIZE_RE = re.compile(
     r"(\s+APPLY\s*\(\s*(?P<purge>PURGE)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<t>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _seq(s) -> list:
@@ -394,25 +398,41 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
         if len(vals) != 4:
             raise ValueError(
                 "table_changes takes (table_name, v_from, v_to, "
-                "'key1[,key2,...]') — the key columns drive the diff "
+                "'key1[,key2,...]') — versions as integers or timestamp "
+                "strings (Delta parity); the key columns drive the diff "
                 "join"
             )
         keys = [k.strip() for k in vals[3].split(",") if k.strip()]
         if not keys:
             raise ValueError("table_changes needs at least one key column")
+        root = _root_for(tables, vals[0])
 
         def _version_arg(label, raw):
             try:
                 return int(raw)
             except ValueError:
+                pass
+            # Delta's table_changes accepts timestamp bounds: resolve
+            # through the commit log like TIMESTAMP AS OF (Catalyst
+            # evaluates the literal, so session time zone is honored)
+            from implementing_scds_in_hive_spark.sources.snapshot import (
+                version_at_timestamp,
+            )
+
+            micros = spark.sql(
+                "SELECT unix_micros(TRY_CAST(? AS TIMESTAMP)) AS t",
+                args=[raw],
+            ).first()["t"]
+            if micros is None:
                 raise ValueError(
-                    f"table_changes {label} must be an integer version; "
-                    f"got {raw!r}"
-                ) from None
+                    f"table_changes {label} must be an integer version "
+                    f"or a timestamp string; got {raw!r}"
+                )
+            return version_at_timestamp(root, micros / 1e6)
 
         df = snapshot_changes(
             spark,
-            _root_for(tables, vals[0]),
+            root,
             _version_arg("v_from", vals[1]),
             _version_arg("v_to", vals[2]),
             keys,
@@ -823,6 +843,48 @@ def _run_add_columns(spark, plan, tables: dict) -> dict:
     }
 
 
+def _describe_detail(root: str) -> dict:
+    """``DESCRIBE DETAIL t`` (the Delta observability verb): one
+    manifest read + a driver-side size walk — table shape, layout and
+    merge-on-read debt in one dict, no data scanned."""
+    import json as _json
+    import os as _os
+
+    from implementing_scds_in_hive_spark.sources.sinks import vector_debt
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+    )
+
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    m = load_manifest(root, v)
+    debt = vector_debt(root)
+    sdoc = _json.loads(m["schema"])
+    return {
+        "op": "describe_detail",
+        "location": root,
+        "version": v,
+        "committed_at": m.get("committed_at"),
+        "num_files": len(m["files"]),
+        "size_bytes": sum(
+            _os.path.getsize(_os.path.join(root, f)) for f in m["files"]
+        ),
+        "partition_by": list(m["partition_by"]),
+        "columns": [f["name"] for f in sdoc["fields"]],
+        "column_mapping": dict(m.get("column_mapping") or {}),
+        "retired_physical": list(m.get("retired_physical") or []),
+        "stats_columns": sorted(
+            {c for per in (m.get("stats") or {}).values() for c in per}
+        ),
+        "vectored_files": debt["vectored_files"],
+        "vector_files": debt["vector_files"],
+        "vector_bytes": debt["vector_bytes"],
+        "app_meta": dict(m.get("app_meta") or {}),
+    }
+
+
 def _run_rename_column(spark, plan, tables: dict) -> dict:
     """ALTER TABLE ... RENAME COLUMN a TO b: a PURE METADATA commit
     (``snapshot.rename_column_commit``, Delta/Iceberg name-mode column
@@ -947,6 +1009,9 @@ def run_sql(
 
         root = _root_for(tables, m.group("t"))
         return {"op": "describe_history", "history": table_history(root)}
+    m = _DETAIL_RE.match(statement)
+    if m:
+        return _describe_detail(_root_for(tables, m.group("t")))
     m = _OPTIMIZE_RE.match(statement)
     if m:
         root = _root_for(tables, m.group("t"))
@@ -1127,7 +1192,8 @@ def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
     for stmt in split_sql_statements(script):
         if any(
             rx.match(stmt)
-            for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE)
+            for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE,
+                       _DETAIL_RE)
         ):
             results.append(run_sql(spark, stmt, tables))
             continue
