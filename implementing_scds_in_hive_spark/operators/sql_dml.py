@@ -63,6 +63,12 @@ _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<t>[\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<d>[\w.]+)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<s>[\w.]+)(\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
+    r"(\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _seq(s) -> list:
@@ -1012,6 +1018,37 @@ def run_sql(
     m = _DETAIL_RE.match(statement)
     if m:
         return _describe_detail(_root_for(tables, m.group("t")))
+    m = _CLONE_RE.match(statement)
+    if m:
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            clone_table,
+        )
+
+        kw: dict = {}
+        if m.group("v"):
+            kw["version"] = int(m.group("v"))
+        if m.group("ts"):
+            micros = spark.sql(
+                "SELECT unix_micros(TRY_CAST(? AS TIMESTAMP)) AS t",
+                args=[m.group("ts")],
+            ).first()["t"]
+            if micros is None:
+                raise ValueError(
+                    f"SHALLOW CLONE TIMESTAMP AS OF "
+                    f"{m.group('ts')!r} is not a timestamp"
+                )
+            kw["as_of_timestamp"] = micros / 1e6
+        v = clone_table(
+            _root_for(tables, m.group("s")),
+            _root_for(tables, m.group("d")),
+            **kw,
+        )
+        return {
+            "op": "shallow_clone",
+            "source": m.group("s"),
+            "target": m.group("d"),
+            "version": v,
+        }
     m = _OPTIMIZE_RE.match(statement)
     if m:
         root = _root_for(tables, m.group("t"))
@@ -1193,7 +1230,7 @@ def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
         if any(
             rx.match(stmt)
             for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE,
-                       _DETAIL_RE)
+                       _DETAIL_RE, _CLONE_RE)
         ):
             results.append(run_sql(spark, stmt, tables))
             continue

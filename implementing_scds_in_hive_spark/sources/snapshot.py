@@ -1605,6 +1605,147 @@ def write_snapshot(
     )
 
 
+def clone_table(
+    src_root: str,
+    dst_root: str,
+    *,
+    version: int | None = None,
+    as_of_timestamp=None,
+) -> int:
+    """SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+    verb): commit a NEW table at ``dst_root`` whose v1 manifest adopts
+    the source version's data files, stats, schema and column mapping
+    BY ABSOLUTE REFERENCE — an O(manifest + vector bytes) zero-copy
+    clone of a table of any size (deletion vectors are the one
+    materialized part: their rows embed source-relative paths, so they
+    rewrite locally — tombstone volume is compaction-bounded and tiny
+    next to the data). Reference anchor: the reference's own
+    step 1 is a table clone (``CREATE TABLE dim_user_new LIKE
+    dim_user_production``, /root/reference/SCD_script.txt:4) and its
+    backup-table idiom; ``CREATE TABLE b AS SELECT * FROM t VERSION AS
+    OF n`` (the CTAS pin) is the DEEP clone — this is the variant that
+    doesn't copy the bytes.
+
+    Independence: writes to the clone commit LOCAL files; a CoW rewrite
+    simply drops external references (the source's bytes are never
+    touched — the clone's vacuum skips external dirs entirely, and the
+    commit/restore marker paths tolerate them). The clone starts a
+    FRESH history (v1; the source's versions are not readable through
+    it) and drops ``app_meta`` (stream markers and matview watermarks
+    are source-scoped — carrying them would make a stream against the
+    clone silently skip batches).
+
+    The Delta caveat carries over verbatim: the source's VACUUM does
+    not know about clones, so vacuuming the source past the cloned
+    version (after rewrites there) makes the clone's reads fail LOUDLY
+    with missing files. Clone-of-clone works (absolute references copy
+    verbatim). ``version=`` / ``as_of_timestamp=`` pin the source
+    version (default: latest); ``dst_root`` must not already be a
+    snapshot table."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version= or as_of_timestamp=, not both"
+            )
+        version = version_at_timestamp(src_root, as_of_timestamp)
+    if version is None:
+        version = latest_version(src_root)
+        if version is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {src_root}"
+            )
+    if latest_version(dst_root) is not None:
+        raise ValueError(
+            f"{dst_root} is already a snapshot table; clone into a "
+            f"fresh root"
+        )
+    m = load_manifest(src_root, version)
+    src_abs = os.path.realpath(src_root)
+
+    def _abs(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "mode": "clone",
+        "snapshot_dirs": [_abs(d) for d in m["snapshot_dirs"]],
+        "files": [_abs(f) for f in m["files"]],
+        "schema": m["schema"],
+        "partition_by": m["partition_by"],
+        "writer": uuid.uuid4().hex,
+        "committed_at": time.time(),
+        "cloned_from": {"root": src_abs, "version": version},
+        # replace commits on the clone supersede individual (external)
+        # files, so the local file-granular sweep must stay armed for
+        # the LOCAL files later replaces stage
+        "cow_lineage": True,
+    }
+    if m.get("deletes"):
+        # Deletion vectors cannot carry by reference: their rows store
+        # the data file's MANIFEST-RELATIVE path in __file, which the
+        # clone's overlay compares against its own (absolute) manifest
+        # entries. Materialize them LOCALLY with __file rewritten to
+        # the absolute form — O(vector bytes), driver-side pyarrow, the
+        # data files stay zero-copy. One local file per distinct source
+        # vector file keeps every list's structure (and therefore the
+        # "tombstones for f are f's OWN list" restriction) intact.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dv_rel = os.path.join(DATA_DIR, f"snap-clone-{manifest['writer']}")
+        dv_abs = os.path.join(dst_root, dv_rel)
+        os.makedirs(dv_abs, exist_ok=True)
+        local_of: dict[str, str] = {}
+        for i, r in enumerate(
+            sorted({r for rels in m["deletes"].values() for r in rels})
+        ):
+            t = pq.read_table(os.path.join(src_root, r))
+            fcol = t.column(DELETE_FILE_COL).to_pylist()
+            t = t.set_column(
+                t.schema.get_field_index(DELETE_FILE_COL),
+                DELETE_FILE_COL,
+                pa.array([_abs(x) for x in fcol], type=pa.string()),
+            )
+            local = os.path.join(dv_rel, f"vector-{i:05d}.parquet")
+            pq.write_table(t, os.path.join(dst_root, local))
+            local_of[r] = local
+        manifest["snapshot_dirs"] = manifest["snapshot_dirs"] + [dv_rel]
+        manifest["deletes"] = {
+            _abs(f): [local_of[r] for r in rels]
+            for f, rels in m["deletes"].items()
+        }
+    if m.get("stats"):
+        manifest["stats"] = {
+            _abs(f): per for f, per in m["stats"].items()
+        }
+    for k in ("column_mapping", "retired_physical"):
+        if m.get(k):
+            manifest[k] = m[k]
+    mdir = _manifest_dir(dst_root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{manifest['writer']}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(dst_root, 1))
+        os.unlink(tmp)
+        _fsync_dir(mdir)
+    except FileExistsError:
+        os.unlink(tmp)
+        for d_rel in manifest["snapshot_dirs"]:
+            if not os.path.isabs(d_rel):
+                shutil.rmtree(
+                    os.path.join(dst_root, d_rel), ignore_errors=True
+                )
+        raise CommitConflictError(
+            f"a concurrent writer initialized {dst_root}"
+        )
+    return 1
+
+
 def version_at_timestamp(root: str, ts) -> int:
     """The committed version a reader at wall-clock instant ``ts``
     (epoch float, naive ``datetime`` read as UTC, or aware ``datetime``
@@ -2463,6 +2604,15 @@ def _sweep_replaced_files(
     pre-replace manifest mid-scan."""
     removed: list[str] = []
     for d in sorted(referenced_dirs):
+        if os.path.isabs(d):
+            # an EXTERNAL dir referenced by a shallow clone
+            # (clone_table): the bytes belong to the SOURCE table,
+            # whose own manifests still reference them — a file the
+            # clone's replace commit superseded is reclaimed by the
+            # source's vacuum, never here. Walking it would compute
+            # ../..-style rels that can never match the clone's
+            # absolute references and DELETE SOURCE DATA.
+            continue
         base = os.path.join(root, d)
         for dirpath, _dirnames, filenames in os.walk(base):
             for name in filenames:

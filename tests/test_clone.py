@@ -1,0 +1,180 @@
+"""SHALLOW CLONE (r10 late: ``snapshot.clone_table`` + the SQL face's
+``CREATE TABLE d SHALLOW CLONE s [VERSION AS OF n]``).
+
+Protocol: the clone's v1 manifest adopts the source version's data
+files by ABSOLUTE reference (O(manifest)); deletion vectors — whose
+rows embed source-relative paths — are the one materialized part
+(O(vector bytes), rewritten with absolute ``__file``). The clone
+starts a fresh history, drops source-scoped ``app_meta``, and evolves
+independently: local commits add local files, CoW rewrites simply drop
+external references, and the clone's VACUUM never touches external
+dirs (the sweep skips absolute entries — walking them would compute
+../..-style rels that can never match and would DELETE SOURCE DATA).
+The Delta caveat carries over: vacuuming the SOURCE past superseded
+files breaks the clone loudly.
+
+Reference anchor: the reference's own step 1 is a table clone
+(``CREATE TABLE dim_user_new LIKE dim_user_production``,
+/root/reference/SCD_script.txt:4); the pinned CTAS is the deep clone,
+this is the zero-copy variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from implementing_scds_in_hive_spark.operators.dml import (
+    delete_where,
+    update_where,
+)
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    clone_table,
+    latest_version,
+    load_manifest,
+    read_snapshot,
+    rename_column_commit,
+    vacuum,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _src(spark, root):
+    write_snapshot(
+        spark.range(200)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id"),
+        root,
+        stats_cols=["id"],
+        app_meta={"stream_txn": {"a": 3}},
+    )
+
+
+def test_clone_is_zero_copy_and_content_identical(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    delete_where(spark, src, "id = 5", tier="mor")  # live vectors travel
+    assert clone_table(src, dst) == 1
+    m = load_manifest(dst, 1)
+    # data files by absolute reference; only vector bytes materialized
+    assert all(os.path.isabs(f) for f in m["files"])
+    assert m.get("app_meta") is None, "stream markers are source-scoped"
+    assert m["cloned_from"]["version"] == 2
+    assert _rows(read_snapshot(spark, dst)) == _rows(
+        read_snapshot(spark, src)
+    )
+    # stats travel: the prune still bites through absolute keys
+    pruned = read_snapshot(spark, dst, prune={"id": (0, 10)})
+    assert 10 <= pruned.count() < 199
+    # pinned clone
+    dstv1 = str(tmp_path / "dstv1")
+    clone_table(src, dstv1, version=1)
+    assert read_snapshot(spark, dstv1).count() == 200
+    with pytest.raises(ValueError, match="fresh root"):
+        clone_table(src, dst)
+
+
+def test_clone_evolves_independently_and_vacuum_is_safe(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    clone_table(src, dst)
+    before_src = _rows(read_snapshot(spark, src))
+    # CoW update on the clone rewrites locally, drops external refs
+    update_where(spark, dst, {"v": "v + 1"}, "id <= 10", tier="cow")
+    assert read_snapshot(spark, dst).where("id = 2").first()["v"] == 5
+    assert read_snapshot(spark, src).where("id = 2").first()["v"] == 4
+    # MoR delete on the clone (prior-vector folding across the rewrite)
+    delete_where(spark, dst, "id = 100", tier="mor")
+    assert read_snapshot(spark, dst).count() == 199
+    assert read_snapshot(spark, src).count() == 200
+    # the clone's aggressive vacuum must NEVER touch source bytes —
+    # external dirs are skipped by both sweeps
+    vacuum(dst, keep_last=1, grace_seconds=0.0)
+    vacuum(dst, keep_last=1, grace_seconds=0.0)
+    assert _rows(read_snapshot(spark, src)) == before_src
+    assert read_snapshot(spark, dst).count() == 199
+    # clone-of-clone: absolute refs copy verbatim
+    dst2 = str(tmp_path / "dst2")
+    clone_table(dst, dst2)
+    assert read_snapshot(spark, dst2).count() == 199
+    # maintenance folds work on the clone without touching the source
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        compact_deletes,
+    )
+
+    compact_deletes(spark, dst)
+    assert read_snapshot(spark, dst).count() == 199
+    assert _rows(read_snapshot(spark, src)) == before_src
+
+
+def test_clone_of_mapped_table_and_rename_isolation(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    clone_table(src, dst)
+    # a source rename after cloning does NOT reach the clone (fresh
+    # metadata lineage)...
+    rename_column_commit(src, "v", "w")
+    assert read_snapshot(spark, dst).columns == ["id", "v"]
+    # ...and cloning the MAPPED source serves old physicals via the
+    # copied mapping
+    dst2 = str(tmp_path / "dst2")
+    clone_table(src, dst2)
+    c2 = read_snapshot(spark, dst2)
+    assert c2.columns == ["id", "w"]
+    assert c2.where("id = 2").first()["w"] == 4
+    # the clone renames independently of the source
+    rename_column_commit(dst2, "w", "x")
+    assert read_snapshot(spark, dst2).columns == ["id", "x"]
+    assert read_snapshot(spark, src).columns == ["id", "w"]
+
+
+def test_source_vacuum_breaks_clone_loudly(spark, tmp_path):
+    """The documented Delta caveat: the source's vacuum knows nothing
+    about clones — once a rewrite supersedes files there and vacuum
+    reclaims them, the clone's reads fail LOUDLY (never silently serve
+    wrong data)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    clone_table(src, dst)
+    update_where(spark, src, {"v": "v"}, "id <= 200", tier="cow")
+    vacuum(src, keep_last=1, grace_seconds=0.0)
+    vacuum(src, keep_last=1, grace_seconds=0.0)
+    with pytest.raises(Exception):
+        read_snapshot(spark, dst).count()
+
+
+def test_sql_face_shallow_clone(spark, tmp_path):
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        query_sql,
+        run_sql,
+        run_sql_script,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    update_where(spark, src, {"v": "v + 1"}, "id = 0")
+    T = {"t": src, "b": dst}
+    rep = run_sql(spark, "CREATE TABLE b SHALLOW CLONE t VERSION AS OF 1", T)
+    assert rep == {
+        "op": "shallow_clone", "source": "t", "target": "b", "version": 1,
+    }
+    got = query_sql(
+        spark, "SELECT v FROM b WHERE id = 0", T
+    )
+    assert _rows(got) == [(0,)], "pinned clone must hold the v1 value"
+    assert latest_version(dst) == 1
+    # script-runner routing + DESCRIBE DETAIL of the clone
+    dst2 = str(tmp_path / "dst2")
+    res = run_sql_script(
+        spark,
+        "CREATE TABLE c SHALLOW CLONE t; DESCRIBE DETAIL c;",
+        {"t": src, "c": dst2},
+    )
+    assert res[0]["op"] == "shallow_clone"
+    assert res[1]["op"] == "describe_detail" and res[1]["num_files"] >= 1
