@@ -647,34 +647,28 @@ def scd2_merge_cow(
     out["files_candidates"] = len(candidates)
 
     if candidates:
+        # rel_path_col is EXACT manifest paths by construction (the
+        # basename-map / per-file-literal derivation in
+        # read_manifest_files) — the old file_path_col + URI-parse +
+        # relpath reconstruction broke on SHALLOW CLONES, whose
+        # manifests reference external files ABSOLUTELY (relpath
+        # produced ../...-style paths matching no manifest entry; the
+        # reference's own workflow — clone the dim, then merge into it
+        # — hit exactly this, r10 clone review)
         cand = read_manifest_files(
-            spark, root, m, candidates, file_path_col="__fp"
+            spark, root, m, candidates, rel_path_col="__rel"
         )
-        touched_abs = (
-            cand.select(F.col(cfg.key), F.col("__fp"))
+        touched = sorted(
+            r["__rel"]
+            for r in cand.select(F.col(cfg.key), F.col("__rel"))
             .join(
                 F.broadcast(staging.select(cfg.key).distinct()),
                 cfg.key,
                 "left_semi",
             )
-            .select("__fp")
+            .select("__rel")
             .distinct()
             .collect()
-        )
-        from urllib.parse import unquote, urlparse
-
-        root_abs = os.path.abspath(root)
-        # _metadata.file_path is a URI: strip the scheme AND percent-
-        # decoding (a root containing spaces yields %20 segments that
-        # would never match the manifest's plain relative paths)
-        touched = sorted(
-            os.path.relpath(
-                os.path.normpath(
-                    unquote(urlparse(r["__fp"]).path or r["__fp"])
-                ),
-                root_abs,
-            )
-            for r in touched_abs
         )
     else:
         # stats prove no file can contain a staging key: pure insert

@@ -75,6 +75,20 @@ def _seq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 
 
+def _ts_string_to_epoch(spark, raw: str, context: str) -> float:
+    """TIMESTAMP-string -> epoch seconds, evaluated BY Catalyst (one
+    driver-side row) so the session time zone is honored exactly as a
+    commit timestamp is; shared by the table_changes TVF bounds and
+    SHALLOW CLONE's TIMESTAMP AS OF. Raises the caller's own error via
+    TRY_CAST instead of a raw cast traceback."""
+    micros = spark.sql(
+        "SELECT unix_micros(TRY_CAST(? AS TIMESTAMP)) AS t", args=[raw]
+    ).first()["t"]
+    if micros is None:
+        raise ValueError(f"{context}: {raw!r} is not a timestamp")
+    return micros / 1e6
+
+
 def _opt(o):
     """scala Option -> value or None (some plan fields are raw
     expressions, not Options — pass those through)."""
@@ -419,22 +433,20 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
             except ValueError:
                 pass
             # Delta's table_changes accepts timestamp bounds: resolve
-            # through the commit log like TIMESTAMP AS OF (Catalyst
-            # evaluates the literal, so session time zone is honored)
+            # through the commit log like TIMESTAMP AS OF
             from implementing_scds_in_hive_spark.sources.snapshot import (
                 version_at_timestamp,
             )
 
-            micros = spark.sql(
-                "SELECT unix_micros(TRY_CAST(? AS TIMESTAMP)) AS t",
-                args=[raw],
-            ).first()["t"]
-            if micros is None:
-                raise ValueError(
+            return version_at_timestamp(
+                root,
+                _ts_string_to_epoch(
+                    spark,
+                    raw,
                     f"table_changes {label} must be an integer version "
-                    f"or a timestamp string; got {raw!r}"
-                )
-            return version_at_timestamp(root, micros / 1e6)
+                    f"or a timestamp string",
+                ),
+            )
 
         df = snapshot_changes(
             spark,
@@ -1028,16 +1040,9 @@ def run_sql(
         if m.group("v"):
             kw["version"] = int(m.group("v"))
         if m.group("ts"):
-            micros = spark.sql(
-                "SELECT unix_micros(TRY_CAST(? AS TIMESTAMP)) AS t",
-                args=[m.group("ts")],
-            ).first()["t"]
-            if micros is None:
-                raise ValueError(
-                    f"SHALLOW CLONE TIMESTAMP AS OF "
-                    f"{m.group('ts')!r} is not a timestamp"
-                )
-            kw["as_of_timestamp"] = micros / 1e6
+            kw["as_of_timestamp"] = _ts_string_to_epoch(
+                spark, m.group("ts"), "SHALLOW CLONE TIMESTAMP AS OF"
+            )
         v = clone_table(
             _root_for(tables, m.group("s")),
             _root_for(tables, m.group("d")),

@@ -1043,11 +1043,19 @@ def restore_commit(
                 )
             continue
         for d in manifest["snapshot_dirs"]:
+            if os.path.isabs(d):
+                # external dir adopted from a shallow clone's manifest:
+                # its tombstones belong to the SOURCE table's vacuum —
+                # clearing them from here would restart a foreign grace
+                # clock (the clone must never mutate source storage)
+                continue
             try:
                 os.unlink(_tombstone_path(root, d))
             except FileNotFoundError:
                 pass
         for f_rel in live:
+            if os.path.isabs(f_rel):
+                continue
             try:
                 os.unlink(os.path.join(root, f_rel + ".dropped-at"))
             except FileNotFoundError:
@@ -1676,10 +1684,13 @@ def clone_table(
         "writer": uuid.uuid4().hex,
         "committed_at": time.time(),
         "cloned_from": {"root": src_abs, "version": version},
-        # replace commits on the clone supersede individual (external)
-        # files, so the local file-granular sweep must stay armed for
-        # the LOCAL files later replaces stage
-        "cow_lineage": True,
+        # cow_lineage deliberately NOT set: the clone's only local dir
+        # at v1 is a freshly-materialized vector dir with nothing
+        # superseded, and the external dirs are skipped by the sweep
+        # anyway — a later replace/vector commit sets the flag itself
+        # the moment individually-superseded LOCAL files become
+        # possible, so an append-only clone never pays the
+        # O(files-on-disk) sweep (r10 clone review)
     }
     if m.get("deletes"):
         # Deletion vectors cannot carry by reference: their rows store

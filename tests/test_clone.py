@@ -178,3 +178,94 @@ def test_sql_face_shallow_clone(spark, tmp_path):
     )
     assert res[0]["op"] == "shallow_clone"
     assert res[1]["op"] == "describe_detail" and res[1]["num_files"] >= 1
+
+
+def test_scd_cow_merge_into_a_clone(spark, tmp_path):
+    """The reference's OWN workflow is clone-then-merge (SCD_script.txt
+    steps 1-8); r10 clone review found scd2_merge_cow reconstructing
+    file identity via os.path.relpath, which produced ../...-style
+    paths for the clone's absolute external entries and crashed. It
+    now uses the exact rel_path_col derivation like the MoR/DML paths;
+    the merge must rewrite only the touched external files LOCALLY and
+    leave the source byte-identical."""
+    from implementing_scds_in_hive_spark.operators.scd import (
+        assign_surrogate_keys,
+        scd2_merge_cow,
+    )
+    from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+        AS_OF,
+        CUSTOMER_CFG,
+        customer_production,
+        customer_staging,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    prod = assign_surrogate_keys(
+        customer_production(spark, sf), CUSTOMER_CFG, strategy="hash"
+    )
+    write_snapshot(
+        prod.repartitionByRange(4, "c_custkey").sortWithinPartitions(
+            "c_custkey"
+        ),
+        src,
+        stats_cols=["c_custkey"],
+    )
+    clone_table(src, dst)
+    before_src = _rows(read_snapshot(spark, src))
+    staging = customer_staging(spark, sf).limit(50)
+    rep = scd2_merge_cow(
+        spark, dst, staging, CUSTOMER_CFG, AS_OF, key_strategy="hash"
+    )
+    assert rep["files_rewritten"] >= 1
+    assert read_snapshot(spark, dst).count() > len(before_src) - 1
+    assert _rows(read_snapshot(spark, src)) == before_src
+    # and the clone's vacuum after the merge still leaves source intact
+    vacuum(dst, keep_last=1, grace_seconds=0.0)
+    vacuum(dst, keep_last=1, grace_seconds=0.0)
+    assert _rows(read_snapshot(spark, src)) == before_src
+
+
+def test_restore_on_clone_does_not_touch_source_markers(spark, tmp_path):
+    """r10 clone review: restore_commit cleared dir tombstones and
+    .dropped-at markers for every adopted entry — for a clone those
+    paths are INSIDE THE SOURCE, so a restore on the clone restarted
+    the source vacuum's grace clocks (foreign-storage mutation). It
+    now skips absolute entries."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _src(spark, src)
+    clone_table(src, dst)
+    write_snapshot(
+        spark.range(5).selectExpr("id", "id * 2 AS v"), dst, mode="append"
+    )
+    # plant a marker the source's vacuum would own
+    m_src = load_manifest(src, latest_version(src))
+    victim = os.path.join(src, m_src["files"][0] + ".dropped-at")
+    with open(victim, "w") as f:
+        f.write("123.0")
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        restore_commit,
+    )
+
+    restore_commit(dst, 1)
+    assert os.path.exists(victim), "clone restore cleared a source marker"
+    assert read_snapshot(spark, dst).count() == 200
+    os.unlink(victim)
+
+
+def test_append_only_clone_skips_file_sweep(spark, tmp_path):
+    """r10 clone review: clone_table set cow_lineage unconditionally,
+    arming the O(files-on-disk) sweep forever on append-only clones.
+    The flag now appears only once a replace/vector commit makes
+    individually-superseded LOCAL files possible."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_snapshot(spark.range(50).selectExpr("id", "id AS v"), src)
+    clone_table(src, dst)
+    assert not load_manifest(dst, 1).get("cow_lineage")
+    write_snapshot(
+        spark.range(50, 60).selectExpr("id", "id AS v"), dst, mode="append"
+    )
+    assert not load_manifest(dst, latest_version(dst)).get("cow_lineage")
+    # a CoW rewrite arms it
+    update_where(spark, dst, {"v": "v + 1"}, "id = 55", tier="cow")
+    assert load_manifest(dst, latest_version(dst)).get("cow_lineage")
