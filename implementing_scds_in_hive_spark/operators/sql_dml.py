@@ -545,20 +545,32 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
 
 
 _JCLASS_CACHE: dict = {}
+_JCLASS_JVM_REF = None  # weakref to the JVMView the cache was built on
 
 
 def _jinstance(spark, obj, class_name: str) -> bool:
     """``isinstance`` against a JVM class, with the resolved Class
     object cached per gateway — the makeCopy walk tests every product
     arg and every expression node, and an uncached Class.forName would
-    multiply py4j round-trips per statement (r10 self-review)."""
-    key = (id(spark._jvm), class_name)
-    cls = _JCLASS_CACHE.get(key)
+    multiply py4j round-trips per statement (r10 self-review).
+
+    Cache validity is checked by IDENTITY against a weakref to the
+    JVMView (ADVICE r10): keying on ``id(spark._jvm)`` could hand back
+    Class handles bound to a dead gateway after a SparkContext restart
+    — a GC'd JVMView's id can be reused by the new one. A weakref can
+    never alias: if the old view was collected the ref reads None, and
+    if it wasn't, ``is`` compares real objects."""
+    global _JCLASS_JVM_REF
+    import weakref
+
+    jvm = spark._jvm
+    if _JCLASS_JVM_REF is None or _JCLASS_JVM_REF() is not jvm:
+        _JCLASS_CACHE.clear()
+        _JCLASS_JVM_REF = weakref.ref(jvm)
+    cls = _JCLASS_CACHE.get(class_name)
     if cls is None:
-        if len(_JCLASS_CACHE) >= 64:
-            _JCLASS_CACHE.clear()  # gateway restarts; tiny, just reset
-        cls = spark._jvm.java.lang.Class.forName(class_name)
-        _JCLASS_CACHE[key] = cls
+        cls = jvm.java.lang.Class.forName(class_name)
+        _JCLASS_CACHE[class_name] = cls
     return bool(cls.isInstance(obj))
 
 

@@ -672,9 +672,12 @@ def consolidate_vectors(
             "consolidated": False,
         }
     staged = {
-        # vectors-only commit: no data rows staged; the stage dirs all
-        # ride in extra_dirs so commit's existence check covers them
-        "snapshot_dir": os.path.join("data", "snap-consolidate-none"),
+        # vectors-only commit: no data rows staged, so NO data stage
+        # dir at all (snapshot_dir=None, ADVICE r10 — the old phantom
+        # 'snap-consolidate-none' name rode in snapshot_dirs forever);
+        # the vector stage dirs ride in extra_dirs so commit's
+        # existence check covers them
+        "snapshot_dir": None,
         "files": [],
         "schema": m["schema"],
         "partition_by": list(m["partition_by"]),

@@ -620,20 +620,44 @@ def _check_staged_physical(root: str, staged: dict, pm: dict) -> None:
     silently serve the dropped/renamed column's bytes from every
     carried file, breaking the no-resurrection invariant. The staged
     parquet already holds the stale name, so the only safe outcome is
-    a loud abort; the caller re-stages against the new parent. (A
-    concurrent RENAME of a PREFIX column already fails loudly through
-    ``_evolved_schema``'s exact-name prefix check — this guard covers
-    the appended-evolution-column hole.)"""
+    a loud abort; the caller re-stages against the new parent.
+
+    Two checks (ADVICE r10: the appended-column collision test alone
+    misses the shape-restoring race):
+
+    1. every PREFIX field's staged physical name must equal the
+       CURRENT parent's physical for that field — a concurrent
+       DROP-then-ADD of the same logical name restores the parent's
+       schema shape (``new_fields`` empty) while retiring the old
+       physical, so the staged files hold the retired name and the
+       committed mapping would read the appended rows' column as NULL
+       (or, with a stale staged mapping, resurrect retired bytes);
+    2. appended evolution columns must not collide with physicals
+       used or retired by the CURRENT parent."""
     sdoc_p = json.loads(pm["schema"])
-    new_fields = json.loads(staged["schema"])["fields"][
-        len(sdoc_p["fields"]):
-    ]
+    cm_staged = staged.get("column_mapping") or {}
+    cm_parent = column_mapping(pm)
+    n_prefix = len(sdoc_p["fields"])
+    staged_fields = json.loads(staged["schema"])["fields"]
+    bad_prefix = []
+    for f in staged_fields[:n_prefix]:
+        sp = cm_staged.get(f["name"], f["name"])
+        pp = cm_parent.get(f["name"], f["name"])
+        if sp.casefold() != pp.casefold():
+            bad_prefix.append((f["name"], sp, pp))
+    if bad_prefix:
+        _abandon(root, staged)
+        raise CommitConflictError(
+            f"staged physical names {bad_prefix} (logical, staged, "
+            f"current) disagree with the CURRENT parent "
+            f"v{pm['version']}'s column mapping — a concurrent "
+            f"DROP/ADD or RENAME COLUMN landed between stage and "
+            f"commit; re-stage against the new parent"
+        )
+    new_fields = staged_fields[n_prefix:]
     if not new_fields:
         return
-    cm_staged = staged.get("column_mapping") or {}
-    used = _used_physical(
-        sdoc_p, column_mapping(pm), pm.get("retired_physical")
-    )
+    used = _used_physical(sdoc_p, cm_parent, pm.get("retired_physical"))
     bad = [
         (f["name"], cm_staged.get(f["name"], f["name"]))
         for f in new_fields
@@ -715,7 +739,17 @@ def commit(
         # tombstones (restarting the grace clock) and refuse to link a
         # manifest whose files are already gone: a loud failure here
         # beats committing a table that references deleted data.
-        own_dirs = [staged["snapshot_dir"], *staged.get("extra_dirs", [])]
+        # snapshot_dir may be None for a VECTORS-ONLY commit (no data
+        # rows staged — consolidate_vectors): the manifest then carries
+        # no phantom data stage dir (ADVICE r10 — a same-named
+        # never-on-disk dir rode in snapshot_dirs forever)
+        if staged["snapshot_dir"] is None and staged["files"]:
+            raise ValueError("staged files present but snapshot_dir is None")
+        own_dirs = [
+            d
+            for d in [staged["snapshot_dir"], *staged.get("extra_dirs", [])]
+            if d is not None
+        ]
         for d in own_dirs:
             try:
                 os.unlink(_tombstone_path(root, d))
@@ -871,8 +905,23 @@ def commit(
             # (write_snapshot stages an explicit mapping when it
             # translated columns; manual stagers inherit the parent's)
             mapping = staged.get("column_mapping")
+            pmap = pm.get("column_mapping") or {}
             if mapping is None:
-                mapping = pm.get("column_mapping")
+                mapping = pmap
+            else:
+                # MERGE over the current parent's mapping, never replace
+                # (ADVICE r10): the staged mapping was computed from the
+                # parent AT STAGE TIME — its prefix entries were just
+                # verified physical-identical by _check_staged_physical,
+                # so the CURRENT parent's (fresher) entries win for
+                # prefix fields and the staged dict contributes only the
+                # appended evolution columns; a verbatim override could
+                # resurrect an entry a concurrent RENAME/DROP retired.
+                pf_names = {f["name"] for f in json.loads(pm["schema"])["fields"]}
+                mapping = {
+                    **pmap,
+                    **{k: v for k, v in mapping.items() if k not in pf_names},
+                }
             if mapping:
                 manifest["column_mapping"] = mapping
             if pm.get("retired_physical"):
@@ -1465,7 +1514,8 @@ def _evolved_schema(root: str, staged: dict, pm: dict, mode: str) -> str:
 
 def _abandon(root: str, staged: dict) -> None:
     for d in [staged["snapshot_dir"], *staged.get("extra_dirs", [])]:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if d is not None:  # vectors-only commits stage no data dir
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def _fsync_dir(path: str) -> None:
@@ -2235,6 +2285,46 @@ def read_table(
     return spark.read.parquet(path)
 
 
+def _pin_wider_schema(narrow: dict, wide: dict) -> dict:
+    """Pin ``wide``'s (logical) schema onto the ``narrow`` manifest for
+    a version diff, TRANSLATING the column mapping so every field still
+    resolves to the right bytes in narrow's files (ADVICE r10 — the
+    pre-mapping pin kept narrow's own mapping, so a borrowed new column
+    that reused a previously-dropped logical name resolved to the
+    RETIRED physical and read the dropped column's bytes out of carried
+    files):
+
+    - prefix fields keep narrow's OWN physical, keyed under wide's
+      logical name (a rename changes only the logical name);
+    - borrowed new fields map to wide's physical when that name is
+      absent from narrow's used∪retired set (reads NULL-backfill), else
+      to a fresh phantom name guaranteed absent from narrow's files."""
+    sdoc_n = json.loads(narrow["schema"])
+    nf = sdoc_n["fields"]
+    wf = json.loads(wide["schema"])["fields"]
+    cm_n = column_mapping(narrow)
+    cm_w = column_mapping(wide)
+    mapping: dict = {}
+    for i, f in enumerate(wf[: len(nf)]):
+        phys = cm_n.get(nf[i]["name"], nf[i]["name"])
+        if f["name"] != phys:
+            mapping[f["name"]] = phys
+    used = _used_physical(sdoc_n, cm_n, narrow.get("retired_physical"))
+    for f in wf[len(nf):]:
+        phys = cm_w.get(f["name"], f["name"])
+        if phys.casefold() in used:
+            phys = _fresh_physical(f["name"], wide["version"], used)
+        used.add(phys.casefold())
+        if f["name"] != phys:
+            mapping[f["name"]] = phys
+    out = {**narrow, "schema": wide["schema"]}
+    if mapping:
+        out["column_mapping"] = mapping
+    else:
+        out.pop("column_mapping", None)
+    return out
+
+
 def _diff_sides(
     spark: SparkSession, root: str, v_from: int, v_to: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -2253,24 +2343,36 @@ def _diff_sides(
     m_from = load_manifest(root, v_from)
     m_to = load_manifest(root, v_to)
     if m_from["schema"] != m_to["schema"]:
+        # (equal LOGICAL schemas need no pinning even when the column
+        # mappings differ — e.g. a DROP+re-ADD of the same logical name
+        # across the window: each side reads through its OWN manifest,
+        # so the old side serves the old bytes and the new side the
+        # fresh column's NULLs, which is exactly the coherent diff)
         # schema evolution across the window: when one side's schema
         # extends the other's as a prefix (the carried-by-reference
         # contract), pin the WIDER schema on both sides — the narrow
         # side's rows read the new columns as NULL, which is exactly
         # what they were ("the column did not exist"), so the diff
-        # reports the backfill-visible changes. Any other divergence
-        # (an overwrite that dropped/retyped columns) has no coherent
-        # row diff — fail with the re-bootstrap instruction instead of
-        # an analyzer error deep in the join.
-        fields = lambda m: [  # noqa: E731
-            (f["name"], f["type"])
+        # reports the backfill-visible changes. Prefix equality
+        # resolves through each side's column mapping (ADVICE r10): a
+        # RENAME across the window keeps the physical name, so the
+        # columns ARE identical and the diff runs under the TO side's
+        # logical names. Any other divergence (an overwrite that
+        # dropped/retyped columns) has no coherent row diff — fail
+        # with the re-bootstrap instruction instead of an analyzer
+        # error deep in the join.
+        pfields = lambda m: [  # noqa: E731
+            (
+                column_mapping(m).get(f["name"], f["name"]).casefold(),
+                f["type"],
+            )
             for f in json.loads(m["schema"])["fields"]
         ]
-        ff, tf = fields(m_from), fields(m_to)
+        ff, tf = pfields(m_from), pfields(m_to)
         if tf[: len(ff)] == ff:
-            m_from = {**m_from, "schema": m_to["schema"]}
+            m_from = _pin_wider_schema(m_from, m_to)
         elif ff[: len(tf)] == tf:
-            m_to = {**m_to, "schema": m_from["schema"]}
+            m_to = _pin_wider_schema(m_to, m_from)
         else:
             raise ValueError(
                 f"versions {v_from} and {v_to} of {root} have incompatible "

@@ -633,3 +633,134 @@ def test_case_variant_readd_does_not_resurrect(spark, tmp_path):
     cur2 = read_snapshot(spark, root2)
     assert cur2.columns == ["id", "SEG"]
     assert cur2.where("SEG IS NOT NULL").count() == 0
+
+
+def test_shape_restoring_drop_add_race_aborts(spark, tmp_path):
+    """ADVICE r10 (medium): a concurrent DROP of the LAST column
+    followed by an ADD of the same logical name restores the parent's
+    schema SHAPE, so the appended-column guard alone sees nothing new —
+    but the staged files hold the now-RETIRED physical name while the
+    fresh parent maps the logical name to a new physical. Committing
+    would silently read the appended rows' column as NULL (or, with a
+    stale staged mapping, resurrect retired bytes). The prefix-physical
+    check must abort loudly."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+        commit,
+        evolve_schema_commit,
+        stage_files,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root,
+    )
+    staged = stage_files(
+        spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root,
+    )
+    drop_column_commit(root, "seg")
+    evolve_schema_commit(root, [("seg", "string")])  # shape restored
+    m = load_manifest(root, latest_version(root))
+    assert m["column_mapping"]["seg"].casefold() != "seg"
+    with pytest.raises(CommitConflictError, match="re-stage"):
+        commit(root, staged, mode="append")
+    # no version burned, no resurrection, the re-added column is NULL
+    assert latest_version(root) == 3
+    cur = read_snapshot(spark, root)
+    assert cur.count() == 5
+    assert cur.where("seg IS NOT NULL").count() == 0
+
+
+def test_commit_merges_staged_mapping_over_current_parent(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium, second half): commit must MERGE the staged
+    column_mapping over the CURRENT parent's, never replace it — the
+    staged dict was computed at stage time and contributes only the
+    appended evolution columns; the parent's fresher prefix entries
+    survive."""
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root,
+    )
+    drop_column_commit(root, "seg")
+    # re-ADD seg via an append (fresh physical) — parent mapping active
+    write_snapshot(
+        spark.range(5, 7).selectExpr("id", "CAST(NULL AS STRING) AS seg"),
+        root,
+        mode="append",
+    )
+    m = load_manifest(root, latest_version(root))
+    seg_phys = m["column_mapping"]["seg"]
+    assert seg_phys.casefold() != "seg"
+    # now append ANOTHER new column: the staged mapping carries the
+    # prefix entry for seg plus (if colliding) the new column; commit
+    # must keep the parent's seg entry intact and add only new keys
+    write_snapshot(
+        spark.range(7, 9).selectExpr(
+            "id",
+            "CAST(NULL AS STRING) AS seg",
+            "CAST(id AS DOUBLE) AS extra",
+        ),
+        root,
+        mode="append",
+    )
+    m2 = load_manifest(root, latest_version(root))
+    assert m2["column_mapping"]["seg"] == seg_phys
+    cur = read_snapshot(spark, root)
+    assert cur.columns == ["id", "seg", "extra"]
+    assert cur.where("seg IS NOT NULL").count() == 0
+    assert cur.where("extra IS NOT NULL").count() == 2
+
+
+def test_change_feed_across_rename_and_reused_logical_name(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): _diff_sides' wider-schema pinning must
+    translate the column mapping. A plain RENAME across the window
+    diffs cleanly (metadata-only commit -> empty feed), and a window
+    straddling DROP + re-ADD of the same logical name must read the
+    narrow side's borrowed column as NULL — never the dropped bytes
+    out of carried files."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        evolve_schema_commit,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "id * 2 AS price"), root
+    )
+    v2 = rename_column_commit(root, "price", "amount")
+    # rename is metadata-only: the feed is EMPTY under the new names
+    ch = snapshot_changes(spark, root, 1, v2, ["id"])
+    assert ch.count() == 0
+    assert "amount" in ch.columns and "price" not in ch.columns
+
+    # window straddling DROP + re-ADD of the same logical name: the
+    # narrow (post-drop) side borrows the wider schema's new column —
+    # it must NULL-backfill, not resurrect the dropped amount bytes
+    v3 = drop_column_commit(root, "amount")
+    v4 = evolve_schema_commit(root, [("amount", "bigint")])
+    ch2 = snapshot_changes(spark, root, v3, v4, ["id"])
+    assert ch2.count() == 0, (
+        "metadata-only ADD over identical files must produce an empty "
+        "feed — spurious rows mean the old side resurrected dropped "
+        "bytes through an untranslated mapping"
+    )
+    # and with real new data for the reused name, only the new rows
+    # surface as inserts
+    write_snapshot(
+        spark.range(5, 7).selectExpr(
+            "id", "CAST(100 + id AS BIGINT) AS amount"
+        ),
+        root,
+        mode="append",
+    )
+    v5 = latest_version(root)
+    ch3 = snapshot_changes(spark, root, v3, v5, ["id"])
+    rows = {tuple(r) for r in ch3.select("op", "id", "amount").collect()}
+    assert rows == {("I", 5, 105), ("I", 6, 106)}

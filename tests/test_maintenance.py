@@ -319,6 +319,14 @@ def test_consolidate_vectors_folds_lists_without_touching_data(
     m2 = load_manifest(root, latest_version(root))
     assert m2["files"] == m["files"], "data files must be untouched"
     assert m2["app_meta"]["watermark"] == 5, "app_meta carries"
+    # ADVICE r10: a vectors-only commit stages no data dir, so the
+    # manifest must not carry a phantom never-on-disk snapshot_dir
+    import os as _os
+
+    for d in m2["snapshot_dirs"]:
+        assert _os.path.isdir(
+            _os.path.join(root, d)
+        ), f"manifest carries nonexistent dir {d}"
     assert before == sorted(map(tuple, read_snapshot(spark, root).collect()))
     # idempotent: an already-consolidated table burns no version
     v = latest_version(root)
