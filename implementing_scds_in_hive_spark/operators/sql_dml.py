@@ -71,6 +71,24 @@ _CLONE_RE = re.compile(
 )
 
 
+_LEADING_COMMENT_RE = re.compile(r"\s*(--[^\n]*(\n|$)|/\*.*?\*/)", re.DOTALL)
+
+
+def _strip_leading_comments(statement: str) -> str:
+    """Drop leading ``--`` line comments and ``/* */`` blocks so the
+    ^-anchored maintenance-verb regexes (RESTORE/VACUUM/OPTIMIZE/
+    DESCRIBE/SHALLOW CLONE) see the verb — Spark's parser tolerates a
+    leading comment but the regex face didn't (r11: a commented
+    ``CREATE TABLE ... SHALLOW CLONE`` inside a script fell through to
+    the parser and died on PARSE_SYNTAX_ERROR). Only the regex match
+    uses the stripped form; the original text goes to Spark."""
+    while True:
+        m = _LEADING_COMMENT_RE.match(statement)
+        if not m:
+            return statement
+        statement = statement[m.end():]
+
+
 def _seq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 
@@ -1013,14 +1031,15 @@ def run_sql(
     reference), ``VACUUM t [RETAIN n HOURS]``, ``OPTIMIZE t [APPLY
     (PURGE)]``, ``DESCRIBE HISTORY t``. Returns the verb's report
     dict."""
-    m = _RESTORE_RE.match(statement)
+    bare = _strip_leading_comments(statement)
+    m = _RESTORE_RE.match(bare)
     if m:
         root = _root_for(tables, m.group("t"))
         new_v = restore_version(
             spark, root, int(m.group("v")), **opts
         )
         return {"op": "restore", "version": new_v}
-    m = _VACUUM_RE.match(statement)
+    m = _VACUUM_RE.match(bare)
     if m:
         from implementing_scds_in_hive_spark.sources.snapshot import (
             vacuum,
@@ -1031,7 +1050,7 @@ def run_sql(
         if m.group("h") is not None:
             kw.setdefault("grace_seconds", float(m.group("h")) * 3600.0)
         return {"op": "vacuum", **vacuum(root, **kw)}
-    m = _HISTORY_RE.match(statement)
+    m = _HISTORY_RE.match(bare)
     if m:
         from implementing_scds_in_hive_spark.sources.snapshot import (
             table_history,
@@ -1039,10 +1058,10 @@ def run_sql(
 
         root = _root_for(tables, m.group("t"))
         return {"op": "describe_history", "history": table_history(root)}
-    m = _DETAIL_RE.match(statement)
+    m = _DETAIL_RE.match(bare)
     if m:
         return _describe_detail(_root_for(tables, m.group("t")))
-    m = _CLONE_RE.match(statement)
+    m = _CLONE_RE.match(bare)
     if m:
         from implementing_scds_in_hive_spark.sources.snapshot import (
             clone_table,
@@ -1066,7 +1085,7 @@ def run_sql(
             "target": m.group("d"),
             "version": v,
         }
-    m = _OPTIMIZE_RE.match(statement)
+    m = _OPTIMIZE_RE.match(bare)
     if m:
         root = _root_for(tables, m.group("t"))
         if m.group("purge"):
@@ -1245,7 +1264,7 @@ def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
     results = []
     for stmt in split_sql_statements(script):
         if any(
-            rx.match(stmt)
+            rx.match(_strip_leading_comments(stmt))
             for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE,
                        _DETAIL_RE, _CLONE_RE)
         ):

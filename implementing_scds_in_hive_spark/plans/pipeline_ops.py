@@ -1981,10 +1981,7 @@ PYTEST_ONLY_QUERIES = {
     "doc_min_shingle_fp": q_doc_min_shingle_fp,
     "text_repetition": q_text_repetition,
     "embedding_quantize": q_embedding_quantize,
-    "tfidf_keywords": q_tfidf_keywords,
     "unigram_prob_score": q_unigram_prob_score,
-    "pseudonymize_users": q_pseudonymize_users,
-    "text_chunks": q_text_chunks,
     "data_quality_orders": q_data_quality_orders,
     "multimodal_modality": q_multimodal_modality,
     "sample_bernoulli": q_sample_bernoulli,
@@ -2005,10 +2002,7 @@ PYTEST_ONLY_ORACLES = {
     "doc_min_shingle_fp": DOC_MIN_SHINGLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
-    "tfidf_keywords": TFIDF_SQL,
     "unigram_prob_score": UNIGRAM_PROB_SQL,
-    "pseudonymize_users": PSEUDONYMIZE_SQL,
-    "text_chunks": TEXT_CHUNKS_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
     "multimodal_modality": MULTIMODAL_MODALITY_SQL,
     "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
@@ -2021,10 +2015,21 @@ PYTEST_ONLY_ORACLES = {
 # get their first-time driver evidence — zipf_fit_vocab and
 # bigram_logprob are registered where they are defined below;
 # pii_redaction and table_profile_customer promote here.
-QUERIES["pii_redaction"] = q_pii_redaction  # r10: first-time driver slot
-ORACLES["pii_redaction"] = PII_REDACTION_SQL
-QUERIES["table_profile_customer"] = q_table_profile_customer  # r10: first-time driver slot
-ORACLES["table_profile_customer"] = TABLE_PROFILE_SQL
+# r11 rotation (VERDICT r10 next-round #3): pii_redaction and
+# table_profile_customer fold back to pytest after their r10 driver
+# round; five never-slotted families promote (tfidf_keywords,
+# pseudonymize_users, text_chunks here; sample_weighted_docs and
+# binned_percentiles_price where they are defined below).
+PYTEST_ONLY_QUERIES["pii_redaction"] = q_pii_redaction
+PYTEST_ONLY_ORACLES["pii_redaction"] = PII_REDACTION_SQL
+PYTEST_ONLY_QUERIES["table_profile_customer"] = q_table_profile_customer
+PYTEST_ONLY_ORACLES["table_profile_customer"] = TABLE_PROFILE_SQL
+QUERIES["tfidf_keywords"] = q_tfidf_keywords  # r11: first-time driver slot
+ORACLES["tfidf_keywords"] = TFIDF_SQL
+QUERIES["pseudonymize_users"] = q_pseudonymize_users  # r11: first-time driver slot
+ORACLES["pseudonymize_users"] = PSEUDONYMIZE_SQL
+QUERIES["text_chunks"] = q_text_chunks  # r11: first-time driver slot
+ORACLES["text_chunks"] = TEXT_CHUNKS_SQL
 
 # r8 rotation (VERDICT r7 next-round #2): four never-slotted families
 # got first-time driver evidence in r8 — session windows, canonical-
@@ -2228,8 +2233,8 @@ GROUP BY l_returnflag
 # scd_key_history); binned_percentiles_price stays pytest-tier.
 QUERIES["approx_distinct_kmv"] = q_approx_distinct_kmv
 ORACLES["approx_distinct_kmv"] = APPROX_DISTINCT_KMV_SQL
-PYTEST_ONLY_QUERIES["binned_percentiles_price"] = q_binned_percentiles_price
-PYTEST_ONLY_ORACLES["binned_percentiles_price"] = BINNED_PERCENTILES_SQL
+QUERIES["binned_percentiles_price"] = q_binned_percentiles_price  # r11: first-time driver slot
+ORACLES["binned_percentiles_price"] = BINNED_PERCENTILES_SQL
 
 
 # --- bloom-filter join pruning -------------------------------------------
@@ -2604,8 +2609,8 @@ FROM e
 """
 
 
-QUERIES["kmv_overlap_k128"] = q_kmv_overlap_k128  # r10: re-slot at changed params (VERDICT r9 #7)
-ORACLES["kmv_overlap_k128"] = KMV_OVERLAP_K128_SQL
+PYTEST_ONLY_QUERIES["kmv_overlap_k128"] = q_kmv_overlap_k128  # r11 rotation: folded to pytest after its r10 driver round
+PYTEST_ONLY_ORACLES["kmv_overlap_k128"] = KMV_OVERLAP_K128_SQL
 
 
 # --- weighted sampling ----------------------------------------------------
@@ -2640,8 +2645,8 @@ SELECT doc_id, CAST(wt AS INT) AS wt FROM p ORDER BY pri, doc_id LIMIT 40
 """
 
 
-PYTEST_ONLY_QUERIES["sample_weighted_docs"] = q_sample_weighted_docs
-PYTEST_ONLY_ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
+QUERIES["sample_weighted_docs"] = q_sample_weighted_docs  # r11: first-time driver slot
+ORACLES["sample_weighted_docs"] = SAMPLE_WEIGHTED_SQL
 
 
 # --- event gap detection --------------------------------------------------
@@ -3300,8 +3305,8 @@ FROM lp GROUP BY doc_id
 """
 
 
-QUERIES["bigram_logprob"] = q_bigram_logprob  # r10: first-time driver slot
-ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL
+PYTEST_ONLY_QUERIES["bigram_logprob"] = q_bigram_logprob  # r11 rotation: folded to pytest after its r10 driver round
+PYTEST_ONLY_ORACLES["bigram_logprob"] = BIGRAM_LOGPROB_SQL
 
 
 def q_embedding_covariance(spark, sf_dir):
@@ -3497,8 +3502,8 @@ FROM m
 """
 
 
-QUERIES["zipf_fit_vocab"] = q_zipf_fit_vocab  # r10: first-time driver slot
-ORACLES["zipf_fit_vocab"] = ZIPF_FIT_SQL
+PYTEST_ONLY_QUERIES["zipf_fit_vocab"] = q_zipf_fit_vocab  # r11 rotation: folded to pytest after its r10 driver round
+PYTEST_ONLY_ORACLES["zipf_fit_vocab"] = ZIPF_FIT_SQL
 
 
 def q_matview_rollup(spark, sf_dir):

@@ -1000,3 +1000,42 @@ def test_describe_detail_and_timestamp_table_changes(spark, tmp_path):
     )
     assert res[0]["op"] == "describe_detail"
     assert res[1].first()["n"] == 2
+
+
+def test_maintenance_verbs_tolerate_leading_comments(spark, tmp_path):
+    """r11: the ^-anchored maintenance-verb regexes must see through
+    leading -- and /* */ comments (a commented SHALLOW CLONE inside a
+    script fell through to Spark's parser and died on
+    PARSE_SYNTAX_ERROR; Spark itself tolerates the comment, so the
+    regex face must too)."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        run_sql,
+        run_sql_script,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    dst = str(tmp_path / "c")
+    write_snapshot(spark.range(5).selectExpr("id", "id * 2 AS v"), root)
+    t = {"t": root, "c": dst}
+    out = run_sql(
+        spark,
+        "-- take a zero-copy backup\n"
+        "/* block comment too */\n"
+        "CREATE TABLE c SHALLOW CLONE t VERSION AS OF 1",
+        t,
+    )
+    assert out["op"] == "shallow_clone"
+    res = run_sql_script(
+        spark,
+        """
+        -- observability verb behind a comment
+        DESCRIBE DETAIL c;
+        SELECT COUNT(*) AS n FROM c;
+        """,
+        t,
+    )
+    assert res[0]["op"] == "describe_detail"
+    assert res[-1].collect()[0]["n"] == 5
