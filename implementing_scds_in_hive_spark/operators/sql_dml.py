@@ -916,6 +916,18 @@ def _describe_detail(root: str) -> dict:
         "version": v,
         "committed_at": m.get("committed_at"),
         "num_files": len(m["files"]),
+        # clone-awareness (r11): ABSOLUTE entries reference another
+        # table's files (SHALLOW CLONE); local maintenance verbs that
+        # rewrite data (compact_deletes, OPTIMIZE) LOCALIZE whatever
+        # they touch — these metrics surface how much of the table
+        # still lives externally before a user pays that copy
+        "external_files": sum(
+            1 for f in m["files"] if _os.path.isabs(f)
+        ),
+        "external_fraction": (
+            sum(1 for f in m["files"] if _os.path.isabs(f))
+            / max(1, len(m["files"]))
+        ),
         "size_bytes": sum(
             _os.path.getsize(_os.path.join(root, f)) for f in m["files"]
         ),
@@ -1068,6 +1080,8 @@ def run_sql(
         )
 
         kw: dict = {}
+        if "max_vector_bytes" in opts:
+            kw["max_vector_bytes"] = opts["max_vector_bytes"]
         if m.group("v"):
             kw["version"] = int(m.group("v"))
         if m.group("ts"):
