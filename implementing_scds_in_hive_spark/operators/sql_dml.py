@@ -71,22 +71,36 @@ _CLONE_RE = re.compile(
 )
 
 
-_LEADING_COMMENT_RE = re.compile(r"\s*(--[^\n]*(\n|$)|/\*.*?\*/)", re.DOTALL)
-
-
 def _strip_leading_comments(statement: str) -> str:
     """Drop leading ``--`` line comments and ``/* */`` blocks so the
     ^-anchored maintenance-verb regexes (RESTORE/VACUUM/OPTIMIZE/
     DESCRIBE/SHALLOW CLONE) see the verb — Spark's parser tolerates a
     leading comment but the regex face didn't (r11: a commented
     ``CREATE TABLE ... SHALLOW CLONE`` inside a script fell through to
-    the parser and died on PARSE_SYNTAX_ERROR). Only the regex match
-    uses the stripped form; the original text goes to Spark."""
-    while True:
-        m = _LEADING_COMMENT_RE.match(statement)
-        if not m:
-            return statement
-        statement = statement[m.end():]
+    the parser and died on PARSE_SYNTAX_ERROR). Block comments NEST in
+    Spark's grammar (SPARK-28880) — tracked by depth exactly like
+    ``split_sql_statements`` does. Only the regex match uses the
+    stripped form; the original text goes to Spark."""
+    i, n = 0, len(statement)
+    while i < n:
+        ch = statement[i]
+        if ch.isspace():
+            i += 1
+        elif statement.startswith("--", i):
+            j = statement.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif statement.startswith("/*", i):
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if statement.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif statement.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+        else:
+            break
+    return statement[i:]
 
 
 def _seq(s) -> list:
@@ -910,6 +924,7 @@ def _describe_detail(root: str) -> dict:
     m = load_manifest(root, v)
     debt = vector_debt(root)
     sdoc = _json.loads(m["schema"])
+    n_ext = sum(1 for f in m["files"] if _os.path.isabs(f))
     return {
         "op": "describe_detail",
         "location": root,
@@ -921,13 +936,8 @@ def _describe_detail(root: str) -> dict:
         # rewrite data (compact_deletes, OPTIMIZE) LOCALIZE whatever
         # they touch — these metrics surface how much of the table
         # still lives externally before a user pays that copy
-        "external_files": sum(
-            1 for f in m["files"] if _os.path.isabs(f)
-        ),
-        "external_fraction": (
-            sum(1 for f in m["files"] if _os.path.isabs(f))
-            / max(1, len(m["files"]))
-        ),
+        "external_files": n_ext,
+        "external_fraction": n_ext / max(1, len(m["files"])),
         "size_bytes": sum(
             _os.path.getsize(_os.path.join(root, f)) for f in m["files"]
         ),
@@ -1079,9 +1089,7 @@ def run_sql(
             clone_table,
         )
 
-        kw: dict = {}
-        if "max_vector_bytes" in opts:
-            kw["max_vector_bytes"] = opts["max_vector_bytes"]
+        kw: dict = dict(opts)  # clone_table rejects unknown opts loudly
         if m.group("v"):
             kw["version"] = int(m.group("v"))
         if m.group("ts"):

@@ -2230,7 +2230,8 @@ GROUP BY l_returnflag
 
 
 # r5 second rotation: approx_distinct_kmv takes a driver slot (from
-# scd_key_history); binned_percentiles_price stays pytest-tier.
+# scd_key_history); binned_percentiles_price was pytest-tier r5-r10 and
+# promoted to a first-time driver slot in r11.
 QUERIES["approx_distinct_kmv"] = q_approx_distinct_kmv
 ORACLES["approx_distinct_kmv"] = APPROX_DISTINCT_KMV_SQL
 QUERIES["binned_percentiles_price"] = q_binned_percentiles_price  # r11: first-time driver slot

@@ -634,6 +634,14 @@ def _check_staged_physical(root: str, staged: dict, pm: dict) -> None:
        (or, with a stale staged mapping, resurrect retired bytes);
     2. appended evolution columns must not collide with physicals
        used or retired by the CURRENT parent."""
+    if not staged["files"]:
+        # no staged DATA files -> no physically-named bytes that could
+        # disagree with the parent (vectors-only commits like
+        # consolidate_vectors re-pack EXISTING vector files, already in
+        # physical names); running the prefix check here would
+        # spuriously abort every vectors-only fold on a mapped table
+        # (r11 review pass #1, CONFIRMED by reproduction)
+        return
     sdoc_p = json.loads(pm["schema"])
     cm_staged = staged.get("column_mapping") or {}
     cm_parent = column_mapping(pm)
@@ -744,6 +752,7 @@ def commit(
         # no phantom data stage dir (ADVICE r10 — a same-named
         # never-on-disk dir rode in snapshot_dirs forever)
         if staged["snapshot_dir"] is None and staged["files"]:
+            _abandon(root, staged)  # clean the stray extra_dirs too
             raise ValueError("staged files present but snapshot_dir is None")
         own_dirs = [
             d

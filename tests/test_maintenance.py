@@ -470,3 +470,46 @@ def test_maintain_table_escalates_when_consolidation_cannot_fold(
                             fromlist=["read_snapshot"]).read_snapshot(
                      spark, root).collect())
     assert 3 not in got and 403 not in got and len(got) == 798
+
+
+def test_consolidate_vectors_on_mapped_table(spark, tmp_path):
+    """r11 review pass #1 (CONFIRMED by reproduction): a vectors-only
+    commit stages NO data files and no column_mapping; the stage→commit
+    prefix-physical guard must not mistake that for a stale stage and
+    abort — consolidation on any table that ever saw a RENAME/DROP
+    COLUMN would be permanently broken (the count-cap maintenance tier
+    with it)."""
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.sources.sinks import (
+        consolidate_vectors,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        latest_version,
+        load_manifest,
+        read_snapshot,
+        rename_column_commit,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(1600)
+        .selectExpr("id", "id * 2 AS price")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id"),
+        root,
+    )
+    rename_column_commit(root, "price", "amount")
+    for k in range(3):
+        lo = k * 400
+        delete_where(
+            spark, root, f"id >= {lo} AND id < {lo + 7}", tier="mor"
+        )
+    before = sorted(map(tuple, read_snapshot(spark, root).collect()))
+    res = consolidate_vectors(spark, root)
+    assert res["consolidated"] and res["vector_files_after"] == 1
+    m = load_manifest(root, latest_version(root))
+    assert m["column_mapping"] == {"amount": "price"}, (
+        "the fold must carry the parent mapping forward"
+    )
+    assert before == sorted(map(tuple, read_snapshot(spark, root).collect()))

@@ -1039,3 +1039,28 @@ def test_maintenance_verbs_tolerate_leading_comments(spark, tmp_path):
     )
     assert res[0]["op"] == "describe_detail"
     assert res[-1].collect()[0]["n"] == 5
+
+
+def test_nested_block_comment_before_maintenance_verb(spark, tmp_path):
+    """r11 review pass #1: block comments NEST in Spark's grammar
+    (SPARK-28880) — the leading-comment stripper must track depth or a
+    nested comment before VACUUM still falls through to the parser."""
+    from implementing_scds_in_hive_spark.operators.sql_dml import (
+        _strip_leading_comments,
+        run_sql,
+    )
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    assert (
+        _strip_leading_comments("/* note /* nested */ tail */ VACUUM t")
+        == "VACUUM t"
+    )
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(5).selectExpr("id"), root)
+    out = run_sql(
+        spark, "/* a /* b */ c */ DESCRIBE DETAIL t", {"t": root}
+    )
+    assert out["op"] == "describe_detail"
+    assert out["external_files"] == 0 and out["external_fraction"] == 0.0
