@@ -41,13 +41,15 @@ from implementing_scds_in_hive_spark.operators.dml import (
 )
 
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<t>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF"
-    r"\s+(?P<v>\d+)\s*;?\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(?P<t>[\w.]+)\s+TO\s+"
+    r"(VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<t>[\w.]+)"
-    r"(\s+RETAIN\s+(?P<h>\d+(\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    r"(\s+RETAIN\s+(?P<h>\d+(\.\d+)?)\s+HOURS)?"
+    r"(\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
@@ -65,6 +67,12 @@ _DETAIL_RE = re.compile(
 )
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<d>[\w.]+)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<s>[\w.]+)(\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
+    r"(\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<d>[\w.]+)\s+LIKE\s+"
     r"(?P<s>[\w.]+)(\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
     r"(\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
     re.IGNORECASE,
@@ -1049,17 +1057,32 @@ def run_sql(
     ``INSERT INTO/OVERWRITE t [(cols)] SELECT ...|VALUES ...``,
     ``CREATE TABLE t [PARTITIONED BY (...)] AS SELECT ...`` (new
     snapshot root), ``ALTER TABLE t ADD COLUMNS (...)`` (zero-rewrite
-    schema evolution), ``RESTORE TABLE t TO VERSION AS OF n`` (carry-by-
-    reference), ``VACUUM t [RETAIN n HOURS]``, ``OPTIMIZE t [APPLY
-    (PURGE)]``, ``DESCRIBE HISTORY t``. Returns the verb's report
-    dict."""
+    schema evolution), ``RESTORE TABLE t TO VERSION AS OF n |
+    TIMESTAMP AS OF 'ts'`` (carry-by-reference), ``VACUUM t [RETAIN n
+    HOURS] [DRY RUN]`` (DRY RUN: read-only preview of what a real pass
+    would delete/tombstone), ``OPTIMIZE t [APPLY (PURGE)]``,
+    ``DESCRIBE HISTORY t``, ``DESCRIBE DETAIL t``, ``CREATE TABLE d
+    SHALLOW CLONE s [pin]`` (zero-copy data clone) and ``CREATE TABLE
+    d LIKE s [pin]`` (empty table, source schema — the reference's
+    literal step 1). Returns the verb's report dict."""
     bare = _strip_leading_comments(statement)
     m = _RESTORE_RE.match(bare)
     if m:
-        root = _root_for(tables, m.group("t"))
-        new_v = restore_version(
-            spark, root, int(m.group("v")), **opts
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            version_at_timestamp,
         )
+
+        root = _root_for(tables, m.group("t"))
+        if m.group("v") is not None:
+            target = int(m.group("v"))
+        else:
+            target = version_at_timestamp(
+                root,
+                _ts_string_to_epoch(
+                    spark, m.group("ts"), "RESTORE TIMESTAMP AS OF"
+                ),
+            )
+        new_v = restore_version(spark, root, target, **opts)
         return {"op": "restore", "version": new_v}
     m = _VACUUM_RE.match(bare)
     if m:
@@ -1071,6 +1094,8 @@ def run_sql(
         kw = dict(opts)
         if m.group("h") is not None:
             kw.setdefault("grace_seconds", float(m.group("h")) * 3600.0)
+        if m.group("dry"):
+            kw["dry_run"] = True
         return {"op": "vacuum", **vacuum(root, **kw)}
     m = _HISTORY_RE.match(bare)
     if m:
@@ -1103,6 +1128,30 @@ def run_sql(
         )
         return {
             "op": "shallow_clone",
+            "source": m.group("s"),
+            "target": m.group("d"),
+            "version": v,
+        }
+    m = _LIKE_RE.match(bare)
+    if m:
+        from implementing_scds_in_hive_spark.sources.snapshot import (
+            create_table_like,
+        )
+
+        kw = dict(opts)
+        if m.group("v"):
+            kw["version"] = int(m.group("v"))
+        if m.group("ts"):
+            kw["as_of_timestamp"] = _ts_string_to_epoch(
+                spark, m.group("ts"), "CREATE TABLE LIKE TIMESTAMP AS OF"
+            )
+        v = create_table_like(
+            _root_for(tables, m.group("s")),
+            _root_for(tables, m.group("d")),
+            **kw,
+        )
+        return {
+            "op": "create_table_like",
             "source": m.group("s"),
             "target": m.group("d"),
             "version": v,
@@ -1288,7 +1337,7 @@ def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
         if any(
             rx.match(_strip_leading_comments(stmt))
             for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE,
-                       _DETAIL_RE, _CLONE_RE)
+                       _DETAIL_RE, _CLONE_RE, _LIKE_RE)
         ):
             results.append(run_sql(spark, stmt, tables))
             continue

@@ -1672,6 +1672,50 @@ def write_snapshot(
     )
 
 
+def create_table_like(
+    src_root: str,
+    dst_root: str,
+    *,
+    version: int | None = None,
+    as_of_timestamp=None,
+) -> int:
+    """``CREATE TABLE d LIKE s`` — the reference's LITERAL step 1
+    (``CREATE TABLE dim_user_new LIKE dim_user_production``,
+    /root/reference/SCD_script.txt:4): commit an EMPTY table at
+    ``dst_root`` with the source version's LOGICAL schema and
+    partitioning. No data files, fresh history, and — deliberately —
+    no column mapping or retired physicals: the new table has no
+    carried files to serve, so its physical namespace starts clean
+    (``SHALLOW CLONE`` is the variant that brings the data).
+    ``version=`` / ``as_of_timestamp=`` pin which historical schema to
+    copy (default: latest)."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version= or as_of_timestamp=, not both"
+            )
+        version = version_at_timestamp(src_root, as_of_timestamp)
+    if version is None:
+        version = latest_version(src_root)
+        if version is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {src_root}"
+            )
+    if latest_version(dst_root) is not None:
+        raise ValueError(
+            f"{dst_root} is already a snapshot table; CREATE TABLE LIKE "
+            f"needs a fresh root"
+        )
+    m = load_manifest(src_root, version)
+    staged = {
+        "snapshot_dir": None,
+        "files": [],
+        "schema": m["schema"],
+        "partition_by": list(m["partition_by"]),
+    }
+    return commit(dst_root, staged, mode="overwrite", expected_version=0)
+
+
 def clone_table(
     src_root: str,
     dst_root: str,
@@ -2625,7 +2669,11 @@ def _tombstone_path(root: str, rel_dir: str) -> str:
 
 
 def vacuum(
-    root: str, *, keep_last: int = 2, grace_seconds: float = 600.0
+    root: str,
+    *,
+    keep_last: int = 2,
+    grace_seconds: float = 600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Reclaim storage: drop manifests beyond the last ``keep_last``
     versions, then delete every ``data/snap-*`` dir no retained manifest
@@ -2653,10 +2701,25 @@ def vacuum(
     Safe to run concurrently with other vacuums and publishers: files
     another process reclaims first are skipped, not raised on. Also
     sweeps abandoned manifest temp files. Returns
-    ``{"dropped_versions": [...], "removed_dirs": [...]}``."""
+    ``{"dropped_versions": [...], "removed_dirs": [...]}``.
+
+    ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` verb, r11) is a
+    strictly READ-ONLY preview: nothing is unlinked and — unlike a real
+    pass — no grace tombstones are written, so it never even starts a
+    reclamation clock. ``removed_dirs``/``removed_files`` then list
+    what a real pass would delete NOW (grace already elapsed), and the
+    extra ``pending_dirs``/``pending_files`` keys list what it would
+    tombstone for a later pass."""
     versions = list_versions(root)
     if not versions:
-        return {"dropped_versions": [], "removed_dirs": [], "removed_files": []}
+        out = {
+            "dropped_versions": [], "removed_dirs": [], "removed_files": []
+        }
+        if dry_run:
+            out.update(
+                {"dry_run": True, "pending_dirs": [], "pending_files": []}
+            )
+        return out
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
     referenced_files: set[str] = set()
@@ -2679,22 +2742,25 @@ def vacuum(
             r for rels in pm.get("deletes", {}).values() for r in rels
         )
         cow_lineage = cow_lineage or pm.get("cow_lineage", False)
-    for v in dropped:
-        try:
-            os.unlink(_manifest_path(root, v))
-        except FileNotFoundError:
-            pass  # concurrent vacuum got there first
+    if not dry_run:
+        for v in dropped:
+            try:
+                os.unlink(_manifest_path(root, v))
+            except FileNotFoundError:
+                pass  # concurrent vacuum got there first
     now = time.time()
     mdir = _manifest_dir(root)
-    for name in os.listdir(mdir):
-        p = os.path.join(mdir, name)
-        if name.startswith(".tmp-"):
-            try:
-                if now - os.path.getmtime(p) >= grace_seconds:
-                    os.unlink(p)
-            except FileNotFoundError:
-                pass
+    if not dry_run:
+        for name in os.listdir(mdir):
+            p = os.path.join(mdir, name)
+            if name.startswith(".tmp-"):
+                try:
+                    if now - os.path.getmtime(p) >= grace_seconds:
+                        os.unlink(p)
+                except FileNotFoundError:
+                    pass
     removed = []
+    pending_dirs: list[str] = []
     ddir = os.path.join(root, DATA_DIR)
     if os.path.isdir(ddir):
         for name in sorted(os.listdir(ddir)):
@@ -2706,15 +2772,19 @@ def vacuum(
             if rel in referenced:
                 # a dir tombstoned while staged but since committed must
                 # not carry a stale clock into its eventual dereference
-                try:
-                    os.unlink(tomb)
-                except FileNotFoundError:
-                    pass
+                if not dry_run:
+                    try:
+                        os.unlink(tomb)
+                    except FileNotFoundError:
+                        pass
                 continue
             try:
                 with open(tomb) as f:
                     dropped_at = float(f.read().strip() or "0")
             except FileNotFoundError:
+                if dry_run:  # preview never starts the grace clock
+                    pending_dirs.append(rel)
+                    continue
                 try:  # phase 1: start the grace clock at dereference
                     with open(tomb, "w") as f:
                         f.write(repr(now))
@@ -2724,6 +2794,11 @@ def vacuum(
             except (OSError, ValueError):
                 dropped_at = now
             if now - dropped_at < grace_seconds:
+                if dry_run:
+                    pending_dirs.append(rel)
+                continue
+            if dry_run:
+                removed.append(rel)
                 continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(rel)
@@ -2733,18 +2808,34 @@ def vacuum(
     # flag (set by replace, carried by append, reset by overwrite) says
     # whether an individually-superseded file can possibly exist inside
     # a still-referenced dir.
+    pending_files: list[str] = []
     removed_files = (
         _sweep_replaced_files(
-            root, referenced, referenced_files, grace_seconds, now
+            root,
+            referenced,
+            referenced_files,
+            grace_seconds,
+            now,
+            pending=pending_files,
+            dry_run=dry_run,
         )
         if cow_lineage
         else []
     )
-    return {
+    out = {
         "dropped_versions": dropped,
         "removed_dirs": removed,
         "removed_files": removed_files,
     }
+    if dry_run:
+        out.update(
+            {
+                "dry_run": True,
+                "pending_dirs": pending_dirs,
+                "pending_files": pending_files,
+            }
+        )
+    return out
 
 
 def _sweep_replaced_files(
@@ -2753,6 +2844,8 @@ def _sweep_replaced_files(
     referenced_files: set[str],
     grace_seconds: float,
     now: float,
+    pending: list[str] | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """File-granular reclamation inside still-referenced dirs: a
     ``mode="replace"`` commit supersedes individual files whose stage
@@ -2782,15 +2875,20 @@ def _sweep_replaced_files(
                 rel = os.path.relpath(os.path.join(dirpath, name), root)
                 marker = os.path.join(root, rel + ".dropped-at")
                 if rel in referenced_files:
-                    try:
-                        os.unlink(marker)
-                    except FileNotFoundError:
-                        pass
+                    if not dry_run:
+                        try:
+                            os.unlink(marker)
+                        except FileNotFoundError:
+                            pass
                     continue
                 try:
                     with open(marker) as f:
                         dropped_at = float(f.read().strip() or "0")
                 except FileNotFoundError:
+                    if dry_run:  # preview never starts the grace clock
+                        if pending is not None:
+                            pending.append(rel)
+                        continue
                     try:
                         with open(marker, "w") as f:
                             f.write(repr(now))
@@ -2800,6 +2898,11 @@ def _sweep_replaced_files(
                 except (OSError, ValueError):
                     dropped_at = now
                 if now - dropped_at < grace_seconds:
+                    if dry_run and pending is not None:
+                        pending.append(rel)
+                    continue
+                if dry_run:
+                    removed.append(rel)
                     continue
                 for victim in (os.path.join(root, rel), marker):
                     try:
