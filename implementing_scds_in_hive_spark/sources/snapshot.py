@@ -1672,6 +1672,33 @@ def write_snapshot(
     )
 
 
+def _resolve_source_pin(
+    src_root: str, dst_root: str, version, as_of_timestamp, verb: str
+) -> int:
+    """Shared head of the two CREATE TABLE ... FROM-a-source verbs
+    (LIKE and SHALLOW CLONE): resolve the optional VERSION/TIMESTAMP
+    pin against the source's commit log (default: latest) and require
+    a fresh destination root."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version= or as_of_timestamp=, not both"
+            )
+        version = version_at_timestamp(src_root, as_of_timestamp)
+    if version is None:
+        version = latest_version(src_root)
+        if version is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {src_root}"
+            )
+    if latest_version(dst_root) is not None:
+        raise ValueError(
+            f"{dst_root} is already a snapshot table; {verb} needs a "
+            f"fresh root"
+        )
+    return version
+
+
 def create_table_like(
     src_root: str,
     dst_root: str,
@@ -1689,23 +1716,9 @@ def create_table_like(
     (``SHALLOW CLONE`` is the variant that brings the data).
     ``version=`` / ``as_of_timestamp=`` pin which historical schema to
     copy (default: latest)."""
-    if as_of_timestamp is not None:
-        if version is not None:
-            raise ValueError(
-                "pass either version= or as_of_timestamp=, not both"
-            )
-        version = version_at_timestamp(src_root, as_of_timestamp)
-    if version is None:
-        version = latest_version(src_root)
-        if version is None:
-            raise FileNotFoundError(
-                f"no committed snapshot under {src_root}"
-            )
-    if latest_version(dst_root) is not None:
-        raise ValueError(
-            f"{dst_root} is already a snapshot table; CREATE TABLE LIKE "
-            f"needs a fresh root"
-        )
+    version = _resolve_source_pin(
+        src_root, dst_root, version, as_of_timestamp, "CREATE TABLE LIKE"
+    )
     m = load_manifest(src_root, version)
     staged = {
         "snapshot_dir": None,
@@ -1757,23 +1770,9 @@ def clone_table(
     verbatim). ``version=`` / ``as_of_timestamp=`` pin the source
     version (default: latest); ``dst_root`` must not already be a
     snapshot table."""
-    if as_of_timestamp is not None:
-        if version is not None:
-            raise ValueError(
-                "pass either version= or as_of_timestamp=, not both"
-            )
-        version = version_at_timestamp(src_root, as_of_timestamp)
-    if version is None:
-        version = latest_version(src_root)
-        if version is None:
-            raise FileNotFoundError(
-                f"no committed snapshot under {src_root}"
-            )
-    if latest_version(dst_root) is not None:
-        raise ValueError(
-            f"{dst_root} is already a snapshot table; clone into a "
-            f"fresh root"
-        )
+    version = _resolve_source_pin(
+        src_root, dst_root, version, as_of_timestamp, "SHALLOW CLONE"
+    )
     m = load_manifest(src_root, version)
     src_abs = os.path.realpath(src_root)
 
@@ -2782,14 +2781,16 @@ def vacuum(
                 with open(tomb) as f:
                     dropped_at = float(f.read().strip() or "0")
             except FileNotFoundError:
-                if dry_run:  # preview never starts the grace clock
-                    pending_dirs.append(rel)
-                    continue
-                try:  # phase 1: start the grace clock at dereference
-                    with open(tomb, "w") as f:
-                        f.write(repr(now))
-                except FileNotFoundError:
-                    continue  # dir vanished under a concurrent vacuum
+                if not dry_run:
+                    try:  # phase 1: start the grace clock at dereference
+                        with open(tomb, "w") as f:
+                            f.write(repr(now))
+                    except FileNotFoundError:
+                        continue  # dir vanished under a concurrent vacuum
+                # dry run writes nothing but must CLASSIFY like the real
+                # pass would after tombstoning at `now` (r11 review #2:
+                # at grace 0 a real pass deletes in the same pass, so
+                # the preview must report `removed`, not `pending`)
                 dropped_at = now
             except (OSError, ValueError):
                 dropped_at = now
@@ -2885,15 +2886,14 @@ def _sweep_replaced_files(
                     with open(marker) as f:
                         dropped_at = float(f.read().strip() or "0")
                 except FileNotFoundError:
-                    if dry_run:  # preview never starts the grace clock
-                        if pending is not None:
-                            pending.append(rel)
-                        continue
-                    try:
-                        with open(marker, "w") as f:
-                            f.write(repr(now))
-                    except FileNotFoundError:
-                        continue
+                    if not dry_run:
+                        try:
+                            with open(marker, "w") as f:
+                                f.write(repr(now))
+                        except FileNotFoundError:
+                            continue
+                    # dry run: classify as the real pass would after
+                    # tombstoning at `now` (grace 0 -> removed)
                     dropped_at = now
                 except (OSError, ValueError):
                     dropped_at = now

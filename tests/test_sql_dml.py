@@ -1099,7 +1099,9 @@ def test_restore_timestamp_vacuum_dry_run_and_create_like(
 
     import datetime
 
-    iso = datetime.datetime.fromtimestamp(ts_after_v1).isoformat(sep=" ")
+    iso = datetime.datetime.fromtimestamp(
+        ts_after_v1, datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat(sep=" ")
     out = run_sql(
         spark,
         f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'",
@@ -1127,18 +1129,17 @@ def test_restore_timestamp_vacuum_dry_run_and_create_like(
     )
     assert rep["dry_run"] is True
     assert rep["dropped_versions"], "preview must name droppable versions"
-    would = set(rep["removed_dirs"]) | set(rep["pending_dirs"])
-    assert would, "preview must name reclaimable dirs"
+    # at grace 0 a real pass deletes un-tombstoned dirs in the SAME
+    # pass, so the preview must classify them as removed, not pending
+    # (r11 review pass #2)
+    would = set(rep["removed_dirs"])
+    assert would and not rep["pending_dirs"]
     assert _listing(root) == before_fs, "DRY RUN must not touch disk"
-    # a real pass deletes (tombstone pass + reclaim pass at grace 0)
+    # a real pass deletes exactly what the preview named
     rep2 = run_sql(
         spark, "VACUUM t RETAIN 0 HOURS", {"t": root}, keep_last=1
     )
-    rep3 = run_sql(
-        spark, "VACUUM t RETAIN 0 HOURS", {"t": root}, keep_last=1
-    )
-    removed = set(rep2["removed_dirs"]) | set(rep3["removed_dirs"])
-    assert would <= removed | would  # sanity: preview names real dirs
+    assert would <= set(rep2["removed_dirs"])
     assert _listing(root) != before_fs
 
     # CREATE TABLE LIKE: copy the schema of a RENAMED source — the new
