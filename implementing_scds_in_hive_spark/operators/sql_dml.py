@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -584,8 +585,11 @@ def _replace_time_travel(spark, plan, tables: dict, pins: dict):
     return plan.makeCopy(arr), True
 
 
+# per-gateway Class caches: {id(jvm): (weakref-to-jvm, {name: Class})}.
+# The weakref validates identity — a GC'd JVMView's id can be reused by
+# a new one (ADVICE r10) — while the per-id keying keeps two LIVE
+# gateways from thrashing each other's cache (r11 review pass #3).
 _JCLASS_CACHE: dict = {}
-_JCLASS_JVM_REF = None  # weakref to the JVMView the cache was built on
 
 
 def _jinstance(spark, obj, class_name: str) -> bool:
@@ -595,22 +599,25 @@ def _jinstance(spark, obj, class_name: str) -> bool:
     multiply py4j round-trips per statement (r10 self-review).
 
     Cache validity is checked by IDENTITY against a weakref to the
-    JVMView (ADVICE r10): keying on ``id(spark._jvm)`` could hand back
-    Class handles bound to a dead gateway after a SparkContext restart
-    — a GC'd JVMView's id can be reused by the new one. A weakref can
-    never alias: if the old view was collected the ref reads None, and
-    if it wasn't, ``is`` compares real objects."""
-    global _JCLASS_JVM_REF
-    import weakref
-
+    JVMView (ADVICE r10): keying on ``id(spark._jvm)`` alone could hand
+    back Class handles bound to a dead gateway after a SparkContext
+    restart — a GC'd JVMView's id can be reused by the new one. A
+    weakref can never alias: if the old view was collected the ref
+    reads None, and if it wasn't, ``is`` compares real objects. Caches
+    are kept PER gateway id so two live sessions never thrash each
+    other's entries."""
     jvm = spark._jvm
-    if _JCLASS_JVM_REF is None or _JCLASS_JVM_REF() is not jvm:
-        _JCLASS_CACHE.clear()
-        _JCLASS_JVM_REF = weakref.ref(jvm)
-    cls = _JCLASS_CACHE.get(class_name)
+    slot = _JCLASS_CACHE.get(id(jvm))
+    if slot is None or slot[0]() is not jvm:
+        if len(_JCLASS_CACHE) >= 16:  # dead-gateway slots; tiny, reset
+            _JCLASS_CACHE.clear()
+        slot = (weakref.ref(jvm), {})
+        _JCLASS_CACHE[id(jvm)] = slot
+    cache = slot[1]
+    cls = cache.get(class_name)
     if cls is None:
         cls = jvm.java.lang.Class.forName(class_name)
-        _JCLASS_CACHE[class_name] = cls
+        cache[class_name] = cls
     return bool(cls.isInstance(obj))
 
 
@@ -1334,8 +1341,9 @@ def run_sql_script(spark: SparkSession, script: str, tables: dict) -> list:
     parser = spark._jsparkSession.sessionState().sqlParser()
     results = []
     for stmt in split_sql_statements(script):
+        bare = _strip_leading_comments(stmt)
         if any(
-            rx.match(_strip_leading_comments(stmt))
+            rx.match(bare)
             for rx in (_RESTORE_RE, _VACUUM_RE, _HISTORY_RE, _OPTIMIZE_RE,
                        _DETAIL_RE, _CLONE_RE, _LIKE_RE)
         ):

@@ -634,21 +634,22 @@ def _check_staged_physical(root: str, staged: dict, pm: dict) -> None:
        (or, with a stale staged mapping, resurrect retired bytes);
     2. appended evolution columns must not collide with physicals
        used or retired by the CURRENT parent."""
-    if not staged["files"]:
-        # no staged DATA files -> no physically-named bytes that could
-        # disagree with the parent (vectors-only commits like
-        # consolidate_vectors re-pack EXISTING vector files, already in
-        # physical names); running the prefix check here would
-        # spuriously abort every vectors-only fold on a mapped table
-        # (r11 review pass #1, CONFIRMED by reproduction)
-        return
     sdoc_p = json.loads(pm["schema"])
     cm_staged = staged.get("column_mapping") or {}
     cm_parent = column_mapping(pm)
     n_prefix = len(sdoc_p["fields"])
     staged_fields = json.loads(staged["schema"])["fields"]
     bad_prefix = []
-    for f in staged_fields[:n_prefix]:
+    # the PREFIX check only applies when data files were actually
+    # staged — a vectors-only commit (consolidate_vectors) stages no
+    # physically-named bytes and carries no mapping, which the check
+    # would misread as a stale stage and abort every fold on a mapped
+    # table (r11 review pass #1, CONFIRMED by reproduction). The
+    # appended-column collision check below stays UNCONDITIONAL: it
+    # guards the committed manifest's resolution over CARRIED files,
+    # which a zero-data-file schema-evolving commit can still poison
+    # (r11 review pass #3).
+    for f in staged_fields[:n_prefix] if staged["files"] else []:
         sp = cm_staged.get(f["name"], f["name"])
         pp = cm_parent.get(f["name"], f["name"])
         if sp.casefold() != pp.casefold():

@@ -764,3 +764,39 @@ def test_change_feed_across_rename_and_reused_logical_name(
     ch3 = snapshot_changes(spark, root, v3, v5, ["id"])
     rows = {tuple(r) for r in ch3.select("op", "id", "amount").collect()}
     assert rows == {("I", 5, 105), ("I", 6, 106)}
+
+
+def test_fileless_evolving_commit_cannot_resurrect(spark, tmp_path):
+    """r11 review pass #3: the vectors-only exemption from the
+    stage→commit guard must cover ONLY the prefix check — a commit with
+    zero data files can still APPEND a schema field, and if that
+    field's resolution collides with a retired physical the carried
+    files would serve the dropped bytes. The collision check stays
+    unconditional."""
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        CommitConflictError,
+        commit,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS seg"),
+        root,
+    )
+    drop_column_commit(root, "seg")
+    pm = load_manifest(root, latest_version(root))
+    import json as _json
+
+    sdoc = _json.loads(pm["schema"])
+    sdoc["fields"].append(
+        {"name": "seg", "type": "string", "nullable": True, "metadata": {}}
+    )
+    staged = {
+        "snapshot_dir": None,
+        "files": [],
+        "schema": _json.dumps(sdoc),
+        "partition_by": list(pm["partition_by"]),
+    }
+    with pytest.raises(CommitConflictError, match="collide"):
+        commit(root, staged, mode="append")
+    assert latest_version(root) == 2
