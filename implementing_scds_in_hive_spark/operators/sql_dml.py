@@ -1122,6 +1122,10 @@ def run_sql(
         )
 
         kw: dict = dict(opts)  # clone_table rejects unknown opts loudly
+        # the SQL face always has a session, so a source whose vector
+        # debt exceeds the driver cap transparently takes the
+        # DISTRIBUTED rewrite path instead of refusing
+        kw.setdefault("spark", spark)
         if m.group("v"):
             kw["version"] = int(m.group("v"))
         if m.group("ts"):

@@ -386,3 +386,86 @@ def test_maintain_table_on_clone_policy(spark, tmp_path):
     assert sorted(map(tuple, read_snapshot(spark, dst).collect())) == before
     d2 = run_sql(spark, "DESCRIBE DETAIL c", {"c": dst})
     assert d2["external_files"] == 4
+
+
+def test_clone_distributed_vector_rewrite(spark, tmp_path):
+    """VERDICT r10 #4, second option: above the driver cap, a clone
+    given a SparkSession rewrites the deletion vectors THROUGH Spark
+    (per-schema consolidation, __file rewritten by expression) instead
+    of refusing — identical content to the driver-side path, source
+    untouched, and the SQL face takes this path transparently."""
+    import os
+
+    from implementing_scds_in_hive_spark.operators.dml import delete_where
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        clone_table,
+        load_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def _listing(p):
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(p)
+            for f in fs
+        )
+
+    root = str(tmp_path / "src")
+    write_snapshot(
+        spark.range(2000)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id"),
+        root,
+    )
+    for k in range(3):
+        lo = k * 500
+        delete_where(
+            spark, root, f"id >= {lo} AND id < {lo + 9}", tier="mor"
+        )
+    expect = sorted(map(tuple, read_snapshot(spark, root).collect()))
+    src_files = _listing(root)
+
+    # driver-path clone (under the default cap) = ground truth
+    d1 = str(tmp_path / "driver")
+    clone_table(root, d1)
+    got1 = sorted(map(tuple, read_snapshot(spark, d1).collect()))
+    assert got1 == expect
+
+    # distributed path: cap of 1 byte forces it; spark= enables it
+    d2 = str(tmp_path / "dist")
+    clone_table(root, d2, max_vector_bytes=1, spark=spark)
+    got2 = sorted(map(tuple, read_snapshot(spark, d2).collect()))
+    assert got2 == expect
+    assert _listing(root) == src_files, "source must be untouched"
+    m2 = load_manifest(d2, 1)
+    # every vector entry is LOCAL (relative) and every data file is
+    # still an absolute reference
+    assert all(os.path.isabs(f) for f in m2["files"])
+    assert all(
+        not os.path.isabs(r)
+        for rels in m2["deletes"].values()
+        for r in rels
+    )
+    # the clone evolves independently through DML on the rewritten
+    # vector overlay (id=100 is alive: the ranges covered [k*500,
+    # k*500+9))
+    delete_where(spark, d2, "id = 100", tier="mor")
+    assert read_snapshot(spark, d2).where("id = 100").count() == 0
+    assert read_snapshot(spark, d2).count() == len(expect) - 1
+
+    # the SQL face passes spark= automatically, so the same high-debt
+    # clone succeeds transparently through the textual verb
+    d3 = str(tmp_path / "sqlface")
+    out = run_sql(
+        spark,
+        "CREATE TABLE d SHALLOW CLONE s",
+        {"s": root, "d": d3},
+        max_vector_bytes=1,
+    )
+    assert out["op"] == "shallow_clone"
+    assert sorted(
+        map(tuple, read_snapshot(spark, d3).collect())
+    ) == expect
