@@ -1731,37 +1731,80 @@ def create_table_like(
 
 
 def _clone_vectors_spark(
-    spark, src_root: str, dst_root: str, m: dict, dv_rel: str, _abs
+    spark, src_root: str, dst_root: str, deletes: dict, dv_rel: str, _abs
 ) -> dict:
     """Distributed deletion-vector materialization for SHALLOW CLONE
     (VERDICT r10 #4's second option): when a source's vector debt is
-    too large to funnel through the driver, rewrite it THROUGH SPARK —
-    the same per-schema consolidation shape as
-    ``sinks.consolidate_vectors`` (each data file's tombstones stay
-    restricted to ITS OWN manifest list, so superseded positions can
-    never resurrect), with ``__file`` rewritten to the absolute source
-    path by a Catalyst expression. One write job per vector SCHEMA
-    (never per file or per list), each distributed and bin-packed to
-    ~64 MB outputs. Returns the clone's ``deletes`` map."""
+    too large to funnel through the driver, rewrite it THROUGH SPARK.
+    Shape (hardened by the r11 focused review pass):
+
+    - ONE scan + ONE write job per vector SCHEMA group, however many
+      distinct (data file -> vector list) units the group holds: the
+      per-unit "tombstones for f are f's OWN list" restriction (the
+      replace-semantics invariant the read overlay enforces) is applied
+      by a broadcast join against a (vector-file basename, served data
+      file) pair set built from the manifest — never a per-unit scan
+      branch with giant ``isin`` literals, which would grow the plan
+      with the debt this path exists to absorb;
+    - output is hash-partitioned on ``__file``, so every served data
+      file's tombstones land in EXACTLY ONE output file and the
+      clone's manifest maps each file to a one-element list — never
+      the whole group's output set (an O(files x outputs) manifest);
+    - a read-back coverage check fails LOUDLY if any served file lost
+      its tombstones (the ``consolidate_vectors`` invariant — silent
+      loss would resurrect the source's deleted rows in the clone).
+
+    ``__file`` is rewritten to the absolute source path by a Catalyst
+    expression (clone-of-clone rows are already absolute and pass
+    through). Returns the clone's ``deletes`` map."""
     import math
 
     from pyspark.sql import functions as F
 
     src_abs = os.path.realpath(src_root)
-    groups = group_vector_lists(src_root, m["deletes"])
+    groups = group_vector_lists(src_root, deletes)
     deletes_out: dict[str, list[str]] = {}
     for gi, (_schema, lists) in enumerate(sorted(groups.items())):
         rel_set = sorted({r for rels, _served in lists for r in rels})
+        base_of = {r: os.path.basename(r) for r in rel_set}
+        if len(set(base_of.values())) != len(rel_set):
+            raise RuntimeError(
+                "duplicate vector-file basenames in one schema group — "
+                "cannot attribute scan rows to manifest lists"
+            )  # pragma: no cover - part-file names embed a job uuid
         bytes_g = sum(
             os.path.getsize(os.path.join(src_root, r)) for r in rel_set
         )
         n_out = max(1, math.ceil(bytes_g / (64 << 20)))
-        vec = None
-        for rels, served in lists:
-            part = spark.read.parquet(
-                *[os.path.join(src_root, r) for r in rels]
-            ).where(F.col(DELETE_FILE_COL).isin(served))
-            vec = part if vec is None else vec.unionByName(part)
+        pairs = spark.createDataFrame(
+            [
+                (base_of[r], f)
+                for rels, served in lists
+                for r in rels
+                for f in served
+            ],
+            "__vec_base string, __served string",
+        )
+        vec = (
+            spark.read.parquet(
+                *[os.path.join(src_root, r) for r in rel_set]
+            )
+            .withColumn(
+                "__vb",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .join(
+                F.broadcast(pairs),
+                on=[
+                    F.col("__vb") == pairs["__vec_base"],
+                    F.col(DELETE_FILE_COL) == pairs["__served"],
+                ],
+                how="inner",
+            )
+            .drop("__vb", "__vec_base", "__served")
+        )
         # clone-of-clone rows are already absolute; everything else
         # prefixes the source root (mirrors the driver-side _abs)
         vec = vec.withColumn(
@@ -1777,16 +1820,40 @@ def _clone_vectors_spark(
         )
         gdir_rel = os.path.join(dv_rel, f"g{gi}")
         gdir_abs = os.path.join(dst_root, gdir_rel)
-        vec.coalesce(n_out).write.mode("overwrite").parquet(gdir_abs)
-        out_files = sorted(
-            os.path.join(gdir_rel, name)
-            for name in os.listdir(gdir_abs)
-            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        vec.repartition(n_out, DELETE_FILE_COL).write.mode(
+            "overwrite"
+        ).parquet(gdir_abs)
+        # read-back attribution: each served file sits in exactly one
+        # output part (hash partitioning on __file), so the manifest
+        # gets minimal one-element lists AND an exact coverage check
+        placed = (
+            spark.read.parquet(gdir_abs)
+            .select(
+                F.col(DELETE_FILE_COL).alias("__f"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__out"),
+            )
+            .distinct()
+            .collect()
         )
-        for _rels, served in lists:
-            for f in served:
-                deletes_out[_abs(f)] = list(out_files)
-    return deletes_out
+        for row in placed:
+            deletes_out.setdefault(row["__f"], []).append(
+                os.path.join(gdir_rel, row["__out"])
+            )
+        want = {
+            _abs(f) for _rels, served in lists for f in served
+        }
+        got = {row["__f"] for row in placed}
+        if got != want:  # pragma: no cover - protocol invariant
+            raise RuntimeError(
+                f"distributed clone lost vector coverage: "
+                f"{len(want - got)} served files have no tombstones in "
+                f"the rewritten output (and {len(got - want)} "
+                f"unexpected) — refusing to commit a clone that would "
+                f"resurrect deleted rows"
+            )
+    return {f: sorted(set(rels)) for f, rels in deletes_out.items()}
 
 
 def clone_table(
@@ -1903,13 +1970,11 @@ def clone_table(
         dv_rel = os.path.join(DATA_DIR, f"snap-clone-{manifest['writer']}")
         dv_abs = os.path.join(dst_root, dv_rel)
         os.makedirs(dv_abs, exist_ok=True)
+        manifest["snapshot_dirs"] = manifest["snapshot_dirs"] + [dv_rel]
         if over_cap:
             manifest["deletes"] = _clone_vectors_spark(
-                spark, src_root, dst_root, m, dv_rel, _abs
+                spark, src_root, dst_root, m["deletes"], dv_rel, _abs
             )
-            manifest["snapshot_dirs"] = manifest["snapshot_dirs"] + [
-                dv_rel
-            ]
             vec_rels = []  # driver path below skipped
         local_of: dict[str, str] = {}
         for i, r in enumerate(vec_rels):
@@ -1938,9 +2003,6 @@ def clone_table(
                     w.write_table(t)
             local_of[r] = local
         if not over_cap:
-            manifest["snapshot_dirs"] = manifest["snapshot_dirs"] + [
-                dv_rel
-            ]
             manifest["deletes"] = {
                 _abs(f): [local_of[r] for r in rels]
                 for f, rels in m["deletes"].items()

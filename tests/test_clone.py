@@ -449,6 +449,10 @@ def test_clone_distributed_vector_rewrite(spark, tmp_path):
         for rels in m2["deletes"].values()
         for r in rels
     )
+    # hash partitioning on __file puts each served data file's
+    # tombstones in EXACTLY ONE output — minimal one-element manifest
+    # lists, never the whole group's output set (r11 focused review)
+    assert all(len(rels) == 1 for rels in m2["deletes"].values())
     # the clone evolves independently through DML on the rewritten
     # vector overlay (id=100 is alive: the ranges covered [k*500,
     # k*500+9))
