@@ -1731,7 +1731,13 @@ def create_table_like(
 
 
 def _clone_vectors_spark(
-    spark, src_root: str, dst_root: str, deletes: dict, dv_rel: str, _abs
+    spark,
+    src_root: str,
+    dst_root: str,
+    deletes: dict,
+    dv_rel: str,
+    _abs,
+    sizes: dict | None = None,
 ) -> dict:
     """Distributed deletion-vector materialization for SHALLOW CLONE
     (VERDICT r10 #4's second option): when a source's vector debt is
@@ -1763,6 +1769,20 @@ def _clone_vectors_spark(
 
     src_abs = os.path.realpath(src_root)
     groups = group_vector_lists(src_root, deletes)
+    if sizes is None:  # caller normally passes its own stat pass
+        sizes = {
+            r: os.path.getsize(os.path.join(src_root, r))
+            for rels in deletes.values()
+            for r in rels
+        }
+    try:
+        bcast_thresh = int(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            .removesuffix("b")
+            .removesuffix("B")
+        )
+    except (ValueError, TypeError):
+        bcast_thresh = 10 << 20  # unit-suffixed custom value: default
     deletes_out: dict[str, list[str]] = {}
     for gi, (_schema, lists) in enumerate(sorted(groups.items())):
         rel_set = sorted({r for rels, _served in lists for r in rels})
@@ -1772,19 +1792,28 @@ def _clone_vectors_spark(
                 "duplicate vector-file basenames in one schema group — "
                 "cannot attribute scan rows to manifest lists"
             )  # pragma: no cover - part-file names embed a job uuid
-        bytes_g = sum(
-            os.path.getsize(os.path.join(src_root, r)) for r in rel_set
-        )
+        bytes_g = sum(sizes[r] for r in rel_set)
         n_out = max(1, math.ceil(bytes_g / (64 << 20)))
+        pair_rows = [
+            (base_of[r], f)
+            for rels, served in lists
+            for r in rels
+            for f in served
+        ]
         pairs = spark.createDataFrame(
-            [
-                (base_of[r], f)
-                for rels, served in lists
-                for r in rels
-                for f in served
-            ],
-            "__vec_base string, __served string",
+            pair_rows, "__vec_base string, __served string"
         )
+        # broadcast is the normal case (the pair set is O(manifest
+        # entries), already held driver-side), but this path exists
+        # precisely for over-debt sources — past the session's
+        # broadcast threshold leave the strategy to the planner
+        # (shuffle join: slower, safe), mirroring the read overlay's
+        # guard. Estimate from the rows we just built.
+        pair_bytes = sum(
+            len(b) + len(f) + 32 for b, f in pair_rows
+        )
+        if bcast_thresh >= 0 and pair_bytes <= bcast_thresh:
+            pairs = F.broadcast(pairs)  # thresh -1 = broadcasts off
         vec = (
             spark.read.parquet(
                 *[os.path.join(src_root, r) for r in rel_set]
@@ -1796,7 +1825,7 @@ def _clone_vectors_spark(
                 ),
             )
             .join(
-                F.broadcast(pairs),
+                pairs,
                 on=[
                     F.col("__vb") == pairs["__vec_base"],
                     F.col(DELETE_FILE_COL) == pairs["__served"],
@@ -1950,9 +1979,14 @@ def clone_table(
         vec_rels = sorted(
             {r for rels in m["deletes"].values() for r in rels}
         )
-        total = sum(
-            os.path.getsize(os.path.join(src_root, r)) for r in vec_rels
-        )
+        # one stat pass, shared with the distributed path (on an
+        # object store a second per-file stat sweep doubles the
+        # round trips — r11 review)
+        per_size = {
+            r: os.path.getsize(os.path.join(src_root, r))
+            for r in vec_rels
+        }
+        total = sum(per_size.values())
         over_cap = max_vector_bytes is not None and total > max_vector_bytes
         if over_cap and spark is None:
             raise ValueError(
@@ -1971,37 +2005,55 @@ def clone_table(
         dv_abs = os.path.join(dst_root, dv_rel)
         os.makedirs(dv_abs, exist_ok=True)
         manifest["snapshot_dirs"] = manifest["snapshot_dirs"] + [dv_rel]
-        if over_cap:
-            manifest["deletes"] = _clone_vectors_spark(
-                spark, src_root, dst_root, m["deletes"], dv_rel, _abs
-            )
-            vec_rels = []  # driver path below skipped
-        local_of: dict[str, str] = {}
-        for i, r in enumerate(vec_rels):
-            pf = pq.ParquetFile(os.path.join(src_root, r))
-            local = os.path.join(dv_rel, f"vector-{i:05d}.parquet")
-            fidx = pf.schema_arrow.get_field_index(DELETE_FILE_COL)
-            ftype = pf.schema_arrow.field(fidx).type
-            with pq.ParquetWriter(
-                os.path.join(dst_root, local), pf.schema_arrow
-            ) as w:
-                for batch in pf.iter_batches():
-                    t = pa.Table.from_batches([batch])
-                    t = t.set_column(
-                        fidx,
-                        DELETE_FILE_COL,
-                        pa.array(
-                            [
-                                _abs(x)
-                                for x in t.column(
-                                    DELETE_FILE_COL
-                                ).to_pylist()
-                            ],
-                            type=ftype,
-                        ),
-                    )
-                    w.write_table(t)
-            local_of[r] = local
+        # any failure mid-materialization (Spark job loss, coverage
+        # check, disk full) must not leak the partially-written dv dir:
+        # dst_root has no manifest yet so no vacuum can ever reclaim
+        # it, and a retried clone uses a fresh writer uuid (r11 review)
+        try:
+            if over_cap:
+                manifest["deletes"] = _clone_vectors_spark(
+                    spark,
+                    src_root,
+                    dst_root,
+                    m["deletes"],
+                    dv_rel,
+                    _abs,
+                    sizes=per_size,
+                )
+                vec_rels = []  # driver path below skipped
+            local_of: dict[str, str] = {}
+            for i, r in enumerate(vec_rels):
+                pf = pq.ParquetFile(os.path.join(src_root, r))
+                local = os.path.join(dv_rel, f"vector-{i:05d}.parquet")
+                fidx = pf.schema_arrow.get_field_index(DELETE_FILE_COL)
+                ftype = pf.schema_arrow.field(fidx).type
+                with pq.ParquetWriter(
+                    os.path.join(dst_root, local), pf.schema_arrow
+                ) as w:
+                    for batch in pf.iter_batches():
+                        t = pa.Table.from_batches([batch])
+                        t = t.set_column(
+                            fidx,
+                            DELETE_FILE_COL,
+                            pa.array(
+                                [
+                                    _abs(x)
+                                    for x in t.column(
+                                        DELETE_FILE_COL
+                                    ).to_pylist()
+                                ],
+                                type=ftype,
+                            ),
+                        )
+                        w.write_table(t)
+                local_of[r] = local
+        except BaseException:
+            shutil.rmtree(dv_abs, ignore_errors=True)
+            try:  # drop the data/ parent too if this made it empty
+                os.rmdir(os.path.dirname(dv_abs))
+            except OSError:
+                pass
+            raise
         if not over_cap:
             manifest["deletes"] = {
                 _abs(f): [local_of[r] for r in rels]

@@ -460,6 +460,21 @@ def test_clone_distributed_vector_rewrite(spark, tmp_path):
     assert read_snapshot(spark, d2).where("id = 100").count() == 0
     assert read_snapshot(spark, d2).count() == len(expect) - 1
 
+    # past the session broadcast threshold the pair join falls back to
+    # a planner-chosen strategy (r11 review: forcing a broadcast on the
+    # over-debt path this exists for could OOM executors) — content
+    # must be identical either way
+    d2b = str(tmp_path / "dist-nobcast")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clone_table(root, d2b, max_vector_bytes=1, spark=spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(
+        map(tuple, read_snapshot(spark, d2b).collect())
+    ) == expect
+
     # the SQL face passes spark= automatically, so the same high-debt
     # clone succeeds transparently through the textual verb
     d3 = str(tmp_path / "sqlface")
@@ -473,3 +488,42 @@ def test_clone_distributed_vector_rewrite(spark, tmp_path):
     assert sorted(
         map(tuple, read_snapshot(spark, d3).collect())
     ) == expect
+
+def test_clone_failure_leaks_no_vector_dir(spark, tmp_path, monkeypatch):
+    """A failure mid-materialization (Spark job loss, coverage check,
+    disk full) must not leak the clone's partially-written vector dir:
+    dst has no manifest yet so no vacuum can ever reclaim it, and a
+    retried clone writes under a fresh writer uuid (r11 review)."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    root = str(tmp_path / "src")
+    write_snapshot(
+        spark.range(100).selectExpr("id", "id * 2 AS v"), root
+    )
+    delete_where(spark, root, "id < 5", tier="mor")
+
+    # distributed path dies mid-job
+    def _boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(snap, "_clone_vectors_spark", _boom)
+    dst = str(tmp_path / "dst")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        snap.clone_table(root, dst, max_vector_bytes=1, spark=spark)
+    assert not os.path.exists(os.path.join(dst, "data")), (
+        "failed distributed rewrite leaked its dv dir"
+    )
+    assert not os.path.exists(snap._manifest_path(dst, 1))
+
+    # driver path dies mid-rewrite (first pyarrow open)
+    import pyarrow.parquet as _pq
+
+    monkeypatch.setattr(_pq, "ParquetFile", _boom)
+    dst2 = str(tmp_path / "dst2")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        snap.clone_table(root, dst2)
+    assert not os.path.exists(os.path.join(dst2, "data"))
+    # a retry with the fault cleared succeeds into the same dst
+    monkeypatch.undo()
+    assert snap.clone_table(root, dst2) == 1
+    assert read_snapshot(spark, dst2).count() == 95
