@@ -3565,3 +3565,41 @@ GROUP BY 1, 2
 
 PYTEST_ONLY_QUERIES["matview_rollup"] = q_matview_rollup  # r9 rotation: folded to pytest after two driver rounds (r7/r8)
 PYTEST_ONLY_ORACLES["matview_rollup"] = MATVIEW_ROLLUP_SQL
+
+# r11 second rotation (VERDICT r10 next-round #3, completed): the
+# never-slotted list is retired ENTIRELY — after this block, every
+# oracle family in the repo has held a driver slot at least once.
+# Ten veterans with multi-round driver evidence fold to pytest (each
+# family keeps at least one driver representative: similarity keeps
+# ivf/quantized/knn, dedup keeps minhash/jaccard/incremental,
+# multimodal keeps features + the promoted modality query); the nine
+# pipeline never-slotted families promote (scd_cdc_collapse promotes
+# in scd_queries.py).
+for _k in (
+    "similarity_topk_bruteforce",
+    "dedup_exact_groups",
+    "funnel_view_click_purchase",
+    "sessionize",
+    "json_typed",
+    "ks_click_vs_purchase",
+    "mad_outliers_prices",
+    "mixture_sample",
+    "leakage_safe_split",
+    "multimodal_chunks",
+):
+    PYTEST_ONLY_QUERIES[_k] = QUERIES.pop(_k)
+    PYTEST_ONLY_ORACLES[_k] = ORACLES.pop(_k)
+for _k in (
+    "embedding_quantize",
+    "text_repetition",
+    "unigram_prob_score",
+    "data_quality_orders",
+    "multimodal_modality",
+    "sample_bernoulli",
+    "sample_stratified",
+    "sample_topk_stratum",
+    "assign_split",
+):
+    QUERIES[_k] = PYTEST_ONLY_QUERIES.pop(_k)
+    ORACLES[_k] = PYTEST_ONLY_ORACLES.pop(_k)
+del _k

@@ -1701,3 +1701,10 @@ PYTEST_ONLY_ORACLES = {
     "scd_cdc_collapse": CDC_COLLAPSE_SQL,
     "scd3_merge_customer": SCD3_MERGE_SQL,
 }
+
+# r11 second rotation: scd_cdc_collapse — the last never-slotted oracle
+# family — promotes to a driver slot (multi-event-per-key collapse into
+# net CDC effect; pytest-only since r6). Its slot comes from the
+# pipeline veterans folded in pipeline_ops.py.
+QUERIES["scd_cdc_collapse"] = PYTEST_ONLY_QUERIES.pop("scd_cdc_collapse")
+ORACLES["scd_cdc_collapse"] = PYTEST_ONLY_ORACLES.pop("scd_cdc_collapse")
