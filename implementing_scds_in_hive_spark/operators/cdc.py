@@ -169,11 +169,11 @@ def cdc_apply(
 
     The collapsed feed (and the ``two_pass`` re-key intermediates) are
     persisted internally; the lazily returned plan cannot release them
-    itself. The streaming wrapper clearCaches per batch, but BATCH
-    callers applying many sequential feeds should pass
-    ``cache_handles=[]`` and unpersist each handle once the result is
-    materialized (see examples/cdc_pipeline.py), or cached blocks
-    accumulate for the session.
+    itself. Callers applying many sequential feeds (the streaming
+    wrapper does this per batch) should pass ``cache_handles=[]`` and
+    unpersist each handle once the result is materialized (see
+    examples/cdc_pipeline.py), or cached blocks accumulate for the
+    session.
     """
     out_cols = prod.columns
     dtypes = {f.name: f.dataType for f in prod.schema.fields}

@@ -275,6 +275,7 @@ def incremental_minhash_pairs_stored(
     *,
     threshold: float = 0.8,
     prune_threshold: int = 256,
+    index: tuple[DataFrame, DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a SAVED corpus index and a new batch's
     index (from ``portable_minhash_index``). Candidate generation joins
@@ -294,7 +295,11 @@ def incremental_minhash_pairs_stored(
     50k docs / 500-doc delta, a 4 000-literal IN costs ~5 s of
     planning/codegen while pruning nothing (the delta already touches
     every bucket), vs 0.7 s for the bare broadcast join."""
-    docs, buckets, _ = load_minhash_index(spark, root)
+    # callers probing repeatedly within one unit of work (the dedup
+    # stream's trigger loop) pass the already-loaded index via
+    # ``index=`` to avoid re-reading meta and re-registering the
+    # bucketed tables per call (r11 streaming review)
+    docs, buckets, _ = index if index is not None else load_minhash_index(spark, root)
     if new_index.storageLevel == StorageLevel.NONE:
         # same re-inline trap as incremental_minhash_pairs: the batch is
         # referenced three times; GC-cleaned checkpoint, nothing pinned

@@ -92,7 +92,11 @@ def minhash_dedup_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        _, _, params = load_minhash_index(spark, index_root)
+        # ONE index load per trigger, reused by the params check, the
+        # cross-probe and the append replay guard (was three meta reads
+        # + three bucketed-table registrations — r11 streaming review)
+        idx = load_minhash_index(spark, index_root)
+        params = idx[2]
         for k, v in (("n", n), ("num_perm", num_perm), ("bands", bands)):
             if k in params and params[k] != v:
                 raise ValueError(
@@ -106,7 +110,7 @@ def minhash_dedup_stream(
         # already holds this batch's ids — exclude them so the replayed
         # partition is byte-identical to the crash-free run
         cross = incremental_minhash_pairs_stored(
-            spark, index_root, bidx, threshold=threshold
+            spark, index_root, bidx, threshold=threshold, index=idx
         ).join(
             bidx.select(F.col("did").alias("id_a")), "id_a", "left_anti"
         )
@@ -130,7 +134,9 @@ def minhash_dedup_stream(
 
         if append_to_index:
             # replay guard: never re-append ids the index already holds
-            existing = load_minhash_index(spark, index_root)[0].select("did")
+            # (no append has run since the top-of-trigger load, so the
+            # loaded docs frame is current)
+            existing = idx[0].select("did")
             fresh = bidx.join(existing, "did", "left_anti")
             if not fresh.isEmpty():
                 append_minhash_index(spark, index_root, fresh)

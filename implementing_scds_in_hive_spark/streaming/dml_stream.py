@@ -141,6 +141,14 @@ def merge_stream(
 
     if not stream_id:
         raise ValueError("merge_stream needs a non-empty stream_id")
+    if max_commit_retries < 1:
+        # a zero/negative value would skip the retry loop BODY entirely:
+        # the merge never runs, yet the checkpoint commits the batch —
+        # unbounded silent data loss (r11 streaming review)
+        raise ValueError(
+            f"max_commit_retries must be >= 1 (one attempt), got "
+            f"{max_commit_retries}"
+        )
     spark = source_stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:

@@ -123,13 +123,26 @@ def cdc_stream(
             return
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
         prod = read_table(spark, prod_path)
-        nxt = cdc_apply(prod, batch, cfg, as_of, op_col=op_col, seq_col=seq_col)
+        # cdc_apply persists the collapsed feed (and two_pass its
+        # re-key intermediates); collect the handles and unpersist
+        # exactly those once published — a long-running stream would
+        # otherwise accumulate cached blocks every trigger, and a
+        # blanket clearCache would unpersist every cached DataFrame in
+        # the CALLER's session, not just ours (r11 streaming review:
+        # nothing enforces that the stream owns the session)
+        handles: list[DataFrame] = []
+        nxt = cdc_apply(
+            prod,
+            batch,
+            cfg,
+            as_of,
+            op_col=op_col,
+            seq_col=seq_col,
+            cache_handles=handles,
+        )
         publish(nxt, prod_path, retain_versions=2)
-        # cdc_apply persists the collapsed feed (and two_pass its re-key
-        # intermediates); release them — a long-running stream would
-        # otherwise accumulate cached blocks every trigger. The stream
-        # owns its session, so a blanket clearCache is safe here.
-        spark.catalog.clearCache()
+        for h in handles:
+            h.unpersist()
 
     writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)
@@ -298,6 +311,13 @@ def _incremental_upsert_stream(
         vacuum,
     )
 
+    if max_commit_retries < 1:
+        # zero/negative would skip the retry loop body: the merge never
+        # runs yet the checkpoint commits the batch — silent data loss
+        raise ValueError(
+            f"max_commit_retries must be >= 1 (one attempt), got "
+            f"{max_commit_retries}"
+        )
     spark = staging_stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:

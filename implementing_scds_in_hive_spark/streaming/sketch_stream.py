@@ -26,8 +26,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from implementing_scds_in_hive_spark.operators.scd import publish
-from implementing_scds_in_hive_spark.sources.snapshot import read_table
+from implementing_scds_in_hive_spark.sources.snapshot import latest_version, read_table
 from implementing_scds_in_hive_spark.operators.sketches import kmv_merge, kmv_sketch
+
+
+def _load_state(spark, path: str) -> DataFrame | None:
+    """Read a stream's state table, distinguishing "no table yet"
+    (first batch: None) from a transient read failure (re-raised). A
+    bare ``except`` here would treat one manifest/filesystem hiccup on
+    a months-old table as "first batch" and let the subsequent publish
+    overwrite ALL accumulated state with a single batch's data
+    (r11 streaming review)."""
+    if latest_version(path) is None:
+        return None
+    return read_table(spark, path)
+
+
+def _is_replay(batch_id: int, watermark, path: str) -> bool:
+    """True = this batch is a post-publish crash REPLAY (batch_id ==
+    stored watermark: its effects are already in the table — skip
+    wholesale). A batch id strictly BELOW the watermark is NOT a
+    replay: it means the checkpoint was reset/recreated while the
+    state table kept its history, and skipping would silently drop
+    every batch until the fresh ids catch up (r11 streaming review) —
+    fail loudly instead."""
+    if watermark is None:
+        return False
+    if batch_id < watermark:
+        raise RuntimeError(
+            f"stream batch id {batch_id} regressed below the stored "
+            f"high-watermark {watermark} at {path}: the checkpoint was "
+            f"reset while the state table kept its history. Restore "
+            f"the original checkpoint, or start a fresh state path for "
+            f"the new checkpoint epoch."
+        )
+    return batch_id == watermark
 
 
 def kmv_sketch_stream(
@@ -59,11 +92,12 @@ def kmv_sketch_stream(
         if crash_hook:
             crash_hook(batch_id, "pre")
         delta = kmv_sketch(batch, g, value_col, k=k, portable=portable)
-        try:
-            existing = read_table(spark, sketch_path)
-            merged = kmv_merge(existing, delta, g, k=k)
-        except Exception:
-            merged = delta
+        existing = _load_state(spark, sketch_path)
+        merged = (
+            kmv_merge(existing, delta, g, k=k)
+            if existing is not None
+            else delta
+        )
         # localCheckpoint before publish: `merged` lazily READS
         # sketch_path, which publish is about to replace — the same
         # self-overwrite trap publish() documents for the SCD dimension
@@ -124,12 +158,13 @@ def histogram_stream(
             return
         if crash_hook:
             crash_hook(batch_id, "pre")
-        try:
-            existing = read_table(spark, hist_path)
-            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
-        except Exception:
-            existing, watermark = None, None
-        if watermark is not None and batch_id <= watermark:
+        existing = _load_state(spark, hist_path)
+        watermark = (
+            existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if existing is not None
+            else None
+        )
+        if _is_replay(batch_id, watermark, hist_path):
             # post-publish crash replay: the counts are already in the
             # table — adding again would double-count; skip wholesale
             return
@@ -201,20 +236,49 @@ def bloom_seen_stream(
 
     spark = events.sparkSession
 
-    def _load_versions():
-        try:
-            return read_table(spark, bloom_path)
-        except Exception:
-            return None
-
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         if crash_hook:
             crash_hook(batch_id, "pre")
-        versions = _load_versions()
+        versions = _load_state(spark, bloom_path)
         basis = None
         if versions is not None:
+            head = (
+                versions.orderBy(F.col("batch_id").desc()).limit(1).collect()[0]
+            )
+            # a batch id below the newest stored version means the
+            # checkpoint was reset while the filter kept its history:
+            # proceeding would classify every repeat as first-seen AND
+            # fold a from-scratch filter over the accumulated one,
+            # silently destroying the key history (r11 streaming
+            # review). head == batch_id is the normal post-publish
+            # crash replay (re-OR of set bits, idempotent).
+            if head["batch_id"] > batch_id:
+                raise RuntimeError(
+                    f"stream batch id {batch_id} regressed below the "
+                    f"newest stored filter version "
+                    f"{head['batch_id']} at {bloom_path}: the "
+                    f"checkpoint was reset while the filter kept its "
+                    f"history. Restore the original checkpoint, or "
+                    f"start a fresh filter path."
+                )
+            # OR-merging word maps built under different widths breaks
+            # the no-false-negatives guarantee (bit positions are
+            # modulo num_bits) — refuse a parameter change mid-history
+            if (
+                head["num_bits"] != num_bits
+                or head["num_hashes"] != num_hashes
+            ):
+                raise ValueError(
+                    f"bloom filter at {bloom_path} was built with "
+                    f"num_bits={head['num_bits']}, "
+                    f"num_hashes={head['num_hashes']} but the stream "
+                    f"was started with num_bits={num_bits}, "
+                    f"num_hashes={num_hashes} — merging across "
+                    f"parameters would produce false negatives; "
+                    f"rebuild the filter from scratch to change them."
+                )
             prior = versions.where(F.col("batch_id") < batch_id)
             if not prior.isEmpty():
                 basis = prior.orderBy(F.col("batch_id").desc()).limit(1)
@@ -313,12 +377,13 @@ def cms_stream(
             return
         if crash_hook:
             crash_hook(batch_id, "pre")
-        try:
-            existing = read_table(spark, cms_path)
-            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
-        except Exception:
-            existing, watermark = None, None
-        if watermark is not None and batch_id <= watermark:
+        existing = _load_state(spark, cms_path)
+        watermark = (
+            existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if existing is not None
+            else None
+        )
+        if _is_replay(batch_id, watermark, cms_path):
             # replayed batch: its increments are already in the table
             return
         delta = cms_sketch(
@@ -380,12 +445,13 @@ def category_count_stream(
             return
         if crash_hook:
             crash_hook(batch_id, "pre")
-        try:
-            existing = read_table(spark, counts_path)
-            watermark = existing.agg(F.max("last_batch_id")).collect()[0][0]
-        except Exception:
-            existing, watermark = None, None
-        if watermark is not None and batch_id <= watermark:
+        existing = _load_state(spark, counts_path)
+        watermark = (
+            existing.agg(F.max("last_batch_id")).collect()[0][0]
+            if existing is not None
+            else None
+        )
+        if _is_replay(batch_id, watermark, counts_path):
             return
         delta = batch.groupBy(F.col(cat_col).alias("category")).agg(
             F.count(F.lit(1)).alias("n")
@@ -447,12 +513,10 @@ def moment_stream(
             return
         if crash_hook:
             crash_hook(batch_id, "pre")
-        try:
-            existing = read_table(spark, moments_path).collect()[0]
-            watermark = existing["last_batch_id"]
-        except Exception:
-            existing, watermark = None, None
-        if watermark is not None and batch_id <= watermark:
+        state = _load_state(spark, moments_path)
+        existing = state.collect()[0] if state is not None else None
+        watermark = existing["last_batch_id"] if existing is not None else None
+        if _is_replay(batch_id, watermark, moments_path):
             return
         n_b, mean_b, cov_b = covariance_moments(batch, vec_col=vec_col, dim=dim)
         sumx_b = mean_b * n_b

@@ -36,8 +36,14 @@ def _update_user_profile(
     for pdf in pdfs:
         n_events += len(pdf)
         total_value += float(pdf["value"].fillna(0.0).sum())
+        # an all-null chunk yields batch_max = NaT, which must neither
+        # become last_ts (a later real timestamp would lose the
+        # `> NaT` comparison and stick it at NaT forever — r11
+        # streaming review) nor displace a real one
         batch_max = pdf["ts"].max()
-        if last_ts is None or (batch_max is not pd.NaT and batch_max > last_ts):
+        if not pd.isna(batch_max) and (
+            last_ts is None or pd.isna(last_ts) or batch_max > last_ts
+        ):
             last_ts = batch_max
     state.update((n_events, total_value, last_ts))
     yield pd.DataFrame(

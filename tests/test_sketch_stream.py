@@ -458,3 +458,97 @@ def test_histogram_stream_survives_random_crash_chains(spark):
             shutil.rmtree(work, ignore_errors=True)
 
     prop()
+
+def test_fresh_checkpoint_regression_fails_loudly(spark, tmp_path):
+    """r11 streaming review: a restart with a RECREATED checkpoint dir
+    resets batch ids to 0 while the state table keeps its watermark —
+    silently skipping every batch until the fresh ids catch up would be
+    unbounded data loss. The stream must fail loudly instead (and the
+    accumulated state must be untouched)."""
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import (
+        histogram_stream,
+    )
+
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    hist_path = str(tmp_path / "hist")
+    kw = dict(group_cols=["day"], value_col="user_id", lo=0.0, hi=300.0, num_bins=30)
+
+    def run(ckpt, src):
+        stream = (
+            spark.readStream.schema("day string, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = histogram_stream(stream, hist_path, checkpoint_dir=ckpt, **kw)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"), stg)  # watermark now 2
+    before = sorted(map(tuple, read_table(spark, hist_path).collect()))
+
+    stg2 = str(tmp_path / "events2")  # new data, FRESH checkpoint
+    spark.createDataFrame(
+        [("d1", 7)], "day string, user_id long"
+    ).coalesce(1).write.parquet(stg2)
+    with pytest.raises(Exception, match="regressed below"):
+        run(str(tmp_path / "ckpt2"), stg2)
+    after = sorted(map(tuple, read_table(spark, hist_path).collect()))
+    assert after == before, "failed restart must not mutate state"
+
+
+def test_bloom_param_change_refused(spark, tmp_path):
+    """OR-merging word maps built under different num_bits breaks the
+    no-false-negatives guarantee — a restart with changed parameters
+    must refuse, not silently corrupt the filter."""
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import (
+        bloom_seen_stream,
+    )
+
+    stg = str(tmp_path / "keys")
+    spark.createDataFrame([(i,) for i in range(50)], "k long").coalesce(
+        1
+    ).write.parquet(stg)
+
+    def run(ckpt, num_bits):
+        stream = spark.readStream.schema("k long").parquet(stg)
+        q = bloom_seen_stream(
+            stream,
+            str(tmp_path / "bloom"),
+            out_path=str(tmp_path / "out"),
+            checkpoint_dir=ckpt,
+            key_col="k",
+            num_bits=num_bits,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "c1"), 1 << 16)
+    with pytest.raises(Exception, match="num_bits"):
+        run(str(tmp_path / "c2"), 1 << 17)
+
+
+def test_transient_state_read_failure_raises_not_wipes(spark, tmp_path, monkeypatch):
+    """r11 streaming review: a transient read error on a non-empty
+    state table must FAIL the trigger, not be treated as 'first batch'
+    — that would publish the current batch alone over all accumulated
+    state."""
+    import implementing_scds_in_hive_spark.streaming.sketch_stream as ss
+
+    stg = str(tmp_path / "events")
+    _write_batches(spark, stg)
+    sketch_path = str(tmp_path / "sketch")
+    _run(spark, stg, sketch_path, str(tmp_path / "ckpt1"))
+    before = sorted(map(tuple, read_table(spark, sketch_path).collect()))
+
+    def _flaky(*a, **k):
+        raise RuntimeError("transient fs hiccup")
+
+    monkeypatch.setattr(ss, "read_table", _flaky)
+    stg2 = str(tmp_path / "events2")
+    spark.createDataFrame(
+        [("d1", 999)], "day string, user_id long"
+    ).coalesce(1).write.parquet(stg2)
+    with pytest.raises(Exception, match="transient fs hiccup"):
+        _run(spark, stg2, sketch_path, str(tmp_path / "ckpt2"))
+    monkeypatch.undo()
+    after = sorted(map(tuple, read_table(spark, sketch_path).collect()))
+    assert after == before, "failed read must not wipe accumulated state"

@@ -274,3 +274,77 @@ def test_stateful_running_profiles(spark, tmp_path, events_dir):
     for uid, (n, tv, mt) in want.items():
         gn, gtv, gmt = final[uid]
         assert gn == n and abs(gtv - tv) < 1e-9 and gmt == mt
+
+def test_stateful_profile_all_null_first_chunk_recovers_last_ts():
+    """r11 streaming review: a first chunk whose timestamps are ALL
+    null yielded last_ts = NaT, and `real > NaT` is False, so later
+    real timestamps in the same batch could never displace it. The
+    profile must carry the real timestamp (and an all-null batch must
+    leave last_ts null, not NaT-stuck)."""
+    import pandas as pd
+
+    from implementing_scds_in_hive_spark.streaming.stateful import (
+        _update_user_profile,
+    )
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    chunks = [
+        pd.DataFrame({"ts": pd.to_datetime([None, None]), "value": [1.0, 2.0]}),
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2026-01-02", "2026-01-01"]), "value": [3.0, None]}
+        ),
+    ]
+    state = _State()
+    (out,) = list(_update_user_profile((7,), chunks, state))
+    assert out["n_events"].iloc[0] == 4
+    assert out["total_value"].iloc[0] == 6.0
+    got = out["last_ts"].iloc[0]
+    assert got == pd.Timestamp("2026-01-02"), got
+    assert state.stored[2] == pd.Timestamp("2026-01-02")
+
+    # all-null across the whole batch: last_ts stays null (None/NaT is
+    # acceptable as a null carrier), and a SECOND batch with real ts
+    # must still displace it
+    class _State2:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.stored
+
+    s2 = _State2()
+    list(_update_user_profile((8,), [chunks[0]], s2))
+    assert s2.stored[2] is None or pd.isna(s2.stored[2])
+    (out2,) = list(_update_user_profile((8,), [chunks[1]], s2))
+    assert out2["last_ts"].iloc[0] == pd.Timestamp("2026-01-02")
+
+
+def test_merge_stream_rejects_nonpositive_retries(spark, tmp_path):
+    """max_commit_retries=0 would skip the retry loop BODY: the merge
+    never runs yet the checkpoint commits — silent data loss. Reject at
+    construction (r11 streaming review)."""
+    import pytest
+
+    from implementing_scds_in_hive_spark.streaming.dml_stream import merge_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    with pytest.raises(ValueError, match="max_commit_retries"):
+        merge_stream(
+            stream,
+            str(tmp_path / "tgt"),
+            on=["id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stream_id="s1",
+            max_commit_retries=0,
+        )
