@@ -82,8 +82,9 @@ def test_agg_filter_pushed_to_scan(spark, sf_dir):
 def test_windows_never_global(spark, sf_dir):
     """Every analytic window is PARTITION BY — no single-partition sort
     anywhere outside the SCD parity re-key."""
+    qs = all_queries()  # sessionize folded to pytest in the r11 rotation
     for name in ("window_topn_per_group", "window_analytics", "sessionize"):
-        plan = _plan(queries()[name](spark, sf_dir))
+        plan = _plan(qs[name](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, name
 
 
