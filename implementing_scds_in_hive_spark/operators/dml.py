@@ -138,19 +138,24 @@ def _predicate_preamble(
     prune: dict | None,
     op: str,
     scope_alias: str | None = None,
+    resolved: tuple[int, dict] | None = None,
 ):
     """Shared DELETE/UPDATE front half: resolve the table, parse the
     pinned schema, stats-prune candidates, and run the one discovery
     scan. Returns ``(pred, v, m, schema, touched, report)`` — the
     per-verb code only differs in how it transforms the touched rows.
     ``scope_alias`` names the scan's scope so table-qualified
-    references in the predicate (``t.col``, legal SQL) resolve."""
+    references in the predicate (``t.col``, legal SQL) resolve.
+    ``resolved`` lets a caller that already loaded ``(v, manifest)``
+    (update_where's SET validation) pin THIS operation to that exact
+    version — re-resolving here opened a window where a concurrent
+    schema commit made the two disagree (r11 dml/sinks review)."""
     import json as _json
 
     from pyspark.sql.types import StructType
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    v, m = _resolve(root)
+    v, m = resolved if resolved is not None else _resolve(root)
     schema = StructType.fromJson(_json.loads(m["schema"]))
     candidates = _candidates(m, prune)
     touched, n_matched = _touched_files(
@@ -210,6 +215,25 @@ def _bin_tomb(tomb: DataFrame, n_rows: int) -> DataFrame:
     bin at ~4M rows per vector file from the driver-known matched
     count, no shuffle."""
     return tomb.coalesce(max(1, -(-n_rows // 4_000_000)))
+
+
+def _folded_rows_estimate(root: str, m: dict, touched: list[str]) -> int:
+    """Upper bound on PRIOR-tombstone rows that ``_fold_prior_vectors``
+    adds to this operation's batch (parquet footer ``num_rows`` over
+    the touched files' vector lists — metadata reads only). Sizing
+    input for :func:`_bin_tomb`: without it a DELETE matching 1M rows
+    on files carrying 50M folded tombstones would coalesce 51M rows
+    into one vector file (r11 dml/sinks review). Overcounts when a
+    vector file also serves untouched files — more bins, never an
+    oversized one."""
+    import pyarrow.parquet as pq
+
+    deletes = m.get("deletes", {})
+    rels = {r for f in touched for r in deletes.get(f, []) or []}
+    return sum(
+        pq.ParquetFile(os.path.join(root, r)).metadata.num_rows
+        for r in rels
+    )
 
 
 def _vector_cols(vector_format: str, data_cols: list[str]) -> list[str]:
@@ -312,7 +336,10 @@ def delete_where(
             *([DELETE_POS_COL] if pos else data_cols),
         )
         tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
-        tomb = _bin_tomb(tomb, out["rows_matched"])
+        tomb = _bin_tomb(
+            tomb,
+            out["rows_matched"] + _folded_rows_estimate(root, m, touched),
+        )
         empty = spark.createDataFrame([], schema)
         new_v = _commit_replace(
             empty, root, m, v, drop_files=[], delete_vectors=tomb,
@@ -355,9 +382,9 @@ def update_where(
     # discovery scan — an input error must not cost a table-wide read
     import json as _json
 
+    resolved = _resolve(root)
     known = {
-        f["name"]
-        for f in _json.loads(_resolve(root)[1]["schema"])["fields"]
+        f["name"] for f in _json.loads(resolved[1]["schema"])["fields"]
     }
     bad = sorted(set(set_exprs) - known)
     if bad:
@@ -365,7 +392,8 @@ def update_where(
             f"SET references unknown columns {bad}; table has {sorted(known)}"
         )
     pred, v, m, schema, touched, out = _predicate_preamble(
-        spark, root, predicate, prune, "update", scope_alias
+        spark, root, predicate, prune, "update", scope_alias,
+        resolved=resolved,
     )
     types = {f.name: f.dataType for f in schema.fields}
     sets = {
@@ -422,7 +450,10 @@ def update_where(
             *([DELETE_POS_COL] if pos else data_cols),
         )
         tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
-        tomb = _bin_tomb(tomb, out["rows_matched"])
+        tomb = _bin_tomb(
+            tomb,
+            out["rows_matched"] + _folded_rows_estimate(root, m, touched),
+        )
         updated = matched.select(
             *[
                 (sets[c].alias(c) if c in sets else F.col(c))
@@ -527,8 +558,18 @@ def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
     direction)."""
 
     def _attrs(e, out):
-        if e.getClass().getSimpleName() == "UnresolvedAttribute":
+        cls = e.getClass().getSimpleName()
+        if cls == "UnresolvedAttribute":
             out.append([str(x) for x in _jseq(e.nameParts())])
+        elif cls == "AttributeReference":
+            # a DataFrame-bound Column (src_df["c"]) arrives RESOLVED —
+            # no UnresolvedAttribute node — and its exprId can survive
+            # into the joined plan, so it would bypass the guard and
+            # silently write NULLs (r11 dml/sinks review); apply the
+            # same name rules to resolved references
+            out.append(
+                [str(x) for x in _jseq(e.qualifier())] + [str(e.name())]
+            )
         ch = e.children()
         for i in range(ch.size()):
             _attrs(ch.apply(i), out)
@@ -537,13 +578,24 @@ def _assert_nbs_target_only(spark, clauses, sa, t_cols, s_cols) -> None:
     s_l = {c.casefold() for c in s_cols}
     t_l = {c.casefold() for c in t_cols}
     parser = spark._jsparkSession.sessionState().sqlParser()
+    # classic-mode Columns wrap a ColumnNode (no .expr() since Spark
+    # 4.x); the session converter yields the Catalyst expression — a
+    # DataFrame-bound Column arrives as a resolved AttributeReference,
+    # which _attrs inspects by the same name rules (r11 dml review)
+    to_expr = getattr(
+        getattr(
+            spark._jvm.org.apache.spark.sql.classic,
+            "ColumnNodeToExpressionConverter$",
+        ),
+        "MODULE$",
+    )
     for label, expr in clauses:
         if expr is None or expr is True or expr is False:
             continue
         je = (
             parser.parseExpression(expr)
             if isinstance(expr, str)
-            else expr._jc.expr()
+            else to_expr.apply(expr._jc.node())
         )
         attrs: list[list[str]] = []
         _attrs(je, attrs)
@@ -1291,7 +1343,12 @@ def merge_into(
                         *([DELETE_POS_COL] if pos else t_cols),
                     )
                     tomb = _fold_prior_vectors(spark, root, m, touched, tomb)
-                    tomb = _bin_tomb(tomb, rows_deleted + rows_updated)
+                    tomb = _bin_tomb(
+                        tomb,
+                        rows_deleted
+                        + rows_updated
+                        + _folded_rows_estimate(root, m, touched),
+                    )
                 rewritten = classified.where(F.col("__upd")).select(
                     *[
                         (

@@ -38,6 +38,9 @@ __all__ = [
     "consolidate_vectors",
     "clustering_overlap",
     "maintain_table",
+    "vector_debt",
+    "zorder_value",
+    "write_zordered",
 ]
 
 
@@ -96,7 +99,8 @@ def compact(
     )
 
     if is_snapshot_table(path):
-        m = load_manifest(path, latest_version(path))
+        v = latest_version(path)
+        m = load_manifest(path, v)
         if partition_by is None and m.get("partition_by"):
             partition_by = list(m["partition_by"])
         stats_cols = sorted(
@@ -115,6 +119,12 @@ def compact(
             # content-preserving: the parent's app_meta (matview
             # watermarks, stream_txn exactly-once markers) must survive
             app_meta=m.get("app_meta"),
+            # CAS on the version the rewrite was computed from: the
+            # full-table read+rewrite is a LONG window, and committing
+            # blind would clobber any concurrent commit's rows AND
+            # regress its app_meta markers (r11 dml/sinks review —
+            # compact_incremental/compact_deletes already CAS)
+            expected_version=v,
         )
         vacuum(path, keep_last=1, grace_seconds=vacuum_grace_seconds)
         return n
@@ -222,8 +232,18 @@ def zorder_value(cols: list, *, bits: int = 16):
     transform.)"""
     from pyspark.sql import functions as F
 
-    acc = F.lit(0).cast("bigint")
     n = len(cols)
+    if bits * n > 63:
+        # the interleave must fit a signed long: shifting into bit 63+
+        # overflows negative, which breaks the curve order (high-bit
+        # rows sort BEFORE all others) and kills min/max pruning
+        # silently (r11 dml/sinks review)
+        raise ValueError(
+            f"zorder_value: bits({bits}) * columns({n}) = {bits * n} "
+            f"exceeds the 63-bit long budget — lower bits (e.g. "
+            f"bits={63 // n}) or interleave fewer columns"
+        )
+    acc = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.getbit(c.cast("bigint"), F.lit(b))
@@ -267,6 +287,13 @@ def write_zordered(
     rank_cols = []
     nb = 1 << bits
     for c in zorder_by:
+        if bounds[f"lo_{c}"] is None:
+            # empty input or all-NULL column: no bounds to normalize
+            # against — write unclustered rather than crash on
+            # float(None) (r11 dml/sinks review); pruning on a column
+            # with no values has nothing to prune anyway
+            df.write.mode(mode).parquet(path)
+            return
         lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
         if hi <= lo:
             hi = lo + 1.0  # constant column: everything lands in bucket 0
@@ -524,6 +551,11 @@ def maintain_table(
         compact_deletes(spark, root)
         out["folded"] = True
         out["fold_tier"] = "data"
+        # the fold retired every live vector — report the post-fold
+        # state like the escalation branch does, or a monitor alerting
+        # on vector_files fires on a just-folded table (r11 review)
+        out["vector_files"] = 0
+        out["vectored_fraction"] = 0.0
     elif (
         max_vector_files is not None
         and debt["vector_files"] > max_vector_files
@@ -545,6 +577,7 @@ def maintain_table(
             out["folded"] = True
             out["fold_tier"] = "data"
             out["vector_files"] = 0
+            out["vectored_fraction"] = 0.0
     ov = clustering_overlap(root, col)
     if ov is None or ov <= max_overlap:
         return {**out, "reclustered": False, "overlap": ov}

@@ -1066,3 +1066,60 @@ def test_delete_update_carry_app_meta_when_asked(spark, tmp_path):
         tier="cow", app_meta=meta,
     )
     assert load_manifest(root, latest_version(root))["app_meta"] == meta
+
+def test_merge_nbs_rejects_resolved_source_column(spark, tmp_path):
+    """r11 dml review: a DataFrame-bound Column (src_df["col"]) arrives
+    RESOLVED — no UnresolvedAttribute node — and previously bypassed
+    the NBS source-reference guard, silently writing NULLs. The guard
+    must catch resolved references too."""
+    from implementing_scds_in_hive_spark.operators.dml import merge_into
+
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+    src = spark.createDataFrame(
+        [(1, 7.0)], "o_orderkey bigint, price double"
+    )
+    with pytest.raises(ValueError, match="references source columns"):
+        merge_into(
+            spark, root, src, ["o_orderkey"],
+            when_not_matched_by_source_update={"o_totalprice": src["price"]},
+        )
+
+
+def test_compact_cas_rejects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """r11 sinks review: compact() commits the rewrite of the version
+    it READ — a concurrent commit landing during the (long) read+
+    rewrite window must make it fail with CommitConflictError, not be
+    silently clobbered (lost rows + regressed app_meta markers)."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+    from implementing_scds_in_hive_spark.sources.sinks import compact
+
+    root = str(tmp_path / "t")
+    _publish(spark, root, _orders(spark))
+
+    real = snap.write_snapshot
+    hit = {"done": False}
+
+    def _racing(df, r, **kw):
+        if not hit["done"] and r == root:
+            hit["done"] = True
+            # a concurrent writer lands between compact's read and its
+            # commit (append one row through the real path)
+            real(
+                read_table(spark, root).limit(1).selectExpr(
+                    "CAST(999999 AS BIGINT) AS o_orderkey", "o_custkey",
+                    "o_orderstatus", "o_totalprice",
+                ),
+                r,
+                mode="append",
+            )
+        return real(df, r, **kw)
+
+    monkeypatch.setattr(snap, "write_snapshot", _racing)
+    with pytest.raises(snap.CommitConflictError):
+        compact(spark, root, target_rows_per_file=10_000)
+    monkeypatch.undo()
+    # the concurrent append survived — nothing was clobbered
+    assert (
+        read_table(spark, root).where("o_orderkey = 999999").count() == 1
+    )

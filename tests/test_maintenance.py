@@ -164,6 +164,11 @@ def test_vector_debt_policy_folds_past_threshold(spark, tmp_path):
 
     rep = maintain_table(spark, root, "c_custkey")
     assert rep["folded"] is True
+    # r11 review: the data fold retired every live vector — the report
+    # must say so (a monitor alerting on vector_files would otherwise
+    # fire on a just-folded table)
+    assert rep["fold_tier"] == "data"
+    assert rep["vector_files"] == 0 and rep["vectored_fraction"] == 0.0
     debt2 = vector_debt(root)
     assert debt2["vectored_fraction"] == 0.0 and debt2["vector_bytes"] == 0
     assert _canon(read_table(spark, root)) == before  # content-preserving

@@ -89,3 +89,35 @@ def test_zorder_constant_column_is_safe(spark, tmp_path):
     p = str(tmp_path / "const")
     write_zordered(df, p, zorder_by=["x", "y"], bits=6, target_partitions=4)
     assert spark.read.parquet(p).count() == 100
+
+def test_zorder_bits_budget_enforced(spark):
+    """bits * columns past 63 shifts into the long sign bit — the curve
+    order silently breaks (high-bit rows sort first). Must refuse
+    loudly (r11 sinks review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.sources.sinks import zorder_value
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_value([F.col(c) for c in "abcd"], bits=16)
+    zorder_value([F.col(c) for c in "abcd"], bits=15)  # 60 bits: fine
+
+
+def test_write_zordered_empty_and_all_null_inputs(spark, tmp_path):
+    """Empty input / all-NULL zorder column has no bounds to normalize
+    against — write unclustered instead of crashing on float(None)
+    (r11 sinks review)."""
+    from implementing_scds_in_hive_spark.sources.sinks import write_zordered
+
+    empty = spark.createDataFrame([], "a long, b long")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, zorder_by=["a", "b"])
+    assert spark.read.parquet(p1).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b long"
+    )
+    p2 = str(tmp_path / "nulls")
+    write_zordered(nulls, p2, zorder_by=["a", "b"])
+    assert spark.read.parquet(p2).count() == 2
