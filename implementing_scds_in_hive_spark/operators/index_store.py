@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,6 +91,11 @@ def _save_external_bucketed(
     # (At 100 TB an index bucket spanning multiple files is fine too —
     # raise n_buckets rather than splitting buckets across writers.)
     df = df.repartition(n_buckets, *bucket_cols)
+    # a stale catalog entry (a previous load/build of the same name)
+    # may point at another location; overwrite-through-saveAsTable
+    # would target THAT path instead of ours — drop first (external:
+    # files stay)
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -143,9 +149,25 @@ def _register_external_bucketed(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def _write_meta(root: str, meta: dict) -> None:
+    # temp+rename like _replace_meta_atomic: a torn sidecar from a
+    # crash mid-write would leave the index unreadable (r11 review)
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, _META_FILE), "w") as f:
-        json.dump(meta, f, indent=1)
+    _replace_meta_atomic(root, meta)
+
+
+def _stage_dir(root: str, name: str) -> str:
+    """Destination dir for a table (re)build: the plain base on first
+    build, a FRESH generation sibling when the base already holds data
+    — a rebuild onto a LIVE index must stage-then-commit like
+    compact_index, never overwrite in place (a crash mid-write would
+    destroy old and new together; the superseded generation is swept
+    by maintain_index after the meta commit dereferences it)."""
+    import uuid
+
+    base = os.path.join(root, name)
+    if not os.path.exists(base):
+        return base
+    return f"{base}-g{uuid.uuid4().hex[:8]}"
 
 
 def _read_meta(root: str) -> dict:
@@ -166,10 +188,16 @@ def save_minhash_index(
     Returns the sidecar metadata. ``params`` should record the build
     parameters (n, num_perm, bands) so future deltas are built
     compatibly — they are stored in the sidecar verbatim."""
+    if index.storageLevel == StorageLevel.NONE:
+        # the index plan (shingling + num_perm permutation scans) is
+        # referenced twice below (docs write, buckets derivation);
+        # uncached it would execute end-to-end TWICE — the most
+        # expensive pass of a corpus-scale build (r11 index review)
+        index = index.localCheckpoint(eager=True)
     docs_spec = _save_external_bucketed(
         index,
         f"{table}_docs",
-        os.path.join(root, "docs"),
+        _stage_dir(root, "docs"),
         ["did"],
         n_buckets,
         ["did"],
@@ -183,7 +211,7 @@ def save_minhash_index(
     buckets_spec = _save_external_bucketed(
         buckets,
         f"{table}_buckets",
-        os.path.join(root, "buckets"),
+        _stage_dir(root, "buckets"),
         ["bkey"],
         n_buckets,
         ["bkey"],
@@ -219,7 +247,9 @@ def load_minhash_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataF
     return docs, buckets, meta["params"]
 
 
-def append_minhash_index(spark: SparkSession, root: str, new_index: DataFrame) -> None:
+def append_minhash_index(
+    spark: SparkSession, root: str, new_index: DataFrame, *, crash_hook=None
+) -> None:
     """Fold a new batch's index rows (from ``portable_minhash_index``,
     built with the SAME params the sidecar records) into the saved
     corpus index: append to both bucketed tables with the identical
@@ -247,7 +277,18 @@ def append_minhash_index(spark: SparkSession, root: str, new_index: DataFrame) -
             .saveAsTable(spec["table"])
         )
 
-    _append(new_index.select("did", "sh", "bb"), meta["docs"])
+    if new_index.storageLevel == StorageLevel.NONE:
+        # referenced twice below; uncached it would execute twice
+        new_index = new_index.localCheckpoint(eager=True)
+    # BUCKETS FIRST, docs last (r11 index review): the docs table is
+    # the replay sentinel — dedup_stream's guard skips the append when
+    # the batch's dids are already in docs. Appending docs first left a
+    # crash window where docs committed without buckets, and the replay
+    # guard then skipped the batch forever: its bucket rows never
+    # written, the documents permanently invisible to candidate
+    # generation. The reverse order's crash window (buckets committed,
+    # docs not) replays into DUPLICATE bucket rows, which candidate
+    # generation already absorbs (.distinct() before the verify join).
     _append(
         new_index.select("did", F.explode("bb").alias("bb")).select(
             _bkey_from("bb").alias("bkey"),
@@ -257,6 +298,9 @@ def append_minhash_index(spark: SparkSession, root: str, new_index: DataFrame) -
         ),
         meta["buckets"],
     )
+    if crash_hook:
+        crash_hook("post_buckets")  # the replay-window fault injection
+    _append(new_index.select("did", "sh", "bb"), meta["docs"])
     # The write above runs on new_index's OWN session and invalidates
     # only that session's table-relation cache. Under foreachBatch the
     # batch DataFrame lives in a per-trigger CLONED session, so without
@@ -394,12 +438,12 @@ def save_ivf_index(
     assign_spec = _save_external_bucketed(
         assigned,
         f"{table}_assign",
-        os.path.join(root, "assign"),
+        _stage_dir(root, "assign"),
         [centroid_id_col],
         n_buckets,
         [centroid_id_col],
     )
-    cpath = os.path.join(root, "centroids")
+    cpath = _stage_dir(root, "centroids")
     centroids.write.mode("overwrite").parquet(cpath)
     meta = {
         "kind": "ivf",
@@ -500,6 +544,11 @@ def _sweep_orphan_generations(
     import time
 
     referenced = {os.path.basename(s["path"]) for s in _index_specs(meta)}
+    if meta.get("centroids_path"):
+        # the IVF centroids dir is not a bucketed spec but rebuilds
+        # stage it generationally too (r11 review) — sweep its
+        # superseded generations, protect the referenced one
+        referenced.add(os.path.basename(meta["centroids_path"]))
     families = {re.sub(r"-g[0-9a-f]{8}$", "", r) for r in referenced}
     removed = []
     now = time.time()
@@ -560,10 +609,14 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
     specs = _index_specs(meta)
     counts: dict[str, int] = {}
     old_paths: list[str] = []
+    seen_parts: dict[str, set] = {}
+    new_paths: list[str] = []
     for spec in specs:
-        counts[spec["table"]] = len(
-            [f for f in os.listdir(spec["path"]) if f.startswith("part-")]
-        )
+        parts = {
+            f for f in os.listdir(spec["path"]) if f.startswith("part-")
+        }
+        seen_parts[spec["path"]] = parts
+        counts[spec["table"]] = len(parts)
         # read the files directly (bypass the catalog): the lazy plan
         # keeps reading the old generation while the new one is written
         rows = spark.read.parquet(spec["path"])
@@ -579,10 +632,48 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
             spec["sort_cols"] or None,
         )
         old_paths.append(spec["path"])
+        new_paths.append(new_path)
         spec.update(new_spec)
         spark.catalog.refreshTable(spec["table"])
     if crash_hook:
         crash_hook("post_stage")
+    # Pre-commit validation (r11 index review), mirroring the snapshot
+    # protocol's own pre-link re-checks:
+    # (a) rows appended to an OLD generation after our file listing
+    #     would be silently dropped from the new generation and later
+    #     reclaimed with it — abort and leave the old index current;
+    # (b) a slow compaction can outlive the sweep grace window, letting
+    #     a concurrent maintain_index reclaim the still-unreferenced
+    #     staged dirs — committing meta pointing at deleted dirs would
+    #     destroy the index.
+    appended = {
+        p: sorted(
+            {f for f in os.listdir(p) if f.startswith("part-")}
+            - seen_parts[p]
+        )
+        for p in old_paths
+        if os.path.isdir(p)
+    }
+    appended = {p: fs for p, fs in appended.items() if fs}
+    if appended:
+        for p in new_paths:
+            shutil.rmtree(p, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent append landed during compaction "
+            f"({ {p: len(fs) for p, fs in appended.items()} } new part "
+            f"files) — the staged generation would lose those rows; "
+            f"staged dirs removed, old index left current. Re-run "
+            f"compaction (or serialize it with the append cadence)."
+        )
+    missing = [p for p in new_paths if not os.path.isdir(p)]
+    if missing:
+        raise RuntimeError(
+            f"staged generation dirs {missing} were reclaimed by a "
+            f"concurrent orphan sweep before the meta commit (staging "
+            f"outlived the sweep grace window) — old index left "
+            f"current; raise sweep_grace_seconds or serialize "
+            f"maintenance"
+        )
     # Old generations are NOT removed inline: a concurrent prober that
     # resolved its plan against the pre-compaction generation gets the
     # same grace window the snapshot vacuum gives dereferenced versions.

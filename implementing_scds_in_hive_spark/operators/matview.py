@@ -136,7 +136,12 @@ def maintain_view(
                 ) from None
         batch, rebuilt = None, True
     if batch is None and not rebuilt:
-        return {"updated": False, "watermark": last, "view_version": view_v}
+        return {
+            "updated": False,
+            "watermark": last,
+            "view_version": view_v,
+            "rebuilt": False,  # full documented contract (r11 review)
+        }
     if last is None or rebuilt:
         # the rebuild MUST read the exact version the watermark records:
         # an unpinned read_table could resolve a source commit that

@@ -2830,6 +2830,23 @@ def changes_since(
     from pyspark.sql import functions as F
 
     latest = latest_version(root)
+    if (
+        latest is not None
+        and last_version is not None
+        and latest < last_version
+    ):
+        # vacuum never drops the newest version, so a TRUE latest below
+        # the stored watermark means the source's history was reset
+        # (table wiped and re-created). Returning a no-op here would
+        # stall every consumer forever — the view silently serving a
+        # table that no longer exists (r11 matview review; same loud
+        # rule as the streaming maintainers' watermark guard).
+        raise RuntimeError(
+            f"{root} is at version {latest}, BELOW the consumer's "
+            f"watermark {last_version}: the source history was reset. "
+            f"Rebuild the consumer (drop its watermark) instead of "
+            f"polling on."
+        )
     if to_version is not None and latest is not None:
         latest = min(latest, to_version)
     if latest is None or (last_version is not None and latest <= last_version):

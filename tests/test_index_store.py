@@ -592,3 +592,115 @@ def test_compact_index_touches_old_generation_before_meta_commit(spark, minhash_
     assert _sweep_orphan_generations(root, meta, grace_seconds=3600.0) == []
     assert all(os.path.isdir(p) for p in old_paths)
     assert all(time.time() - os.path.getmtime(p) < 600 for p in old_paths)
+
+def test_append_crash_between_tables_replays_without_recall_loss(
+    spark, minhash_setup
+):
+    """r11 index review: the docs table is the stream's replay
+    sentinel, so it must commit LAST. A crash between the buckets and
+    docs appends replays into a duplicate-tolerant state (bucket rows
+    re-appended, candidates .distinct()ed) — never into docs-present/
+    buckets-missing, which would skip the replay and permanently lose
+    the batch's candidate rows."""
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        append_minhash_index,
+        incremental_minhash_pairs_stored,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+
+    with pytest.raises(RuntimeError, match="injected"):
+        append_minhash_index(
+            spark, root, new_index,
+            crash_hook=lambda ph: (_ for _ in ()).throw(
+                RuntimeError(f"injected at {ph}")
+            ),
+        )
+    # crash window state: buckets hold the batch, docs do NOT — the
+    # stream's replay guard (anti-join on docs) sees the batch as
+    # fresh and re-appends everything
+    docs, buckets, _ = load_minhash_index(spark, root)
+    batch_ids = [r["did"] for r in new_index.select("did").collect()]
+    assert docs.where(F.col("did").isin(batch_ids)).count() == 0
+    assert buckets.where(F.col("did").isin(batch_ids)).count() > 0
+    append_minhash_index(spark, root, new_index)  # the replay
+    docs, buckets, _ = load_minhash_index(spark, root)
+    assert docs.where(F.col("did").isin(batch_ids)).count() == len(batch_ids)
+
+    # probes stay correct through the duplicate bucket rows: the
+    # planted clones are found against the corpus
+    pairs = incremental_minhash_pairs_stored(
+        spark, root, new_index, threshold=0.8
+    )
+    assert pairs.where("id_b - 500000 == id_a").count() > 0
+    # and no duplicate pairs leak out of candidate generation
+    assert (
+        pairs.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
+    )
+
+
+def test_compact_index_aborts_on_concurrent_append(spark, minhash_setup):
+    """r11 index review: rows appended after the compactor's file
+    listing would vanish from the new generation (and be reclaimed with
+    the old) — compaction must abort, leave the old index current, and
+    remove its staged dirs."""
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        append_minhash_index,
+        compact_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    n_docs_before = load_minhash_index(spark, root)[0].count()
+
+    def racing_append(phase):
+        if phase == "post_stage":
+            append_minhash_index(spark, root, new_index)
+
+    with pytest.raises(RuntimeError, match="concurrent append"):
+        compact_index(spark, root, crash_hook=racing_append)
+    # the appended rows survived and the index serves them
+    docs, _, _ = load_minhash_index(spark, root)
+    assert docs.count() == n_docs_before + new_index.count()
+    # no staged generation dirs leaked
+    import os as _os
+
+    leftovers = [
+        d for d in _os.listdir(root)
+        if _os.path.isdir(_os.path.join(root, d))
+    ]
+    assert sorted(leftovers) == ["buckets", "docs"], leftovers
+
+
+def test_rebuild_onto_live_root_stages_generationally(
+    spark, minhash_setup
+):
+    """r11 index review: a rebuild (save_* onto an existing root) must
+    stage into fresh generation dirs and commit via the atomic sidecar
+    replace — overwriting the live dirs in place would destroy old and
+    new together on a mid-write crash."""
+    import os as _os
+
+    corpus_index, new_index, root = minhash_setup
+    meta1 = load_minhash_index(spark, root)
+    before_docs_path = None
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _read_meta,
+        maintain_index,
+    )
+
+    before = _read_meta(root)
+    before_docs_path = before["docs"]["path"]
+    # rebuild the SAME index onto the live root
+    save_minhash_index(
+        corpus_index, "t_mh", root, n_buckets=32, params={"num_perm": 32}
+    )
+    after = _read_meta(root)
+    assert after["docs"]["path"] != before_docs_path, "staged, not in place"
+    assert _os.path.isdir(before_docs_path), (
+        "old generation must survive until the graced sweep"
+    )
+    docs, _, _ = load_minhash_index(spark, root)
+    assert docs.count() == corpus_index.count()
+    # the superseded generation sweeps once the grace window passes
+    swept = maintain_index(spark, root, sweep_grace_seconds=0.0)["swept"]
+    assert _os.path.basename(before_docs_path) in swept

@@ -83,7 +83,12 @@ def test_noop_when_current(spark, tmp_path):
     maintain_view(spark, source, view, KEY)
     v_before = latest_version(view)
     rep = maintain_view(spark, source, view, KEY)
-    assert rep == {"updated": False, "watermark": 1, "view_version": v_before}
+    assert rep == {
+        "updated": False,
+        "watermark": 1,
+        "view_version": v_before,
+        "rebuilt": False,
+    }
     assert latest_version(view) == v_before
 
 
@@ -304,3 +309,23 @@ def test_bounded_catchup_on_vacuumed_cap_raises_clear_error(spark, tmp_path):
     rep = maintain_view(spark, source, view, KEY)
     assert rep["updated"] and rep["watermark"] == 3
     _assert_current(spark, source, view)
+
+def test_source_history_reset_fails_loudly(spark, tmp_path):
+    """r11 matview review: a source wiped and re-created restarts its
+    version history below the view's stored watermark. changes_since
+    previously returned a silent no-op — the view would serve rollups
+    of a table that no longer exists forever. It must raise instead
+    (same loud rule as the streaming maintainers' watermark guards)."""
+    import shutil
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = _events(spark).limit(300)
+    write_snapshot(df, source)
+    write_snapshot(df.limit(200), source, mode="append")
+    write_snapshot(df.limit(100), source, mode="append")
+    maintain_view(spark, source, view, KEY)
+
+    shutil.rmtree(source)
+    write_snapshot(df.limit(50), source)  # history restarts at v1
+    with pytest.raises(RuntimeError, match="history was reset"):
+        maintain_view(spark, source, view, KEY)
