@@ -224,8 +224,11 @@ def bloom_inner_join(
     == dim.key)``; only the fact rows that might match pay for the
     join's Exchange."""
     dk = dim_key_col or key_col
+    # distinct like bloom_semi_join: duplicate dim keys (an SCD history
+    # table has many rows per natural key) would each pay the
+    # k-position explode + shuffle for an identical bitmap (r11 review)
     bloom = bloom_build(
-        dim.select(F.col(dk).alias(key_col)),
+        dim.select(F.col(dk).alias(key_col)).distinct(),
         key_col,
         num_bits=num_bits,
         num_hashes=num_hashes,

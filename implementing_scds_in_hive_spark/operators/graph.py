@@ -111,10 +111,15 @@ def canonical_members(
         docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
         "node",
     )
+    # min_by on (-score, node): max score, ties to the SMALLEST id —
+    # negating the score (numeric by contract) instead of the id keeps
+    # the election type-safe for string ids, where (-node) threw a
+    # CAST_INVALID_INPUT under ANSI mode (r11 review, confirmed live)
     canon = scored.groupBy("component").agg(
-        F.max_by("node", F.struct(F.col("__s"), (-F.col("node")).alias("__t"))).alias(
-            "canonical_id"
-        )
+        F.min_by(
+            "node",
+            F.struct((-F.col("__s")).alias("__negs"), F.col("node")),
+        ).alias("canonical_id")
     )
     return (
         scored.join(canon, "component")
@@ -190,8 +195,20 @@ def pagerank(
     if seeds is not None:
         if not seeds:
             raise ValueError("seeds must be non-empty when given")
+        uniq = sorted(set(seeds))  # duplicates would mis-scale 1/len
+        present = nodes.where(F.col("node").isin(uniq)).count()
+        if present < len(uniq):
+            # an absent seed silently zeroes part of the teleport
+            # distribution; if NONE match, total rank mass decays by
+            # ~damping^iterations with meaningless relative order
+            # (r11 review) — validate up front, one tiny job
+            raise ValueError(
+                f"{len(uniq) - present} of {len(uniq)} seeds do not "
+                f"appear in the graph — personalized PageRank needs "
+                f"every seed to be a node (teleport mass would leak)"
+            )
         s_mass = F.when(
-            F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
+            F.col("node").isin(uniq), F.lit(1.0 / len(uniq))
         ).otherwise(F.lit(0.0))
     else:
         s_mass = F.lit(1.0 / n)

@@ -88,6 +88,14 @@ def assign_split(
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    # NULL-id rows previously fell through every WHEN to the LAST
+    # split (NULL bucket fails all comparisons) — a corpus with NULL
+    # ids silently concentrated them all in test/val, while
+    # hash_sample excludes the same rows entirely (r11 review,
+    # confirmed live). Exclude them here too: content-addressed
+    # assignment needs a content identity; callers must key or drop
+    # NULL ids explicitly.
+    df = df.where(F.col(id_col).isNotNull())
     b = sample_bucket(F.col(id_col), salt)
     expr = None
     upper = 0.0
@@ -257,6 +265,18 @@ def temperature_rates(
         raise ValueError("all source counts must be positive")
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    if epochs_cap > 1.0:
+        # a fraction above 1 needs a DUPLICATING sampler; hash_sample's
+        # bucket predicate silently clamps it to keep-everything, so
+        # the realized mix would deviate from the tempered target with
+        # no warning (r11 review). Refuse until such a sampler exists.
+        raise ValueError(
+            f"epochs_cap={epochs_cap} > 1 would request fractions above "
+            f"1.0, which the hash samplers cannot honor (they keep at "
+            f"most one copy per document) — the realized mix would "
+            f"silently miss the tempered shares. Cap at 1.0, or "
+            f"duplicate small sources upstream."
+        )
     total = float(sum(counts.values()))
     powered = {k: float(n) ** alpha for k, n in counts.items()}
     z = sum(powered.values())

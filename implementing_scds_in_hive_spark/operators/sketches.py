@@ -62,8 +62,16 @@ DEFAULT_K = 64
 
 def _portable_value_hash(v: Column) -> Column:
     """60-bit non-negative hash replayable in ANSI SQL:
-    ``CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)``."""
-    return F.conv(F.substring(F.md5(v.cast("string")), 1, 15), 16, 10).cast("bigint")
+    ``CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)``.
+    Delegates to the ONE portable-hash construction (dedup's) so a
+    convention change cannot silently diverge per module (r11 review);
+    value-identical: this is exactly that hash over ``CAST(v AS
+    STRING)``."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    return portable_token_hash(v.cast("string"))
 
 
 def _value_hash(v: Column, portable: bool) -> Column:
@@ -99,8 +107,15 @@ def kmv_sketch(
     exactly.
     """
     g = list(group_cols)
+    # COUNT(DISTINCT x) ignores NULLs — so must the sketch. Worse than
+    # a semantic quibble: the portable hash of NULL is NULL, which
+    # sorts FIRST in the rank windows and then silently drops out of
+    # collect_list, capping the sketch at k-1 elements — kmv_estimate's
+    # "n < k is exact" branch then reports ~k-1 distinct for ANY true
+    # cardinality (r11 review, confirmed live).
     hashed = (
-        df.select(*g, _value_hash(F.col(value_col), portable).alias("__h"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*g, _value_hash(F.col(value_col), portable).alias("__h"))
         .groupBy(*g, "__h")
         .agg(F.lit(1).alias("__one"))
         .drop("__one")
@@ -203,8 +218,13 @@ def binned_histogram(
             F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
         ),
     )
+    # NULL values must not count at all (exact percentile/aggregate
+    # semantics ignore them): greatest(0, NULL) is 0 in Spark, so
+    # unfiltered NULLs all landed in bucket 0 and dragged every
+    # quantile toward lo (r11 review, confirmed live)
     return (
-        df.select(*g, bucket.alias("bucket"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*g, bucket.alias("bucket"))
         .groupBy(*g, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -347,13 +367,15 @@ def _cms_cell(v: Column, row: int, width: int, portable: bool) -> Column:
     hashed payload (portable: md5-prefix of ``v || '#' || row``,
     replayable in ANSI SQL; scale default: seeded ``xxhash64(v, row)``)."""
     if portable:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("#", v.cast("string"), F.lit(str(row)))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        from implementing_scds_in_hive_spark.operators.dedup import (
+            portable_token_hash,
+        )
+
+        # the one portable-hash construction, over the row-suffixed
+        # payload — value-identical to the previous inline md5 form
+        h = portable_token_hash(
+            F.concat_ws("#", v.cast("string"), F.lit(str(row)))
+        )
     else:
         h = F.xxhash64(v, F.lit(row)).bitwiseAND(F.lit((1 << 63) - 1))
     return F.pmod(h, F.lit(width)).cast("int")

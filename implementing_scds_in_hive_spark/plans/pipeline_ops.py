@@ -2168,7 +2168,7 @@ APPROX_DISTINCT_KMV_SQL = """
 WITH h AS (
   SELECT DISTINCT o_orderstatus,
          CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM orders),
+  FROM orders WHERE o_custkey IS NOT NULL),
 r AS (
   SELECT o_orderstatus, h,
          row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
@@ -2211,7 +2211,7 @@ WITH hist AS (
              CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
                         / ((105000.0 - 900.0) / 1000)) AS INT))) AS bucket,
          count(*) AS cnt
-  FROM lineitem GROUP BY 1, 2),
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
 c AS (
   SELECT l_returnflag, bucket,
          sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
@@ -2520,13 +2520,13 @@ KMV_OVERLAP_SQL = """
 WITH ha AS (
   SELECT DISTINCT o_orderpriority AS g,
          CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM orders WHERE year(o_orderdate) <= 1997),
+  FROM orders WHERE year(o_orderdate) <= 1997 AND o_custkey IS NOT NULL),
 ra AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha),
 sa AS (SELECT g, list(h ORDER BY h) AS ka FROM ra WHERE rn <= 64 GROUP BY g),
 hb AS (
   SELECT DISTINCT o_orderpriority AS g,
          CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM orders WHERE year(o_orderdate) >= 1998),
+  FROM orders WHERE year(o_orderdate) >= 1998 AND o_custkey IS NOT NULL),
 rb AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb),
 sb AS (SELECT g, list(h ORDER BY h) AS kb FROM rb WHERE rn <= 64 GROUP BY g),
 u AS (
@@ -2582,13 +2582,13 @@ KMV_OVERLAP_K128_SQL = """
 WITH ha AS (
   SELECT DISTINCT o_orderpriority AS g,
          CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM orders WHERE year(o_orderdate) <= 1996),
+  FROM orders WHERE year(o_orderdate) <= 1996 AND o_custkey IS NOT NULL),
 ra AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha),
 sa AS (SELECT g, list(h ORDER BY h) AS ka FROM ra WHERE rn <= 128 GROUP BY g),
 hb AS (
   SELECT DISTINCT o_orderpriority AS g,
          CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM orders WHERE year(o_orderdate) >= 1997),
+  FROM orders WHERE year(o_orderdate) >= 1997 AND o_custkey IS NOT NULL),
 rb AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb),
 sb AS (SELECT g, list(h ORDER BY h) AS kb FROM rb WHERE rn <= 128 GROUP BY g),
 u AS (

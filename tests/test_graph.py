@@ -68,3 +68,45 @@ def test_converges_within_max_iter_on_long_chain(spark):
     comp = _cc(spark, edges)
     assert set(comp.values()) == {1}
     assert len(comp) == n
+
+def test_canonical_election_type_safe_for_string_ids(spark):
+    """r11 review (confirmed live): the tie-break negated the NODE id,
+    which threw CAST_INVALID_INPUT for string doc ids under ANSI mode.
+    The election must be type-safe: max score, ties to smallest id."""
+    from implementing_scds_in_hive_spark.operators.graph import (
+        canonical_members,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 2.0), ("x", 5.0), ("y", 5.0)],
+        "doc_id string, score string",
+    ).selectExpr("doc_id", "CAST(score AS DOUBLE) AS score")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_members(docs, pairs).collect()
+    }
+    # b and c tie at 2.0 -> smallest id 'b' wins; x/y tie -> 'x'
+    assert out["a"] == "b" and out["b"] == "b" and out["c"] == "b"
+    assert out["x"] == "x" and out["y"] == "x"
+
+
+def test_pagerank_rejects_absent_or_duplicate_seeds(spark):
+    """r11 review: an absent seed silently zeroed part of the teleport
+    distribution (mass decays toward 0 with meaningless order);
+    duplicates mis-scaled 1/len. Both must be handled loudly."""
+    import pytest
+
+    from implementing_scds_in_hive_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="do not appear"):
+        pagerank(edges, seeds=["nope"], iterations=2)
+    # duplicate seeds: deduped, mass sums to ~1
+    pr = pagerank(edges, seeds=["a", "a"], iterations=3)
+    total = pr.agg({"pr": "sum"}).collect()[0][0]
+    assert 0.97 < total < 1.03, total

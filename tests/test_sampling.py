@@ -367,3 +367,34 @@ def test_leakage_safe_split_is_deterministic_across_runs(spark):
     a = sorted(map(tuple, leakage_safe_split(docs, pairs, {"train": 0.9, "test": 0.1}).collect()))
     b = sorted(map(tuple, leakage_safe_split(docs.repartition(7), pairs, {"train": 0.9, "test": 0.1}).collect()))
     assert a == b
+
+def test_assign_split_excludes_null_ids(spark):
+    """r11 review (confirmed live): NULL-id rows fell through every
+    WHEN to the LAST split, silently concentrating them in test/val
+    while hash_sample drops the same rows. Both now exclude them."""
+    from implementing_scds_in_hive_spark.operators.sampling import (
+        assign_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id bigint"
+    )
+    out = assign_split(df, {"train": 0.9, "test": 0.1})
+    assert out.count() == 2
+    assert out.where("doc_id IS NULL").count() == 0
+
+
+def test_temperature_rates_rejects_epochs_cap_above_one(spark):
+    """r11 review: fractions above 1 are silently clamped by the hash
+    samplers, so the realized mix would miss the tempered shares —
+    refuse up front."""
+    import pytest
+
+    from implementing_scds_in_hive_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    with pytest.raises(ValueError, match="epochs_cap"):
+        temperature_rates({"web": 10**9, "books": 10**6}, alpha=0.3, epochs_cap=2.0)
+    rates = temperature_rates({"web": 10**9, "books": 10**6}, alpha=0.3)
+    assert all(0 < r <= 1.0 for r in rates.values())

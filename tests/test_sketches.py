@@ -388,3 +388,47 @@ def test_cms_groups_are_independent(spark):
     probes = spark.createDataFrame([("a", 1), ("b", 1)], "g string, v long")
     got = {r.g: r.est_count for r in cms_lookup(sk, probes, ["g"], "v", width=256).collect()}
     assert got == {"a": 5, "b": 2}
+
+def test_kmv_sketch_ignores_null_values(spark):
+    """r11 review (confirmed live): the portable hash of NULL is NULL,
+    which consumed a rank slot and then dropped out of collect_list —
+    capping the sketch at k-1 so kmv_estimate's 'n < k is exact' branch
+    reported ~k-1 distinct for ANY true cardinality. COUNT(DISTINCT)
+    semantics ignore NULLs; so must the sketch."""
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("g", f"v{i}") for i in range(200)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v string")
+    for portable in (True, False):
+        sk = kmv_sketch(df, ["g"], "v", k=64, portable=portable)
+        est = kmv_estimate(sk, ["g"], k=64, portable=portable).collect()[0][
+            "est_distinct"
+        ]
+        assert 140 < est < 300, (portable, est)
+        clean = kmv_sketch(
+            df.where("v IS NOT NULL"), ["g"], "v", k=64, portable=portable
+        )
+        assert sk.collect()[0]["kmv"] == clean.collect()[0]["kmv"]
+
+
+def test_binned_histogram_ignores_null_values(spark):
+    """r11 review (confirmed live): NULLs landed in bucket 0
+    (greatest(0, NULL) = 0 in Spark) and dragged every percentile
+    toward lo."""
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        binned_histogram,
+        binned_percentiles,
+    )
+
+    rows = [("g", 90.0)] * 5 + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = binned_histogram(df, ["g"], "v", lo=0.0, hi=100.0, num_bins=10)
+    assert hist.agg({"cnt": "sum"}).collect()[0][0] == 5
+    row = binned_percentiles(
+        df, ["g"], "v", lo=0.0, hi=100.0, num_bins=10, qs=(0.5,)
+    ).collect()[0]
+    p = row[[c for c in row.asDict() if c != "g"][0]]
+    assert p >= 90.0, p
