@@ -45,9 +45,13 @@ DEFAULT_MAX_DOC_FREQ = 100
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: returns
-    (fingerprint, group size, member ids sorted) for groups > 1."""
+    (fingerprint, group size, member ids sorted) for groups > 1.
+    NULL text is UNKNOWN, not identical — groupBy compares NULLs equal,
+    so unfiltered it would report every failed-extraction row as one
+    giant bogus duplicate group (r11 review); they are excluded."""
     return (
         docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("members"))
         .where(F.col("n_dups") > 1)
@@ -55,13 +59,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id representative of each exact-duplicate group."""
-    w_min = F.min(id_col).alias("keep_id")
+    """Keep the lowest-id representative of each exact-duplicate group.
+    NULL-text documents are never duplicates of each other (unknown !=
+    unknown) — ALL of them are kept; previously the NULL fingerprint
+    formed one group and silently dropped all but one (r11 review)."""
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     keep = (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        fp.where(F.col("fp").isNotNull())
         .groupBy("fp")
-        .agg(w_min)
+        .agg(F.min(id_col).alias("keep_id"))
         .select("keep_id")
+        .unionByName(
+            fp.where(F.col("fp").isNull()).select(
+                F.col(id_col).alias("keep_id")
+            )
+        )
     )
     return docs.join(keep, docs[id_col] == keep.keep_id, "left_semi")
 
@@ -165,7 +177,14 @@ def ngram_jaccard_pairs(
     inv = sh.select("did", F.explode("sh").alias("hs"))
     if max_doc_freq is not None:
         freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi")
+        # the suppressed index is referenced FOUR times below (a, b,
+        # and sizes joined as sz_a/sz_b) — unpersisted, the full-corpus
+        # frequency aggregation + semi-join would re-execute per
+        # reference, on exactly the path the cap exists to make
+        # 100 TB-viable (r11 review)
+        inv = inv.join(
+            freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # Consistency is load-bearing: |A| and |B| must count the SAME
         # shingle universe the intersection does, i.e. post-suppression.
         # Sizing with the full arrays while intersecting only surviving
@@ -220,7 +239,7 @@ def _band_buckets(num_perm: int, bands: int) -> Column:
     """array<struct<band, bucket>> from an in-row ``sig`` array: bucket =
     xxhash64 of the band's signature rows. One expression, no
     intermediate signature columns."""
-    rows_per_band = num_perm // bands
+    rows_per_band = _validate_lsh_params(num_perm, bands)
     return F.array(
         *[
             F.struct(
@@ -358,6 +377,44 @@ def portable_shingle_hashes(th: Column, n: int) -> Column:
     )
 
 
+def _validate_lsh_params(num_perm: int, bands: int) -> int:
+    """``rows_per_band`` with the family contract enforced: bands must
+    divide num_perm (trailing permutations would otherwise silently
+    drop, breaking the documented 1-(1-t^r)^b detection probability)
+    and rows_per_band must be >= 1 (bands > num_perm degenerates the
+    portable tier to single-permutation buckets replicated per band —
+    r11 review)."""
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_perm] and divide "
+            f"num_perm={num_perm} exactly — the banded detection "
+            f"probability 1-(1-t^r)^b assumes r = num_perm/bands with "
+            f"no dropped permutations"
+        )
+    return num_perm // bands
+
+
+def _portable_band_array(num_perm: int, bands: int, sig_col: str = "__sig"):
+    """The band->bucket struct array over a materialized signature
+    column — THE single source of truth for band numbering/assembly:
+    portable_minhash_lsh_pairs and portable_minhash_index both build
+    from this expression, so an incremental probe against a saved
+    index can never diverge from the full-corpus path (r11 review:
+    the assembly was previously copy-pasted)."""
+    rows_per_band = _validate_lsh_params(num_perm, bands)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _portable_bucket(F.col(sig_col), b, rows_per_band).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def portable_minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -372,28 +429,15 @@ def portable_minhash_lsh_pairs(
     shape (in-row signatures/buckets, (band, bucket) join, exact verify),
     deterministic across engines, so a SQL oracle can replay it
     value-for-value."""
-    rows_per_band = num_perm // bands
+    _validate_lsh_params(num_perm, bands)
     sh = portable_shingled_hashes(docs, id_col, text_col, n=n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # shared single source of truth for the permutation/band constants —
-    # portable_minhash_index uses the same helpers, keeping the
-    # incremental index value-compatible with this full-corpus path
     banded = (
-        sh.select("did", _portable_sig(num_perm).alias("sig"))
+        sh.select("did", _portable_sig(num_perm).alias("__sig"))
         .select(
             "did",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            _portable_bucket(F.col("sig"), b, rows_per_band).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(_portable_band_array(num_perm, bands)).alias("bb"),
         )
         .select("did", "bb.band", "bb.bucket")
     )
@@ -439,7 +483,6 @@ def portable_minhash_index(
     against the corpus WITHOUT re-reading corpus text or recomputing
     corpus signatures: dedup cost becomes O(batch + touched buckets),
     not O(corpus). All expressions in-row, zero shuffles to build."""
-    rows_per_band = num_perm // bands
     sh = portable_shingled_hashes(docs, id_col, text_col, n=n)
     # Materialize the signature in its own projection FIRST: the bucket
     # expressions below reference it 4×/band × 8 bands, and an inlined
@@ -448,17 +491,7 @@ def portable_minhash_index(
     # measured 60× slower inlined).
     with_sig = sh.select("did", "sh", _portable_sig(num_perm).alias("__sig"))
     return with_sig.select(
-        "did",
-        "sh",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _portable_bucket(F.col("__sig"), b, rows_per_band).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
-        ).alias("bb"),
+        "did", "sh", _portable_band_array(num_perm, bands).alias("bb")
     )
 
 
@@ -512,6 +545,12 @@ def incremental_minhash_pairs(
     cand = (
         burst(corpus_index, "a")
         .join(F.broadcast(burst(new_index, "b")), ["band", "bucket"])
+        # a batch re-ingesting a doc id the corpus already holds would
+        # otherwise emit the degenerate self-pair (X, X, 1.0) — and a
+        # downstream "drop id_b" policy would delete the only copy
+        # (r11 review; the stream guards this with an anti-join, direct
+        # callers get the guard here)
+        .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -796,14 +835,21 @@ def winnow_fingerprints(
 def shared_passage_candidates(
     fps: DataFrame,
     *,
-    min_shared: int = 2,
+    min_shared: int = 1,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
     ``(id_a, id_b, n_shared)``. One explode + equi-join on the
     fingerprint hash — the same inverted-index shape as the shingle
     tiers but over the ~2/(w+1)-density selected set, so the join input
     is a fraction of the full shingle index for the same passage-level
-    recall guarantee."""
+    recall guarantee.
+
+    The default is 1 because that is what the winnowing guarantee
+    actually promises: a match of exactly w+n-1 consecutive tokens may
+    share only ONE selected fingerprint, so a higher default silently
+    forfeits the documented boundary case (r11 review). Raise
+    ``min_shared`` to trade that guarantee for less candidate noise on
+    longer passages."""
     inv = fps.select("did", F.explode("fps").alias("fp"))
     a, b = inv.alias("a"), inv.alias("b")
     return (

@@ -360,6 +360,10 @@ def incremental_minhash_pairs_stored(
 
     cand = (
         buckets.join(F.broadcast(delta_burst), ["bkey", "band", "bucket"])
+        # a batch re-ingesting a stored doc id would emit the
+        # degenerate self-pair (X, X, 1.0) — see
+        # dedup.incremental_minhash_pairs (r11 review)
+        .where(F.col("did") != F.col("id_b"))
         .select(F.col("did").alias("id_a"), "id_b")
         .distinct()
     )

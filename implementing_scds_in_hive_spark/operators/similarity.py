@@ -337,7 +337,18 @@ def kmeans_refine(
             )
         )
         rows = means.collect()
-        cent = spark.createDataFrame(rows, means.schema)
+        # an empty cluster (a centroid winning argmax for zero vectors)
+        # produces NO row in the means aggregation — silently shrinking
+        # K across iterations, so downstream IVF probes would face a
+        # different geometry than requested (r11 review). Standard
+        # Lloyd repair: carry the previous centroid forward unchanged.
+        have = {r[centroid_id_col] for r in rows}
+        data = [(r[centroid_id_col], r[vec_col]) for r in rows] + [
+            (r[centroid_id_col], r[vec_col])
+            for r in cent.collect()
+            if r[centroid_id_col] not in have
+        ]
+        cent = spark.createDataFrame(data, means.schema)
     return cent
 
 
@@ -477,9 +488,8 @@ def knn_join_ivf(
             norm(F.col(vec_col)).alias("__cvn"),
         )
     )
-    base = assigned.select(F.col(id_col), F.col(vec_col)) if centroid_id_col in corpus.columns else corpus
     probes_scored = (
-        base.select(F.col(id_col), F.col(vec_col))
+        corpus.select(F.col(id_col), F.col(vec_col))
         .withColumn("__qn", norm(F.col(vec_col)))
         .crossJoin(c)
         .select(
@@ -619,9 +629,13 @@ def quantized_rescore_topk(
     ).crossJoin(F.broadcast(qq)).select(
         query_id_col,
         id_col,
-        (
+        # 6-dp rounding like every other coarse tier: unrounded, the
+        # shortlist cut is not cross-engine tie-stable (r11 review;
+        # module-header convention)
+        F.round(
             _int_dot(F.col("__cq"), F.col("__qq")).cast("double")
-            / (F.col("__cn2") * F.col("__qn2"))
+            / (F.col("__cn2") * F.col("__qn2")),
+            6,
         ).alias("__coarse"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__coarse").desc(), F.col(id_col))
@@ -630,32 +644,14 @@ def quantized_rescore_topk(
         .where(F.col("__r") <= m)
         .select(query_id_col, id_col)
     )
-    full = full_corpus.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
-    )
-    qfull = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            norm(F.col(vec_col)).alias("__qn"),
-        )
-    )
-    rescored = (
-        short.join(full, id_col)
-        .join(qfull, query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
+    return _exact_rescore_topk(
+        short,
+        full_corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
 
 
@@ -727,6 +723,51 @@ def rp_rescore_topk(
     )
 
 
+def _exact_rescore_topk(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine rescore of a (query_id, id) shortlist against the
+    full float tier plus the final top-k window — the shared second
+    stage of every coarse-then-exact ANN tier (r11 review: previously
+    copy-pasted between the int8 and projection tiers)."""
+    full = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
+    )
+    qfull = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    rescored = (
+        short.join(full, id_col)
+        .join(qfull, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _paired_cosine(
+                F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def projected_rescore_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -776,30 +817,14 @@ def projected_rescore_topk(
         .where(F.col("__r") <= m)
         .select(query_id_col, id_col)
     )
-    full = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
-    qfull = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            norm(F.col(vec_col)).alias("__qn"),
-        )
-    )
-    rescored = (
-        short.join(full, id_col)
-        .join(qfull, query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            _paired_cosine(
-                F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")
-            ).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
+    return _exact_rescore_topk(
+        short,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
 
 

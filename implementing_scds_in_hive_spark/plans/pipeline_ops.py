@@ -2728,8 +2728,8 @@ cqn AS (
 qs AS (SELECT vec_id AS query_id, qvec AS qq, qnorm AS qqn FROM cqn WHERE vec_id % 25 = 0),
 coarse AS (
   SELECT qs.query_id, cqn.vec_id,
-         list_dot_product(CAST(cqn.qvec AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
-           / (cqn.qnorm * qs.qqn) AS cscore
+         round(list_dot_product(CAST(cqn.qvec AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
+           / (cqn.qnorm * qs.qqn), 6) AS cscore
   FROM cqn CROSS JOIN qs),
 short AS (
   SELECT query_id, vec_id FROM (

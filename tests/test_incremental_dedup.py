@@ -106,3 +106,63 @@ def test_decontaminate_eval_shingles_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+def test_incremental_pairs_never_emit_self_pairs(spark):
+    """r11 review: a batch re-ingesting a doc id the corpus already
+    holds matched itself through the (band, bucket) join and emitted
+    the degenerate (X, X, 1.0) pair — a downstream 'drop id_b' policy
+    would delete the only copy."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        portable_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    idx = portable_minhash_index(docs).localCheckpoint(eager=True)
+    # the batch IS part of the corpus (replay/overlap)
+    pairs = incremental_minhash_pairs(idx, idx).collect()
+    assert all(r["id_a"] != r["id_b"] for r in pairs), pairs
+
+
+def test_lsh_params_validated(spark):
+    """r11 review: bands that don't divide num_perm silently dropped
+    trailing permutations (breaking the 1-(1-t^r)^b contract), and
+    bands > num_perm degenerated the portable tier to 1-perm buckets."""
+    import pytest
+
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        portable_minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    for fn in (minhash_lsh_pairs, portable_minhash_lsh_pairs):
+        with pytest.raises(ValueError, match="divide"):
+            fn(docs, num_perm=32, bands=5).collect()
+        with pytest.raises(ValueError, match="divide"):
+            fn(docs, num_perm=32, bands=40).collect()
+
+
+def test_dedup_exact_keeps_all_null_text_docs(spark):
+    """r11 review: NULL fingerprints grouped together (groupBy compares
+    NULLs equal), silently dropping all but one failed-extraction row.
+    NULL text is unknown, not identical — all such docs are kept."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        dedup_exact,
+        exact_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2
