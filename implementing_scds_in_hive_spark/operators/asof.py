@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from implementing_scds_in_hive_spark.operators.fill import BUCKET_US_DEFAULT
+
 
 def asof_join(
     left: DataFrame,
@@ -28,7 +30,7 @@ def asof_join(
     right_cols: list[str],
     right_id: str,
     skew_bounded: bool | str = False,
-    bucket_us: int = 86_400_000_000,
+    bucket_us: int = BUCKET_US_DEFAULT,
     rows_per_key_hint: int | None = None,
     skew_threshold: int | None = None,
     probe_fraction: float | None = None,
@@ -48,6 +50,39 @@ def asof_join(
     key holds), else a max-rows-per-key probe over the unioned input
     (optionally sampled via ``probe_fraction``); the routing decision
     is logged by ``operators/skew_route.py``."""
+    overlap = sorted(set(right_cols) & set(left.columns))
+    if overlap:
+        # same guard as bucketized_range_join/temporal_join: the final
+        # select('__l.*', '__last_r.*') would emit duplicate column
+        # names, failing any later reference with AMBIGUOUS_REFERENCE
+        # (r11 review)
+        raise ValueError(
+            f"right_cols {overlap} collide with left's columns — alias "
+            f"them on the right side before the as-of join"
+        )
+    if isinstance(skew_bounded, str) and skew_bounded != "auto":
+        raise ValueError(
+            f"skew_bounded must be True, False or 'auto', got "
+            f"{skew_bounded!r} (any other string would silently "
+            f"select the bucketed plan by truthiness)"
+        )
+    # a NULL-ts fact would sort FIRST in the as-of window (nulls-first)
+    # and be carried into every earlier event — while in SQL semantics
+    # right_ts <= left_ts is never true for NULL, i.e. no match (r11
+    # review). Drop them; NULL-ts events order before every fact and
+    # correctly enrich as NULL.
+    right = right.where(F.col(right_ts).isNotNull())
+    # tie-break sequence: integral ids pass through; anything else gets
+    # a deterministic 64-bit hash (cast('long') on a string id was
+    # silently NULL — nondeterministic same-instant winners)
+    integral = dict(right.dtypes)[right_id] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    fact_seq = (
+        F.col(right_id).cast("long")
+        if integral
+        else F.xxhash64(F.col(right_id))
+    )
     lt = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -62,7 +97,7 @@ def asof_join(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.col(right_id).cast("long").alias("__fact_seq"),
+        fact_seq.alias("__fact_seq"),
         F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
@@ -72,7 +107,6 @@ def asof_join(
     u = lt.unionByName(rt)
     if skew_bounded == "auto":
         from implementing_scds_in_hive_spark.operators.skew_route import (
-            SKEW_THRESHOLD_DEFAULT,
             decide_skew_plan,
         )
 
@@ -80,9 +114,7 @@ def asof_join(
             u,
             ["__k"],
             rows_per_key_hint=rows_per_key_hint,
-            threshold=skew_threshold
-            if skew_threshold is not None
-            else SKEW_THRESHOLD_DEFAULT,
+            threshold=skew_threshold,
             probe_fraction=probe_fraction,
             operator="asof_join",
         ).bucketed

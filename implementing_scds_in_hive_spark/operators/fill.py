@@ -85,7 +85,9 @@ def forward_fill_bucketed(
     struct)."""
     out = out_col or f"{value_col}_filled"
     ocols = _order_list(order_col)
-    us = F.unix_micros(F.col(ts_col))
+    from implementing_scds_in_hive_spark.operators.skew_route import ts_micros
+
+    us = ts_micros(df, ts_col)
     b = df.withColumn("__bucket", F.floor(us / bucket_us))
 
     # Level 1: fill inside each (key, bucket).
@@ -103,7 +105,7 @@ def forward_fill_bucketed(
     order_key = F.when(
         F.col(value_col).isNotNull(),
         F.struct(
-            F.unix_micros(F.col(ts_col)).alias("us"),
+            us.alias("us"),
             *[F.col(c).alias(f"o{i}") for i, c in enumerate(ocols)],
         ),
     )
@@ -149,7 +151,6 @@ def forward_fill_auto(
     r4 #2); hint beats probe, decision logged via
     ``operators/skew_route.py``. Output identical either way."""
     from implementing_scds_in_hive_spark.operators.skew_route import (
-        SKEW_THRESHOLD_DEFAULT,
         decide_skew_plan,
     )
 
@@ -157,7 +158,7 @@ def forward_fill_auto(
         df,
         [key_col],
         rows_per_key_hint=rows_per_key_hint,
-        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        threshold=skew_threshold,
         probe_fraction=probe_fraction,
         operator="forward_fill",
     )

@@ -48,6 +48,13 @@ def bucketized_range_join(
     ``left`` (facts with no containing interval keep NULLs)."""
     if join_type not in ("inner", "left"):
         raise ValueError(f"unsupported join_type {join_type!r}")
+    if granule_seconds <= 0:
+        # floor(ts / 0) is NULL under non-ANSI arithmetic, so the
+        # bucket equi-condition never matches and an inner join would
+        # silently return ZERO rows (r11 review)
+        raise ValueError(
+            f"granule_seconds must be positive, got {granule_seconds}"
+        )
     overlap = set(facts.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column names must be disjoint; both sides have {sorted(overlap)}")

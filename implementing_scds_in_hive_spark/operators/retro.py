@@ -76,6 +76,25 @@ def retro_splice(
     after materializing the result (same contract as ``cdc_apply``)."""
     out_cols = prod.columns
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
+    # the splice join assumes AT MOST ONE late row per key — a
+    # duplicate-key batch would fan out every touched prod row per
+    # late row and silently emit a dimension with duplicated,
+    # overlapping intervals (r11 review). The check is one tiny agg
+    # over the broadcast-sized batch; collapse duplicates upstream
+    # (e.g. keep the latest correction per key) before splicing.
+    dup = (
+        late.groupBy(cfg.key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"retro_splice takes at most one late row per key per "
+            f"batch; duplicate keys (first 5): "
+            f"{[r[cfg.key] for r in dup]} — collapse the batch first"
+        )
     l_keys = F.broadcast(late.select(cfg.key))
 
     untouched = prod.join(l_keys, cfg.key, "left_anti")
@@ -108,9 +127,16 @@ def retro_splice(
     # the small side by construction)
     from pyspark.storagelevel import StorageLevel
 
-    j = t.join(l, tc(cfg.key) == lc(cfg.key)).persist(StorageLevel.MEMORY_AND_DISK)
+    j = t.join(l, tc(cfg.key) == lc(cfg.key))
     if cache_handles is not None:
+        j = j.persist(StorageLevel.MEMORY_AND_DISK)
         cache_handles.append(j)
+    else:
+        # default path must not LEAK the cached partitions (r11 review:
+        # nothing ever unpersisted them) — checkpoint blocks are
+        # released by the ContextCleaner once the DataFrame is GC'd,
+        # same discipline as incremental_minhash_pairs
+        j = j.localCheckpoint(eager=True)
     split = (
         j.select(
             F.when(cont & differs, F.array(truncated, piece))

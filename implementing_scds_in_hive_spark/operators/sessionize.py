@@ -156,7 +156,6 @@ def sessionize_auto(
     the decision is logged by ``operators/skew_route.py``. Output is
     identical either way — only the physical plan differs."""
     from implementing_scds_in_hive_spark.operators.skew_route import (
-        SKEW_THRESHOLD_DEFAULT,
         decide_skew_plan,
     )
 
@@ -164,7 +163,7 @@ def sessionize_auto(
         events,
         [user_col],
         rows_per_key_hint=rows_per_key_hint,
-        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        threshold=skew_threshold,
         probe_fraction=probe_fraction,
         operator="sessionize",
     )
@@ -236,7 +235,9 @@ def detect_gaps_bucketed(
     ties share a bucket, so no pair is double-counted. Same
     construction as sessionize_bucketed; same reason AQE can't do this
     for us (window partitions cannot be skew-split)."""
-    us = F.unix_micros(F.col(ts_col))
+    from implementing_scds_in_hive_spark.operators.skew_route import ts_micros
+
+    us = ts_micros(events, ts_col)
     based = events.select(
         key_col, F.col(ts_col), F.floor(us / bucket_us).alias("__bucket")
     )
@@ -282,7 +283,6 @@ def detect_gaps_auto(
     well-distributed keys, the two-level bucketed plan on evidence of
     skew — same contract as sessionize_auto / forward_fill_auto."""
     from implementing_scds_in_hive_spark.operators.skew_route import (
-        SKEW_THRESHOLD_DEFAULT,
         decide_skew_plan,
     )
 
@@ -290,7 +290,7 @@ def detect_gaps_auto(
         events,
         [key_col],
         rows_per_key_hint=rows_per_key_hint,
-        threshold=skew_threshold if skew_threshold is not None else SKEW_THRESHOLD_DEFAULT,
+        threshold=skew_threshold,
         probe_fraction=probe_fraction,
         operator="detect_gaps",
     )

@@ -50,6 +50,42 @@ class SkewDecision:
     source: str  # "hint" | "probe" | "probe_sampled"
 
 
+def ts_micros(df: DataFrame, ts_col: str):
+    """Monotonic epoch-microsecond expression for BUCKET ASSIGNMENT in
+    the two-level skew-bounded plans: TimestampType (and DATE) via
+    ``unix_micros``, integral epoch columns pass through as-is. The
+    plain window variants accept any orderable ts — the bucketed tier
+    must not start throwing data-type errors only on the day skew
+    routing selects it (r11 review: a data-dependent, routing-triggered
+    failure). An integral column in a non-microsecond unit merely
+    shifts the bucket granularity; the two-level reconstruction is
+    bucket-size-agnostic, so results stay identical to the plain plan.
+    Fractional/other types raise with a clear message (truncating them
+    for the bucket order key could flip same-bucket winners)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(ts_col))
+    if isinstance(dt, DateType):
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return F.col(ts_col).cast("long")
+    raise ValueError(
+        f"bucketed window plans need a timestamp/date/integral time "
+        f"column for bucket assignment; {ts_col!r} is {dt.simpleString()}"
+        f" — cast it to timestamp or epoch integers first"
+    )
+
+
 def probe_max_rows_per_key(
     df: DataFrame, key_cols: list[str], *, probe_fraction: float | None = None
 ) -> int:
@@ -64,10 +100,12 @@ def decide_skew_plan(
     key_cols: list[str],
     *,
     rows_per_key_hint: int | None = None,
-    threshold: int = SKEW_THRESHOLD_DEFAULT,
+    threshold: int | None = None,
     probe_fraction: float | None = None,
     operator: str = "window-op",
 ) -> SkewDecision:
+    if threshold is None:  # callers pass their knob through untouched
+        threshold = SKEW_THRESHOLD_DEFAULT
     if rows_per_key_hint is not None:
         mx, source = rows_per_key_hint, "hint"
     else:

@@ -454,3 +454,149 @@ def test_decode_ppm_crlf_terminated_header():
     px = bytes(range(6))
     img = decode_ppm(b"P6\r\n2 1\r\n255\r\n" + px)
     np.testing.assert_array_equal(img.reshape(-1), np.arange(6, dtype=np.uint8))
+
+
+def test_asof_join_null_fact_ts_never_matches(spark):
+    """r11 review: a NULL-ts fact sorted FIRST in the as-of window and
+    was carried into every earlier event, while SQL semantics
+    (right_ts <= left_ts) never match NULL. NULL-ts facts are dropped;
+    NULL-ts events enrich as NULL."""
+    from implementing_scds_in_hive_spark.operators.asof import asof_join
+
+    events = spark.createDataFrame(
+        [(7, "2026-01-05", 1), (7, None, 2)],
+        "user_id long, ts string, event_id long",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+    facts = spark.createDataFrame(
+        [(7, None, 1, 99.0), (7, "2026-01-02", 2, 42.0)],
+        "custkey long, odate string, okey long, price double",
+    ).selectExpr(
+        "custkey", "CAST(odate AS TIMESTAMP) AS odate", "okey", "price"
+    )
+    out = {
+        r["event_id"]: r["price"]
+        for r in asof_join(
+            events,
+            facts,
+            left_on="user_id",
+            right_on="custkey",
+            left_ts="ts",
+            right_ts="odate",
+            right_cols=["price"],
+            right_id="okey",
+        ).collect()
+    }
+    assert out[1] == 42.0, "real fact at-or-before matches"
+    assert out[2] is None, "NULL-ts event and NULL-ts fact never match"
+
+
+def test_asof_join_guards(spark):
+    """r11 review: overlapping right_cols and unknown skew_bounded
+    strings must raise; string fact ids get a deterministic hash
+    tie-break instead of a silent NULL cast."""
+    from implementing_scds_in_hive_spark.operators.asof import asof_join
+
+    events = spark.createDataFrame(
+        [(1, "2026-01-02", 10)], "k long, ts string, price long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "price")
+    facts = spark.createDataFrame(
+        [(1, "2026-01-01", "ORD-1", 5.0), (1, "2026-01-01", "ORD-2", 7.0)],
+        "k long, fts string, oid string, price double",
+    ).selectExpr("k", "CAST(fts AS TIMESTAMP) AS fts", "oid", "price")
+    kw = dict(
+        left_on="k", right_on="k", left_ts="ts", right_ts="fts",
+        right_id="oid",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(events, facts, right_cols=["price"], **kw)
+    with pytest.raises(ValueError, match="skew_bounded"):
+        asof_join(
+            events,
+            facts.selectExpr("k", "fts", "oid", "price AS fprice"),
+            right_cols=["fprice"],
+            skew_bounded="AUTO",
+            **kw,
+        )
+    # string fact id: same-instant winner is deterministic across
+    # plain and bucketed plans
+    f2 = facts.selectExpr("k", "fts", "oid", "price AS fprice")
+    plain = asof_join(events, f2, right_cols=["fprice"], **kw).collect()
+    bucketed = asof_join(
+        events, f2, right_cols=["fprice"], skew_bounded=True, **kw
+    ).collect()
+    assert plain == bucketed
+
+
+def test_forward_fill_bucketed_accepts_epoch_longs(spark):
+    """r11 review: the bucketed tier threw a data-type error on
+    integral epoch ts while the plain tier accepted it — a failure
+    that only fired on the day skew routing selected the bucketed
+    plan. Both must agree."""
+    from implementing_scds_in_hive_spark.operators.fill import (
+        forward_fill,
+        forward_fill_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 1, "a"), (1, 200, 2, None), (1, 300, 3, "b"),
+         (2, 150, 4, None), (2, 250, 5, "c")],
+        "user_id long, ts long, event_id long, v string",
+    )
+    plain = sorted(map(tuple, forward_fill(df, "v").collect()))
+    bucketed = sorted(
+        map(tuple, forward_fill_bucketed(df, "v", bucket_us=100).collect())
+    )
+    assert plain == bucketed
+
+
+def test_retro_splice_rejects_duplicate_late_keys(spark):
+    """r11 review: two late rows for one key silently fanned out the
+    splice join and emitted duplicated, overlapping intervals."""
+    from implementing_scds_in_hive_spark.operators.retro import retro_splice
+    from implementing_scds_in_hive_spark.operators.scd import SCDConfig
+
+    cfg = SCDConfig(
+        key="k",
+        surrogate_col="sk",
+        type2_cols=["v"],
+        type1_cols=[],
+        start_col="s",
+        end_col="e",
+        active_col="a",
+        version_col="ver",
+    )
+    prod = spark.createDataFrame(
+        [(1, 10, "x", "2026-01-01", "9999-12-31", True, 1)],
+        "sk long, k long, v string, s string, e string, a boolean, ver long",
+    ).selectExpr(
+        "sk", "k", "v", "CAST(s AS TIMESTAMP) AS s",
+        "CAST(e AS TIMESTAMP) AS e", "a", "ver",
+    )
+    late = spark.createDataFrame(
+        [(10, "y", "2026-02-01"), (10, "z", "2026-03-01")],
+        "k long, v string, eff_ts string",
+    )
+    with pytest.raises(ValueError, match="one late row per key"):
+        retro_splice(prod, late, cfg)
+
+
+def test_range_join_rejects_nonpositive_granule(spark):
+    """r11 review: granule 0 made every bucket NULL and the inner join
+    silently returned zero rows."""
+    from implementing_scds_in_hive_spark.operators.rangejoin import (
+        bucketized_range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, "2026-01-01")], "fid long, fts string"
+    ).selectExpr("fid", "CAST(fts AS TIMESTAMP) AS fts")
+    iv = spark.createDataFrame(
+        [(1, "2026-01-01", "2026-01-02")], "iid long, lo string, hi string"
+    ).selectExpr(
+        "iid", "CAST(lo AS TIMESTAMP) AS lo", "CAST(hi AS TIMESTAMP) AS hi"
+    )
+    with pytest.raises(ValueError, match="granule_seconds"):
+        bucketized_range_join(
+            facts, iv, ts_col="fts", start_col="lo", end_col="hi",
+            granule_seconds=0,
+        )
