@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def chunk_text(
@@ -42,6 +41,12 @@ def chunk_text(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
     )
+    # an empty/NULL text would otherwise emit ONE empty chunk
+    # (split('') = ['']), breaking the documented no-empty-chunks
+    # guarantee for consumers that divide by token counts (r11 review)
+    chunks = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0, chunks
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
@@ -71,7 +76,12 @@ def _exclusive_prefix_sums(
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, not a bare persist: nothing ever released
+        # the cached partitions, leaking executor storage on every
+        # pack_sequences call (r11 review); checkpoint blocks free via
+        # the ContextCleaner once the plan is GC'd. Eager is required
+        # anyway — the totals collect below materializes it.
+        .localCheckpoint(eager=True)
     )
     totals = {
         r["__pid"]: r["t"]

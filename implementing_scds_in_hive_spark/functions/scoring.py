@@ -228,6 +228,13 @@ def pmi_collocations(
     )
     n_bigrams = bigrams.count()
     n_tokens = ws.select(F.sum(F.size("ws"))).collect()[0][0]
+    if not n_bigrams or not n_tokens:
+        # no document has >= 2 tokens: sum() is NULL and float(None)
+        # would raise while BUILDING the plan (r11 review) — an empty
+        # result is the honest answer
+        return ws.sparkSession.createDataFrame(
+            [], "u string, v string, c_uv long, pmi double"
+        )
     scored = (
         c2.where(F.col("c_uv") >= min_count)
         .join(uni.select(F.col("tok").alias("u"), F.col("c").alias("c_u")), "u")

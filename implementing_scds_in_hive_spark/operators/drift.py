@@ -66,10 +66,21 @@ def psi_drift(
     fb = category_fractions(df_b, cat_col, label="b")
     pa = F.greatest(F.coalesce(F.col("frac_a"), F.lit(0.0)), F.lit(epsilon))
     pb = F.greatest(F.coalesce(F.col("frac_b"), F.lit(0.0)), F.lit(epsilon))
+    # NULL is a legitimate category and must match ITSELF across the
+    # sides: a USING join never matches NULL keys, so identical NULL
+    # fractions on both sides split into two unmatched rows and
+    # register ~2.3 PSI of phantom drift (r11 review) — join null-safe
+    fa, fb = fa.alias("fa"), fb.alias("fb")
     return (
-        fa.join(fb, "category", "full_outer")
+        fa.join(
+            fb,
+            F.col("fa.category").eqNullSafe(F.col("fb.category")),
+            "full_outer",
+        )
         .select(
-            "category",
+            F.coalesce(F.col("fa.category"), F.col("fb.category")).alias(
+                "category"
+            ),
             F.coalesce(F.col("frac_a"), F.lit(0.0)).alias("frac_a"),
             F.coalesce(F.col("frac_b"), F.lit(0.0)).alias("frac_b"),
             ((pa - pb) * (F.log(pa) - F.log(pb))).alias("psi_term"),
@@ -87,10 +98,17 @@ def chi_square_drift(
     Categories with zero pooled count cannot occur by construction."""
     ca = category_fractions(df_a, cat_col, label="a").select("category", "n_a")
     cb = category_fractions(df_b, cat_col, label="b").select("category", "n_b")
-    joined = (
-        ca.join(cb, "category", "full_outer")
+    ca, cb = ca.alias("ca"), cb.alias("cb")
+    joined = (  # null-safe: NULL is one category, not two (r11 review)
+        ca.join(
+            cb,
+            F.col("ca.category").eqNullSafe(F.col("cb.category")),
+            "full_outer",
+        )
         .select(
-            "category",
+            F.coalesce(F.col("ca.category"), F.col("cb.category")).alias(
+                "category"
+            ),
             F.coalesce(F.col("n_a"), F.lit(0)).cast("double").alias("n_a"),
             F.coalesce(F.col("n_b"), F.lit(0)).cast("double").alias("n_b"),
         )
@@ -170,11 +188,17 @@ def _ks_distances(
     release."""
     from pyspark.storagelevel import StorageLevel
 
+    # the KS distance is defined over VALUES — NULLs are not a point on
+    # the real line. Unfiltered they grouped as a distinct "smallest"
+    # value and inflated one CDF (50 NULLs on one side of otherwise
+    # identical samples read as KS ~ 0.33 — r11 review); drop them and
+    # exclude them from n_a/n_b like every standard implementation.
     per_val = (
         df_a.select(F.col(val_col).alias("v")).withColumn("__ca", F.lit(1)).withColumn("__cb", F.lit(0))
         .unionByName(
             df_b.select(F.col(val_col).alias("v")).withColumn("__ca", F.lit(0)).withColumn("__cb", F.lit(1))
         )
+        .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.sum("__ca").alias("da"), F.sum("__cb").alias("db"))
     )
@@ -255,10 +279,17 @@ def psi_from_counts(
     )
     pl = F.greatest(F.coalesce(F.col("frac_live"), F.lit(0.0)), F.lit(epsilon))
     pr = F.greatest(F.coalesce(F.col("frac_ref"), F.lit(0.0)), F.lit(epsilon))
-    return (
-        fl.join(fr, "category", "full_outer")
+    fl, fr = fl.alias("fl"), fr.alias("fr")
+    return (  # null-safe: NULL is one category, not two (r11 review)
+        fl.join(
+            fr,
+            F.col("fl.category").eqNullSafe(F.col("fr.category")),
+            "full_outer",
+        )
         .select(
-            "category",
+            F.coalesce(F.col("fl.category"), F.col("fr.category")).alias(
+                "category"
+            ),
             F.coalesce(F.col("frac_live"), F.lit(0.0)).alias("frac_live"),
             F.coalesce(F.col("frac_ref"), F.lit(0.0)).alias("frac_ref"),
             ((pl - pr) * (F.log(pl) - F.log(pr))).alias("psi_term"),

@@ -203,12 +203,29 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            # NULL payloads (nullable per MEDIA_SCHEMA) must not kill
+            # the task — len(None)/bytes(None) raise TypeError, the
+            # one failure mode the survive-bad-rows contract promised
+            # to absorb (r11 review)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "content_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "byte_len": pd.array(
+                        [len(b) if b is not None else None for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "head_byte": pd.array(
+                        [
+                            (b[0] if len(b) else -1) if b is not None else None
+                            for b in payloads
+                        ],
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -237,6 +254,8 @@ def _decode_stats_columns(payloads) -> dict:
     out = {k: [] for k in ("width", "height", "channels", "sum_r", "sum_g", "sum_b", "decode_ok")}
     for payload in payloads:
         try:
+            if payload is None:  # NULL payload = undecodable, not fatal
+                raise ValueError("null payload")
             img = decode_image(bytes(payload))
             sums = img.reshape(-1, img.shape[2]).sum(axis=0, dtype="int64")
             out["width"].append(img.shape[1])
@@ -313,13 +332,22 @@ def extract_features_with_decode(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "byte_len": payloads.map(len).astype("int64"),
+                    "byte_len": pd.array(
+                        [len(b) if b is not None else None for b in payloads],
+                        dtype="Int64",
+                    ),
                     "content_md5": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
-                    "head_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
+                    "head_byte": pd.array(
+                        [
+                            (b[0] if len(b) else -1) if b is not None else None
+                            for b in payloads
+                        ],
+                        dtype="Int32",
+                    ),
                     **_decode_stats_frame(stats),
                 }
             )

@@ -152,15 +152,56 @@ def mad_outlier_stats(
     medians and keep the same fence arithmetic — one bounded-state
     combinable pass per median at one-bin-width error."""
     g = list(group_cols or [])
+    stats = _mad_fences(df, val_col, g, k, consistency)
+    rejoined = _join_on_groups(df, stats, g)
+    counts = rejoined.groupBy(*g).agg(
+        F.sum(
+            ((F.col(val_col) < F.col("lo")) | (F.col(val_col) > F.col("hi"))).cast("long")
+        ).alias("n_outliers")
+    )
+    return _join_on_groups(stats, counts, g, broadcast=False)
+
+
+def _join_on_groups(
+    df: DataFrame, other: DataFrame, g: list[str], *, broadcast: bool = True
+) -> DataFrame:
+    """Inner join on the group columns that matches NULL keys — a USING
+    join never matches NULLs, so NULL-key rows silently vanished from
+    the flagged output and NULL groups from the stats (r11 review)."""
+    from functools import reduce
+
+    from pyspark.sql import Column
+
+    o = F.broadcast(other) if broadcast else other
+    if not g:
+        return df.crossJoin(o)
+    d, r = df.alias("__ql"), o.alias("__qr")
+    cond = reduce(
+        Column.__and__,
+        [F.col(f"__ql.{c}").eqNullSafe(F.col(f"__qr.{c}")) for c in g],
+    )
+    keep = [F.col(f"__ql.{c}") for c in df.columns] + [
+        F.col(f"__qr.{c}") for c in other.columns if c not in g
+    ]
+    return d.join(r, cond).select(*keep)
+
+
+def _mad_fences(
+    df: DataFrame, val_col: str, g: list[str], k: float, consistency: float
+) -> DataFrame:
+    """``(group..., n, median, mad, lo, hi)`` — the fence computation
+    WITHOUT the n_outliers rejoin, so :func:`flag_mad_outliers` does
+    not pay an extra full pass whose counts it immediately discards
+    (r11 review; Catalyst cannot prune the inner counts join)."""
     med = df.groupBy(*g).agg(
         F.percentile(F.col(val_col), F.lit(0.5)).alias("median"),
         F.count(F.lit(1)).alias("n"),
     )
-    joined = df.join(F.broadcast(med), g) if g else df.crossJoin(F.broadcast(med))
+    joined = _join_on_groups(df, med, g)
     mad = joined.groupBy(*g).agg(
         F.percentile(F.abs(F.col(val_col) - F.col("median")), F.lit(0.5)).alias("mad")
     )
-    stats = (med.join(mad, g) if g else med.crossJoin(mad)).select(
+    return _join_on_groups(med, mad, g, broadcast=False).select(
         *g,
         "n",
         "median",
@@ -168,13 +209,6 @@ def mad_outlier_stats(
         (F.col("median") - F.lit(k * consistency) * F.col("mad")).alias("lo"),
         (F.col("median") + F.lit(k * consistency) * F.col("mad")).alias("hi"),
     )
-    rejoined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
-    counts = rejoined.groupBy(*g).agg(
-        F.sum(
-            ((F.col(val_col) < F.col("lo")) | (F.col(val_col) > F.col("hi"))).cast("long")
-        ).alias("n_outliers")
-    )
-    return stats.join(counts, g) if g else stats.crossJoin(counts)
 
 
 def flag_mad_outliers(
@@ -187,13 +221,12 @@ def flag_mad_outliers(
     flag_col: str = "is_outlier",
 ) -> DataFrame:
     """Row-level companion of :func:`mad_outlier_stats`: the input plus
-    a boolean ``flag_col``. The fences broadcast (one row per group),
-    so the data side never shuffles for the flagging join."""
+    a boolean ``flag_col`` — every input row present in the output,
+    including NULL-key groups. The fences broadcast (one row per
+    group), so the data side never shuffles for the flagging join."""
     g = list(group_cols or [])
-    stats = mad_outlier_stats(
-        df, val_col, group_cols=group_cols, k=k, consistency=consistency
-    ).select(*g, "lo", "hi")
-    joined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    fences = _mad_fences(df, val_col, g, k, consistency).select(*g, "lo", "hi")
+    joined = _join_on_groups(df, fences, g)
     return joined.withColumn(
         flag_col, (F.col(val_col) < F.col("lo")) | (F.col(val_col) > F.col("hi"))
     ).drop("lo", "hi")

@@ -3145,6 +3145,7 @@ WITH pv AS (
   FROM (SELECT value AS v, 'a' AS side FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT value AS v, 'b' AS side FROM events WHERE event_type = 'purchase')
+  WHERE v IS NOT NULL
   GROUP BY v),
 t AS (SELECT CAST(SUM(da) AS DOUBLE) AS na, CAST(SUM(db) AS DOUBLE) AS nb FROM pv),
 cum AS (SELECT v, SUM(da) OVER (ORDER BY v) AS ca, SUM(db) OVER (ORDER BY v) AS cb FROM pv)

@@ -135,3 +135,38 @@ def test_chi2_random_matches_reference(spark, a, b):
     chi, dof = _py_chi2(a, b)
     assert row["chi2"] == pytest.approx(chi, rel=1e-9)
     assert row["dof"] == dof
+
+def test_null_category_is_one_category_not_two(spark):
+    """r11 review: a USING join never matches NULL keys, so identical
+    NULL fractions on both sides split into two unmatched rows and
+    registered massive phantom drift."""
+    from implementing_scds_in_hive_spark.operators.drift import (
+        chi_square_drift,
+        psi_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 9 + [(None,)], "cat string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 9 + [(None,)], "cat string"
+    )
+    psi = psi_drift(a, b, "cat").agg({"psi_term": "sum"}).collect()[0][0]
+    assert abs(psi) < 1e-9, psi
+    chi = chi_square_drift(a, b, "cat").collect()[0]
+    assert chi["chi2"] < 1e-9 and chi["dof"] == 1  # x and NULL: 2 cats
+
+
+def test_ks_statistic_ignores_null_values(spark):
+    """r11 review: NULLs grouped as a distinct smallest value and
+    inflated one CDF — identical samples plus one-sided NULLs read as
+    KS ~ 0.33."""
+    from implementing_scds_in_hive_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 50, "v double"
+    )
+    b = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    row = ks_statistic(a, b, "v").collect()[0]
+    assert row["ks"] < 1e-9, row
+    assert row["n_a"] == 100 and row["n_b"] == 100

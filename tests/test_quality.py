@@ -106,3 +106,21 @@ def test_mad_grouped_fences_are_independent(spark):
     df = spark.createDataFrame(rows, "g string, x double")
     out = {r["g"]: r["n_outliers"] for r in mad_outlier_stats(df, "x", group_cols=["g"]).collect()}
     assert out == {"a": 1, "b": 0}
+
+def test_flag_mad_outliers_keeps_null_key_rows(spark):
+    """r11 review: NULL group keys vanished from the flagged output
+    (USING joins never match NULL); the contract is input + flag, 1:1."""
+    from implementing_scds_in_hive_spark.operators.quality import (
+        flag_mad_outliers,
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), (None, 5.0), (None, 6.0)],
+        "region string, amount double",
+    )
+    flagged = flag_mad_outliers(df, "amount", group_cols=["region"])
+    assert flagged.count() == df.count()
+    assert flagged.where("region IS NULL").count() == 2
+    stats = mad_outlier_stats(df, "amount", group_cols=["region"])
+    assert stats.where("region IS NULL").count() == 1
