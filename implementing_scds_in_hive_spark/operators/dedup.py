@@ -158,33 +158,46 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
     Inverted-index self-join: explode distinct shingles, join on the
     shingle, count intersections per pair; |union| = |A| + |B| - |inter|.
     ``max_doc_freq`` drops ubiquitous shingles (stop-gram suppression) —
-    at 100 TB this is essential to bound the join fan-out; the default
-    is None because the driver oracle must be exhaustive. For scale
-    runs use ``DEFAULT_MAX_DOC_FREQ`` (=100): the sf0.1 sweep
+    at 100 TB this is essential to bound the join fan-out, so it now
+    DEFAULTS to ``DEFAULT_MAX_DOC_FREQ`` (=100): the sf0.1 sweep
     (scripts/dedup_scale_smoke.py, numbers in PLANS.md) shows caps
     >= 50 lose zero true pairs on the driver corpus while any cap
     bounds the worst-case per-shingle fan-out to cap^2/2 pairs; 100
-    leaves 2x margin over the loss-free floor.
+    leaves 2x margin over the loss-free floor. The driver oracles are
+    exhaustive SQL, so their staying green IS the losslessness check.
+    Pass ``max_doc_freq=None`` explicitly for an exhaustive run.
+
+    Reused intermediates are ``localCheckpoint``-ed by default (blocks
+    are released when the DataFrame is GC'd — no session-lifetime
+    executor-storage leak); pass ``cache_handles`` to get plain
+    ``persist`` with the handles appended for the caller to unpersist.
     """
-    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if cache_handles is not None:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            cache_handles.append(df)
+            return df
+        return df.localCheckpoint(eager=True)
+
+    sh = _pin(shingled_hashes(docs, id_col, text_col, n=n))
     inv = sh.select("did", F.explode("sh").alias("hs"))
     if max_doc_freq is not None:
         freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
         # the suppressed index is referenced FOUR times below (a, b,
-        # and sizes joined as sz_a/sz_b) — unpersisted, the full-corpus
+        # and sizes joined as sz_a/sz_b) — unpinned, the full-corpus
         # frequency aggregation + semi-join would re-execute per
         # reference, on exactly the path the cap exists to make
         # 100 TB-viable (r11 review)
-        inv = inv.join(
-            freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        inv = _pin(inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi"))
         # Consistency is load-bearing: |A| and |B| must count the SAME
         # shingle universe the intersection does, i.e. post-suppression.
         # Sizing with the full arrays while intersecting only surviving

@@ -47,6 +47,8 @@ import json
 import os
 import re
 import shutil
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,6 +177,66 @@ def _read_meta(root: str) -> dict:
         return json.load(f)
 
 
+_LOCK_FILE = "_maintenance.lock"
+_LOCK_STALE_SECONDS = 600.0
+
+
+@contextmanager
+def _index_lock(root: str, *, timeout: float = 30.0):
+    """Advisory mutual exclusion between ``append_*`` and
+    ``compact_index`` on one index root (r11 ADVICE: compaction's
+    check-then-commit window — between the appended-parts re-listing
+    and ``_replace_meta_atomic`` — can still silently drop an append
+    that lands inside it; the pre-commit re-check narrows the window
+    but cannot close it without serialization).
+
+    O_CREAT|O_EXCL on a lock file: atomic on POSIX local filesystems
+    (and on HDFS via create-no-overwrite semantics; object stores
+    would use a conditional PUT). Locks older than
+    ``_LOCK_STALE_SECONDS`` are broken — a crashed holder must not
+    wedge maintenance forever — matching the orphan-sweep grace
+    discipline. Writers hold the lock for the duration of the append /
+    compaction; probes never take it (readers keep the old generation
+    via the grace window instead)."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _LOCK_FILE)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"pid={os.getpid()}\n".encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # holder released between open and stat — retry
+            if age > _LOCK_STALE_SECONDS:
+                try:
+                    os.unlink(path)  # break a crashed holder's lock
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"index maintenance lock {path} held for {age:.0f}s "
+                    f"(timeout {timeout}s) — another append/compact is "
+                    f"running; retry, or remove the lock if its holder "
+                    f"crashed"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def save_minhash_index(
     index: DataFrame,
     table: str,
@@ -259,6 +321,13 @@ def append_minhash_index(
     matter, or size ``n_buckets`` for the append cadence. The caller is
     responsible for ``did`` uniqueness across appends (ids are the
     dedup identity)."""
+    with _index_lock(root):
+        _append_minhash_locked(spark, root, new_index, crash_hook=crash_hook)
+
+
+def _append_minhash_locked(
+    spark: SparkSession, root: str, new_index: DataFrame, *, crash_hook=None
+) -> None:
     meta = _read_meta(root)
     if meta.get("kind") != "minhash":
         raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not minhash")
@@ -468,7 +537,17 @@ def append_ivf_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     probes stay correct, while centroid drift accumulates until the
     owner rebuilds (``build_ivf_index``) on their re-train cadence.
     ``new_vectors`` must carry the index's (id, vector) columns; ids
-    are the caller's responsibility to keep unique."""
+    are the caller's responsibility to keep unique.
+
+    Serialized against ``compact_index`` via the root's maintenance
+    lock (r11 ADVICE)."""
+    with _index_lock(root):
+        _append_ivf_locked(spark, root, new_vectors)
+
+
+def _append_ivf_locked(
+    spark: SparkSession, root: str, new_vectors: DataFrame
+) -> None:
     from implementing_scds_in_hive_spark.operators.similarity import ivf_assign
 
     meta = _read_meta(root)
@@ -606,11 +685,43 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
     intact; after it, the new one — either way the orphaned generation
     is swept by the next maintenance run. ``crash_hook(phase)`` (phases
     ``"post_stage"``, ``"post_meta"``) injects faults exactly there for
-    the recovery tests. Returns {table: files_before}."""
+    the recovery tests. Returns {table: files_before}.
+
+    Serialized against ``append_*`` via the root's maintenance lock
+    (r11 ADVICE): the pre-commit appended-parts re-check narrows the
+    check-then-commit window but cannot close it — an append landing
+    between the re-listing and the sidecar replace would still be
+    silently dropped from the new generation. With the lock held for
+    the whole stage+commit, that interleaving cannot happen; the
+    re-check stays as defense-in-depth against lock-breaking (stale
+    holder) and out-of-band writers."""
+    with _index_lock(root, timeout=120.0):
+        return _compact_index_locked(spark, root, crash_hook=crash_hook)
+
+
+def _compact_index_locked(
+    spark: SparkSession, root: str, *, crash_hook=None
+) -> dict[str, int]:
     import uuid
 
     meta = _read_meta(root)
     specs = _index_specs(meta)
+    orig_specs = [dict(sp) for sp in specs]
+
+    def _restore_catalog() -> None:
+        # Abort repair (r11 ADVICE): the staging loop dropped and
+        # re-created each catalog table at its STAGED path, and the
+        # abort rmtree's those dirs — leaving same-session probes
+        # broken until _register_external_bucketed's location check
+        # happens to repair them. Re-register at the old committed
+        # paths BEFORE raising so the session stays usable.
+        for orig in orig_specs:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {orig['table']}")
+                _register_external_bucketed(spark, orig)
+            except Exception:
+                pass  # repair is best-effort; the raise below carries the cause
+
     counts: dict[str, int] = {}
     old_paths: list[str] = []
     seen_parts: dict[str, set] = {}
@@ -662,6 +773,7 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
     if appended:
         for p in new_paths:
             shutil.rmtree(p, ignore_errors=True)
+        _restore_catalog()
         raise RuntimeError(
             f"concurrent append landed during compaction "
             f"({ {p: len(fs) for p, fs in appended.items()} } new part "
@@ -671,6 +783,7 @@ def compact_index(spark: SparkSession, root: str, *, crash_hook=None) -> dict[st
         )
     missing = [p for p in new_paths if not os.path.isdir(p)]
     if missing:
+        _restore_catalog()
         raise RuntimeError(
             f"staged generation dirs {missing} were reclaimed by a "
             f"concurrent orphan sweep before the meta commit (staging "

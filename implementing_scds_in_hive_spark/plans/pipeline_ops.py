@@ -3078,7 +3078,7 @@ tb AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM b),
 j AS (SELECT COALESCE(a.category, b.category) AS category,
              COALESCE(CAST(a.n AS DOUBLE) / (SELECT t FROM ta), 0) AS frac_a,
              COALESCE(CAST(b.n AS DOUBLE) / (SELECT t FROM tb), 0) AS frac_b
-      FROM a FULL OUTER JOIN b ON a.category = b.category)
+      FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category)
 SELECT category, round(frac_a, 6) AS frac_a, round(frac_b, 6) AS frac_b,
        round((greatest(frac_a, 1e-6) - greatest(frac_b, 1e-6))
              * (ln(greatest(frac_a, 1e-6)) - ln(greatest(frac_b, 1e-6))), 6) AS psi_term
@@ -3108,7 +3108,7 @@ b AS (SELECT event_type AS category, COUNT(*) AS n FROM events
 j AS (SELECT COALESCE(a.category, b.category) AS category,
              CAST(COALESCE(a.n, 0) AS DOUBLE) AS n_a,
              CAST(COALESCE(b.n, 0) AS DOUBLE) AS n_b
-      FROM a FULL OUTER JOIN b ON a.category = b.category),
+      FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category),
 t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
 e AS (SELECT category, n_a, n_b,
              (SELECT ta FROM t) * (n_a + n_b) / ((SELECT ta FROM t) + (SELECT tb FROM t)) AS e_a,

@@ -244,9 +244,15 @@ def bloom_seen_stream(
         versions = _load_state(spark, bloom_path)
         basis = None
         if versions is not None:
-            head = (
-                versions.orderBy(F.col("batch_id").desc()).limit(1).collect()[0]
-            )
+            heads = versions.orderBy(F.col("batch_id").desc()).limit(1).collect()
+            # a state table that exists but holds ZERO rows (retention /
+            # vacuum edge, or a manually truncated table) must fall
+            # through to the first-batch path, not IndexError (r11
+            # ADVICE) — so guard the head row.
+            head = heads[0] if heads else None
+        else:
+            head = None
+        if head is not None:
             # a batch id below the newest stored version means the
             # checkpoint was reset while the filter kept its history:
             # proceeding would classify every repeat as first-seen AND

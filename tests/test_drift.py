@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -170,3 +171,61 @@ def test_ks_statistic_ignores_null_values(spark):
     row = ks_statistic(a, b, "v").collect()[0]
     assert row["ks"] < 1e-9, row
     assert row["n_a"] == 100 and row["n_b"] == 100
+
+
+def test_psi_chi2_oracles_lockstep_on_null_categories(spark, tmp_path):
+    """r12 (ADVICE): the engine joins drift categories null-safely
+    (NULL is one category), but the PSI/chi2 oracle SQL still used a
+    non-null-safe FULL OUTER JOIN — green only because the driver
+    events table has no NULL event_type. Replay BOTH sides on a corpus
+    WITH NULL categories and require the driver-identical hash match."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_oracle import spark_pandas_rows, table_hash
+
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import (
+        DRIFT_CHI2_SQL,
+        PSI_EVENT_DRIFT_SQL,
+        q_drift_chi2_events,
+        q_psi_event_drift,
+    )
+
+    rows = []
+    # first half: skewed toward 'click', some NULLs; second half:
+    # different mix, different NULL fraction — NULL must be ONE
+    # category matched across sides, not two unmatched rows
+    for d, et, n in [
+        (5, "click", 30), (5, "view", 10), (5, None, 6),
+        (20, "click", 12), (20, "view", 25), (20, None, 2), (20, "buy", 5),
+    ]:
+        rows += [(f"2024-03-{d:02d} 12:00:00", et)] * n
+    # full events schema — load_table("events") projects all six cols
+    df = (
+        spark.createDataFrame(rows, "ts_s string, event_type string")
+        .select(F.to_timestamp("ts_s").alias("ts"), "event_type")
+        .withColumn("event_id", F.monotonically_increasing_id())
+        .withColumn("user_id", F.lit(1).cast("long"))
+        .withColumn("value", F.lit(1.0))
+        .withColumn("props", F.create_map(F.lit("k"), F.lit("v")))
+    )
+    events_path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(events_path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{events_path}/*.parquet')"
+    )
+    for fn, sql in [
+        (q_psi_event_drift, PSI_EVENT_DRIFT_SQL),
+        (q_drift_chi2_events, DRIFT_CHI2_SQL),
+    ]:
+        scols, srows = spark_pandas_rows(fn(spark, str(tmp_path)))
+        odf = con.execute(sql).fetchdf()
+        orows = list(odf.itertuples(index=False, name=None))
+        assert table_hash(scols, srows) == table_hash(
+            list(odf.columns), orows
+        ), fn.__name__
+    con.close()

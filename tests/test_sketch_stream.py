@@ -552,3 +552,47 @@ def test_transient_state_read_failure_raises_not_wipes(spark, tmp_path, monkeypa
     monkeypatch.undo()
     after = sorted(map(tuple, read_table(spark, sketch_path).collect()))
     assert after == before, "failed read must not wipe accumulated state"
+
+
+def test_bloom_stream_tolerates_zero_row_state_table(spark, tmp_path):
+    """r12 (ADVICE): a bloom state table that EXISTS but holds zero
+    rows (retention/vacuum edge, or a manually truncated table) must
+    fall through to the first-batch path — the r11 head-row collect
+    raised IndexError there."""
+    from implementing_scds_in_hive_spark.operators.scd import publish
+    from implementing_scds_in_hive_spark.streaming.sketch_stream import (
+        bloom_seen_stream,
+    )
+
+    bloom_path = str(tmp_path / "bloom")
+    out_path = str(tmp_path / "seen")
+    stg = str(tmp_path / "keys")
+    spark.createDataFrame([(i,) for i in range(50)], "k long").coalesce(
+        1
+    ).write.parquet(stg)
+
+    # publish a ZERO-ROW state table with the bloom version schema
+    empty = spark.createDataFrame(
+        [],
+        "bloom_words map<int,long>, num_bits int, num_hashes int, batch_id long",
+    )
+    publish(empty, bloom_path, retain_versions=2)
+
+    stream = spark.readStream.schema("k long").parquet(stg)
+    q = bloom_seen_stream(
+        stream,
+        bloom_path,
+        out_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key_col="k",
+        num_bits=1 << 14,
+    )
+    q.awaitTermination(120)
+
+    rows = read_table(spark, out_path).collect()
+    assert len(rows) == 50
+    # with no usable prior filter, everything is first-seen
+    assert not any(r.seen_before for r in rows)
+    # and the fold still produced a filter version for the NEXT batch
+    state = read_table(spark, bloom_path)
+    assert state.count() >= 1
