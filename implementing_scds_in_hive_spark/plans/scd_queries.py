@@ -23,6 +23,7 @@ from implementing_scds_in_hive_spark.plans.scd_fixtures import (
     CDC_FEED_SQL,
     CDC_PRODUCTION_SQL,
     CUSTOMER_CFG,
+    CUSTOMER_CFG_WIDE,
     FIXTURE_EOT,
     PRODUCTION_SQL,
     STAGING_SQL,
@@ -76,9 +77,55 @@ merged AS (
 )
 """
 
+# r12 re-parameterized flagship (CUSTOMER_CFG_WIDE): c_name is Type-2,
+# only c_nationkey is Type-1 — the change flag gains the name term, the
+# carry/close-out branches FREEZE c_name on historical rows, and only
+# nationkey rewrites history.
+_FLAGGED_WIDE_SQL = f"""
+prod AS ({PRODUCTION_SQL}),
+stag AS ({STAGING_SQL}),
+flagged AS (
+    SELECT p.*,
+           s.c_custkey AS s_key, s.c_name AS s_name,
+           s.c_nationkey AS s_nationkey, s.c_acctbal AS s_acctbal,
+           s.c_mktsegment AS s_mktsegment,
+           (s.c_custkey IS NOT NULL AND p.scd_active AND
+            (p.c_acctbal IS DISTINCT FROM s.c_acctbal OR
+             p.c_mktsegment IS DISTINCT FROM s.c_mktsegment OR
+             p.c_name IS DISTINCT FROM s.c_name)) AS chg
+    FROM prod p LEFT JOIN stag s ON p.c_custkey = s.c_custkey
+)
+"""
+
+_MERGED_WIDE_CTE = f"""
+merged AS (
+    SELECT {_BUSINESS}, {_SCD}
+    FROM flagged WHERE s_key IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, s_nationkey, c_acctbal, c_mktsegment,
+           {_SCD}
+    FROM flagged WHERE s_key IS NOT NULL AND (NOT scd_active OR NOT chg)
+    UNION ALL
+    SELECT c_custkey, c_name, s_nationkey, c_acctbal, c_mktsegment,
+           scd_version, scd_start_date,
+           TIMESTAMP '{AS_OF}' AS scd_end_date, FALSE AS scd_active
+    FROM flagged WHERE chg
+    UNION ALL
+    SELECT c_custkey, s_name, s_nationkey, s_acctbal, s_mktsegment,
+           scd_version + 1, TIMESTAMP '{AS_OF}',
+           TIMESTAMP '{FIXTURE_EOT}', TRUE
+    FROM flagged WHERE chg
+    UNION ALL
+    SELECT s.{_BUSINESS.replace(', ', ', s.')},
+           1 AS scd_version, TIMESTAMP '{AS_OF}' AS scd_start_date,
+           TIMESTAMP '{FIXTURE_EOT}' AS scd_end_date, TRUE AS scd_active
+    FROM stag s ANTI JOIN prod p ON s.c_custkey = p.c_custkey
+)
+"""
+
 SCD2_MERGE_SQL = f"""
-WITH {_FLAGGED_SQL},
-{_MERGED_CTE}
+WITH {_FLAGGED_WIDE_SQL},
+{_MERGED_WIDE_CTE}
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version)
             AS BIGINT) AS dim_customer_id,
        {_BUSINESS}, {_SCD}
@@ -112,8 +159,9 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two_pass: identical dense keys to the reference's global ROW_NUMBER
     # (property-tested equivalence) WITHOUT the single-partition window
     # sort — the re-key strategy that survives a 100 TB dimension.
+    # r12: CUSTOMER_CFG_WIDE (c_name Type-2) — see scd_fixtures.py
     return scd2_merge(
-        prod, staging, CUSTOMER_CFG, AS_OF,
+        prod, staging, CUSTOMER_CFG_WIDE, AS_OF,
         broadcast_staging=True, key_strategy="two_pass",
     )
 

@@ -298,3 +298,60 @@ def test_merge_stream_cdc_full_feed_reconciliation(spark, tmp_path):
     meta = load_manifest(root, latest_version(root))["app_meta"]
     assert meta["stream_txn"] == {"cdc": 2}
     assert meta["owner"] == "test-suite"
+
+
+def test_merge_stream_survives_crash_sweep(spark, tmp_path):
+    """r12 kill-and-resume sweep (VERDICT r11 next-round #4): inject a
+    process death ONCE at every (batch, phase) point of the
+    foreachBatch commit protocol — before the merge commit and in the
+    commit->checkpoint window — restart from the SAME checkpoint, and
+    require the final table byte-equal to the crash-free run. The
+    update clause is non-idempotent (v = t.v + s.dv), so a replay that
+    re-merged (lost marker) or a skipped batch (phantom marker) fails
+    by VALUE, not just version count."""
+    rows = [(1, 10.0, "A"), (2, 20.0, "A"), (3, 300.0, "A")]
+    batches = [
+        [(1, 5.0, 1), (9, 1.0, 1), (8, -2.0, 1)],
+        [(1, -1.0, 1), (9, 2.5, 1)],
+        [(2, 4.0, 1), (7, 3.0, 1)],
+    ]
+
+    def feed(stg):
+        for chunk in batches:
+            spark.createDataFrame(chunk, SRC_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(stg)
+
+    # crash-free baseline
+    base_root = str(tmp_path / "base")
+    _publish(spark, base_root, rows)
+    stg0 = str(tmp_path / "stg_base")
+    feed(stg0)
+    _start(spark, stg0, base_root, str(tmp_path / "ckpt_base")).awaitTermination(180)
+    baseline = _rows(read_table(spark, base_root))
+
+    for b in range(len(batches)):
+        for phase in ("pre_publish", "post_publish"):
+            tag = f"{b}_{phase}"
+            root = str(tmp_path / f"t_{tag}")
+            stg = str(tmp_path / f"stg_{tag}")
+            ckpt = str(tmp_path / f"ckpt_{tag}")
+            _publish(spark, root, rows)
+            feed(stg)
+            fired = {"done": False}
+
+            def hook(batch_id, ph, _b=b, _phase=phase, _fired=fired):
+                if batch_id == _b and ph == _phase and not _fired["done"]:
+                    _fired["done"] = True
+                    raise RuntimeError(f"injected death at {_b}/{_phase}")
+
+            with pytest.raises(Exception):
+                q = _start(spark, stg, root, ckpt, crash_hook=hook)
+                q.awaitTermination(180)
+                if q.exception() is not None:
+                    raise RuntimeError(q.exception().desc)
+            assert fired["done"], f"crash at {tag} never fired"
+            # restart from the same checkpoint: replay must converge
+            _start(spark, stg, root, ckpt).awaitTermination(180)
+            got = _rows(read_table(spark, root))
+            assert got == baseline, f"divergence after crash at {tag}"
