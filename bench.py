@@ -174,7 +174,8 @@ def main() -> None:
             )
 
     for builder in (_build_stored_ivf, _build_snapshot_read,
-                    _build_matview_refresh, _build_snapshot_vectored):
+                    _build_matview_refresh, _build_snapshot_vectored,
+                    _build_skew_merge):
         try:  # pragma: no cover - bench must always emit JSON
             _time_extra_group(builder(spark, sf_dir))
         except Exception as e:
@@ -442,6 +443,82 @@ def _build_matview_refresh(spark, sf_dir):
     return {
         "matview_refresh_delta": refresh,
         "event_rollup_rebuild": rebuild,
+    }
+
+
+def _build_skew_merge(spark, sf_dir):
+    """Hot-key merge stress (VERDICT r11 next-round #5): a staging
+    batch where 1% of keys carry 50% of the rows — the CDC-redelivery
+    shape the 100 TB brief names as the flagship's stated skew risk —
+    pushed through the full scd2_merge, under BOTH staging-dedupe
+    formulations:
+
+    * ``scd2_skew_merge_window`` — the row_number window dedupe: a hot
+      key's redeliveries all land in one task (bounded here by the
+      hottest key, pathological at scale);
+    * ``scd2_skew_merge_maxby`` — the skew-immune max_by dedupe
+      (operators/scd.py): partial_max_by collapses duplicates map-side,
+      so the exchange carries one row per (partition, key) regardless
+      of redelivery depth (pinned by
+      tests/test_plan_shapes.py::test_dedupe_max_by_partial_aggregates_before_shuffle).
+
+    The skewed batch is staged to parquet in setup (untimed); each
+    probe times dedupe + merge end-to-end.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.scd import (
+        dedupe_staging,
+        scd2_merge,
+    )
+    from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+        AS_OF,
+        CUSTOMER_CFG,
+        customer_production,
+        customer_staging,
+    )
+
+    stg_root = _scratch_root("skew_staging")
+    shutil.rmtree(stg_root, ignore_errors=True)
+    base = customer_staging(spark, sf_dir)
+    # normal tail: every key redelivered 8x; hot head: 1% of keys
+    # (custkey % 100 == 0) redelivered 800x -> ~50% of all rows
+    normal = base.withColumn("__copies", F.lit(8))
+    hot = base.where(F.col("c_custkey") % 100 == 0).withColumn(
+        "__copies", F.lit(792)
+    )
+    skewed = (
+        normal.unionByName(hot)
+        .withColumn(
+            "__seq", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .drop("__copies")
+        .withColumn(
+            "__seq",
+            F.col("__seq").cast("long") * 100_000_000
+            + F.col("c_custkey"),
+        )
+    )
+    skewed.write.mode("overwrite").parquet(stg_root)
+
+    def _merge(strategy):
+        def probe(spark, sf_dir):
+            stg = spark.read.parquet(stg_root)
+            staged = dedupe_staging(
+                stg, CUSTOMER_CFG, order_by=["__seq"], strategy=strategy
+            ).drop("__seq")
+            return scd2_merge(
+                customer_production(spark, sf_dir), staged,
+                CUSTOMER_CFG, AS_OF, broadcast_staging=True,
+                key_strategy="two_pass",
+            )
+        return probe
+
+    return {
+        "scd2_skew_merge_window": _merge("row_number"),
+        "scd2_skew_merge_maxby": _merge("max_by"),
     }
 
 

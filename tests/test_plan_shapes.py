@@ -292,3 +292,27 @@ def test_pagerank_iteration_uses_combinable_aggregation(spark):
     plan = _plan(ranks)
     assert "Scan ExistingRDD" in plan  # localCheckpoint truncated lineage
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dedupe_max_by_partial_aggregates_before_shuffle(spark):
+    """r12 skew guard (VERDICT r11 #5): the max_by staging dedupe must
+    partial-aggregate map-side — a hot key's redeliveries collapse to
+    one row per input partition BEFORE the exchange, so no task is ever
+    O(rows of the hottest key) — and must contain no Window (the
+    row_number formulation's skew concentrator)."""
+    from implementing_scds_in_hive_spark.operators.scd import (
+        SCDConfig,
+        dedupe_staging,
+    )
+
+    cfg = SCDConfig(
+        key="k", type2_cols=("v",), type1_cols=(), surrogate_col="sk"
+    )
+    df = spark.createDataFrame([(1, "a", 1)], "k long, v string, seq long")
+    plan = _plan(dedupe_staging(df, cfg, order_by=["seq"], strategy="max_by"))
+    assert "partial_max_by" in plan, plan
+    assert plan.index("partial_max_by") > plan.index("Exchange"), (
+        "partial aggregate must sit BELOW the exchange (executedPlan "
+        "prints top-down, so the map-side phase appears after it)"
+    )
+    assert "Window" not in plan

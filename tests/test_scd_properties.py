@@ -180,3 +180,50 @@ def test_hash_keys_stable_across_runs(spark):
     k1 = sorted(r["dim_id"] for r in assign_surrogate_keys(df, CFG, strategy="hash").collect())
     k2 = sorted(r["dim_id"] for r in assign_surrogate_keys(df, CFG, strategy="hash").collect())
     assert k1 == k2 and len(set(k1)) == 2
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),                 # key (forces duplicates)
+            st.one_of(st.none(), st.text("ab", max_size=3)),  # value
+            st.integers(0, 1_000_000),         # seq (unique-ified below)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedupe_strategy_equivalence(spark, rows):
+    """r12 (VERDICT r11 #5): the skew-immune max_by dedupe must pick
+    row-identical winners to the row_number window whenever order_by is
+    a total order — seqs are unique-ified so ties (arbitrary winner in
+    BOTH formulations) cannot flake the compare."""
+    from implementing_scds_in_hive_spark.operators.scd import dedupe_staging
+
+    cfg = SCDConfig(
+        key="login",
+        type2_cols=("address",),
+        type1_cols=(),
+        surrogate_col="dim_id",
+    )
+    data = [
+        (f"k{k}", v, i * 2_000_000 + seq)  # i-offset makes seq unique
+        for i, (k, v, seq) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "login string, address string, seq long"
+    )
+    a = sorted(
+        map(tuple, dedupe_staging(df, cfg, order_by=["seq"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedupe_staging(
+                df, cfg, order_by=["seq"], strategy="max_by"
+            ).collect(),
+        )
+    )
+    assert a == b
