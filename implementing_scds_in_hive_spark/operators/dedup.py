@@ -151,6 +151,22 @@ def shingled_hashes(
     )
 
 
+def _pin_reused(
+    df: DataFrame, cache_handles: list[DataFrame] | None
+) -> DataFrame:
+    """Materialize an intermediate that downstream code references more
+    than once. Default: ``localCheckpoint(eager=True)`` — blocks are
+    released when the DataFrame is GC'd, so repeated batch callers
+    cannot accumulate session-lifetime executor storage (the r11/r12
+    leak class). With ``cache_handles``, plain ``persist`` and the
+    handle appended for the caller to unpersist on its own schedule."""
+    if cache_handles is not None:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_handles.append(df)
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -181,14 +197,7 @@ def ngram_jaccard_pairs(
     ``persist`` with the handles appended for the caller to unpersist.
     """
 
-    def _pin(df: DataFrame) -> DataFrame:
-        if cache_handles is not None:
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            cache_handles.append(df)
-            return df
-        return df.localCheckpoint(eager=True)
-
-    sh = _pin(shingled_hashes(docs, id_col, text_col, n=n))
+    sh = _pin_reused(shingled_hashes(docs, id_col, text_col, n=n), cache_handles)
     inv = sh.select("did", F.explode("sh").alias("hs"))
     if max_doc_freq is not None:
         freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
@@ -197,7 +206,10 @@ def ngram_jaccard_pairs(
         # frequency aggregation + semi-join would re-execute per
         # reference, on exactly the path the cap exists to make
         # 100 TB-viable (r11 review)
-        inv = _pin(inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi"))
+        inv = _pin_reused(
+            inv.join(freq.where(F.col("df") <= max_doc_freq), "hs", "left_semi"),
+            cache_handles,
+        )
         # Consistency is load-bearing: |A| and |B| must count the SAME
         # shingle universe the intersection does, i.e. post-suppression.
         # Sizing with the full arrays while intersecting only surviving
@@ -306,6 +318,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified exactly.
 
@@ -323,7 +336,9 @@ def minhash_lsh_pairs(
     joins, which pull the shingle arrays of the (few) candidate pairs and
     intersect them in-row with array_intersect on sorted arrays.
     """
-    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _pin_reused(
+        shingled_hashes(docs, id_col, text_col, n=n), cache_handles
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
@@ -437,14 +452,15 @@ def portable_minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """``minhash_lsh_pairs`` with the portable hash family — same plan
     shape (in-row signatures/buckets, (band, bucket) join, exact verify),
     deterministic across engines, so a SQL oracle can replay it
     value-for-value."""
     _validate_lsh_params(num_perm, bands)
-    sh = portable_shingled_hashes(docs, id_col, text_col, n=n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = _pin_reused(
+        portable_shingled_hashes(docs, id_col, text_col, n=n), cache_handles
     )
     banded = (
         sh.select("did", _portable_sig(num_perm).alias("__sig"))
@@ -703,6 +719,7 @@ def jaccard_prefix_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING — the lossless
     scale path for the exhaustive tier.
@@ -738,7 +755,9 @@ def jaccard_prefix_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eps = 1e-9  # guards float ceil: 0.1*30 -> 3.0000000000000004
-    sh = shingled_hashes(docs, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _pin_reused(
+        shingled_hashes(docs, id_col, text_col, n=n), cache_handles
+    )
     inv = sh.select("did", F.explode("sh").alias("hs"))
     freq = inv.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc shingles in global (df asc, hs asc) order; prefix slice.
@@ -758,8 +777,8 @@ def jaccard_prefix_pairs(
                 (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int"),
             ).alias("prefix"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ordered = _pin_reused(ordered, cache_handles)
     pf = ordered.select("did", "sz", F.explode("prefix").alias("hs"))
     a, b = pf.alias("a"), pf.alias("b")
     cand = (

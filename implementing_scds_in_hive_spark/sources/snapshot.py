@@ -2646,15 +2646,34 @@ def _diff_sides(
         # error deep in the join.
         pfields = lambda m: [  # noqa: E731
             (
+                f["name"].casefold(),
                 column_mapping(m).get(f["name"], f["name"]).casefold(),
                 f["type"],
             )
             for f in json.loads(m["schema"])["fields"]
         ]
         ff, tf = pfields(m_from), pfields(m_to)
-        if tf[: len(ff)] == ff:
+
+        def _prefix_ok(short, long_):
+            # positional fields correspond when the types match AND
+            # either the PHYSICAL name matches (a RENAME across the
+            # window — same bytes, new logical name) or the LOGICAL
+            # name matches (a DROP+re-ADD across the window — fresh
+            # physical; the old side serves the old bytes, the new
+            # side the re-added column's NULL backfill, which is the
+            # coherent diff). The r11 physical-only compare refused the
+            # second shape whenever the schema JSONs differed in any
+            # incidental bit (nullability), while accepting the
+            # byte-identical-schema variant of the SAME history —
+            # confirmed live (r12 review).
+            return all(
+                (s[1] == l[1] or s[0] == l[0]) and s[2] == l[2]
+                for s, l in zip(short, long_)
+            )
+
+        if len(ff) <= len(tf) and _prefix_ok(ff, tf):
             m_from = _pin_wider_schema(m_from, m_to)
-        elif ff[: len(tf)] == tf:
+        elif len(tf) < len(ff) and _prefix_ok(tf, ff):
             m_to = _pin_wider_schema(m_to, m_from)
         else:
             raise ValueError(

@@ -236,3 +236,71 @@ def test_evolve_accepts_ddl_and_json_type_names(spark, tmp_path):
     assert got.count() == 1  # carried file NULL-backfills every column
     with pytest.raises(ValueError, match="cannot parse column type"):
         evolve_schema_commit(root, [("bad", "noSuchType")])
+
+
+def test_change_feed_coherent_across_drop_readd_window(spark, tmp_path):
+    """r12 review (CONFIRMED live): a DROP + re-ADD of the same logical
+    column across the diff window is the coherent diff the equal-schema
+    comment documents — but when the schema JSONs differed in any
+    incidental bit (a non-nullable v1 field vs the evolve-forced
+    nullable re-add), the physical-only prefix compare refused it with
+    'incompatible schemas'. The fix matches positional fields by
+    physical OR logical name (types must agree): renames keep working,
+    drop+re-add windows diff coherently, and genuinely incompatible
+    shapes still fail loudly."""
+    from pyspark.sql import types as T
+
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        drop_column_commit,
+        evolve_schema_commit,
+        rename_column_commit,
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("payload", T.StringType(), True),
+            T.StructField("x", T.LongType(), False),  # NON-nullable
+        ]
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, "p1", 10), (2, "p2", 20)], schema)
+        .coalesce(1),
+        root,
+    )  # v1
+    drop_column_commit(root, "x")  # v2
+    evolve_schema_commit(root, [("x", "bigint")])  # v3: fresh physical
+    # metadata-only window: carried files are byte-shared on both
+    # sides, so the coherent diff is EMPTY (Delta CDF semantics for
+    # ALTER-only windows) — the r11 code raised instead
+    assert snapshot_changes(spark, root, 1, 3, ["k"]).count() == 0
+
+    # a data commit inside the window surfaces through the same pin:
+    # the appended key reads the RE-ADDED column's value; carried keys
+    # stay silent
+    write_snapshot(
+        spark.createDataFrame([(3, "p3", 99)], "k long, payload string, x long"),
+        root,
+        mode="append",
+    )  # v4
+    rows = sorted(
+        map(tuple, snapshot_changes(spark, root, 1, 4, ["k"]).collect())
+    )
+    assert rows == [(3, "p3", 99, "I")], rows
+
+    # rename across the window stays a no-change diff
+    rename_column_commit(root, "payload", "payload2")  # v5
+    assert snapshot_changes(spark, root, 4, 5, ["k"]).count() == 0
+    # and a genuinely incompatible shape still fails loudly
+    root2 = str(tmp_path / "t2")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 5)], "k long, a string, b long"),
+        root2,
+    )
+    drop_column_commit(root2, "a")  # (k, b) — positions shift
+    evolve_schema_commit(root2, [("c", "string")])  # (k, b, c)
+    with pytest.raises(ValueError, match="incompatible schemas"):
+        snapshot_changes(spark, root2, 1, 3, ["k"]).count()
