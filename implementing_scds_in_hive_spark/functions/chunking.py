@@ -122,6 +122,11 @@ def pack_sequences(
     prefix-sum (no single-partition window); everything downstream is
     in-row integer arithmetic + one explode over the sequences a doc
     spans — exact, so a SQL window-cumsum oracle replays it."""
+    if seq_len < 1:
+        # sequence(first, last) silently steps DOWNWARD when first >
+        # last, so a negative seq_len yields garbage manifests instead
+        # of an error (r12 review — degeneracy class)
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     toks = F.split(F.col(text_col), " ")
     with_n = docs.select(
         F.col(id_col).alias("doc_id"), F.size(toks).alias("__n")

@@ -209,6 +209,14 @@ def binned_histogram(
     most ``num_bins`` rows per group whatever the input size, and two
     histograms merge by summing ``cnt`` — the mergeable-percentile
     primitive."""
+    if not (lo < hi) or num_bins < 1:
+        # a zero/negative width silently clamps EVERY value into bucket
+        # 0 (and downstream percentiles read below lo) rather than
+        # erroring — the silent-parameter-degeneracy class (r12 review)
+        raise ValueError(
+            f"binned histogram needs lo < hi and num_bins >= 1, got "
+            f"lo={lo}, hi={hi}, num_bins={num_bins}"
+        )
     g = list(group_cols)
     width = (hi - lo) / num_bins
     bucket = F.least(

@@ -128,3 +128,16 @@ def test_invalid_stride_raises(spark):
         chunk_text(df, size=3, stride=4)
     with pytest.raises(ValueError):
         chunk_text(df, size=3, stride=0)
+
+
+def test_pack_sequences_rejects_nonpositive_seq_len(spark):
+    """r12 review: sequence(first, last) steps DOWNWARD when first >
+    last, so seq_len <= 0 produced garbage manifests silently."""
+    from implementing_scds_in_hive_spark.functions.chunking import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(df, seq_len=bad)

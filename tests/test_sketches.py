@@ -432,3 +432,21 @@ def test_binned_histogram_ignores_null_values(spark):
     ).collect()[0]
     p = row[[c for c in row.asDict() if c != "g"][0]]
     assert p >= 90.0, p
+
+
+def test_binned_histogram_rejects_degenerate_range(spark):
+    """r12 review: lo >= hi made the bin width zero/negative, silently
+    clamping every value into bucket 0 (and percentiles below lo)
+    instead of erroring."""
+    from implementing_scds_in_hive_spark.operators.sketches import (
+        binned_histogram,
+        binned_percentiles,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        binned_histogram(df, [], "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        binned_percentiles(df, [], "v", lo=9.0, hi=1.0)
+    with pytest.raises(ValueError, match="num_bins"):
+        binned_histogram(df, [], "v", lo=0.0, hi=1.0, num_bins=0)
