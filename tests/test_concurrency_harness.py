@@ -57,6 +57,7 @@ from implementing_scds_in_hive_spark.sources.snapshot import (
     read_snapshot,
     read_table,
     rename_column_commit,
+    restore_commit,
     stage_files,
     vacuum,
     write_snapshot,
@@ -103,8 +104,9 @@ class _Worker:
             for j in range(self.n_ops):
                 op = self.rng.choices(
                     ["append", "replace_del", "mor_del", "rename",
-                     "drop", "evolve", "clone", "consolidate", "vacuum"],
-                    weights=[34, 14, 10, 8, 7, 7, 8, 6, 6],
+                     "drop", "evolve", "clone", "consolidate", "vacuum",
+                     "restore"],
+                    weights=[32, 13, 9, 8, 7, 7, 7, 6, 6, 5],
                 )[0]
                 try:
                     getattr(self, op)(j)
@@ -232,6 +234,18 @@ class _Worker:
         # real grace window: concurrent stages/readers must survive
         vacuum(self.root, keep_last=4, grace_seconds=300.0)
 
+    def restore(self, j):
+        # roll the table back to a RETAINED earlier version, CASed on
+        # the head we computed the target from — the model replays it
+        # as state := states[target]
+        versions = list_versions(self.root)
+        if len(versions) < 2:
+            return
+        cur = versions[-1]
+        target = self.rng.choice(versions[:-1])
+        v = restore_commit(self.root, target, expected_version=cur)
+        self.log.append((v, "restore", {"to": target}))
+
 
 def _replay(log, n_versions, seed_rows):
     """Apply the winner ops versionwise to a pure-Python model; return
@@ -283,6 +297,10 @@ def _replay(log, n_versions, seed_rows):
                 r.pop(data["col"], None)
         elif kind == "evolve":
             schema = schema + [data["col"]]
+        elif kind == "restore":
+            schema, rows = states[data["to"]]
+            schema = list(schema)
+            rows = {k: dict(r) for k, r in rows.items()}
         elif kind == "noop":
             pass
         else:  # pragma: no cover
