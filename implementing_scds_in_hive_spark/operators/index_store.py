@@ -249,7 +249,30 @@ def save_minhash_index(
     the two-table durable layout described in the module docstring.
     Returns the sidecar metadata. ``params`` should record the build
     parameters (n, num_perm, bands) so future deltas are built
-    compatibly — they are stored in the sidecar verbatim."""
+    compatibly — they are stored in the sidecar verbatim.
+
+    Serialized via the root's maintenance lock (r12 review): a REBUILD
+    onto a live root replaces the whole index by design, but without
+    the lock an append could land in the OLD generation between the
+    rebuild's staging and its sidecar replace — returning success while
+    its rows ride a dead generation straight into the orphan sweep
+    (silent loss despite a successful append). Locked, appends either
+    wholly precede the rebuild (replacement semantics — loudly the
+    caller's contract) or follow it into the new generation."""
+    with _index_lock(root, timeout=120.0):
+        return _save_minhash_locked(
+            index, table, root, n_buckets=n_buckets, params=params
+        )
+
+
+def _save_minhash_locked(
+    index: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int,
+    params: dict | None,
+) -> dict:
     if index.storageLevel == StorageLevel.NONE:
         # the index plan (shingling + num_perm permutation scans) is
         # referenced twice below (docs write, buckets derivation);
@@ -507,7 +530,24 @@ def save_ivf_index(
     """Persist an IVF index: ``assigned`` from ``ivf_assign`` (vec_id,
     embedding, centroid_id) bucketed+sorted by centroid id — the on-disk
     form of the inverted lists — plus the K centroid rows. Returns the
-    sidecar metadata."""
+    sidecar metadata. Serialized via the root's maintenance lock for
+    the same rebuild-vs-append reason as ``save_minhash_index``."""
+    with _index_lock(root, timeout=120.0):
+        return _save_ivf_locked(
+            assigned, centroids, table, root,
+            n_buckets=n_buckets, centroid_id_col=centroid_id_col,
+        )
+
+
+def _save_ivf_locked(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int,
+    centroid_id_col: str,
+) -> dict:
     assign_spec = _save_external_bucketed(
         assigned,
         f"{table}_assign",
