@@ -776,3 +776,53 @@ def test_rebuild_onto_live_root_stages_generationally(
     # the superseded generation sweeps once the grace window passes
     swept = maintain_index(spark, root, sweep_grace_seconds=0.0)["swept"]
     assert _os.path.basename(before_docs_path) in swept
+
+
+def test_rebuild_honors_maintenance_lock(spark, minhash_setup):
+    """r12 review: a rebuild (save_* onto a live root) used to stage and
+    replace the sidecar WITHOUT the maintenance lock, so a concurrent
+    append could return success while its part files rode the
+    superseded generation into the orphan sweep. Rebuilds must now
+    block on the lock like append/compact."""
+    import os as _os
+
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        _index_lock,
+        save_minhash_index,
+    )
+
+    corpus_index, new_index, root = minhash_setup
+    with _index_lock(root, timeout=5.0):
+        import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+        orig = ixs._LOCK_STALE_SECONDS
+        try:
+            # keep the held lock from being broken as "stale"
+            ixs._LOCK_STALE_SECONDS = 3600.0
+            with pytest.raises(TimeoutError, match="maintenance lock"):
+                # monkey-cheap timeout: patch via the internal helper
+                with ixs._index_lock(root, timeout=0.3):
+                    pass
+            # the PUBLIC rebuild path goes through the same lock: it
+            # must not commit a sidecar while the lock is held elsewhere
+            t0 = _os.times().elapsed if hasattr(_os, "times") else None
+            import threading
+
+            done = {"v": False}
+
+            def rebuild():
+                save_minhash_index(
+                    corpus_index, "t_mh", root, n_buckets=32,
+                    params={"num_perm": 32},
+                )
+                done["v"] = True
+
+            th = threading.Thread(target=rebuild)
+            th.start()
+            th.join(timeout=2.0)
+            assert not done["v"], "rebuild committed while lock was held"
+        finally:
+            ixs._LOCK_STALE_SECONDS = orig
+    # lock released: the rebuild completes
+    th.join(timeout=300)
+    assert done["v"], "rebuild must proceed once the lock frees"
