@@ -42,6 +42,7 @@ def scd2_upsert_stream(
     *,
     checkpoint_dir: str,
     order_by: list[str] | None = None,
+    dedupe_strategy: str = "row_number",
     as_of_fn: Callable[[int], datetime] | None = None,
     trigger_available_now: bool = True,
     crash_hook: Callable[[int, str], None] | None = None,
@@ -50,7 +51,11 @@ def scd2_upsert_stream(
     ``prod_path``.
 
     ``order_by``: columns ranking duplicate keys within one batch (last
-    wins), e.g. an event timestamp. ``as_of_fn(batch_id)`` supplies the
+    wins), e.g. an event timestamp. ``dedupe_strategy="max_by"`` routes
+    the per-batch dedupe through the skew-immune map-side aggregation
+    (operators/scd.py:dedupe_staging) — the right choice for CDC feeds
+    where one hot entity can be redelivered millions of times per
+    trigger; row-identical to the default under a total ``order_by``. ``as_of_fn(batch_id)`` supplies the
     merge instant per micro-batch — injectable for deterministic tests,
     defaulting to wall clock (one instant per batch, never per row:
     the reference's per-statement timestamp drift is not reproduced).
@@ -74,7 +79,9 @@ def scd2_upsert_stream(
             crash_hook(batch_id, "pre_publish")
         as_of = as_of_fn(batch_id) if as_of_fn else datetime.now(timezone.utc).replace(tzinfo=None)
         prod = read_table(spark, prod_path)
-        staged = dedupe_staging(batch, cfg, order_by=order_by)
+        staged = dedupe_staging(
+            batch, cfg, order_by=order_by, strategy=dedupe_strategy
+        )
         merged = scd2_merge(prod, staged, cfg, as_of, broadcast_staging=True)
         # foreachBatch materializes eagerly, so the lazy-read-overwrite
         # trap applies: publish() commits via the manifest snapshot

@@ -348,3 +348,83 @@ def test_merge_stream_rejects_nonpositive_retries(spark, tmp_path):
             stream_id="s1",
             max_commit_retries=0,
         )
+
+
+def test_scd2_upsert_stream_maxby_dedupe_matches_window(spark, tmp_path):
+    """r12: the skew-immune dedupe_strategy='max_by' face of the upsert
+    stream produces a byte-identical dimension to the default window
+    dedupe on a feed with heavy in-batch redelivery (the CDC shape the
+    strategy exists for)."""
+    cfg = SCDConfig(
+        key="login",
+        type2_cols=("address",),
+        type1_cols=("name",),
+        surrogate_col="dim_id",
+    )
+    prod_schema = T.StructType(
+        [
+            T.StructField("dim_id", T.LongType()),
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("scd_version", T.IntegerType()),
+            T.StructField("scd_start_date", T.TimestampType()),
+            T.StructField("scd_end_date", T.TimestampType()),
+            T.StructField("scd_active", T.BooleanType()),
+        ]
+    )
+    eot = datetime(9999, 12, 31, 23, 59, 59)
+    seed = [
+        (1, "u1", "a1", "N1", 1, T0, eot, True),
+        (2, "u2", "a2", "N2", 1, T0, eot, True),
+    ]
+    stg_schema = T.StructType(
+        [
+            T.StructField("login", T.StringType(), False),
+            T.StructField("address", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    # one hot key (u1) redelivered many times per batch with a total
+    # order; the LAST seq per key must win under both strategies
+    batches = [
+        [("u1", f"a1-v{i}", "N1", i) for i in range(40)] + [("u3", "a3", "N3", 1)],
+        [("u1", f"a1-w{i}", "N1", 100 + i) for i in range(40)]
+        + [("u2", "a2", "N2-ren", 1)],
+    ]
+    as_of = {0: datetime(2024, 2, 1), 1: datetime(2024, 3, 1)}
+
+    results = {}
+    for strategy in ("row_number", "max_by"):
+        prod_path = str(tmp_path / f"dim_{strategy}")
+        spark.createDataFrame(seed, prod_schema).write.parquet(prod_path)
+        stg_dir = str(tmp_path / f"stg_{strategy}")
+        for chunk in batches:
+            spark.createDataFrame(chunk, stg_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(stg_dir)
+        stream = (
+            spark.readStream.schema(stg_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stg_dir)
+        )
+        q = scd2_upsert_stream(
+            stream,
+            prod_path,
+            cfg,
+            checkpoint_dir=str(tmp_path / f"ckpt_{strategy}"),
+            order_by=["seq"],
+            dedupe_strategy=strategy,
+            as_of_fn=lambda b: as_of[b],
+        )
+        _await(q)
+        results[strategy] = sorted(
+            (r["login"], r["scd_version"], r["address"], r["name"],
+             r["scd_active"])
+            for r in read_table(spark, prod_path).collect()
+        )
+    assert results["row_number"] == results["max_by"]
+    # the hot key's winners are the LAST redelivery of each batch
+    u1 = [g for g in results["max_by"] if g[0] == "u1"]
+    assert ("u1", 3, "a1-w39", "N1", True) in u1
