@@ -92,16 +92,32 @@ def _save_external_bucketed(
     # bucket, with sortBy giving clusterd row-group stats inside it.
     # (At 100 TB an index bucket spanning multiple files is fine too —
     # raise n_buckets rather than splitting buckets across writers.)
+    import uuid as _uuid
+
     df = df.repartition(n_buckets, *bucket_cols)
-    # a stale catalog entry (a previous load/build of the same name)
-    # may point at another location; overwrite-through-saveAsTable
-    # would target THAT path instead of ours — drop first (external:
-    # files stay)
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    # Write under a TEMP catalog name, then swap: the old drop-first
+    # sequence removed the LIVE name for the whole multi-second (at
+    # corpus scale: multi-minute) bucketed write, so a same-session
+    # lock-free probe registering the tables mid-rebuild crashed with
+    # TABLE_OR_VIEW_NOT_FOUND (r12 hunt, CONFIRMED by a rebuild-loop
+    # repro). With the temp-name write the live entry vanishes only for
+    # the DROP->RENAME pair (~ms), and _register_external_bucketed's
+    # retry rides that window out. saveAsTable still cannot reuse the
+    # live name directly — a stale entry at another location would
+    # hijack the write path.
+    spark = df.sparkSession
+    tmp = f"{table}__stg{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    w.format("parquet").option("path", path).saveAsTable(table)
+    w.format("parquet").option("path", path).saveAsTable(tmp)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files stay
+        raise
     return {
         "table": table,
         "path": path,
@@ -122,7 +138,30 @@ def _register_external_bucketed(spark: SparkSession, spec: dict) -> DataFrame:
     the spec: a compact_index that failed between staging and the
     sidecar commit leaves the in-process catalog pointing at the
     uncommitted generation (which the orphan sweep later deletes), so a
-    mismatched entry is dropped and re-created at the committed path."""
+    mismatched entry is dropped and re-created at the committed path.
+
+    Retries briefly on the catalog-swap window (r12): a same-session
+    rebuild replaces the live entry via DROP -> RENAME (~ms); a
+    lock-free probe landing exactly inside it sees a vanished table for
+    one beat, not an error."""
+    last_exc = None
+    for _attempt in range(5):
+        try:
+            return _register_external_once(spark, spec)
+        except Exception as e:  # AnalysisException: concurrent swap
+            transient = (
+                isinstance(e, AnalysisExistsRetry)
+                or "TABLE_OR_VIEW_NOT_FOUND" in str(e)
+                or "cannot be found" in str(e)
+            )
+            if not transient:
+                raise
+            last_exc = e
+            time.sleep(0.2)
+    raise last_exc
+
+
+def _register_external_once(spark: SparkSession, spec: dict) -> DataFrame:
     if spark.catalog.tableExists(spec["table"]):
         loc = next(
             (
@@ -142,12 +181,24 @@ def _register_external_bucketed(spark: SparkSession, spec: dict) -> DataFrame:
     sorted_clause = (
         f" SORTED BY ({', '.join(spec['sort_cols'])})" if spec["sort_cols"] else ""
     )
-    spark.sql(
-        f"CREATE TABLE {spec['table']} ({spec['schema_ddl']}) USING parquet "
-        f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}){sorted_clause} "
-        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{spec['path']}'"
-    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {spec['table']} ({spec['schema_ddl']}) USING parquet "
+            f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}){sorted_clause} "
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{spec['path']}'"
+        )
+    except Exception as e:
+        # a concurrent rebuild's RENAME can land between our exists
+        # check and the CREATE — treat "already exists" as the swap
+        # window too and let the retry loop re-validate the location
+        if "TABLE_OR_VIEW_ALREADY_EXISTS" not in str(e) and "already exists" not in str(e).lower():
+            raise
+        raise AnalysisExistsRetry(str(e))
     return spark.table(spec["table"])
+
+
+class AnalysisExistsRetry(RuntimeError):
+    """Internal: concurrent catalog swap detected mid-registration."""
 
 
 def _write_meta(root: str, meta: dict) -> None:

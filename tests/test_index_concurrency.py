@@ -147,3 +147,50 @@ def test_index_multi_writer_appends_compactions_and_probes(
         incremental_minhash_pairs(union_ix, probe_ix, threshold=0.5)
     )
     assert stored == mem
+
+
+def test_probes_survive_concurrent_rebuild_catalog_swap(spark, sf_dir, tmp_path):
+    """r12 hunt (CONFIRMED by a rebuild-loop repro): the rebuild used to
+    DROP the live catalog name for the entire bucketed write, so a
+    same-session lock-free probe registering the tables mid-rebuild
+    crashed with TABLE_OR_VIEW_NOT_FOUND. The temp-name write + DROP->
+    RENAME swap (~ms window) plus the registration retry must keep
+    every probe alive through a continuous rebuild loop."""
+    import threading
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 4 == 0)
+    root = str(tmp_path / "mh_swap")
+    ix = portable_minhash_index(corpus, n=3, num_perm=32, bands=8)
+    ix = ix.localCheckpoint(eager=True)
+    save_minhash_index(ix, "t_mhswap", root, n_buckets=16, params={})
+    probe_ix = portable_minhash_index(
+        d.where(F.col("doc_id") % 4 == 1).limit(8), n=3, num_perm=32, bands=8
+    ).localCheckpoint(eager=True)
+
+    stop = {"v": False}
+    errors: list = []
+
+    def rebuilder():
+        try:
+            while not stop["v"]:
+                save_minhash_index(
+                    ix, "t_mhswap", root, n_buckets=16, params={}
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(("rebuild", repr(e)))
+
+    def prober():
+        try:
+            for _ in range(15):
+                incremental_minhash_pairs_stored(
+                    spark, root, probe_ix, threshold=0.5
+                ).count()
+        except Exception as e:
+            errors.append(("probe", repr(e)))
+
+    t1 = threading.Thread(target=rebuilder)
+    t2 = threading.Thread(target=prober)
+    t1.start(); t2.start()
+    t2.join(timeout=600); stop["v"] = True; t1.join(timeout=600)
+    assert not errors, errors
