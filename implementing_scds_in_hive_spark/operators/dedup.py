@@ -35,11 +35,16 @@ from implementing_scds_in_hive_spark.functions.text import fingerprint
 from implementing_scds_in_hive_spark.sources.registry import spread
 
 # Recommended stop-gram cap for the exhaustive n-gram tier at scale
-# (ngram_jaccard_pairs max_doc_freq). Chosen from the sf0.1 sweep
+# (ngram_jaccard_pairs max_doc_freq) — pass it EXPLICITLY at scale call
+# sites; the entry point itself defaults to None (exact) because a
+# silent cap makes both the pair set and the jaccard values (sizes are
+# counted post-suppression) corpus-dependent approximations under an
+# 'Exact' contract (r12 ADVICE). Chosen from the sf0.1 sweep
 # (scripts/dedup_scale_smoke.py; PLANS.md "Dedup tiers at scale"):
 # caps >= 50 lose zero true pairs on the driver corpus; 100 keeps 2x
 # margin while bounding any one shingle's join fan-out to ~100^2/2
-# candidate pairs regardless of corpus size.
+# candidate pairs regardless of corpus size. For a cap-free bounded
+# exact run use jaccard_prefix_pairs (prefix filtering — lossless).
 DEFAULT_MAX_DOC_FREQ = 100
 
 
@@ -158,12 +163,25 @@ def _pin_reused(
     than once. Default: ``localCheckpoint(eager=True)`` — blocks are
     released when the DataFrame is GC'd, so repeated batch callers
     cannot accumulate session-lifetime executor storage (the r11/r12
-    leak class). With ``cache_handles``, plain ``persist`` and the
-    handle appended for the caller to unpersist on its own schedule."""
+    leak class).
+
+    Fault-tolerance tradeoff (r12 ADVICE): ``localCheckpoint`` TRUNCATES
+    lineage and stores blocks unreplicated on executors, so losing any
+    executor mid-job makes the pinned intermediate unrecoverable and
+    aborts the job — acceptable on local[n] and for short batches, NOT
+    for multi-hour 100 TB runs on preemptible hardware. For those,
+    either pass ``cache_handles`` (plain ``persist(MEMORY_AND_DISK)``
+    keeps lineage, so lost blocks recompute; handles are appended for
+    the caller to unpersist on its own schedule), or set a RELIABLE
+    checkpoint dir (``spark.sparkContext.setCheckpointDir`` on
+    HDFS/object storage) — when one is set, the default path uses
+    ``checkpoint`` (replicated, survives executor loss) instead."""
     if cache_handles is not None:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         cache_handles.append(df)
         return df
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
@@ -174,22 +192,24 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_doc_freq: int | None = None,
     cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
     Inverted-index self-join: explode distinct shingles, join on the
     shingle, count intersections per pair; |union| = |A| + |B| - |inter|.
-    ``max_doc_freq`` drops ubiquitous shingles (stop-gram suppression) —
-    at 100 TB this is essential to bound the join fan-out, so it now
-    DEFAULTS to ``DEFAULT_MAX_DOC_FREQ`` (=100): the sf0.1 sweep
-    (scripts/dedup_scale_smoke.py, numbers in PLANS.md) shows caps
-    >= 50 lose zero true pairs on the driver corpus while any cap
-    bounds the worst-case per-shingle fan-out to cap^2/2 pairs; 100
-    leaves 2x margin over the loss-free floor. The driver oracles are
-    exhaustive SQL, so their staying green IS the losslessness check.
-    Pass ``max_doc_freq=None`` explicitly for an exhaustive run.
+    ``max_doc_freq`` drops ubiquitous shingles (stop-gram suppression).
+    The default is ``None`` — EXACT, honoring the tier's contract on
+    any corpus (r12 ADVICE: a capped default silently shifts both the
+    pair SET and the jaccard VALUES off-corpus, since |A|/|B| are
+    counted post-suppression). At 100 TB a cap is essential to bound
+    the join fan-out: pass ``DEFAULT_MAX_DOC_FREQ`` (=100) explicitly —
+    the sf0.1 sweep (scripts/dedup_scale_smoke.py, numbers in PLANS.md)
+    shows caps >= 50 lose zero true pairs on the driver corpus while
+    any cap bounds the worst-case per-shingle fan-out to cap^2/2 pairs
+    — and treat the result as approximate off the proven corpus; or use
+    ``jaccard_prefix_pairs`` for the LOSSLESS bounded scale path.
 
     Reused intermediates are ``localCheckpoint``-ed by default (blocks
     are released when the DataFrame is GC'd — no session-lifetime

@@ -113,8 +113,25 @@ def _save_external_bucketed(
         w = w.sortBy(*sort_cols)
     w.format("parquet").option("path", path).saveAsTable(tmp)
     try:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        # The DROP->RENAME pair is not atomic: a lock-free probe's
+        # re-registration CREATE can land exactly between them (r13
+        # review of this fresh r12 code), making the RENAME fail with
+        # already-exists and spuriously aborting the whole rebuild.
+        # Bounded retry: re-DROP whatever claimed the name (the probe's
+        # entry points at the old committed path; its in-flight reads
+        # keep working — external files stay) and rename again.
+        for attempt in range(3):
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            try:
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+                break
+            except Exception as e:
+                exists = (
+                    "TABLE_OR_VIEW_ALREADY_EXISTS" in str(e)
+                    or "already exists" in str(e).lower()
+                )
+                if not exists or attempt == 2:
+                    raise
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files stay
         raise
@@ -230,6 +247,15 @@ def _read_meta(root: str) -> dict:
 
 _LOCK_FILE = "_maintenance.lock"
 _LOCK_STALE_SECONDS = 600.0
+_LOCK_HEARTBEAT_SECONDS = 30.0
+
+
+def _read_lock_token(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read()
+    except OSError:
+        return None
 
 
 @contextmanager
@@ -243,20 +269,34 @@ def _index_lock(root: str, *, timeout: float = 30.0):
 
     O_CREAT|O_EXCL on a lock file: atomic on POSIX local filesystems
     (and on HDFS via create-no-overwrite semantics; object stores
-    would use a conditional PUT). Locks older than
-    ``_LOCK_STALE_SECONDS`` are broken — a crashed holder must not
-    wedge maintenance forever — matching the orphan-sweep grace
-    discipline. Writers hold the lock for the duration of the append /
-    compaction; probes never take it (readers keep the old generation
-    via the grace window instead)."""
+    would use a conditional PUT). Liveness, not start time, decides
+    staleness (r12 ADVICE): the holder writes a UNIQUE token into the
+    lock and a daemon heartbeat refreshes the file's mtime every
+    ``_LOCK_HEARTBEAT_SECONDS`` while the work runs — so a slow-but-
+    alive multi-minute corpus-scale write never LOOKS stale, while a
+    crashed holder stops heartbeating and is broken after
+    ``_LOCK_STALE_SECONDS``. Breaking is an atomic rename-claim (only
+    one breaker can win; two racing breakers can no longer double-
+    unlink a fresh lock), and the claimed file's token is verified
+    against the one observed stale before it is discarded — stealing a
+    lock that was concurrently replaced is detected and undone.
+    Release unlinks only while the file still holds OUR token, so a
+    holder whose lock was broken cannot cascade into unlinking the new
+    holder's lock. Writers hold the lock for the duration of the
+    append / compaction; probes never take it (readers keep the old
+    generation via the grace window instead)."""
+    import threading
+    import uuid as _uuid
+
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, _LOCK_FILE)
+    token = f"pid={os.getpid()} token={_uuid.uuid4().hex}\n"
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
-                os.write(fd, f"pid={os.getpid()}\n".encode())
+                os.write(fd, token.encode())
             finally:
                 os.close(fd)
             break
@@ -266,10 +306,33 @@ def _index_lock(root: str, *, timeout: float = 30.0):
             except OSError:
                 continue  # holder released between open and stat — retry
             if age > _LOCK_STALE_SECONDS:
+                # Atomic rename-claim: exactly one breaker wins the
+                # rename; losers hit FileNotFoundError and re-enter the
+                # acquire loop. The verdict is re-taken on the CLAIMED
+                # file's own mtime (not the pre-rename stat — the stale
+                # holder could have released and a NEW holder re-created
+                # the lock in between): a genuinely dead lock has had no
+                # heartbeat for the full stale window, while a stolen
+                # fresh lock shows a recent mtime and is put back (link
+                # restores the original name without clobbering a
+                # competitor's newer lock).
+                claim = f"{path}.break-{_uuid.uuid4().hex[:8]}"
                 try:
-                    os.unlink(path)  # break a crashed holder's lock
+                    os.rename(path, claim)
                 except OSError:
-                    pass
+                    continue  # another breaker won, or holder released
+                try:
+                    claim_age = time.time() - os.path.getmtime(claim)
+                except OSError:
+                    continue  # claim vanished (crashed breaker cleanup)
+                if claim_age > _LOCK_STALE_SECONDS:
+                    os.unlink(claim)  # confirmed-stale lock discarded
+                else:
+                    try:
+                        os.link(claim, path)  # restore the live lock
+                    except OSError:
+                        pass  # a new lock landed first; stolen holder loses
+                    os.unlink(claim)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -279,11 +342,26 @@ def _index_lock(root: str, *, timeout: float = 30.0):
                     f"crashed"
                 )
             time.sleep(0.05)
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(_LOCK_HEARTBEAT_SECONDS):
+            try:
+                if _read_lock_token(path) == token:
+                    os.utime(path, None)
+            except OSError:
+                pass  # lock broken under us; release will notice
+
+    hb = threading.Thread(target=_heartbeat, daemon=True, name="index-lock-heartbeat")
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
+        hb.join(timeout=5.0)
         try:
-            os.unlink(path)
+            if _read_lock_token(path) == token:
+                os.unlink(path)
         except OSError:
             pass
 
@@ -828,7 +906,12 @@ def _compact_index_locked(
         rows = spark.read.parquet(spec["path"])
         base = re.sub(r"-g[0-9a-f]{8}$", "", spec["path"])
         new_path = f"{base}-g{uuid.uuid4().hex[:8]}"
-        spark.sql(f"DROP TABLE IF EXISTS {spec['table']}")  # external: files stay
+        # No up-front DROP of the live name (r12 ADVICE): the entry
+        # stays registered at the OLD committed path for the whole
+        # multi-second staged rewrite — lock-free probes keep reading
+        # the old generation — and _save_external_bucketed's temp-name
+        # write + DROP->RENAME swap replaces it in a ~ms window at the
+        # end, same as the rebuild path.
         new_spec = _save_external_bucketed(
             rows,
             spec["table"],

@@ -182,9 +182,18 @@ def main(mult: int) -> None:
     ]:
         t1 = t1b = None
         for m, key in [(1, "t_1x"), (mult, f"t_{mult}x")]:
-            fn = builder(spark, m)
-            fn()  # warm (scan caching, codegen)
-            t, n = _timed(fn)
+            # warm on a THROWAWAY build (JVM/codegen/scan-cache warmth),
+            # then time a FRESH builder call END-TO-END: reusing the
+            # warm DataFrame would let localCheckpoint/persisted
+            # intermediates materialized by the warm pass satisfy the
+            # timed pass, and eager pins (_pin_reused) materialize at
+            # plan-CONSTRUCTION time inside the builder — so the timed
+            # unit must be builder()+action, not just the action, or
+            # only post-pin tail stages get measured and the exponent
+            # is understated (r12 ADVICE). Identical plan shape -> the
+            # codegen cache still carries the warmth we want to keep.
+            builder(spark, m)()  # warm
+            t, n = _timed(lambda b=builder, mm=m: b(spark, mm)())
             out.setdefault(name, {})[key] = t
             out[name][f"rows_{m}x"] = n
             if m == 1:

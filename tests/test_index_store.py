@@ -826,3 +826,109 @@ def test_rebuild_honors_maintenance_lock(spark, minhash_setup):
     # lock released: the rebuild completes
     th.join(timeout=300)
     assert done["v"], "rebuild must proceed once the lock frees"
+
+
+def test_lock_release_spares_new_holders_lock(tmp_path):
+    """r12 ADVICE: a holder whose lock was broken must NOT unlink the
+    NEW holder's lock on exit — release is conditional on the file
+    still carrying the releaser's own token."""
+    import os as _os
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    with ixs._index_lock(root, timeout=5.0):
+        # simulate a stale-break + re-acquire by another process:
+        # the original lock vanishes and a different holder's token
+        # occupies the path
+        _os.unlink(lock_path)
+        with open(lock_path, "w") as f:
+            f.write("pid=other token=deadbeef\n")
+    # the first holder's exit must have left the usurper's lock alone
+    assert _os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert f.read() == "pid=other token=deadbeef\n"
+    _os.unlink(lock_path)
+
+
+def test_lock_heartbeat_tracks_liveness_not_start_time(tmp_path):
+    """r12 ADVICE: staleness must track LIVENESS — a slow-but-alive
+    holder heartbeats the lock mtime, so even a lock 'older' than the
+    stale horizon is not broken while its holder keeps beating."""
+    import os as _os
+    import time as _time
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    orig_hb = ixs._LOCK_HEARTBEAT_SECONDS
+    ixs._LOCK_HEARTBEAT_SECONDS = 0.05
+    try:
+        with ixs._index_lock(root, timeout=5.0):
+            # backdate the mtime past the stale horizon; the heartbeat
+            # must refresh it within a beat or two
+            _os.utime(lock_path, (1, 1))
+            deadline = _time.monotonic() + 5.0
+            while _time.monotonic() < deadline:
+                if _time.time() - _os.path.getmtime(lock_path) < 10.0:
+                    break
+                _time.sleep(0.02)
+            assert _time.time() - _os.path.getmtime(lock_path) < 10.0, (
+                "heartbeat did not refresh the lock mtime"
+            )
+            # a competitor now sees a FRESH lock and times out instead
+            # of breaking the slow-but-alive holder
+            with pytest.raises(TimeoutError, match="maintenance lock"):
+                with ixs._index_lock(root, timeout=0.3):
+                    pass
+    finally:
+        ixs._LOCK_HEARTBEAT_SECONDS = orig_hb
+    assert not _os.path.exists(lock_path)
+
+
+def test_stale_lock_break_has_single_winner(tmp_path):
+    """r12 ADVICE: two breakers racing one stale lock used a
+    stat-then-unlink sequence that could double-fire into a FRESH lock.
+    The rename-claim makes breaking atomic: N threads racing a stale
+    lock all eventually acquire, strictly one at a time, and no
+    break-claim debris is left behind."""
+    import os as _os
+    import threading as _th
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root, exist_ok=True)
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    with open(lock_path, "w") as f:
+        f.write("pid=dead token=stale\n")
+    _os.utime(lock_path, (1, 1))  # ancient: every thread sees it stale
+
+    holders = []
+    lock_err = []
+    gate = _th.Lock()
+
+    def worker():
+        try:
+            with ixs._index_lock(root, timeout=30.0):
+                with gate:
+                    holders.append(_th.get_ident())
+                    if len(holders) > 1:
+                        lock_err.append("overlap")
+        except Exception as e:  # noqa: BLE001 — record, don't hang join
+            lock_err.append(repr(e))
+        finally:
+            with gate:
+                if holders and holders[-1] == _th.get_ident():
+                    holders.pop()
+
+    threads = [_th.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not lock_err, lock_err
+    assert not _os.path.exists(lock_path)
+    assert [f for f in _os.listdir(root) if ".break-" in f] == []

@@ -600,3 +600,70 @@ def test_range_join_rejects_nonpositive_granule(spark):
             facts, iv, ts_col="fts", start_col="lo", end_col="hi",
             granule_seconds=0,
         )
+
+
+def test_ngram_jaccard_default_is_exact(spark):
+    """r12 ADVICE: the 'Exact' entry point must BE exact by default —
+    max_doc_freq defaults to None; the scale cap (DEFAULT_MAX_DOC_FREQ)
+    is opt-in at call sites. A corpus where a df-101 shingle carries a
+    qualifying pair distinguishes the two: the capped run suppresses it
+    (pair lost), the default run keeps it."""
+    import inspect
+
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        DEFAULT_MAX_DOC_FREQ,
+    )
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default is None
+    assert DEFAULT_MAX_DOC_FREQ == 100
+
+    shared = "alpha beta gamma"  # one 3-gram shingle, df = 102
+    rows = [
+        (1, shared),
+        (2, shared),
+        *[(10 + i, f"{shared} tail{i} x{i} y{i}") for i in range(100)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=1.0).collect()
+    }
+    assert (1, 2) in exact  # default finds the df>100 pair: exact
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=1.0, max_doc_freq=DEFAULT_MAX_DOC_FREQ
+        ).collect()
+    }
+    assert (1, 2) not in capped  # the cap is an explicit approximation
+
+
+def test_pin_reused_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """r12 ADVICE: localCheckpoint stores unreplicated executor blocks —
+    executor loss aborts the job. When the session has a RELIABLE
+    checkpoint dir configured, _pin_reused must route through
+    DataFrame.checkpoint (replicated, survives executor loss)."""
+    import os as _os
+
+    from implementing_scds_in_hive_spark.operators.dedup import _pin_reused
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # suite default: local path
+    ckpt = str(tmp_path / "reliable_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        df = spark.range(100).withColumnRenamed("id", "v")
+        pinned = _pin_reused(df, None)
+        assert pinned.count() == 100
+        assert sorted(r["v"] for r in pinned.collect()) == list(range(100))
+        # the reliable dir received the checkpointed RDD
+        assert any(
+            files for _, _, files in _os.walk(ckpt)
+        ), "no files written to the reliable checkpoint dir"
+    finally:
+        sc.setCheckpointDir(None)  # restore: later tests use localCheckpoint
+    assert sc.getCheckpointDir() is None
+    # and without a dir the default path still pins via localCheckpoint
+    again = _pin_reused(spark.range(5), None)
+    assert again.count() == 5
