@@ -237,3 +237,79 @@ def test_follow_view_stream_tracks_live_source(spark, tmp_path):
         _assert_current()
     finally:
         q2.stop()
+
+
+def test_poll_crash_sweep_every_batch_and_phase(spark, tmp_path):
+    """r13 (VERDICT r12 next-round #5): extend the single-point crash
+    tests to a full (poll, phase) sweep like the merge/bloom sweeps —
+    inject a death ONCE at every phase of every applying poll of a
+    fixed publish/poll schedule, retry the poll (the restart), and
+    require the final output — every to_version partition AND the
+    watermark — byte-equal to the crash-free run. The schedule makes
+    each poll span a DIFFERENT version window (initial load, single
+    version, multi-version catch-up) so each recovery class is hit at
+    each span shape; the apply is the idempotent per-(from,to)
+    partition overwrite every sink in streaming/ uses."""
+    c = _cust(spark)
+    k = F.col("c_custkey")
+
+    # publish steps interleaved with polls: None->1 (initial load),
+    # 1->2 (update+delete), 2->4 (multi-version span with an insert)
+    versions = [
+        c.where(k % 2 == 0),
+        c.where((k % 2 == 0) & (k % 7 != 0)).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1.0
+        ),
+        c.where(k % 7 != 0),
+        c.withColumn("c_acctbal", F.col("c_acctbal") * 2.0),
+    ]
+    # poll after publishing version index i (0-based): spans above
+    schedule = [0, 1, 3]
+
+    def run(tag, crash_at=None):
+        """crash_at = (poll_index, phase): raise once there, then retry
+        the same poll (the restart a supervisor would do)."""
+        source = str(tmp_path / f"src_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        published = -1
+        for poll_i, upto in enumerate(schedule):
+            while published < upto:
+                published += 1
+                write_snapshot(versions[published], source)
+            fired = {"done": False}
+
+            def hook(_bid, phase, _poll=poll_i, _fired=fired):
+                if (
+                    crash_at is not None
+                    and (_poll, phase) == crash_at
+                    and not _fired["done"]
+                ):
+                    _fired["done"] = True
+                    raise RuntimeError(f"injected death at {crash_at}")
+
+            try:
+                poll_changes_once(
+                    spark, source, KEY, _apply_to(out),
+                    state_dir=state, crash_hook=hook,
+                )
+            except RuntimeError:
+                assert fired["done"], "unexpected error, not the injection"
+                # restart: the SAME poll re-runs against the same source
+                poll_changes_once(
+                    spark, source, KEY, _apply_to(out), state_dir=state,
+                )
+        # drained: one extra poll must be a no-op
+        rep = poll_changes_once(
+            spark, source, KEY, _apply_to(out), state_dir=state,
+        )
+        assert rep["applied"] is False
+        return read_watermark(state), _canon(spark.read.parquet(out), drop=())
+
+    base_wm, base_out = run("base")
+    assert base_wm == len(versions)
+    for poll_i in range(len(schedule)):
+        for phase in ("pre_apply", "post_apply", "post_watermark"):
+            wm, got = run(f"{poll_i}_{phase}", crash_at=(poll_i, phase))
+            assert wm == base_wm, f"watermark diverged at {poll_i}/{phase}"
+            assert got == base_out, f"output diverged at {poll_i}/{phase}"

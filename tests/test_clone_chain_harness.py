@@ -1,0 +1,409 @@
+"""Randomized clone-chain concurrency harness under source maintenance
+pressure (VERDICT r12 next-round #1).
+
+tests/test_concurrency_harness.py interleaves the protocol's verbs on
+ONE table; this harness extends the program to the MULTI-table surface
+shallow clones create: clone-of-clone chains built concurrently with
+append / copy-on-write rewrite / merge-on-read delete / consolidate /
+restore / vacuum pressure on the tables they adopt files from.
+
+The one caveat the clone docs carry verbatim from Delta
+(sources/snapshot.py:clone_table — "the source's VACUUM does not know
+about clones") defines the harness's core invariant: at every retained
+version of every clone, EITHER every referenced file still exists on
+disk and the contents equal a pure-Python model replay, OR at least
+one adopted reference was reclaimed and the read fails LOUDLY — a
+silent wrong read (missing rows, stale bytes) is the only forbidden
+outcome, and the model's exact-value compare catches it.
+
+Per-clone model: contents frozen at clone time (verified against the
+parent pinned at the cloned version before registration), then local
+appends replayed versionwise exactly like the single-table harness.
+Clones take no schema ops — the schema-race surface is the other
+harness's job; this one isolates the reference-adoption lifecycle.
+
+The deterministic companion pins the adopted-reference-vacuum path the
+verdict asked for by name: a 2-deep chain whose source is rewritten
+(CoW retires every adopted file) and vacuumed past the cloned version
+must leave BOTH clones failing loudly, never returning partial rows.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.sources.snapshot import (
+    CommitConflictError,
+    clone_table,
+    fold_prior_vectors,
+    latest_version,
+    list_versions,
+    load_manifest,
+    read_snapshot,
+    read_table,
+    restore_commit,
+    vacuum,
+    write_snapshot,
+)
+
+_EXPECTED = (CommitConflictError, ValueError, FileNotFoundError)
+
+# markers of the LOUD missing-file failure Spark raises when a read
+# races a reclaiming vacuum (the documented caveat made audible): the
+# JVM surfaces java.io.FileNotFoundException as FAILED_READ_FILE /
+# PATH_NOT_FOUND, not as a Python FileNotFoundError
+_LOUD_MISSING = (
+    "FILE_NOT_EXIST", "PATH_NOT_FOUND", "FileNotFoundException",
+    "does not exist",
+)
+
+
+def _is_loud_missing(e: Exception) -> bool:
+    return any(m in str(e) for m in _LOUD_MISSING)
+
+
+def _rows(spark, keys, opseq):
+    return spark.createDataFrame(
+        [(k, f"p{k}-{opseq}") for k in keys], "k long, payload string"
+    ).coalesce(1)
+
+
+def _referenced_paths(root: str, version: int) -> list[str]:
+    """Every absolute path version ``version`` of ``root`` needs to
+    serve a full read: data files (adopted ones are absolute already)
+    plus local deletion-vector files."""
+    m = load_manifest(root, version)
+    paths = [
+        f if os.path.isabs(f) else os.path.join(root, f)
+        for f in m["files"]
+    ]
+    for rels in (m.get("deletes") or {}).values():
+        paths.extend(os.path.join(root, r) for r in rels)
+    return paths
+
+
+class _SourceWorker:
+    """Maintenance pressure on ONE source table: appends, CoW rewrites
+    (retiring previously-adopted files), MoR tombstones, restores, and
+    vacuums — including occasional aggressive keep_last=1/grace=0
+    passes, the exact move that reclaims adopted references."""
+
+    def __init__(self, spark, root, seed, n_ops, errors):
+        self.spark, self.root = spark, root
+        self.rng = random.Random(seed)
+        self.n_ops, self.errors = n_ops, errors
+        self.opseq = 0
+
+    def run(self):
+        try:
+            for _ in range(self.n_ops):
+                op = self.rng.choices(
+                    ["append", "cow_rewrite", "mor_del", "restore",
+                     "vacuum_graced", "vacuum_aggressive"],
+                    weights=[30, 22, 12, 8, 14, 14],
+                )[0]
+                try:
+                    getattr(self, op)()
+                except _EXPECTED:
+                    pass  # CAS loss / vacuumed-under-us: legitimate
+        except Exception as e:  # pragma: no cover - harness failure
+            self.errors.append(("source", repr(e)))
+
+    def append(self):
+        self.opseq += 1
+        base = 1000 + self.opseq * 10
+        write_snapshot(
+            _rows(self.spark, range(base, base + 3), self.opseq),
+            self.root, mode="append",
+        )
+
+    def cow_rewrite(self):
+        self.opseq += 1
+        v = latest_version(self.root)
+        m = load_manifest(self.root, v)
+        cur = read_snapshot(self.spark, self.root, version=v)
+        write_snapshot(
+            cur.withColumn("payload", F.concat(F.col("payload"), F.lit("r"))),
+            self.root, mode="replace", expected_version=v,
+            drop_files=list(m["files"]),
+        )
+
+    def mor_del(self):
+        v = latest_version(self.root)
+        m = load_manifest(self.root, v)
+        if not m["files"]:
+            return
+        cur = read_snapshot(self.spark, self.root, version=v)
+        keys = [r["k"] for r in cur.select("k").limit(20).collect()]
+        if not keys:
+            return
+        victim = self.rng.choice(sorted(keys))
+        tomb = self.spark.createDataFrame(
+            [(f, victim) for f in m["files"]], "__file string, k long"
+        )
+        tomb = fold_prior_vectors(
+            self.spark, self.root, m, list(m["files"]), tomb
+        )
+        write_snapshot(
+            cur.limit(0), self.root, mode="replace",
+            expected_version=v, drop_files=[], delete_vectors=tomb,
+        )
+
+    def restore(self):
+        versions = list_versions(self.root)
+        if len(versions) < 2:
+            return
+        restore_commit(
+            self.root, self.rng.choice(versions[:-1]),
+            expected_version=versions[-1],
+        )
+
+    def vacuum_graced(self):
+        vacuum(self.root, keep_last=3, grace_seconds=300.0)
+
+    def vacuum_aggressive(self):
+        # the caveat path: reclaim everything but the head, no grace —
+        # adopted references in clones may die here, and the final
+        # verification requires their reads to fail LOUDLY
+        vacuum(self.root, keep_last=1, grace_seconds=0.0)
+
+
+class _CloneWorker:
+    """Builds clone chains off the live source (or off other clones)
+    and mutates the clones locally. Registers every successful clone
+    with its verified clone-time contents; records local appends in a
+    per-clone op log for the model replay."""
+
+    def __init__(self, spark, src_root, tid, seed, n_ops, registry,
+                 reg_lock, errors, tmp):
+        self.spark, self.src_root, self.tid = spark, src_root, tid
+        self.rng = random.Random(seed * 7919 + tid)
+        self.n_ops = n_ops
+        self.registry, self.reg_lock = registry, reg_lock
+        self.errors, self.tmp = errors, tmp
+        self.opseq = 0
+
+    def run(self):
+        try:
+            for j in range(self.n_ops):
+                op = self.rng.choices(
+                    ["clone", "clone_append", "clone_vacuum"],
+                    weights=[5, 4, 2],
+                )[0]
+                try:
+                    getattr(self, op)(j)
+                except _EXPECTED:
+                    pass  # vacuumed-mid-clone / CAS loss: loud + legal
+                except Exception as e:
+                    # a clone-time read racing a reclaiming vacuum dies
+                    # with the JVM's missing-file error — the caveat
+                    # failing LOUD, exactly as required. Anything else
+                    # is a real harness finding.
+                    if not _is_loud_missing(e):
+                        raise
+        except Exception as e:  # pragma: no cover - harness failure
+            self.errors.append((f"clone-{self.tid}", repr(e)))
+
+    def _pick_parent(self):
+        with self.reg_lock:
+            parents = [self.src_root] + [c["root"] for c in self.registry]
+        return self.rng.choice(parents)
+
+    def clone(self, j):
+        parent = self._pick_parent()
+        v = latest_version(parent)
+        if v is None:
+            return
+        dst = os.path.join(self.tmp, f"clone-{self.tid}-{j}")
+        clone_table(parent, dst, version=v, spark=self.spark)
+        # clone-time verification against the parent PINNED at v: both
+        # reads may fail loudly if a vacuum raced (expected; the clone
+        # then goes unregistered and the final sweep ignores it), but a
+        # successful pair must agree exactly
+        got = {tuple(r) for r in read_table(self.spark, dst).collect()}
+        src = {
+            tuple(r)
+            for r in read_snapshot(self.spark, parent, version=v).collect()
+        }
+        assert got == src, (
+            f"clone {dst} of {parent}@v{v} diverged at clone time: "
+            f"extra={got - src}, missing={src - got}"
+        )
+        with self.reg_lock:
+            self.registry.append({
+                "root": dst,
+                "log": [(1, {k: p for k, p in got})],
+                "log_lock": threading.Lock(),
+            })
+
+    def clone_append(self, j):
+        with self.reg_lock:
+            if not self.registry:
+                return
+            entry = self.rng.choice(self.registry)
+        self.opseq += 1
+        opseq = 100_000 + self.tid * 10_000 + self.opseq
+        base = 500_000 + self.tid * 100_000 + j * 100
+        keys = list(range(base, base + 2))
+        v = write_snapshot(
+            _rows(self.spark, keys, opseq), entry["root"], mode="append",
+        )
+        with entry["log_lock"]:
+            entry["log"].append((v, {k: f"p{k}-{opseq}" for k in keys}))
+
+    def clone_vacuum(self, j):
+        with self.reg_lock:
+            if not self.registry:
+                return
+            entry = self.rng.choice(self.registry)
+        # the clone's own vacuum must skip external (adopted) dirs —
+        # only LOCAL superseded files are candidates
+        vacuum(entry["root"], keep_last=2, grace_seconds=300.0)
+
+
+def _clone_states(entry):
+    """Versionwise model replay for one clone: v1 = clone-time rows,
+    each logged append overlays its rows."""
+    log = sorted(entry["log"])
+    assert log[0][0] == 1, "clone must start its own history at v1"
+    states, rows = {}, {}
+    expect_v = 1
+    for v, added in log:
+        assert v == expect_v, (
+            f"clone {entry['root']} op log has a gap: got v{v}, "
+            f"expected v{expect_v} — a lost or phantom local commit"
+        )
+        expect_v += 1
+        rows.update(added)
+        states[v] = dict(rows)
+    return states
+
+
+def _verify_clone_version(spark, root, v, model_rows):
+    """The caveat invariant: all referenced files present -> exact
+    model equality; any reclaimed -> the read must raise, NEVER return
+    silently wrong rows."""
+    missing = [p for p in _referenced_paths(root, v) if not os.path.exists(p)]
+    if not missing:
+        got = {
+            r["k"]: r["payload"]
+            for r in read_snapshot(spark, root, version=v).collect()
+        }
+        assert got == model_rows, (
+            f"{root}@v{v} diverged from model with every referenced "
+            f"file present: extra={set(got) - set(model_rows)}, "
+            f"missing={set(model_rows) - set(got)}, changed="
+            f"{[k for k in set(got) & set(model_rows) if got[k] != model_rows[k]][:5]}"
+        )
+        return "verified"
+    # adopted references were vacuumed away: loud failure required
+    with pytest.raises(Exception):
+        read_snapshot(spark, root, version=v).collect()
+    return "loud"
+
+
+# seed coverage chosen from a 0-9 scan: 0 = verified-only (no adopted
+# loss), 3 = loud-heavy (aggressive vacuum reclaims adopted refs at
+# many retained versions), 5 = clone-time reads racing the reclaiming
+# vacuum (the JVM missing-file abort path)
+@pytest.mark.parametrize("seed", [0, 3, 5])
+def test_clone_chains_under_source_maintenance_pressure(
+    spark, tmp_path, seed
+):
+    src = str(tmp_path / "src")
+    write_snapshot(_rows(spark, [1, 2, 3, 4], 0), src)
+
+    errors: list = []
+    registry: list = []
+    reg_lock = threading.Lock()
+    source_w = _SourceWorker(spark, src, seed, n_ops=10, errors=errors)
+    clone_ws = [
+        _CloneWorker(
+            spark, src, tid, seed, n_ops=7, registry=registry,
+            reg_lock=reg_lock, errors=errors, tmp=str(tmp_path),
+        )
+        for tid in range(2)
+    ]
+    threads = [threading.Thread(target=w.run)
+               for w in [source_w, *clone_ws]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    # quiesced: replay every clone's model at every retained version
+    outcomes = {"verified": 0, "loud": 0}
+    for entry in registry:
+        states = _clone_states(entry)
+        retained = list_versions(entry["root"])
+        assert retained, f"clone {entry['root']} lost its whole history"
+        assert retained[-1] == max(states), (
+            f"clone {entry['root']} head {retained[-1]} != last logged "
+            f"commit {max(states)} — a local commit vanished"
+        )
+        for v in retained:
+            outcomes[_verify_clone_version(
+                spark, entry["root"], v, states[v]
+            )] += 1
+    assert sum(outcomes.values()) > 0, "harness built no clones at all"
+    print(f"clone-chain seed={seed}: clones={len(registry)} "
+          f"version-checks={outcomes}")
+
+    # the clones' own vacuums must never have touched adopted dirs the
+    # SOURCE still needs: every retained source version stays readable
+    for v in list_versions(src):
+        read_snapshot(spark, src, version=v).collect()
+
+
+def test_source_vacuum_past_adopted_refs_fails_loud_never_silent(
+    spark, tmp_path
+):
+    """The adopted-reference-vacuum seed the verdict asked for by name,
+    pinned deterministically on a 2-deep chain: after the source CoW-
+    retires every adopted file and vacuums past the cloned version,
+    both clones must fail LOUDLY on read — a silent partial/empty
+    result is the one forbidden outcome. Clone-LOCAL rows must not
+    mask the loss either: the read raises even though some referenced
+    files still exist."""
+    src = str(tmp_path / "src")
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    write_snapshot(_rows(spark, range(1, 21), 0), src)
+    clone_table(src, c1, spark=spark)
+    clone_table(c1, c2, spark=spark)  # chain: c2 adopts src's files too
+    # local append on c1: its v2 references BOTH adopted and local files
+    write_snapshot(_rows(spark, [900, 901], 1), c1, mode="append")
+    assert read_table(spark, c1).count() == 22
+    assert read_table(spark, c2).count() == 20
+
+    # source maintenance the clones don't participate in: full CoW
+    # rewrite retires the v1 files, aggressive vacuum reclaims them
+    v = latest_version(src)
+    m = load_manifest(src, v)
+    write_snapshot(
+        read_snapshot(spark, src, version=v).withColumn(
+            "payload", F.concat(F.col("payload"), F.lit("x"))
+        ),
+        src, mode="replace", expected_version=v, drop_files=list(m["files"]),
+    )
+    vacuum(src, keep_last=1, grace_seconds=0.0)
+
+    # every adopted reference is gone...
+    for root in (c1, c2):
+        gone = [p for p in _referenced_paths(root, 1)
+                if not os.path.exists(p)]
+        assert gone, f"{root} still sees all adopted files — bad fixture"
+    # ...and every read path fails loudly: full scan, count, pinned v1
+    for root in (c1, c2):
+        with pytest.raises(Exception):
+            read_table(spark, root).collect()
+        with pytest.raises(Exception):
+            read_snapshot(spark, root, version=1).collect()
+    # the SOURCE itself is fine — the caveat is clone-side only
+    assert read_table(spark, src).count() == 20
