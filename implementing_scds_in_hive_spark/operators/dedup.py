@@ -659,12 +659,29 @@ def simhash_duplicate_groups(
     text_col: str = "text",
     *,
     token_hash=F.xxhash64,
+    prefix_bits: int = 64,
 ) -> DataFrame:
-    """Documents whose full 64-bit SimHash collides (hamming distance 0;
-    banded prefixes generalize to distance > 0)."""
+    """Documents whose SimHash collides on the top ``prefix_bits`` bits.
+
+    ``prefix_bits=64`` (default) is exact collision (hamming distance
+    0). Smaller values are ONE BAND of the standard banded near-dup
+    scheme: grouping on the high ``prefix_bits`` tolerates any hamming
+    distance confined to the low ``64 - prefix_bits`` bits — a full
+    B-band sweep unions the groups of each band rotation. The band key
+    is a LOGICAL right shift (non-negative), so engines agree on the
+    grouping value regardless of their ``>>`` sign semantics."""
+    if not 1 <= prefix_bits <= 64:
+        raise ValueError(
+            f"prefix_bits must be in [1, 64], got {prefix_bits}"
+        )
     sh = simhash64(docs, id_col, text_col, token_hash=token_hash)
+    key = (
+        F.col("simhash")
+        if prefix_bits == 64
+        else F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
     return (
-        sh.groupBy("simhash")
+        sh.groupBy(key.alias("simhash"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("did")).alias("members"))
         .where(F.col("n_docs") > 1)
     )

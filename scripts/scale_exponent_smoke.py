@@ -171,7 +171,7 @@ def pack_seq(spark, mult):
     return lambda: packed.count()
 
 
-def main(mult: int) -> None:
+def main(mult: int, only: set[str] | None = None) -> None:
     spark = get_spark("scale-exponent-smoke")
     out = {}
     for name, builder in [
@@ -180,6 +180,8 @@ def main(mult: int) -> None:
         ("ivf_topk", ivf_topk_probe),
         ("pack_sequences", pack_seq),
     ]:
+        if only and name not in only:
+            continue
         t1 = t1b = None
         for m, key in [(1, "t_1x"), (mult, f"t_{mult}x")]:
             # warm on a THROWAWAY build (JVM/codegen/scan-cache warmth),
@@ -208,4 +210,9 @@ def main(mult: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    # usage: scale_exponent_smoke.py [mult] [tier ...]
+    # e.g. `... 100 scd2_merge pack_sequences` runs the overhead-bound
+    # tiers at 100x replication, where t_100x/t_1x >= 5x makes the
+    # exponent meaningful (VERDICT r12 next-round #7)
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    main(mult, set(sys.argv[2:]) or None)

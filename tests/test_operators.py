@@ -667,3 +667,43 @@ def test_pin_reused_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
     # and without a dir the default path still pins via localCheckpoint
     again = _pin_reused(spark.range(5), None)
     assert again.count() == 5
+
+
+def test_simhash_prefix_bits_bands_match_logical_shift(spark):
+    """prefix_bits < 64 groups by the top bits via a LOGICAL shift
+    (sign-agnostic across engines): the groups must equal a Python
+    recomputation of (simhash >> (64-p)) & mask over the full-width
+    hashes, and degenerate prefix widths must raise."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        simhash64,
+        simhash_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} alpha beta gamma delta common words {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    full = {r["did"]: r["simhash"] for r in simhash64(docs).collect()}
+    p = 48
+    mask = (1 << p) - 1
+    expect: dict[int, list[int]] = {}
+    for did, h in full.items():
+        expect.setdefault(((h & 0xFFFFFFFFFFFFFFFF) >> (64 - p)) & mask, []).append(did)
+    expect = {k: sorted(v) for k, v in expect.items() if len(v) > 1}
+    got = {
+        r["simhash"]: list(r["members"])
+        for r in simhash_duplicate_groups(docs, prefix_bits=p).collect()
+    }
+    assert got == expect
+    # banding is strictly coarser than exact collision: every exact
+    # group's members stay together in some band group
+    exact = simhash_duplicate_groups(docs).collect()
+    for r in exact:
+        band = ((r["simhash"] & 0xFFFFFFFFFFFFFFFF) >> (64 - p)) & mask
+        assert set(r["members"]) <= set(got.get(band, [])), (
+            "banding split an exact-collision group"
+        )
+    for bad in (0, 65, -1):
+        with pytest.raises(ValueError, match="prefix_bits"):
+            simhash_duplicate_groups(docs, prefix_bits=bad)
