@@ -462,23 +462,31 @@ def _build_matview_refresh(spark, sf_dir):
 
 
 def _build_skew_merge(spark, sf_dir):
-    """Hot-key merge stress (VERDICT r11 next-round #5): a staging
-    batch where 1% of keys carry 50% of the rows — the CDC-redelivery
-    shape the 100 TB brief names as the flagship's stated skew risk —
-    pushed through the full scd2_merge, under BOTH staging-dedupe
-    formulations:
+    """Hot-key merge stress (VERDICT r11 #5; depth grown to the
+    measured crossover in r13 per VERDICT r12 #2): a staging batch
+    where 8 hot entities are each redelivered 1M times — the
+    pathological CDC-redelivery shape the max_by dedupe tier exists
+    for — with the redeliveries SCATTERED across partitions (hash of
+    the unique sequence id), the way a real feed delivers them; the
+    r12 shape left each key's copies co-located in one input split,
+    which hid the window path's single-reducer toll. Both staging-
+    dedupe formulations run through the full scd2_merge:
 
-    * ``scd2_skew_merge_window`` — the row_number window dedupe: a hot
-      key's redeliveries all land in one task (bounded here by the
-      hottest key, pathological at scale);
+    * ``scd2_skew_merge_window`` — the row_number window dedupe: every
+      redelivery of a hot key shuffles to ONE task (8M rows on 8 of 32
+      threads here; unbounded at 100 TB);
     * ``scd2_skew_merge_maxby`` — the skew-immune max_by dedupe
       (operators/scd.py): partial_max_by collapses duplicates map-side,
       so the exchange carries one row per (partition, key) regardless
       of redelivery depth (pinned by
       tests/test_plan_shapes.py::test_dedupe_max_by_partial_aggregates_before_shuffle).
 
-    The skewed batch is staged to parquet in setup (untimed); each
-    probe times dedupe + merge end-to-end.
+    Crossover measurement (scripts/skew_crossover_smoke.py, PLANS.md
+    r13): at this depth maxby beats window end-to-end with disjoint
+    spreads (1.32 vs 1.45 s; dedupe-only 0.60 vs 0.86 s); at r12's
+    800-deep shape the two tie because the merge dominates. The skewed
+    batch is staged to parquet in setup (untimed); each probe times
+    dedupe + merge end-to-end.
     """
     import shutil
 
@@ -498,11 +506,14 @@ def _build_skew_merge(spark, sf_dir):
     stg_root = _scratch_root("skew_staging")
     shutil.rmtree(stg_root, ignore_errors=True)
     base = customer_staging(spark, sf_dir)
-    # normal tail: every key redelivered 8x; hot head: 1% of keys
-    # (custkey % 100 == 0) redelivered 800x -> ~50% of all rows
+    # normal tail: every key redelivered 8x; hot head: the 8 lowest
+    # keys redelivered 1M times each (~8M rows, ~98% of the batch)
+    hot_keys = [r["c_custkey"] for r in
+                base.select("c_custkey").orderBy("c_custkey")
+                .limit(8).collect()]
     normal = base.withColumn("__copies", F.lit(8))
-    hot = base.where(F.col("c_custkey") % 100 == 0).withColumn(
-        "__copies", F.lit(792)
+    hot = base.where(F.col("c_custkey").isin(hot_keys)).withColumn(
+        "__copies", F.lit(1_000_000 - 8)
     )
     skewed = (
         normal.unionByName(hot)
@@ -516,7 +527,7 @@ def _build_skew_merge(spark, sf_dir):
             + F.col("c_custkey"),
         )
     )
-    skewed.write.mode("overwrite").parquet(stg_root)
+    skewed.repartition(64, "__seq").write.mode("overwrite").parquet(stg_root)
 
     def _merge(strategy):
         def probe(spark, sf_dir):

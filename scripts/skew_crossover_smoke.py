@@ -60,20 +60,26 @@ def stage(spark, depth: int, root: str) -> None:
             F.col("__seq").cast("long") * 100_000_000 + F.col("c_custkey"),
         )
     )
-    skewed.write.mode("overwrite").parquet(root)
+    # spread each key's redeliveries across partitions (hash of the
+    # unique __seq): the real CDC shape — a hot entity's duplicates
+    # arrive scattered over many micro-batches/files, NOT co-located.
+    # Without this the explode leaves all copies in one input split and
+    # the window path never pays its single-reducer toll.
+    skewed.repartition(64, "__seq").write.mode("overwrite").parquet(root)
 
 
-def timed_merge(spark, root: str, strategy: str) -> float:
+def timed_merge(spark, root: str, strategy: str, *, merge: bool = True) -> float:
     t0 = time.time()
     stg = spark.read.parquet(root)
     staged = dedupe_staging(
         stg, CUSTOMER_CFG, order_by=["__seq"], strategy=strategy
     ).drop("__seq")
-    out = scd2_merge(
-        customer_production(spark, SF_DIR), staged, CUSTOMER_CFG, AS_OF,
-        broadcast_staging=True, key_strategy="two_pass",
-    )
-    out.write.format("noop").mode("overwrite").save()
+    if merge:
+        staged = scd2_merge(
+            customer_production(spark, SF_DIR), staged, CUSTOMER_CFG, AS_OF,
+            broadcast_staging=True, key_strategy="two_pass",
+        )
+    staged.write.format("noop").mode("overwrite").save()
     return round(time.time() - t0, 3)
 
 
@@ -88,12 +94,19 @@ def main(depths) -> None:
         n_rows = spark.read.parquet(root).count()
         rec = {"rows": n_rows}
         for strategy in ("row_number", "max_by"):
-            timed_merge(spark, root, strategy)  # warm (codegen/scan)
-            runs = sorted(timed_merge(spark, root, strategy)
-                          for _ in range(3))
-            rec[strategy] = runs[1]
-            rec[f"{strategy}_spread"] = [runs[0], runs[-1]]
+            for merge in (False, True):
+                tag = strategy + ("" if merge else "_dedupe_only")
+                timed_merge(spark, root, strategy, merge=merge)  # warm
+                runs = sorted(
+                    timed_merge(spark, root, strategy, merge=merge)
+                    for _ in range(3)
+                )
+                rec[tag] = runs[1]
+                rec[f"{tag}_spread"] = [runs[0], runs[-1]]
         rec["maxby_wins"] = rec["max_by"] < rec["row_number"]
+        rec["maxby_wins_dedupe_only"] = (
+            rec["max_by_dedupe_only"] < rec["row_number_dedupe_only"]
+        )
         out[str(depth)] = rec
         print(f"# depth {depth}: {rec}", file=sys.stderr)
     print(json.dumps(out))
