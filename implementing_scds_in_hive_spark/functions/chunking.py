@@ -64,6 +64,15 @@ def _exclusive_prefix_sums(
     if n_parts is None:
         # scale with the cluster, same floor as operators/scd.py two_pass
         n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    # Pin the (narrow: order_col + len_col) input BEFORE the range
+    # shuffle: repartitionByRange's boundary-sampling job executes the
+    # whole upstream plan once more, so an expensive upstream (e.g.
+    # pack_sequences' size(split(text)) over the corpus) was evaluated
+    # for the sample pass AND the shuffle pass — measured 3x the
+    # corpus-scan cost at a 550k-doc/27M-token 100x replication (r13;
+    # ~47s -> ~16s). Same pattern operators/scd.py two_pass documents;
+    # localCheckpoint blocks free via GC, and the frame is 2 ints/doc.
+    df = df.localCheckpoint(eager=True)
     local = (
         df.repartitionByRange(n_parts, order_col)
         .sortWithinPartitions(order_col)

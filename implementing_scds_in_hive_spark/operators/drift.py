@@ -205,6 +205,14 @@ def _ks_distances(
     spark = df_a.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Pin the aggregated per-value counts BEFORE the range shuffle:
+    # repartitionByRange's boundary-sampling job executes the upstream
+    # plan once more, so the full union+groupBy over both samples ran
+    # twice (the hazard operators/scd.py two_pass and chunking's prefix
+    # sums document; measured 3x upstream cost on pack_sequences, r13).
+    from implementing_scds_in_hive_spark.operators.dedup import _pin_reused
+
+    per_val = _pin_reused(per_val, cache_handles)
     local = (
         per_val.repartitionByRange(n_parts, "v")
         .sortWithinPartitions("v")

@@ -35,7 +35,7 @@ def _docs(spark, mult: int):
     return d.withColumn(
         "__copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
     ).select(
-        (F.col("doc_id") + F.col("__copy") * F.lit(10_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.col("__copy").cast("long") * F.lit(10_000_000)).alias("doc_id"),
         # tag EVERY token with the copy id: replicas share no shingles
         # with the original or each other, so near-dup DENSITY stays
         # constant as the corpus grows (a suffix-only perturbation made
@@ -64,7 +64,7 @@ def _embeddings(spark, mult: int):
     return e.withColumn(
         "__copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
     ).select(
-        (F.col("vec_id") + F.col("__copy") * F.lit(10_000_000)).alias("vec_id"),
+        (F.col("vec_id") + F.col("__copy").cast("long") * F.lit(10_000_000)).alias("vec_id"),
         # rotate replicated vectors by one position so copies are not
         # exact duplicates (keeps norms, changes neighbors)
         F.when(F.col("__copy") == 0, F.col("embedding"))
@@ -82,9 +82,13 @@ def _customers(spark, mult: int):
     c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     if mult == 1:
         return c
-    return c.withColumn(
-        "__copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
-    ).select(
+    # replicate via a distributed range cross join, NOT an in-row
+    # sequence explode: sequence(0, mult-1) materializes a mult-element
+    # array PER ROW before exploding — at mult=10000 that is a ~100 MB
+    # allocation per columnar batch and the 8g default heap OOMs (r13).
+    # The broadcast range streams the expansion row-by-row instead.
+    reps = spark.range(mult).select(F.col("id").alias("__copy"))
+    return c.crossJoin(F.broadcast(reps)).select(
         (F.col("c_custkey") + F.col("__copy") * F.lit(10_000_000)).alias(
             "c_custkey"
         ),
@@ -129,7 +133,18 @@ def flagship_merge(spark, mult):
     merged = scd2_merge(
         prod, stag, cfg, "2024-06-01 00:00:00", key_strategy="two_pass"
     )
-    return lambda: merged.count()
+
+    # noop write, not count(): count() lets Catalyst prune every payload
+    # column out of the merge, so the "merge" measured is an int-only
+    # skeleton (132M rows "merged" in 2.2s at 8000x — r13). The noop
+    # sink materializes full rows, like a real publish. The sanity row
+    # count runs after it inside the timed unit — a pruned-skeleton
+    # pass that scales the same way, so the exponent is unaffected.
+    def run():
+        merged.write.format("noop").mode("overwrite").save()
+        return merged.count()
+
+    return run
 
 
 def minhash_lsh(spark, mult):
