@@ -932,3 +932,51 @@ def test_stale_lock_break_has_single_winner(tmp_path):
     assert not lock_err, lock_err
     assert not _os.path.exists(lock_path)
     assert [f for f in _os.listdir(root) if ".break-" in f] == []
+
+
+def test_lock_exclusion_survives_slow_holders_under_tiny_stale_horizon(tmp_path):
+    """r13 stress for the rewritten lock: holders that hold LONGER than
+    the stale horizon (slow-but-alive, the r12 ADVICE regime) must keep
+    mutual exclusion purely via the heartbeat — no waiter may break in,
+    and no lock/claim debris may remain. Run at a 1000x-harsher regime
+    than production (0.6s horizon / 0.15s beat / 0.7-1.2s holds)."""
+    import os as _os
+    import random as _random
+    import threading as _th
+    import time as _time
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    orig = ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS
+    ixs._LOCK_STALE_SECONDS = 0.6
+    ixs._LOCK_HEARTBEAT_SECONDS = 0.15
+    inside, errors = [], []
+    gate = _th.Lock()
+
+    def worker(tid):
+        rng = _random.Random(tid)
+        try:
+            for _ in range(4):
+                with ixs._index_lock(root, timeout=60.0):
+                    with gate:
+                        inside.append(tid)
+                        if len(inside) > 1:
+                            errors.append(f"exclusion lost: {inside}")
+                    _time.sleep(rng.uniform(0.7, 1.2))  # > stale horizon
+                    with gate:
+                        inside.remove(tid)
+        except Exception as e:  # noqa: BLE001 — record, don't hang join
+            errors.append(f"t{tid}: {e!r}")
+
+    try:
+        threads = [_th.Thread(target=worker, args=(t,)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads), "lock wedged"
+        assert not errors, errors[:3]
+        assert _os.listdir(root) == []  # no lock or break-claim debris
+    finally:
+        ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS = orig
