@@ -175,7 +175,10 @@ def _pin_reused(
     the caller to unpersist on its own schedule), or set a RELIABLE
     checkpoint dir (``spark.sparkContext.setCheckpointDir`` on
     HDFS/object storage) — when one is set, the default path uses
-    ``checkpoint`` (replicated, survives executor loss) instead."""
+    ``checkpoint`` (replicated, survives executor loss) instead. Note
+    reliable-checkpoint files are only auto-reclaimed when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
+    otherwise sweep the checkpoint dir on the job's own schedule."""
     if cache_handles is not None:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         cache_handles.append(df)
