@@ -930,3 +930,93 @@ def shared_passage_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def suppress_repeated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n",
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Remove boilerplate LINES that repeat across the corpus — the
+    line-level dedup step of the CCNet / RefinedWeb / MassiveText
+    pipelines (all public): navigation bars, cookie banners and license
+    footers repeat across thousands of pages while each page's content
+    lines are near-unique, so a line whose document frequency reaches
+    ``min_doc_freq`` is dropped from EVERY document.
+
+    Semantics:
+
+    * a line is one ``sep``-delimited segment; its dedup identity is
+      ``lower(trim(line))`` but the KEPT text preserves the original
+      bytes and line order;
+    * document frequency counts DISTINCT documents (a line repeated
+      inside one document counts once);
+    * blank-normalized lines are structure, not boilerplate: never
+      counted, never removed;
+    * NULL ``text_col`` rows pass through untouched (``n_removed`` 0);
+      a document whose every line is suppressed keeps an empty string.
+
+    Returns the input row set with ``text_col`` rewritten plus
+    ``n_removed`` (lines dropped from that document).
+
+    Scale shape: one map-side-combinable distinct over (doc, line-hash)
+    feeds the document-frequency aggregation; suppression is a single
+    anti-join of the exploded lines against the (small, aggregated) hot
+    set; reassembly is one groupBy(doc) whose state is bounded by the
+    document's own line count. O(corpus lines), no per-line Python.
+    ``sep`` is treated as a LITERAL (regex-quoted for Spark's split),
+    matching the SQL ``string_split`` the oracle uses."""
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"min_doc_freq must be >= 2 (1 would suppress every "
+            f"non-blank line), got {min_doc_freq}"
+        )
+    pat = "\\Q" + sep + "\\E"  # java-regex literal quoting, any sep
+    text = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, pat, -1)).alias("__idx", "__line"),
+    )
+    h = F.xxhash64(F.lower(F.trim(F.col("__line"))))
+    nonblank = F.trim(F.col("__line")) != ""
+    lines = base.select(F.col(id_col), "__idx", "__line", h.alias("__h"), nonblank.alias("__nb"))
+    hot = (
+        lines.where("__nb")
+        .select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+        .select("__h")
+    )
+    kept = lines.join(hot, ["__h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(text, pat, -1))
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.withColumn("__n_lines", n_lines)
+        .join(rebuilt, [id_col], "left")
+        .select(
+            *out_cols,
+            F.when(text.isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+            .alias(text_col),
+            (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

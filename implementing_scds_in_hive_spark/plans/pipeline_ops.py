@@ -3649,3 +3649,86 @@ for _k in (
     QUERIES[_k] = PYTEST_ONLY_QUERIES.pop(_k)
     ORACLES[_k] = PYTEST_ONLY_ORACLES.pop(_k)
 del _k
+
+
+# --- cross-corpus boilerplate-line suppression (r13) ----------------------
+
+def q_suppress_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (operators/dedup.py:
+    suppress_repeated_lines — the CCNet/RefinedWeb pipeline step): the
+    corpus has no line structure, so the query synthesizes it
+    deterministically — three 6-token content windows joined by '~',
+    a planted "Subscribe NOW" banner on even ids and an
+    " all rights reserved " footer (whitespace-padded: the dedup
+    identity trims/lowers, the kept bytes don't) on ids % 3 == 0 —
+    then suppresses every line whose document frequency reaches 5.
+    Content windows carry a natural df distribution, so the threshold
+    boundary is exercised by real data, not only the planted lines.
+    The oracle replays construction + suppression in SQL."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        suppress_repeated_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ws = F.split(F.col("text"), " ")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("Subscribe NOW~"))
+            .otherwise(F.lit("")),
+            F.array_join(F.slice(ws, 1, 6), " "),
+            F.lit("~"),
+            F.array_join(F.slice(ws, 7, 6), " "),
+            F.lit("~"),
+            F.array_join(F.slice(ws, 13, 6), " "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("~ all rights reserved "))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return suppress_repeated_lines(lined, sep="~", min_doc_freq=5).select(
+        "doc_id", "text", "n_removed"
+    )
+
+
+SUPPRESS_BOILERPLATE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL),
+lined AS (
+  -- COALESCE each window: DuckDB's array_to_string of an EMPTY slice
+  -- is NULL (Spark's array_join is ''), which would NULL the whole
+  -- concat for docs shorter than a window boundary
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'Subscribe NOW~' ELSE '' END
+         || COALESCE(array_to_string(ws[1:6], ' '), '') || '~'
+         || COALESCE(array_to_string(ws[7:12], ' '), '') || '~'
+         || COALESCE(array_to_string(ws[13:18], ' '), '')
+         || CASE WHEN doc_id % 3 = 0 THEN '~ all rights reserved ' ELSE '' END
+           AS text
+  FROM base),
+lines AS (
+  SELECT doc_id, i AS idx, string_split(text, '~')[i] AS line
+  FROM lined JOIN range(1, 64) t(i) ON i <= len(string_split(text, '~'))),
+hot AS (
+  SELECT line AS k FROM (
+    SELECT DISTINCT doc_id, lower(trim(line)) AS line
+    FROM lines WHERE trim(line) <> '')
+  GROUP BY 1 HAVING count(*) >= 5),
+kept AS (
+  SELECT doc_id, idx, line FROM lines
+  WHERE trim(line) = ''
+     OR lower(trim(line)) NOT IN (SELECT k FROM hot)),
+reb AS (
+  SELECT doc_id, string_agg(line, '~' ORDER BY idx) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT ld.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(len(string_split(ld.text, '~')) - COALESCE(r.n_kept, 0) AS INT)
+         AS n_removed
+FROM lined ld LEFT JOIN reb r USING (doc_id)
+"""
+
+
+PYTEST_ONLY_QUERIES["suppress_boilerplate_lines"] = q_suppress_boilerplate  # r13: new operator, pytest oracle (50-slot budget full)
+PYTEST_ONLY_ORACLES["suppress_boilerplate_lines"] = SUPPRESS_BOILERPLATE_SQL

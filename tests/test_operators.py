@@ -707,3 +707,69 @@ def test_simhash_prefix_bits_bands_match_logical_shift(spark):
     for bad in (0, 65, -1):
         with pytest.raises(ValueError, match="prefix_bits"):
             simhash_duplicate_groups(docs, prefix_bits=bad)
+
+
+def test_suppress_repeated_lines_semantics(spark):
+    """Boilerplate-line suppression (CCNet-style line dedup): identity
+    is lower(trim(line)) but kept BYTES and order are original; df
+    counts DISTINCT docs (in-doc repeats count once); blank lines are
+    structure (never counted, never removed); NULL text passes through;
+    a fully-suppressed doc keeps ''."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        suppress_repeated_lines,
+    )
+
+    boiler = "subscribe now"
+    rows = [
+        # 4 docs carry the banner (df=4, threshold) with case/space
+        # variants — all must be identified as one line
+        (1, f"{boiler}\ncontent one\ncontent shared"),
+        (2, f"Subscribe NOW\ncontent two"),
+        (3, f"  subscribe now \ncontent three\ncontent three"),  # in-doc repeat
+        (4, f"SUBSCRIBE NOW\n\ncontent four"),  # plus a blank line
+        # df=3 < threshold: "content shared" appears in 3 docs -> kept
+        (5, "content shared\nonly five"),
+        (6, "content shared\nonly six"),
+        (7, None),  # NULL text passthrough
+        (8, "subscribe now"),  # becomes empty after suppression (df=5 with this doc)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in suppress_repeated_lines(
+            docs, sep="\n", min_doc_freq=5
+        ).collect()
+    }
+    # banner df = 5 (docs 1,2,3,4,8) >= 5 -> removed everywhere;
+    # "content shared" df = 3 -> kept; original bytes/order preserved
+    assert out[1] == ("content one\ncontent shared", 1)
+    assert out[2] == ("content two", 1)
+    assert out[3] == ("content three\ncontent three", 1)  # in-doc repeat kept
+    assert out[4] == ("\ncontent four", 1)  # blank line preserved verbatim
+    assert out[5] == ("content shared\nonly five", 0)
+    assert out[6] == ("content shared\nonly six", 0)
+    assert out[7] == (None, 0)
+    assert out[8] == ("", 1)  # fully suppressed, not dropped
+
+    # threshold boundary: at min_doc_freq=6 the banner (df=5) survives
+    out6 = {
+        r["doc_id"]: r["n_removed"]
+        for r in suppress_repeated_lines(
+            docs, sep="\n", min_doc_freq=6
+        ).collect()
+    }
+    assert all(v == 0 for v in out6.values())
+
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        suppress_repeated_lines(docs, min_doc_freq=1)
+
+    # separator is literal, even when it is a regex metachar
+    pipe = spark.createDataFrame(
+        [(i, "ad banner|unique " + str(i)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    outp = {
+        r["doc_id"]: r["text"]
+        for r in suppress_repeated_lines(pipe, sep="|", min_doc_freq=5).collect()
+    }
+    assert outp == {i: f"unique {i}" for i in range(5)}
