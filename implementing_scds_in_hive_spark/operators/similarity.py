@@ -878,3 +878,90 @@ def pca_project_corpus(
         corpus.select(F.col(id_col), F.col(vec_col)), model,
         vec_col=vec_col, out_col="rvec",
     ).select(id_col, "rvec", norm(F.col("rvec")).alias("rnorm"))
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, public): assign
+    every vector to its nearest centroid (:func:`ivf_assign` — cosine,
+    deterministic tie-break), then emit within-cluster pairs whose
+    cosine reaches ``threshold``. Cluster blocking is the point: the
+    pair join is |cluster|²-bounded per cluster, never corpus², and
+    near-dups land in the same cluster by construction (a pair more
+    similar to each other than either is to any centroid boundary).
+    Cross-cluster near-dups at the decision boundary are missed — the
+    documented SemDeDup recall trade, tunable with the centroid count.
+
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``; cosine is
+    rounded to 6 places (the engine-portability convention every
+    similarity tier here uses) BEFORE the threshold compare, so an
+    ANSI-SQL oracle replays the pair set bit-for-bit."""
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        "centroid_id",
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            _paired_cosine(
+                F.col("a.__v"), F.col("a.__n"), F.col("b.__v"), F.col("b.__n")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-set: resolve :func:`semantic_dedup_pairs` into
+    near-dup components (A~B, B~C groups {A,B,C} even when A~C was
+    never emitted) and keep ONE representative per component — the
+    smallest id, deterministic — plus every unpaired vector. Returns
+    the surviving corpus rows unchanged.
+
+    Election reuses :func:`operators.graph.canonical_members` (the same
+    keep/drop machinery the text near-dup tiers use); the component
+    resolution is the standard alternating-union small-step iteration,
+    bounded by the component diameter."""
+    from implementing_scds_in_hive_spark.operators.graph import (
+        canonical_members,
+    )
+
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    members = canonical_members(
+        corpus.select(F.col(id_col), F.lit(0.0).alias("__score")),
+        pairs,
+        id_col=id_col,
+        score_col="__score",
+    )
+    drop = members.where(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return corpus.join(
+        drop, corpus[id_col] == F.col("__drop_id"), "left_anti"
+    )

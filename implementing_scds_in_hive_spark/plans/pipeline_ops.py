@@ -3732,3 +3732,65 @@ FROM lined ld LEFT JOIN reb r USING (doc_id)
 
 PYTEST_ONLY_QUERIES["suppress_boilerplate_lines"] = q_suppress_boilerplate  # r13: new operator, pytest oracle (50-slot budget full)
 PYTEST_ONLY_ORACLES["suppress_boilerplate_lines"] = SUPPRESS_BOILERPLATE_SQL
+
+
+# --- semantic dedup (SemDeDup cluster-then-dedup, r13) --------------------
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup survivors (operators/similarity.py:semantic_dedup —
+    Abbas et al. 2023): assign every embedding to its nearest centroid
+    (the IVF slot's deterministic %25 centroid set), emit within-cluster
+    pairs at cosine >= 0.3 (calibrated to the synthetic corpus's p99
+    pairwise cosine so the threshold boundary carries real evidence),
+    resolve them into components and keep the smallest id per
+    component. The oracle replays assignment argmax, the rounded-cosine
+    pair set, recursive reachability and the election."""
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semantic_dedup(e, cent, threshold=0.3).select("vec_id")
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE
+n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 25 = 3),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6)
+                      DESC, c.cid) AS r
+    FROM n a CROSS JOIN c)
+  WHERE r = 1),
+pairs AS (
+  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
+  FROM assigned aa
+  JOIN assigned bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN n a ON a.vec_id = aa.vec_id
+  JOIN n b ON b.vec_id = bb.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT vec_id FROM n
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
+PYTEST_ONLY_QUERIES["semantic_dedup_survivors"] = q_semantic_dedup  # r13: new operator, pytest oracle (50-slot budget full)
+PYTEST_ONLY_ORACLES["semantic_dedup_survivors"] = SEMANTIC_DEDUP_SQL
