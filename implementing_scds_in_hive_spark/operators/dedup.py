@@ -980,19 +980,25 @@ def suppress_repeated_lines(
         F.col(id_col),
         F.posexplode(F.split(text, pat, -1)).alias("__idx", "__line"),
     )
-    h = F.xxhash64(F.lower(F.trim(F.col("__line"))))
+    # identity key is the normalized STRING, not a 64-bit hash: at
+    # 100 TB line cardinalities a hash collision with a hot line would
+    # SILENTLY suppress innocent lines (the exact-contract lesson of
+    # the r12 ngram-cap advice). The string key costs a wider df
+    # shuffle; the suppression side stays cheap — the hot set is
+    # aggregated and threshold-filtered before the anti-join.
+    k = F.lower(F.trim(F.col("__line")))
     nonblank = F.trim(F.col("__line")) != ""
-    lines = base.select(F.col(id_col), "__idx", "__line", h.alias("__h"), nonblank.alias("__nb"))
+    lines = base.select(F.col(id_col), "__idx", "__line", k.alias("__k"), nonblank.alias("__nb"))
     hot = (
         lines.where("__nb")
-        .select(id_col, "__h")
+        .select(id_col, "__k")
         .distinct()
-        .groupBy("__h")
+        .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") >= min_doc_freq)
-        .select("__h")
+        .select("__k")
     )
-    kept = lines.join(hot, ["__h"], "left_anti")
+    kept = lines.join(hot, ["__k"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
