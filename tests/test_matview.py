@@ -329,3 +329,68 @@ def test_source_history_reset_fails_loudly(spark, tmp_path):
     write_snapshot(df.limit(50), source)  # history restarts at v1
     with pytest.raises(RuntimeError, match="history was reset"):
         maintain_view(spark, source, view, KEY)
+
+
+def test_maintain_view_link_crash_sweep_converges(spark, tmp_path, monkeypatch):
+    """r13 (r14 candidate #5 pulled forward): sweep an injected death
+    over EVERY manifest-link call the refreshes perform across a mixed
+    source schedule (appends, an overwrite with deletes+updates, a
+    multi-version catch-up window) — the manifest-watermark face's
+    analog of the changefeed (poll, phase) sweep. After each killed
+    refresh is retried (the restart), the view must equal a from-scratch
+    rollup of the source and a further refresh must be a no-op (no
+    double fold), at EVERY kill position."""
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+
+    e = _events(spark)
+    k = F.col("event_id")
+    versions = [
+        e.where(k % 2 == 0),
+        e.where(k % 3 != 0),  # deletes + inserts vs v1
+        e.withColumn("value", F.col("value") + 1.0),  # updates everywhere
+        e.where(k % 5 != 0),
+    ]
+    # refresh after v1, then after v2, then after BOTH v3+v4 (catch-up)
+    refresh_after = {0, 1, 3}
+    real_link = os.link
+
+    def run(kill_at: int, tag: str) -> int:
+        source = str(tmp_path / f"src_{tag}")
+        view = str(tmp_path / f"view_{tag}")
+        counter = {"n": 0}
+
+        def flaky(src, dst):
+            counter["n"] += 1
+            if counter["n"] == kill_at:
+                raise RuntimeError("injected view-commit death")
+            return real_link(src, dst)
+
+        def refresh():
+            monkeypatch.setattr(snap.os, "link", flaky)
+            try:
+                try:
+                    maintain_view(spark, source, view, KEY,
+                                  retain_versions=None)
+                except RuntimeError as exc:
+                    if "injected" not in str(exc):
+                        raise
+                    # the restart: same deterministic diff, folded once
+                    maintain_view(spark, source, view, KEY,
+                                  retain_versions=None)
+            finally:
+                monkeypatch.setattr(snap.os, "link", real_link)
+
+        for i, v in enumerate(versions):
+            write_snapshot(v, source)
+            if i in refresh_after:
+                refresh()
+        _assert_current(spark, source, view)
+        rep = maintain_view(spark, source, view, KEY, retain_versions=None)
+        assert rep["updated"] is False, f"double-fold window at kill {kill_at}"
+        _assert_current(spark, source, view)
+        return counter["n"]
+
+    total_links = run(10_000, "base")  # no kill fires: measure the count
+    assert total_links >= 3, "schedule performs fewer links than expected"
+    for kill_at in range(1, total_links + 1):
+        run(kill_at, f"k{kill_at}")
