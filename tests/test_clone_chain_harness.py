@@ -192,8 +192,9 @@ class _CloneWorker:
         try:
             for j in range(self.n_ops):
                 op = self.rng.choices(
-                    ["clone", "clone_append", "clone_vacuum"],
-                    weights=[5, 4, 2],
+                    ["clone", "clone_append", "clone_vacuum",
+                     "clone_restore"],
+                    weights=[4, 5, 1, 3],
                 )[0]
                 try:
                     getattr(self, op)(j)
@@ -210,8 +211,13 @@ class _CloneWorker:
             self.errors.append((f"clone-{self.tid}", repr(e)))
 
     def _pick_parent(self):
+        # bias toward the NEWEST clone (r13: deep clone-of-clone-of-...
+        # chains — adopted absolute references copy verbatim, so depth
+        # multiplies the tables one source vacuum can strand)
         with self.reg_lock:
             parents = [self.src_root] + [c["root"] for c in self.registry]
+        if len(parents) > 1 and self.rng.random() < 0.5:
+            return parents[-1]
         return self.rng.choice(parents)
 
     def clone(self, j):
@@ -237,7 +243,7 @@ class _CloneWorker:
         with self.reg_lock:
             self.registry.append({
                 "root": dst,
-                "log": [(1, {k: p for k, p in got})],
+                "log": [(1, "seed", {k: p for k, p in got})],
                 "log_lock": threading.Lock(),
             })
 
@@ -254,7 +260,37 @@ class _CloneWorker:
             _rows(self.spark, keys, opseq), entry["root"], mode="append",
         )
         with entry["log_lock"]:
-            entry["log"].append((v, {k: f"p{k}-{opseq}" for k in keys}))
+            entry["log"].append(
+                (v, "append", {k: f"p{k}-{opseq}" for k in keys})
+            )
+
+    def clone_restore(self, j):
+        # roll a clone back to a RETAINED earlier version (CASed on the
+        # head the target was computed from); the model replays it as
+        # state := states[target]. A vacuumed target fails loudly
+        # (FileNotFoundError — expected), never silently.
+        with self.reg_lock:
+            if not self.registry:
+                return
+            entry = self.rng.choice(self.registry)
+        versions = list_versions(entry["root"])
+        if len(versions) < 2:
+            return
+        target = self.rng.choice(versions[:-1])
+        try:
+            v = restore_commit(
+                entry["root"], target, expected_version=versions[-1]
+            )
+        except RuntimeError as e:
+            # restore_commit's own caveat guard: restoring to a version
+            # whose ADOPTED files the source vacuumed away refuses
+            # LOUDLY (never commits a half-readable state) — a legal
+            # outcome of exactly the class this harness certifies
+            if "adopted files are gone" in str(e):
+                return
+            raise
+        with entry["log_lock"]:
+            entry["log"].append((v, "restore", target))
 
     def clone_vacuum(self, j):
         with self.reg_lock:
@@ -268,18 +304,24 @@ class _CloneWorker:
 
 def _clone_states(entry):
     """Versionwise model replay for one clone: v1 = clone-time rows,
-    each logged append overlays its rows."""
-    log = sorted(entry["log"])
+    each logged append overlays its rows, each restore resets state to
+    the target version's replayed state."""
+    log = sorted(entry["log"], key=lambda t: t[0])
     assert log[0][0] == 1, "clone must start its own history at v1"
     states, rows = {}, {}
     expect_v = 1
-    for v, added in log:
+    for v, kind, payload in log:
         assert v == expect_v, (
             f"clone {entry['root']} op log has a gap: got v{v}, "
             f"expected v{expect_v} — a lost or phantom local commit"
         )
         expect_v += 1
-        rows.update(added)
+        if kind in ("seed", "append"):
+            rows.update(payload)
+        elif kind == "restore":
+            rows = dict(states[payload])
+        else:  # pragma: no cover
+            raise AssertionError(kind)
         states[v] = dict(rows)
     return states
 
@@ -307,11 +349,12 @@ def _verify_clone_version(spark, root, v, model_rows):
     return "loud"
 
 
-# seed coverage chosen from a 0-9 scan: 0 = verified-only (no adopted
-# loss), 3 = loud-heavy (aggressive vacuum reclaims adopted refs at
-# many retained versions), 5 = clone-time reads racing the reclaiming
-# vacuum (the JVM missing-file abort path)
-@pytest.mark.parametrize("seed", [0, 3, 5])
+# seed coverage re-chosen from a 0-9 scan after the r13 restore/deep-
+# chain extension: 2 = verified-heavy WITH clone restores replayed by
+# the model, 3 = loud-heavy (aggressive vacuum reclaims adopted refs at
+# many retained versions), 6 = loud AND a restore (including the path
+# where restore_commit itself refuses loudly on vacuumed adopted refs)
+@pytest.mark.parametrize("seed", [2, 3, 6])
 def test_clone_chains_under_source_maintenance_pressure(
     spark, tmp_path, seed
 ):
@@ -324,7 +367,7 @@ def test_clone_chains_under_source_maintenance_pressure(
     source_w = _SourceWorker(spark, src, seed, n_ops=10, errors=errors)
     clone_ws = [
         _CloneWorker(
-            spark, src, tid, seed, n_ops=7, registry=registry,
+            spark, src, tid, seed, n_ops=8, registry=registry,
             reg_lock=reg_lock, errors=errors, tmp=str(tmp_path),
         )
         for tid in range(2)
