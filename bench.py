@@ -177,7 +177,7 @@ def main() -> None:
                     _build_matview_refresh, _build_snapshot_vectored,
                     _build_skew_merge):
         try:  # pragma: no cover - bench must always emit JSON
-            _time_extra_group(builder(spark, sf_dir))
+            _time_extra_group(builder(spark, sf_dir, n_runs))
         except Exception as e:
             print(f"# extra group {builder.__name__} failed: {e}",
                   file=sys.stderr)
@@ -200,7 +200,7 @@ def main() -> None:
     _cleanup_scratch()
 
 
-def _build_stored_ivf(spark, sf_dir):
+def _build_stored_ivf(spark, sf_dir, n_runs):
     """Build the oracle-pinned IVF index (same deterministic centroids as
     similarity_topk_ivf: vec_id % 40 == 7) into a scratch dir ONCE, and
     return {name: fn} probing the reloaded bucketed index — identical
@@ -263,7 +263,7 @@ def _build_stored_ivf(spark, sf_dir):
     }
 
 
-def _build_snapshot_read(spark, sf_dir):
+def _build_snapshot_read(spark, sf_dir, n_runs):
     """Bench the snapshot table's read path (VERDICT r6 next-round #6):
     commit the sf lineitem table as a range-clustered snapshot with
     per-file key stats ONCE (outside the timing), then time the same
@@ -321,7 +321,7 @@ def _build_snapshot_read(spark, sf_dir):
     }
 
 
-def _build_snapshot_vectored(spark, sf_dir):
+def _build_snapshot_vectored(spark, sf_dir, n_runs):
     """Bench the merge-on-read READ overlay (r8 positional deletion
     vectors): commit the sf lineitem snapshot, apply one key-SCATTERED
     ~1% MoR DELETE in setup (untimed — every file ends up vectored,
@@ -375,7 +375,7 @@ def _build_snapshot_vectored(spark, sf_dir):
     return {"snapshot_read_vectored": read_vectored}
 
 
-def _build_matview_refresh(spark, sf_dir):
+def _build_matview_refresh(spark, sf_dir, n_runs):
     """Bench the materialized-view maintenance loop (VERDICT r7 #7):
 
     * ``matview_refresh_delta`` — ONE ``maintain_view`` step folding a
@@ -414,14 +414,13 @@ def _build_matview_refresh(spark, sf_dir):
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "ts", "event_type", "value"
     )
-    # MUST match main()'s n_runs default (r12 VERDICT residual: this
-    # read defaulted to 3 while main timed 5 runs, so timed runs 4-5
-    # refreshed past the last staged version — an EMPTY-delta no-op
-    # measured at 0.02s, making the recorded spread [0.02, ~1] and any
-    # real regression in the refresh path invisible). Every timed run
-    # now folds exactly one staged, fixed-size, non-empty append
-    # version, and refresh raises loudly if the harness under-stages.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # n_runs arrives FROM main() (r13 ADVICE: this builder used to
+    # re-read SPARK_GRAFT_BENCH_RUNS and relied on the two defaults
+    # staying equal by convention — r12's divergence made timed runs
+    # 4-5 refresh past the last staged version, an EMPTY-delta no-op
+    # measured at 0.02s). One resolution site means the staging count
+    # and the timed-run count cannot drift; the under-stage guard in
+    # refresh() stays as defense-in-depth.
     write_snapshot(e, src)
     n_batch = max(1, e.count() // 200)  # ~0.5% new events per version
     for i in range(1, n_runs + 1):
@@ -461,7 +460,7 @@ def _build_matview_refresh(spark, sf_dir):
     }
 
 
-def _build_skew_merge(spark, sf_dir):
+def _build_skew_merge(spark, sf_dir, n_runs):
     """Hot-key merge stress (VERDICT r11 #5; depth grown to the
     measured crossover in r13 per VERDICT r12 #2): a staging batch
     where 8 hot entities are each redelivered 1M times — the

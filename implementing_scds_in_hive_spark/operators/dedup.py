@@ -959,6 +959,14 @@ def suppress_repeated_lines(
     * NULL ``text_col`` rows pass through untouched (``n_removed`` 0);
       a document whose every line is suppressed keeps an empty string.
 
+    Precondition (r13 ADVICE): ``id_col`` values must be UNIQUE — one
+    row per document, the same contract as every per-document operator
+    in this module. The reassembly groups by ``id_col``, so a repeated
+    id would merge two documents' lines into one rebuilt text (sorted
+    by interleaved position) and the final join would fan the merged
+    text back out to both rows, silently. Deduplicate ids first
+    (``exact_dedup``) if the corpus may violate this.
+
     Returns the input row set with ``text_col`` rewritten plus
     ``n_removed`` (lines dropped from that document).
 

@@ -258,6 +258,86 @@ def _read_lock_token(path: str) -> str | None:
         return None
 
 
+def _break_confirm_seconds() -> float:
+    # Sustained-staleness observation window before a rename-claim
+    # (r13 ADVICE): long enough that a replaced/refreshed lock is seen
+    # before renaming, short enough that breaking a genuinely dead lock
+    # does not eat a waiter's whole acquire timeout. Derived at call
+    # time so tests that shrink the heartbeat shrink the confirm too.
+    return min(_LOCK_HEARTBEAT_SECONDS, _LOCK_STALE_SECONDS / 4.0, 2.0)
+
+
+def _restore_lock(claim: str, path: str, *, patience: float = 10.0) -> bool:
+    """Put a mistakenly-claimed LIVE lock back on its canonical name
+    (r13 ADVICE): link-then-unlink, retrying on EEXIST — a waiter that
+    acquired during the claim vacancy simply runs first, and the live
+    lock returns to its name the moment that waiter releases. The claim
+    is NEVER unlinked without a successful restore: an unrestorable
+    live lock stays parked (and keeps heartbeating — the holder beats
+    the inode, not the name) rather than being destroyed."""
+    stop_at = time.monotonic() + patience
+    while True:
+        try:
+            os.link(claim, path)
+        except FileExistsError:
+            if time.monotonic() > stop_at:
+                return False  # leave the claim parked; holder sweeps it
+            time.sleep(0.05)
+            continue
+        except OSError:
+            return False  # claim vanished (holder's release swept it)
+        try:
+            os.unlink(claim)
+        except OSError:
+            pass
+        return True
+
+
+def _release_lock(path: str, token: str) -> None:
+    """Rename-inspect release (r13 ADVICE): check-then-unlink was a
+    TOCTOU — between token check and unlink a breaker plus new holder
+    could replace the file, and the exiting holder would unlink the NEW
+    holder's lock. Renaming to a private name first makes the check and
+    the removal act on the same file: if the renamed file carries our
+    token we discard it; if not, a replacement landed in the window and
+    is restored via the EEXIST-safe link path."""
+    import uuid as _uuid
+
+    try:
+        if _read_lock_token(path) == token:
+            rel = f"{path}.rel-{_uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, rel)
+            except OSError:
+                return  # broken + released under us — nothing to do
+            if _read_lock_token(rel) == token:
+                try:
+                    os.unlink(rel)
+                except OSError:
+                    pass
+            else:
+                _restore_lock(rel, path)
+            return
+    except OSError:
+        pass
+    # Our lock is not at its name — it was broken, and may be parked
+    # under a breaker's claim that could not be restored. Sweep only
+    # files carrying OUR token; a competitor's claim/lock is untouched.
+    base = os.path.basename(path)
+    try:
+        entries = os.listdir(os.path.dirname(path))
+    except OSError:
+        return
+    for fn in entries:
+        if fn.startswith(base + ".break-") or fn.startswith(base + ".rel-"):
+            p = os.path.join(os.path.dirname(path), fn)
+            try:
+                if _read_lock_token(p) == token:
+                    os.unlink(p)
+            except OSError:
+                pass
+
+
 @contextmanager
 def _index_lock(root: str, *, timeout: float = 30.0):
     """Advisory mutual exclusion between ``append_*`` and
@@ -271,19 +351,35 @@ def _index_lock(root: str, *, timeout: float = 30.0):
     (and on HDFS via create-no-overwrite semantics; object stores
     would use a conditional PUT). Liveness, not start time, decides
     staleness (r12 ADVICE): the holder writes a UNIQUE token into the
-    lock and a daemon heartbeat refreshes the file's mtime every
-    ``_LOCK_HEARTBEAT_SECONDS`` while the work runs — so a slow-but-
-    alive multi-minute corpus-scale write never LOOKS stale, while a
-    crashed holder stops heartbeating and is broken after
-    ``_LOCK_STALE_SECONDS``. Breaking is an atomic rename-claim (only
-    one breaker can win; two racing breakers can no longer double-
-    unlink a fresh lock), and the claimed file's token is verified
-    against the one observed stale before it is discarded — stealing a
-    lock that was concurrently replaced is detected and undone.
-    Release unlinks only while the file still holds OUR token, so a
-    holder whose lock was broken cannot cascade into unlinking the new
-    holder's lock. Writers hold the lock for the duration of the
-    append / compaction; probes never take it (readers keep the old
+    lock and a daemon heartbeat refreshes the lock INODE's mtime (by
+    fd, so the beat stays visible even while a breaker briefly parks
+    the file under a claim name) every ``_LOCK_HEARTBEAT_SECONDS``
+    while the work runs — a slow-but-alive multi-minute corpus-scale
+    write never LOOKS stale, while a crashed holder stops heartbeating
+    and is broken after ``_LOCK_STALE_SECONDS``.
+
+    Breaking (r13 ADVICE hardening — the earlier mtime-only verdict
+    could steal a FRESH lock re-created between stat and rename, and a
+    failed link-restore then unlinked the live holder's lock):
+
+    1. *Sustained observation*: the breaker records the stale lock's
+       token + mtime, waits ``_break_confirm_seconds()``, and re-reads
+       both — any change (heartbeat advanced the mtime, or a release +
+       re-acquire swapped the token) aborts the break attempt.
+    2. *Atomic rename-claim*: exactly one breaker wins the rename.
+    3. *Token verdict on the claim*: the claim is discarded ONLY if it
+       still carries the very token observed stale in step 1 AND its
+       mtime is still past the horizon; anything else is a concurrently
+       replaced or revived lock and is put back via ``_restore_lock`` —
+       which retries on EEXIST and never unlinks what it cannot
+       restore, so a live lock is never destroyed and at worst waits,
+       parked but still heartbeating, for the vacancy-acquirer to
+       finish.
+
+    Release is rename-inspect (``_release_lock``): the token check and
+    the removal act on the same renamed file, closing the residual
+    check-then-unlink window. Writers hold the lock for the duration of
+    the append / compaction; probes never take it (readers keep the old
     generation via the grace window instead)."""
     import threading
     import uuid as _uuid
@@ -297,42 +393,47 @@ def _index_lock(root: str, *, timeout: float = 30.0):
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
                 os.write(fd, token.encode())
-            finally:
+            except OSError:
                 os.close(fd)
-            break
+                raise
+            break  # fd stays open: the heartbeat beats the inode
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(path)
+                obs_token = _read_lock_token(path)
+                obs_mtime = os.path.getmtime(path)
             except OSError:
                 continue  # holder released between open and stat — retry
-            if age > _LOCK_STALE_SECONDS:
-                # Atomic rename-claim: exactly one breaker wins the
-                # rename; losers hit FileNotFoundError and re-enter the
-                # acquire loop. The verdict is re-taken on the CLAIMED
-                # file's own mtime (not the pre-rename stat — the stale
-                # holder could have released and a NEW holder re-created
-                # the lock in between): a genuinely dead lock has had no
-                # heartbeat for the full stale window, while a stolen
-                # fresh lock shows a recent mtime and is put back (link
-                # restores the original name without clobbering a
-                # competitor's newer lock).
+            age = time.time() - obs_mtime
+            if obs_token is not None and age > _LOCK_STALE_SECONDS:
+                # Step 1: sustained observation — confirm nothing moved.
+                time.sleep(_break_confirm_seconds())
+                try:
+                    if (
+                        _read_lock_token(path) != obs_token
+                        or os.path.getmtime(path) != obs_mtime
+                    ):
+                        continue  # refreshed or replaced — not stale
+                except OSError:
+                    continue  # released meanwhile
+                # Step 2: atomic rename-claim — one winner.
                 claim = f"{path}.break-{_uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(path, claim)
                 except OSError:
                     continue  # another breaker won, or holder released
+                # Step 3: token verdict on the claimed file itself.
                 try:
-                    claim_age = time.time() - os.path.getmtime(claim)
+                    claim_live = (
+                        _read_lock_token(claim) != obs_token
+                        or time.time() - os.path.getmtime(claim)
+                        <= _LOCK_STALE_SECONDS
+                    )
                 except OSError:
-                    continue  # claim vanished (crashed breaker cleanup)
-                if claim_age > _LOCK_STALE_SECONDS:
-                    os.unlink(claim)  # confirmed-stale lock discarded
+                    continue  # claim vanished (holder's sweep)
+                if claim_live:
+                    _restore_lock(claim, path)
                 else:
-                    try:
-                        os.link(claim, path)  # restore the live lock
-                    except OSError:
-                        pass  # a new lock landed first; stolen holder loses
-                    os.unlink(claim)
+                    os.unlink(claim)  # confirmed-stale lock discarded
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -347,10 +448,13 @@ def _index_lock(root: str, *, timeout: float = 30.0):
     def _heartbeat() -> None:
         while not stop.wait(_LOCK_HEARTBEAT_SECONDS):
             try:
-                if _read_lock_token(path) == token:
-                    os.utime(path, None)
+                os.utime(fd)  # inode-addressed: beats even while parked
             except OSError:
-                pass  # lock broken under us; release will notice
+                try:
+                    if _read_lock_token(path) == token:
+                        os.utime(path, None)
+                except OSError:
+                    pass  # lock broken under us; release will notice
 
     hb = threading.Thread(target=_heartbeat, daemon=True, name="index-lock-heartbeat")
     hb.start()
@@ -360,10 +464,10 @@ def _index_lock(root: str, *, timeout: float = 30.0):
         stop.set()
         hb.join(timeout=5.0)
         try:
-            if _read_lock_token(path) == token:
-                os.unlink(path)
+            os.close(fd)
         except OSError:
             pass
+        _release_lock(path, token)
 
 
 def save_minhash_index(

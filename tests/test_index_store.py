@@ -938,8 +938,12 @@ def test_lock_exclusion_survives_slow_holders_under_tiny_stale_horizon(tmp_path)
     """r13 stress for the rewritten lock: holders that hold LONGER than
     the stale horizon (slow-but-alive, the r12 ADVICE regime) must keep
     mutual exclusion purely via the heartbeat — no waiter may break in,
-    and no lock/claim debris may remain. Run at a 1000x-harsher regime
-    than production (0.6s horizon / 0.15s beat / 0.7-1.2s holds)."""
+    and no lock/claim debris may remain. Run at a harsh-but-fair
+    regime: 1.5s horizon / 0.05s beat / 1.6-2.2s holds — a 30x
+    beat-to-horizon ratio keeps the harshness class while leaving a
+    stalled-thread margin a loaded CI machine will not blow through
+    (r13 ADVICE: the earlier 0.15s-beat/0.6s-horizon margin could flake
+    under a >0.45s Python scheduler stall)."""
     import os as _os
     import random as _random
     import threading as _th
@@ -949,21 +953,21 @@ def test_lock_exclusion_survives_slow_holders_under_tiny_stale_horizon(tmp_path)
 
     root = str(tmp_path / "idx")
     orig = ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS
-    ixs._LOCK_STALE_SECONDS = 0.6
-    ixs._LOCK_HEARTBEAT_SECONDS = 0.15
+    ixs._LOCK_STALE_SECONDS = 1.5
+    ixs._LOCK_HEARTBEAT_SECONDS = 0.05
     inside, errors = [], []
     gate = _th.Lock()
 
     def worker(tid):
         rng = _random.Random(tid)
         try:
-            for _ in range(4):
+            for _ in range(3):
                 with ixs._index_lock(root, timeout=60.0):
                     with gate:
                         inside.append(tid)
                         if len(inside) > 1:
                             errors.append(f"exclusion lost: {inside}")
-                    _time.sleep(rng.uniform(0.7, 1.2))  # > stale horizon
+                    _time.sleep(rng.uniform(1.6, 2.2))  # > stale horizon
                     with gate:
                         inside.remove(tid)
         except Exception as e:  # noqa: BLE001 — record, don't hang join
@@ -980,3 +984,142 @@ def test_lock_exclusion_survives_slow_holders_under_tiny_stale_horizon(tmp_path)
         assert _os.listdir(root) == []  # no lock or break-claim debris
     finally:
         ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS = orig
+
+
+def test_break_aborts_when_lock_replaced_during_confirm(tmp_path):
+    """r13 ADVICE (medium): a breaker that stat'd a stale lock could
+    rename a FRESH lock re-created in between, and the failed restore
+    then unlinked the live holder's file. The sustained-observation
+    window must catch the swap: a lock whose token changes between the
+    first read and the re-check is never renamed."""
+    import os as _os
+    import threading as _th
+    import time as _time
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root, exist_ok=True)
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    with open(lock_path, "w") as f:
+        f.write("pid=dead token=stale\n")
+    _os.utime(lock_path, (1, 1))  # ancient — every waiter sees it stale
+
+    orig = ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS
+    ixs._LOCK_STALE_SECONDS = 1.0
+    ixs._LOCK_HEARTBEAT_SECONDS = 0.4  # confirm window = 0.25s
+    fresh = "pid=live token=fresh\n"
+
+    def swap():
+        # lands inside the breaker's confirm sleep: the stale holder
+        # "releases" and a new holder immediately re-acquires
+        _time.sleep(0.08)
+        _os.unlink(lock_path)
+        with open(lock_path, "w") as f:
+            f.write(fresh)
+
+    th = _th.Thread(target=swap)
+    th.start()
+    try:
+        with pytest.raises(TimeoutError, match="maintenance lock"):
+            with ixs._index_lock(root, timeout=0.8):
+                pass
+    finally:
+        th.join()
+        ixs._LOCK_STALE_SECONDS, ixs._LOCK_HEARTBEAT_SECONDS = orig
+    # the fresh lock survived, on its name, content untouched
+    with open(lock_path) as f:
+        assert f.read() == fresh
+    assert [f for f in _os.listdir(root) if ".break-" in f] == []
+    _os.unlink(lock_path)
+
+
+def test_restore_lock_waits_out_vacancy_acquirer(tmp_path):
+    """r13 ADVICE (medium), restore half: a live lock parked under a
+    break-claim must be linked back even when a third waiter grabbed
+    the vacant name — the restore retries on EEXIST until the
+    vacancy-acquirer releases, and NEVER unlinks what it cannot
+    restore."""
+    import os as _os
+    import threading as _th
+    import time as _time
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root, exist_ok=True)
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    claim = lock_path + ".break-deadbeef"
+    live = "pid=live token=parked\n"
+    with open(claim, "w") as f:
+        f.write(live)
+    # a third waiter owns the canonical name right now
+    with open(lock_path, "w") as f:
+        f.write("pid=third token=vacancy\n")
+
+    # patience exhausted while the name stays occupied: the claim must
+    # survive (never unlinked), the occupant must be untouched
+    assert ixs._restore_lock(claim, lock_path, patience=0.3) is False
+    assert _os.path.exists(claim)
+    with open(lock_path) as f:
+        assert f.read() == "pid=third token=vacancy\n"
+
+    def release_third():
+        _time.sleep(0.2)
+        _os.unlink(lock_path)
+
+    th = _th.Thread(target=release_third)
+    th.start()
+    try:
+        assert ixs._restore_lock(claim, lock_path, patience=5.0) is True
+    finally:
+        th.join()
+    assert not _os.path.exists(claim)
+    with open(lock_path) as f:
+        assert f.read() == live
+    _os.unlink(lock_path)
+
+
+def test_release_sweeps_own_parked_claim_only(tmp_path):
+    """Release when the holder's lock was broken AND parked: the sweep
+    unlinks only files carrying the releaser's own token — a
+    competitor's lock on the canonical name and a foreign claim both
+    survive."""
+    import os as _os
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root, exist_ok=True)
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    mine = "pid=me token=abc123\n"
+    with open(lock_path + ".break-11111111", "w") as f:
+        f.write(mine)  # my stolen, unrestorable lock
+    with open(lock_path + ".break-22222222", "w") as f:
+        f.write("pid=other token=zzz\n")  # someone else's claim
+    with open(lock_path, "w") as f:
+        f.write("pid=new token=holder\n")  # the current holder
+
+    ixs._release_lock(lock_path, mine)
+    names = sorted(_os.listdir(root))
+    assert names == [ixs._LOCK_FILE, ixs._LOCK_FILE + ".break-22222222"]
+    with open(lock_path) as f:
+        assert f.read() == "pid=new token=holder\n"
+
+
+def test_release_rename_inspect_discards_only_own_token(tmp_path):
+    """r13 ADVICE (low): release must be rename-inspect — the removal
+    decision is taken on the renamed file itself, so a replacement that
+    lands in the check window is restored, not unlinked."""
+    import os as _os
+
+    import implementing_scds_in_hive_spark.operators.index_store as ixs
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(root, exist_ok=True)
+    lock_path = _os.path.join(root, ixs._LOCK_FILE)
+    mine = "pid=me token=rel1\n"
+    with open(lock_path, "w") as f:
+        f.write(mine)
+    ixs._release_lock(lock_path, mine)
+    assert _os.listdir(root) == []  # own lock released, no .rel debris
