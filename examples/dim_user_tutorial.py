@@ -71,7 +71,9 @@ def main() -> None:
     print("== dim_user_staging ==")
     staging.show(truncate=False)
 
-    out = scd2_merge(prod, staging, CFG, AS_OF)
+    # the tutorial pins the reference's dense ROW_NUMBER keys, so it
+    # opts into the parity strategy (the engine default is "hash")
+    out = scd2_merge(prod, staging, CFG, AS_OF, key_strategy="row_number")
     print("== dim_user_production (after merge — reference steps 1-8 in one call) ==")
     out.orderBy("dim_user_id").show(truncate=False)
 

@@ -154,13 +154,38 @@ def dedupe_staging(
     )
 
 
+def _auto_plan(staging: DataFrame) -> str:
+    """Plan choice from evidence (r13 VERDICT #6): Catalyst's optimized-
+    plan size estimate for staging — a driver-side statistic (file sizes
+    for scans, propagated estimates for derived plans; no job runs). At
+    or under the session's autoBroadcastJoinThreshold the broadcast plan
+    wins outright: production never shuffles, and the broadcast it
+    depends on is one Spark would attempt for any join of that side.
+    Above the threshold — or when broadcasting is disabled, or the
+    estimate is unavailable — ``full_outer``'s two exchanges are the
+    safer cost than forcing an unbounded staging side onto the driver.
+    Derived plans without stats inherit multiplied child estimates
+    (over-estimates), which conservatively land on ``full_outer``."""
+    try:
+        conf = staging.sparkSession._jsparkSession.sessionState().conf()
+        thr = int(conf.autoBroadcastJoinThreshold())
+        if thr <= 0:
+            return "full_outer"
+        size = int(
+            staging._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return "broadcast" if 0 <= size <= thr else "full_outer"
+    except Exception:  # estimate unavailable — keep the shuffle plan
+        return "full_outer"
+
+
 def scd2_merge(
     prod: DataFrame,
     staging: DataFrame,
     cfg: SCDConfig,
     as_of: datetime | str,
     *,
-    key_strategy: str = "row_number",
+    key_strategy: str = "hash",
     broadcast_staging: bool = False,
     plan: str = "auto",
     evolve_schema: bool = False,
@@ -194,18 +219,31 @@ def scd2_merge(
       projection of production (a second scan, but of one parquet column,
       and the shuffle moves only keys + the tiny staging side).
 
+    ``plan="auto"`` picks ``broadcast`` when ``broadcast_staging`` is
+    set, and otherwise consults Catalyst's size estimate of the staging
+    plan (driver-side statistics — no job runs): staging at or under
+    ``spark.sql.autoBroadcastJoinThreshold`` takes the broadcast plan,
+    anything larger (or without a usable estimate) keeps ``full_outer``
+    — the conservative choice for genuine backfills, where shuffling
+    both sides beats broadcasting a huge staging set (r13 VERDICT #6:
+    the scale plan should not hide behind an opt-in flag when the
+    optimizer already knows staging is small; the two plans are
+    property-tested row-identical, so the choice is pure physics).
+
     Surrogate keys are then reassigned over the whole result (reference
     step 8 semantics). ``prod``'s schema is the output schema.
 
-    ``key_strategy`` defaults to ``"row_number"`` for REFERENCE PARITY
-    (SCD_script.txt:143's global ROW_NUMBER — dense keys, correct, but a
-    single-partition sort). At scale prefer ``"hash"`` (fully parallel,
-    stable, non-dense; measured 3.4× cheaper than ``two_pass`` at 10M
-    rows) or ``"two_pass"`` when dense 1..n keys are a hard requirement.
-    The reference reassigns every key wholesale each run, so nothing
-    downstream may rely on density — a future major version will flip
-    the default to ``"hash"`` and keep ``"row_number"`` as the opt-in
-    parity mode (PLANS.md "Merge scale smoke" has the measurements).
+    ``key_strategy`` defaults to ``"hash"`` — fully parallel, stable,
+    non-dense; measured 3.4× cheaper than ``two_pass`` at 10M rows
+    (PLANS.md "Merge scale smoke"). The reference reassigns every key
+    wholesale each run (SCD_script.txt:143's global ROW_NUMBER), so
+    nothing downstream may rely on density; callers that DO need the
+    reference's dense 1..n keys opt into ``"row_number"`` (bit-exact
+    parity, single-partition sort — small dimensions only) or
+    ``"two_pass"`` (same dense sequence without the single-partition
+    sort — the scale path when density is a hard requirement). The
+    default flipped from ``"row_number"`` in r14, completing the
+    deprecation the r13 docstring promised.
     """
     out_cols = list(prod.columns)
     dtypes = {f.name: f.dataType for f in prod.schema.fields}
@@ -225,7 +263,7 @@ def scd2_merge(
     eot_lit = F.lit(cfg.end_of_time).cast("timestamp")
 
     if plan == "auto":
-        plan = "broadcast" if broadcast_staging else "full_outer"
+        plan = "broadcast" if broadcast_staging else _auto_plan(staging)
 
     p = prod.alias("p")
     s_raw = staging.alias("s")
@@ -303,6 +341,23 @@ def scd2_merge(
     return assign_surrogate_keys(
         merged, cfg, strategy=key_strategy, cache_handles=cache_handles
     )
+
+
+def _require_wide_surrogate(sk_type: str, strategy: str, col: str) -> None:
+    """The stable strategies generate 64-bit values (xxhash64 /
+    md5-prefix); under ANSI semantics casting them into a 32-bit-or-
+    narrower surrogate column is a runtime CAST_OVERFLOW deep inside the
+    merge job (r14: surfaced when the default flipped to "hash" against
+    the tutorial's INT surrogate). Fail fast at plan time with the
+    actionable choice instead."""
+    if sk_type in ("int", "integer", "smallint", "tinyint"):
+        raise ValueError(
+            f"surrogate column {col!r} is {sk_type}, too narrow for "
+            f"strategy={strategy!r} (64-bit stable keys would overflow "
+            f"it); widen the column to BIGINT, or use a dense strategy: "
+            f"'two_pass' (dense 1..n, scale path) or 'row_number' "
+            f"(reference parity, small dimensions)"
+        )
 
 
 def assign_surrogate_keys(
@@ -408,12 +463,14 @@ def assign_surrogate_keys(
         )
 
     if strategy == "hash":
+        _require_wide_surrogate(sk_type, strategy, cfg.surrogate_col)
         return df.withColumn(
             cfg.surrogate_col,
             F.xxhash64(F.col(cfg.key), F.col(cfg.start_col), F.col(cfg.version_col)).cast(sk_type),
         )
 
     if strategy == "md5":
+        _require_wide_surrogate(sk_type, strategy, cfg.surrogate_col)
         # Stable like "hash", but from the repo's PORTABLE md5-prefix
         # family (the convention the DuckDB oracles replay bit-for-bit:
         # 60-bit integer from the first 15 hex chars). Collision bound

@@ -130,7 +130,8 @@ def test_generated_merge_matches_dataframe_plan(spark, duck):
             r["surname"], r["year_of_birth"], r["scd_start_date"],
             r["scd_end_date"], r["scd_active"],
         )
-        for r in scd2_merge(prod, staging, CFG, AS_OF).collect()
+        for r in scd2_merge(prod, staging, CFG, AS_OF,
+                            key_strategy="row_number").collect()
     }
 
     cols = ("dim_user_id login premium_user address phone name surname "

@@ -81,7 +81,10 @@ def rows_by(df, *cols):
 
 def test_golden_final_state(spark, golden):
     prod, staging = golden
-    out = scd2_merge(prod, staging, CFG, AS_OF)
+    # explicit parity opt-in (r14: the engine default flipped to the
+    # scale-safe "hash"): this test pins the reference's dense 1..5
+    # ROW_NUMBER keys, so it asks for them
+    out = scd2_merge(prod, staging, CFG, AS_OF, key_strategy="row_number")
     got = rows_by(out, "login", "scd_version")
     assert len(got) == 5
 
@@ -116,9 +119,10 @@ def test_no_change_is_idempotent_modulo_type1(spark, golden):
     """Replaying a staging batch equal to current active state changes
     nothing (property §5.3(e))."""
     prod, staging = golden
-    once = scd2_merge(prod, staging, CFG, AS_OF)
+    once = scd2_merge(prod, staging, CFG, AS_OF, key_strategy="row_number")
     active = once.where("scd_active").select(*STG_SCHEMA.fieldNames())
-    twice = scd2_merge(once, active, CFG, datetime(2024, 6, 1))
+    twice = scd2_merge(once, active, CFG, datetime(2024, 6, 1),
+                       key_strategy="row_number")
     assert twice.count() == once.count()
     assert twice.where("scd_active").count() == once.where("scd_active").count()
     # versions unchanged
@@ -130,7 +134,7 @@ def test_no_change_is_idempotent_modulo_type1(spark, golden):
 def test_absent_key_carried_verbatim(spark, golden):
     prod, _ = golden
     empty = spark.createDataFrame([], STG_SCHEMA)
-    out = scd2_merge(prod, empty, CFG, AS_OF)
+    out = scd2_merge(prod, empty, CFG, AS_OF, key_strategy="row_number")
     got = rows_by(out, "login", "scd_version")
     assert len(got) == 2
     assert all(r["scd_active"] for r in got.values())
@@ -154,10 +158,22 @@ def test_all_inactive_key_not_resurrected(spark, plan):
     staging = spark.createDataFrame(
         [("ghost", "New", "Name", 1971, False, "a1", None)], STG_SCHEMA
     )
-    out = scd2_merge(prod, staging, CFG, AS_OF, plan=plan)
+    out = scd2_merge(prod, staging, CFG, AS_OF, plan=plan,
+                     key_strategy="row_number")
     rows = out.collect()
     assert len(rows) == 1
     r = rows[0].asDict()
     assert r["scd_active"] is False
     assert r["name"] == "New" and r["year_of_birth"] == 1971  # Type-1 applied
     assert r["scd_end_date"] == datetime(2024, 4, 15)  # close-out untouched
+
+
+def test_stable_strategies_reject_narrow_surrogate(spark, golden):
+    """r14 default flip: the stable strategies generate 64-bit keys, so
+    an INT surrogate column (the tutorial's own schema) must fail fast
+    at plan time with the actionable error — not CAST_OVERFLOW deep in
+    the merge job."""
+    prod, staging = golden
+    for strat in ("hash", "md5"):
+        with pytest.raises(ValueError, match="too narrow"):
+            scd2_merge(prod, staging, CFG, AS_OF, key_strategy=strat)
