@@ -3794,3 +3794,20 @@ WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
 
 PYTEST_ONLY_QUERIES["semantic_dedup_survivors"] = q_semantic_dedup  # r13: new operator, pytest oracle (50-slot budget full)
 PYTEST_ONLY_ORACLES["semantic_dedup_survivors"] = SEMANTIC_DEDUP_SQL
+
+
+# r14 rotation (VERDICT r13 next-round #1): the two r13 operator
+# families — the only ones whose evidence was pytest-only — take driver
+# slots, and two r11-promoted veterans with three consecutive green
+# driver rounds (r11-r13) fold to pytest, keeping the gate at its
+# 50-slot budget. Family representation after the swap: multimodal
+# keeps multimodal_features as its driver representative; sampling
+# keeps sample_stratified / sample_topk_stratum / sample_weighted_docs
+# / assign_split.
+for _k in ("multimodal_modality", "sample_bernoulli"):
+    PYTEST_ONLY_QUERIES[_k] = QUERIES.pop(_k)
+    PYTEST_ONLY_ORACLES[_k] = ORACLES.pop(_k)
+for _k in ("suppress_boilerplate_lines", "semantic_dedup_survivors"):
+    QUERIES[_k] = PYTEST_ONLY_QUERIES.pop(_k)
+    ORACLES[_k] = PYTEST_ONLY_ORACLES.pop(_k)
+del _k
