@@ -313,3 +313,92 @@ def test_poll_crash_sweep_every_batch_and_phase(spark, tmp_path):
             wm, got = run(f"{poll_i}_{phase}", crash_at=(poll_i, phase))
             assert wm == base_wm, f"watermark diverged at {poll_i}/{phase}"
             assert got == base_out, f"output diverged at {poll_i}/{phase}"
+
+
+def test_follow_view_stream_restart_after_injected_commit_death(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 next-round #4, streaming face): a LIVE
+    ``follow_view_stream`` whose tick dies mid view-commit (injected
+    manifest-link failure) terminates the query; a supervisor-style
+    restart with a FRESH checkpoint must converge the view to a
+    from-scratch rollup with no double fold — the manifest-watermark
+    recovery contract exercised through the actual StreamingQuery, not
+    just the batch face."""
+    import os as _os
+    import time as _time
+
+    import implementing_scds_in_hive_spark.sources.snapshot as snap
+    from implementing_scds_in_hive_spark.operators.incremental import (
+        event_rollup,
+    )
+    from implementing_scds_in_hive_spark.operators.matview import (
+        view_watermark,
+    )
+    from implementing_scds_in_hive_spark.sources.registry import load_table
+    from implementing_scds_in_hive_spark.sources.snapshot import (
+        read_table,
+        write_snapshot,
+    )
+    from implementing_scds_in_hive_spark.streaming.changefeed import (
+        follow_view_stream,
+    )
+
+    source = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    e = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_snapshot(e.where(F.col("event_id") % 3 == 0), source)
+
+    real_link = _os.link
+    fired = {"done": False}
+
+    def flaky(src_p, dst_p):
+        # only the VIEW's commits die — the test thread keeps publishing
+        # source versions through the same global os.link concurrently
+        if view in str(dst_p) and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected stream view-commit death")
+        return real_link(src_p, dst_p)
+
+    monkeypatch.setattr(snap.os, "link", flaky)
+    try:
+        q = follow_view_stream(
+            spark, source, view, ["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+            poll_interval="0 seconds",
+        )
+        deadline = _time.time() + 60
+        while q.isActive and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert not q.isActive, "query should die on the injected commit death"
+        assert fired["done"]
+    finally:
+        monkeypatch.setattr(snap.os, "link", real_link)
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+    # the source moves on while no subscriber runs
+    write_snapshot(e.where(F.col("event_id") % 3 != 1), source)
+
+    # supervisor restart: fresh checkpoint, state comes from the view
+    # manifest alone
+    q2 = follow_view_stream(
+        spark, source, view, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"), poll_interval="0 seconds",
+    )
+    try:
+        deadline = _time.time() + 60
+        while view_watermark(view) != 2 and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert view_watermark(view) == 2
+    finally:
+        q2.stop()
+    expected = event_rollup(read_table(spark, source))
+    got = read_table(spark, view)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
