@@ -77,6 +77,28 @@ def _cleanup_scratch() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _calibration_df(spark, sf_dir):
+    """Fixed calibration workload (VERDICT r13 next-round #3): a frozen
+    scan + shuffle + aggregate over lineitem, expressed directly on the
+    parquet with built-in functions only — it touches NO package code,
+    so its wall time moves only with the container (CPU contention,
+    I/O, JVM warmth), never with engine changes. Reporting each
+    headline median as a RATIO to this query's median divides the
+    measured >40% round-to-round container variance out of cross-round
+    comparisons; the raw seconds stay the primary record."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.groupBy((F.col("l_orderkey") % 97).alias("bucket"))
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -112,6 +134,25 @@ def main() -> None:
         qs[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # calibration query: timed exactly like a headline (cold cache,
+    # noop write, median of n_runs) AFTER warm-up so it measures the
+    # container, not session bring-up
+    calib_runs: list[float] = []
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _calibration_df(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        calib_runs.append(round(time.time() - t0, 3))
+    calib_runs.sort()
+    calib = calib_runs[len(calib_runs) // 2] if n_runs % 2 else round(
+        (calib_runs[n_runs // 2 - 1] + calib_runs[n_runs // 2]) / 2, 3
+    )
+    print(
+        f"# calibration: median {calib:.3f}s "
+        f"(min {calib_runs[0]:.2f} max {calib_runs[-1]:.2f})",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -192,6 +233,11 @@ def main() -> None:
                 "spread": spread,
                 "extra": extra,
                 "extra_spread": extra_spread,
+                "calibration_sec": calib,
+                "queries_calibrated": {
+                    name: round(t / calib, 2) for name, t in timings.items()
+                } if calib > 0 else {},
+                "total_calibrated": round(total / calib, 2) if calib > 0 else None,
                 "runs": n_runs,
                 "sf": sf,
             }
