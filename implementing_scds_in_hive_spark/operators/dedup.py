@@ -908,6 +908,7 @@ def shared_passage_candidates(
     fps: DataFrame,
     *,
     min_shared: int = 1,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
     ``(id_a, id_b, n_shared)``. One explode + equi-join on the
@@ -921,7 +922,18 @@ def shared_passage_candidates(
     share only ONE selected fingerprint, so a higher default silently
     forfeits the documented boundary case (r11 review). Raise
     ``min_shared`` to trade that guarantee for less candidate noise on
-    longer passages."""
+    longer passages.
+
+    The fingerprint input is PINNED before the explode (r14, found by
+    the exact-substring scale smoke): generating from the RAW winnow
+    plan evaluates the fingerprint lambda tower inside the Generate at
+    a measured ~90x penalty (93s vs 1.1s winnow + 0.4s explode on a
+    1000-doc corpus — the materialize-before-explode face of the
+    lambda-CSE trap), and the unpinned plan additionally re-executes on
+    both self-join sides. ``cache_handles`` follows the module's
+    pinning convention (persist + caller-managed unpersist for
+    fault-tolerant long jobs; localCheckpoint default)."""
+    fps = _pin_reused(fps, cache_handles)
     inv = fps.select("did", F.explode("fps").alias("fp"))
     a, b = inv.alias("a"), inv.alias("b")
     return (
@@ -1030,6 +1042,210 @@ def suppress_repeated_lines(
             .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
             .alias(text_col),
             (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_len: int = 12,
+    k: int = 8,
+    candidates: DataFrame | None = None,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Maximal cross-document EXACT token runs of >= ``min_len`` tokens
+    — the exact-substring duplication tier of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better":
+    their ExactSubstr pipeline computes these spans with a single-node
+    suffix array; a suffix array does not distribute, but the same
+    spans fall out of a two-stage bounded Spark plan).
+
+    Stage 1 — candidates (sub-quadratic): winnowing fingerprints over
+    ``k``-gram hashes with window ``w = min_len - k + 1``
+    (:func:`winnow_fingerprints`). The winnowing guarantee (SIGMOD'03)
+    promises any shared run of >= w + k - 1 = ``min_len`` tokens shares
+    at least one SELECTED fingerprint, so the candidate pair set from
+    :func:`shared_passage_candidates` is a superset of every pair with
+    a qualifying span — recall 1.0 by theorem, not tuning (the same
+    losslessness shape as the Jaccard prefix-filter tier, and the
+    pinned equivalence test replays it against exhaustive all-pairs
+    candidates).
+
+    Stage 2 — exact verification (candidate-bounded): for candidate
+    docs only, join k-gram STRINGS (collision-free — hashes appear only
+    in stage 1, where a collision merely adds a candidate pair) between
+    the two sides of each pair, group matches by diagonal ``pa - pb``,
+    and merge consecutive anchor positions into maximal runs
+    (gaps-and-islands: c consecutive matching k-grams on one diagonal
+    form a shared span of c + k - 1 tokens). Runs under ``min_len``
+    drop.
+
+    Returns ``(id_a, id_b, start_a, start_b, span_len)`` with
+    ``id_a < id_b`` and 0-based token start positions. Periodic text
+    yields overlapping spans on different diagonals — faithful to the
+    match structure (each is a genuine maximal alignment).
+
+    Scale shape: stage 1 is the only corpus-scale pass — one winnowed
+    inverted-index join at ~2/(w+1) of full k-gram density. Stage 2
+    reads only candidate-pair documents: the gram join is driven
+    through the candidate pair ids, and the islands window partitions
+    by (pair, diagonal) — bounded by the shorter document's length,
+    never corpus-sized. ``candidates`` overrides stage 1 (pass MinHash
+    pairs to focus on near-dups, or an all-pairs frame for exhaustive
+    oracle verification)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_len < k:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= k ({k}) — a span cannot be "
+            f"shorter than its anchor gram"
+        )
+    from pyspark.sql.window import Window
+
+    if candidates is None:
+        fps = winnow_fingerprints(
+            docs, id_col, text_col, n=k, w=min_len - k + 1
+        )
+        candidates = shared_passage_candidates(
+            fps, min_shared=1, cache_handles=cache_handles
+        )
+    # The candidate pair set is referenced THREE times below (both sides
+    # of the ids union + the pair join) and the gram table TWICE (the
+    # self-join's two aliases): unpinned, Spark would re-execute the
+    # whole winnow-fingerprint + inverted-index-join pipeline once per
+    # reference — measured 100s vs 2.4s on a 1000-doc corpus (the same
+    # unpersisted-reuse class as incremental_minhash_pairs' delta
+    # index). Both intermediates are bounded: pairs by the winnowed
+    # collision structure, grams by candidate-doc token counts.
+    cand = _pin_reused(candidates.select("id_a", "id_b"), cache_handles)
+
+    ids = (
+        cand.select(F.col("id_a").alias("did"))
+        .unionByName(cand.select(F.col("id_b").alias("did")))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("did"), F.split(F.col(text_col), " ").alias("ws")
+    ).join(ids, "did", "left_semi")
+    m = F.size("ws") - F.lit(k - 1)
+    grams = toks.select(
+        "did",
+        F.posexplode(
+            F.when(
+                m > 0,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    grams = _pin_reused(grams, cache_handles)
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    matches = (
+        cand.alias("c")
+        .join(ga, F.col("ga.did") == F.col("c.id_a"))
+        .join(
+            gb,
+            (F.col("gb.did") == F.col("c.id_b"))
+            & (F.col("gb.g") == F.col("ga.g")),
+        )
+        .select(
+            "c.id_a",
+            "c.id_b",
+            F.col("ga.pos").alias("pa"),
+            F.col("gb.pos").alias("pb"),
+        )
+        .withColumn("d", F.col("pa") - F.col("pb"))
+    )
+    win = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = matches.withColumn("isl", F.col("pa") - F.row_number().over(win))
+    return (
+        runs.groupBy("id_a", "id_b", "d", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
+def remove_repeated_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_len: int = 12,
+    k: int = 8,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Apply :func:`exact_substring_spans` as a dedup: every duplicated
+    run is removed from the HIGHER-id document of its span, so the
+    smallest id keeps the canonical occurrence (this module's
+    keep-min-id convention). Lee et al. 2021 likewise keep exactly one
+    occurrence of each duplicated substring; anchoring the kept copy at
+    the smallest id makes the choice deterministic. A single batch
+    pass: spans are computed against the ORIGINAL texts and applied
+    once (removal does not cascade into re-matching the rewritten
+    texts — their semantics too).
+
+    Returns the input row set with ``text_col`` rewritten from the
+    surviving tokens plus ``n_removed`` (tokens dropped). NULL texts
+    and span-free documents pass through verbatim with ``n_removed``
+    0; a fully-covered document keeps an empty string. Overlapping
+    spans remove their UNION of positions (no double counting).
+
+    Precondition: ``id_col`` values are unique — one row per document
+    (the :func:`suppress_repeated_lines` contract). Coverage filtering
+    is in-row: O(tokens x spans-on-this-doc) with no Python."""
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, id_col, text_col, min_len=min_len, k=k
+        )
+    per_doc = (
+        spans.select(
+            F.col("id_b").alias("__did"),
+            F.struct(
+                F.col("start_b").alias("s"), F.col("span_len").alias("l")
+            ).alias("sp"),
+        )
+        .groupBy("__did")
+        .agg(F.collect_list("sp").alias("__sps"))
+    )
+    text = F.col(text_col)
+    ws = F.split(text, " ")
+    kept = F.filter(
+        F.transform(ws, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__sps"),
+            lambda sp: (s["i"] >= sp["s"]) & (s["i"] < sp["s"] + sp["l"]),
+        ),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(per_doc, docs[id_col] == F.col("__did"), "left")
+        .withColumn(
+            "__kept",
+            F.when(F.col("__sps").isNull() | text.isNull(), F.lit(None)).otherwise(
+                kept
+            ),
+        )
+        .select(
+            *out_cols,
+            F.when(F.col("__kept").isNull(), text)
+            .otherwise(
+                F.array_join(F.transform(F.col("__kept"), lambda s: s["t"]), " ")
+            )
+            .alias(text_col),
+            F.when(F.col("__kept").isNull(), F.lit(0))
+            .otherwise(F.size(ws) - F.size("__kept"))
             .cast("int")
             .alias("n_removed"),
         )

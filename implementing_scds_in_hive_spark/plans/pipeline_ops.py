@@ -3811,3 +3811,120 @@ for _k in ("suppress_boilerplate_lines", "semantic_dedup_survivors"):
     QUERIES[_k] = PYTEST_ONLY_QUERIES.pop(_k)
     ORACLES[_k] = PYTEST_ONLY_ORACLES.pop(_k)
 del _k
+
+
+# --- exact-substring duplication tier (r14, Lee et al. 2021) --------------
+
+def q_exact_substring_spans(spark, sf_dir):
+    """Maximal cross-document exact token runs >= 12 tokens
+    (operators/dedup.py:exact_substring_spans — the suffix-array dedup
+    family of Lee et al. 2021, re-shaped as winnowed anchors ->
+    candidate-bounded diagonal-run verification). The oracle replays
+    the EXHAUSTIVE all-pairs 8-gram computation: the winnowing stage is
+    candidates-only with a >= min_len recall guarantee, so equality
+    with the exhaustive replay IS the losslessness proof (the
+    jaccard_prefix pattern)."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return exact_substring_spans(d, min_len=12, k=8)
+
+
+EXACT_SUBSTRING_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g8
+  FROM d JOIN range(1, 8192) t(i) ON i + 7 <= len(ws)),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.g8 = b.g8 AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT id_a, id_b, pa,  pb,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl,
+         pa - pb AS dg
+  FROM m),
+sp AS (
+  SELECT id_a, id_b, MIN(pa) - 1 AS start_a, MIN(pb) - 1 AS start_b,
+         COUNT(*) + 7 AS span_len
+  FROM runs GROUP BY id_a, id_b, dg, isl)
+SELECT id_a, id_b, CAST(start_a AS INT) AS start_a,
+       CAST(start_b AS INT) AS start_b, CAST(span_len AS INT) AS span_len
+FROM sp WHERE span_len >= 12
+"""
+
+
+def q_remove_repeated_substrings(spark, sf_dir):
+    """The span tier applied as a dedup (operators/dedup.py:
+    remove_repeated_substrings): every duplicated run is dropped from
+    the higher-id document, keeping the smallest id's occurrence
+    canonical; overlapping spans remove their union of positions. The
+    oracle rebuilds each victim's text with a token-position anti-join
+    against the covered set."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return remove_repeated_substrings(d, min_len=12, k=8)
+
+
+REMOVE_SUBSTRINGS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g8
+  FROM d JOIN range(1, 8192) t(i) ON i + 7 <= len(ws)),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.g8 = b.g8 AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT id_a, id_b, pa, pb,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl,
+         pa - pb AS dg
+  FROM m),
+spans AS (
+  SELECT id_a, id_b, MIN(pb) - 1 AS start_b, COUNT(*) + 7 AS span_len
+  FROM runs GROUP BY id_a, id_b, dg, isl
+  HAVING COUNT(*) + 7 >= 12),
+tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS tk
+  FROM d JOIN range(1, 8192) t(i) ON i <= len(ws)),
+cov AS (
+  SELECT DISTINCT s.id_b AS doc_id, tk.pos
+  FROM spans s JOIN tok tk ON tk.doc_id = s.id_b
+   AND tk.pos - 1 >= s.start_b AND tk.pos - 1 < s.start_b + s.span_len),
+kept AS (
+  SELECT t2.doc_id, t2.pos, t2.tk
+  FROM tok t2 LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.pos = t2.pos
+  WHERE c.pos IS NULL),
+reb AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+victims AS (SELECT DISTINCT id_b AS doc_id FROM spans)
+SELECT d.doc_id,
+       CASE WHEN v.doc_id IS NULL THEN d.text
+            ELSE COALESCE(r.text, '') END AS text,
+       CAST(CASE WHEN v.doc_id IS NULL THEN 0
+                 ELSE len(d.ws) - COALESCE(r.n_kept, 0) END AS INT)
+         AS n_removed
+FROM d LEFT JOIN victims v ON v.doc_id = d.doc_id
+       LEFT JOIN reb r ON r.doc_id = d.doc_id
+"""
+
+
+PYTEST_ONLY_QUERIES["exact_substring_spans"] = q_exact_substring_spans  # r14: new operator family, pytest oracle (50-slot budget full)
+PYTEST_ONLY_ORACLES["exact_substring_spans"] = EXACT_SUBSTRING_SQL
+PYTEST_ONLY_QUERIES["remove_repeated_substrings"] = q_remove_repeated_substrings  # r14: new operator family, pytest oracle
+PYTEST_ONLY_ORACLES["remove_repeated_substrings"] = REMOVE_SUBSTRINGS_SQL
