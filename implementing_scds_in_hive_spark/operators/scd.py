@@ -104,12 +104,18 @@ class SCDConfig:
         return (self.key, *self.type1_cols, *self.type2_cols)
 
 
+DEDUPE_SKEW_THRESHOLD = 500_000
+
+
 def dedupe_staging(
     staging: DataFrame,
     cfg: SCDConfig,
     order_by: list[str] | None = None,
     *,
     strategy: str = "row_number",
+    rows_per_key_hint: int | None = None,
+    skew_threshold: int | None = None,
+    probe_fraction: float | None = 0.01,
 ) -> DataFrame:
     """Enforce the reference's implicit at-most-one-row-per-key
     precondition (every branch joins on the bare key; a duplicate would
@@ -128,7 +134,37 @@ def dedupe_staging(
     fields last like ``desc_nulls_last``); on exact order ties both
     pick an arbitrary winner, so provide a total ``order_by`` (e.g. a
     sequence column) when the winner matters — property-tested
-    equivalent in tests/test_scd_properties.py."""
+    equivalent in tests/test_scd_properties.py.
+
+    ``strategy="auto"`` (r14, VERDICT r13 next-round #5) picks between
+    them from evidence via :func:`operators.skew_route.decide_skew_plan`
+    — the same router the window-partitioned operators use: an explicit
+    ``rows_per_key_hint`` when the caller has stats (free), else a
+    sampled max-rows-per-key probe (``probe_fraction`` defaults to 1% —
+    a crossover-deep key is statistically unmissable there, and the
+    probe must stay far cheaper than the dedupe it routes). The
+    threshold defaults to ``DEDUPE_SKEW_THRESHOLD`` (500k), half the
+    measured crossover shape (scripts/skew_crossover_smoke.py: max_by
+    beats the window at 8 hot keys x 1M redeliveries; below ~1M the
+    merge dominates and the window ties) — mis-routing near the
+    boundary costs only wall time, never correctness, since the two
+    formulations are property-tested equivalent."""
+    if strategy == "auto":
+        from implementing_scds_in_hive_spark.operators.skew_route import (
+            decide_skew_plan,
+        )
+
+        decision = decide_skew_plan(
+            staging,
+            [cfg.key],
+            rows_per_key_hint=rows_per_key_hint,
+            threshold=(
+                DEDUPE_SKEW_THRESHOLD if skew_threshold is None else skew_threshold
+            ),
+            probe_fraction=probe_fraction,
+            operator="dedupe_staging",
+        )
+        strategy = "max_by" if decision.bucketed else "row_number"
     if strategy == "max_by":
         ord_expr = (
             F.struct(*[F.col(c) for c in order_by])

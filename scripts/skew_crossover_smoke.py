@@ -107,6 +107,14 @@ def main(depths) -> None:
         rec["maxby_wins_dedupe_only"] = (
             rec["max_by_dedupe_only"] < rec["row_number_dedupe_only"]
         )
+        # r14: strategy="auto" end-to-end (probe included) — the routed
+        # run must land at the winner's time plus at most the probe
+        timed_merge(spark, root, "auto", merge=False)  # warm
+        runs = sorted(
+            timed_merge(spark, root, "auto", merge=False) for _ in range(3)
+        )
+        rec["auto_dedupe_only"] = runs[1]
+        rec["auto_dedupe_only_spread"] = [runs[0], runs[-1]]
         out[str(depth)] = rec
         print(f"# depth {depth}: {rec}", file=sys.stderr)
     print(json.dumps(out))

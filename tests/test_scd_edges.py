@@ -89,3 +89,59 @@ def test_two_pass_keys_on_customer_fixture(spark, sf_dir):
     ka = [r["dim_customer_id"] for r in a.orderBy(*key).collect()]
     kb = [r["dim_customer_id"] for r in b.orderBy(*key).collect()]
     assert ka == kb and ka == list(range(1, len(ka) + 1))
+
+
+def _dedupe_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedupe_staging_auto_routes_by_hint_each_side_of_crossover(spark):
+    """r14 (VERDICT r13 next-round #5): strategy="auto" must pick the
+    skew-immune max_by formulation above the crossover threshold and the
+    window formulation below it — asserted on the physical plan (the
+    window plan contains a Window node; the max_by plan partial-
+    aggregates with no Window), with identical output either way."""
+    from implementing_scds_in_hive_spark.operators.scd import dedupe_staging
+
+    stg = spark.createDataFrame(
+        [("a", "v1", "n", 1), ("a", "v2", "n", 2), ("b", "v", "n", 1)],
+        "k string, v string, nm string, seq int",
+    )
+    hot = dedupe_staging(
+        stg, CFG, order_by=["seq"], strategy="auto",
+        rows_per_key_hint=1_000_000,
+    )
+    assert "Window" not in _dedupe_plan(hot)
+    assert "max_by" in _dedupe_plan(hot)
+    cold = dedupe_staging(
+        stg, CFG, order_by=["seq"], strategy="auto", rows_per_key_hint=10
+    )
+    assert "Window" in _dedupe_plan(cold)
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())  # noqa: E731
+    assert rows(hot) == rows(cold) == [("a", "v2"), ("b", "v")]
+
+
+def test_dedupe_staging_auto_probe_detects_planted_hot_key(spark):
+    """The probe path (no hint): a planted redelivered key above a
+    small threshold routes to max_by unprompted; the same corpus under
+    a high threshold keeps the window plan. probe_fraction=None makes
+    the tiny-corpus probe exact."""
+    from implementing_scds_in_hive_spark.operators.scd import dedupe_staging
+
+    rows = [("hot", f"v{i}", "n", i) for i in range(500)] + [
+        ("cold", "v", "n", 1)
+    ]
+    stg = spark.createDataFrame(rows, "k string, v string, nm string, seq int")
+    routed = dedupe_staging(
+        stg, CFG, order_by=["seq"], strategy="auto",
+        skew_threshold=100, probe_fraction=None,
+    )
+    assert "Window" not in _dedupe_plan(routed)
+    got = {r["k"]: r["v"] for r in routed.collect()}
+    assert got == {"hot": "v499", "cold": "v"}
+    unrouted = dedupe_staging(
+        stg, CFG, order_by=["seq"], strategy="auto",
+        skew_threshold=10_000, probe_fraction=None,
+    )
+    assert "Window" in _dedupe_plan(unrouted)
+    assert {r["k"]: r["v"] for r in unrouted.collect()} == got
