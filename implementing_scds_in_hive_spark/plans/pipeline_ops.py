@@ -1346,7 +1346,7 @@ FROM events e JOIN promos p
 
 
 def q_tfidf_keywords(spark, sf_dir):
-    """Top-3 characteristic tokens per doc by TF-IDF with an exact
+    """Top-5 characteristic tokens per doc by TF-IDF with an exact
     rational IDF (N+1)/(df+1) — monotone-equivalent to log-IDF but
     engine-exact, so the oracle hash-compares (a log would differ in
     final ulps between libm implementations). Two-pass: vocabulary df
@@ -1354,7 +1354,8 @@ def q_tfidf_keywords(spark, sf_dir):
     from implementing_scds_in_hive_spark.functions.scoring import tfidf_keywords
 
     d = _t(spark, sf_dir, "documents")
-    out = tfidf_keywords(d, k=3)
+    # r14 re-parameterization wave 4: k 3 -> 5
+    out = tfidf_keywords(d, k=5)
     return out.select("doc_id", "tok", "rank", F.round("score", 6).alias("score"))
 
 
@@ -1374,7 +1375,7 @@ ranked AS (
                             ORDER BY score DESC, tok) AS rank
   FROM scored)
 SELECT doc_id, tok, CAST(rank AS INT) AS rank, round(score, 6) AS score
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= 5
 """
 
 
@@ -2659,7 +2660,7 @@ PYTEST_ONLY_ORACLES["kmv_overlap_k128"] = KMV_OVERLAP_K128_SQL
 # --- weighted sampling ----------------------------------------------------
 
 def q_sample_weighted_docs(spark, sf_dir):
-    """Top-40 documents sampled proportional to token count — the
+    """Top-64 documents sampled proportional to token count — the
     standard corpus-mixture draw (longer docs proportionally likelier),
     deterministic and partition-invariant
     (operators/sampling.py:sample_weighted_topk). Priorities are in-row
@@ -2671,7 +2672,8 @@ def q_sample_weighted_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("wt")
     )
-    return sample_weighted_topk(d, 40, id_col="doc_id", weight_col="wt", max_weight=200)
+    # r14 re-parameterization wave 4: top-40/cap-200 -> top-64/cap-128
+    return sample_weighted_topk(d, 64, id_col="doc_id", weight_col="wt", max_weight=128)
 
 
 SAMPLE_WEIGHTED_SQL = """
@@ -2679,12 +2681,12 @@ WITH w AS (
   SELECT doc_id, len(string_split(text, ' ')) AS wt FROM documents),
 p AS (
   SELECT doc_id, wt,
-         list_min(list_transform(generate_series(1, least(wt, 200)),
+         list_min(list_transform(generate_series(1, least(wt, 128)),
              c -> CAST('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)
                                               || ':' || CAST(c AS VARCHAR)), 1, 15) AS BIGINT)
          )) AS pri
   FROM w WHERE wt >= 1)
-SELECT doc_id, CAST(wt AS INT) AS wt FROM p ORDER BY pri, doc_id LIMIT 40
+SELECT doc_id, CAST(wt AS INT) AS wt FROM p ORDER BY pri, doc_id LIMIT 64
 """
 
 
@@ -3027,10 +3029,10 @@ PYTEST_ONLY_ORACLES["sample_frames"] = SAMPLE_FRAMES_SQL
 def q_pagerank_suppliers(spark, sf_dir):
     """PageRank over the customer->supplier order graph
     (operators/graph.py:pagerank): distinct (custkey, suppkey) edges
-    from orders x lineitem, 5 power iterations at damping 0.85. Every
+    from orders x lineitem, 4 power iterations at damping 0.80. Every
     supplier is a dangling node (no out-edges), so the query exercises
     dangling-mass redistribution, not just the join+sum loop. The
-    oracle replays all 5 iterations as chained CTEs — the same
+    oracle replays all 4 iterations as chained CTEs — the same
     fixed-iteration replay convention as kmeans/BPE."""
     from implementing_scds_in_hive_spark.operators.graph import pagerank
 
@@ -3044,12 +3046,14 @@ def q_pagerank_suppliers(spark, sf_dir):
         )
         .distinct()
     )
-    return pagerank(edges, iterations=5, damping=0.85).select(
+    # r14 re-parameterization wave 4: 5 it @ 0.85 -> 4 it @ 0.80
+    return pagerank(edges, iterations=4, damping=0.80).select(
         "node", F.round("pr", 6).alias("pr")
     )
 
 
-def _pagerank_sql(teleport_case: str, init_expr: str, teleport_side: str) -> str:
+def _pagerank_sql(teleport_case: str, init_expr: str, teleport_side: str,
+                  *, damping: float = 0.85, iterations: int = 5) -> str:
     """Chained-CTE 5-iteration PageRank replay, shared by the uniform
     and personalized oracles — the two differ ONLY in the restart
     distribution: uniform uses 1/n everywhere, personalized a seed-set
@@ -3059,10 +3063,11 @@ def _pagerank_sql(teleport_case: str, init_expr: str, teleport_side: str) -> str
 c{i} AS (SELECT e.v AS node, SUM(r.pr / o.outdeg) AS inflow
        FROM edges e JOIN r{p} r ON r.node = e.u JOIN outdeg o ON o.node = e.u GROUP BY e.v),
 r{i} AS (SELECT sm.node,
-              (1.0 - 0.85) * {t} + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d{i}) * {t}) AS pr
+              (1.0 - {d}) * {t} + {d} * (COALESCE(c.inflow, 0) + (SELECT dang FROM d{i}) * {t}) AS pr
        FROM sm LEFT JOIN c{i} c ON c.node = sm.node),"""
     iters = "\n".join(
-        it.format(i=i, p=i - 1, t=teleport_side) for i in range(1, 6)
+        it.format(i=i, p=i - 1, t=teleport_side, d=damping)
+        for i in range(1, iterations + 1)
     ).rstrip(",")
     return f"""
 WITH edges AS (
@@ -3075,7 +3080,7 @@ sm AS (SELECT node, {teleport_case} AS s FROM nodes),
 outdeg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
 r0 AS (SELECT node, {init_expr} AS pr FROM sm),
 {iters}
-SELECT node, round(pr, 6) AS pr FROM r5
+SELECT node, round(pr, 6) AS pr FROM r{iterations}
 """
 
 
@@ -3083,6 +3088,8 @@ PAGERANK_SQL = _pagerank_sql(
     "1.0 / (SELECT n FROM nn)",
     "1.0 / (SELECT n FROM nn)",
     "(1.0 / (SELECT n FROM nn))",
+    damping=0.80,  # r14 re-parameterization wave 4: 5 it @ 0.85 -> 4 it @ 0.80
+    iterations=4,
 )
 
 
@@ -3392,14 +3399,15 @@ PYTEST_ONLY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_SQL
 
 
 def q_pmi_collocations(spark, sf_dir):
-    """Top-25 PMI collocations with support >= 5
+    """Top-30 PMI collocations with support >= 4
     (functions/scoring.py:pmi_collocations): exact integer counts, one
     log per surviving pair, deterministic tie-breaks — the oracle
     replays the statistic term for term."""
     from implementing_scds_in_hive_spark.functions.scoring import pmi_collocations
 
+    # r14 re-parameterization wave 4: support 5/top-25 -> support 4/top-30
     return pmi_collocations(
-        _t(spark, sf_dir, "documents"), min_count=5, k=25
+        _t(spark, sf_dir, "documents"), min_count=4, k=30
     ).select("u", "v", "c_uv", F.round("pmi", 6).alias("pmi"))
 
 
@@ -3419,9 +3427,9 @@ SELECT u, v, c_uv,
 FROM c2
 JOIN uni cu ON cu.tok = c2.u
 JOIN uni cv ON cv.tok = c2.v
-WHERE c_uv >= 5
+WHERE c_uv >= 4
 ORDER BY pmi DESC, u, v
-LIMIT 25
+LIMIT 30
 """
 
 
