@@ -316,3 +316,34 @@ def test_dedupe_max_by_partial_aggregates_before_shuffle(spark):
         "prints top-down, so the map-side phase appears after it)"
     )
     assert "Window" not in plan
+
+
+def test_merge_auto_plan_follows_staging_size_estimate(spark, sf_dir):
+    """r14 default flip: with no broadcast flag, plan="auto" consults
+    Catalyst's staging size estimate — a small staging takes the
+    broadcast plan (production never shuffles); with auto-broadcast
+    disabled the choice falls back to full_outer (SortMergeJoin on the
+    key). Results are property-tested identical, so this is purely the
+    physical-plan contract."""
+    from implementing_scds_in_hive_spark.operators.scd import scd2_merge
+    from implementing_scds_in_hive_spark.plans.scd_fixtures import (
+        AS_OF,
+        CUSTOMER_CFG,
+        customer_production,
+        customer_staging,
+    )
+
+    prod = customer_production(spark, sf_dir)
+    stg = customer_staging(spark, sf_dir)
+    auto = scd2_merge(prod, stg, CUSTOMER_CFG, AS_OF, key_strategy="hash")
+    plan = _plan(auto)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fo = scd2_merge(prod, stg, CUSTOMER_CFG, AS_OF, key_strategy="hash")
+        plan_fo = _plan(fo)
+        assert "SortMergeJoin" in plan_fo  # full_outer shuffles both sides
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
