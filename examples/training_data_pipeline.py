@@ -312,6 +312,92 @@ def stress_main(sf_dir: str) -> None:
     print(f"decontaminate: dropped {n_surv - n_decon} docs for {n_eval_sources} planted eval slices")
     survivors, n_surv = decon, n_decon
 
+    # --- boilerplate line suppression (r14): planted banner ------------
+    # Every surviving text is a single newline-free line, and survivors
+    # are post-dedup (all texts distinct), so NO natural line reaches
+    # the df threshold — the planted banner is the exactly-one hot line.
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        suppress_repeated_lines,
+    )
+
+    planted_line = F.col("doc_id") % 9 == 0
+    with_banner = survivors.withColumn(
+        "text",
+        F.when(planted_line, F.concat(F.col("text"), F.lit("\nSUBSCRIBE to our newsletter")))
+        .otherwise(F.col("text")),
+    )
+    unbannered = suppress_repeated_lines(with_banner, min_doc_freq=5).persist()
+    _timed("suppress boilerplate", unbannered.count, timings)
+    n_planted = survivors.where(planted_line).count()
+    assert unbannered.where(F.col("n_removed") > 0).count() == n_planted
+    assert unbannered.where(planted_line & (F.col("n_removed") != 1)).count() == 0
+    # suppression restores exactly the pre-banner text
+    rt = unbannered.select("doc_id", "text").exceptAll(
+        survivors.select("doc_id", "text")
+    )
+    assert rt.count() == 0, "suppression altered non-banner content"
+    print(f"boilerplate: banner removed from all {n_planted} planted docs, bytes restored")
+    unbannered.unpersist()
+
+    # --- exact-substring dedup (r14): planted shared passage ----------
+    # A 15-token passage of corpus-unique tokens appended to every 13th
+    # doc: spans among the planted set are exactly that run, nothing
+    # else changes (append shifts no earlier positions), so removal
+    # must charge base + 15 tokens to every planted doc except the
+    # smallest planted id, and exactly base elsewhere.
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    passage = " ".join(f"xq{i}" for i in range(15))
+    planted_sub = F.col("doc_id") % 13 == 0
+    # the per-doc zzsep<doc_id> separator keeps the construction exact:
+    # without it, two planted docs sharing even a one-token natural
+    # SUFFIX extend that sub-threshold match through the passage into
+    # one longer span, and the victim loses suffix + 15 instead of 15
+    with_passage = survivors.withColumn(
+        "text",
+        F.when(
+            planted_sub,
+            F.concat(
+                F.col("text"),
+                F.lit(" zzsep"),
+                F.col("doc_id").cast("string"),
+                F.lit(" " + passage),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    base_removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_repeated_substrings(
+            survivors.select("doc_id", "text"), min_len=12, k=8
+        ).collect()
+    }
+    got_removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in _timed(
+            "exact-substring removal",
+            lambda: remove_repeated_substrings(
+                with_passage.select("doc_id", "text"), min_len=12, k=8
+            ).collect(),
+            timings,
+        )
+    }
+    planted_ids = sorted(
+        r["doc_id"] for r in survivors.where(planted_sub).select("doc_id").collect()
+    )
+    keeper = planted_ids[0]
+    mismatch = [
+        d for d in got_removed
+        if got_removed[d] != base_removed[d]
+        + (15 if d in set(planted_ids) and d != keeper else 0)
+    ]
+    assert not mismatch, f"span removal off for {mismatch[:5]}"
+    print(
+        f"exact-substring: {len(planted_ids) - 1} of {len(planted_ids)} planted "
+        f"docs lose exactly the 15-token passage (keeper {keeper} retains it)"
+    )
+
     # --- PII + quality gate: invariant asserts ------------------------
     clean = survivors.withColumn("text", redact_pii(F.col("text")))
     assert clean.count() == n_surv  # redaction rewrites, never drops
