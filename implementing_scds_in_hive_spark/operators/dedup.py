@@ -1250,3 +1250,67 @@ def remove_repeated_substrings(
             .alias("n_removed"),
         )
     )
+
+
+def span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_len: int = 12,
+    k: int = 8,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplicated-content accounting over
+    :func:`exact_substring_spans`: for each document, the fraction of
+    its tokens covered by exact runs shared with LOWER-id documents
+    (the union of victim-side span positions — overlaps counted once).
+    This is the document-level decision variable of the Lee et al. 2021
+    pipeline's other face: instead of cutting the duplicated bytes out
+    (:func:`remove_repeated_substrings`), DROP whole documents whose
+    content is mostly owned by earlier ones (e.g. ``coverage >= 0.8``),
+    which preserves document coherence at the cost of keeping some
+    duplicated text — the trade the paper discusses.
+
+    Returns one row per input document: ``(id, n_tokens, n_covered,
+    coverage)`` with coverage in [0, 1] (0 for NULL/empty texts and
+    span-free documents). Composition: ``span_coverage(...).where(
+    F.col("coverage") < 0.8)`` joined back on the id is the keep set.
+
+    Scale shape: the span tier's bounded plan plus one explode of
+    victim spans into (doc, position) rows — bounded by total covered
+    tokens, not corpus size — and a groupBy(doc) count."""
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, id_col, text_col, min_len=min_len, k=k
+        )
+    covered = (
+        spans.select(
+            F.col("id_b").alias("__did"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"), F.col("start_b") + F.col("span_len") - 1
+                )
+            ).alias("__pos"),
+        )
+        .distinct()  # overlapping spans count each position once
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    text = F.col(text_col)
+    n_tokens = F.when(
+        text.isNull() | (text == ""), F.lit(0)
+    ).otherwise(F.size(F.split(text, " ")))
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .join(covered, F.col(id_col) == F.col("__did"), "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("int").alias("n_covered"),
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

@@ -3936,3 +3936,58 @@ PYTEST_ONLY_QUERIES["exact_substring_spans"] = q_exact_substring_spans  # r14: n
 PYTEST_ONLY_ORACLES["exact_substring_spans"] = EXACT_SUBSTRING_SQL
 PYTEST_ONLY_QUERIES["remove_repeated_substrings"] = q_remove_repeated_substrings  # r14: new operator family, pytest oracle
 PYTEST_ONLY_ORACLES["remove_repeated_substrings"] = REMOVE_SUBSTRINGS_SQL
+
+
+def q_span_coverage(spark, sf_dir):
+    """Per-document duplicated-content fraction (operators/dedup.py:
+    span_coverage — the document-drop face of the Lee et al. pipeline):
+    union of victim-side exact-run positions over token count. The
+    oracle replays the exhaustive span computation plus the distinct
+    position expansion."""
+    from implementing_scds_in_hive_spark.operators.dedup import span_coverage
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return span_coverage(d, min_len=12, k=8)
+
+
+SPAN_COVERAGE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g8
+  FROM d JOIN range(1, 8192) t(i) ON i + 7 <= len(ws)),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.g8 = b.g8 AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT id_a, id_b, pa, pb,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl,
+         pa - pb AS dg
+  FROM m),
+spans AS (
+  SELECT id_a, id_b, MIN(pb) - 1 AS start_b, COUNT(*) + 7 AS span_len
+  FROM runs GROUP BY id_a, id_b, dg, isl
+  HAVING COUNT(*) + 7 >= 12),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_covered FROM (
+    SELECT DISTINCT s.id_b AS doc_id, s.start_b + t.i AS pos
+    FROM spans s JOIN range(0, 8192) t(i) ON t.i < s.span_len)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS INT) AS n_tokens,
+       CAST(COALESCE(c.n_covered, 0) AS INT) AS n_covered,
+       CASE WHEN len(d.ws) > 0
+            THEN round(COALESCE(c.n_covered, 0) / len(d.ws), 6)
+            ELSE 0.0 END AS coverage
+FROM d LEFT JOIN cov c ON c.doc_id = d.doc_id
+"""
+
+
+PYTEST_ONLY_QUERIES["span_coverage"] = q_span_coverage  # r14: document-drop face of the exact-substring tier
+PYTEST_ONLY_ORACLES["span_coverage"] = SPAN_COVERAGE_SQL

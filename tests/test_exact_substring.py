@@ -170,3 +170,28 @@ def test_null_text_passes_through(spark):
     out = {r["doc_id"]: r for r in remove_repeated_substrings(docs).collect()}
     assert out[3]["text"] is None and out[3]["n_removed"] == 0
     assert out[2]["text"] == "" and out[2]["n_removed"] == 15
+
+
+def test_span_coverage_counts_union_and_zero_cases(spark):
+    """Coverage = union of victim-side span positions / token count;
+    span-free and lower-id docs report 0; the overlap construction from
+    the removal test must yield 23/30."""
+    from implementing_scds_in_hive_spark.operators.dedup import span_coverage
+
+    b_tokens = [f"x{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(b_tokens[0:15])),
+            (2, " ".join(b_tokens[8:23])),
+            (9, " ".join(b_tokens)),
+            (77, "totally unrelated words only here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in span_coverage(docs, min_len=12, k=8).collect()}
+    assert got[9]["n_covered"] == 23 and abs(got[9]["coverage"] - round(23 / 30, 6)) < 1e-9
+    # doc 2 is victim of (1,2): spans share b[8:15) = 7 tokens < 12 — no
+    # qualifying span, so zero; doc 1 is lowest id everywhere: zero
+    assert got[1]["n_covered"] == 0 and got[2]["n_covered"] == 0
+    assert got[77]["coverage"] == 0.0
+    assert set(got) == {1, 2, 9, 77}  # one row per input doc
