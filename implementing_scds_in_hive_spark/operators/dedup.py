@@ -1132,8 +1132,16 @@ def exact_substring_spans(
     toks = docs.select(
         F.col(id_col).alias("did"), F.split(F.col(text_col), " ").alias("ws")
     ).join(ids, "did", "left_semi")
+    grams = _pin_reused(_grams_from_tokens(toks, k), cache_handles)
+    return _diagonal_spans(cand, grams, grams, min_len=min_len, k=k)
+
+
+def _grams_from_tokens(toks: DataFrame, k: int) -> DataFrame:
+    """(did, pos, g): positional k-gram STRINGS from a (did, ws) token
+    table — 0-based start positions, collision-free join keys for the
+    exact verification stage. Docs shorter than ``k`` yield no rows."""
     m = F.size("ws") - F.lit(k - 1)
-    grams = toks.select(
+    return toks.select(
         "did",
         F.posexplode(
             F.when(
@@ -1145,8 +1153,25 @@ def exact_substring_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "g"),
     )
-    grams = _pin_reused(grams, cache_handles)
-    ga, gb = grams.alias("ga"), grams.alias("gb")
+
+
+def _diagonal_spans(
+    cand: DataFrame,
+    grams_a: DataFrame,
+    grams_b: DataFrame,
+    *,
+    min_len: int,
+    k: int,
+) -> DataFrame:
+    """Maximal shared runs per candidate pair from two positional gram
+    tables: equi-join grams within each (id_a, id_b) pair, group by
+    diagonal ``pa - pb``, merge consecutive positions (gaps-and-islands)
+    into runs, keep runs of >= ``min_len`` tokens. Shared by the batch
+    operator (both sides one corpus) and the stored-index probe (corpus
+    side vs delta side). Callers pin reused gram inputs."""
+    from pyspark.sql.window import Window
+
+    ga, gb = grams_a.alias("ga"), grams_b.alias("gb")
     matches = (
         cand.alias("c")
         .join(ga, F.col("ga.did") == F.col("c.id_a"))
@@ -1174,6 +1199,35 @@ def exact_substring_spans(
         )
         .where(F.col("span_len") >= min_len)
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
+def winnow_span_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_len: int = 12,
+    k: int = 8,
+) -> DataFrame:
+    """One durable index row per document for the exact-substring tier:
+    ``(did, ws, fps)`` — the token array (stage-2 verification needs the
+    exact grams) plus winnow fingerprints at the ``w = min_len - k + 1``
+    guarantee window (stage-1 candidates). Persist with
+    ``operators/index_store.py:save_winnow_index``; delta batches MUST
+    be built with the same ``(min_len, k)`` the sidecar records —
+    fingerprints from different parameters never collide correctly.
+    Documents shorter than ``k`` tokens keep an EMPTY fingerprint array
+    (present in the index, candidates with nothing — they cannot
+    contain a k-gram, let alone a >= min_len run)."""
+    fps = winnow_fingerprints(docs, id_col, text_col, n=k, w=min_len - k + 1)
+    toks = docs.select(
+        F.col(id_col).alias("did"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    return toks.join(fps, "did", "left").select(
+        "did",
+        "ws",
+        F.coalesce("fps", F.array().cast("array<bigint>")).alias("fps"),
     )
 
 

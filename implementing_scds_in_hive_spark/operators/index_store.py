@@ -59,6 +59,10 @@ __all__ = [
     "load_minhash_index",
     "append_minhash_index",
     "incremental_minhash_pairs_stored",
+    "save_winnow_index",
+    "load_winnow_index",
+    "append_winnow_index",
+    "incremental_exact_substring_spans_stored",
     "save_ivf_index",
     "load_ivf_index",
     "append_ivf_index",
@@ -867,11 +871,12 @@ def load_ivf_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame
 
 
 def _index_specs(meta: dict) -> list[dict]:
-    return (
-        [meta["docs"], meta["buckets"]]
-        if meta.get("kind") == "minhash"
-        else [meta["assign"]]
-    )
+    kind = meta.get("kind")
+    if kind == "minhash":
+        return [meta["docs"], meta["buckets"]]
+    if kind == "winnow":
+        return [meta["docs"], meta["fps"]]
+    return [meta["assign"]]
 
 
 def _replace_meta_atomic(root: str, meta: dict) -> None:
@@ -1201,3 +1206,187 @@ def ivf_index_stats(spark: SparkSession, root: str) -> dict:
         F.avg("mean_cos").alias("mean_cos"),
     ).first()
     return {k: (float(v) if v is not None else None) for k, v in row.asDict().items()}
+
+
+# --- durable winnow-span index (r14: exact-substring tier, stored) --------
+
+def save_winnow_index(
+    index: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int = 32,
+    params: dict | None = None,
+) -> dict:
+    """Persist a ``winnow_span_index`` DataFrame (did, ws, fps) as the
+    exact-substring tier's durable two-table layout: ``<table>_docs``
+    (did, ws) bucketed by did — the verification side, co-located so the
+    candidate-id join never shuffles the corpus — and ``<table>_fps``
+    (fp, did) bucketed by fp — the candidate side, probe-prunable by
+    literal fingerprint sets. ``params`` should record (min_len, k) so
+    delta batches are built compatibly (the probe ENFORCES it).
+    Serialized via the root's maintenance lock like the minhash save."""
+    with _index_lock(root, timeout=120.0):
+        return _save_winnow_locked(
+            index, table, root, n_buckets=n_buckets, params=params
+        )
+
+
+def _save_winnow_locked(
+    index: DataFrame,
+    table: str,
+    root: str,
+    *,
+    n_buckets: int,
+    params: dict | None,
+) -> dict:
+    if index.storageLevel == StorageLevel.NONE:
+        # the index plan (tokenize + winnow tower) feeds both tables;
+        # uncached it would execute twice — and the fps derivation
+        # explodes from the tower, the measured ~90x Generate trap
+        index = index.localCheckpoint(eager=True)
+    docs_spec = _save_external_bucketed(
+        index.select("did", "ws"),
+        f"{table}_docs",
+        _stage_dir(root, "docs"),
+        ["did"],
+        n_buckets,
+        ["did"],
+    )
+    fps = index.select("did", F.explode("fps").alias("fp")).select("fp", "did")
+    fps_spec = _save_external_bucketed(
+        fps,
+        f"{table}_fps",
+        _stage_dir(root, "fps"),
+        ["fp"],
+        n_buckets,
+        ["fp"],
+    )
+    meta = {
+        "kind": "winnow",
+        "docs": docs_spec,
+        "fps": fps_spec,
+        "params": params or {},
+    }
+    _write_meta(root, meta)
+    _sweep_orphan_generations(root, meta)
+    return meta
+
+
+def load_winnow_index(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    meta = _read_meta(root)
+    if meta.get("kind") != "winnow":
+        raise ValueError(f"{root} holds a {meta.get('kind')!r} index, not winnow")
+    docs = _register_external_bucketed(spark, meta["docs"])
+    fps = _register_external_bucketed(spark, meta["fps"])
+    return docs, fps, meta["params"]
+
+
+def append_winnow_index(
+    spark: SparkSession, root: str, new_index: DataFrame, *, crash_hook=None
+) -> None:
+    """Fold a delta batch's ``winnow_span_index`` rows into the saved
+    index. FPS FIRST, docs last (the minhash append's replay-sentinel
+    order): the docs table is the replay guard's witness, so a crash
+    between the two appends must leave the batch look un-appended
+    (duplicate fp rows on replay are absorbed by the candidate
+    distinct), never half-visible. ``did`` uniqueness across appends is
+    the caller's contract."""
+    with _index_lock(root):
+        meta = _read_meta(root)
+        if meta.get("kind") != "winnow":
+            raise ValueError(
+                f"{root} holds a {meta.get('kind')!r} index, not winnow"
+            )
+        _register_external_bucketed(spark, meta["docs"])
+        _register_external_bucketed(spark, meta["fps"])
+        if new_index.storageLevel == StorageLevel.NONE:
+            new_index = new_index.localCheckpoint(eager=True)
+
+        def _append(df: DataFrame, spec: dict) -> None:
+            (
+                df.repartition(spec["n_buckets"], *spec["bucket_cols"])
+                .write.mode("append")
+                .bucketBy(spec["n_buckets"], *spec["bucket_cols"])
+                .sortBy(*spec["sort_cols"])
+                .format("parquet")
+                .option("path", spec["path"])
+                .saveAsTable(spec["table"])
+            )
+
+        _append(
+            new_index.select("did", F.explode("fps").alias("fp")).select("fp", "did"),
+            meta["fps"],
+        )
+        if crash_hook:
+            crash_hook("post_fps")
+        _append(new_index.select("did", "ws"), meta["docs"])
+        # foreachBatch clone-session cache trap (see append_minhash_index)
+        spark.catalog.refreshTable(meta["docs"]["table"])
+        spark.catalog.refreshTable(meta["fps"]["table"])
+
+
+def incremental_exact_substring_spans_stored(
+    spark: SparkSession,
+    root: str,
+    delta_index: DataFrame,
+    *,
+    prune_threshold: int = 256,
+    index: tuple[DataFrame, DataFrame, dict] | None = None,
+) -> DataFrame:
+    """Cross-side exact-substring spans between a SAVED winnow index and
+    a delta batch's ``winnow_span_index`` (built with the sidecar's
+    (min_len, k) — enforced): candidate pairs from the fingerprint
+    equi-join (delta side broadcast; small touched-fp sets additionally
+    pushed as a literal IN so the fp-bucketed scan prunes), then the
+    shared diagonal-run verification with corpus grams derived from the
+    did-bucketed ``_docs`` table — the corpus is never re-tokenized from
+    raw text and never shuffles on the verification join. Returns
+    ``(id_a=stored doc, id_b=delta doc, start_a, start_b, span_len)``.
+    Intra-delta spans are the batch operator's job
+    (``exact_substring_spans`` on the delta alone)."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        _diagonal_spans,
+        _grams_from_tokens,
+    )
+
+    docs, fps, params = index if index is not None else load_winnow_index(spark, root)
+    min_len, k = params.get("min_len"), params.get("k")
+    if min_len is None or k is None:
+        raise ValueError(
+            f"winnow index at {root} lacks (min_len, k) params — rebuild "
+            f"with save_winnow_index(params={{'min_len': ..., 'k': ...}})"
+        )
+    if delta_index.storageLevel == StorageLevel.NONE:
+        # referenced three times (burst, grams, verification) — the
+        # incremental_minhash_pairs re-inline lesson
+        delta_index = delta_index.localCheckpoint(eager=True)
+
+    burst = delta_index.select(
+        F.col("did").alias("id_b"), F.explode("fps").alias("fp")
+    )
+    touched = [r["fp"] for r in burst.select("fp").distinct().collect()]
+    if len(touched) <= prune_threshold:
+        fps = fps.where(F.col("fp").isin(touched))
+    cand = (
+        fps.join(F.broadcast(burst), "fp")
+        .where(F.col("did") != F.col("id_b"))  # re-ingested id: no self-pair
+        .select(F.col("did").alias("id_a"), "id_b")
+        .distinct()
+    ).localCheckpoint(eager=True)
+
+    corpus_grams = _grams_from_tokens(
+        docs.join(
+            cand.select(F.col("id_a").alias("did")).distinct(), "did", "left_semi"
+        ),
+        k,
+    )
+    delta_grams = _grams_from_tokens(
+        delta_index.select("did", "ws").join(
+            cand.select(F.col("id_b").alias("did")).distinct(), "did", "left_semi"
+        ),
+        k,
+    ).localCheckpoint(eager=True)
+    return _diagonal_spans(cand, corpus_grams, delta_grams, min_len=min_len, k=k)
