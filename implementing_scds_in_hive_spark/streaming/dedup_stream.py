@@ -157,3 +157,108 @@ def minhash_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def substring_dedup_stream(
+    doc_stream: DataFrame,
+    index_root: str,
+    spans_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append_to_index: bool = True,
+    maintain_every: int = 0,
+    maintain_max_files_per_bucket: float = 8.0,
+    trigger_available_now: bool = True,
+    crash_hook=None,
+) -> StreamingQuery:
+    """Streaming EXACT-SUBSTRING duplication against the durable winnow
+    index (r14 — the :func:`minhash_dedup_stream` shape for the Lee et
+    al. tier): each micro-batch is probed for cross-corpus shared runs
+    (``incremental_exact_substring_spans_stored``), for intra-batch runs
+    (the batch operator on the batch alone), and then folded into the
+    index, so a later batch's copy of an earlier batch's passage is
+    caught through the index alone. State lives in the index tables —
+    the table-as-state restart story: per-batch dynamic partition
+    overwrite of the spans sink, an anti-join append guard, and
+    cross-probe exclusion of the batch's own already-appended ids make
+    replays byte-identical.
+
+    The span parameters (min_len, k) come from the INDEX SIDECAR — the
+    stream has no override knobs, because fingerprints built with
+    different parameters never match correctly; a mismatched index
+    raises at the first trigger.
+
+    Emits (batch_id, id_a, id_b, start_a, start_b, span_len): ``id_a``
+    a prior-corpus doc for cross spans, the lower batch id for intra
+    spans. ``crash_hook(batch_id, phase)`` phases: ``"pre"``,
+    ``"post_spans"`` (sink written, index not yet appended — the replay
+    window), ``"post_append"``."""
+    from implementing_scds_in_hive_spark.operators.dedup import (
+        exact_substring_spans,
+        winnow_span_index,
+    )
+    from implementing_scds_in_hive_spark.operators.index_store import (
+        append_winnow_index,
+        incremental_exact_substring_spans_stored,
+        load_winnow_index,
+    )
+
+    spark = doc_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if crash_hook:
+            crash_hook(batch_id, "pre")
+        docs = batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        idx = load_winnow_index(spark, index_root)
+        params = idx[2]
+        min_len, k = params.get("min_len"), params.get("k")
+        if min_len is None or k is None:
+            raise ValueError(
+                f"winnow index at {index_root} lacks (min_len, k) params"
+            )
+        bidx = winnow_span_index(
+            docs, min_len=min_len, k=k
+        ).localCheckpoint(eager=True)
+
+        cross = incremental_exact_substring_spans_stored(
+            spark, index_root, bidx, index=idx
+        ).join(bidx.select(F.col("did").alias("id_a")), "id_a", "left_anti")
+        intra = exact_substring_spans(docs, min_len=min_len, k=k)
+        spans = cross.unionByName(intra).withColumn("batch_id", F.lit(batch_id))
+        (
+            spans.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(spans_path)
+        )
+        if crash_hook:
+            crash_hook(batch_id, "post_spans")
+
+        if append_to_index:
+            existing = idx[0].select("did")
+            fresh = bidx.join(existing, "did", "left_anti")
+            if not fresh.isEmpty():
+                append_winnow_index(spark, index_root, fresh)
+            if maintain_every and batch_id % maintain_every == maintain_every - 1:
+                maintain_index(
+                    spark,
+                    index_root,
+                    max_files_per_bucket=maintain_max_files_per_bucket,
+                )
+        if crash_hook:
+            crash_hook(batch_id, "post_append")
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
