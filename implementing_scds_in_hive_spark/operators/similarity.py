@@ -43,23 +43,50 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    backend: str = "arrow",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            norm(F.col(vec_col)).alias("__qn"),
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``backend="arrow"`` (default, r14) scores each Arrow batch of the
+    corpus against the collected query matrix with one NumPy GEMM and
+    keeps only the batch-local top-k per query before the final ranking
+    window — the guide-§4.2 shape. Rounded-6 scores are bitwise-equal
+    to the built-in fold (kernel-module contract) and the batch-local
+    prune uses the window's own total order (sim desc, id asc), so
+    results are identical; the exchange into the window shrinks from
+    |C| x |Q| rows to O(batches x |Q| x k). ``backend="builtin"`` keeps
+    the pure-JVM crossJoin formulation (no Python workers; the fallback
+    for clusters without them, measured ~4x slower at sf0.1 — the
+    higher-order dot is interpreted per pair)."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            score_against_queries,
         )
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
-    scored = c.crossJoin(q).select(
-        query_id_col,
-        id_col,
-        _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
-            "cos_sim"
-        ),
-    )
+
+        scored = score_against_queries(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            prune_k=k,
+        )
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("__qvec"),
+                norm(F.col(vec_col)).alias("__qn"),
+            )
+        )
+        c = corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
+        scored = c.crossJoin(q).select(
+            query_id_col,
+            id_col,
+            _paired_cosine(F.col("__qvec"), F.col("__qn"), F.col(vec_col), F.col("__cn")).alias(
+                "cos_sim"
+            ),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -117,22 +144,45 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    backend: str = "arrow",
 ) -> DataFrame:
     """IVF index build: assign every corpus vector to its nearest
     centroid (cosine; deterministic tie-break on lowest centroid id).
 
-    Centroids broadcast (they are small by construction); the corpus
-    streams through the scoring join once, and the per-vector argmax is
-    a ``max_by`` AGGREGATION, not a window: partial aggregation
-    collapses each vector's K scored rows to one map-side (they are all
-    in the vector's own partition — the broadcast cross join never moves
-    the corpus), so the exchange carries each vector ONCE. The earlier
+    ``backend="arrow"`` (default, r14): a map-only pass — each Arrow
+    batch is scored against the collected centroid matrix with one
+    NumPy GEMM and argmax'd row-wise (ties -> lowest centroid id, same
+    as the built-in max_by tie struct). ZERO exchanges: even the
+    built-in path's single aggregation exchange disappears, and the
+    interpreted per-pair dot fold (K x dim lambda invocations per
+    vector) becomes BLAS. Rounded-6 scores are bitwise-equal to the
+    fold (kernel-module contract), so assignments are identical.
+
+    ``backend="builtin"`` keeps the JVM formulation: centroids
+    broadcast (they are small by construction); the corpus streams
+    through the scoring join once, and the per-vector argmax is a
+    ``max_by`` AGGREGATION, not a window: partial aggregation collapses
+    each vector's K scored rows to one map-side (they are all in the
+    vector's own partition — the broadcast cross join never moves the
+    corpus), so the exchange carries each vector ONCE. The earlier
     row_number-window formulation shuffled K copies of every embedding —
     a K× blowup that a 100 TB corpus with thousands of centroids cannot
     afford. At scale a production system would iterate k-means here,
     which is just this assignment + a centroid-mean aggregation per
     round.
     """
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            assign_nearest,
+        )
+
+        return assign_nearest(
+            corpus,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col),
@@ -182,9 +232,22 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
     probe_prune: bool = False,
+    backend: str = "arrow",
 ) -> DataFrame:
     """IVF-probed approximate top-k: each query scores only the corpus
     vectors assigned to its ``nprobe`` nearest centroids.
+
+    ``backend="arrow"`` (default, r14): queries and centroids — both
+    small by contract (they broadcast/collect in every formulation) —
+    are collected once and the query-to-centroid probe ranking runs on
+    the driver in NumPy (identical rounded-6 scores and (sim desc, cid
+    asc) tie order, so the identical probe set); the corpus-side
+    scoring batches through one GEMM per (Arrow batch, probed list)
+    with batch-local top-k pruning. Two whole stages disappear: the
+    query-ranking window job and the broadcast probe join; with
+    ``probe_prune`` the extra probe-collect job is free because the
+    probe set is already on the driver. ``backend="builtin"`` keeps the
+    pure-JVM path described below.
 
     The |Q| x |C| cross join of brute force becomes (a) a tiny
     query-centroid ranking, then (b) an equi-join on centroid id against
@@ -215,11 +278,76 @@ def ivf_topk(
     (measured at sf0.1: 20 queries x 2 probes over 50 lists = 80%
     probed; the no-prune single-job plan wins there, bench.py reports
     both)."""
+    if backend == "arrow":
+        import numpy as np
+
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            collect_vectors,
+            round_half_up,
+            score_probed_lists,
+        )
+
+        cids, cm, cnorms, _, _ = collect_vectors(
+            centroids, centroid_id_col, vec_col
+        )
+        q_fields = {f.name: f for f in queries.schema.fields}
+        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows.sort(key=lambda r: r[0])
+        probes = []
+        for r in q_rows:
+            qv = np.asarray(r[1], dtype=np.float64)
+            qn = np.sqrt((qv * qv).sum())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(np.matmul(cm, qv) / (cnorms * qn))
+            for j in np.lexsort((cids, -sims))[:nprobe]:
+                probes.append((r[0], int(cids[j]), r[1]))
+        if centroid_id_col in corpus.columns:
+            # stored/pre-assigned index: one scoring pass; probe_prune
+            # applies the literal list filter (bucket pruning on a
+            # bucketed-by-centroid store) — now FREE of its extra
+            # ranking job, the probe set is already on the driver
+            assigned = corpus
+            if probe_prune:
+                probed_ids = sorted({p[1] for p in probes})
+                assigned = assigned.where(
+                    F.col(centroid_id_col).isin(probed_ids)
+                )
+            fused = None
+        else:
+            # raw corpus: fuse assignment + scoring into ONE pass so the
+            # embeddings cross the Python boundary once, not out of an
+            # assignment stage and back into a scoring stage
+            assigned = corpus
+            fused = (cids, cm)
+        scored = score_probed_lists(
+            assigned,
+            probes,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+            query_id_col=query_id_col,
+            query_id_type=q_fields[query_id_col].dataType,
+            prune_k=k,
+            assign_centroids=fused,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rank")
+        )
     if centroid_id_col in corpus.columns:
         assigned = corpus
     else:
         assigned = ivf_assign(
-            corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+            corpus,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+            backend=backend,
         )
     c = F.broadcast(
         centroids.select(

@@ -1,0 +1,346 @@
+"""Arrow/NumPy batch-scoring kernels for the similarity operators.
+
+The optimization-guide shape (guide §4.2): Spark keeps distribution,
+shuffles and I/O; whole Arrow batches are handed to NumPy/BLAS instead
+of evaluating ``aggregate``/``zip_with`` lambdas per element. Higher-
+order array expressions never join whole-stage codegen, so a pairwise
+cosine costs O(dim) *interpreted* JVM work per pair — measured 1.3-1.7 s
+for the 160k-pair IVF assignment at sf0.1 where one float64 GEMM plus
+the Arrow crossing costs ~0.3 s (PLANS.md r14; an unrolled codegen
+chain was also tried and measured *slower* — 5 s — because a 128-term
+``element_at`` expression blows past JIT inlining limits).
+
+Equality contract (these kernels back hash-compared oracle slots):
+
+* The dot/norm floating-point sums are reassociated by BLAS, so raw
+  doubles can differ from the JVM fold in the last ulp or two. Every
+  score consumer rounds to 6 decimals *before* any ranking or
+  comparison (the module convention in operators/similarity.py), and
+  the rounded scores are verified bitwise-identical against the
+  built-in fold on every graded fixture (0 mismatches over all pairs at
+  sf0.001/0.01/0.1 — tests/test_vector_kernels.py pins backend
+  equality; the driver oracle gate re-proves it per slot).
+* :func:`round_half_up` replays Spark's exact ``round()`` semantics
+  (shortest-decimal-repr HALF_UP via java.math.BigDecimal): a
+  vectorized ``np.round`` fast path, a ``decimal.Decimal`` fix-up for
+  values within float error of a .5 decimal boundary (np rounds
+  HALF_EVEN on exact scaled ties and can mis-side near-boundary values
+  after the *1e6 multiply), and a zero normalization (BigDecimal has no
+  signed zero, so Spark's round never emits -0.0; np.round(-1e-9, 6)
+  does).
+* Integer kernels (the int8 coarse stage) are exact by construction:
+  NumPy int64 matmul and the JVM long fold compute the same integers.
+
+Small-side collection: every kernel that captures a matrix does so for
+a side that is small *by contract* (centroids, query batches) — the
+same side the built-in path already collects into a broadcast hash
+relation. The big side streams through ``mapInPandas`` one batch at a
+time and is never materialized.
+
+Degenerate inputs: a zero-norm vector divides to ±Inf/NaN in both
+backends (IEEE), but NaN *ordering* differs (Spark sorts NaN greatest,
+NumPy sorts it last), so batch-local top-k pruning is only exact for
+finite scores — the operators document clean-embedding preconditions
+and the graded fixtures satisfy them. Ragged or NULL embeddings raise
+loudly here rather than silently scoring as NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+__all__ = [
+    "round_half_up",
+    "collect_vectors",
+    "score_against_queries",
+    "assign_nearest",
+    "score_probed_lists",
+]
+
+
+def round_half_up(arr: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Spark-exact ``round(x, decimals)`` over a float64 array.
+
+    Fast path: ``np.round``. Values whose scaled fraction sits within
+    1e-6 of .5 (where float multiply error or HALF_EVEN-vs-HALF_UP can
+    flip the result) are recomputed through ``decimal.Decimal`` on the
+    value's shortest repr — exactly java.math.BigDecimal's model. The
+    final ``out == 0.0`` rewrite folds -0.0 to +0.0 (BigDecimal is
+    unsigned at zero; Python's Decimal is not)."""
+    out = np.round(arr, decimals)
+    finite = np.isfinite(arr)
+    if finite.any():
+        scaled = np.where(finite, arr, 0.0) * (10.0 ** decimals)
+        frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        suspect = finite & (frac < 1e-6)
+        if suspect.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal(1).scaleb(-decimals)
+            flat = out.reshape(-1)
+            src = arr.reshape(-1)
+            for i in np.nonzero(suspect.reshape(-1))[0]:
+                flat[i] = float(
+                    Decimal(repr(float(src[i]))).quantize(q, ROUND_HALF_UP)
+                )
+    out[out == 0.0] = 0.0
+    return out
+
+
+def _as_matrix(vectors, what: str) -> np.ndarray:
+    """Stack a sequence of fixed-length vectors into a float64 matrix;
+    raises a clear error on NULL or ragged rows instead of silently
+    mis-scoring."""
+    try:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+    except (TypeError, ValueError) as e:  # NULL element / ragged lengths
+        raise ValueError(
+            f"{what}: embeddings must be non-NULL fixed-length numeric "
+            f"arrays for the arrow backend ({e})"
+        ) from e
+    if m.ndim != 2:
+        raise ValueError(
+            f"{what}: embeddings must be non-NULL fixed-length numeric "
+            f"arrays for the arrow backend (got ndim={m.ndim})"
+        )
+    return m
+
+
+def collect_vectors(df: DataFrame, id_col: str, vec_col: str):
+    """Collect a small-by-contract vector table, sorted by id ascending
+    (the argmax tie-break order). Returns (ids int64[], matrix float64
+    [n, dim], norms float64[n], id_field, vec_field)."""
+    fields = {f.name: f for f in df.schema.fields}
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = _as_matrix([r[1] for r in rows], f"collect_vectors({vec_col})")
+    norms = np.sqrt((m * m).sum(axis=1))
+    return ids, m, norms, fields[id_col], fields[vec_col]
+
+
+def _batch_topk(qids, ids, sims, k):
+    """Per-query top-k of a batch's candidate triples under the module's
+    total order (sim desc, id asc) — exact pruning: any globally-top-k
+    row is also batch-top-k under the same total order."""
+    keep = np.zeros(len(qids), dtype=bool)
+    for q in np.unique(qids):
+        at = np.nonzero(qids == q)[0]
+        if len(at) > k:
+            order = np.lexsort((ids[at], -sims[at]))[:k]
+            keep[at[order]] = True
+        else:
+            keep[at] = True
+    return keep
+
+
+def score_against_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    out_col: str = "cos_sim",
+    prune_k: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine of ``corpus`` against a small query set:
+    one GEMM per Arrow batch instead of |C|x|Q| interpreted dot folds.
+    Emits (query_id, id, out_col) with scores rounded to 6 decimals
+    exactly like ``F.round(dot/(na*nb), 6)``.
+
+    ``prune_k`` keeps only each query's batch-local top-k candidates
+    (sim desc, id asc) — exact when the caller's final ranking uses the
+    same total order, and it bounds the exchange into the final window
+    at O(batches * |Q| * k) rows instead of |C| x |Q|."""
+    qids, qm, qnorms, qid_field, _ = collect_vectors(queries, query_id_col, vec_col)
+    id_field = {f.name: f for f in corpus.schema.fields}[id_col]
+    schema = StructType(
+        [
+            StructField(query_id_col, qid_field.dataType, qid_field.nullable),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+    nq = len(qids)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            e = _as_matrix(pdf[vec_col], f"score_against_queries({vec_col})")
+            en = np.sqrt((e * e).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(np.matmul(e, qm.T) / np.outer(en, qnorms))
+            ids = np.repeat(pdf[id_col].to_numpy(), nq)
+            out_q = np.tile(qids, n)
+            flat = sims.ravel()
+            if prune_k is not None and len(flat) > nq * prune_k:
+                keep = _batch_topk(out_q, ids, flat, prune_k)
+                out_q, ids, flat = out_q[keep], ids[keep], flat[keep]
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: ids, out_col: flat}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema)
+
+
+def assign_nearest(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """IVF assignment as a map-only pass: per batch, one GEMM against
+    the collected centroid matrix and a row-wise argmax over the
+    6-decimal-rounded similarities (ties -> lowest centroid id, the
+    matrix being sorted ascending). No exchange at all — the built-in
+    formulation's max_by aggregation (itself the fix for the older K×
+    window shuffle) is folded into the scan."""
+    cids, cm, cnorms, cid_field, _ = collect_vectors(
+        centroids, centroid_id_col, vec_col
+    )
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = StructType(
+        [
+            fields[id_col],
+            fields[vec_col],
+            StructField(centroid_id_col, cid_field.dataType, cid_field.nullable),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = _as_matrix(pdf[vec_col], f"assign_nearest({vec_col})")
+            en = np.sqrt((e * e).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(np.matmul(e, cm.T) / np.outer(en, cnorms))
+            # np.argmax returns the FIRST maximum: centroid ids ascending
+            # == max_by(struct(sim, -cid)) of the built-in path
+            best = cids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    centroid_id_col: best,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def score_probed_lists(
+    assigned: DataFrame,
+    probes: list,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    query_id_col: str,
+    query_id_type,
+    out_col: str = "cos_sim",
+    prune_k: int | None = None,
+    assign_centroids=None,
+) -> DataFrame:
+    """IVF probe scoring: ``assigned`` (corpus + centroid_id) streams
+    once; each batch is grouped by its centroid ids and scored only
+    against the queries probing that list (``probes`` = [(query_id,
+    centroid_id, qvec), ...], the tiny |Q| x nprobe set). Replaces the
+    broadcast join + per-pair interpreted fold with one small GEMM per
+    (batch, probed list).
+
+    ``assign_centroids=(cids, matrix)`` fuses the on-the-fly assignment
+    into the same pass: the input then needs only (id, vec), each batch
+    is argmax-assigned first (identically to :func:`assign_nearest`)
+    and scored second — the corpus crosses the Python boundary ONCE
+    instead of out-and-back-in through a separate assignment stage."""
+    by_cid: dict = {}
+    for qid, cid, qvec in probes:
+        by_cid.setdefault(cid, []).append((qid, qvec))
+    mats = {}
+    for cid, pairs in by_cid.items():
+        qids = np.array([p[0] for p in pairs], dtype=np.int64)
+        qm = _as_matrix([p[1] for p in pairs], "score_probed_lists(queries)")
+        mats[cid] = (qids, qm, np.sqrt((qm * qm).sum(axis=1)))
+    id_field = {f.name: f for f in assigned.schema.fields}[id_col]
+    schema = StructType(
+        [
+            StructField(query_id_col, query_id_type, True),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+
+    if assign_centroids is not None:
+        acids, acm = assign_centroids
+        acnorms = np.sqrt((acm * acm).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if assign_centroids is not None:
+                e_all = _as_matrix(pdf[vec_col], f"score_probed_lists({vec_col})")
+                en_all = np.sqrt((e_all * e_all).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    asims = round_half_up(
+                        np.matmul(e_all, acm.T) / np.outer(en_all, acnorms)
+                    )
+                cvals = acids[np.argmax(asims, axis=1)]
+            else:
+                e_all = en_all = None
+                cvals = pdf[centroid_id_col].to_numpy()
+            parts = []
+            for cid in pd.unique(cvals):
+                got = mats.get(cid)
+                if got is None:
+                    continue
+                qids, qm, qnorms = got
+                at = np.nonzero(cvals == cid)[0]
+                if e_all is not None:
+                    e, en = e_all[at], en_all[at]
+                else:
+                    e = _as_matrix(
+                        pdf[vec_col].iloc[at], f"score_probed_lists({vec_col})"
+                    )
+                    en = np.sqrt((e * e).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = round_half_up(
+                        np.matmul(e, qm.T) / np.outer(en, qnorms)
+                    )
+                nq = len(qids)
+                parts.append(
+                    (
+                        np.tile(qids, len(at)),
+                        np.repeat(pdf[id_col].to_numpy()[at], nq),
+                        sims.ravel(),
+                    )
+                )
+            if not parts:
+                continue
+            out_q = np.concatenate([p[0] for p in parts])
+            ids = np.concatenate([p[1] for p in parts])
+            flat = np.concatenate([p[2] for p in parts])
+            if prune_k is not None:
+                keep = _batch_topk(out_q, ids, flat, prune_k)
+                out_q, ids, flat = out_q[keep], ids[keep], flat[keep]
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: ids, out_col: flat}
+            )
+
+    in_cols = (
+        [id_col, vec_col]
+        if assign_centroids is not None
+        else [id_col, vec_col, centroid_id_col]
+    )
+    return assigned.select(*in_cols).mapInPandas(score, schema)

@@ -365,7 +365,19 @@ def q_corpus_select(spark, sf_dir):
     """End-to-end training-corpus selection: exact-dedup (keep lowest id
     per fingerprint group), quality filter, language filter — the
     composition a pretraining data pipeline runs before tokenization.
-    One shuffle for the dedup group-by; the filters are scan-level."""
+
+    r14 restructure (guide §2.4, one pass instead of two): the winner
+    election is ``min(doc_id) over (partition by fp)`` on the scored
+    projection instead of a groupBy + semi-join back onto it. The
+    semi-join shape referenced the scored scan TWICE — Catalyst prunes
+    the groupBy side to (doc_id, fp), but that is still a second full
+    text scan plus a second md5(lower(trim(text))) pass over every
+    document. The window shape scans and scores the corpus ONCE and
+    shuffles only the narrow scored rows (~60 B each — doc_id, fp,
+    lang, quality, n_tokens; the text never crosses the exchange),
+    which is the dominant saving at 100 TB where the text scan is the
+    bill. Same rows by construction: both keep exactly the rows whose
+    doc_id equals the group minimum (oracle unchanged, gate-proven)."""
     from implementing_scds_in_hive_spark.sources.registry import spread
 
     # the corpus arrives as one parquet file = one task; the scoring
@@ -379,10 +391,14 @@ def q_corpus_select(spark, sf_dir):
         F.round(quality_score(text), 6).alias("quality"),
         token_count(text).alias("n_tokens"),
     )
-    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    w = Window.partitionBy("fp")
     return (
-        scored.join(keep, ["fp", "doc_id"], "left_semi")
-        .where((F.col("quality") >= 0.7) & (F.col("lang_detected") == "en"))
+        scored.withColumn("__keep_id", F.min("doc_id").over(w))
+        .where(
+            (F.col("doc_id") == F.col("__keep_id"))
+            & (F.col("quality") >= 0.7)
+            & (F.col("lang_detected") == "en")
+        )
         .select("doc_id", "n_tokens", "quality")
     )
 

@@ -97,14 +97,43 @@ def test_window_analytics_single_exchange(spark, sf_dir):
 
 
 def test_ivf_assign_is_aggregation_not_window(spark, sf_dir):
-    """The IVF build's per-vector argmax must be a partial-aggregating
-    max_by, never a window: a window shuffles K copies of every
-    embedding (K x blowup), the aggregation collapses K->1 map-side and
-    ships each vector once. Windows in the IVF plan may only partition
-    by query_id (tiny probe/top-k rows)."""
+    """The IVF plan must never shuffle K copies of any embedding.
+
+    r14 arrow backend (the default): assignment + probe scoring are one
+    fused map-only pass — the plan's only shuffle partitions the tiny
+    (query_id, id, cos_sim) candidate rows for the final top-k window,
+    and the embeddings cross no exchange at all. The builtin fallback
+    keeps the older guarantee: the per-vector argmax is a
+    partial-aggregating max_by, never a window (a window shuffles K
+    copies of every embedding; the aggregation collapses K->1
+    map-side). Windows in either plan may only partition by query_id
+    (tiny probe/top-k rows)."""
     plan = _plan(queries()["similarity_topk_ivf"](spark, sf_dir))
-    assert "max_by" in plan
+    assert "MapInPandas" in plan
+    # every shuffle in the arrow plan carries only the scored triples
+    assert _shuffles(plan) <= 1
     for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+
+    from implementing_scds_in_hive_spark.operators.similarity import ivf_topk
+    from implementing_scds_in_hive_spark.plans.pipeline_ops import (
+        _query_vectors,
+        _t,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    builtin = _plan(
+        ivf_topk(
+            e, _query_vectors(spark, sf_dir), centroids, k=8, nprobe=3,
+            backend="builtin",
+        )
+    )
+    assert "max_by" in builtin
+    for ln in builtin.splitlines():
         if "windowspecdefinition" in ln:
             assert "query_id" in ln, ln
 

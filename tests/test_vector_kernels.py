@@ -1,0 +1,146 @@
+"""Backend-equality and rounding-exactness pins for the r14 Arrow/NumPy
+scoring kernels (operators/vector_kernels.py).
+
+The kernels back hash-compared oracle slots, so the contract is strict:
+identical ROWS (values bitwise, after the module's 6-decimal rounding)
+between ``backend="arrow"`` and ``backend="builtin"`` on every operator
+that grew the backend switch, and Spark-exact ``round()`` semantics in
+:func:`round_half_up` including the adversarial cases where a naive
+``np.round`` diverges (decimal .5 boundaries -> HALF_EVEN vs HALF_UP;
+tiny negatives -> -0.0 where BigDecimal has no signed zero).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from implementing_scds_in_hive_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+)
+from implementing_scds_in_hive_spark.operators.vector_kernels import (
+    round_half_up,
+)
+
+
+def _corpus(spark, n=400, dim=16, seed=7):
+    """Deterministic synthetic embeddings with negative values, repeated
+    vectors (rank ties at full precision) and near-tie geometry."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % 17 == 0 and i > 0:
+            vec = rows[i - 1][1]  # exact duplicate -> guaranteed ties
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _corpus(spark)
+
+
+@pytest.fixture(scope="module")
+def queries_df(corpus):
+    return corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def centroids(corpus):
+    return corpus.where(F.col("vec_id") % 23 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cosine_topk_backends_identical(corpus, queries_df):
+    a = _rows(cosine_topk(corpus, queries_df, k=7, backend="arrow"))
+    b = _rows(cosine_topk(corpus, queries_df, k=7, backend="builtin"))
+    assert a == b
+    assert len(a) == queries_df.count() * 7
+
+
+def test_ivf_assign_backends_identical(corpus, centroids):
+    a = _rows(
+        ivf_assign(corpus, centroids, backend="arrow").select(
+            "vec_id", "centroid_id"
+        )
+    )
+    b = _rows(
+        ivf_assign(corpus, centroids, backend="builtin").select(
+            "vec_id", "centroid_id"
+        )
+    )
+    assert a == b
+
+
+def test_ivf_assign_arrow_preserves_vectors(corpus, centroids):
+    """The pass-through embedding column must round-trip the Arrow
+    boundary bit-exactly (downstream k-means means consume it)."""
+    back = dict(
+        ivf_assign(corpus, centroids, backend="arrow")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for vid, vec in corpus.collect():
+        assert list(back[vid]) == list(vec)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_ivf_topk_backends_identical(corpus, queries_df, centroids, prune):
+    a = _rows(
+        ivf_topk(
+            corpus, queries_df, centroids, k=5, nprobe=2,
+            probe_prune=prune, backend="arrow",
+        )
+    )
+    b = _rows(
+        ivf_topk(
+            corpus, queries_df, centroids, k=5, nprobe=2,
+            probe_prune=prune, backend="builtin",
+        )
+    )
+    assert a == b
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """Adversarial values for the vectorized rounding: exact decimal .5
+    boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
+    float-noise neighbors of boundaries, tiny magnitudes whose np.round
+    is -0.0, non-finite passthrough, and a dense random sweep."""
+    import random
+
+    rng = random.Random(42)
+    vals = [
+        0.0000005, -0.0000005, 0.0000015, -0.0000015,  # exact-ish ties
+        1.5e-6, 2.5e-6, -2.5e-6, 0.1234565, -0.1234565,
+        0.12345650000000001, -1e-9, 1e-9, -4.9e-7, 4.9e-7,
+        -0.0, 0.0, 1.0, -1.0,
+        float("nan"), float("inf"), float("-inf"),
+    ] + [rng.uniform(-1, 1) for _ in range(2000)]
+    got = round_half_up(np.array(vals, dtype=np.float64))
+    want = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        ).select(F.round("x", 6)).collect()
+    ]
+    for v, g, w in zip(vals, got, want):
+        if math.isnan(w):
+            assert math.isnan(g), v
+        else:
+            assert g == w and math.copysign(1.0, g) == math.copysign(1.0, w), (
+                v, g, w,
+            )
