@@ -920,13 +920,18 @@ def q_multimodal_features(spark, sf_dir):
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
     k = F.col("doc_id")
     h = (k % 13 + 1).cast("int")  # planted dims: 8 x (1 + doc_id % 13)
-    # pixel byte at pos: 1 + (doc_id*31 + pos) % 255 — 1-based avoids NUL
-    pixels = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), h * 24 - 1),
-            lambda i: F.char(F.pmod(k * 31 + i, F.lit(255)) + 1),
-        ),
-        "",
+    # pixel byte at pos: 1 + (doc_id*31 + pos) % 255 — 1-based avoids NUL.
+    # The sequence is periodic with period 255 and the doc only shifts
+    # its phase, so the whole pixel string is ONE substring of a
+    # repeated literal cycle instead of the former per-char
+    # transform+char+array_join tower (~300 interpreted lambda calls
+    # per row; higher-order lambdas never codegen — guide §4.2/r14).
+    # Bytes are identical: cycle[j] = char(1 + j % 255), phase k*31.
+    cycle = "".join(chr(1 + (j % 255)) for j in range(255))
+    pixels = F.substr(
+        F.lit(cycle * 3),  # 765 chars covers phase (<=254) + max len 336
+        F.pmod(k * 31, F.lit(255)) + 1,
+        (h * 24).cast("bigint"),
     )
     ppm = F.when(
         k % 97 == 0, F.encode(F.lit("P6\nnot a header"), "ISO-8859-1")
