@@ -521,6 +521,7 @@ def knn_join(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Approximate K-nearest-neighbor SELF-join: for EVERY corpus vector,
     its top-k cosine neighbors among vectors sharing its sign-bit bucket
@@ -542,7 +543,30 @@ def knn_join(
     Skew note: a bucket holding B vectors costs B^2 scored pairs; sign
     bits split real embedding distributions unevenly, so at scale prefer
     ``knn_join_ivf`` (balanced cells by construction of k-means) — same
-    output shape, same join geometry."""
+    output shape, same join geometry.
+
+    ``backend="arrow"`` (default, r14): one grouped Arrow pass per
+    bucket — a single GEMM scores the whole BxB block and the top-k
+    extraction runs in the same task under the identical (sim desc,
+    neighbor id asc) total order, so the vectors shuffle ONCE (the
+    group-by) instead of twice (both join sides) and the ranking window
+    disappears. ``backend="builtin"`` keeps the pure-JVM bucket
+    self-join + window."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            knn_within_buckets,
+        )
+
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        )
+        out = knn_within_buckets(c, k=k, id_col=id_col, vec_col=vec_col)
+        # builtin path names the owner column "vec_id" whatever id_col is
+        return out.select(
+            F.col(id_col).alias("vec_id"), "neighbor_id", "cos_sim", "rank"
+        )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -728,12 +752,21 @@ def quantized_rescore_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Two-stage ANN over a quantized corpus: COARSE top-``shortlist``
     per query scored entirely on int8 vectors (the only pass that
     touches the full corpus — reading the 4x-smaller storage tier),
     then EXACT cosine rescoring of the shortlist against the full
     vectors (a k-row-per-query join back into the float tier).
+
+    ``backend="arrow"`` (default, r14) runs the coarse stage as one
+    exact int64 GEMM per Arrow batch with batch-local top-``shortlist``
+    pruning (integer dot products are reassociation-free, so the two
+    backends agree bit-for-bit before rounding even applies);
+    ``backend="builtin"`` keeps the JVM crossJoin + interpreted long
+    fold. The rescore stage is a tiny |Q| x shortlist join either way
+    and stays built-in.
 
     ``shortlist`` defaults to ``4 * k`` — the standard rescore margin:
     quantization perturbs scores by O(scale), so the true top-k lives
@@ -752,20 +785,34 @@ def quantized_rescore_topk(
         F.col("qvec").alias("__qq"),
         F.col("qnorm").alias("__qn2"),
     )
-    coarse_scored = corpus_q.select(
-        F.col(id_col), F.col("qvec").alias("__cq"), F.col("qnorm").alias("__cn2")
-    ).crossJoin(F.broadcast(qq)).select(
-        query_id_col,
-        id_col,
-        # 6-dp rounding like every other coarse tier: unrounded, the
-        # shortlist cut is not cross-engine tie-stable (r11 review;
-        # module-header convention)
-        F.round(
-            _int_dot(F.col("__cq"), F.col("__qq")).cast("double")
-            / (F.col("__cn2") * F.col("__qn2")),
-            6,
-        ).alias("__coarse"),
-    )
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            score_quantized_coarse,
+        )
+
+        q_rows = sorted(qq.collect(), key=lambda r: r[0])
+        coarse_scored = score_quantized_coarse(
+            corpus_q,
+            [(r[0], r[1], r[2]) for r in q_rows],
+            id_col=id_col,
+            query_id_col=query_id_col,
+            prune_k=m,
+        )
+    else:
+        coarse_scored = corpus_q.select(
+            F.col(id_col), F.col("qvec").alias("__cq"), F.col("qnorm").alias("__cn2")
+        ).crossJoin(F.broadcast(qq)).select(
+            query_id_col,
+            id_col,
+            # 6-dp rounding like every other coarse tier: unrounded, the
+            # shortlist cut is not cross-engine tie-stable (r11 review;
+            # module-header convention)
+            F.round(
+                _int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+                / (F.col("__cn2") * F.col("__qn2")),
+                6,
+            ).alias("__coarse"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.col("__coarse").desc(), F.col(id_col))
     short = (
         coarse_scored.withColumn("__r", F.row_number().over(w))

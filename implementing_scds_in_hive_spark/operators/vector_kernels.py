@@ -52,7 +52,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 __all__ = [
     "round_half_up",
@@ -191,6 +191,66 @@ def score_against_queries(
     return corpus.select(id_col, vec_col).mapInPandas(score, schema)
 
 
+def score_quantized_coarse(
+    corpus_q: DataFrame,
+    query_rows: list,
+    *,
+    id_col: str,
+    qvec_col: str = "qvec",
+    qnorm_col: str = "qnorm",
+    query_id_col: str = "query_id",
+    out_col: str = "__coarse",
+    prune_k: int | None = None,
+) -> DataFrame:
+    """Coarse int8 scoring: one exact int64 GEMM per Arrow batch against
+    the collected quantized query set (``query_rows`` = [(query_id,
+    qvec, qnorm), ...]). The integer dot is EXACT in both backends
+    (int64 matmul == the JVM long fold — no reassociation concern), the
+    single divide by the precomputed norms matches the built-in
+    ``dot/(cn*qn)`` bit-for-bit, and rounding is :func:`round_half_up`.
+    The corpus-side ``qnorm`` column is reused, not recomputed."""
+    qids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    qm = np.array([np.asarray(r[1], dtype=np.int64) for r in query_rows])
+    qnorms = np.array([float(r[2]) for r in query_rows])
+    id_field = {f.name: f for f in corpus_q.schema.fields}[id_col]
+    schema = StructType(
+        [
+            StructField(query_id_col, id_field.dataType, True),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+    nq = len(qids)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            e = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf[qvec_col]]
+            )
+            cn = pdf[qnorm_col].to_numpy(dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(
+                    np.matmul(e, qm.T).astype(np.float64)
+                    / np.outer(cn, qnorms)
+                )
+            ids = np.repeat(pdf[id_col].to_numpy(), nq)
+            out_q = np.tile(qids, n)
+            flat = sims.ravel()
+            if prune_k is not None and len(flat) > nq * prune_k:
+                keep = _batch_topk(out_q, ids, flat, prune_k)
+                out_q, ids, flat = out_q[keep], ids[keep], flat[keep]
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: ids, out_col: flat}
+            )
+
+    return corpus_q.select(id_col, qvec_col, qnorm_col).mapInPandas(
+        score, schema
+    )
+
+
 def assign_nearest(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -237,6 +297,70 @@ def assign_nearest(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def knn_within_buckets(
+    bucketed: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Bucket-blocked KNN self-join as ONE grouped Arrow pass: each
+    bucket group computes its BxB cosine matrix with a single GEMM and
+    extracts every row's top-k (sim desc, neighbor id asc; self
+    excluded) — replacing the bucket-keyed self-join (TWO shuffles of
+    the vectors) + per-pair interpreted folds + ranking window with one
+    shuffle and BLAS. Identical rows: scores round through
+    :func:`round_half_up` and the extraction order is the window's own
+    total order.
+
+    Memory is O(B^2) per bucket — the same candidate volume the join
+    formulation scores, held as one float64 matrix; the operator-level
+    skew warning (prefer k-means cells over sign-bit buckets at scale)
+    applies unchanged."""
+    fields = {f.name: f for f in bucketed.schema.fields}
+    id_field = fields[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("neighbor_id", id_field.dataType, id_field.nullable),
+            StructField("cos_sim", DoubleType(), True),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    empty = pd.DataFrame(
+        {id_col: [], "neighbor_id": [], "cos_sim": [], "rank": []}
+    )
+
+    def topk(pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        e = _as_matrix(pdf[vec_col], f"knn_within_buckets({vec_col})")
+        en = np.sqrt((e * e).sum(axis=1))
+        ids = pdf[id_col].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = round_half_up(np.matmul(e, e.T) / np.outer(en, en))
+        key = -sims
+        np.fill_diagonal(key, np.inf)  # self-pair sorts last, never top-k
+        owner = np.repeat(np.arange(n), n)
+        order = np.lexsort((np.tile(ids, n), key.ravel(), owner))
+        take = min(k, n - 1)
+        picks = order.reshape(n, n)[:, :take].ravel()
+        return pd.DataFrame(
+            {
+                id_col: ids[picks // n],
+                "neighbor_id": ids[picks % n],
+                "cos_sim": sims.ravel()[picks],
+                "rank": np.tile(np.arange(1, take + 1, dtype=np.int32), n),
+            }
+        )
+
+    return bucketed.select(id_col, vec_col, bucket_col).groupBy(
+        bucket_col
+    ).applyInPandas(topk, schema)
 
 
 def score_probed_lists(

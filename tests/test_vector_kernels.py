@@ -115,6 +115,30 @@ def test_ivf_topk_backends_identical(corpus, queries_df, centroids, prune):
     assert a == b
 
 
+def test_knn_join_backends_identical(corpus):
+    from implementing_scds_in_hive_spark.operators.similarity import knn_join
+
+    a = _rows(knn_join(corpus, k=4, n_bits=3, backend="arrow"))
+    b = _rows(knn_join(corpus, k=4, n_bits=3, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
+def test_quantized_rescore_backends_identical(corpus, queries_df):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    cq = quantize_corpus(corpus)
+    a = _rows(
+        quantized_rescore_topk(cq, corpus, queries_df, k=6, backend="arrow")
+    )
+    b = _rows(
+        quantized_rescore_topk(cq, corpus, queries_df, k=6, backend="builtin")
+    )
+    assert a == b and len(a) > 0
+
+
 def test_round_half_up_matches_spark_round(spark):
     """Adversarial values for the vectorized rounding: exact decimal .5
     boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
