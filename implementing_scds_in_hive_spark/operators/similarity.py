@@ -1062,6 +1062,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, public): assign
     every vector to its nearest centroid (:func:`ivf_assign` — cosine,
@@ -1076,9 +1077,32 @@ def semantic_dedup_pairs(
     Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``; cosine is
     rounded to 6 places (the engine-portability convention every
     similarity tier here uses) BEFORE the threshold compare, so an
-    ANSI-SQL oracle replays the pair set bit-for-bit."""
+    ANSI-SQL oracle replays the pair set bit-for-bit.
+
+    ``backend="arrow"`` (default, r14): the assignment is the map-only
+    Arrow pass and the within-cluster pairs come from one grouped GEMM
+    per cluster (upper triangle, ids ascending) — one shuffle total
+    (the cluster group-by) instead of a sort-merge self-join shuffling
+    the vectors twice and folding each pair's dot interpretively."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            pairs_within_groups,
+        )
+
+        assigned = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            backend="arrow",
+        )
+        return pairs_within_groups(
+            assigned,
+            group_col="centroid_id",
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+        )
     assigned = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        backend=backend,
     ).select(
         "centroid_id",
         F.col(id_col).alias("__id"),
@@ -1110,6 +1134,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup keep-set: resolve :func:`semantic_dedup_pairs` into
     near-dup components (A~B, B~C groups {A,B,C} even when A~C was
@@ -1126,7 +1151,8 @@ def semantic_dedup(
     )
 
     pairs = semantic_dedup_pairs(
-        corpus, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+        corpus, centroids, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, backend=backend,
     )
     members = canonical_members(
         corpus.select(F.col(id_col), F.lit(0.0).alias("__score")),

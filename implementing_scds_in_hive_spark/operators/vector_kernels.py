@@ -363,6 +363,57 @@ def knn_within_buckets(
     ).applyInPandas(topk, schema)
 
 
+def pairs_within_groups(
+    assigned: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    out_col: str = "cos_sim",
+) -> DataFrame:
+    """Within-group similar pairs (the SemDeDup shape) as ONE grouped
+    Arrow pass: per group, a single GEMM scores the block and the upper
+    triangle (rows sorted by id, so id_a < id_b) is thresholded on the
+    6-decimal-rounded cosine — replacing the group-keyed self-join (two
+    shuffles + per-pair interpreted folds) with one shuffle and BLAS.
+    Memory is O(B^2) per group, the same candidate volume the join
+    scores."""
+    fields = {f.name: f for f in assigned.schema.fields}
+    id_field = fields[id_col]
+    schema = StructType(
+        [
+            StructField("id_a", id_field.dataType, id_field.nullable),
+            StructField("id_b", id_field.dataType, id_field.nullable),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], out_col: []})
+
+    def pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        e = _as_matrix(
+            pdf[vec_col].iloc[order], f"pairs_within_groups({vec_col})"
+        )
+        en = np.sqrt((e * e).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = round_half_up(np.matmul(e, e.T) / np.outer(en, en))
+        ia, ib = np.triu_indices(n, k=1)
+        vals = sims[ia, ib]
+        keep = vals >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], out_col: vals[keep]}
+        )
+
+    return assigned.select(group_col, id_col, vec_col).groupBy(
+        group_col
+    ).applyInPandas(pairs, schema)
+
+
 def score_probed_lists(
     assigned: DataFrame,
     probes: list,

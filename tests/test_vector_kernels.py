@@ -139,6 +139,22 @@ def test_quantized_rescore_backends_identical(corpus, queries_df):
     assert a == b and len(a) > 0
 
 
+def test_semantic_pairs_backends_identical(corpus, centroids):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    a = _rows(
+        semantic_dedup_pairs(corpus, centroids, threshold=0.2, backend="arrow")
+    )
+    b = _rows(
+        semantic_dedup_pairs(
+            corpus, centroids, threshold=0.2, backend="builtin"
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_round_half_up_matches_spark_round(spark):
     """Adversarial values for the vectorized rounding: exact decimal .5
     boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
