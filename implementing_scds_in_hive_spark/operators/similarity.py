@@ -104,10 +104,54 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bit
     bucket, then scored exactly. Equi-join on the bucket key replaces the
-    cross join — the corpus shuffles once on bucket, queries broadcast."""
+    cross join — the corpus shuffles once on bucket, queries broadcast.
+
+    ``backend="arrow"`` (default, r14): the collected query set is
+    grouped by bucket and each corpus Arrow batch GEMM-scores only the
+    queries sharing its rows' buckets (the probed-list kernel with the
+    bucket as the list key) — the bucket join and per-pair interpreted
+    folds collapse into the scan-side pass; with batch-local top-k the
+    ranking window reads O(batches x |Q| x k) rows. The corpus never
+    shuffles at all."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            score_probed_lists,
+        )
+
+        q_fields = {f.name: f for f in queries.schema.fields}
+        q_rows = queries.select(
+            query_id_col,
+            F.col(vec_col),
+            sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        ).collect()
+        q_rows.sort(key=lambda r: r[0])
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        )
+        scored = score_probed_lists(
+            c,
+            [(r[0], r[2], r[1]) for r in q_rows],
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col="__bucket",
+            query_id_col=query_id_col,
+            query_id_type=q_fields[query_id_col].dataType,
+            prune_k=k,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rank")
+        )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -487,9 +531,31 @@ def embedding_near_duplicates(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine >= threshold) with sign-bit
-    LSH blocking: only pairs in the same bucket are scored."""
+    LSH blocking: only pairs in the same bucket are scored.
+
+    ``backend="arrow"`` (default, r14): one grouped GEMM per bucket
+    (the SemDeDup pair kernel with the bucket as the group key) — one
+    shuffle instead of a self-join's two."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            pairs_within_groups,
+        )
+
+        b = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bits_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        )
+        return pairs_within_groups(
+            b,
+            group_col="__bucket",
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+        )
     b = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -956,6 +1022,7 @@ def projected_rescore_topk(
     query_id_col: str = "query_id",
     proj_col: str = "rvec",
     proj_norm_col: str = "rnorm",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Generic coarse-then-exact two-stage ANN over ANY low-dim
     projection: rank by 6-dp-rounded cosine in the projected space,
@@ -968,6 +1035,32 @@ def projected_rescore_topk(
     Same contracts as the other tiers: shortlist >= |corpus| degrades
     to exact brute force; deterministic id tie-breaks."""
     m = shortlist or 4 * k
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            score_against_queries,
+        )
+
+        coarse = score_against_queries(
+            corpus_proj,
+            queries_proj,
+            id_col=id_col,
+            vec_col=proj_col,
+            query_id_col=query_id_col,
+            out_col="__coarse",
+            prune_k=m,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("__coarse").desc(), F.col(id_col)
+        )
+        short = (
+            coarse.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= m)
+            .select(query_id_col, id_col)
+        )
+        return _exact_rescore_topk(
+            short, corpus, queries,
+            k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        )
     qrp = queries_proj.select(
         F.col(query_id_col),
         F.col(proj_col).alias("__qr"),

@@ -155,6 +155,44 @@ def test_semantic_pairs_backends_identical(corpus, centroids):
     assert a == b and len(a) > 0
 
 
+def test_lsh_bucketed_backends_identical(corpus, queries_df):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    a = _rows(lsh_bucketed_topk(corpus, queries_df, k=6, n_bits=4, backend="arrow"))
+    b = _rows(lsh_bucketed_topk(corpus, queries_df, k=6, n_bits=4, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
+def test_near_duplicates_backends_identical(corpus):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    # the synthetic corpus plants exact duplicates -> pairs at 0.999
+    a = _rows(embedding_near_duplicates(corpus, threshold=0.999, n_bits=4, backend="arrow"))
+    b = _rows(embedding_near_duplicates(corpus, threshold=0.999, n_bits=4, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
+def test_projected_rescore_backends_identical(corpus, queries_df):
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        projected_rescore_topk,
+        rp_project_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    cp = rp_project_corpus(corpus, dim_in=16, dim_out=8)
+    qp = rp_project_corpus(
+        queries_df.select(F.col("query_id").alias("vec_id"), "embedding"),
+        dim_in=16, dim_out=8,
+    ).select(F.col("vec_id").alias("query_id"), "rvec", "rnorm")
+    a = _rows(projected_rescore_topk(corpus, queries_df, cp, qp, k=5, backend="arrow"))
+    b = _rows(projected_rescore_topk(corpus, queries_df, cp, qp, k=5, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
 def test_round_half_up_matches_spark_round(spark):
     """Adversarial values for the vectorized rounding: exact decimal .5
     boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
