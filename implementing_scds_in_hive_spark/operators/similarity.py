@@ -463,9 +463,10 @@ def kmeans_refine(
     """Lloyd's k-means refinement of IVF centroids — the iterative
     algorithm face of the engine.
 
-    Per iteration: one assignment pass (broadcast centroids, corpus
-    streams once — ivf_assign) + one element-wise mean (posexplode →
-    (centroid, dim) partial-avg → regroup). Centroids are collected to
+    Per iteration: one assignment pass (ivf_assign — the r14 arrow
+    default makes it a map-only batch-GEMM pass; corpus streams once
+    either way) + one element-wise mean (posexplode → (centroid, dim)
+    partial-avg → regroup). Centroids are collected to
     the driver between iterations: they are small by construction
     (K rows), and re-creating the DataFrame truncates the lineage so the
     plan does not nest across iterations — the standard Spark pattern
