@@ -680,6 +680,7 @@ def knn_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    backend: str = "arrow",
 ) -> DataFrame:
     """KNN self-join with IVF cell blocking: each vector's candidate set
     is the union of its ``nprobe`` nearest centroids' inverted lists;
@@ -693,12 +694,68 @@ def knn_join_ivf(
     build, the amortized path. One equi-join on centroid id; candidate
     volume is sum over cells of |cell| * |probes into cell| — balanced
     cells (k-means) bound the quadratic term that sign-bit buckets
-    cannot."""
+    cannot.
+
+    ``backend="arrow"`` (default, r15): the probe ranking becomes a
+    map-only Arrow pass (one GEMM per batch + per-row top-nprobe under
+    the window's own (sim desc, cid asc) order — the last
+    interpreted-fold hot path in the vector family), and the
+    probe-list scoring becomes a cogrouped per-cell GEMM
+    (:func:`~.vector_kernels.knn_between_cells`) with cell-local top-k
+    pruning, so the final window reads O(|corpus| * nprobe * k) rows
+    instead of the full candidate volume. Two exchanges total (both
+    cogroup sides keyed by cell) versus the built-in path's probe
+    window exchange (nprobe embedding copies), join exchanges, and
+    per-pair interpreted folds. Identical rows: rounded-6 scores are
+    bitwise-equal (kernel-module contract) and every ranking uses the
+    same total order. ``backend="builtin"`` keeps the pure-JVM plan."""
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            assign_top_probes,
+            knn_between_cells,
+        )
+
+        probes = assign_top_probes(
+            corpus,
+            centroids,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+        )
+        if centroid_id_col in corpus.columns:
+            lists = corpus
+        else:
+            lists = ivf_assign(
+                corpus,
+                centroids,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+                backend="arrow",
+            )
+        scored = knn_between_cells(
+            probes,
+            lists,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=centroid_id_col,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "cos_sim", "rank")
+        )
     if centroid_id_col in corpus.columns:
         assigned = corpus
     else:
         assigned = ivf_assign(
-            corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+            corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col,
+            backend=backend,
         )
     c = F.broadcast(
         centroids.select(

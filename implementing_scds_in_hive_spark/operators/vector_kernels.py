@@ -59,8 +59,19 @@ __all__ = [
     "collect_vectors",
     "score_against_queries",
     "assign_nearest",
+    "assign_top_probes",
     "score_probed_lists",
+    "knn_between_cells",
 ]
+
+# Row-block width for the grouped/cogrouped GEMM kernels: a hot bucket
+# of B vectors scores as ceil(B / block) GEMMs of (block x B) instead of
+# one dense B x B matrix, bounding per-task float64 scratch at
+# block * B * 8 bytes (plus the B x dim group itself) while computing
+# identical results — each row's top-k/threshold emit depends only on
+# its own row of the similarity matrix, so slicing rows changes nothing
+# (guide §5: per-task state is what OOMs workers, not candidate count).
+_ROW_BLOCK = 4096
 
 
 def round_half_up(arr: np.ndarray, decimals: int = 6) -> np.ndarray:
@@ -299,6 +310,174 @@ def assign_nearest(
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def _knn_self_topk_blocks(ids, e, k, block):
+    """Pure-NumPy core of :func:`knn_within_buckets`: yields
+    (owner_ids, neighbor_ids, sims, ranks) per row-block. Each owner's
+    top-k (sim desc, neighbor id asc; self excluded by POSITION) reads
+    only its own row of the similarity matrix, so scoring ``block`` rows
+    at a time against the full group is result-identical to the dense
+    BxB matrix while bounding scratch at block*B float64."""
+    n = len(ids)
+    en = np.sqrt((e * e).sum(axis=1))
+    take = min(k, n - 1)
+    ranks = np.arange(1, take + 1, dtype=np.int32)
+    for s in range(0, n, block):
+        eb = e[s : s + block]
+        m = len(eb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = round_half_up(np.matmul(eb, e.T) / np.outer(en[s : s + m], en))
+        key = -sims
+        key[np.arange(m), s + np.arange(m)] = np.inf  # self sorts last
+        owner = np.repeat(np.arange(m), n)
+        order = np.lexsort((np.tile(ids, m), key.ravel(), owner))
+        picks = order.reshape(m, n)[:, :take].ravel()
+        yield (
+            ids[s + picks // n],
+            ids[picks % n],
+            sims.ravel()[picks],
+            np.tile(ranks, m),
+        )
+
+
+def assign_top_probes(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """Per-vector top-``nprobe`` centroid assignment as a map-only pass
+    (the multi-probe generalization of :func:`assign_nearest`): each
+    Arrow batch GEMM-scores against the collected centroid matrix and
+    emits the vector once per probed cell, ranked by (6-dp-rounded sim
+    desc, centroid id asc) — the exact total order of the built-in
+    probe-ranking window, so the probe SET is identical. Replaces a
+    |corpus| x K interpreted-fold crossjoin plus a ranking window that
+    shuffles nprobe copies of every embedding."""
+    cids, cm, cnorms, cid_field, _ = collect_vectors(
+        centroids, centroid_id_col, vec_col
+    )
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = StructType(
+        [
+            fields[id_col],
+            fields[vec_col],
+            StructField(centroid_id_col, cid_field.dataType, cid_field.nullable),
+        ]
+    )
+    take = min(nprobe, len(cids))
+
+    def probe(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or take == 0:
+                continue
+            e = _as_matrix(pdf[vec_col], f"assign_top_probes({vec_col})")
+            en = np.sqrt((e * e).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(np.matmul(e, cm.T) / np.outer(en, cnorms))
+            # centroid matrix is sorted by id ascending, so a STABLE
+            # argsort of -sims breaks rounded-score ties toward the
+            # lowest centroid id — the window's (sim desc, cid asc)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            rep = np.repeat(np.arange(n), take)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rep],
+                    vec_col: pdf[vec_col].to_numpy()[rep],
+                    centroid_id_col: cids[order.ravel()],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(probe, schema)
+
+
+def knn_between_cells(
+    probes: DataFrame,
+    lists: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    out_id_col: str = "vec_id",
+    neighbor_id_col: str = "neighbor_id",
+    out_col: str = "cos_sim",
+    block: int = _ROW_BLOCK,
+) -> DataFrame:
+    """Two-sided grouped GEMM over IVF cells (the pair kernel
+    generalized to query-group x corpus-group): cogroup ``probes``
+    (vectors replicated into their probed cells) with ``lists`` (the
+    one-cell assignment) on ``cell_col``; per cell, score probe
+    row-blocks against the cell's member matrix with one GEMM each and
+    emit every probe's cell-local top-k under (sim desc, neighbor id
+    asc), self-pairs excluded. A vector's global top-k is a subset of
+    the union of its per-cell top-k under the same total order (its
+    candidates partition across its probed cells), so the caller's
+    final ranking window sees every winning row while reading
+    O(|probes| * k) instead of the full candidate volume. Scratch is
+    O(block * |cell|) float64 per task."""
+    fields = {f.name: f for f in probes.schema.fields}
+    id_field = fields[id_col]
+    schema = StructType(
+        [
+            StructField(out_id_col, id_field.dataType, id_field.nullable),
+            StructField(neighbor_id_col, id_field.dataType, id_field.nullable),
+            StructField(out_col, DoubleType(), True),
+        ]
+    )
+    empty = pd.DataFrame({out_id_col: [], neighbor_id_col: [], out_col: []})
+
+    def cell(left, right):
+        nl, nr = len(left), len(right)
+        if nl == 0 or nr == 0:
+            return empty
+        r = _as_matrix(right[vec_col], f"knn_between_cells({vec_col})")
+        rn = np.sqrt((r * r).sum(axis=1))
+        rids = right[id_col].to_numpy()
+        lids_all = left[id_col].to_numpy()
+        parts = []
+        for s in range(0, nl, block):
+            eb = _as_matrix(
+                left[vec_col].iloc[s : s + block],
+                f"knn_between_cells({vec_col})",
+            )
+            m = len(eb)
+            lids = lids_all[s : s + m]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(
+                    np.matmul(eb, r.T) / np.outer(np.sqrt((eb * eb).sum(axis=1)), rn)
+                )
+            key = -sims
+            key[lids[:, None] == rids[None, :]] = np.inf  # self sorts last
+            owner = np.repeat(np.arange(m), nr)
+            order = np.lexsort((np.tile(rids, m), key.ravel(), owner))
+            take = min(k, nr)
+            picks = order.reshape(m, nr)[:, :take].ravel()
+            good = np.isfinite(key.ravel()[picks])  # drop self-pair fill
+            picks = picks[good]
+            if len(picks):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            out_id_col: lids[picks // nr],
+                            neighbor_id_col: rids[picks % nr],
+                            out_col: sims.ravel()[picks],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return (
+        probes.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .cogroup(lists.select(cell_col, id_col, vec_col).groupBy(cell_col))
+        .applyInPandas(cell, schema)
+    )
+
+
 def knn_within_buckets(
     bucketed: DataFrame,
     *,
@@ -306,20 +485,22 @@ def knn_within_buckets(
     id_col: str,
     vec_col: str,
     bucket_col: str = "__bucket",
+    block: int = _ROW_BLOCK,
 ) -> DataFrame:
     """Bucket-blocked KNN self-join as ONE grouped Arrow pass: each
-    bucket group computes its BxB cosine matrix with a single GEMM and
-    extracts every row's top-k (sim desc, neighbor id asc; self
-    excluded) — replacing the bucket-keyed self-join (TWO shuffles of
-    the vectors) + per-pair interpreted folds + ranking window with one
-    shuffle and BLAS. Identical rows: scores round through
+    bucket group GEMM-scores ``block`` rows at a time against the whole
+    bucket and extracts every row's top-k (sim desc, neighbor id asc;
+    self excluded) — replacing the bucket-keyed self-join (TWO shuffles
+    of the vectors) + per-pair interpreted folds + ranking window with
+    one shuffle and BLAS. Identical rows: scores round through
     :func:`round_half_up` and the extraction order is the window's own
     total order.
 
-    Memory is O(B^2) per bucket — the same candidate volume the join
-    formulation scores, held as one float64 matrix; the operator-level
-    skew warning (prefer k-means cells over sign-bit buckets at scale)
-    applies unchanged."""
+    Scratch memory is O(block * B) per bucket (r15; the r14 dense BxB
+    matrix OOM-risked a worker on one hot sign-bit bucket — guide §5);
+    the candidate VOLUME scored is unchanged from the join formulation,
+    and the operator-level skew warning (prefer k-means cells over
+    sign-bit buckets at scale) applies unchanged."""
     fields = {f.name: f for f in bucketed.schema.fields}
     id_field = fields[id_col]
     schema = StructType(
@@ -339,28 +520,40 @@ def knn_within_buckets(
         if n < 2:
             return empty
         e = _as_matrix(pdf[vec_col], f"knn_within_buckets({vec_col})")
-        en = np.sqrt((e * e).sum(axis=1))
         ids = pdf[id_col].to_numpy()
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = round_half_up(np.matmul(e, e.T) / np.outer(en, en))
-        key = -sims
-        np.fill_diagonal(key, np.inf)  # self-pair sorts last, never top-k
-        owner = np.repeat(np.arange(n), n)
-        order = np.lexsort((np.tile(ids, n), key.ravel(), owner))
-        take = min(k, n - 1)
-        picks = order.reshape(n, n)[:, :take].ravel()
-        return pd.DataFrame(
-            {
-                id_col: ids[picks // n],
-                "neighbor_id": ids[picks % n],
-                "cos_sim": sims.ravel()[picks],
-                "rank": np.tile(np.arange(1, take + 1, dtype=np.int32), n),
-            }
-        )
+        parts = [
+            pd.DataFrame(
+                {id_col: o, "neighbor_id": nb, "cos_sim": sv, "rank": rk}
+            )
+            for o, nb, sv, rk in _knn_self_topk_blocks(ids, e, k, block)
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return bucketed.select(id_col, vec_col, bucket_col).groupBy(
         bucket_col
     ).applyInPandas(topk, schema)
+
+
+def _pairs_threshold_blocks(ids, e, threshold, block):
+    """Pure-NumPy core of :func:`pairs_within_groups`: yields
+    (id_a, id_b, sims) per row-block of the upper triangle (``ids`` must
+    be sorted ascending). Row-major emission over sequential row-blocks
+    reproduces the dense path's np.triu_indices order exactly while
+    bounding scratch at block*B float64 instead of BxB."""
+    n = len(ids)
+    en = np.sqrt((e * e).sum(axis=1))
+    cols = np.arange(n)
+    for s in range(0, n - 1, block):
+        eb = e[s : s + block]
+        m = len(eb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = round_half_up(np.matmul(eb, e.T) / np.outer(en[s : s + m], en))
+        upper = cols[None, :] > (s + np.arange(m))[:, None]
+        with np.errstate(invalid="ignore"):
+            keep = upper & (sims >= threshold)
+        ia, ib = np.nonzero(keep)  # row-major == triu_indices order
+        if len(ia):
+            yield ids[s + ia], ids[ib], sims[ia, ib]
 
 
 def pairs_within_groups(
@@ -371,14 +564,16 @@ def pairs_within_groups(
     vec_col: str,
     threshold: float,
     out_col: str = "cos_sim",
+    block: int = _ROW_BLOCK,
 ) -> DataFrame:
     """Within-group similar pairs (the SemDeDup shape) as ONE grouped
-    Arrow pass: per group, a single GEMM scores the block and the upper
-    triangle (rows sorted by id, so id_a < id_b) is thresholded on the
-    6-decimal-rounded cosine — replacing the group-keyed self-join (two
-    shuffles + per-pair interpreted folds) with one shuffle and BLAS.
-    Memory is O(B^2) per group, the same candidate volume the join
-    scores."""
+    Arrow pass: per group, GEMM-score ``block`` rows at a time against
+    the whole group and threshold-emit the upper triangle (rows sorted
+    by id, so id_a < id_b) on the 6-decimal-rounded cosine — replacing
+    the group-keyed self-join (two shuffles + per-pair interpreted
+    folds) with one shuffle and BLAS. Scratch memory is O(block * B)
+    per group (r15 — was a dense BxB matrix; guide §5); the candidate
+    volume scored is the same as the join's."""
     fields = {f.name: f for f in assigned.schema.fields}
     id_field = fields[id_col]
     schema = StructType(
@@ -399,15 +594,11 @@ def pairs_within_groups(
         e = _as_matrix(
             pdf[vec_col].iloc[order], f"pairs_within_groups({vec_col})"
         )
-        en = np.sqrt((e * e).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = round_half_up(np.matmul(e, e.T) / np.outer(en, en))
-        ia, ib = np.triu_indices(n, k=1)
-        vals = sims[ia, ib]
-        keep = vals >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], out_col: vals[keep]}
-        )
+        parts = [
+            pd.DataFrame({"id_a": a, "id_b": b, out_col: v})
+            for a, b, v in _pairs_threshold_blocks(ids, e, threshold, block)
+        ]
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return assigned.select(group_col, id_col, vec_col).groupBy(
         group_col

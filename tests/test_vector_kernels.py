@@ -193,6 +193,96 @@ def test_projected_rescore_backends_identical(corpus, queries_df):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.parametrize("nprobe", [1, 2])
+def test_knn_join_ivf_backends_identical(corpus, centroids, nprobe):
+    from implementing_scds_in_hive_spark.operators.similarity import knn_join_ivf
+
+    a = _rows(knn_join_ivf(corpus, centroids, k=4, nprobe=nprobe, backend="arrow"))
+    b = _rows(knn_join_ivf(corpus, centroids, k=4, nprobe=nprobe, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
+def test_knn_join_ivf_preassigned_matches(corpus, centroids):
+    from implementing_scds_in_hive_spark.operators.similarity import knn_join_ivf
+
+    assigned = ivf_assign(corpus, centroids, backend="arrow")
+    a = _rows(knn_join_ivf(assigned, centroids, k=4, nprobe=2, backend="arrow"))
+    b = _rows(knn_join_ivf(corpus, centroids, k=4, nprobe=2, backend="builtin"))
+    assert a == b and len(a) > 0
+
+
+def _skewed_group(n=3000, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    e = rng.normal(size=(n, dim))
+    return ids, e
+
+
+def _collect_blocks(gen):
+    parts = list(gen)
+    return tuple(
+        np.concatenate([p[i] for p in parts]) for i in range(len(parts[0]))
+    )
+
+
+def test_knn_blocks_match_dense_path():
+    """Row-block chunking is result-identical (values AND emission
+    order) to the dense whole-group matrix it replaced."""
+    from implementing_scds_in_hive_spark.operators.vector_kernels import (
+        _knn_self_topk_blocks,
+    )
+
+    ids, e = _skewed_group(n=503)
+    dense = _collect_blocks(_knn_self_topk_blocks(ids, e, 5, block=10**9))
+    chunked = _collect_blocks(_knn_self_topk_blocks(ids, e, 5, block=37))
+    for d, c in zip(dense, chunked):
+        assert np.array_equal(d, c)
+
+
+def test_pairs_blocks_match_dense_path():
+    from implementing_scds_in_hive_spark.operators.vector_kernels import (
+        _pairs_threshold_blocks,
+    )
+
+    ids, e = _skewed_group(n=503)
+    dense = _collect_blocks(_pairs_threshold_blocks(ids, e, 0.3, block=10**9))
+    chunked = _collect_blocks(_pairs_threshold_blocks(ids, e, 0.3, block=37))
+    assert len(dense[0]) > 0
+    for d, c in zip(dense, chunked):
+        assert np.array_equal(d, c)
+
+
+def test_grouped_kernel_memory_is_row_block_bounded():
+    """A hot skewed bucket must not materialize the BxB float64 matrix
+    in one task (guide §5 — the r14 dense path's OOM risk): peak NumPy
+    allocation of the chunked core stays near block*B, an order of
+    magnitude under B*B."""
+    import tracemalloc
+
+    from implementing_scds_in_hive_spark.operators.vector_kernels import (
+        _knn_self_topk_blocks,
+        _pairs_threshold_blocks,
+    )
+
+    ids, e = _skewed_group(n=4000)
+    # ONE dense BxB float64 matrix is 128 MB; the r14 path held ~9x that
+    # across sims/key/rounding temporaries. The chunked core must peak
+    # under even the single dense matrix (measured ~75 MB at block=256,
+    # ~9x the 8.2 MB block matrix — same temporary factor, block-scaled).
+    dense_matrix_bytes = 4000 * 4000 * 8
+    tracemalloc.start()
+    for _ in _knn_self_topk_blocks(ids, e, 5, block=256):
+        pass
+    _, peak_knn = tracemalloc.get_traced_memory()
+    tracemalloc.reset_peak()
+    for _ in _pairs_threshold_blocks(ids, e, 0.9, block=256):
+        pass
+    _, peak_pairs = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak_knn < dense_matrix_bytes, peak_knn
+    assert peak_pairs < dense_matrix_bytes, peak_pairs
+
+
 def test_round_half_up_matches_spark_round(spark):
     """Adversarial values for the vectorized rounding: exact decimal .5
     boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
