@@ -459,14 +459,14 @@ def kmeans_refine(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     exact_mean: bool = False,
+    mean_backend: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of IVF centroids — the iterative
     algorithm face of the engine.
 
     Per iteration: one assignment pass (ivf_assign — the r14 arrow
     default makes it a map-only batch-GEMM pass; corpus streams once
-    either way) + one element-wise mean (posexplode → (centroid, dim)
-    partial-avg → regroup). Centroids are collected to
+    either way) + one element-wise mean. Centroids are collected to
     the driver between iterations: they are small by construction
     (K rows), and re-creating the DataFrame truncates the lineage so the
     plan does not nest across iterations — the standard Spark pattern
@@ -479,10 +479,68 @@ def kmeans_refine(
     deterministic) replayable row-for-row by the chained-CTE DuckDB
     oracle (KMEANS_SQL). The default float path is marginally cheaper
     and fine when centroids only feed an approximate index.
+
+    ``mean_backend`` (r15): with ``exact_mean``, the default
+    ``"arrow"`` fuses assignment AND the exact mean into ONE map-only
+    Arrow pass per iteration (vector_kernels.assign_mean_partials):
+    each task emits per-centroid integer decimal(·,10) partial sums —
+    associative, so the driver-side merge is bit-identical to the
+    posexplode → decimal-sum aggregation — and the iteration's
+    posexplode exchange plus its second Python crossing disappear.
+    ``"builtin"`` keeps the posexplode → (centroid, dim) partial-agg
+    JVM plan. The FLOAT mean path always stays builtin: float partial
+    sums are partition-order-defined, so an Arrow re-summation could
+    legitimately differ in the last ulp — not worth destabilizing
+    fixtures for a stage the r14 audit measured as tiny.
     """
     spark = corpus.sparkSession
     cent = init_centroids.select(F.col(centroid_id_col), F.col(vec_col))
     dim_type = dict(corpus.dtypes)[vec_col]
+    if mean_backend is None:
+        mean_backend = "arrow" if exact_mean else "builtin"
+    if exact_mean and mean_backend == "arrow":
+        from fractions import Fraction
+
+        import numpy as np
+
+        from implementing_scds_in_hive_spark.operators.vector_kernels import (
+            assign_mean_partials,
+        )
+
+        cid_type = dict(init_centroids.dtypes)[centroid_id_col]
+        schema = f"`{centroid_id_col}` {cid_type}, `{vec_col}` {dim_type}"
+        narrow = dim_type == "array<float>"
+        for _ in range(n_iter):
+            acc: dict = {}
+            for r in assign_mean_partials(
+                corpus,
+                cent,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroid_id_col=centroid_id_col,
+            ).collect():
+                got = acc.setdefault(r[0], [[0] * len(r[1]), 0])
+                got[0] = [a + int(s) for a, s in zip(got[0], r[1])]
+                got[1] += r[2]
+            data = []
+            for cid in sorted(acc):
+                sums, cnt = acc[cid]
+                # cast(sum_decimal as double): correctly rounded (both
+                # BigDecimal.doubleValue and Fraction.__float__), then
+                # ONE IEEE divide — the builtin expression's exact ops
+                vec = [float(Fraction(s, 10**10)) / cnt for s in sums]
+                if narrow:
+                    vec = [float(np.float32(v)) for v in vec]
+                data.append((cid, vec))
+            # empty-cluster repair: carry the previous centroid forward
+            # (same rationale as the builtin branch below)
+            data += [
+                (r[centroid_id_col], r[vec_col])
+                for r in cent.collect()
+                if r[centroid_id_col] not in acc
+            ]
+            cent = spark.createDataFrame(data, schema)
+        return cent
     if exact_mean:
         mean_expr = (
             F.sum(F.col("__x").cast("decimal(27,10)")).cast("double")

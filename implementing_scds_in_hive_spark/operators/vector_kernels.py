@@ -310,6 +310,113 @@ def assign_nearest(
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def decimal10_ints(e: np.ndarray, what: str) -> np.ndarray:
+    """Each element as the EXACT integer of its decimal(·,10) cast —
+    the scaled value Spark's ``cast(x as decimal(27,10))`` produces
+    (shortest-double-repr BigDecimal, setScale(10, HALF_UP)).
+
+    Fast path: ``rint(x * 1e10)`` — correct whenever the scaled value
+    is not near a .5 boundary, because the float multiply's error is
+    below half an ulp. Values whose scaled fraction sits within a
+    MAGNITUDE-AWARE window of .5 (8 ulps of the scaled value, floored
+    at 1e-6 — at scale 1e10 a fixed window misses boundaries the
+    multiply error can cross) are recomputed exactly through
+    ``decimal.Decimal`` on the shortest repr, java.math.BigDecimal's
+    model. Non-finite elements raise loudly (the JVM cast would
+    silently NULL them out of the sum)."""
+    if not np.isfinite(e).all():
+        raise ValueError(
+            f"{what}: embeddings must be finite for the exact decimal "
+            "mean (non-finite element found)"
+        )
+    scaled = e * 1e10
+    out = np.rint(scaled)
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    tol = np.maximum(1e-6, 8.0 * np.spacing(np.abs(scaled)))
+    suspect = frac < tol
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1)
+        flat = out.reshape(-1)
+        src = e.reshape(-1)
+        for i in np.nonzero(suspect.reshape(-1))[0]:
+            # scaleb is an exact exponent shift (no context rounding);
+            # the float() of the resulting integer is exact for
+            # |x| < ~9e5 (2^53 / 1e10) — far above embedding magnitudes
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).scaleb(10).quantize(q, ROUND_HALF_UP)
+            )
+    return out.astype(np.int64)
+
+
+def assign_mean_partials(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """One fused Lloyd-iteration pass: per Arrow batch, assign every
+    vector to its nearest centroid (identically to
+    :func:`assign_nearest`) and accumulate each centroid's EXACT
+    per-dimension decimal(·,10) sums as Python integers across the
+    whole task, emitting one tiny partial row (centroid_id, sums as
+    decimal strings, count) per centroid per task. Integer partials
+    combine associatively, so the driver-side merge reproduces the
+    posexplode -> decimal-sum aggregation bit-for-bit regardless of
+    partitioning — while the corpus crosses the Python boundary ONCE
+    and nothing wide ever reaches an exchange (the partial volume is
+    O(tasks * K) rows)."""
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    cids, cm, cnorms, cid_field, _ = collect_vectors(
+        centroids, centroid_id_col, vec_col
+    )
+    schema = StructType(
+        [
+            StructField(centroid_id_col, cid_field.dataType, cid_field.nullable),
+            StructField("__sums", ArrayType(StringType()), False),
+            StructField("__cnt", LongType(), False),
+        ]
+    )
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = _as_matrix(pdf[vec_col], f"assign_mean_partials({vec_col})")
+            en = np.sqrt((e * e).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = round_half_up(np.matmul(e, cm.T) / np.outer(en, cnorms))
+            best = cids[np.argmax(sims, axis=1)]
+            ints = decimal10_ints(e, f"assign_mean_partials({vec_col})")
+            for cid in pd.unique(best):
+                at = best == cid
+                # per-batch int64 block sum is exact (batch_rows * 1e11
+                # << 2^63); the cross-batch accumulator is Python ints
+                block = ints[at].sum(axis=0)
+                got = acc.get(cid)
+                if got is None:
+                    acc[cid] = [[int(v) for v in block], int(at.sum())]
+                else:
+                    got[0] = [a + int(b) for a, b in zip(got[0], block)]
+                    got[1] += int(at.sum())
+        if acc:
+            keys = sorted(acc)
+            yield pd.DataFrame(
+                {
+                    centroid_id_col: keys,
+                    "__sums": [[str(v) for v in acc[c][0]] for c in keys],
+                    "__cnt": [acc[c][1] for c in keys],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(partials, schema)
+
+
 def _knn_self_topk_blocks(ids, e, k, block):
     """Pure-NumPy core of :func:`knn_within_buckets`: yields
     (owner_ids, neighbor_ids, sims, ranks) per row-block. Each owner's

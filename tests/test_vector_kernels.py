@@ -283,6 +283,65 @@ def test_grouped_kernel_memory_is_row_block_bounded():
     assert peak_pairs < dense_matrix_bytes, peak_pairs
 
 
+def test_decimal10_ints_matches_spark_decimal_cast(spark):
+    """The exact-mean kernel's scaled-integer quantization must replay
+    Spark's cast(x as decimal(27,10)) including .5-boundary values at
+    the 11th digit, where the float multiply's error exceeds a fixed
+    suspect window (hence the magnitude-aware one)."""
+    import random
+    from decimal import Decimal
+
+    from implementing_scds_in_hive_spark.operators.vector_kernels import (
+        decimal10_ints,
+    )
+
+    rng = random.Random(42)
+    vals = [
+        0.00000000005, -0.00000000005, 0.00000000015, -0.00000000015,
+        1.5e-11, 2.5e-11, 0.12345678905, -0.12345678905, 1.23456789015,
+        -1e-12, 1e-12, 0.0, -0.0, 1.0, -1.0,
+        9.99999999995, -9.99999999995, 123.45678901235, 4999.99999999995,
+    ]
+    vals += [rng.uniform(-10, 10) for _ in range(2000)]
+    vals += [float(np.float32(rng.uniform(-1, 1))) for _ in range(2000)]
+    got = decimal10_ints(np.array(vals, dtype=np.float64), "t")
+    want = [
+        int(Decimal(r[0]).scaleb(10))
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.col("x").cast("decimal(27,10)").cast("string"))
+        .collect()
+    ]
+    for v, g, w in zip(vals, got, want):
+        assert int(g) == w, (v, int(g), w)
+    with pytest.raises(ValueError, match="finite"):
+        decimal10_ints(np.array([1.0, float("nan")]), "t")
+
+
+def test_kmeans_exact_mean_backends_identical(spark, corpus):
+    """The fused assign+mean Arrow pass must reproduce the posexplode →
+    decimal-sum means bit-for-bit (integer partials are associative, so
+    partitioning cannot perturb them), including the float32 round-trip
+    and empty-cluster carry-forward."""
+    from implementing_scds_in_hive_spark.operators.similarity import kmeans_refine
+
+    seed = corpus.where(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = sorted(
+        (r[0], list(r[1]))
+        for r in kmeans_refine(
+            corpus, seed, n_iter=2, exact_mean=True, mean_backend="arrow"
+        ).collect()
+    )
+    b = sorted(
+        (r[0], list(r[1]))
+        for r in kmeans_refine(
+            corpus, seed, n_iter=2, exact_mean=True, mean_backend="builtin"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_round_half_up_matches_spark_round(spark):
     """Adversarial values for the vectorized rounding: exact decimal .5
     boundaries at the 7th digit (np.round alone rounds HALF_EVEN),
