@@ -270,12 +270,26 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_perm: int = 32,
+    backend: str = "builtin",
 ) -> DataFrame:
     """MinHash signature per document: permutation i is
     xxhash64(i, shingle-hash); the signature element is the min over
     shingles. Computed shuffle-free with array_min over the in-row
-    shingle array — no explode, no groupBy."""
+    shingle array — no explode, no groupBy.
+
+    ``backend="arrow"`` (default, r15) batches the num_perm x |sh|
+    interpreted lambda tower into vectorized uint64 passes per Arrow
+    batch (operators/hash_kernels.py — bit-exact xxhash64 replay,
+    pinned against F.xxhash64); the leaf token/string hashing stays in
+    the codegen'd scan either way. ``backend="builtin"`` keeps the
+    pure-JVM expression."""
     sh = shingled_hashes(docs, id_col, text_col, n=n)
+    if backend == "arrow":
+        from implementing_scds_in_hive_spark.operators.hash_kernels import (
+            minhash_sig,
+        )
+
+        return minhash_sig(sh, num_perm=num_perm)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
@@ -342,6 +356,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     cache_handles: list[DataFrame] | None = None,
+    backend: str = "builtin",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified exactly.
 
@@ -362,15 +377,31 @@ def minhash_lsh_pairs(
     sh = _pin_reused(
         shingled_hashes(docs, id_col, text_col, n=n), cache_handles
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
-    )
-    banded = (
-        sh.select("did", sig.alias("sig"))
-        .select("did", F.explode(_band_buckets(num_perm, bands)).alias("bb"))
-        .select("did", "bb.band", "bb.bucket")
-    )
+    if backend == "arrow":
+        # the interpreted num_perm x |sh| tower plus the per-band
+        # bucket fold become one map-only Arrow pass (hash_kernels;
+        # r15 — same plan otherwise, the signature/banding stage had
+        # no exchange in either backend)
+        from implementing_scds_in_hive_spark.operators.hash_kernels import (
+            minhash_banded,
+        )
+
+        banded = minhash_banded(
+            sh,
+            num_perm=num_perm,
+            bands=bands,
+            rows_per_band=_validate_lsh_params(num_perm, bands),
+        )
+    else:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(F.transform("sh", lambda h: F.xxhash64(i, h))),
+        )
+        banded = (
+            sh.select("did", sig.alias("sig"))
+            .select("did", F.explode(_band_buckets(num_perm, bands)).alias("bb"))
+            .select("did", "bb.band", "bb.bucket")
+        )
     return _verify_candidates(sh, banded, threshold)
 
 
