@@ -979,6 +979,9 @@ def quantized_rescore_topk(
             id_col=id_col,
             query_id_col=query_id_col,
             prune_k=m,
+            query_id_type={f.name: f for f in qq.schema.fields}[
+                query_id_col
+            ].dataType,
         )
     else:
         coarse_scored = corpus_q.select(

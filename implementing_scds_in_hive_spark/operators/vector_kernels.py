@@ -16,10 +16,14 @@ Equality contract (these kernels back hash-compared oracle slots):
   doubles can differ from the JVM fold in the last ulp or two. Every
   score consumer rounds to 6 decimals *before* any ranking or
   comparison (the module convention in operators/similarity.py), and
-  the rounded scores are verified bitwise-identical against the
-  built-in fold on every graded fixture (0 mismatches over all pairs at
-  sf0.001/0.01/0.1 — tests/test_vector_kernels.py pins backend
-  equality; the driver oracle gate re-proves it per slot).
+  the rounded scores are VERIFIED EQUAL on every graded fixture
+  (0 mismatches over all pairs at sf0.001/0.01/0.1 —
+  tests/test_vector_kernels.py pins backend equality; the driver
+  oracle gate re-proves it per slot). That is strong evidence, not a
+  proof: a reassociated sum can in principle land on the far side of a
+  .5e-6 rounding boundary from the fold's sum (r14 ADVICE), which
+  rounding replay cannot repair — the oracle gate is the standing
+  backstop for exactly that event.
 * :func:`round_half_up` replays Spark's exact ``round()`` semantics
   (shortest-decimal-repr HALF_UP via java.math.BigDecimal): a
   vectorized ``np.round`` fast path, a ``decimal.Decimal`` fix-up for
@@ -125,8 +129,23 @@ def _as_matrix(vectors, what: str) -> np.ndarray:
 def collect_vectors(df: DataFrame, id_col: str, vec_col: str):
     """Collect a small-by-contract vector table, sorted by id ascending
     (the argmax tie-break order). Returns (ids int64[], matrix float64
-    [n, dim], norms float64[n], id_field, vec_field)."""
+    [n, dim], norms float64[n], id_field, vec_field).
+
+    Ids are carried as int64, so only integral id columns are accepted
+    — a float/string id would silently mis-sort or crash deep inside a
+    kernel (r14 ADVICE); fail loudly here instead, mirroring
+    _as_matrix. The builtin backends have no such restriction."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     fields = {f.name: f for f in df.schema.fields}
+    if not isinstance(
+        fields[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"collect_vectors({id_col}): the arrow backend requires an "
+            f"integral id column (got {fields[id_col].dataType.simpleString()}); "
+            "use backend='builtin' for other id types"
+        )
     rows = df.select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -138,7 +157,13 @@ def collect_vectors(df: DataFrame, id_col: str, vec_col: str):
 def _batch_topk(qids, ids, sims, k):
     """Per-query top-k of a batch's candidate triples under the module's
     total order (sim desc, id asc) — exact pruning: any globally-top-k
-    row is also batch-top-k under the same total order."""
+    row is also batch-top-k under the same total order.
+
+    FINITE scores only (module precondition): NumPy's lexsort ranks NaN
+    worst while Spark's DESC ordering ranks NaN greatest, so a zero-norm
+    embedding (NaN cosine) would be pruned here yet win the builtin
+    ranking — unlike ragged/NULL vectors, which _as_matrix rejects
+    loudly (r14 ADVICE documents the asymmetry)."""
     keep = np.zeros(len(qids), dtype=bool)
     for q in np.unique(qids):
         at = np.nonzero(qids == q)[0]
@@ -212,6 +237,7 @@ def score_quantized_coarse(
     query_id_col: str = "query_id",
     out_col: str = "__coarse",
     prune_k: int | None = None,
+    query_id_type=None,
 ) -> DataFrame:
     """Coarse int8 scoring: one exact int64 GEMM per Arrow batch against
     the collected quantized query set (``query_rows`` = [(query_id,
@@ -219,14 +245,19 @@ def score_quantized_coarse(
     (int64 matmul == the JVM long fold — no reassociation concern), the
     single divide by the precomputed norms matches the built-in
     ``dot/(cn*qn)`` bit-for-bit, and rounding is :func:`round_half_up`.
-    The corpus-side ``qnorm`` column is reused, not recomputed."""
+    The corpus-side ``qnorm`` column is reused, not recomputed.
+
+    ``query_id_type``: the QUERIES' query_id DataType — pass it when the
+    two id spaces could diverge (int query ids vs long corpus ids would
+    otherwise fail the schema_match gate, r14 ADVICE); defaults to the
+    corpus id type for back-compat."""
     qids = np.array([r[0] for r in query_rows], dtype=np.int64)
     qm = np.array([np.asarray(r[1], dtype=np.int64) for r in query_rows])
     qnorms = np.array([float(r[2]) for r in query_rows])
     id_field = {f.name: f for f in corpus_q.schema.fields}[id_col]
     schema = StructType(
         [
-            StructField(query_id_col, id_field.dataType, True),
+            StructField(query_id_col, query_id_type or id_field.dataType, True),
             StructField(id_col, id_field.dataType, id_field.nullable),
             StructField(out_col, DoubleType(), True),
         ]

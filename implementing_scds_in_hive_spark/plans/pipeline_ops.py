@@ -377,7 +377,13 @@ def q_corpus_select(spark, sf_dir):
     lang, quality, n_tokens; the text never crosses the exchange),
     which is the dominant saving at 100 TB where the text scan is the
     bill. Same rows by construction: both keep exactly the rows whose
-    doc_id equals the group minimum (oracle unchanged, gate-proven)."""
+    doc_id equals the group minimum (oracle unchanged, gate-proven) —
+    with ONE asymmetry worth naming (r14 ADVICE): the old left-semi
+    join on fp was null-rejecting, while the window keeps the
+    min-doc_id row of a NULL-fp group. Here NULL text also nulls
+    quality and lang_detected, so the filters below drop that row
+    either way; if the quality/lang filters ever loosened, pin the old
+    semantics with an explicit fp IS NOT NULL."""
     from implementing_scds_in_hive_spark.sources.registry import spread
 
     # the corpus arrives as one parquet file = one task; the scoring

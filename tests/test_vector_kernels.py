@@ -283,6 +283,41 @@ def test_grouped_kernel_memory_is_row_block_bounded():
     assert peak_pairs < dense_matrix_bytes, peak_pairs
 
 
+def test_collect_vectors_rejects_non_integral_ids(spark):
+    """The arrow kernels carry ids as int64; a string/float id must fail
+    loudly at collection instead of mis-sorting inside a kernel."""
+    from implementing_scds_in_hive_spark.operators.vector_kernels import (
+        collect_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        collect_vectors(df, "vec_id", "embedding")
+
+
+def test_quantized_coarse_query_id_type_follows_queries(spark):
+    """The coarse stage's query_id column must type from the QUERIES'
+    id, not the corpus id, when the two diverge (schema_match gate)."""
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        quantize_corpus,
+        quantized_rescore_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "query_id int, embedding array<double>"
+    )
+    cq = quantize_corpus(corpus)
+    out = quantized_rescore_topk(cq, corpus, queries, k=3, backend="arrow")
+    assert dict(out.dtypes)["query_id"] == "int"
+    assert out.count() == 3
+
+
 def test_decimal10_ints_matches_spark_decimal_cast(spark):
     """The exact-mean kernel's scaled-integer quantization must replay
     Spark's cast(x as decimal(27,10)) including .5-boundary values at
