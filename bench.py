@@ -216,7 +216,7 @@ def main() -> None:
 
     for builder in (_build_stored_ivf, _build_snapshot_read,
                     _build_matview_refresh, _build_snapshot_vectored,
-                    _build_skew_merge):
+                    _build_skew_merge, _build_vector_ops):
         try:  # pragma: no cover - bench must always emit JSON
             _time_extra_group(builder(spark, sf_dir, n_runs))
         except Exception as e:
@@ -591,6 +591,47 @@ def _build_skew_merge(spark, sf_dir, n_runs):
         "scd2_skew_merge_window": _merge("row_number"),
         "scd2_skew_merge_maxby": _merge("max_by"),
     }
+
+
+def _build_vector_ops(spark, sf_dir, n_runs):
+    """r15 additions (extra entries only — the headline list stays
+    frozen): the two operator paths this round restructured, so their
+    cost is on the record for future rounds.
+
+    * ``knn_join_ivf_cells`` — the IVF KNN self-join on the r15 arrow
+      path (map-only top-nprobe probe assignment + cogrouped per-cell
+      GEMM; was a centroid crossjoin of interpreted folds + a window
+      shuffling nprobe embedding copies). Same deterministic centroids
+      as the similarity slots (vec_id % 40 == 7).
+    * ``kmeans_refine_exact`` — two exact-mean Lloyd iterations on the
+      r15 fused assign+partial-mean pass (one map-only job per
+      iteration; was assignment + a posexplode decimal aggregation).
+      kmeans_refine collects between iterations, so the work happens
+      inside the probe call; the returned local relation makes the
+      harness's noop write a no-op on top.
+    """
+    from pyspark.sql import functions as F
+
+    from implementing_scds_in_hive_spark.operators.similarity import (
+        kmeans_refine,
+        knn_join_ivf,
+    )
+
+    def knn(spark, sf_dir):
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        cents = e.where(F.col("vec_id") % 40 == 7).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        return knn_join_ivf(e, cents, k=5, nprobe=2)
+
+    def kmeans(spark, sf_dir):
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        seed = e.where(F.col("vec_id") % 40 == 7).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        return kmeans_refine(e, seed, n_iter=2, exact_mean=True)
+
+    return {"knn_join_ivf_cells": knn, "kmeans_refine_exact": kmeans}
 
 
 if __name__ == "__main__":

@@ -354,6 +354,7 @@ def _verify_clone_version(spark, root, v, model_rows):
 # the model, 3 = loud-heavy (aggressive vacuum reclaims adopted refs at
 # many retained versions), 6 = loud AND a restore (including the path
 # where restore_commit itself refuses loudly on vacuumed adopted refs)
+@pytest.mark.stress  # multi-minute randomized sweep; deterministic companion below stays default
 @pytest.mark.parametrize("seed", [2, 3, 6])
 def test_clone_chains_under_source_maintenance_pressure(
     spark, tmp_path, seed

@@ -331,6 +331,7 @@ def _assert_version_matches(spark, root, v, state):
     )
 
 
+@pytest.mark.stress  # multi-minute randomized sweep; deterministic companions below stay default
 @pytest.mark.parametrize("seed", [0, 1])
 def test_multi_writer_interleaving_preserves_invariants(
     spark, tmp_path, seed

@@ -41,6 +41,7 @@ def _pairs(df):
     )
 
 
+@pytest.mark.stress  # multi-minute randomized sweep; the rebuild-swap liveness test stays default
 @pytest.mark.parametrize("seed", [0, 1])
 def test_index_multi_writer_appends_compactions_and_probes(
     spark, sf_dir, tmp_path, seed
