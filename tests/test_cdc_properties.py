@@ -17,6 +17,8 @@ from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
+
 from pyspark.sql import types as T
 
 from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
@@ -106,6 +108,7 @@ def _apply(spark, batches):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(batches=BATCHES)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_cdc_structural_invariants(spark, batches):
     rows = [r.asDict() for r in _apply(spark, batches).collect()]
     model, ever_alive = _model(batches)

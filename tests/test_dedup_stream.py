@@ -7,6 +7,8 @@ dynamic partition overwrite + append guard)."""
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from implementing_scds_in_hive_spark.operators.dedup import portable_minhash_index
@@ -98,6 +100,7 @@ def test_stream_dedups_across_batches_via_index(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_stream_recovers_from_crash_in_every_window(spark, sf_dir, tmp_path):
     """Kill the stream in each phase — before work, after the pairs
     publish (pairs visible, index NOT appended: the dangerous window),

@@ -120,6 +120,7 @@ def test_ks_with_ties_matches_reference(spark):
     a=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
     b=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
 )
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_ks_random_matches_reference(spark, a, b):
     got = ks_statistic(_vals(spark, a), _vals(spark, b), "v").collect()[0]
     assert got["ks"] == pytest.approx(_py_ks(a, b), abs=1e-12)

@@ -207,6 +207,7 @@ def test_moment_stream_crash_replay_no_double_count(spark, tmp_path):
     assert read_table(spark, path).collect()[0]["n"] == 150  # not 200
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_category_count_stream_survives_random_crash_chains(spark):
     """Same chain property as the CMS/histogram streams: random batch
     chains with a crash injected at a random trigger boundary must

@@ -2,6 +2,8 @@
 any split/order must equal the one-shot rollup (the monoid property the
 driver oracle checks once; here it is checked across several splits)."""
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from implementing_scds_in_hive_spark.operators.incremental import (
@@ -95,6 +97,7 @@ def test_signed_delta_maintenance_across_snapshot_versions(spark, tmp_path):
     assert ws == [-1, -1, -1, 1, 1, 1]
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_follow_table_maintains_rollup_over_random_version_chains(spark, tmp_path):
     """Property (hypothesis): follow a snapshot table through ANY chain
     of random edits (insert/update/delete per key per version) with

@@ -322,6 +322,7 @@ _ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=_ops)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_append_compact_chains_probe_like_rebuild(spark, sf_dir, ops):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.where("doc_id < 200")
@@ -934,6 +935,7 @@ def test_stale_lock_break_has_single_winner(tmp_path):
     assert [f for f in _os.listdir(root) if ".break-" in f] == []
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_lock_exclusion_survives_slow_holders_under_tiny_stale_horizon(tmp_path):
     """r13 stress for the rewritten lock: holders that hold LONGER than
     the stale horizon (slow-but-alive, the r12 ADVICE regime) must keep

@@ -396,6 +396,7 @@ def test_maintain_view_link_crash_sweep_converges(spark, tmp_path, monkeypatch):
         run(kill_at, f"k{kill_at}")
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_maintain_view_crash_sweep_with_retention_vacuum(spark, tmp_path, monkeypatch):
     """r14 (VERDICT r13 next-round #4): the r13 link sweep ran with
     retention OFF, so deaths inside the view's own vacuum — and the

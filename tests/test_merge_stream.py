@@ -300,6 +300,7 @@ def test_merge_stream_cdc_full_feed_reconciliation(spark, tmp_path):
     assert meta["owner"] == "test-suite"
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_merge_stream_survives_crash_sweep(spark, tmp_path):
     """r12 kill-and-resume sweep (VERDICT r11 next-round #4): inject a
     process death ONCE at every (batch, phase) point of the

@@ -669,6 +669,7 @@ def test_pin_reused_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
     assert again.count() == 5
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_simhash_prefix_bits_bands_match_logical_shift(spark):
     """prefix_bits < 64 groups by the top bits via a LOGICAL shift
     (sign-agnostic across engines): the groups must equal a Python

@@ -85,6 +85,7 @@ def test_authority_orders_by_in_links(spark):
     damping=st.sampled_from([0.5, 0.85]),
     iterations=st.sampled_from([1, 3, 5]),
 )
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_random_graphs_match_reference(spark, edges, damping, iterations):
     if not edges:
         return

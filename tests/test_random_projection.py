@@ -71,6 +71,7 @@ def test_full_shortlist_degrades_to_exact_bruteforce(spark, emb):
     assert via_rp == exact
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_recall_follows_shortlist_dial(spark, emb):
     """This corpus is adversarial for JL: label-clustered vectors whose
     within-cluster cosine gaps (~0.02) sit far below the dim_out=16

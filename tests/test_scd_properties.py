@@ -22,6 +22,8 @@ from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
+
 from pyspark.sql import types as T
 
 from implementing_scds_in_hive_spark.operators.scd import (
@@ -98,6 +100,7 @@ def _by_key(rows):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(batches=BATCHES)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_structural_invariants(spark, batches):
     rows = [r.asDict() for r in _apply(spark, batches).collect()]
     staged_keys = {r[0] for b in batches for r in b}
@@ -124,6 +127,7 @@ def test_structural_invariants(spark, batches):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(batches=BATCHES)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_idempotent_replay_and_no_row_loss(spark, batches):
     prod = _apply(spark, batches)
     before = {(r["login"], r["scd_version"]): r.asDict() for r in prod.collect()}
@@ -147,6 +151,7 @@ def test_idempotent_replay_and_no_row_loss(spark, batches):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(batches=BATCHES)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_plan_and_key_strategy_equivalence(spark, batches):
     def snapshot(df, with_keys=True):
         cols = ("login", "scd_version", "address", "phone", "name",
@@ -195,6 +200,7 @@ def test_hash_keys_stable_across_runs(spark):
         max_size=40,
     )
 )
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_dedupe_strategy_equivalence(spark, rows):
     """r12 (VERDICT r11 #5): the skew-immune max_by dedupe must pick
     row-identical winners to the row_number window whenever order_by is

@@ -266,6 +266,7 @@ def test_cms_stream_equals_batch_and_guards_replay(spark, tmp_path):
     assert got == want  # no double-count despite the replayed batch
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_cms_stream_survives_random_crash_chains(spark):
     # the watermark-guard analog of the scd upsert's chain property:
     # random batch chains with a crash injected at a random trigger
@@ -363,6 +364,7 @@ def test_cms_stream_survives_random_crash_chains(spark):
     prop()
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_histogram_stream_survives_random_crash_chains(spark):
     # same chain property for the OTHER additive stream: the guard
     # logic lives separately in histogram_stream, so the CMS chain test
@@ -598,6 +600,7 @@ def test_bloom_stream_tolerates_zero_row_state_table(spark, tmp_path):
     assert state.count() >= 1
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_bloom_stream_survives_crash_sweep(spark, tmp_path):
     """r12 kill-and-resume sweep (VERDICT r11 next-round #4): one
     injected death at every (batch, phase) point of bloom_seen_stream's

@@ -15,6 +15,8 @@ both paths order the re-key by the same deterministic
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import types as T
 
 from implementing_scds_in_hive_spark.operators.scd import SCDConfig, scd2_merge
@@ -162,6 +164,7 @@ from tests.test_scd_properties import (
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=BATCHES)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_script_equals_engine_on_random_batches(spark, batches):
     prod_engine = spark.createDataFrame([], PROP_PROD_SCHEMA)
     prod_script = spark.createDataFrame([], PROP_PROD_SCHEMA)

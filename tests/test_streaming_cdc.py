@@ -7,6 +7,8 @@ where batch boundaries matter most."""
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import types as T
 
 from implementing_scds_in_hive_spark.operators.cdc import cdc_apply
@@ -177,6 +179,7 @@ _chain = st.lists(st.tuples(_batch, _crash), min_size=1, max_size=3)
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(chain=_chain)
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_upsert_stream_survives_random_crash_chains(spark, chain):
     work = tempfile.mkdtemp(prefix="scd_crash_chain_")
     try:

@@ -147,6 +147,7 @@ def _wait(q, timeout=240):
     assert not q.isActive
 
 
+@pytest.mark.stress  # multi-minute sweep (r15: opt-in; see pytest.ini)
 def test_substring_stream_dedups_across_batches_and_replays_cleanly(
     spark, sf_dir, tmp_path
 ):
